@@ -1,0 +1,77 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.CoreOps._
+
+/** The three reference ETL pipelines (SURVEY.md §3.1), recomposed from
+  * graft.ops over the testdata domain mapping (orders→orders,
+  * lineitem→order_items, part→products; FIXTURES.md §B).
+  *
+  * Each returns its final DataFrame so it doubles as a query; the
+  * write/merge stage is exercised separately through graft.table.LakeTable
+  * (tested in LakeTableSpec) so these stay deterministic for the oracle.
+  *
+  * Reference shape per job:
+  *   read → validate schema → cast → valid/reject split → dedup →
+  *   RI semi-join → merge   (order_glue_job.py:186-193)
+  */
+object Pipelines {
+
+  /** Orders pipeline (order_glue_job.py:85-163): strict schema validation,
+    * cast, not-null split, latest-wins dedup on the PK by timestamp,
+    * RI semi-join against order_items (lineitem). */
+  def orders(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val validated = enforceSchema(Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))(raw)
+    val casted = castColumns(Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType))(validated)
+    val (valid, _) = splitValid(Seq("o_orderkey", "o_custkey", "o_orderdate"))(casted)
+    val deduped = latestWins(Seq("o_orderkey"), "o_orderdate")(valid)
+    semiJoin(Seq("o_orderkey"),
+      lineitem.selectExpr("l_orderkey as o_orderkey"))(deduped)
+  }
+
+  /** Order-items pipeline (order_items_glue_job.py:96-207): lenient
+    * projection, cast, reject split, RI semi-join to orders, composite-key
+    * exact dedup — made deterministic via latest-wins with tiebreakers
+    * (SURVEY.md §7.3). */
+  def orderItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.load(spark, sfDir, "lineitem")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val projected = enforceSchemaLenient(Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"))(raw)
+    val (valid, _) = splitValid(Seq("l_orderkey", "l_partkey", "l_shipdate"))(projected)
+    val deduped = latestWins(Seq("l_orderkey", "l_linenumber"), "l_shipdate",
+      tiebreakers = Seq(col("l_partkey"), col("l_suppkey")))(valid)
+    semiJoin(Seq("l_orderkey"),
+      orders.selectExpr("o_orderkey as l_orderkey"))(deduped)
+  }
+
+  /** Products pipeline (products_glue_job.py:135-194): declared-schema
+    * read, empty-input guard, exact dedup on PK, not-null filter, RI
+    * semi-join from the fact table's key set. The part dim is small
+    * relative to lineitem, but the *key set* shipped into the semi-join
+    * comes from lineitem — so we aggregate it first and let AQE pick
+    * broadcast once it's tiny. */
+  def products(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.load(spark, sfDir, "part")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    require(!raw.isEmpty, "products input is empty")  // S5 empty-input guard
+    val validated = enforceSchema(Seq(
+      "p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))(raw)
+    val (valid, _) = splitValid(Seq("p_partkey", "p_name"))(validated)
+    val deduped = latestWins(Seq("p_partkey"), "p_name")(valid)
+    semiJoin(Seq("p_partkey"),
+      lineitem.selectExpr("l_partkey as p_partkey"))(deduped)
+  }
+}
