@@ -1,21 +1,25 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
 import graft.ops.CoreOps._
 import graft.pipelines.Pipelines
+import graft.table.LakeTable
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, each paired (where SQL-expressible) with DuckDB oracle SQL
-  * over the same parquet tables.
+  * SURVEY.md §2 plus the north-star extensions (§7.5), each paired (where
+  * SQL-expressible) with DuckDB oracle SQL over the same parquet tables.
   *
   * Determinism rules for oracle-compared queries (SURVEY.md §7.3):
   * explicit ORDER BY everywhere, explicit NULLS FIRST/LAST (Spark and
   * DuckDB defaults differ), no current_timestamp in compared output,
-  * doubles either exact-decimal-summed or rounded, latest-wins dedup with
-  * full tiebreakers instead of bare dropDuplicates.
+  * doubles either exact-decimal-summed or rounded (ranking always on the
+  * ROUNDED value so cross-engine ULP noise can't flip ranks), latest-wins
+  * dedup with full tiebreakers instead of bare dropDuplicates.
   */
 object SparkEntry {
 
@@ -24,9 +28,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_items_pipeline")(spark, "/root/testdata/sf0.001")
 
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- Reference pipelines end-to-end (§3.1) ----
+    // ================= Reference pipelines end-to-end (§3.1) ===========
     "q_items_pipeline" -> ((s, dir) =>
       Pipelines.orderItems(s, dir)
         .groupBy("l_returnflag").agg(count(lit(1)).as("n_items"))
@@ -44,7 +52,7 @@ object SparkEntry {
         .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
         .orderBy("p_partkey")),
 
-    // ---- Individual operators ----
+    // ================= Core operators ==================================
     // W1 latest-wins window dedup (order_glue_job.py:113-116)
     "q_window_dedup" -> ((s, dir) =>
       latestWins(Seq("o_custkey"), "o_orderdate",
@@ -59,12 +67,33 @@ object SparkEntry {
         Tables.load(s, dir, "part"))
         .select("p_partkey", "p_name").orderBy("p_partkey")),
 
-    // K2-internal anti-join (merge emulation core, SURVEY.md §7.3)
+    // K2-internal anti-join (merge emulation core, SURVEY.md §7.3):
+    // parts never ordered at quantity >= 49
     "q_anti_join" -> ((s, dir) =>
       antiJoin(Seq("p_partkey"),
-        Tables.load(s, dir, "lineitem").selectExpr("l_partkey as p_partkey"))(
+        Tables.load(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+          .selectExpr("l_partkey as p_partkey"))(
         Tables.load(s, dir, "part"))
         .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    // K2/K3 — full MERGE upsert through the LakeTable layer (real
+    // partitioned-parquet writes + atomic swap), then summarize the
+    // merged table. target = keys ≢0 mod 3; source = keys ≡0 mod 2 with
+    // doubled totalprice (UPDATE for overlap, INSERT for the rest).
+    "q_merge_upsert" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_merge", Seq("o_orderkey"))
+      t.create(target)
+      t.upsert(source)
+      t.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("o_orderstatus")
+    }),
 
     // P4/P5 one-pass valid/reject split, surfaced as A1 one-pass metrics
     "q_valid_counts" -> ((s, dir) =>
@@ -77,16 +106,40 @@ object SparkEntry {
       o.except(o.filter(col("o_orderstatus") === "F")).orderBy("o_orderkey")
     }),
 
-    // §2.9 SQL surface: registered views + ORDER BY/LIMIT (deterministic
-    // variant of Athena's SELECT * ... LIMIT 10)
+    // §2.9 SQL surface: registered views + ORDER BY/LIMIT
     "q_sql_limit" -> ((s, dir) => {
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
                FROM orders ORDER BY o_orderkey LIMIT 10""")
     }),
 
-    // ---- North-star: aggregations (§7.5) ----
-    // TPC-H Q1-shaped pricing summary over the full lineitem scan
+    // §2.9 SQL surface: multi-table join + agg through spark.sql
+    "q_sql_join_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name ORDER BY n.n_name""")
+    }),
+
+    // S6 local collection → DataFrame, broadcast-joined to a fact
+    "q_local_relation" -> ((s, dir) => {
+      val ranks = s.createDataFrame(Seq(
+        ("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+        ("4-NOT SPECIFIED", 4), ("5-LOW", 5))).toDF("o_orderpriority", "prio_rank")
+      Tables.load(s, dir, "orders").join(broadcast(ranks), Seq("o_orderpriority"))
+        .groupBy("prio_rank").agg(count(lit(1)).as("n_orders"))
+        .orderBy("prio_rank")
+    }),
+
+    // ================= North-star: aggregations (§7.5) =================
     "q1_agg" -> ((s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -96,6 +149,191 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_rollup" -> ((s, dir) => {
+      // Spark 4.1's DetectAmbiguousSelfJoin false-positives on
+      // rollup-after-join (the Expand node re-uses the grouping attrs);
+      // the check is a lint, not a semantic guard — disable it here.
+      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      val joined = c.select("c_custkey", "c_nationkey", "c_acctbal")
+        .join(broadcast(n.select(col("n_nationkey").as("c_nationkey"),
+          col("n_name"), col("n_regionkey"))), Seq("c_nationkey"))
+        .join(broadcast(r.select(col("r_regionkey").as("n_regionkey"),
+          col("r_name"))), Seq("n_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+      joined.rollup(joined("r_name"), joined("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(20,4)")).cast("double").as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q_pivot" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")),
+
+    "q_count_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // HLL sketch — approximate, so rows-only check (no oracle)
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .orderBy("o_orderstatus")),
+
+    // ================= North-star: text analysis =======================
+    "q_text_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(bpeTokenCount(col("text")).cast("long")).as("sum_bpe_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")),
+
+    "q_text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tok"),
+        bpeTokenCount(col("text")).as("n_bpe"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        qualityScore(col("text")).as("quality"),
+        fingerprintMd5(col("text")).as("fp"),
+        fingerprintNormalized(col("text")).as("fp_norm"))
+        .orderBy("doc_id")),
+
+    // heuristic language ID — heuristic has no SQL twin; rows-only check
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), langId(col("text")).as("pred_lang"), col("lang"))
+        .orderBy("doc_id")),
+
+    // ================= North-star: deduplication =======================
+    "q_dedup_exact" -> ((s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fingerprintMd5(col("text"))).as("n_unique"),
+        countDistinct(fingerprintNormalized(col("text"))).as("n_unique_norm"))),
+
+    // winnowing fingerprints use engine-specific xxhash64 — rows-only
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(winnowingFingerprints(col("text"))).as("n_fp"),
+        array_min(winnowingFingerprints(col("text"))).as("min_fp"))
+        .orderBy("doc_id")),
+
+    // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
+    // correctness covered by DedupSpec + the oracle-checked q_ngram_jaccard)
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+        .orderBy("a_id", "b_id")),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", bands = 4, maxHamming = 3)
+        .orderBy("a_id", "b_id")),
+
+    // exact n-gram Jaccard near-dup pairs (bounded subset: all-pairs
+    // verify path; oracle-checked)
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text",
+        n = 3, threshold = 0.7)
+        .orderBy("a_id", "b_id")),
+
+    // embedding-cosine near-dup, brute-force verify path (oracle-checked)
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        dim = 64, threshold = 0.4, lshBits = 0)
+        .withColumn("cos", round(col("cos"), 4))
+        .filter(col("cos") >= 0.4)
+        .orderBy("a_id", "b_id")),
+
+    // embedding-cosine near-dup, LSH-bucketed scale path (rows-only)
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
+        dim = 64, threshold = 0.4, lshBits = 6)
+        .orderBy("a_id", "b_id")),
+
+    // ================= North-star: similarity search ===================
+    // brute-force exact top-k for a bounded query set (oracle-checked);
+    // ranking on the rounded cosine with id tiebreak keeps cross-engine
+    // float noise out of the rank.
+    "q_embed_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val scored = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 16), e, "vec_id", "embedding", k = 5)
+      scored.select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (recall<1 by design — rows-only check)
+    "q_embed_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 16), e, "vec_id", "embedding",
+        k = 5, dim = 64, bits = 8, probeBits = 1)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ================= North-star: event-time windows ==================
+    "q_event_tumbling" -> ((s, dir) =>
+      EventOps.tumbling(events(s, dir), "1 hour")
+        .orderBy("window_start", "event_type")),
+
+    "q_event_sliding" -> ((s, dir) =>
+      EventOps.sliding(events(s, dir), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")),
+
+    "q_event_sessions" -> ((s, dir) =>
+      EventOps.sessions(events(s, dir), "4 hours")
+        .orderBy("user_id", "session_start")),
+
+    "q_json_extract" -> ((s, dir) =>
+      EventOps.withJsonProp(events(s, dir), "k")
+        .groupBy("event_type")
+        .agg(sum(col("k").cast("long")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // ================= North-star: multimodal columns ==================
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.withMediaMeta(
+        docs(s, dir).withColumn("payload", col("text").cast("binary")), "payload")
+        .select(col("doc_id"), col("n_bytes"), col("content_md5"))
+        .orderBy("doc_id")),
+
+    // decode/feature-extract over binary payloads (stubbed codec;
+    // deterministic but Scala-side arithmetic — rows-only check)
+    "q_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
+        repeat(col("text"), 20).cast("binary").as("payload"))
+        .as[Multimodal.MediaRow]
+      Multimodal.resized(Multimodal.decodeAndFeaturize(media), 256)
+        .select("media_id", "kind", "width", "height", "n_bytes", "checksum",
+          "out_width", "out_height")
+        .orderBy("media_id")
+    }),
+
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        docs(s, dir).select(
+          col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
+          repeat(col("text"), 50).cast("binary").as("payload")),
+        stride = 2)
+        .orderBy("media_id", "frame_idx")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -154,8 +392,24 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT p_partkey, p_name FROM part p
-         WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                           WHERE l.l_quantity >= 49 AND l.l_partkey = p.p_partkey)
          ORDER BY p_partkey""",
+
+    "q_merge_upsert" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_valid_counts" ->
       """SELECT (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
@@ -172,6 +426,26 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          FROM orders ORDER BY o_orderkey LIMIT 10""",
 
+    "q_sql_join_agg" ->
+      """SELECT n.n_name,
+                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                COUNT(*) AS n_lines
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         JOIN region r ON r.r_regionkey = n.n_regionkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY n.n_name ORDER BY n.n_name""",
+
+    "q_local_relation" ->
+      """SELECT prio_rank, count(*) AS n_orders
+         FROM orders
+         JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3),
+                      ('4-NOT SPECIFIED', 4), ('5-LOW', 5))
+              AS ranks(o_orderpriority, prio_rank) USING (o_orderpriority)
+         GROUP BY prio_rank ORDER BY prio_rank""",
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
@@ -181,5 +455,183 @@ object SparkEntry {
          FROM lineitem
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS sum_bal
+         FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                SUM(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        x -> len(x) > 0))) AS sum_tokens,
+                SUM(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS sum_bpe_tokens,
+                ROUND(AVG(n_chars), 4) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_text_quality" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  length(text) AS n_char
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, n_char, len(toks) AS n_tok,
+                  len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+                  len(list_filter(toks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it',
+                       'that','for','on','with','as','this','by'], t)))
+                    AS sw_hits,
+                  array_to_string(toks, ' ') AS norm_text,
+                  n_char - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                    AS n_punct,
+                  n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS n_alpha
+           FROM base)
+         SELECT doc_id, n_tok, n_bpe,
+                ROUND(sw_hits * 1.0 / greatest(n_tok, 1), 6) AS stop_ratio,
+                ROUND(
+                  (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                        WHEN n_tok BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END) * 0.3
+                  + (1.0 - least(n_punct * 4.0 / greatest(n_char, 1), 1.0)) * 0.3
+                  + least(sw_hits * 5.0 / greatest(n_tok, 1), 1.0) * 0.2
+                  + (n_alpha * 1.0 / greatest(n_char, 1)) * 0.2, 4) AS quality,
+                md5(text) AS fp, md5(norm_text) AS fp_norm
+         FROM m ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_docs,
+                count(DISTINCT md5(text)) AS n_unique,
+                count(DISTINCT md5(array_to_string(
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0), ' '))) AS n_unique_norm
+         FROM documents""",
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents WHERE doc_id < 300),
+         sh AS (
+           SELECT doc_id, len(t) AS ntok,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                  AS jaccard
+         FROM sh a JOIN sh b
+           ON a.doc_id < b.doc_id AND b.ntok BETWEEN a.ntok / 2 AND a.ntok * 2
+         WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY a_id, b_id""",
+
+    "q_embed_neardup" ->
+      """WITH nv AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                ROUND(ROUND(list_dot_product(a.v, b.v), 6), 4) AS cos
+         FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         WHERE ROUND(ROUND(list_dot_product(a.v, b.v), 6), 4) >= 0.4
+         ORDER BY a_id, b_id""",
+
+    "q_embed_topk" ->
+      """WITH nv AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q.v, c.v), 6) AS cos
+           FROM nv q JOIN nv c ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_event_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS n,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2)
+                  AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q_event_sliding" ->
+      """WITH w AS (
+           SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                          time_bucket(INTERVAL '30 minutes', ts)
+                            - INTERVAL '30 minutes']) AS window_start,
+                  event_type
+           FROM events)
+         SELECT window_start, event_type, count(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q_event_sessions" ->
+      """WITH m AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL '4 hours'
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m)
+         SELECT MIN(ts) AS session_start, user_id, count(*) AS n_events,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2)
+                  AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q_json_extract" ->
+      """SELECT event_type,
+                SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+                  AS sum_k,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
+
+    "q_frame_sample" ->
+      """SELECT doc_id AS media_id,
+                unnest(range(0, greatest(1,
+                  octet_length(encode(repeat(text, 50))) // 4096), 2))
+                  AS frame_idx
+         FROM documents WHERE doc_id % 3 = 0
+         ORDER BY media_id, frame_idx""",
   )
 }

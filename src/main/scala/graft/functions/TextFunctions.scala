@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis function library for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything is a pure `Column => Column` built from Catalyst built-ins
+  * (split/regexp/higher-order functions) — no UDFs, so the whole pipeline
+  * stays inside whole-stage codegen and scales linearly with input: every
+  * function is row-local (no shuffle), making these map-side-only at any
+  * data size.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization, lowercased, empty tokens dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+    * other non-space chars each count as one token — a cheap proxy for
+    * subword tokenizer counts. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Count of characters matching a regex character class. */
+  private def charCount(c: Column, cls: String): Column =
+    length(c) - length(regexp_replace(c, cls, ""))
+
+  def punctRatio(c: Column): Column =
+    charCount(c, "[\\p{Punct}]") / greatest(length(c), lit(1))
+
+  def digitRatio(c: Column): Column =
+    charCount(c, "[0-9]") / greatest(length(c), lit(1))
+
+  def alphaRatio(c: Column): Column =
+    charCount(c, "[A-Za-z]") / greatest(length(c), lit(1))
+
+  def upperRatio(c: Column): Column =
+    charCount(c, "[A-Z]") / greatest(length(c), lit(1))
+
+  private val enStopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "this", "by")
+
+  /** Fraction of tokens that are (English) stopwords — a fluency signal. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(sw, t))) /
+      greatest(tokenCount(c), lit(1))
+  }
+
+  /** Heuristic document quality score in [0,1] — the C4/Gopher-style
+    * length/punctuation/stopword signals combined. Tunable but
+    * deterministic. */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c)
+    val lengthOk = when(n.between(10, 100000), lit(1.0))
+      .when(n.between(3, 9), lit(0.5)).otherwise(lit(0.0))
+    val punctOk = lit(1.0) - least(punctRatio(c) * 4, lit(1.0))
+    val fluency = least(stopwordRatio(c) * 5, lit(1.0))
+    val alpha = alphaRatio(c)
+    round(lengthOk * 0.3 + punctOk * 0.3 + fluency * 0.2 + alpha * 0.2, 4)
+  }
+
+  private val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "que", "es", "un", "por"))
+
+  /** N-gram/stopword-heuristic language ID over {en,de,fr,es,zh}.
+    * CJK-dominant text → zh; otherwise the language whose stopword list
+    * hits the most tokens; 'und' (undetermined) when nothing hits. */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = greatest(size(toks), lit(1))
+    val cjk = charCount(c, "[\\u4e00-\\u9fff\\u3040-\\u30ff]") / greatest(length(c), lit(1))
+    // score per language = stopword-hit fraction; argmax via sorted struct array
+    val scored = array(langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(
+        (size(filter(toks, t => array_contains(sw, t))).cast("double") / nTok).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = element_at(array_sort(scored,
+      (l, r) => when(l("score") > r("score"), -1)
+        .when(l("score") < r("score"), 1)
+        .otherwise(when(l("lang") < r("lang"), -1).when(l("lang") > r("lang"), 1).otherwise(0))), 1)
+    when(cjk > 0.2, lit("zh"))
+      .when(best("score") > 0, best("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 hex of the raw text — exact-dedup key that
+    * also matches DuckDB's md5() for oracle checks. */
+  def fingerprintMd5(c: Column): Column = md5(c.cast("binary"))
+
+  /** Normalized fingerprint: md5 of lowercase, whitespace-collapsed text —
+    * catches trivially-reformatted duplicates. */
+  def fingerprintNormalized(c: Column): Column =
+    md5(concat_ws(" ", tokens(c)).cast("binary"))
+
+  /** Word n-gram shingles (the MinHash/Jaccard unit). Docs shorter than n
+    * tokens yield one shingle of the whole doc. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** Rolling-hash document fingerprint (winnowing, Schleimer et al.):
+    * hash every n-shingle, keep the min hash of each sliding window of
+    * `w` hashes, dedupe. Robust partial-overlap detection at ~1/w the
+    * storage of full shingle sets. */
+  def winnowingFingerprints(c: Column, n: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(shingles(c, n), s => xxhash64(s))
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w))))))
+      .otherwise(array(array_min(hashes)))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation over the `events` table (batch form;
+  * graft.streaming.Streams holds the Structured Streaming variants).
+  *
+  * All window assignment is row-local (`window()` expands to arithmetic on
+  * the timestamp); the only shuffle is the final groupBy on (window, key),
+  * which AQE coalesces — the same plan shape a 1000-executor run needs.
+  */
+object EventOps {
+
+  /** Tumbling event-time window aggregate (count + sum(value)). */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(20,4)")).cast("double"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding event-time window aggregate: each event lands in
+    * width/slide windows. */
+  def sliding(events: DataFrame, width: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user: events closer than `gap` merge into one
+    * session. Output start = min event ts of the session. */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(20,4)")).cast("double"), 2).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** JSON property extraction from the `props` string column — the
+    * semi-structured access path (`get_json_object` stays codegen'd). */
+  def withJsonProp(events: DataFrame, field: String): DataFrame =
+    events.withColumn(field, get_json_object(col("props"), s"$$.$field").cast("int"))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing is real (schema, batch shape, partitioning);
+  * the codec itself is STUBBED deterministically — this container has no
+  * image/audio libraries, so `decodeStub` derives a fake raster from the
+  * bytes. Swap `decodeStub`/`sampleFramesStub` for a real codec (e.g. a
+  * JNI decoder) without touching the pipeline around them.
+  *
+  * Batch shape: per-partition iterator processing via `mapPartitions` on a
+  * typed Dataset — the Scala analogue of `mapInPandas` (one batch in, one
+  * batch out, no per-row setup cost). Decode is embarrassingly parallel;
+  * the only cross-row op (feature aggregation) happens afterwards in
+  * DataFrame land.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class DecodedRow(media_id: Long, kind: String, width: Int, height: Int,
+      n_bytes: Long, checksum: Long, histogram: Array[Long])
+
+  /** Attach media metadata columns derivable without decoding. */
+  def withMediaMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(binCol)).cast("long"))
+      .withColumn("content_md5", md5(col(binCol)))
+
+  /** Decode + feature-extract, batched per partition.
+    *
+    * STUB: real decode would parse the container format here; instead the
+    * "raster" dims come deterministically from the byte length and the
+    * features are a 16-bin byte histogram + xor checksum — real work over
+    * the real bytes, exercising the same data movement a codec would.
+    */
+  def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.payload
+        val hist = new Array[Long](16)
+        var checksum = 0L
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) >> 4) += 1
+          checksum = checksum * 31 + (bytes(i) & 0xff)
+          i += 1
+        }
+        // STUB dimensions — a real decoder reads these from the header
+        val width = 16 + (math.abs(checksum) % 1024).toInt
+        val height = 16 + (math.abs(checksum / 7) % 1024).toInt
+        DecodedRow(r.media_id, r.kind, width, height, bytes.length.toLong, checksum, hist)
+      }
+    }
+  }
+
+  /** Resize metadata transform (pure arithmetic on decoded dims — the
+    * real pixel resample is part of the stubbed codec layer). */
+  def resized(decoded: Dataset[DecodedRow], maxSide: Int): DataFrame =
+    decoded.toDF().withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+
+  /** Frame-sampling plan for video-kind rows: every `stride`-th frame
+    * index up to a deterministic fake frame count (bytes/4096). The
+    * explode produces the (media, frame_idx) work-list a real frame
+    * extractor would consume. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .withColumn("n_frames", greatest(lit(1), (length(col("payload")) / 4096).cast("int")))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select("media_id", "frame_idx")
+}

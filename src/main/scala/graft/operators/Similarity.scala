@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a bounded query set against
+  *    the full corpus. The query side is broadcast (bounded by contract);
+  *    the corpus is scanned once, partition-locally. Top-k per query is
+  *    computed with [[TopKAgg]], a typed Aggregator with a bounded buffer —
+  *    partial aggregation does map-side top-k, so the shuffle carries at
+  *    most k rows per (query, partition), never the full score matrix.
+  *    This is the 100 TB-safe shape (a window over all pairs would shuffle
+  *    |corpus|×|queries| rows).
+  *  - [[lshTopK]]: IVF-style scale path — corpus bucketed by deterministic
+  *    hyperplane LSH signature; queries probe only their own bucket
+  *    (multiprobe = flip up to `probeBits` signature bits), then exact
+  *    cosine + top-k within candidates.
+  */
+object Similarity {
+
+  /** (neighbor id, score) pair carried through aggregation. */
+  case class Scored(id: Long, score: Double)
+
+  /** Bounded top-k typed Aggregator: buffer holds at most k elements, so
+    * map-side combine keeps shuffle volume at O(k) per group-partition. */
+  class TopKAgg(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    def zero: List[Scored] = Nil
+    private def trim(l: List[Scored]): List[Scored] =
+      l.sortBy(s => (-s.score, s.id)).take(k)
+    def reduce(buf: List[Scored], a: Scored): List[Scored] = trim(a :: buf)
+    def merge(b1: List[Scored], b2: List[Scored]): List[Scored] = trim(b1 ::: b2)
+    def finish(r: List[Scored]): Seq[Scored] = r
+    def bufferEncoder: Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param queries bounded DataFrame(idCol, vecCol) — broadcast side
+    * @param corpus  DataFrame(idCol, vecCol) — scanned side
+    * @return (query_id, neighbor_id, rank, cos) — excludes self-matches
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("q_v")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_v"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_v"), col("c_v")), 6).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** LSH-bucketed ANN: probe the query's bucket plus `probeBits`-bit-flip
+    * neighbors. Recall < 1 by construction; candidates verified exactly. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, bits: Int = 8, probeBits: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_v"))
+      .withColumn("bucket", packBits(lshBits(col("c_v"), bits, dim)))
+    val qBase = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_v"))
+      .withColumn("bucket0", packBits(lshBits(col("q_v"), bits, dim)))
+    // multiprobe: the bucket itself + each single-bit flip (probeBits=1)
+    val probes =
+      if (probeBits <= 0) qBase.withColumn("bucket", col("bucket0"))
+      else qBase.withColumn("bucket",
+        explode(array_union(array(col("bucket0")),
+          array((0 until bits).map(i =>
+            col("bucket0").bitwiseXOR(lit(1L << i))): _*))))
+    val scored = broadcast(probes.drop("bucket0"))
+      .join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_v"), col("c_v")), 6).as("cos"))
+      .distinct()
+    topKPerGroup(scored, k)
+  }
+
+  /** Top-k rows per query_id from (query_id, neighbor_id, cos) using the
+    * bounded typed Aggregator (map-side combine), then re-flattened with
+    * a deterministic rank. */
+  def topKPerGroup(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val agg = new TopKAgg(k).toColumn
+    val ds = scored.select(col("query_id"),
+        col("neighbor_id").cast("long").as("id"), col("cos").as("score"))
+      .as[(Long, Long, Double)]
+      .map { case (q, id, s) => (q, Scored(id, s)) }
+    ds.groupByKey(_._1).mapValues(_._2).agg(agg.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+  }
+
+  /** Window-based reference implementation of per-group top-k (shuffles
+    * the full score set — verification-only; the Aggregator is the scale
+    * path). */
+  def topKPerGroupWindow(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming coverage (SURVEY.md §2.10): the reference's
+  * file-arrival micro-batching mapped to file-source streaming with
+  * `Trigger.AvailableNow` (drain-what-exists, then stop), plus
+  * watermarked event-time aggregation and custom sessionization state via
+  * `flatMapGroupsWithState`.
+  *
+  * These run in tests through the memory sink; the same plans deploy
+  * unchanged against a real continuous source — watermark semantics and
+  * state-store partitioning (hash on group key) are identical at cluster
+  * scale.
+  */
+object Streams {
+
+  /** File-source stream over an existing parquet table (schema taken from
+    * a batch peek — file streams require an explicit schema). */
+  def readTableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$sfDir/$table.parquet")
+  }
+
+  /** Watermarked tumbling-window count/sum over the events stream.
+    * Late data beyond 10 minutes is dropped; state is bounded by the
+    * watermark, which is what keeps this runnable forever at scale. */
+  def windowedCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(20,4)")).cast("double"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionAcc(events: List[Ev])
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: groups by
+    * user, buffers events, and (for the AvailableNow/batch-drain test
+    * path) emits all closed sessions when the group's input is exhausted.
+    * Gap semantics match EventOps.sessions (new session when
+    * ts >= prev_ts + gap). */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("ts"),
+      col("value").cast("double")).as[Ev]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionAcc]) =>
+          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ rows.toList)
+            .sortBy(_.ts.getTime)
+          state.update(SessionAcc(Nil))
+          // split into sessions at gaps
+          val sessions = all.foldLeft(List.empty[List[Ev]]) { (acc, ev) =>
+            acc match {
+              case cur :: rest if ev.ts.getTime < cur.last.ts.getTime + gapSeconds * 1000 =>
+                (cur :+ ev) :: rest
+              case _ => List(ev) :: acc
+            }
+          }.reverse
+          sessions.iterator.map(s => SessionOut(user, s.head.ts, s.size.toLong,
+            math.round(s.map(_.value).sum * 100.0) / 100.0))
+      }.toDF()
+  }
+
+  /** Drain a streaming DataFrame into an in-memory table and return the
+    * result — AvailableNow processes existing files as micro-batches then
+    * stops (the reference's file-drop batch model). */
+  def drainToBatch(streamDf: DataFrame, name: String): DataFrame = {
+    val q = streamDf.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    streamDf.sparkSession.table(name)
+  }
+
+  /** Append-mode drain for non-aggregating / flatMapGroupsWithState streams. */
+  def drainAppend(streamDf: DataFrame, name: String): DataFrame = {
+    val q = streamDf.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    streamDf.sparkSession.table(name)
+  }
+}
