@@ -87,6 +87,7 @@ object CoreOps {
       df: DataFrame): DataFrame = {
     val keys = dim.select(on.map(col): _*)
     df.join(if (broadcastDim) broadcast(keys) else keys, on, "left_semi")
+      .select(df.columns.map(col).toIndexedSeq: _*) // USING-join puts keys first; restore order
   }
 
   /** J2 — RI join that degrades to identity if the dimension is missing
@@ -99,6 +100,7 @@ object CoreOps {
     * `subtract` reject-split). */
   def antiJoin(on: Seq[String], other: DataFrame)(df: DataFrame): DataFrame =
     df.join(other.select(on.map(col): _*), on, "left_anti")
+      .select(df.columns.map(col).toIndexedSeq: _*)
 
   /** P6 — audit/lineage columns (ingestion timestamp + source). Excluded
     * from oracle-compared output (nondeterministic). */

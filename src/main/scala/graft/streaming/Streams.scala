@@ -18,10 +18,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streams {
 
   /** File-source stream over an existing parquet table (schema taken from
-    * a batch peek — file streams require an explicit schema). */
+    * a batch peek — file streams require an explicit schema). The file
+    * stream source needs a *directory*; a single-file table is exposed
+    * through a temp dir holding a symlink to it. */
   def readTableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$sfDir/$table.parquet")
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$sfDir/$table.parquet")
+    val path =
+      if (Files.isDirectory(src)) src.toString
+      else {
+        val dir = Files.createTempDirectory(s"stream_$table")
+        Files.createSymbolicLink(dir.resolve(s"$table.parquet"), src)
+        dir.toString
+      }
+    val schema = spark.read.parquet(src.toString).schema
+    spark.readStream.schema(schema).parquet(path)
   }
 
   /** Watermarked tumbling-window count/sum over the events stream.

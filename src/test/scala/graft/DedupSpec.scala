@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.functions.VectorFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2 planted near-dup pairs + unrelated docs
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+    (2L, "completely different content about databases and query optimization engines"),
+    (3L, "entirely unrelated text discussing volcanoes glaciers and tectonic plates"),
+    (4L, "completely different content about databases and query optimization engines"),
+    (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+  ).toDF("doc_id", "text")
+
+  test("exactByContent groups identical texts") {
+    val groups = Dedup.exactByContent(corpus, "doc_id", "text")
+    assert(groups.count() == 5) // 6 docs, one exact-dup pair (2,4)
+    val dup = groups.filter($"n_copies" === 2).select("keep_id").as[Long].head()
+    assert(dup == 2L)
+  }
+
+  test("dropExactDuplicates keeps min-id survivor") {
+    val out = Dedup.dropExactDuplicates(corpus, "doc_id", "text")
+    assert(out.count() == 5)
+    assert(!out.select("doc_id").as[Long].collect().contains(4L))
+  }
+
+  test("minhashLshPairs finds planted near-dups and skips unrelated") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      shingleN = 2, k = 64, bands = 16, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs: exact all-pairs verification") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 2, threshold = 0.5)
+    val m = pairs.select("a_id", "b_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((2L, 4L)) == 1.0)
+    assert(m((0L, 1L)) > 0.8 && m((0L, 1L)) < 1.0)
+  }
+
+  test("simhashPairs: identical and near docs collide, distant do not") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", bands = 4, maxHamming = 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 4L))) // identical → hamming 0
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("embedding near-dup: brute force finds the planted pair") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.1f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.95, lshBits = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("embedding near-dup LSH path: same pair, fewer comparisons") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.2f, 0.3f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.95, lshBits = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // near-identical vectors share all hyperplane signs
+  }
+
+  test("cosine matches hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+    val d = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c")).as[Double].head()
+    assert(math.abs(d) < 1e-12)
+  }
+}

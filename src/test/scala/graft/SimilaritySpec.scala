@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(0.7f, 0.7f)),
+    (4L, Array(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 3L, 2L)) // by descending cosine to (1,0)
+  }
+
+  test("aggregator top-k agrees with window top-k") {
+    val q = vecs.filter($"vec_id" < 2L)
+    val scored = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    // reference implementation via window
+    val qn = q.select(col("vec_id").as("query_id"),
+      graft.functions.VectorFunctions.normalize(col("embedding")).as("qv"))
+    val cn = vecs.select(col("vec_id").as("neighbor_id"),
+      graft.functions.VectorFunctions.normalize(col("embedding")).as("cv"))
+    val ref = Similarity.topKPerGroupWindow(
+      qn.crossJoin(cn).filter($"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id",
+          round(graft.functions.VectorFunctions.dot($"qv", $"cv"), 6).as("cos")), 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(scored == ref)
+  }
+
+  test("lshTopK returns ranked neighbors from probed buckets") {
+    val out = Similarity.lshTopK(vecs.filter($"vec_id" === 0L), vecs,
+      "vec_id", "embedding", k = 2, dim = 2, bits = 4, probeBits = 1)
+    val got = out.select("neighbor_id").as[Long].collect().toSet
+    assert(got.nonEmpty && !got.contains(0L)) // no self-match
+  }
+}

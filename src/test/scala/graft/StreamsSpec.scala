@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+import graft.streaming.Streams
+
+/** Structured Streaming parity: the streaming window aggregation over the
+  * events table (drained with Trigger.AvailableNow) must equal the batch
+  * EventOps result — same plan semantics, different execution mode. */
+class StreamsSpec extends SparkSpec {
+
+  test("streaming windowed counts == batch tumbling aggregation") {
+    val batch = EventOps.tumbling(Tables.load(spark, sf, "events"), "1 hour")
+      .orderBy("window_start", "event_type").collect().toSeq
+    // stream the same parquet through readStream; ts arrives as long nanos
+    // under nanosAsLong, so rebuild the µs timestamp exactly like Tables.load
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = Streams.drainToBatch(Streams.windowedCounts(stream, "1 hour"), "t_win")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("flatMapGroupsWithState sessionization == batch session_window") {
+    val events = Tables.load(spark, sf, "events")
+    val batch = EventOps.sessions(events, "4 hours")
+      .select("user_id", "session_start", "n_events")
+      .orderBy("user_id", "session_start").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = Streams.drainAppend(
+      Streams.sessionize(stream, gapSeconds = 4 * 3600), "t_sess")
+      .select("user_id", "session_start", "n_events")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(sessions == batch)
+  }
+}

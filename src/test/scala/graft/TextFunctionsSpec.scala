@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getAs[T]("r")
+
+  private def oneSeq[T](c: org.apache.spark.sql.Column, text: String): Seq[T] =
+    Seq(text).toDF("t").select(c.as("r")).collect().head.getSeq[T](0).toList
+
+  test("tokens lowercases, splits, drops empties") {
+    val t = oneSeq[String](tokens(col("t")), "  Hello   World  ")
+    assert(t == Seq("hello", "world"))
+  }
+
+  test("tokenCount and bpeTokenCount") {
+    assert(one[Int](tokenCount(col("t")), "a b c") == 3)
+    // "don't stop2" -> don + ' + t | stop + 2
+    assert(one[Int](bpeTokenCount(col("t")), "don't stop2") == 5)
+  }
+
+  test("ratios") {
+    assert(one[Double](punctRatio(col("t")), "ab!!") == 0.5)
+    assert(one[Double](digitRatio(col("t")), "a1b2") == 0.5)
+    assert(one[Double](alphaRatio(col("t")), "ab12") == 0.5)
+    assert(one[Double](stopwordRatio(col("t")), "the cat sat on a mat") == 0.5)
+  }
+
+  test("qualityScore orders clean text above junk") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs on through the field"
+    val junk = "@@@ ### !!! $$$ %%% ^^^ &&&"
+    assert(one[Double](qualityScore(col("t")), clean) >
+      one[Double](qualityScore(col("t")), junk))
+  }
+
+  test("langId identifies real-language samples") {
+    assert(one[String](langId(col("t")), "the cat is in the house and it is warm") == "en")
+    assert(one[String](langId(col("t")), "der Hund ist nicht in dem Haus und die Katze") == "de")
+    assert(one[String](langId(col("t")), "le chat est dans la maison et le chien") == "fr")
+    assert(one[String](langId(col("t")), "el perro es grande y la casa es bonita") == "es")
+    assert(one[String](langId(col("t")), "你好世界这是一个测试文档") == "zh")
+    assert(one[String](langId(col("t")), "xyzzy plugh") == "und")
+  }
+
+  test("fingerprints: exact differs on case, normalized does not") {
+    val a = one[String](fingerprintMd5(col("t")), "Hello World")
+    val b = one[String](fingerprintMd5(col("t")), "hello world")
+    assert(a != b)
+    val na = one[String](fingerprintNormalized(col("t")), "Hello   World")
+    val nb = one[String](fingerprintNormalized(col("t")), "hello world")
+    assert(na == nb)
+  }
+
+  test("shingles builds word n-grams, short docs degrade to whole-doc") {
+    assert(oneSeq[String](shingles(col("t"), 2), "a b c") == Seq("a b", "b c"))
+    assert(oneSeq[String](shingles(col("t"), 5), "a b") == Seq("a b"))
+  }
+
+  test("winnowing fingerprints: shared-prefix docs share fingerprints") {
+    val base = "one two three four five six seven eight nine ten"
+    val extended = base + " eleven twelve"
+    val fa = oneSeq[Long](winnowingFingerprints(col("t")), base).toSet
+    val fb = oneSeq[Long](winnowingFingerprints(col("t")), extended).toSet
+    assert((fa & fb).nonEmpty) // overlapping content → overlapping prints
+    val other = oneSeq[Long](winnowingFingerprints(col("t")),
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa").toSet
+    assert((fa & other).isEmpty)
+  }
+}
