@@ -251,10 +251,12 @@ object SparkEntry {
         n = 3, threshold = 0.7)
         .orderBy("a_id", "b_id")),
 
-    // embedding-cosine near-dup, brute-force verify path (oracle-checked)
+    // embedding-cosine near-dup, brute-force verify path (oracle-checked).
+    // Op-level threshold sits below the final cut so the 4-decimal rounding
+    // (applied in both engines) is the only boundary that matters.
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, lshBits = 0)
+        dim = 64, threshold = 0.35, lshBits = 0)
         .withColumn("cos", round(col("cos"), 4))
         .filter(col("cos") >= 0.4)
         .orderBy("a_id", "b_id")),

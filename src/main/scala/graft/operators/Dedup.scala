@@ -39,12 +39,23 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: k hash functions h_s(x) = xxhash64(s, x); the
-    * signature is [min_x h_s(x) for s in 0..k). Row-local, built-in HOFs. */
-  def minhashSignature(textCol: Column, shingleN: Int = 3, k: Int = 64): Column = {
-    val sh = shingles(textCol, shingleN)
-    array((0 until k).map(s => array_min(transform(sh, x => xxhash64(lit(s), x)))): _*)
-  }
+  /** MinHash signature: k hash functions h_s(x) = XXH64(x, seed=s); the
+    * signature is [min_x h_s(x) for s in 0..k). One native pass per row
+    * (graft.functions.MinHashSig) — the HOF formulation re-enters the
+    * interpreter k×|shingles| times per document. */
+  def minhashFromShingles(shCol: Column, k: Int = 64): Column =
+    graft.functions.HashExpressions.minhashSig(shCol, k)
+
+  def minhashSignature(textCol: Column, shingleN: Int = 3, k: Int = 64): Column =
+    minhashFromShingles(shingles(textCol, shingleN), k)
+
+  /** Jaccard from two precomputed (distinct) shingle arrays, with the
+    * intersection size computed once via a staged projection. */
+  private def jaccardStaged(df: DataFrame, aSh: String, bSh: String): DataFrame =
+    df.withColumn("__inter", size(array_intersect(col(aSh), col(bSh))))
+      .withColumn("jaccard", round(col("__inter") /
+        (size(col(aSh)) + size(col(bSh)) - col("__inter")), 6))
+      .drop("__inter", aSh, bSh)
 
   /** MinHash + LSH banding candidate pairs.
     *
@@ -59,10 +70,12 @@ object Dedup {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
     val r = k / bands
-    val sigd = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    // shingles computed ONCE per doc; signature derived from that array
+    val shd = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val sigd = shd.select(col("id"), col("sh"), minhashFromShingles(col("sh"), k).as("sig"))
     // one row per (doc, band): bucket = (band index, hash of the band slice)
-    val banded = sigd.select(col("id"), col("text"),
+    val banded = sigd.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -70,12 +83,17 @@ object Dedup {
     val capped = banded.withColumn("bsize",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("bsize") <= maxBucketSize).drop("bsize")
-    val a = capped.select(col("band"), col("bucket"), col("id").as("a_id"), col("text").as("a_text"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("b_id"), col("text").as("b_text"))
+    // candidate id pairs first (ids only through the shuffle), then join
+    // the shingle arrays back for the exact verify — at scale this moves
+    // two slim id-keyed joins instead of dragging arrays through distinct
+    val a = capped.select(col("band"), col("bucket"), col("id").as("a_id"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("b_id"))
     val cand = a.join(b, Seq("band", "bucket")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_text", "b_text").distinct()
-    cand
-      .withColumn("jaccard", round(shingleJaccard(col("a_text"), col("b_text"), shingleN), 6))
+      .select("a_id", "b_id").distinct()
+    val withSh = cand
+      .join(shd.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shd.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    jaccardStaged(withSh, "a_sh", "b_sh")
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -93,34 +111,23 @@ object Dedup {
     * Jaccard). For bounded corpora / verification; LSH is the scale path. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val t = df.select(col(idCol).as("id"), col(textCol).as("text"),
-      tokenCount(col(textCol)).as("ntok"))
-    val a = t.select(col("id").as("a_id"), col("text").as("a_text"), col("ntok").as("a_n"))
-    val b = t.select(col("id").as("b_id"), col("text").as("b_text"), col("ntok").as("b_n"))
-    a.join(b, col("a_id") < col("b_id") &&
-        col("b_n").between(col("a_n") / 2, col("a_n") * 2))
-      .withColumn("jaccard", round(shingleJaccard(col("a_text"), col("b_text"), n), 6))
+    val t = df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("ntok"),
+      shingles(col(textCol), n).as("sh"))
+    val a = t.select(col("id").as("a_id"), col("sh").as("a_sh"), col("ntok").as("a_n"))
+    val b = t.select(col("id").as("b_id"), col("sh").as("b_sh"), col("ntok").as("b_n"))
+    val pairs = a.join(b, col("a_id") < col("b_id") &&
+      col("b_n").between(col("a_n") / 2, col("a_n") * 2))
+    jaccardStaged(pairs, "a_sh", "b_sh")
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
 
   /** 64-bit SimHash: per token-hash bit, +1 if set else -1, summed over
     * tokens; sign of each sum is the fingerprint bit. Near-dups differ in
-    * few bits (Hamming). Row-local: one aggregate over token hashes whose
-    * accumulator is the 64-vote array (bit index is a Scala constant, so
-    * the shifts stay codegen-able). */
-  def simhash64(textCol: Column): Column = {
-    val bitVotes = aggregate(
-      transform(tokens(textCol), t => xxhash64(t)),
-      array_repeat(lit(0), 64),
-      (acc, h) => array((0 until 64).map(i =>
-        element_at(acc, i + 1) +
-          when(shiftrightunsigned(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)): _*))
-    (0 until 64).map { i =>
-      val mask = if (i == 63) Long.MinValue else 1L << i
-      when(element_at(bitVotes, i + 1) > 0, lit(mask)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * few bits (Hamming). One native pass per row
+    * (graft.functions.SimHash64). */
+  def simhash64(textCol: Column): Column =
+    graft.functions.HashExpressions.simhash64(tokens(textCol))
 
   /** SimHash near-dup candidates: split the 64-bit fingerprint into
     * `bands` chunks; by pigeonhole, docs within Hamming distance
@@ -149,7 +156,9 @@ object Dedup {
     * degrades to brute force (small corpora / recall measurement). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, lshBits: Int = 8): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // normalize ONCE per row; per-pair work is then a single codegen'd dot
+    val base = df.select(col(idCol).as("id"),
+      VectorFunctions.normalize(col(vecCol)).as("v"))
     val bucketed =
       if (lshBits <= 0) base.withColumn("bucket", lit(0L))
       else base.withColumn("bucket",
@@ -158,7 +167,7 @@ object Dedup {
     val b = bucketed.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
     a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(VectorFunctions.cosine(col("a_v"), col("b_v")), 6).as("cos"))
+        round(VectorFunctions.dot(col("a_v"), col("b_v")), 6).as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
   }
