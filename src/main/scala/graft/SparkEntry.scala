@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, EventOps, Multimodal, Similarity}
 import graft.ops.CoreOps._
 import graft.pipelines.Pipelines
 import graft.table.LakeTable
@@ -299,6 +299,28 @@ object SparkEntry {
     "q_event_sessions" -> ((s, dir) =>
       EventOps.sessions(events(s, dir), "4 hours")
         .orderBy("user_id", "session_start")),
+
+    // as-of join: each click event picks up the user's most recent error
+    // event at-or-before it (single shuffle on user_id — no range blowup)
+    "q_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("err_id"), col("value"))
+      AsOfJoin.asOf(clicks, errors, Seq("user_id"), "ts", "ts", Seq("err_id", "value"))
+        .select(col("event_id"), col("user_id"), col("asof_err_id"),
+          round(col("asof_value"), 2).as("asof_value"))
+        .orderBy("event_id")
+    }),
+
+    // ORDER BY + LIMIT top-n (TakeOrderedAndProject — the distributed
+    // top-k physical op: per-partition heads, single driver merge)
+    "q_topn" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)),
 
     "q_json_extract" -> ((s, dir) =>
       EventOps.withJsonProp(events(s, dir), "k")
@@ -615,6 +637,20 @@ object SparkEntry {
                 ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2)
                   AS sum_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q_asof" ->
+      """SELECT c.event_id, c.user_id, e.event_id AS asof_err_id,
+                ROUND(e.value, 2) AS asof_value
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                         WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.ts >= e.ts
+         ORDER BY c.event_id""",
+
+    "q_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
 
     "q_json_extract" ->
       """SELECT event_type,
