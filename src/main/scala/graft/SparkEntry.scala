@@ -186,6 +186,57 @@ object SparkEntry {
         .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
         .orderBy("o_orderstatus")),
 
+    // date-part extraction + aggregation
+    "q_date_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("yr", "mo")),
+
+    // string scalar functions (upper/substring/length) under aggregation
+    "q_string_funcs" -> ((s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          min(upper(substring(col("text"), 1, 12))).as("min_prefix"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")),
+
+    // exact interpolated percentiles per group
+    "q_percentile" -> ((s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy("event_type")),
+
+    // GROUPING SETS through the SQL surface
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT r_name, n_name, count(*) AS n_cust
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name))
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }),
+
+    // analytic window functions: lag + row_number + running sum
+    "q_window_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+          row_number().over(w).as("seq"),
+          sum(col("o_totalprice").cast("decimal(20,4)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"))
+        .orderBy("o_custkey", "seq")
+    }),
+
     // HLL sketch — approximate, so rows-only check (no oracle)
     "q_approx_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -499,6 +550,45 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_date_agg" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM orders GROUP BY 1, 2 ORDER BY yr, mo""",
+
+    "q_string_funcs" ->
+      """SELECT source, count(*) AS n,
+                min(upper(substr(text, 1, 12))) AS min_prefix,
+                max(n_chars) AS max_chars
+         FROM documents GROUP BY source ORDER BY source""",
+
+    "q_percentile" ->
+      """SELECT event_type,
+                ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                ROUND(quantile_cont(value, 0.95), 4) AS p95
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+         FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY GROUPING SETS ((r_name), (n_name))
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderkey, 1) OVER w AS prev_orderkey,
+                row_number() OVER w AS seq,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, seq""",
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

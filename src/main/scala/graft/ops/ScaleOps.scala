@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew-handling joins and single-pass observability —
+  * the pieces that matter at the 100 TB design point but are invisible at
+  * lab scale.
+  */
+object ScaleOps {
+
+  /** Salted inner equi-join for skewed keys.
+    *
+    * The fact side gets a random salt in [0, buckets); the dim side is
+    * exploded ×buckets so every (key, salt) pair exists. The join key
+    * becomes (key, salt), splitting a hot key's rows across `buckets`
+    * reducers. Use when AQE's skew-join threshold isn't enough (one
+    * pathological key) — salt cost is dim ×buckets, so keep the dim slim.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      (rand(seed = 42) * buckets).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** One-pass pipeline metrics via the Observation API — the fix for the
+    * reference's recompute-per-count anti-pattern (SURVEY.md §4.3-1):
+    * counts are collected as accumulator-style observations DURING the one
+    * real action instead of re-running the lineage per `.count()`.
+    *
+    * Returns the instrumented frame + the Observation; read
+    * `obs.get` AFTER an action has run.
+    */
+  def observedSplitMetrics(df: DataFrame, notNullCols: Seq[String]): (DataFrame, Observation) = {
+    val pred: Column = notNullCols.map(col(_).isNotNull).reduce(_ && _)
+    val obs = Observation()
+    val instrumented = df.observe(obs,
+      count(lit(1)).as("n_input"),
+      count(when(pred, 1)).as("n_valid"),
+      count(when(!pred, 1)).as("n_rejected"))
+    (instrumented, obs)
+  }
+}

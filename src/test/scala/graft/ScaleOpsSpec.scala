@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ScaleOps
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns the same rows as a plain join") {
+    val fact = Seq.tabulate(100)(i => (i % 3L, s"row$i")).toDF("k", "v")
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("k", "d")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "d")
+      .as[(Long, String, String)].collect().toSet
+    val salted = ScaleOps.saltedJoin(fact, dim, "k", buckets = 4)
+      .select("k", "v", "d").as[(Long, String, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("observedSplitMetrics counts input/valid/rejected in one pass") {
+    val df = Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (None, "c")
+    ).toDF("id", "v")
+    val (instrumented, obs) = ScaleOps.observedSplitMetrics(df, Seq("id"))
+    instrumented.write.mode("overwrite")
+      .parquet(java.nio.file.Files.createTempDirectory("obs").toString + "/t")
+    val m = obs.get
+    assert(m("n_input") == 3L && m("n_valid") == 2L && m("n_rejected") == 1L)
+  }
+}
