@@ -379,6 +379,21 @@ object SparkEntry {
         .agg(sum(col("k").cast("long")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Structured Streaming surface: the same tumbling aggregation as
+    // q_event_tumbling, executed as a micro-batch stream (AvailableNow
+    // drain into a memory sink) — oracle-checked against the same SQL.
+    "q_stream_tumbling" -> ((s, dir) => {
+      val name = s"stream_tbl_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(
+        {
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); s
+        }, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.Streams.drainToBatch(
+        graft.streaming.Streams.windowedCounts(stream, "1 hour"), name)
+        .orderBy("window_start", "event_type")
+    }),
+
     // ================= North-star: multimodal columns ==================
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withMediaMeta(
@@ -693,6 +708,13 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id, cos FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                count(*) AS n,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2)
+                  AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
 
     "q_event_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -26,7 +26,8 @@ import graft.ops.CoreOps
   * here via `prunePartitions`.
   */
 final class LakeTable(spark: SparkSession, root: String, name: String,
-    mergeKeys: Seq[String], partitionCols: Seq[String] = Nil) {
+    mergeKeys: Seq[String], partitionCols: Seq[String] = Nil,
+    keepVersions: Int = 2) {
 
   private def tableDir: Path = Paths.get(root, name)
   private def stagingDir: Path = Paths.get(root, s".staging_$name")
@@ -87,7 +88,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
           Files.move(p, stagingDir.resolve(n))
       }
     }
-    swapIn()
+    // untouched partitions were MOVED into the new version, so the
+    // displaced dir is incomplete — a pruned rewrite trades time travel
+    // for sub-linear cost (same trade as vacuuming aggressively)
+    swapIn(retainSnapshot = false)
   }
 
   private def writeTo(df: DataFrame, dir: Path): Unit = {
@@ -99,14 +103,48 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
   /** Atomic-swap publish: readers either see the old table or the new one.
     * (Directory rename is atomic on a POSIX filesystem; on object stores
-    * this layer would be replaced by a manifest commit.) */
-  private def swapIn(): Unit = {
-    val old = Paths.get(root, s".old_$name")
-    deleteRecursively(old)
-    if (Files.exists(tableDir)) Files.move(tableDir, old, StandardCopyOption.ATOMIC_MOVE)
+    * this layer would be replaced by a manifest commit.) The displaced
+    * version is retained as `.v<n>_<name>` up to `keepVersions` snapshots —
+    * the time-travel story Delta provides via its log. */
+  private def swapIn(retainSnapshot: Boolean = true): Unit = {
+    if (Files.exists(tableDir)) {
+      if (retainSnapshot) {
+        val v = nextVersion
+        Files.move(tableDir, versionDir(v), StandardCopyOption.ATOMIC_MOVE)
+        pruneVersions()
+      } else deleteRecursively(tableDir)
+    }
     Files.move(stagingDir, tableDir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
   }
+
+  private def versionDir(v: Int): Path = Paths.get(root, s".v${v}_$name")
+
+  private def versions: Seq[Int] =
+    if (!Files.isDirectory(Paths.get(root))) Nil
+    else {
+      val prefix = ".v"
+      val suffix = s"_$name"
+      Files.list(Paths.get(root)).toArray.toSeq.map(_.asInstanceOf[Path])
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix(prefix).stripSuffix(suffix).toInt).toOption)
+        .sorted
+    }
+
+  private def nextVersion: Int = versions.lastOption.getOrElse(0) + 1
+
+  private def pruneVersions(): Unit =
+    versions.dropRight(keepVersions).foreach(v => deleteRecursively(versionDir(v)))
+
+  /** Time travel: read a retained prior snapshot (1-based version id, as
+    * listed by [[availableVersions]]). */
+  def readVersion(v: Int): DataFrame = {
+    require(versions.contains(v), s"version $v not retained (have: $versions)")
+    spark.read.parquet(versionDir(v).toString)
+  }
+
+  def availableVersions: Seq[Int] = versions
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

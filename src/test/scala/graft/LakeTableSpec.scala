@@ -74,6 +74,20 @@ class LakeTableSpec extends SparkSpec {
     val _ = untouchedBefore // layout assertion above is the real check
   }
 
+  test("time travel: prior snapshot readable after upsert, pruned to keepVersions") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((1L, "a2", "x")))
+    t.upsert(df((1L, "a3", "x")))
+    t.upsert(df((1L, "a4", "x")))
+    assert(rows(t) == Set((1L, "a4", "x")))
+    assert(t.availableVersions.size == 2) // keepVersions default
+    val prev = t.readVersion(t.availableVersions.last)
+      .select("id", "v", "p").as[(Long, String, String)].collect().toSet
+    assert(prev == Set((1L, "a3", "x")))
+    intercept[IllegalArgumentException](t.readVersion(999))
+  }
+
   test("pruned and unpruned upsert agree") {
     val (r1, r2) = (freshRoot, freshRoot)
     val t1 = LakeTable(spark, r1, "t", Seq("id"), partitionCols = Seq("p"))
