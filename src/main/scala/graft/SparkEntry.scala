@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{AsOfJoin, Dedup, EventOps, Multimodal, Similarity}
+import graft.operators.{AsOfJoin, Dedup, EventOps, Multimodal, RangeJoin, Similarity}
 import graft.ops.CoreOps._
 import graft.pipelines.Pipelines
 import graft.table.LakeTable
@@ -364,6 +364,27 @@ object SparkEntry {
           round(col("asof_value"), 2).as("asof_value"))
         .orderBy("event_id")
     }),
+
+    // binned range join: clicks within 24h after each error, per user
+    "q_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      RangeJoin.windowFollowing(errors, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"), windowSeconds = 86400)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // CUBE aggregation (all grouping combinations)
+    "q_cube" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
 
     // ORDER BY + LIMIT top-n (TakeOrderedAndProject — the distributed
     // top-k physical op: per-partition heads, single driver merge)
@@ -759,6 +780,19 @@ object SparkEntry {
                          WHERE event_type = 'error') e
            ON c.user_id = e.user_id AND c.ts >= e.ts
          ORDER BY c.event_id""",
+
+    "q_range_join" ->
+      """SELECT e.user_id, count(*) AS n_pairs
+         FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+         JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+           ON c.user_id = e.user_id AND c.ts >= e.ts
+              AND c.ts < e.ts + INTERVAL '24 hours'
+         GROUP BY e.user_id ORDER BY e.user_id""",
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 
     "q_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
