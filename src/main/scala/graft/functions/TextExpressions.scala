@@ -1,0 +1,100 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenizer/shingler for the text hot path.
+  *
+  * Semantics match the composable built-in forms exactly (lowercase, trim,
+  * split on whitespace, drop empties; shingles = space-joined word n-grams,
+  * distinct, whole-doc fallback for short docs) — the DuckDB oracle
+  * replicates those semantics in SQL, so they are pinned by the
+  * correctness gate. The HOF chain (split → filter → transform → slice →
+  * concat_ws → array_distinct) evaluates interpreted with per-element
+  * allocation: ~50 ms/doc on 500-char docs; these do one pass in ~µs.
+  */
+
+/** Lowercased whitespace tokens of a string column. */
+case class WordTokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"tokens needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextExpressions.tokenize(v.asInstanceOf[UTF8String])
+      .map(_.asInstanceOf[Any]))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Distinct word n-gram shingles of a string column (whole-doc fallback
+  * below n tokens), first-occurrence order. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextExpressions.tokenize(v.asInstanceOf[UTF8String])
+    val out =
+      if (toks.length >= n) {
+        val seen = mutable.LinkedHashSet.empty[UTF8String]
+        var i = 0
+        while (i + n <= toks.length) {
+          seen += UTF8String.concatWs(TextExpressions.SPACE,
+            toks.slice(i, i + n).toIndexedSeq: _*)
+          i += 1
+        }
+        seen.toArray
+      } else Array(UTF8String.concatWs(TextExpressions.SPACE, toks.toIndexedSeq: _*))
+    new GenericArrayData(out.map(_.asInstanceOf[Any]))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextExpressions {
+  private[functions] val SPACE = UTF8String.fromString(" ")
+
+  /** Lowercase + split on whitespace (chars ≤ 0x20) + drop empties —
+    * the native twin of split(lower(trim(c)), "\\s+") with empty filter. */
+  private[functions] def tokenize(s: UTF8String): Array[UTF8String] = {
+    val str = s.toLowerCase.toString
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    var start = -1
+    var i = 0
+    while (i < str.length) {
+      val ws = str.charAt(i) <= ' '
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { out += UTF8String.fromString(str.substring(start, i)); start = -1 }
+      i += 1
+    }
+    if (start >= 0) out += UTF8String.fromString(str.substring(start))
+    out.toArray
+  }
+
+  def wordTokens(c: Column): Column =
+    GraftColumnBridge.column(WordTokens(GraftColumnBridge.expression(c)))
+
+  def wordShingles(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
+}

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenization, lowercased, empty tokens dropped. */
-  def tokens(c: Column): Column =
-    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+  /** Whitespace tokenization, lowercased, empty tokens dropped.
+    * Native single pass (graft.functions.WordTokens); semantics pinned by
+    * the DuckDB oracle's string_split_regex(lower(trim(x)),'\s+') twin. */
+  def tokens(c: Column): Column = TextExpressions.wordTokens(c)
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -104,15 +105,10 @@ object TextFunctions {
   def fingerprintNormalized(c: Column): Column =
     md5(concat_ws(" ", tokens(c)).cast("binary"))
 
-  /** Word n-gram shingles (the MinHash/Jaccard unit). Docs shorter than n
-    * tokens yield one shingle of the whole doc. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", t)))
-  }
+  /** Word n-gram shingles (the MinHash/Jaccard unit), distinct. Docs
+    * shorter than n tokens yield one shingle of the whole doc. Native
+    * single pass (graft.functions.WordShingles). */
+  def shingles(c: Column, n: Int): Column = TextExpressions.wordShingles(c, n)
 
   /** Rolling-hash document fingerprint (winnowing, Schleimer et al.):
     * hash every n-shingle, keep the min hash of each sliding window of

@@ -33,28 +33,12 @@ object VectorFunctions {
     transform(toDouble(v), x => x / n)
   }
 
-  /** Deterministic LSH bit signature via pseudo-random hyperplanes.
-    * Plane j's i-th coordinate is derived from xxhash64(j, i) scaled to
-    * [-1, 1] — no stored model, identical on every executor. Returns an
-    * array of `bits` 0/1 ints; equal prefixes → likely-similar vectors.
-    * This is the scale path for ANN: bucket by signature, join within
-    * buckets (candidates only), verify with exact cosine. */
-  def lshBits(v: Column, bits: Int, dim: Int, seed: Int = 42): Column = {
-    val vd = toDouble(v)
-    array((0 until bits).map { j =>
-      // hyperplane_j · v  >= 0
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), lit(dim - 1)), (x, i) => x * planeCoord(j, i, seed)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, 1).otherwise(0)
-    }: _*)
-  }
-
-  /** Pack an LSH bit array into a single long bucket id. */
-  def packBits(bitsCol: Column): Column =
-    aggregate(bitsCol, lit(0L), (acc, b) => acc * 2 + b.cast("long"))
-
-  private def planeCoord(plane: Int, i: Column, seed: Int): Column =
-    (pmod(xxhash64(lit(plane), i, lit(seed)), lit(2000001L)).cast("double") -
-      lit(1000000.0)) / lit(1000000.0)
+  /** Deterministic LSH bucket id via pseudo-random hyperplanes: bit j is
+    * the sign of v · plane_j, plane coords derived from XXH64 — no stored
+    * model, identical on every executor. This is the scale path for ANN:
+    * bucket by signature, join within buckets (candidates only), verify
+    * with exact cosine. Native single-pass expression
+    * (graft.functions.LshBitsPacked). */
+  def lshBucket(v: Column, bits: Int): Column =
+    HashExpressions.lshBitsPacked(v, bits)
 }

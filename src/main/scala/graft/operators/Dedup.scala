@@ -73,11 +73,10 @@ object Dedup {
     // shingles computed ONCE per doc; signature derived from that array
     val shd = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-    val sigd = shd.select(col("id"), col("sh"), minhashFromShingles(col("sh"), k).as("sig"))
-    // one row per (doc, band): bucket = (band index, hash of the band slice)
-    val banded = sigd.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b, slice(col("sig"), b * r + 1, lit(r)).cast("string")))))
+    // one row per (doc, band): bucket ids come fused out of the native
+    // MinHashBands expression (no intermediate signature materialization)
+    val banded = shd.select(col("id"),
+        posexplode(graft.functions.HashExpressions.minhashBands(col("sh"), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // cap degenerate buckets (boilerplate) before the self-join
     val capped = banded.withColumn("bsize",
@@ -161,8 +160,7 @@ object Dedup {
       VectorFunctions.normalize(col(vecCol)).as("v"))
     val bucketed =
       if (lshBits <= 0) base.withColumn("bucket", lit(0L))
-      else base.withColumn("bucket",
-        VectorFunctions.packBits(VectorFunctions.lshBits(col("v"), lshBits, dim)))
+      else base.withColumn("bucket", VectorFunctions.lshBucket(col("v"), lshBits))
     val a = bucketed.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
     val b = bucketed.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
     a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))

@@ -64,9 +64,9 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bits: Int = 8, probeBits: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_v"))
-      .withColumn("bucket", packBits(lshBits(col("c_v"), bits, dim)))
+      .withColumn("bucket", lshBucket(col("c_v"), bits))
     val qBase = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_v"))
-      .withColumn("bucket0", packBits(lshBits(col("q_v"), bits, dim)))
+      .withColumn("bucket0", lshBucket(col("q_v"), bits))
     // multiprobe: the bucket itself + each single-bit flip (probeBits=1)
     val probes =
       if (probeBits <= 0) qBase.withColumn("bucket", col("bucket0"))
