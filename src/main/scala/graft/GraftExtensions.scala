@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{DotProduct, MinHashSig, SimHash64}
+import graft.plans.RewriteIntersectSize
+
+/** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * gives any session the graft native functions and optimizer rules
+  * without code changes (the same registrations `Registry.register` and
+  * `GraftOptimizations.install` apply programmatically). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteIntersectSize)
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      exprs => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      exprs => SimHash64(exprs(0))))
+  }
+}

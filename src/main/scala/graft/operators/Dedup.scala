@@ -50,12 +50,17 @@ object Dedup {
     minhashFromShingles(shingles(textCol, shingleN), k)
 
   /** Jaccard from two precomputed (distinct) shingle arrays, with the
-    * intersection size computed once via a staged projection. */
-  private def jaccardStaged(df: DataFrame, aSh: String, bSh: String): DataFrame =
+    * intersection size computed once via a staged projection. The
+    * declarative size(array_intersect(..)) is rewritten to the native
+    * counting expression by RewriteIntersectSize (no array materialized
+    * per pair). */
+  private def jaccardStaged(df: DataFrame, aSh: String, bSh: String): DataFrame = {
+    graft.plans.GraftOptimizations.install(df.sparkSession)
     df.withColumn("__inter", size(array_intersect(col(aSh), col(bSh))))
       .withColumn("jaccard", round(col("__inter") /
         (size(col(aSh)) + size(col(bSh)) - col("__inter")), 6))
       .drop("__inter", aSh, bSh)
+  }
 
   /** MinHash + LSH banding candidate pairs.
     *

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftOptimizations
+
+class OptimizationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("size(array_intersect) is rewritten to intersect_count and agrees") {
+    GraftOptimizations.install(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a")),          // dup in left counts once
+      (Seq.empty[String], Seq("x")),
+      (Seq("x"), Seq.empty[String])
+    ).toDF("a", "b").repartition(2) // block ConvertToLocalRelation folding
+    val out = df.select(size(array_intersect($"a", $"b")).as("n"))
+    assert(out.queryExecution.optimizedPlan.toString.contains("intersect_count"))
+    assert(out.as[Int].collect().sorted.toSeq == Seq(0, 0, 1, 2))
+  }
+
+  test("rewrite handles null elements like the built-in") {
+    GraftOptimizations.install(spark)
+    val df = Seq(
+      (Seq(Some("a"), None, Some("b")), Seq(None, Some("b"))),
+      (Seq(Some("a"), None), Seq(Some("a")))
+    ).toDF("a", "b")
+    val got = df.select(size(array_intersect($"a", $"b")).as("n")).as[Int].collect().toSeq
+    assert(got == Seq(2, 1)) // {null, b} and {a}
+  }
+
+  test("GraftExtensions wires functions + rule into a fresh session") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val fresh = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val d = fresh.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head.getDouble(0)
+      assert(d == 11.0)
+      import fresh.implicits._
+      val df2 = Seq((Seq("a"), Seq("a", "b"))).toDF("a", "b").repartition(2)
+      val plan = df2.select(size(array_intersect($"a", $"b")).as("n"))
+      assert(plan.queryExecution.optimizedPlan.toString.contains("intersect_count"))
+      assert(plan.collect().head.getInt(0) == 1)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
