@@ -106,6 +106,43 @@ object SparkEntry {
       o.except(o.filter(col("o_orderstatus") === "F")).orderBy("o_orderkey")
     }),
 
+    // set operations: INTERSECT / UNION (T1's siblings)
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_totalprice") > 1000).select("o_custkey")
+        .intersect(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    }),
+
+    "q_union" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderstatus")
+        .unionByName(o.filter(col("o_orderstatus") === "P")
+          .select("o_orderkey", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+
+    // correlated scalar subquery through the SQL surface
+    "q_correlated" -> ((s, dir) => {
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders o
+               WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i
+                                     WHERE i.o_custkey = o.o_custkey)
+               ORDER BY o_orderkey""")
+    }),
+
+    // window with a RANGE frame (peers included on ties)
+    "q_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 30)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_leq"))
+        .orderBy("o_orderkey")
+    }),
+
     // §2.9 SQL surface: registered views + ORDER BY/LIMIT
     "q_sql_limit" -> ((s, dir) => {
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
@@ -532,6 +569,31 @@ object SparkEntry {
          EXCEPT
          SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_orderkey""",
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 1000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+
+    "q_union" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_orderkey""",
+
+    "q_correlated" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i
+                               WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+
+    "q_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+                count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS n_leq
+         FROM orders WHERE o_custkey < 30 ORDER BY o_orderkey""",
 
     "q_sql_limit" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
