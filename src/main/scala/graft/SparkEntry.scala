@@ -52,6 +52,10 @@ object SparkEntry {
         .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
         .orderBy("p_partkey")),
 
+    // north-star composite: corpus cleaning end-to-end (quality filter →
+    // normalized-text dedup → per-language stats), fully oracle-checked
+    "q_corpus_pipeline" -> ((s, dir) => Pipelines.corpus(s, dir)),
+
     // ================= Core operators ==================================
     // W1 latest-wins window dedup (order_glue_job.py:113-116)
     "q_window_dedup" -> ((s, dir) =>
@@ -524,6 +528,40 @@ object SparkEntry {
            WHERE rn = 1
              AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = t.p_partkey))
          ORDER BY p_partkey""",
+
+    "q_corpus_pipeline" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  length(text) AS n_char
+           FROM documents),
+         scored AS (
+           SELECT doc_id, text, lang, len(toks) AS n_tok,
+                  array_to_string(toks, ' ') AS norm_text,
+                  ROUND(
+                    (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0
+                          WHEN len(toks) BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END) * 0.3
+                    + (1.0 - least((n_char - length(regexp_replace(text,
+                        '[[:punct:]]', '', 'g'))) * 4.0 / greatest(n_char, 1), 1.0)) * 0.3
+                    + least(len(list_filter(toks, t -> list_contains(
+                        ['the','a','an','and','or','of','to','in','is','it',
+                         'that','for','on','with','as','this','by'], t)))
+                        * 5.0 / greatest(len(toks), 1), 1.0) * 0.2
+                    + ((n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                        * 1.0 / greatest(n_char, 1)) * 0.2, 4) AS quality
+           FROM base),
+         kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+         survivors AS (
+           SELECT min(doc_id) AS doc_id FROM kept
+           GROUP BY md5(norm_text)),
+         deduped AS (
+           SELECT k.* FROM kept k
+           WHERE k.doc_id IN (SELECT doc_id FROM survivors))
+         SELECT lang, count(*) AS n_docs,
+                SUM(CAST(n_tok AS BIGINT)) AS sum_tokens,
+                ROUND(AVG(quality), 4) AS avg_quality
+         FROM deduped GROUP BY lang ORDER BY lang""",
 
     "q_window_dedup" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus FROM (

@@ -57,6 +57,24 @@ object Pipelines {
       orders.selectExpr("o_orderkey as l_orderkey"))(deduped)
   }
 
+  /** Training-corpus cleaning pipeline — the north-star composite:
+    * quality-score filter → exact dedup on normalized text (min-id
+    * survivor) → per-language corpus stats. Every stage is row-local or
+    * one hash shuffle; the whole thing is one linear pass at any scale. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scored = docs.withColumn("quality", qualityScore(col("text")))
+    val kept = scored.filter(col("quality") >= 0.5)
+    val deduped = Dedup.dropExactDuplicates(kept, "doc_id", "text")
+    deduped.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   /** Products pipeline (products_glue_job.py:135-194): declared-schema
     * read, empty-input guard, exact dedup on PK, not-null filter, RI
     * semi-join from the fact table's key set. The part dim is small
