@@ -441,6 +441,15 @@ object SparkEntry {
         .agg(sum(col("k").cast("long")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // schema-full JSON parse (from_json → struct) then struct field access
+    "q_from_json" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("props_struct",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy((col("props_struct.k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_mod")),
+
     // Structured Streaming surface: the same tumbling aggregation as
     // q_event_tumbling, executed as a micro-batch stream (AvailableNow
     // drain into a memory sink) — oracle-checked against the same SQL.
@@ -904,6 +913,11 @@ object SparkEntry {
                   AS sum_k,
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_from_json" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) % 10 AS k_mod,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY k_mod""",
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
