@@ -305,6 +305,16 @@ object SparkEntry {
         fingerprintNormalized(col("text")).as("fp_norm"))
         .orderBy("doc_id")),
 
+    // heavy hitters: Misra–Gries sketch aggregate (exact here because
+    // capacity ≥ vocabulary, so the oracle can check it exactly)
+    "q_heavy_hitters" -> ((s, dir) =>
+      docs(s, dir)
+        .agg(graft.functions.SketchAggregates
+          .freqItems(tokens(col("text")), 10, 4096).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.token").as("token"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)),
+
     // heuristic language ID — heuristic has no SQL twin; rows-only check
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), langId(col("text")).as("pred_lang"), col("lang"))
@@ -775,6 +785,14 @@ object SparkEntry {
                   + (n_alpha * 1.0 / greatest(n_char, 1)) * 0.2, 4) AS quality,
                 md5(text) AS fp, md5(norm_text) AS fp_norm
          FROM m ORDER BY doc_id""",
+
+    "q_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> len(x) > 0)) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt FROM t
+         GROUP BY token ORDER BY cnt DESC, token LIMIT 10""",
 
     "q_dedup_exact" ->
       """SELECT count(*) AS n_docs,
