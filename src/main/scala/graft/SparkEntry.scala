@@ -305,6 +305,15 @@ object SparkEntry {
         fingerprintNormalized(col("text")).as("fp_norm"))
         .orderBy("doc_id")),
 
+    // array-function surface: sort/slice/contains/distinct over token arrays
+    "q_array_ops" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        slice(array_sort(tokens(col("text"))), 1, 3).as("first3"),
+        array_contains(tokens(col("text")), "spark").as("has_spark"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct"))
+        .orderBy("doc_id")),
+
     // heavy hitters: Misra–Gries sketch aggregate (exact here because
     // capacity ≥ vocabulary, so the oracle can check it exactly)
     "q_heavy_hitters" -> ((s, dir) =>
@@ -785,6 +794,18 @@ object SparkEntry {
                   + (n_alpha * 1.0 / greatest(n_char, 1)) * 0.2, 4) AS quality,
                 md5(text) AS fp, md5(norm_text) AS fp_norm
          FROM m ORDER BY doc_id""",
+
+    "q_array_ops" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks
+           FROM documents)
+         SELECT doc_id,
+                list_sort(toks)[1:3] AS first3,
+                list_contains(toks, 'spark') AS has_spark,
+                len(list_distinct(toks)) AS n_distinct
+         FROM t ORDER BY doc_id""",
 
     "q_heavy_hitters" ->
       """WITH t AS (

@@ -61,6 +61,17 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.text(s"$dir/logs").count() == 2)
   }
 
+  test("schema evolution: mergeSchema unions parquet file schemas") {
+    val dir = tmp
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$dir/t/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "s", "x").write.parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "s", "x", "batch"))
+    assert(merged.count() == 2)
+    // old-schema rows surface null for the added column
+    assert(merged.filter($"x".isNull).count() == 1)
+  }
+
   test("sql-registered native functions work from spark.sql") {
     graft.functions.Registry.register(spark)
     val d = spark.sql(

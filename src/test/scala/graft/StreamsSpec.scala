@@ -23,6 +23,18 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dropDuplicates dedups across micro-batches") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id") // streaming stateful exact dedup on key
+    val out = Streams.drainAppend(stream, "t_dedup")
+    val batchKeys = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(out.count() == batchKeys)
+  }
+
   test("flatMapGroupsWithState sessionization == batch session_window") {
     val events = Tables.load(spark, sf, "events")
     val batch = EventOps.sessions(events, "4 hours")
