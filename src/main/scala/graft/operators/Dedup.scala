@@ -168,10 +168,11 @@ object Dedup {
       else base.withColumn("bucket", VectorFunctions.lshBucket(col("v"), lshBits))
     val a = bucketed.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
     val b = bucketed.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
+    // no distinct needed: each id lives in exactly ONE bucket (single
+    // signature, unlike banded MinHash), so (a_id, b_id) pairs are unique
     a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(VectorFunctions.dot(col("a_v"), col("b_v")), 6).as("cos"))
-      .distinct()
       .filter(col("cos") >= threshold)
   }
 }

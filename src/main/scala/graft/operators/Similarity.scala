@@ -74,12 +74,13 @@ object Similarity {
         explode(array_union(array(col("bucket0")),
           array((0 until bits).map(i =>
             col("bucket0").bitwiseXOR(lit(1L << i))): _*))))
+    // probes are distinct buckets and each corpus id lives in exactly one
+    // bucket, so (query, neighbor) pairs are already unique — no distinct
     val scored = broadcast(probes.drop("bucket0"))
       .join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("q_v"), col("c_v")), 6).as("cos"))
-      .distinct()
     topKPerGroup(scored, k)
   }
 
