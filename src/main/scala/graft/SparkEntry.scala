@@ -354,6 +354,25 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", bands = 4, maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
+    // winnowing-fingerprint near-dup pairs (rows-only: xxhash-seeded
+    // winnowing; jaccard verify keeps output meaningful)
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowingPairs(docs(s, dir), "doc_id", "text", threshold = 0.7)
+        .orderBy("a_id", "b_id")),
+
+    // salted skew-join: same result as the plain join (oracle-checked),
+    // hot keys split across 8 reducers
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+      val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+      graft.ops.ScaleOps.saltedJoin(li, sup, "s_suppkey", buckets = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sum_qty"))
+        .orderBy("s_name")
+    }),
+
     // exact n-gram Jaccard near-dup pairs (bounded subset: all-pairs
     // verify path; oracle-checked)
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -822,6 +841,12 @@ object SparkEntry {
                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
                               x -> len(x) > 0), ' '))) AS n_unique_norm
          FROM documents""",
+
+    "q_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
 
     "q_ngram_jaccard" ->
       """WITH toks AS (

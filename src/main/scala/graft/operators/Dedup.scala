@@ -155,6 +155,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Winnowing-fingerprint near-dup candidates: docs sharing ≥ `minShared`
+    * selected rolling-hash fingerprints (Schleimer et al. local sampling —
+    * robust to partial overlap/reordering, unlike whole-doc hashing).
+    * Same bucket-join shape as the other dedup ops: explode fingerprints →
+    * inverted index → count shared prints per pair → exact Jaccard verify. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, window: Int = 4, minShared: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val shd = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val fps = df.select(col(idCol).as("id"),
+        explode(winnowingFingerprints(col(textCol), shingleN, window)).as("fp"))
+    val a = fps.select(col("fp"), col("id").as("a_id"))
+    val b = fps.select(col("fp"), col("id").as("b_id"))
+    val cand = a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val withSh = cand
+      .join(shd.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shd.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    jaccardStaged(withSh, "a_sh", "b_sh")
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_shared", "jaccard")
+  }
+
   /** Embedding-cosine near-duplicates: LSH-bucket (hyperplane signature
     * prefix) → join within buckets → exact cosine verify. `lshBits=0`
     * degrades to brute force (small corpora / recall measurement). */

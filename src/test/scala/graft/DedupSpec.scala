@@ -48,6 +48,15 @@ class DedupSpec extends SparkSpec {
     assert(m((0L, 1L)) > 0.8 && m((0L, 1L)) < 1.0)
   }
 
+  test("winnowingPairs finds the planted near-dups via shared fingerprints") {
+    val pairs = Dedup.winnowingPairs(corpus, "doc_id", "text",
+      shingleN = 2, window = 3, minShared = 1, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhashPairs: identical and near docs collide, distant do not") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", bands = 4, maxHamming = 6)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
