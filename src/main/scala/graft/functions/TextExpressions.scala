@@ -72,6 +72,57 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing fingerprint selection (Schleimer et al.): XXH64 each shingle,
+  * take the min hash of every sliding window of `w` hashes, dedupe
+  * (first-occurrence order). Input is the precomputed shingle array;
+  * single native pass instead of the transform/sequence/slice/array_min
+  * HOF chain (which re-enters the interpreter O(|shingles|·w) times and
+  * recomputes the hash array per reference). */
+case class WinnowHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow needs array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      hashes(i) = if (s == null) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      i += 1
+    }
+    val out = mutable.LinkedHashSet.empty[Long]
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    if (n < w) {
+      var m = Long.MaxValue
+      hashes.foreach(h => if (h < m) m = h)
+      out += m
+    } else {
+      i = 0
+      while (i + w <= n) {
+        var m = Long.MaxValue
+        var j = i
+        while (j < i + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        out += m
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray.map(_.asInstanceOf[Any]))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private[functions] val SPACE = UTF8String.fromString(" ")
 
@@ -97,4 +148,7 @@ object TextExpressions {
 
   def wordShingles(c: Column, n: Int): Column =
     GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(c), n))
+
+  def winnowHashes(shingles: Column, w: Int): Column =
+    GraftColumnBridge.column(WinnowHashes(GraftColumnBridge.expression(shingles), w))
 }

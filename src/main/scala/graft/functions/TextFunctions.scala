@@ -113,12 +113,8 @@ object TextFunctions {
   /** Rolling-hash document fingerprint (winnowing, Schleimer et al.):
     * hash every n-shingle, keep the min hash of each sliding window of
     * `w` hashes, dedupe. Robust partial-overlap detection at ~1/w the
-    * storage of full shingle sets. */
-  def winnowingFingerprints(c: Column, n: Int = 3, w: Int = 4): Column = {
-    val hashes = transform(shingles(c, n), s => xxhash64(s))
-    when(size(hashes) >= w,
-      array_distinct(transform(sequence(lit(0), size(hashes) - w),
-        i => array_min(slice(hashes, i + 1, lit(w))))))
-      .otherwise(array(array_min(hashes)))
-  }
+    * storage of full shingle sets. Native single pass
+    * (graft.functions.WinnowHashes). */
+  def winnowingFingerprints(c: Column, n: Int = 3, w: Int = 4): Column =
+    TextExpressions.winnowHashes(shingles(c, n), w)
 }

@@ -162,10 +162,15 @@ object Dedup {
     * inverted index → count shared prints per pair → exact Jaccard verify. */
   def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, window: Int = 4, minShared: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 20): DataFrame = {
     val shd = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    val fps = df.select(col(idCol).as("id"),
-        explode(winnowingFingerprints(col(textCol), shingleN, window)).as("fp"))
+    val fpsAll = df.select(col(idCol).as("id"),
+      explode(winnowingFingerprints(col(textCol), shingleN, window)).as("fp"))
+    // drop stop-fingerprints (shared by > maxBucketSize docs): they carry
+    // no discriminative signal and make the inverted-index join quadratic
+    val fps = fpsAll.withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("bsize") <= maxBucketSize).drop("bsize")
     val a = fps.select(col("fp"), col("id").as("a_id"))
     val b = fps.select(col("fp"), col("id").as("b_id"))
     val cand = a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
