@@ -10,7 +10,8 @@ object PlanAudit {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args(1).split(",").toSeq
       else Seq("q_items_pipeline", "q1_agg", "q_semi_join", "q_embed_topk",
-        "q_minhash_pairs", "q_asof", "q_event_sessions", "q_rollup")
+        "q_minhash_pairs", "q_asof", "q_event_sessions", "q_rollup",
+        "q_corpus_pipeline", "q_range_join", "q_winnow_pairs", "q_heavy_hitters")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
