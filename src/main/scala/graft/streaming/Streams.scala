@@ -45,6 +45,13 @@ object Streams {
         round(sum(col("value").cast("decimal(20,4)")).cast("double"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarked sliding-window count (width/slide overlapping windows). */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionAcc(events: List[Ev])
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

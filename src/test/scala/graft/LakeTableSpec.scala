@@ -74,6 +74,19 @@ class LakeTableSpec extends SparkSpec {
     val _ = untouchedBefore // layout assertion above is the real check
   }
 
+  test("crash recovery: stale staging leftovers don't block the next write") {
+    val root = freshRoot
+    // simulate a writer that died mid-stage: junk in the staging dir
+    val staging = java.nio.file.Paths.get(root, ".staging_t")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("garbage"), "partial write")
+    val t = LakeTable(spark, root, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    assert(rows(t) == Set((1L, "a", "x")))
+    t.upsert(df((2L, "b", "y")))
+    assert(rows(t) == Set((1L, "a", "x"), (2L, "b", "y")))
+  }
+
   test("time travel: prior snapshot readable after upsert, pruned to keepVersions") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"))
     t.create(df((1L, "a", "x")))

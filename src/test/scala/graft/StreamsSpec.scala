@@ -23,6 +23,18 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding windows == batch sliding aggregation") {
+    val batch = EventOps.sliding(Tables.load(spark, sf, "events"), "1 hour", "30 minutes")
+      .orderBy("window_start", "event_type").collect().toSeq
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = Streams.drainToBatch(
+      Streams.slidingCounts(stream, "1 hour", "30 minutes"), "t_slide")
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming dropDuplicates dedups across micro-batches") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = Streams.readTableStream(spark, sf, "events")
