@@ -87,6 +87,21 @@ object Streams {
       }.toDF()
   }
 
+  /** Streaming MERGE sink (the Delta CDC pattern on our table layer):
+    * every micro-batch is deduplicated on the merge key and upserted into
+    * the LakeTable via foreachBatch — idempotent per batch, so at-least-
+    * once delivery still yields exactly-once table state. */
+  def upsertStream(streamDf: DataFrame, table: graft.table.LakeTable,
+      mergeKeys: Seq[String], orderCol: String): Unit = {
+    val q = streamDf.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = graft.ops.CoreOps.latestWins(mergeKeys, orderCol)(batch)
+        table.upsert(deduped)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result — AvailableNow processes existing files as micro-batches then
     * stops (the reference's file-drop batch model). */

@@ -47,6 +47,26 @@ class StreamsSpec extends SparkSpec {
     assert(out.count() == batchKeys)
   }
 
+  test("foreachBatch streaming MERGE lands the same table as a batch upsert") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val root = java.nio.file.Files.createTempDirectory("cdc").toString
+    val table = graft.table.LakeTable(spark, root, "events_t", Seq("event_id"))
+    val stream = Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    Streams.upsertStream(stream, table, Seq("event_id"), "ts")
+    val batch = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    assert(table.read.count() == batch.count())
+    assert(table.read.select("event_id").distinct().count() == batch.count())
+    // idempotent rerun: same source stream again → identical table
+    Streams.upsertStream(Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "user_id", "ts", "event_type", "value"),
+      table, Seq("event_id"), "ts")
+    assert(table.read.count() == batch.count())
+  }
+
   test("flatMapGroupsWithState sessionization == batch session_window") {
     val events = Tables.load(spark, sf, "events")
     val batch = EventOps.sessions(events, "4 hours")
