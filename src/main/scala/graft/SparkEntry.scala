@@ -343,8 +343,12 @@ object SparkEntry {
         array_min(winnowingFingerprints(col("text"))).as("min_fp"))
         .orderBy("doc_id")),
 
-    // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only check;
-    // correctness covered by DedupSpec + the oracle-checked q_ngram_jaccard)
+    // MinHash+LSH near-dup pairs. The LSH candidate stage is hash-seeded,
+    // but the OUTPUT is exact-Jaccard-verified, so it equals the all-pairs
+    // result whenever banding recall at the threshold is 1 — which the
+    // testdata guarantees (every true pair has j ≥ 0.9; per-pair miss
+    // probability at 16 bands is (1-0.9⁴)¹⁶ ≈ 4e-8). Oracle: exact
+    // all-pairs Jaccard in DuckDB.
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
         shingleN = 3, k = 64, bands = 16, threshold = 0.7)
@@ -841,6 +845,28 @@ object SparkEntry {
                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
                               x -> len(x) > 0), ' '))) AS n_unique_norm
          FROM documents""",
+
+    "q_minhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                  AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY a_id, b_id""",
 
     "q_salted_join" ->
       """SELECT s_name, count(*) AS n_items,
