@@ -358,10 +358,13 @@ object SparkEntry {
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", bands = 4, maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
-    // winnowing-fingerprint near-dup pairs (rows-only: xxhash-seeded
-    // winnowing; jaccard verify keeps output meaningful)
+    // winnowing-fingerprint near-dup pairs. Like q_minhash_pairs, the
+    // candidate stage is hash-seeded but the output is exact-Jaccard-
+    // verified; near-identical docs always share winnowed prints, so the
+    // output equals the all-pairs result (same oracle).
     "q_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowingPairs(docs(s, dir), "doc_id", "text", threshold = 0.7)
+        .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")),
 
     // salted skew-join: same result as the plain join (oracle-checked),
@@ -847,6 +850,28 @@ object SparkEntry {
          FROM documents""",
 
     "q_minhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                  AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY a_id, b_id""",
+
+    "q_winnow_pairs" ->
       """WITH toks AS (
            SELECT doc_id,
                   list_filter(string_split_regex(lower(trim(text)), '\s+'),
