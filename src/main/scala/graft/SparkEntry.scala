@@ -324,7 +324,9 @@ object SparkEntry {
         .select(col("e.token").as("token"), col("e.cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("token").asc)),
 
-    // heuristic language ID — heuristic has no SQL twin; rows-only check
+    // heuristic language ID — deterministic stopword-argmax + CJK ratio,
+    // replicated in the DuckDB oracle (ties broken lexicographically in
+    // both engines)
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), langId(col("text")).as("pred_lang"), col("lang"))
         .orderBy("doc_id")),
@@ -832,6 +834,46 @@ object SparkEntry {
                 list_contains(toks, 'spark') AS has_spark,
                 len(list_distinct(toks)) AS n_distinct
          FROM t ORDER BY doc_id""",
+
+    "q_lang_id" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  greatest(length(text), 1) AS n_char
+           FROM documents),
+         scored AS (
+           SELECT doc_id, lang, text, n_char,
+                  greatest(len(toks), 1) AS n_tok,
+                  len(list_filter(toks, t -> list_contains(
+                    ['der','die','das','und','ist','von','mit','den','nicht','ein'], t))) AS h_de,
+                  len(list_filter(toks, t -> list_contains(
+                    ['the','and','of','to','in','is','that','it','for','with'], t))) AS h_en,
+                  len(list_filter(toks, t -> list_contains(
+                    ['el','la','los','las','y','de','que','es','un','por'], t))) AS h_es,
+                  len(list_filter(toks, t -> list_contains(
+                    ['le','la','les','et','de','un','une','est','que','pour'], t))) AS h_fr,
+                  (length(text) - length(regexp_replace(text,
+                    '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]', '', 'g'))) * 1.0
+                    / greatest(length(text), 1) AS cjk
+           FROM base),
+         m AS (
+           SELECT doc_id, lang, cjk,
+                  h_de * 1.0 / n_tok AS s_de, h_en * 1.0 / n_tok AS s_en,
+                  h_es * 1.0 / n_tok AS s_es, h_fr * 1.0 / n_tok AS s_fr,
+                  greatest(h_de * 1.0 / n_tok, h_en * 1.0 / n_tok,
+                           h_es * 1.0 / n_tok, h_fr * 1.0 / n_tok) AS best
+           FROM scored)
+         SELECT doc_id,
+                CASE WHEN cjk > 0.2 THEN 'zh'
+                     WHEN best > 0 THEN
+                       CASE WHEN s_de = best THEN 'de'
+                            WHEN s_en = best THEN 'en'
+                            WHEN s_es = best THEN 'es'
+                            ELSE 'fr' END
+                     ELSE 'und' END AS pred_lang,
+                lang
+         FROM m ORDER BY doc_id""",
 
     "q_heavy_hitters" ->
       """WITH t AS (
