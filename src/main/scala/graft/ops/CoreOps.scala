@@ -40,10 +40,15 @@ object CoreOps {
 
   /** P3 — cast normalization ("string → typed" promotion). One `select`
     * rather than N chained `withColumn`s: a single projection node, no
-    * reliance on CollapseProject. */
+    * reliance on CollapseProject.
+    *
+    * Uses try_cast: Spark 4 runs ANSI mode by default, where a malformed
+    * value makes `cast` THROW mid-job — the reference's semantics
+    * (PySpark 3.4, non-ANSI) null bad values so the not-null split routes
+    * them to the rejected zone instead of failing the pipeline. */
   def castColumns(types: Map[String, DataType])(df: DataFrame): DataFrame =
     df.select(df.columns.map { c =>
-      types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+      types.get(c).map(t => col(c).try_cast(t).as(c)).getOrElse(col(c))
     }.toIndexedSeq: _*)
 
   /** P4/P5 — one-pass valid/rejected split on NOT NULL constraints.

@@ -42,6 +42,19 @@ class CoreOpsSpec extends SparkSpec {
     assert(out.columns.toSeq == ordersFixture.columns.toSeq) // order preserved
   }
 
+  test("castColumns nulls malformed values (reference semantics) instead of ANSI-throwing") {
+    val df = Seq(("x1", "not-a-number", "2025-13-99 99:99:99"))
+      .toDF("order_num", "total_amount", "order_timestamp")
+    val out = castColumns(Map(
+      "total_amount" -> DoubleType, "order_timestamp" -> TimestampType))(df)
+    val row = out.collect().head // must not throw despite ANSI mode
+    assert(row.isNullAt(out.columns.indexOf("total_amount")))
+    assert(row.isNullAt(out.columns.indexOf("order_timestamp")))
+    // ...and the rejected split then captures such rows
+    val (valid, rejected) = splitValid(Seq("total_amount"))(out)
+    assert(valid.count() == 0 && rejected.count() == 1)
+  }
+
   test("splitValid is one-pass, duplicate-preserving, and partitions the input") {
     val casted = castColumns(Map("order_timestamp" -> TimestampType))(ordersFixture)
     val (valid, rejected) = splitValid(Seq("order_id", "order_timestamp"))(casted)
