@@ -47,6 +47,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private val tsRowGen = for {
+    k <- Gen.chooseNum(0L, 3L)
+    sec <- Gen.chooseNum(0L, 5000L)
+    v <- Gen.chooseNum(0, 999)
+  } yield (k, new java.sql.Timestamp(1700000000000L + sec * 1000), v.toLong)
+
+  test("asOf join matches the brute-force definition on random data") {
+    import graft.operators.AsOfJoin
+    forAllCases(Gen.zip(Gen.listOf(tsRowGen), Gen.nonEmptyListOf(tsRowGen))) {
+      case (lRows, rRows) =>
+        val left = lRows.toDF("k", "ts", "lv")
+        val right = rRows.map { case (k, ts, v) => (k, ts, v * 10) }.toDF("k", "ts", "rv")
+        val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("rv"))
+          .select("k", "ts", "lv", "asof_rv")
+          .as[(Long, java.sql.Timestamp, Long, Option[Long])].collect()
+          .groupBy(r => (r._1, r._2, r._3)).view.mapValues(_.map(_._4).toSet).toMap
+        lRows.foreach { case (k, ts, lv) =>
+          val eligible = rRows.filter(r => r._1 == k && !r._2.after(ts))
+          val expected =
+            if (eligible.isEmpty) None
+            else {
+              val maxTs = eligible.map(_._2.getTime).max
+              // ties on (k, ts) in the right side: any peer is a valid answer
+              Some(eligible.filter(_._2.getTime == maxTs).map(_._3 * 10).toSet)
+            }
+          val gotSet = got((k, ts, lv))
+          expected match {
+            case None => assert(gotSet == Set(None))
+            case Some(valid) => gotSet.foreach(g => assert(g.exists(valid.contains)))
+          }
+        }
+    }
+  }
+
+  test("binned range join matches the naive theta join on random data") {
+    import graft.operators.RangeJoin
+    forAllCases(Gen.zip(Gen.listOf(tsRowGen), Gen.listOf(tsRowGen))) {
+      case (lRows, rRows) =>
+        val left = lRows.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i.toLong) }
+          .toDF("k", "ts", "lid")
+        val right = rRows.zipWithIndex.map { case ((k, ts, _), i) => (k, ts, i.toLong) }
+          .toDF("k", "ts", "rid")
+        val w = 600L
+        val got = RangeJoin.windowFollowing(left, right, Seq("k"), "ts", "ts",
+          Seq("rid"), windowSeconds = w, binSecondsOpt = Some(250))
+          .select("lid", "r_rid").as[(Long, Long)].collect().toSet
+        val expected = (for {
+          ((lk, lts, _), li) <- lRows.zipWithIndex
+          ((rk, rts, _), ri) <- rRows.zipWithIndex
+          if rk == lk && rts.getTime >= lts.getTime &&
+            rts.getTime < lts.getTime + w * 1000
+        } yield (li.toLong, ri.toLong)).toSet
+        assert(got == expected)
+    }
+  }
+
   test("upsert is idempotent for any target/source pair") {
     forAllCases(Gen.zip(tableGen, tableGen)) { case (t, s) =>
       if (t.nonEmpty || s.nonEmpty) {
