@@ -36,6 +36,12 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: columns {gcols} != {wcols}"); fails += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); fails += 1; continue
+        # the driver's hash sees dtype-level differences (e.g. DuckDB
+        # HUGEINT sums → pandas float64 vs Spark int64), so flag them
+        kinds = [(c, got[c].dtype.kind, want[c].dtype.kind) for c in gcols
+                 if got[c].dtype.kind != want[c].dtype.kind]
+        if kinds:
+            print(f"FAIL {name}: dtype kind mismatch {kinds}"); fails += 1; continue
         g = got[gcols].applymap(norm).values.tolist()
         w = want[wcols].applymap(norm).values.tolist()
         # driver may compare ordered; check both ordered and sorted

@@ -305,11 +305,13 @@ object SparkEntry {
         fingerprintNormalized(col("text")).as("fp_norm"))
         .orderBy("doc_id")),
 
-    // array-function surface: sort/slice/contains/distinct over token arrays
+    // array-function surface: sort/slice/contains/distinct over token
+    // arrays. Compared output is scalar-only (array_join) — the driver's
+    // pandas-based compare can't sort array columns.
     "q_array_ops" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
-        slice(array_sort(tokens(col("text"))), 1, 3).as("first3"),
+        array_join(slice(array_sort(tokens(col("text"))), 1, 3), " ").as("first3"),
         array_contains(tokens(col("text")), "spark").as("has_spark"),
         size(array_distinct(tokens(col("text")))).as("n_distinct"))
         .orderBy("doc_id")),
@@ -615,7 +617,7 @@ object SparkEntry {
            SELECT k.* FROM kept k
            WHERE k.doc_id IN (SELECT doc_id FROM survivors))
          SELECT lang, count(*) AS n_docs,
-                SUM(CAST(n_tok AS BIGINT)) AS sum_tokens,
+                CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
                 ROUND(AVG(quality), 4) AS avg_quality
          FROM deduped GROUP BY lang ORDER BY lang""",
 
@@ -784,10 +786,10 @@ object SparkEntry {
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-                SUM(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                        x -> len(x) > 0))) AS sum_tokens,
-                SUM(len(regexp_extract_all(text,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS sum_bpe_tokens,
+                CAST(SUM(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        x -> len(x) > 0))) AS BIGINT) AS sum_tokens,
+                CAST(SUM(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
                 ROUND(AVG(n_chars), 4) AS avg_chars
          FROM documents GROUP BY lang ORDER BY lang""",
 
@@ -830,7 +832,7 @@ object SparkEntry {
                               x -> len(x) > 0) AS toks
            FROM documents)
          SELECT doc_id,
-                list_sort(toks)[1:3] AS first3,
+                array_to_string(list_sort(toks)[1:3], ' ') AS first3,
                 list_contains(toks, 'spark') AS has_spark,
                 len(list_distinct(toks)) AS n_distinct
          FROM t ORDER BY doc_id""",
@@ -1066,13 +1068,13 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_type,
-                SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
                   AS sum_k,
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_from_json" ->
-      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) % 10 AS k_mod,
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY k_mod""",
 
