@@ -13,7 +13,12 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/session warmup outside timings
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Full-evaluation action: the noop sink consumes every row and
+      // column, so projection-heavy queries are actually executed —
+      // a bare .count() lets Catalyst prune the entire projection and
+      // under-measures map-heavy work.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
