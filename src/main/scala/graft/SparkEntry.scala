@@ -28,6 +28,19 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_items_pipeline")(spark, "/root/testdata/sf0.001")
 
+  /** Scoped SQL-conf override: set, build (DataFrame construction analyzes
+    * eagerly, so analyzer-time confs are consumed inside the scope),
+    * restore the prior value — no leak into later queries on the session. */
+  private def withSQLConf[A](s: SparkSession, key: String, value: String)(body: => A): A = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
@@ -194,8 +207,9 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => {
       // Spark 4.1's DetectAmbiguousSelfJoin false-positives on
       // rollup-after-join (the Expand node re-uses the grouping attrs);
-      // the check is a lint, not a semantic guard — disable it here.
-      s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+      // the check is a lint, not a semantic guard — disable it ONLY for
+      // this query's analysis (withSQLConf restores the previous value).
+      withSQLConf(s, "spark.sql.analyzer.failAmbiguousSelfJoin", "false") {
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
       val r = Tables.load(s, dir, "region")
@@ -209,6 +223,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_acctbal").cast("decimal(20,4)")).cast("double").as("sum_bal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+      }
     }),
 
     "q_pivot" -> ((s, dir) =>
@@ -504,10 +519,9 @@ object SparkEntry {
     // drain into a memory sink) — oracle-checked against the same SQL.
     "q_stream_tumbling" -> ((s, dir) => {
       val name = s"stream_tbl_${System.nanoTime()}"
-      val stream = graft.streaming.Streams.readTableStream(
-        {
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true"); s
-        }, dir, "events")
+      // nanosAsLong is provisioned in the session builder (Verify/Bench);
+      // Tables.load falls back to setting it for externally-built sessions
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       graft.streaming.Streams.drainToBatch(
         graft.streaming.Streams.windowedCounts(stream, "1 hour"), name)

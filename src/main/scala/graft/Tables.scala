@@ -18,8 +18,17 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as a long of nanos and floor-convert to
       // microseconds with integer `div` (double division would lose
-      // precision above 2^53 ns).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // precision above 2^53 ns). The nanosAsLong flag must hold for the
+      // life of the (lazy) scan, so it belongs in the session builder —
+      // graft's entry points (Verify/Bench/tests) all provision it there.
+      // Fallback for externally-built sessions: set it once, with a
+      // warning, rather than fail the read.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "Tables.load(events): setting spark.sql.legacy.parquet.nanosAsLong=true " +
+            "for this session (pre-set it in the session builder to avoid this)")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      }
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

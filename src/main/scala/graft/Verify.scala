@@ -13,6 +13,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // provisioned at build time so no query has to mutate session state:
+      // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
+      // long-of-nanos under this flag (converted in Tables.load)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * Ties (right.ts == left.ts): the right row sorts BEFORE the left row
   * (side 0 < side 1), so an exactly-simultaneous right row is visible —
   * matching DuckDB/pandas `>=` asof semantics.
+  *
+  * All attached values come ATOMICALLY from the single matched right row:
+  * the right values travel as one non-null struct and a single
+  * `last(ignoreNulls)` carries the whole struct forward. A genuinely NULL
+  * field inside the matched right row stays NULL (carrying each value
+  * column independently would instead resurrect an older non-null value
+  * and could mix fields from different right rows).
   */
 object AsOfJoin {
 
@@ -34,26 +41,28 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // common event-time axis + side tag; left carries nulls for right vals
+    val rvalsType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
+    // common event-time axis + side tag; the right values ride in ONE
+    // struct (non-null on right rows even when every field is null, null
+    // on left rows) so `last` picks an entire right row or nothing
     val taggedRight = right.select(
-      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
-        rightVals.map(c => col(c).as(s"__r_$c")) ++
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        struct(rightVals.map(col): _*).as("__rvals")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(
           left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       (keys.map(col) :+ col(leftTs).cast(right.schema(rightTs).dataType).as("__ts")
-        :+ lit(1).as("__side")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+        :+ lit(1).as("__side") :+ lit(null).cast(rvalsType).as("__rvals")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
     val unioned = taggedRight.unionByName(taggedLeft)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("__rvals",
+      last(col("__rvals"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightVals.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+        rightVals.map(c => col(s"__rvals.$c").as(s"asof_$c")): _*)
   }
 }

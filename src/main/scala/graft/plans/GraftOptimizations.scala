@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType,
+  DateType, IntegerType, LongType, ShortType, StringType, TimestampNTZType,
+  TimestampType}
 
 /** Catalyst optimizer extension: `size(array_intersect(a, b))` —
   * the inner loop of every Jaccard verification — materializes the
@@ -71,12 +73,28 @@ case class IntersectCount(left: Expression, right: Expression)
 }
 
 object RewriteIntersectSize extends Rule[LogicalPlan] {
+
+  /** Element types whose java `equals` coincides with Spark SQL value
+    * equality — the HashSet in [[IntersectCount]] is only correct for
+    * these. Excluded on purpose: binary (Array[Byte] compares by
+    * reference), float/double (-0.0 vs 0.0 differ where Spark normalizes),
+    * decimal (scale-sensitive equals), and nested array/struct/map (can
+    * mix Unsafe/Generic representations with incompatible equals). */
+  private def hashSafeElem(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       // legacySizeOfNull-sensitive: Size(null)= -1 under legacy flag; the
       // rewritten form keeps null-in → null-out, which matches the
       // default (ansi-consistent) behavior this engine runs with.
-      case Size(ArrayIntersect(a, b), false) => IntersectCount(a, b)
+      case Size(ArrayIntersect(a, b), false)
+          if a.dataType.isInstanceOf[ArrayType] &&
+            hashSafeElem(a.dataType.asInstanceOf[ArrayType].elementType) =>
+        IntersectCount(a, b)
     }
 }
 

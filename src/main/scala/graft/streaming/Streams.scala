@@ -57,32 +57,61 @@ object Streams {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       n_events: Long, sum_value: Double)
 
-  /** Custom stateful sessionization via flatMapGroupsWithState: groups by
-    * user, buffers events, and (for the AvailableNow/batch-drain test
-    * path) emits all closed sessions when the group's input is exhausted.
-    * Gap semantics match EventOps.sessions (new session when
-    * ts >= prev_ts + gap). */
-  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+  /** Split a time-sorted event list into sessions at `gapMs` gaps
+    * (new session when ts >= prev_ts + gap — same as EventOps.sessions). */
+  private def splitSessions(all: List[Ev], gapMs: Long): List[List[Ev]] =
+    all.foldLeft(List.empty[List[Ev]]) { (acc, ev) =>
+      acc match {
+        case cur :: rest if ev.ts.getTime < cur.last.ts.getTime + gapMs =>
+          (cur :+ ev) :: rest
+        case _ => List(ev) :: acc
+      }
+    }.reverse
+
+  /** Custom stateful sessionization via flatMapGroupsWithState, correct
+    * across micro-batches: a session is emitted only once the event-time
+    * WATERMARK has passed its end + gap (no event able to extend it can
+    * still arrive), open sessions stay in state, and an event-time timeout
+    * flushes them when the watermark advances with no new data for the
+    * key. Sessions spanning micro-batches are therefore emitted exactly
+    * once, never split.
+    *
+    * Input must carry a watermark on `ts` (`withWatermark`); callers get
+    * `watermarkDelay` applied here for convenience. In a finite drain
+    * (AvailableNow) the trailing open session per key remains pending —
+    * that is streaming semantics, not data loss; it flushes as soon as the
+    * watermark passes it on a live stream.
+    *
+    * State is one open-session buffer per key, bounded by the gap — the
+    * same state shape session_window uses, hash-partitioned on the key at
+    * any scale. */
+  def sessionize(events: DataFrame, gapSeconds: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.select(col("user_id").cast("long"), col("ts"),
-      col("value").cast("double")).as[Ev]
+    val gapMs = gapSeconds * 1000
+    val typed = events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double")).as[Ev]
     typed.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Ev], state: GroupState[SessionAcc]) =>
-          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ rows.toList)
+          val newEvents = if (state.hasTimedOut) Nil else rows.toList
+          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ newEvents)
             .sortBy(_.ts.getTime)
-          state.update(SessionAcc(Nil))
-          // split into sessions at gaps
-          val sessions = all.foldLeft(List.empty[List[Ev]]) { (acc, ev) =>
-            acc match {
-              case cur :: rest if ev.ts.getTime < cur.last.ts.getTime + gapSeconds * 1000 =>
-                (cur :+ ev) :: rest
-              case _ => List(ev) :: acc
-            }
-          }.reverse
-          sessions.iterator.map(s => SessionOut(user, s.head.ts, s.size.toLong,
+          val sessions = splitSessions(all, gapMs)
+          val wm = state.getCurrentWatermarkMs()
+          // closed = the watermark passed end + gap; open stays buffered
+          val (closed, open) = sessions.partition(
+            s => s.last.ts.getTime + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionAcc(open.flatten))
+            // earliest possible close time of any buffered session
+            state.setTimeoutTimestamp(open.head.last.ts.getTime + gapMs)
+          }
+          closed.iterator.map(s => SessionOut(user, s.head.ts, s.size.toLong,
             math.round(s.map(_.value).sum * 100.0) / 100.0))
       }.toDF()
   }

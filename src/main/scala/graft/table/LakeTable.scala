@@ -15,33 +15,55 @@ import graft.ops.CoreOps
   *  - K1 partitioned first-load write
   *  - K2 MERGE upsert (WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT
   *    ALL) emulated as anti-join + unionByName, written to a staging dir
-  *    and atomically swapped — idempotent rerun without ACID
+  *    and published via an atomic pointer swap — idempotent rerun without
+  *    ACID
   *  - K3 table-exists probe choosing create vs merge
+  *
+  * Publishing is POINTER-based (a one-line `CURRENT` file naming the live
+  * version directory, replaced with a single atomic rename) — the Delta/
+  * Iceberg manifest-commit pattern in miniature. Readers resolve the
+  * pointer first, so they see either the old version or the new one; there
+  * is no instant at which the table is unreadable, and a crash at any step
+  * of a write leaves the previous pointer and its data fully intact.
   *
   * Scale notes: the anti-join shuffles on the merge key exactly as Delta's
   * own MERGE does; with a `partitionBy` column the rewrite is a full-table
   * rewrite, which is the correct baseline without deletion vectors. At
   * 100 TB you'd bound the rewrite by first computing the touched partition
   * set from the source (partition pruning on the target scan) — provided
-  * here via `prunePartitions`.
+  * here via `prunePartitions`. Partition columns should be string/date/
+  * integral-valued; null partition values are handled via Hive's
+  * `__HIVE_DEFAULT_PARTITION__` convention.
   */
 final class LakeTable(spark: SparkSession, root: String, name: String,
     mergeKeys: Seq[String], partitionCols: Seq[String] = Nil,
     keepVersions: Int = 2) {
 
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
+
   private def tableDir: Path = Paths.get(root, name)
+  private def pointerFile: Path = tableDir.resolve("CURRENT")
   private def stagingDir: Path = Paths.get(root, s".staging_$name")
+  private def versionDir(v: Int): Path = tableDir.resolve(s"v$v")
+
+  private def currentVersion: Option[Int] =
+    if (!Files.exists(pointerFile)) None
+    else scala.util.Try(
+      Files.readString(pointerFile).trim.stripPrefix("v").toInt).toOption
 
   /** K3 — exists probe (filesystem analogue of DeltaTable.isDeltaTable). */
-  def exists: Boolean =
-    Files.isDirectory(tableDir) && Files.exists(tableDir.resolve("_SUCCESS"))
+  def exists: Boolean = currentVersion.exists(v => Files.isDirectory(versionDir(v)))
 
-  def read: DataFrame = spark.read.parquet(tableDir.toString)
+  /** Directory holding the currently-published version's data files. */
+  def currentDir: Path = versionDir(currentVersion.getOrElse(
+    throw new IllegalStateException(s"table $name has no published version")))
+
+  def read: DataFrame = spark.read.parquet(currentDir.toString)
 
   /** K1 — first-load create: partitioned overwrite. */
   def create(df: DataFrame): Unit = {
     writeTo(df, stagingDir)
-    swapIn()
+    publish()
   }
 
   /** K2 — MERGE upsert. `source` must already be deduplicated on
@@ -63,35 +85,45 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       val merged = CoreOps.antiJoin(mergeKeys, df)(read)
         .unionByName(df, allowMissingColumns = true)
       writeTo(merged, stagingDir)
-      swapIn()
+      publish()
     }
   }
 
   private def upsertPruned(source: DataFrame): Unit = {
     // Bounded driver-side collect: the touched partition-VALUE set, not rows.
     val pcol = partitionCols.head
-    val touched = source.select(col(pcol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val touchedRaw = source.select(col(pcol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)))
+    val touchesNull = touchedRaw.contains(None)
+    val touched = touchedRaw.flatten.toSet
+    val donor = currentDir
     val target = read
-    val touchedTarget = target.filter(col(pcol).cast("string").isin(touched.toSeq: _*))
+    val inTouched = col(pcol).cast("string").isin(touched.toSeq: _*)
+    val touchedTarget = target.filter(
+      if (touchesNull) inTouched || col(pcol).isNull else inTouched)
     val merged = CoreOps.antiJoin(mergeKeys, source)(touchedTarget)
       .unionByName(source, allowMissingColumns = true)
     writeTo(merged, stagingDir)
-    // Move untouched partition dirs into staging, then swap.
-    if (Files.isDirectory(tableDir)) {
-      Files.list(tableDir).forEach { p =>
-        val n = p.getFileName.toString
-        val isPartDir = n.startsWith(s"$pcol=")
-        val value = if (isPartDir) java.net.URLDecoder.decode(n.stripPrefix(s"$pcol="), "UTF-8") else ""
-        if (isPartDir && !touched.contains(value) &&
-            !Files.exists(stagingDir.resolve(n)))
+    // Move untouched partition dirs from the donor version into staging.
+    // Dir names follow Hive encoding: `<pcol>=<escaped value>`, with null
+    // written as __HIVE_DEFAULT_PARTITION__.
+    Files.list(donor).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(s"$pcol=")) {
+        val raw = n.stripPrefix(s"$pcol=")
+        val isNullPart = raw == HiveNullPart
+        val value = java.net.URLDecoder.decode(raw, "UTF-8")
+        val isTouched = if (isNullPart) touchesNull else touched.contains(value)
+        if (!isTouched && !Files.exists(stagingDir.resolve(n)))
           Files.move(p, stagingDir.resolve(n))
       }
     }
-    // untouched partitions were MOVED into the new version, so the
-    // displaced dir is incomplete — a pruned rewrite trades time travel
-    // for sub-linear cost (same trade as vacuuming aggressively)
-    swapIn(retainSnapshot = false)
+    publish()
+    // the donor version lost its untouched partitions (they were MOVED,
+    // not copied), so it is no longer a readable snapshot — drop it. A
+    // pruned rewrite trades time travel for sub-linear cost (same trade
+    // as vacuuming aggressively).
+    deleteRecursively(donor)
   }
 
   private def writeTo(df: DataFrame, dir: Path): Unit = {
@@ -101,50 +133,46 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       .parquet(dir.toString)
   }
 
-  /** Atomic-swap publish: readers either see the old table or the new one.
-    * (Directory rename is atomic on a POSIX filesystem; on object stores
-    * this layer would be replaced by a manifest commit.) The displaced
-    * version is retained as `.v<n>_<name>` up to `keepVersions` snapshots —
-    * the time-travel story Delta provides via its log. */
-  private def swapIn(retainSnapshot: Boolean = true): Unit = {
-    if (Files.exists(tableDir)) {
-      if (retainSnapshot) {
-        val v = nextVersion
-        Files.move(tableDir, versionDir(v), StandardCopyOption.ATOMIC_MOVE)
-        pruneVersions()
-      } else deleteRecursively(tableDir)
-    }
-    Files.move(stagingDir, tableDir, StandardCopyOption.ATOMIC_MOVE)
+  /** Pointer-publish: move the staged write to the next version directory,
+    * then swap the one-line CURRENT pointer with a single atomic rename.
+    * Crash-safe at every step: before the pointer rename lands, readers
+    * resolve the old version; after, the new one. */
+  private def publish(): Unit = {
+    Files.createDirectories(tableDir)
+    val v = allVersions.lastOption.getOrElse(0) + 1
+    Files.move(stagingDir, versionDir(v), StandardCopyOption.ATOMIC_MOVE)
+    val tmp = tableDir.resolve(".CURRENT.tmp")
+    Files.writeString(tmp, s"v$v")
+    Files.move(tmp, pointerFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    pruneVersions(v)
   }
 
-  private def versionDir(v: Int): Path = Paths.get(root, s".v${v}_$name")
+  private def allVersions: Seq[Int] =
+    if (!Files.isDirectory(tableDir)) Nil
+    else Files.list(tableDir).toArray.toSeq.map(_.asInstanceOf[Path])
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+"))
+      .map(_.stripPrefix("v").toInt)
+      .sorted
 
-  private def versions: Seq[Int] =
-    if (!Files.isDirectory(Paths.get(root))) Nil
-    else {
-      val prefix = ".v"
-      val suffix = s"_$name"
-      Files.list(Paths.get(root)).toArray.toSeq.map(_.asInstanceOf[Path])
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith(prefix) && n.endsWith(suffix))
-        .flatMap(n => scala.util.Try(
-          n.stripPrefix(prefix).stripSuffix(suffix).toInt).toOption)
-        .sorted
-    }
+  /** Retained PRIOR snapshots (excludes the current version). */
+  def availableVersions: Seq[Int] = {
+    val cur = currentVersion
+    allVersions.filterNot(cur.contains)
+  }
 
-  private def nextVersion: Int = versions.lastOption.getOrElse(0) + 1
+  private def pruneVersions(current: Int): Unit =
+    allVersions.filterNot(_ == current).dropRight(keepVersions)
+      .foreach(v => deleteRecursively(versionDir(v)))
 
-  private def pruneVersions(): Unit =
-    versions.dropRight(keepVersions).foreach(v => deleteRecursively(versionDir(v)))
-
-  /** Time travel: read a retained prior snapshot (1-based version id, as
-    * listed by [[availableVersions]]). */
+  /** Time travel: read a retained prior snapshot (as listed by
+    * [[availableVersions]]). */
   def readVersion(v: Int): DataFrame = {
-    require(versions.contains(v), s"version $v not retained (have: $versions)")
+    require(availableVersions.contains(v),
+      s"version $v not retained (have: $availableVersions)")
     spark.read.parquet(versionDir(v).toString)
   }
-
-  def availableVersions: Seq[Int] = versions
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))

@@ -36,4 +36,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == trades.count())
     assert(out.columns.toSeq == trades.columns.toSeq :+ "asof_px")
   }
+
+  test("attached values come atomically from the matched right row, nulls included") {
+    // right rows with NULL fields: the MATCHED row's null must be
+    // attached, not an older row's non-null value, and multiple value
+    // columns must never mix rows
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), Some("early")),
+      (1L, ts("2024-01-01 10:04:00"), None, Some("late"))
+    ).toDF("k", "ts", "px", "src")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:02:00"), "t1"), // matches 10:00 row
+      (1L, ts("2024-01-01 10:06:00"), "t2")  // matches 10:04 row (null px)
+    ).toDF("k", "ts", "tid")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", "ts", Seq("px", "src"))
+      .select("tid", "asof_px", "asof_src")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(out("t1") == ((Some(100.0), Some("early"))))
+    // the matched row's px is genuinely NULL — must NOT resurrect 100.0
+    assert(out("t2") == ((None, Some("late"))))
+  }
 }

@@ -55,23 +55,20 @@ class LakeTableSpec extends SparkSpec {
     val root = freshRoot
     val t = LakeTable(spark, root, "t", Seq("id"), partitionCols = Seq("p"))
     t.create(df((1L, "a", "x"), (2L, "b", "y")))
-    assert(Files.isDirectory(java.nio.file.Paths.get(root, "t", "p=x")))
+    assert(Files.isDirectory(t.currentDir.resolve("p=x")))
     t.upsert(df((2L, "B2", "y"), (3L, "c", "z")))
     assert(rows(t) == Set((1L, "a", "x"), (2L, "B2", "y"), (3L, "c", "z")))
-    assert(Files.isDirectory(java.nio.file.Paths.get(root, "t", "p=z")))
+    assert(Files.isDirectory(t.currentDir.resolve("p=z")))
   }
 
   test("pruned upsert rewrites only touched partitions, same result") {
     val root = freshRoot
     val t = LakeTable(spark, root, "t", Seq("id"), partitionCols = Seq("p"))
     t.create(df((1L, "a", "x"), (2L, "b", "y"), (4L, "d", "y")))
-    val untouchedBefore = Files.getLastModifiedTime(
-      java.nio.file.Paths.get(root, "t", "p=x"))
     t.upsert(df((2L, "B2", "y"), (3L, "c", "z")), prunePartitions = true)
     assert(rows(t) == Set((1L, "a", "x"), (2L, "B2", "y"), (4L, "d", "y"), (3L, "c", "z")))
     // the untouched partition dir was moved, not rewritten by Spark
-    assert(Files.isDirectory(java.nio.file.Paths.get(root, "t", "p=x")))
-    val _ = untouchedBefore // layout assertion above is the real check
+    assert(Files.isDirectory(t.currentDir.resolve("p=x")))
   }
 
   test("crash recovery: stale staging leftovers don't block the next write") {
@@ -99,6 +96,26 @@ class LakeTableSpec extends SparkSpec {
       .select("id", "v", "p").as[(Long, String, String)].collect().toSet
     assert(prev == Set((1L, "a3", "x")))
     intercept[IllegalArgumentException](t.readVersion(999))
+  }
+
+  test("pointer publish: stale pointer tmp from a crashed writer is ignored") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    // simulate a crash between writing .CURRENT.tmp and the atomic rename
+    Files.writeString(java.nio.file.Paths.get(root, "t", ".CURRENT.tmp"), "vGARBAGE")
+    t.upsert(df((2L, "b", "y")))
+    assert(rows(t) == Set((1L, "a", "x"), (2L, "b", "y")))
+  }
+
+  test("pruned upsert handles null partition values (__HIVE_DEFAULT_PARTITION__)") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"), partitionCols = Seq("p"))
+    t.create(df((1L, "a", null), (2L, "b", "y")))
+    // source touches ONLY the null partition: y must survive untouched,
+    // id=1 must be updated inside the null partition, id=3 inserted there
+    t.upsert(df((1L, "A2", null), (3L, "c", null)), prunePartitions = true)
+    assert(rows(t) == Set((1L, "A2", null), (2L, "b", "y"), (3L, "c", null)))
   }
 
   test("pruned and unpruned upsert agree") {

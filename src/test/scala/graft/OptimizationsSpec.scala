@@ -31,6 +31,28 @@ class OptimizationsSpec extends SparkSpec {
     assert(got == Seq(2, 1)) // {null, b} and {a}
   }
 
+  test("rewrite is guarded to hash-safe element types") {
+    GraftOptimizations.install(spark)
+    // array<binary>: Array[Byte] compares by reference in a HashSet, so
+    // the rule must NOT fire — and the built-in result must be correct
+    val bin = Seq((Seq(Array[Byte](1, 2)), Seq(Array[Byte](1, 2))))
+      .toDF("a", "b").repartition(2)
+    val binOut = bin.select(size(array_intersect($"a", $"b")).as("n"))
+    assert(!binOut.queryExecution.optimizedPlan.toString.contains("intersect_count"))
+    assert(binOut.as[Int].collect().toSeq == Seq(1))
+    // array<double>: excluded from the rewrite out of caution around
+    // -0.0/0.0 and NaN boxing; the built-in (measured: -0.0 and 0.0 are
+    // DISTINCT here, NaN equals NaN) stays authoritative
+    val dbl = Seq((Seq(-0.0), Seq(0.0))).toDF("a", "b").repartition(2)
+    val dblOut = dbl.select(size(array_intersect($"a", $"b")).as("n"))
+    assert(!dblOut.queryExecution.optimizedPlan.toString.contains("intersect_count"))
+    assert(dblOut.as[Int].collect().toSeq == Seq(0))
+    // array<string> still rewrites (the hot Jaccard path)
+    val str = Seq((Seq("x"), Seq("x"))).toDF("a", "b").repartition(2)
+    assert(str.select(size(array_intersect($"a", $"b")).as("n"))
+      .queryExecution.optimizedPlan.toString.contains("intersect_count"))
+  }
+
   test("GraftExtensions wires functions + rule into a fresh session") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

@@ -15,7 +15,6 @@ class StreamsSpec extends SparkSpec {
       .orderBy("window_start", "event_type").collect().toSeq
     // stream the same parquet through readStream; ts arrives as long nanos
     // under nanosAsLong, so rebuild the µs timestamp exactly like Tables.load
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = Streams.readTableStream(spark, sf, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val streamed = Streams.drainToBatch(Streams.windowedCounts(stream, "1 hour"), "t_win")
@@ -26,7 +25,6 @@ class StreamsSpec extends SparkSpec {
   test("streaming sliding windows == batch sliding aggregation") {
     val batch = EventOps.sliding(Tables.load(spark, sf, "events"), "1 hour", "30 minutes")
       .orderBy("window_start", "event_type").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = Streams.readTableStream(spark, sf, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val streamed = Streams.drainToBatch(
@@ -36,7 +34,6 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("streaming dropDuplicates dedups across micro-batches") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = Streams.readTableStream(spark, sf, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
@@ -48,7 +45,6 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("foreachBatch streaming MERGE lands the same table as a batch upsert") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val root = java.nio.file.Files.createTempDirectory("cdc").toString
     val table = graft.table.LakeTable(spark, root, "events_t", Seq("event_id"))
     val stream = Streams.readTableStream(spark, sf, "events")
@@ -68,17 +64,57 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("flatMapGroupsWithState sessionization == batch session_window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val events = Tables.load(spark, sf, "events")
     val batch = EventOps.sessions(events, "4 hours")
       .select("user_id", "session_start", "n_events")
       .orderBy("user_id", "session_start").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val sessions = Streams.drainAppend(
-      Streams.sessionize(stream, gapSeconds = 4 * 3600), "t_sess")
+    val evs = events.select(col("user_id").cast("long"), col("ts"),
+      col("value").cast("double")).as[Streams.Ev].collect()
+    val maxTs = evs.map(_.ts.getTime).max
+    // sentinel user advances the watermark past every real session's
+    // end + gap so the event-time timeouts flush them all
+    def sentinel(plusMs: Long) =
+      Streams.Ev(-1L, new java.sql.Timestamp(maxTs + plusMs), 0.0)
+    val input = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(input.toDF(), gapSeconds = 4 * 3600)
+      .writeStream.outputMode("append").format("memory").queryName("t_sess").start()
+    input.addData(evs.toSeq: _*); q.processAllAvailable()
+    input.addData(sentinel(365L * 24 * 3600 * 1000)); q.processAllAvailable()
+    input.addData(sentinel(366L * 24 * 3600 * 1000)); q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("t_sess").filter(col("user_id") =!= -1L)
       .select("user_id", "session_start", "n_events")
       .orderBy("user_id", "session_start").collect().toSeq
     assert(sessions == batch)
+  }
+
+  test("sessions spanning micro-batches are emitted once, never split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // times offset from epoch: an event AT the initial watermark (0) would
+    // be dropped as late by the strict > comparison
+    def ev(u: Long, sec: Long) = Streams.Ev(u, new java.sql.Timestamp((1000 + sec) * 1000), 1.0)
+    val input = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(input.toDF(), gapSeconds = 100)
+      .writeStream.outputMode("append").format("memory").queryName("t_span").start()
+    input.addData(ev(1, 0), ev(1, 50)); q.processAllAvailable()
+    input.addData(ev(1, 120)); q.processAllAvailable() // 120 < 50+100: same session
+    // nothing may be emitted while the session could still grow
+    assert(spark.table("t_span").count() == 0)
+    input.addData(ev(1, 500)); q.processAllAvailable() // gap: second session opens;
+    // watermark then passes 120+gap → the spanning session closes via timeout
+    val afterB3 = spark.table("t_span").filter(col("user_id") === 1L)
+      .select("n_events", "sum_value").collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    // ONE session of 3 events spanning three micro-batches — not split
+    assert(afterB3 == Seq((3L, 3.0)))
+    input.addData(ev(2, 1000)); q.processAllAvailable() // watermark → 1500: flushes [1500]
+    q.stop()
+    val out = spark.table("t_span").filter(col("user_id") === 1L)
+      .select("n_events", "sum_value").collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out == Seq((3L, 3.0), (1L, 1.0)))
   }
 }
