@@ -110,18 +110,36 @@ object Dedup {
     inter / (size(sa) + size(sb) - inter)
   }
 
-  /** All-pairs n-gram Jaccard above a threshold, with cheap length
-    * blocking (docs whose token counts differ by >2× can't reach 0.5
-    * Jaccard). For bounded corpora / verification; LSH is the scale path. */
+  /** Exact n-gram Jaccard pairs with length-bucket blocking. Docs whose
+    * token counts differ by >2× can't reach 0.5 Jaccard, and a ≤2× ratio
+    * means |floor(log2(ntok_a)) - floor(log2(ntok_b))| ≤ 1 — so the a-side
+    * probes buckets {b-1, b, b+1} and the join is an EQUI-join on the
+    * bucket key (hash join, shuffle on a small int), never a non-equi
+    * nested loop. The exact ratio bound is re-applied as a post-filter, so
+    * the output is identical to the all-pairs form. Candidates travel as
+    * slim (id, bucket) rows; shingle arrays are attached afterwards by two
+    * id-keyed joins. Cost is O(sum of bucket-pair sizes) — for unblocked
+    * web-scale corpora prefer minhashLshPairs, whose banding keys are
+    * content-based rather than length-based. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val t = df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("ntok"),
       shingles(col(textCol), n).as("sh"))
-    val a = t.select(col("id").as("a_id"), col("sh").as("a_sh"), col("ntok").as("a_n"))
-    val b = t.select(col("id").as("b_id"), col("sh").as("b_sh"), col("ntok").as("b_n"))
-    val pairs = a.join(b, col("a_id") < col("b_id") &&
-      col("b_n").between(col("a_n") / 2, col("a_n") * 2))
-    jaccardStaged(pairs, "a_sh", "b_sh")
+    val tb = t.withColumn("bucket",
+      floor(log2(greatest(col("ntok"), lit(1)))).cast("int"))
+    val a = tb.select(col("id").as("a_id"), col("ntok").as("a_n"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = tb.select(col("id").as("b_id"), col("ntok").as("b_n"), col("bucket"))
+    // b's bucket is unique per doc, so each (a_id, b_id) pair joins at
+    // most once — no distinct needed
+    val cand = a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id") &&
+        col("b_n").between(col("a_n") / 2, col("a_n") * 2))
+      .select("a_id", "b_id")
+    val withSh = cand
+      .join(tb.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(tb.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    jaccardStaged(withSh, "a_sh", "b_sh")
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

@@ -48,6 +48,36 @@ class DedupSpec extends SparkSpec {
     assert(m((0L, 1L)) > 0.8 && m((0L, 1L)) < 1.0)
   }
 
+  test("ngramJaccardPairs plans hash joins, never a nested loop") {
+    val plan = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 2, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(2000))
+  }
+
+  test("ngramJaccardPairs bucket blocking loses no pair vs unblocked all-pairs") {
+    // docs spanning several length buckets, incl. ratio right at the 2× edge
+    val docs = (0L until 24L).map { i =>
+      val len = 3 + (i % 12).toInt * 2
+      (i, Seq.tabulate(len)(j => s"w${j % (3 + i % 5)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // reference: raw all-pairs with the same ratio bound, no bucketing
+    val t = docs.select(col("doc_id").as("id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"),
+      graft.functions.TextFunctions.shingles(col("text"), 2).as("sh"))
+    val a = t.select(col("id").as("a_id"), col("sh").as("a_sh"), col("ntok").as("a_n"))
+    val b = t.select(col("id").as("b_id"), col("sh").as("b_sh"), col("ntok").as("b_n"))
+    val ref = a.join(b, col("a_id") < col("b_id") &&
+        col("b_n").between(col("a_n") / 2, col("a_n") * 2))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.3)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(blocked == ref)
+  }
+
   test("winnowingPairs finds the planted near-dups via shared fingerprints") {
     val pairs = Dedup.winnowingPairs(corpus, "doc_id", "text",
       shingleN = 2, window = 3, minShared = 1, threshold = 0.5)
