@@ -69,6 +69,17 @@ object SparkEntry {
     // normalized-text dedup → per-language stats), fully oracle-checked
     "q_corpus_pipeline" -> ((s, dir) => Pipelines.corpus(s, dir)),
 
+    // the reference's true input mode end-to-end: header CSV → all-string
+    // read → try_cast promotion → reject split (malformed rows routed to
+    // the JSON sink) → dedup → RI semi-join. Valid-path output equals the
+    // parquet pipeline, which is what the oracle checks.
+    "q_csv_pipeline" -> ((s, dir) =>
+      Pipelines.ordersFromCsv(s, dir)._1
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("o_orderstatus")),
+
     // ================= Core operators ==================================
     // W1 latest-wins window dedup (order_glue_job.py:113-116)
     "q_window_dedup" -> ((s, dir) =>
@@ -634,6 +645,22 @@ object SparkEntry {
                 CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
                 ROUND(AVG(quality), 4) AS avg_quality
          FROM deduped GROUP BY lang ORDER BY lang""",
+
+    // CSV round-trip is lossless and the injected malformed rows are all
+    // rejected, so the oracle is the same parquet-side pipeline SQL
+    "q_csv_pipeline" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY o_orderdate DESC NULLS LAST) AS rn
+             FROM orders
+             WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+               AND o_orderdate IS NOT NULL) t
+           WHERE rn = 1
+             AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = t.o_orderkey))
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_window_dedup" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus FROM (

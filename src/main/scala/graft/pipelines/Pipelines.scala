@@ -57,6 +57,52 @@ object Pipelines {
       orders.selectExpr("o_orderkey as l_orderkey"))(deduped)
   }
 
+  /** CSV-ingestion variant of the orders pipeline — the reference's ACTUAL
+    * input mode: header CSV read with every column as string, promoted to
+    * types later (order_glue_job.py:87; common/utils.py:6-18; casts at
+    * order_glue_job.py:105-109).
+    *
+    * Stages: dump orders to CSV (stand-in for the upstream extract) and
+    * append deliberately malformed rows → dynamic all-string read (S1) →
+    * strict schema validation (P1) → try_cast promotion (P3, ANSI-safe:
+    * malformed values null out instead of failing the job) → valid/reject
+    * split (P4/P5) → rejected rows captured via the JSON side sink (K4) →
+    * latest-wins dedup (W1) → RI semi-join (J1).
+    *
+    * Returns (final, rejected); the malformed rows all fail the not-null
+    * split, so the valid-path result is byte-identical to running the
+    * pipeline off parquet — which is exactly what the DuckDB oracle checks.
+    */
+  def ordersFromCsv(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.sources.Sources
+    import java.nio.file.{Files, Paths}
+    val csvDir = s"/tmp/graft_csv/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+    val orders = Tables.load(spark, sfDir, "orders")
+    orders.write.mode("overwrite").option("header", "true").csv(csvDir)
+    // malformed rows: every one must fail the not-null split (a bad KEY
+    // column), so they route to rejected rather than altering the output
+    val header = orders.columns.mkString(",")
+    Files.write(Paths.get(csvDir, "zz_malformed.csv"),
+      java.util.List.of(
+        header,
+        "BAD_KEY,77,F,12.5,2024-01-02T00:00:00.000Z,1-URGENT",
+        ",88,O,1.0,2024-01-03T00:00:00.000Z,2-HIGH",
+        "999999991,,P,notadouble,garbage-date,3-MEDIUM"))
+    val raw = Sources.readCsvDynamic(spark, csvDir)
+    val validated = enforceSchema(Seq(
+      "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))(raw)
+    val casted = castColumns(Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType))(validated)
+    val (valid, rejected) = splitValid(Seq("o_orderkey", "o_custkey", "o_orderdate"))(casted)
+    Sources.writeJson(rejected, s"$csvDir-rejected")
+    val deduped = latestWins(Seq("o_orderkey"), "o_orderdate")(valid)
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    (semiJoin(Seq("o_orderkey"),
+      lineitem.selectExpr("l_orderkey as o_orderkey"))(deduped), rejected)
+  }
+
   /** Training-corpus cleaning pipeline — the north-star composite:
     * quality-score filter → exact dedup on normalized text (min-id
     * survivor) → per-language corpus stats. Every stage is row-local or
