@@ -123,6 +123,27 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // K2 partition-pruned MERGE: year-partitioned orders table, source
+    // touching a single partition — only that partition is rewritten,
+    // untouched ones are hard-linked into the new version (sub-linear in
+    // table size; compare its bench time against the full-rewrite
+    // q_merge_upsert above).
+    "q_merge_upsert_pruned" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+      val source = orders.filter(col("o_year") === 1995 && col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_merge_pruned", Seq("o_orderkey"),
+        partitionCols = Seq("o_year"))
+      t.create(orders)
+      t.upsert(source) // prunePartitions defaults ON for partitioned tables
+      t.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // P4/P5 one-pass valid/reject split, surfaced as A1 one-pass metrics
     "q_valid_counts" -> ((s, dir) =>
       validityCounts(Seq("o_orderkey", "o_custkey", "o_orderdate"))(
@@ -689,6 +710,21 @@ object SparkEntry {
                        FROM orders WHERE o_orderkey % 2 = 0),
             merged AS (
               SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_merge_upsert_pruned" ->
+      """WITH base AS (SELECT *, year(o_orderdate) AS o_year FROM orders),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority, o_year
+                       FROM base WHERE o_year = 1995 AND o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM base t
               WHERE NOT EXISTS (SELECT 1 FROM source s
                                 WHERE s.o_orderkey = t.o_orderkey)
               UNION ALL SELECT * FROM source)

@@ -73,12 +73,15 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * i.e. unmatched target rows survive, matched ones are replaced by the
     * source row (UPDATE ALL), unmatched source rows are inserted.
     *
-    * `prunePartitions`: when the table is partitioned and the source only
-    * touches a few partitions, restrict the rewrite to those partitions
-    * (the others are moved over untouched) — this is what keeps MERGE
-    * sub-linear in table size at scale.
+    * `prunePartitions` (default ON for partitioned tables, matching Delta
+    * MERGE's partition pruning): only the partitions the source touches
+    * are rewritten; untouched partition files are HARD-LINKED from the
+    * previous version into the new one (metadata-only, no data copied —
+    * the POSIX analogue of manifest-level file reuse), so MERGE cost is
+    * sub-linear in table size and every prior version stays a complete,
+    * readable snapshot.
     */
-  def upsert(df: DataFrame, prunePartitions: Boolean = false): Unit = {
+  def upsert(df: DataFrame, prunePartitions: Boolean = true): Unit = {
     if (!exists) { create(df); return }
     if (prunePartitions && partitionCols.nonEmpty) upsertPruned(df)
     else {
@@ -104,9 +107,12 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val merged = CoreOps.antiJoin(mergeKeys, source)(touchedTarget)
       .unionByName(source, allowMissingColumns = true)
     writeTo(merged, stagingDir)
-    // Move untouched partition dirs from the donor version into staging.
-    // Dir names follow Hive encoding: `<pcol>=<escaped value>`, with null
-    // written as __HIVE_DEFAULT_PARTITION__.
+    // Hard-link untouched partition dirs from the donor version into
+    // staging: metadata-only (no bytes copied), and because hard links
+    // survive unlinking of the original path, the donor stays a complete
+    // snapshot and version pruning can delete old dirs safely. Dir names
+    // follow Hive encoding: `<pcol>=<escaped value>`, null written as
+    // __HIVE_DEFAULT_PARTITION__.
     Files.list(donor).forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith(s"$pcol=")) {
@@ -115,15 +121,21 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
         val value = java.net.URLDecoder.decode(raw, "UTF-8")
         val isTouched = if (isNullPart) touchesNull else touched.contains(value)
         if (!isTouched && !Files.exists(stagingDir.resolve(n)))
-          Files.move(p, stagingDir.resolve(n))
+          linkTree(p, stagingDir.resolve(n))
       }
     }
     publish()
-    // the donor version lost its untouched partitions (they were MOVED,
-    // not copied), so it is no longer a readable snapshot — drop it. A
-    // pruned rewrite trades time travel for sub-linear cost (same trade
-    // as vacuuming aggressively).
-    deleteRecursively(donor)
+  }
+
+  /** Recursively hard-link a directory tree (same filesystem). The object-
+    * store equivalent is manifest-level file reuse: a new table version
+    * referencing unchanged data files instead of rewriting them. */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    Files.walk(src).forEach { p =>
+      val target = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.createLink(target, p)
+    }
   }
 
   private def writeTo(df: DataFrame, dir: Path): Unit = {

@@ -67,8 +67,12 @@ class LakeTableSpec extends SparkSpec {
     t.create(df((1L, "a", "x"), (2L, "b", "y"), (4L, "d", "y")))
     t.upsert(df((2L, "B2", "y"), (3L, "c", "z")), prunePartitions = true)
     assert(rows(t) == Set((1L, "a", "x"), (2L, "B2", "y"), (4L, "d", "y"), (3L, "c", "z")))
-    // the untouched partition dir was moved, not rewritten by Spark
+    // the untouched partition dir was hard-linked, not rewritten by Spark
     assert(Files.isDirectory(t.currentDir.resolve("p=x")))
+    // hard-linking preserves the donor snapshot: prior version still whole
+    val prior = t.readVersion(t.availableVersions.last)
+      .select("id", "v", "p").as[(Long, String, String)].collect().toSet
+    assert(prior == Set((1L, "a", "x"), (2L, "b", "y"), (4L, "d", "y")))
   }
 
   test("crash recovery: stale staging leftovers don't block the next write") {
