@@ -80,6 +80,25 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
         .orderBy("o_orderstatus")),
 
+    // full job orchestration (reference main + Step Functions routing):
+    // all three pipelines with reject sinks, one-pass Observation metrics,
+    // RI fallback, and MERGE into lake tables; compared output is the
+    // final merged-table state
+    "q_orchestrator" -> ((s, dir) => {
+      import graft.pipelines.Orchestrator
+      val root = s"/tmp/graft_orch/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Orchestrator.deleteRecursively(root)
+      Orchestrator.runAll(s, dir, root)
+      def summ(entity: String, keys: Seq[String], keyCol: String) =
+        LakeTable(s, root, entity, keys).read
+          .agg(count(lit(1)).as("n_rows"), sum(col(keyCol)).as("key_sum"))
+          .select(lit(entity).as("entity"), col("n_rows"), col("key_sum"))
+      summ("order_items", Seq("l_orderkey", "l_linenumber"), "l_orderkey")
+        .unionByName(summ("orders", Seq("o_orderkey"), "o_orderkey"))
+        .unionByName(summ("products", Seq("p_partkey"), "p_partkey"))
+        .orderBy("entity")
+    }),
+
     // ================= Core operators ==================================
     // W1 latest-wins window dedup (order_glue_job.py:113-116)
     "q_window_dedup" -> ((s, dir) =>
@@ -666,6 +685,45 @@ object SparkEntry {
                 CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
                 ROUND(AVG(quality), 4) AS avg_quality
          FROM deduped GROUP BY lang ORDER BY lang""",
+
+    // the three merged tables equal their pipeline results (first run is a
+    // create; reruns are idempotent merges), so the oracle re-derives each
+    // pipeline and compares counts + key checksums
+    "q_orchestrator" ->
+      """SELECT 'order_items' AS entity, count(*) AS n_rows,
+                CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+         FROM (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_shipdate DESC NULLS LAST, l_partkey, l_suppkey) AS rn
+             FROM lineitem
+             WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+               AND l_shipdate IS NOT NULL) t
+           WHERE rn = 1
+             AND EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = t.l_orderkey))
+         UNION ALL
+         SELECT 'orders', count(*), CAST(SUM(o_orderkey) AS BIGINT)
+         FROM (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY o_orderdate DESC NULLS LAST) AS rn
+             FROM orders
+             WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+               AND o_orderdate IS NOT NULL) t
+           WHERE rn = 1
+             AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = t.o_orderkey))
+         UNION ALL
+         SELECT 'products', count(*), CAST(SUM(p_partkey) AS BIGINT)
+         FROM (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY p_partkey ORDER BY p_name DESC NULLS LAST) AS rn
+             FROM part
+             WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL) t
+           WHERE rn = 1
+             AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = t.p_partkey))
+         ORDER BY entity""",
 
     // CSV round-trip is lossless and the injected malformed rows are all
     // rejected, so the oracle is the same parquet-side pipeline SQL
