@@ -424,8 +424,11 @@ object SparkEntry {
         shingleN = 3, k = 64, bands = 16, threshold = 0.7)
         .orderBy("a_id", "b_id")),
 
+    // SimHash near-dup pairs: shingle-feature fingerprint, chunk-bucketed
+    // candidates, exact-Jaccard verified (hash-seeded candidates → rows-
+    // only oracle; containment + recall pinned by RecallSpec)
     "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", bands = 4, maxHamming = 3)
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
         .orderBy("a_id", "b_id")),
 
     // winnowing-fingerprint near-dup pairs. Like q_minhash_pairs, the

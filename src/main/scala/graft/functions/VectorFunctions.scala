@@ -39,6 +39,6 @@ object VectorFunctions {
     * bucket by signature, join within buckets (candidates only), verify
     * with exact cosine. Native single-pass expression
     * (graft.functions.LshBitsPacked). */
-  def lshBucket(v: Column, bits: Int): Column =
-    HashExpressions.lshBitsPacked(v, bits)
+  def lshBucket(v: Column, bits: Int, seed: Long = 42L): Column =
+    HashExpressions.lshBitsPacked(v, bits, seed)
 }

@@ -144,21 +144,29 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** 64-bit SimHash: per token-hash bit, +1 if set else -1, summed over
-    * tokens; sign of each sum is the fingerprint bit. Near-dups differ in
-    * few bits (Hamming). One native pass per row
+  /** 64-bit SimHash: per feature-hash bit, +1 if set else -1, summed over
+    * features; sign of each sum is the fingerprint bit. Near-dups differ
+    * in few bits (Hamming). One native pass per row
     * (graft.functions.SimHash64). */
   def simhash64(textCol: Column): Column =
     graft.functions.HashExpressions.simhash64(tokens(textCol))
 
-  /** SimHash near-dup candidates: split the 64-bit fingerprint into
-    * `bands` chunks; by pigeonhole, docs within Hamming distance
-    * `bands-1` share at least one exact chunk → bucket-join on chunks,
-    * then verify exact Hamming ≤ maxHamming. */
+  /** SimHash near-dup pairs: fingerprint over word SHINGLES (n-gram
+    * features — token-level simhash clusters documents by stopword
+    * distribution, emitting pairs with no real overlap), split the 64-bit
+    * fingerprint into `bands` chunks (pigeonhole: docs within Hamming
+    * `bands-1` share at least one exact chunk → bucket-join on chunks),
+    * filter exact Hamming ≤ maxHamming, then VERIFY candidates with exact
+    * shingle Jaccard ≥ verifyThreshold — same candidates→verify shape as
+    * every other near-dup variant here, so hash proximity alone can never
+    * emit a textually-unrelated pair. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bands: Int = 8, maxHamming: Int = 7, shingleN: Int = 3,
+      verifyThreshold: Double = 0.5): DataFrame = {
     val chunk = 64 / bands
-    val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val shd = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val withSim = shd.select(col("id"),
+      graft.functions.HashExpressions.simhash64(col("sh")).as("sim"))
     val banded = withSim.select(col("id"), col("sim"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("sim"), b * chunk)
@@ -166,11 +174,17 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val a = banded.select(col("band"), col("chunk"), col("id").as("a_id"), col("sim").as("a_sim"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("b_id"), col("sim").as("b_sim"))
-    a.join(b, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))
+    val cand = a.join(b, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    val withSh = cand
+      .join(shd.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shd.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    jaccardStaged(withSh, "a_sh", "b_sh")
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("a_id", "b_id", "hamming", "jaccard")
   }
 
   /** Winnowing-fingerprint near-dup candidates: docs sharing ≥ `minShared`
@@ -202,24 +216,44 @@ object Dedup {
       .select("a_id", "b_id", "n_shared", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicates: LSH-bucket (hyperplane signature
-    * prefix) → join within buckets → exact cosine verify. `lshBits=0`
-    * degrades to brute force (small corpora / recall measurement). */
+  /** Embedding-cosine near-duplicates: multi-table hyperplane LSH →
+    * join within buckets → exact cosine verify. `lshTables` independent
+    * signatures (different hyperplane seeds) are the standard recall
+    * lever: a pair is a candidate if it collides in ANY table, so recall
+    * is 1-(1-p^bits)^tables for per-bit agreement probability
+    * p = 1-θ/π. `lshBits=0` degrades to brute force (small corpora /
+    * recall measurement). Candidates travel as slim id pairs; vectors are
+    * joined back only for the exact verify. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, lshBits: Int = 8): DataFrame = {
+      dim: Int, threshold: Double, lshBits: Int = 8,
+      lshTables: Int = 8): DataFrame = {
     // normalize ONCE per row; per-pair work is then a single codegen'd dot
     val base = df.select(col(idCol).as("id"),
       VectorFunctions.normalize(col(vecCol)).as("v"))
-    val bucketed =
-      if (lshBits <= 0) base.withColumn("bucket", lit(0L))
-      else base.withColumn("bucket", VectorFunctions.lshBucket(col("v"), lshBits))
-    val a = bucketed.select(col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
-    val b = bucketed.select(col("bucket"), col("id").as("b_id"), col("v").as("b_v"))
-    // no distinct needed: each id lives in exactly ONE bucket (single
-    // signature, unlike banded MinHash), so (a_id, b_id) pairs are unique
-    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+    def verified(cand: DataFrame): DataFrame = cand
+      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(VectorFunctions.dot(col("a_v"), col("b_v")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+    if (lshBits <= 0) {
+      val a = base.select(col("id").as("a_id"), col("v").as("a_v"))
+      val b = base.select(col("id").as("b_id"), col("v").as("b_v"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(VectorFunctions.dot(col("a_v"), col("b_v")), 6).as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      val banded = base.select(col("id"),
+          posexplode(array((0 until lshTables).map(t =>
+            VectorFunctions.lshBucket(col("v"), lshBits, seed = 1000L + t)): _*)))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("table"), col("bucket"), col("id").as("a_id"))
+      val b = banded.select(col("table"), col("bucket"), col("id").as("b_id"))
+      val cand = a.join(b, Seq("table", "bucket"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      verified(cand)
+    }
   }
 }
