@@ -123,8 +123,79 @@ case class WinnowHashes(child: Expression, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Heuristic language ID in one native pass: stopword-hit argmax over
+  * {de,en,es,fr} (lexicographic tiebreak) with a CJK-character-ratio
+  * override to "zh", "und" when nothing hits. Exact twin of the composable
+  * HOF formulation and of the DuckDB oracle SQL (q_lang_id), which pins
+  * the semantics; the HOF chain re-enters the interpreted lambda evaluator
+  * 4×|tokens| times per row, this does one tokenize + 4 set probes. */
+case class LangId(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"lang_id needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    // CJK ratio over code points (Spark length() counts code points)
+    var total = 0
+    var cjk = 0
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1
+      if ((cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0x3040 && cp <= 0x30ff)) cjk += 1
+    }
+    if (cjk.toDouble / math.max(1, total) > 0.2) TextExpressions.ZH
+    else {
+      val toks = TextExpressions.tokenize(s)
+      val nTok = math.max(1, toks.length)
+      val hits = new Array[Int](TextExpressions.langSets.length)
+      toks.foreach { t =>
+        var l = 0
+        while (l < TextExpressions.langSets.length) {
+          if (TextExpressions.langSets(l)._2.contains(t)) hits(l) += 1
+          l += 1
+        }
+      }
+      // argmax in lexicographic lang order: first strict max wins ties —
+      // identical to the sorted-struct-array formulation and the oracle
+      var bestLang: UTF8String = null
+      var bestScore = -1.0
+      var l = 0
+      while (l < TextExpressions.langSets.length) {
+        val score = hits(l).toDouble / nTok
+        if (score > bestScore) { bestScore = score; bestLang = TextExpressions.langSets(l)._1 }
+        l += 1
+      }
+      if (bestScore > 0) bestLang else TextExpressions.UND
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private[functions] val SPACE = UTF8String.fromString(" ")
+  private[functions] val ZH = UTF8String.fromString("zh")
+  private[functions] val UND = UTF8String.fromString("und")
+
+  /** (lang, stopword set) in lexicographic lang order — must stay in sync
+    * with TextFunctions.langStopwords and the q_lang_id oracle SQL. */
+  private[functions] val langSets: Array[(UTF8String, Set[UTF8String])] = Array(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "que", "es", "un", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour")
+  ).map { case (l, ws) =>
+    UTF8String.fromString(l) -> ws.map(UTF8String.fromString).toSet
+  }
 
   /** Lowercase + split on whitespace (chars ≤ 0x20) + drop empties —
     * the native twin of split(lower(trim(c)), "\\s+") with empty filter. */
@@ -151,4 +222,7 @@ object TextExpressions {
 
   def winnowHashes(shingles: Column, w: Int): Column =
     GraftColumnBridge.column(WinnowHashes(GraftColumnBridge.expression(shingles), w))
+
+  def langIdNative(c: Column): Column =
+    GraftColumnBridge.column(LangId(GraftColumnBridge.expression(c)))
 }

@@ -75,8 +75,16 @@ object TextFunctions {
 
   /** N-gram/stopword-heuristic language ID over {en,de,fr,es,zh}.
     * CJK-dominant text → zh; otherwise the language whose stopword list
-    * hits the most tokens; 'und' (undetermined) when nothing hits. */
-  def langId(c: Column): Column = {
+    * hits the most tokens (lexicographic tiebreak); 'und' (undetermined)
+    * when nothing hits. Native single pass (graft.functions.LangId) —
+    * the HOF formulation re-enters the interpreted lambda evaluator
+    * 4×|tokens| times per row; semantics pinned by the DuckDB oracle. */
+  def langId(c: Column): Column = TextExpressions.langIdNative(c)
+
+  /** The HOF formulation of [[langId]] — kept as the composable reference
+    * implementation; LangIdParitySpec asserts it agrees with the native
+    * expression on the documents table. */
+  def langIdHof(c: Column): Column = {
     val toks = tokens(c)
     val nTok = greatest(size(toks), lit(1))
     val cjk = charCount(c, "[\\u4e00-\\u9fff\\u3040-\\u30ff]") / greatest(length(c), lit(1))
