@@ -344,6 +344,52 @@ object SparkEntry {
         .orderBy("o_custkey", "seq")
     }),
 
+    // explode/unnest surface: token explosion + two-level re-aggregation
+    "q_explode" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(30)),
+
+    // higher-order-function surface: transform/aggregate/filter over the
+    // embedding arrays (the declarative forms the native expressions twin)
+    "q_hof" -> ((s, dir) =>
+      emb(s, dir).select(
+        col("vec_id"),
+        round(aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x), 4)
+          .as("sum_sq"),
+        round(array_max(transform(col("embedding"), x => abs(x.cast("double")))), 4)
+          .as("max_abs"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"))
+        .orderBy("vec_id")),
+
+    // rank-family analytic windows: dense_rank / percent_rank / ntile /
+    // cume_dist under one deterministic total order
+    "q_rank_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.load(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          dense_rank().over(w).as("dr"),
+          round(percent_rank().over(w), 6).as("pr"),
+          ntile(4).over(w).as("quartile"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // regex scalar surface: extract / extract_all / replace
+    "q_regex_funcs" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("n_novowel"))
+        .orderBy("doc_id")),
+
     // HLL sketch — approximate, so rows-only check (no oracle)
     "q_approx_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -921,6 +967,42 @@ object SparkEntry {
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_orderdate ASC, o_orderkey ASC)
          ORDER BY o_custkey, seq""",
+
+    "q_explode" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> len(x) > 0)) AS token
+           FROM documents)
+         SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM t GROUP BY token ORDER BY n DESC, token ASC LIMIT 30""",
+
+    "q_hof" ->
+      """SELECT vec_id,
+                ROUND(CAST(list_sum(list_transform(embedding::DOUBLE[],
+                      x -> x * x)) AS DOUBLE), 4) AS sum_sq,
+                ROUND(CAST(list_max(list_transform(embedding::DOUBLE[],
+                      x -> abs(x))) AS DOUBLE), 4) AS max_abs,
+                len(list_filter(embedding, x -> x > 0)) AS n_pos
+         FROM embeddings ORDER BY vec_id""",
+
+    "q_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                dense_rank() OVER w AS dr,
+                ROUND(percent_rank() OVER w, 6) AS pr,
+                ntile(4) OVER w AS quartile,
+                ROUND(cume_dist() OVER w, 6) AS cd
+         FROM orders WHERE o_custkey < 20
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_regex_funcs" ->
+      """SELECT doc_id,
+                regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+                len(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+                length(regexp_replace(text, '[aeiou]', '', 'g')) AS n_novowel
+         FROM documents ORDER BY doc_id""",
 
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
