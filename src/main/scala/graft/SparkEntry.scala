@@ -486,6 +486,19 @@ object SparkEntry {
         .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")),
 
+    // connected components over the near-dup pair graph: each doc labeled
+    // with the min id reachable through pairs (dedup families — pairwise
+    // similarity is not transitive, dedup decisions must be). Pairs come
+    // from the exact-verified MinHash path; oracle recomputes the closure
+    // with a recursive CTE.
+    "q_dedup_families" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      Dedup.dedupFamilies(d.select("doc_id"), pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // salted skew-join: same result as the plain join (oracle-checked),
     // hot keys split across 8 reducers
     "q_salted_join" -> ((s, dir) => {
@@ -1156,6 +1169,36 @@ object SparkEntry {
          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
+
+    "q_dedup_families" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         SELECT d.doc_id,
+                least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS family
+         FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         GROUP BY d.doc_id ORDER BY doc_id""",
 
     "q_salted_join" ->
       """SELECT s_name, count(*) AS n_items,

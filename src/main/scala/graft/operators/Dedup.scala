@@ -216,6 +216,52 @@ object Dedup {
       .select("a_id", "b_id", "n_shared", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: every document gets
+    * the MIN id reachable through pairs as its `family` — the dedup
+    * endgame (keep one survivor per family) once pairwise candidates
+    * exist, since near-dup relations are not transitive but dedup
+    * decisions must be.
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels (one hash shuffle per
+    * round); converges in O(graph diameter) rounds — tiny for near-dup
+    * clusters — with an early-exit convergence probe. This is the
+    * standard large-scale CC shape (the simplified form of
+    * large-star/small-star); the driver loop holds only iteration count,
+    * never data.
+    *
+    * @param ids   one row per document, column `idCol`
+    * @param pairs near-dup pairs with columns a_id, b_id
+    */
+  def dedupFamilies(ids: DataFrame, pairs: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().cache()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("family"))
+    var i = 0
+    var done = edges.isEmpty
+    while (i < maxIter && !done) {
+      // localCheckpoint TRUNCATES the lineage each round — without it the
+      // plan nests the previous round's plan twice per iteration and
+      // grows exponentially (the standard iterative-graph-algorithm trap;
+      // a cluster deployment would use reliable checkpointing instead of
+      // executor-local blocks).
+      val next = edges
+        .join(labels.select(col("id").as("src"), col("family")), Seq("src"))
+        .select(col("dst").as("id"), col("family"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("family").as("family"))
+        .localCheckpoint(true)
+      done = next.join(labels.withColumnRenamed("family", "prev"), Seq("id"))
+        .filter(col("family") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("family"))
+  }
+
   /** Embedding-cosine near-duplicates: multi-table hyperplane LSH →
     * join within buckets → exact cosine verify. `lshTables` independent
     * signatures (different hyperplane seeds) are the standard recall

@@ -78,6 +78,25 @@ class DedupSpec extends SparkSpec {
     assert(blocked == ref)
   }
 
+  test("dedupFamilies: transitive chains collapse to one family, singletons stay") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 0-1, 1-2 (transitive family {0,1,2}), pair {4,5}, singletons 3,6
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("a_id", "b_id")
+    val fam = Dedup.dedupFamilies(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(fam == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("dedupFamilies: long path converges within iteration budget") {
+    val n = 12L
+    val ids = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val fam = Dedup.dedupFamilies(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(fam.values.toSet == Set(0L)) // one family, rooted at min id
+  }
+
   test("winnowingPairs finds the planted near-dups via shared fingerprints") {
     val pairs = Dedup.winnowingPairs(corpus, "doc_id", "text",
       shingleN = 2, window = 3, minShared = 1, threshold = 0.5)
