@@ -536,6 +536,15 @@ object SparkEntry {
         dim = 64, threshold = 0.4, lshBits = 6)
         .orderBy("a_id", "b_id")),
 
+    // greedy sequence packing (training-batch assembly): one global lane
+    // so the DuckDB recursive-CTE oracle can replay the identical walk
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packGreedy(
+        docs(s, dir).select(col("doc_id"), tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", budgetTokens = 2000, shards = 1)
+        .select("doc_id", "n_tok", "batch")
+        .orderBy("doc_id")),
+
     // ================= North-star: similarity search ===================
     // brute-force exact top-k for a bounded query set (oracle-checked);
     // ranking on the rounded cosine with id tiebreak keeps cross-engine
@@ -1228,6 +1237,25 @@ object SparkEntry {
          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
+
+    "q_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                       x -> len(x) > 0)) AS BIGINT) AS n_tok,
+                  row_number() OVER (ORDER BY doc_id) AS rn
+           FROM documents),
+         walk(rn, doc_id, n_tok, batch, acc) AS (
+           SELECT rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.rn, d.doc_id, d.n_tok,
+                  CASE WHEN w.acc + d.n_tok > 2000 AND w.acc > 0
+                       THEN w.batch + 1 ELSE w.batch END,
+                  CASE WHEN w.acc + d.n_tok > 2000 AND w.acc > 0
+                       THEN d.n_tok ELSE w.acc + d.n_tok END
+           FROM walk w JOIN d ON d.rn = w.rn + 1)
+         SELECT doc_id, n_tok, batch FROM walk ORDER BY doc_id""",
 
     "q_embed_neardup" ->
       """WITH nv AS (
