@@ -650,6 +650,24 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // STREAM-STREAM interval join: the q_range_join semantics executed as
+    // a two-stream watermarked join (clicks within 24h after each error),
+    // drained and re-aggregated; oracle is the same SQL as q_range_join.
+    "q_stream_interval" -> ((s, dir) => {
+      val name = s"stream_ij_${System.nanoTime()}"
+      def ev() = graft.streaming.Streams.readTableStream(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val errors = ev().filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"))
+      val clicks = ev().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val joined = graft.streaming.Streams.intervalJoin(
+        errors, clicks, "user_id", "c_user", "ts", "c_ts", windowSeconds = 86400)
+      graft.streaming.Streams.drainAppend(joined, name)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // ================= North-star: multimodal columns ==================
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withMediaMeta(
@@ -1341,6 +1359,14 @@ object SparkEntry {
          ORDER BY c.event_id""",
 
     "q_range_join" ->
+      """SELECT e.user_id, count(*) AS n_pairs
+         FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+         JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+           ON c.user_id = e.user_id AND c.ts >= e.ts
+              AND c.ts < e.ts + INTERVAL '24 hours'
+         GROUP BY e.user_id ORDER BY e.user_id""",
+
+    "q_stream_interval" ->
       """SELECT e.user_id, count(*) AS n_pairs
          FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
          JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c

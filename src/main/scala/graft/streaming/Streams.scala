@@ -116,6 +116,25 @@ object Streams {
       }.toDF()
   }
 
+  /** Watermarked STREAM-STREAM interval join: right rows of the same key
+    * within [left.ts, left.ts + window) attach to each left row. Both
+    * sides carry watermarks and the join condition bounds the time range,
+    * so each side's join state is evictable once the other side's
+    * watermark passes ts + window — the requirement for an unbounded
+    * stream-stream join to run forever with bounded state. Column names
+    * (except the time-range pair) must be disjoint; pre-alias the right
+    * side. State is hash-partitioned on the join key, same scale shape as
+    * the batch binned range join (RangeJoin.windowFollowing). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      windowSeconds: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, l(leftKey) === r(rightKey) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) < l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Streaming MERGE sink (the Delta CDC pattern on our table layer):
     * every micro-batch is deduplicated on the merge key and upserted into
     * the LakeTable via foreachBatch — idempotent per batch, so at-least-

@@ -63,6 +63,27 @@ class StreamsSpec extends SparkSpec {
     assert(table.read.count() == batch.count())
   }
 
+  test("stream-stream interval join == batch range join") {
+    val ev = Tables.load(spark, sf, "events")
+    val batch = graft.operators.RangeJoin.windowFollowing(
+      ev.filter(col("event_type") === "error").select(col("user_id"), col("ts"), col("event_id")),
+      ev.filter(col("event_type") === "click").select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+      Seq("user_id"), "ts", "ts", Seq("click_id"), windowSeconds = 86400)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().toSeq
+    def stream() = Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val errors = stream().filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val streamed = Streams.drainAppend(Streams.intervalJoin(
+        errors, clicks, "user_id", "c_user", "ts", "c_ts", 86400), "t_ij")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("flatMapGroupsWithState sessionization == batch session_window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
