@@ -565,6 +565,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN (k-means cells, nProbe nearest probed; recall<1 by design —
+    // rows-only check, recall floor pinned by RecallSpec)
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 16), e, "vec_id", "embedding",
+        k = 5, nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ================= North-star: event-time windows ==================
     "q_event_tumbling" -> ((s, dir) =>
       EventOps.tumbling(events(s, dir), "1 hour")

@@ -84,6 +84,64 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path besides LSH:
+    * the corpus is partitioned into `nCells` Voronoi cells around k-means
+    * centroids and each query probes only its `nProbe` nearest cells, so
+    * the scan fraction is ~nProbe/nCells instead of the full corpus.
+    *
+    * Centroids are trained with a deterministic mini k-means: seeds are
+    * the `nCells` corpus vectors with the smallest xxhash64(id) (a stable
+    * pseudo-random sample — no RNG state), then `iters` Lloyd rounds run
+    * as DataFrame aggregations. The only driver-side state is the
+    * centroid table (nCells × dim doubles, collected from a bounded
+    * groupBy), re-broadcast as literals — no model file, identical plan
+    * on every executor. Candidates get exact cosine verification and
+    * bounded top-k, like every other ANN path here. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Column
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("c_v")).cache()
+    var centroids: Array[Seq[Double]] = c
+      .withColumn("h", xxhash64(col("neighbor_id")))
+      .orderBy("h").limit(nCells).select("c_v").collect()
+      .map(_.getSeq[Double](0))
+    def cellScores(vcol: Column): Column = array(centroids.indices.map(i =>
+      struct(dot(vcol, typedLit(centroids(i))).as("s"), lit(i).as("cell"))): _*)
+    def cellOf(vcol: Column): Column = array_max(cellScores(vcol)).getField("cell")
+    for (_ <- 0 until iters) {
+      // Lloyd round: per-cell per-dimension means (bounded nCells × dim
+      // rows collected), renormalized; empty cells keep their centroid
+      val means = c.withColumn("cell", cellOf(col("c_v")))
+        .select(col("cell"), posexplode(col("c_v")))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byCell.get(i).map { rows =>
+          val arr = new Array[Double](centroids(i).length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          val n = math.max(math.sqrt(arr.map(x => x * x).sum), 1e-12)
+          arr.map(_ / n).toSeq
+        }.getOrElse(centroids(i))
+      }.toArray
+    }
+    val index = c.withColumn("cell", cellOf(col("c_v")))
+    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_v"))
+    // nProbe nearest cells per query (score desc, cell asc on ties)
+    val sortedCells = array_sort(cellScores(col("q_v")),
+      (l, r) => when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .otherwise((l("cell") - r("cell")).cast("int")))
+    val probes = q.withColumn("cell",
+      explode(transform(slice(sortedCells, 1, nProbe), s => s("cell"))))
+    val scored = broadcast(probes).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_v"), col("c_v")), 6).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** Top-k rows per query_id from (query_id, neighbor_id, cos) using the
     * bounded typed Aggregator (map-side combine), then re-flattened with
     * a deterministic rank. */

@@ -51,6 +51,21 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("ivfTopK recall vs brute force on real embeddings") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 32)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(q, e, "vec_id", "embedding", k,
+      nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@$k = $recall%.3f (nProbe/nCells = 4/16)")
+    assert(recall > 0.5) // probing 1/4 of cells; near neighbors cluster
+    assert(approx.forall { case (a, b) => a != b })
+  }
+
   test("lshTopK multiprobe recall vs brute force on real embeddings") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 32)
