@@ -512,6 +512,66 @@ object SparkEntry {
         .orderBy("s_name")
     }),
 
+    // bloom-filter-accelerated semi-join: fact prefiltered by a dim-key
+    // bloom before the shuffle, exact semi-join finish — output is
+    // EXACTLY the plain semi-join, which is what the oracle checks
+    "q_bloom_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000).select("s_suppkey")
+      graft.ops.ScaleOps.bloomSemiJoin(li, sup, "s_suppkey")
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sum_qty"))
+        .orderBy("s_suppkey")
+    }),
+
+    // CDC change feed between table versions (Delta CDF analogue):
+    // create target, merge source, read inserts/updates/deletes vs the
+    // retained snapshot
+    "q_cdc" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_cdc", Seq("o_orderkey"))
+      t.create(target)
+      t.upsert(source)
+      t.changesSince(t.availableVersions.last)
+        .select(col("o_orderkey"), col("_change_type"))
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
+    // PMI bigram collocations: corpus-level pointwise mutual information
+    // over adjacent token pairs (min count 5, top 20)
+    "q_pmi_bigrams" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val bigramType = "array<struct<w1:string,w2:string>>"
+      val bigrams = when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2"))))
+        .otherwise(lit(null).cast(bigramType))
+      val d = docs(s, dir)
+      val bi = d.select(explode(bigrams).as("b")).select(col("b.w1"), col("b.w2"))
+      val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      val uni = d.select(explode(t).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val totals = biCnt.agg(sum("c_ab").as("n_bi"))
+        .crossJoin(uni.agg(sum("c_w").as("n_uni")))
+      biCnt
+        .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .filter(col("c_ab") >= 5)
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c_ab"),
+          round(log((col("c_ab") * col("n_uni") * col("n_uni")).cast("double") /
+            (col("n_bi") * col("c_a") * col("c_b")).cast("double")), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
     // exact n-gram Jaccard near-dup pairs (bounded subset: all-pairs
     // verify path; oracle-checked)
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -1241,6 +1301,49 @@ object SparkEntry {
                 CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          GROUP BY s_name ORDER BY s_name""",
+
+    "q_bloom_join" ->
+      """SELECT l.l_suppkey AS s_suppkey, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem l
+         WHERE EXISTS (SELECT 1 FROM supplier s
+                       WHERE s.s_acctbal > 5000 AND s.s_suppkey = l.l_suppkey)
+         GROUP BY l.l_suppkey ORDER BY s_suppkey""",
+
+    "q_cdc" ->
+      """WITH target AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT o_orderkey, _change_type FROM (
+           SELECT o_orderkey, 'insert' AS _change_type FROM source
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
+           UNION ALL
+           SELECT o_orderkey, 'update_postimage' FROM source
+           WHERE o_orderkey IN (SELECT o_orderkey FROM target))
+         ORDER BY o_orderkey, _change_type""",
+
+    "q_pmi_bigrams" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         bi AS (
+           SELECT unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+           FROM toks WHERE len(t) >= 2),
+         bic AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab
+                 FROM bi GROUP BY 1, 2),
+         uni AS (SELECT unnest(t) AS w FROM toks),
+         unic AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+         tot AS (SELECT (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bic) AS n_bi,
+                        (SELECT CAST(SUM(c_w) AS BIGINT) FROM unic) AS n_uni)
+         SELECT w1 || ' ' || w2 AS bigram, c_ab,
+                ROUND(ln(CAST(c_ab * n_uni * n_uni AS DOUBLE) /
+                         CAST(n_bi * a.c_w * b.c_w AS DOUBLE)), 4) AS pmi
+         FROM bic
+         JOIN unic a ON a.w = bic.w1
+         JOIN unic b ON b.w = bic.w2
+         CROSS JOIN tot
+         WHERE c_ab >= 5
+         ORDER BY pmi DESC, bigram ASC LIMIT 20""",
 
     "q_ngram_jaccard" ->
       """WITH toks AS (

@@ -26,6 +26,37 @@ object ScaleOps {
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-filter-accelerated semi-join — the runtime-filter pattern for
+    * big-fact × selective-dim joins at scale: build a bloom filter over
+    * the dim keys (one bounded driver-side sketch, ~MBs for millions of
+    * keys at 1% fpp), prefilter the FACT before its shuffle with the
+    * codegen'd native BloomFilterMightContain probe, then finish with the
+    * exact semi-join. The bloom only prunes (false positives pass through
+    * to the exact join, false negatives are impossible), so the output is
+    * EXACTLY the plain semi-join — what the oracle checks — while the
+    * shuffle moves only rows that can possibly match. Spark's AQE injects
+    * this same filter automatically in some shapes; this is the explicit,
+    * always-on form for a long key column. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, key: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val bloom = dim.stat.bloomFilter(key, expectedItems, fpp)
+    val bytes = {
+      val b = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(b)
+      b.toByteArray
+    }
+    // stat.bloomFilter puts raw longs; BloomFilterMightContain probes
+    // mightContainLong on the raw value — the pair is format-compatible
+    val might = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      GraftColumnBridge.expression(col(key).cast("long"))))
+    val pre = fact.filter(might)
+    graft.ops.CoreOps.semiJoin(Seq(key), dim.select(col(key)))(pre)
+  }
+
   /** One-pass pipeline metrics via the Observation API — the fix for the
     * reference's recompute-per-count anti-pattern (SURVEY.md §4.3-1):
     * counts are collected as accumulator-style observations DURING the one

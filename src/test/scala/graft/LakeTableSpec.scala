@@ -122,6 +122,23 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "A2", null), (2L, "b", "y"), (3L, "c", null)))
   }
 
+  test("changesSince classifies inserts, updates, and deletes") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
+    // update 2, insert 4; emulate a delete by merging a table rebuild
+    t.upsert(df((2L, "B2", "y"), (4L, "d", "w")))
+    val v1 = t.availableVersions.last
+    val changes = t.changesSince(v1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(changes == Set((2L, "update_postimage"), (4L, "insert")))
+    // unchanged rows (1, 3) must NOT appear in the feed
+    t.create(df((1L, "a", "x"))) // new version dropping 2,3,4
+    val v2 = t.availableVersions.last
+    val afterDrop = t.changesSince(v2)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(afterDrop == Set((2L, "delete"), (3L, "delete"), (4L, "delete")))
+  }
+
   test("pruned and unpruned upsert agree") {
     val (r1, r2) = (freshRoot, freshRoot)
     val t1 = LakeTable(spark, r1, "t", Seq("id"), partitionCols = Seq("p"))

@@ -17,6 +17,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bloomSemiJoin equals the plain semi-join (bloom only prunes)") {
+    val fact = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"))
+    val dim = Tables.load(spark, sf, "supplier")
+      .filter(col("s_acctbal") > 5000).select("s_suppkey")
+    val plain = graft.ops.CoreOps.semiJoin(Seq("s_suppkey"), dim)(fact)
+      .groupBy("s_suppkey").count()
+      .as[(Long, Long)].collect().toSet
+    val bloomed = ScaleOps.bloomSemiJoin(fact, dim, "s_suppkey")
+      .groupBy("s_suppkey").count()
+      .as[(Long, Long)].collect().toSet
+    assert(bloomed == plain)
+  }
+
   test("observedSplitMetrics counts input/valid/rejected in one pass") {
     val df = Seq(
       (Some(1L), "a"), (Some(2L), "b"), (None, "c")
