@@ -99,6 +99,34 @@ object SparkEntry {
         .orderBy("entity")
     }),
 
+    // JSON source round-trip (S-surface breadth): typed table → JSON lines
+    // → schema-inferred read → aggregate; oracle aggregates the parquet
+    // original, so inference + value fidelity are both checked
+    "q_json_source" -> ((s, dir) => {
+      val path = s"/tmp/graft_fmt/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_json"
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").json(path)
+      s.read.json(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ORC source round-trip (the other built-in columnar format)
+    "q_orc_source" -> ((s, dir) => {
+      val path = s"/tmp/graft_fmt/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_orc"
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), max(col("o_orderdate")).as("max_date"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ================= Core operators ==================================
     // W1 latest-wins window dedup (order_glue_job.py:113-116)
     "q_window_dedup" -> ((s, dir) =>
@@ -898,6 +926,16 @@ object SparkEntry {
            WHERE rn = 1
              AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = t.o_orderkey))
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_json_source" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_orc_source" ->
+      """SELECT o_orderstatus, count(*) AS n, max(o_orderdate) AS max_date,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_window_dedup" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus FROM (

@@ -122,6 +122,18 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "A2", null), (2L, "b", "y"), (3L, "c", null)))
   }
 
+  test("schema evolution: upsert with a new column widens the table") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    val widened = Seq((2L, "b", "y", 42)).toDF("id", "v", "p", "extra")
+    t.upsert(widened)
+    val out = t.read.orderBy("id")
+      .select("id", "v", "p", "extra")
+      .as[(Long, String, String, Option[Int])].collect().toSeq
+    // old rows carry null in the new column, new rows carry the value
+    assert(out == Seq((1L, "a", "x", None), (2L, "b", "y", Some(42))))
+  }
+
   test("changesSince classifies inserts, updates, and deletes") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"))
     t.create(df((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
