@@ -760,8 +760,15 @@ object SparkEntry {
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       val joined = graft.streaming.Streams.intervalJoin(
         errors, clicks, "user_id", "c_user", "ts", "c_ts", windowSeconds = 86400)
-      graft.streaming.Streams.drainAppend(joined, name)
-        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      // State-store count = shuffle partitions AT QUERY START, and each
+      // store pays fixed per-micro-batch cost (4 stores per partition for
+      // a stream-stream join). Size it to the stream's volume, not the
+      // batch default — the standard streaming ops knob. Safe to scope:
+      // the drain action completes inside this block.
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainAppend(joined, name)
+      }
+      drained.groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),
 
