@@ -702,6 +702,27 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // UNPIVOT (melt): the wide pivot table folded back to long form
+    "q_unpivot" -> ((s, dir) => {
+      val wide = Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+      wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy("o_orderpriority", "status")
+    }),
+
+    // time-series resample: hourly grid per user with 0-filled gaps and
+    // carry-forward of the last observed hourly sum
+    "q_resample" -> ((s, dir) =>
+      EventOps.resampleHourly(
+        events(s, dir).filter(col("user_id") < 20), "user_id")
+        .orderBy("user_id", "hour")),
+
     // CUBE aggregation (all grouping combinations)
     "q_cube" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -1530,6 +1551,35 @@ object SparkEntry {
            ON c.user_id = e.user_id AND c.ts >= e.ts
               AND c.ts < e.ts + INTERVAL '24 hours'
          GROUP BY e.user_id ORDER BY e.user_id""",
+
+    "q_unpivot" ->
+      """WITH w AS (
+           SELECT o_orderpriority,
+                  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+                  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+                  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, status, n FROM (
+           SELECT o_orderpriority, 'F' AS status, f_n AS n FROM w
+           UNION ALL SELECT o_orderpriority, 'O', o_n FROM w
+           UNION ALL SELECT o_orderpriority, 'P', p_n FROM w)
+         ORDER BY o_orderpriority, status""",
+
+    "q_resample" ->
+      """WITH b AS (
+           SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+                  ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2) AS sv
+           FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM spans),
+         j AS (SELECT g.user_id, g.h, b.n, b.sv
+               FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h)
+         SELECT user_id, h AS hour, COALESCE(n, 0) AS n,
+                ROUND(COALESCE(last_value(sv IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY h
+                  ROWS UNBOUNDED PRECEDING), 0.0), 2) AS carried
+         FROM j ORDER BY user_id, hour""",
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -39,4 +39,31 @@ object EventOps {
     * semi-structured access path (`get_json_object` stays codegen'd). */
   def withJsonProp(events: DataFrame, field: String): DataFrame =
     events.withColumn(field, get_json_object(col("props"), s"$$.$field").cast("int"))
+
+  /** Time-series resample to an hourly grid with gap filling: for each
+    * key, generate every hour between its first and last event
+    * (`sequence` + explode — row-local grid generation, no driver loop),
+    * left-join the hourly aggregates, fill missing counts with 0 and
+    * carry the last observed sum forward (`last(ignoreNulls)` window).
+    * One shuffle for the agg, one for the join, one sort for the carry —
+    * the same shape at any scale; grid size is rows×hours, so cap or
+    * bucket the key space for sparse multi-year keys. */
+  def resampleHourly(events: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col(keyCol), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(20,4)")).cast("double"), 2).as("sv"))
+    val grid = hourly.groupBy(keyCol)
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col(keyCol),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy(keyCol).orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(keyCol, "h"), "left")
+      .select(col(keyCol), col("h").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(last(col("sv"), ignoreNulls = true).over(w), lit(0.0)), 2)
+          .as("carried"))
+  }
 }

@@ -37,4 +37,17 @@ class SketchSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(out == Map("g1" -> "x", "g2" -> "z"))
   }
+
+  test("approx_percentile lands within its rank-error bound of the exact value") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, sf, "events")
+    // accuracy 1000 => rank error <= 1/1000; generous envelope: the
+    // approximate median must sit between the exact p45 and p55
+    val row = ev.agg(
+      expr("percentile(value, 0.45)").as("lo"),
+      expr("percentile(value, 0.55)").as("hi"),
+      expr("approx_percentile(value, 0.5, 1000)").as("ap")).head()
+    val (lo, hi, ap) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(ap >= lo && ap <= hi, s"approx median $ap outside [$lo, $hi]")
+  }
 }
