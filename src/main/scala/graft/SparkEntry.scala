@@ -191,6 +191,21 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // OPTIMIZE ZORDER: table rewritten clustered on the Morton curve of
+    // (p_size, p_retailprice); content must be unchanged, which is what
+    // the oracle checks (layout is asserted in LakeTableSpec)
+    "q_zorder" -> ((s, dir) => {
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "part_z", Seq("p_partkey"))
+      t.create(Tables.load(s, dir, "part")
+        .select("p_partkey", "p_size", "p_retailprice"))
+      t.optimizeZorder("p_size", "p_retailprice")
+      t.read.groupBy("p_size")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast("decimal(20,4)")).cast("double").as("sum_price"))
+        .orderBy("p_size")
+    }),
+
     // P4/P5 one-pass valid/reject split, surfaced as A1 one-pass metrics
     "q_valid_counts" -> ((s, dir) =>
       validityCounts(Seq("o_orderkey", "o_custkey", "o_orderdate"))(
@@ -1013,6 +1028,11 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
          FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_zorder" ->
+      """SELECT p_size, count(*) AS n,
+                CAST(SUM(CAST(p_retailprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+         FROM part GROUP BY p_size ORDER BY p_size""",
 
     "q_valid_counts" ->
       """SELECT (o_orderkey IS NOT NULL AND o_custkey IS NOT NULL

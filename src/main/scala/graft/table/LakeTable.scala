@@ -186,6 +186,31 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     spark.read.parquet(versionDir(v).toString)
   }
 
+  /** OPTIMIZE ZORDER analogue: rewrite the current version clustered on
+    * the Z-order (Morton) curve of two columns, published as a new
+    * version via the same pointer swap. `repartitionByRange` on the
+    * z-value gives each output file a contiguous curve segment, so
+    * parquet min/max stats prune scans filtered on either column. Content
+    * is byte-for-byte the same rows — only layout changes (checked by
+    * LakeTableSpec). */
+  def optimizeZorder(c1: String, c2: String, numFiles: Int = 8): Unit = {
+    import graft.functions.ZOrder
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, broadcast}
+    val cur = read
+    val stats = cur.agg(fmin(col(c1)).as("min1"), fmax(col(c1)).as("max1"),
+      fmin(col(c2)).as("min2"), fmax(col(c2)).as("max2"))
+    val z = ZOrder.interleave(
+      ZOrder.bin(col(c1), col("min1"), col("max1")),
+      ZOrder.bin(col(c2), col("min2"), col("max2")))
+    val clustered = cur.crossJoin(broadcast(stats))
+      .withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "min1", "max1", "min2", "max2")
+    writeTo(clustered, stagingDir)
+    publish()
+  }
+
   /** CDC between a retained snapshot and the current version — the Delta
     * Change Data Feed analogue, derivable here because versions are full
     * snapshots: `insert` (key absent in the snapshot), `update_postimage`

@@ -151,6 +151,29 @@ class LakeTableSpec extends SparkSpec {
     assert(afterDrop == Set((2L, "delete"), (3L, "delete"), (4L, "delete")))
   }
 
+  test("optimizeZorder preserves content and clusters both dimensions") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    // 32×32 uniform grid, row-major — unclustered on y
+    val grid = (0L until 1024L).map(i => (i, i % 32, i / 32)).toDF("id", "x", "y")
+    t.create(grid)
+    t.optimizeZorder("x", "y", numFiles = 4)
+    val out = t.read.select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    assert(out == grid.as[(Long, Long, Long)].collect().toSet) // layout-only change
+    // each file should cover roughly a quadrant of (x, y) space, not a
+    // full-width stripe: avg per-file bounding-box area well under half
+    // the total area
+    val areas = t.read.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg(((fmax(col("x")) - fmin(col("x"))) *
+        (fmax(col("y")) - fmin(col("y")))).as("area"))
+      .select("area").as[Long].collect()
+    assert(areas.nonEmpty)
+    val full = 31L * 31L
+    assert(areas.sum.toDouble / areas.length <= full / 2.0,
+      s"files not clustered: areas=${areas.toSeq}")
+  }
+
   test("pruned and unpruned upsert agree") {
     val (r1, r2) = (freshRoot, freshRoot)
     val t1 = LakeTable(spark, r1, "t", Seq("id"), partitionCols = Seq("p"))
