@@ -191,6 +191,21 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // row-level DML (Delta parity): DELETE low-value F orders, UPDATE the
+    // priority of the largest ones, then summarize the final table state
+    "q_delete_update" -> ((s, dir) => {
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_dml", Seq("o_orderkey"))
+      t.create(Tables.load(s, dir, "orders"))
+      t.delete(col("o_orderstatus") === "F" && col("o_totalprice") < 50000)
+      t.update(col("o_totalprice") >= 300000,
+        Map("o_orderpriority" -> lit("0-REVIEWED")))
+      t.read.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
     // OPTIMIZE ZORDER: table rewritten clustered on the Morton curve of
     // (p_size, p_retailprice); content must be unchanged, which is what
     // the oracle checks (layout is asserted in LakeTableSpec)
@@ -738,6 +753,18 @@ object SparkEntry {
         events(s, dir).filter(col("user_id") < 20), "user_id")
         .orderBy("user_id", "hour")),
 
+    // funnel analysis: view → click → purchase, each stage gated on the
+    // user's previous-stage timestamp
+    "q_funnel" -> ((s, dir) =>
+      EventOps.funnel(events(s, dir), "user_id", "event_type",
+        Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
+    // cohort retention triangle: first-activity week × week offset
+    "q_cohort" -> ((s, dir) =>
+      EventOps.cohortRetention(events(s, dir), "user_id")
+        .orderBy("cohort", "week_offset")),
+
     // CUBE aggregation (all grouping combinations)
     "q_cube" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
@@ -1028,6 +1055,16 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
          FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_delete_update" ->
+      """SELECT o_orderstatus,
+                CASE WHEN o_totalprice >= 300000 THEN '0-REVIEWED'
+                     ELSE o_orderpriority END AS o_orderpriority,
+                count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+         GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority""",
 
     "q_zorder" ->
       """SELECT p_size, count(*) AS n,
@@ -1571,6 +1608,34 @@ object SparkEntry {
            ON c.user_id = e.user_id AND c.ts >= e.ts
               AND c.ts < e.ts + INTERVAL '24 hours'
          GROUP BY e.user_id ORDER BY e.user_id""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+           UNION ALL SELECT '2_click', count(*) FROM s2
+           UNION ALL SELECT '3_purchase', count(*) FROM s3)
+         ORDER BY stage""",
+
+    "q_cohort" ->
+      """WITH fw AS (SELECT user_id,
+                            CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+                     FROM events GROUP BY 1),
+            act AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('week', ts) AS DATE) AS w
+                    FROM events)
+         SELECT cohort,
+                CAST(date_diff('day', cohort, w) // 7 AS INT) AS week_offset,
+                count(DISTINCT act.user_id) AS n_users
+         FROM act JOIN fw ON act.user_id = fw.user_id
+         GROUP BY 1, 2 ORDER BY cohort, week_offset""",
 
     "q_unpivot" ->
       """WITH w AS (

@@ -40,6 +40,46 @@ object EventOps {
   def withJsonProp(events: DataFrame, field: String): DataFrame =
     events.withColumn(field, get_json_object(col("props"), s"$$.$field").cast("int"))
 
+  /** Funnel analysis: users reaching each successive stage, where stage
+    * i counts only events at-or-after that user's stage-(i-1) timestamp.
+    * One aggregate + one join per stage on the user key — no window over
+    * the full event stream, so it scales like the joins it is made of. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    var reached = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min("ts").as("t"))
+    val perStage = scala.collection.mutable.ArrayBuffer((stages.head, reached))
+    for (i <- 1 until stages.length) {
+      reached = events.filter(col(typeCol) === stages(i))
+        .join(reached.select(col(userCol), col("t").as("prev_t")), Seq(userCol))
+        .filter(col("ts") >= col("prev_t"))
+        .groupBy(col(userCol)).agg(min("ts").as("t"))
+      perStage += ((stages(i), reached))
+    }
+    perStage.zipWithIndex.map { case ((st, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(s"${i + 1}_$st").as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention matrix: users grouped by first-activity week, then
+    * counted per week offset they were active again — the standard
+    * retention triangle. Week arithmetic stays on week-truncated dates so
+    * the offset division is exact. */
+  def cohortRetention(events: DataFrame, userCol: String): DataFrame = {
+    val firstWeek = events.groupBy(col(userCol))
+      .agg(to_date(date_trunc("week", min("ts"))).as("cohort"))
+    val active = events
+      .select(col(userCol), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    active.join(firstWeek, Seq(userCol))
+      .select(col(userCol), col("cohort"),
+        (datediff(col("w"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
   /** Time-series resample to an hourly grid with gap filling: for each
     * key, generate every hour between its first and last event
     * (`sequence` + explode — row-local grid generation, no driver loop),

@@ -186,6 +186,40 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     spark.read.parquet(versionDir(v).toString)
   }
 
+  /** Row-level DELETE (Delta DML parity): remove rows matching the
+    * condition, keep everything else — including rows where the condition
+    * is NULL, matching SQL DELETE semantics. Published as a new version;
+    * the old snapshot stays readable. */
+  def delete(condition: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.coalesce
+    import org.apache.spark.sql.functions.lit
+    writeTo(read.filter(!coalesce(condition, lit(false))), stagingDir)
+    publish()
+  }
+
+  /** Row-level UPDATE: apply the assignments to rows matching the
+    * condition, leave others untouched. */
+  def update(condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val cur = read
+    val cond = coalesce(condition, lit(false))
+    val updated = cur.select(cur.columns.toIndexedSeq.map { c =>
+      assignments.get(c)
+        .map(expr => when(cond, expr).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    writeTo(updated, stagingDir)
+    publish()
+  }
+
+  /** Small-file compaction (OPTIMIZE without reordering): rewrite the
+    * current version into `numFiles` files. Content unchanged. */
+  def compact(numFiles: Int): Unit = {
+    writeTo(read.repartition(numFiles), stagingDir)
+    publish()
+  }
+
   /** OPTIMIZE ZORDER analogue: rewrite the current version clustered on
     * the Z-order (Morton) curve of two columns, published as a new
     * version via the same pointer swap. `repartitionByRange` on the

@@ -151,6 +151,31 @@ class LakeTableSpec extends SparkSpec {
     assert(afterDrop == Set((2L, "delete"), (3L, "delete"), (4L, "delete")))
   }
 
+  test("DELETE removes matching rows, keeps null-condition rows; UPDATE rewrites in place") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x"), (2L, "b", "y"), (3L, "c", null)))
+    t.delete(col("p") === "y") // null p: condition NULL → row kept
+    assert(rows(t) == Set((1L, "a", "x"), (3L, "c", null)))
+    t.update(col("id") === 3L, Map("v" -> lit("C3")))
+    assert(rows(t) == Set((1L, "a", "x"), (3L, "C3", null)))
+    // prior snapshot still readable after DML
+    val prev = t.readVersion(t.availableVersions.last)
+      .select("id", "v", "p").as[(Long, String, String)].collect().toSet
+    assert(prev == Set((1L, "a", "x"), (3L, "c", null)))
+  }
+
+  test("compact reduces file count without changing content") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((0L until 50L).map(i => (i, s"v$i", s"p${i % 5}")): _*))
+    val before = rows(t)
+    t.compact(1)
+    assert(rows(t) == before)
+    val files = java.nio.file.Files.list(t.currentDir).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(files == 1)
+  }
+
   test("optimizeZorder preserves content and clusters both dimensions") {
     import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
     val t = LakeTable(spark, freshRoot, "t", Seq("id"))
