@@ -557,6 +557,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // survivor selection: per dedup family keep the highest-quality doc
+    // (min id tiebreak) — families from the exact-verified MinHash pairs,
+    // quality rounded identically in both engines
+    "q_family_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      val fams = Dedup.dedupFamilies(d.select("doc_id"), pairs, "doc_id")
+      Dedup.keepBestPerFamily(
+        d.select(col("doc_id"), qualityScore(col("text")).as("quality")),
+        "doc_id", "quality", fams)
+        .select("doc_id", "family", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // per-user feature aggregation (sequence-modeling prep): activity
+    // counts, span, exact-decimal average, max inter-event gap
+    "q_user_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      events(s, dir)
+        .withColumn("gap_ms",
+          unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          datediff(to_date(max("ts")), to_date(min("ts"))).as("span_days"),
+          round((sum(col("value").cast("decimal(20,4)")) / count(lit(1)))
+            .cast("double"), 4).as("avg_value"),
+          max("gap_ms").as("max_gap_ms"))
+        .orderBy("user_id")
+    }),
+
     // salted skew-join: same result as the plain join (oracle-checked),
     // hot keys split across 8 reducers
     "q_salted_join" -> ((s, dir) => {
@@ -1418,6 +1451,74 @@ object SparkEntry {
                 least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS family
          FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
          GROUP BY d.doc_id ORDER BY doc_id""",
+
+    "q_family_survivors" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t,
+                  length(text) AS n_char
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM base),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         fam AS (
+           SELECT d.doc_id,
+                  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS family
+           FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+           GROUP BY d.doc_id),
+         q AS (
+           SELECT doc_id,
+                  ROUND(
+                    (CASE WHEN len(t) BETWEEN 10 AND 100000 THEN 1.0
+                          WHEN len(t) BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END) * 0.3
+                    + (1.0 - least((n_char - length(regexp_replace(text,
+                        '[[:punct:]]', '', 'g'))) * 4.0 / greatest(n_char, 1), 1.0)) * 0.3
+                    + least(len(list_filter(t, x -> list_contains(
+                        ['the','a','an','and','or','of','to','in','is','it',
+                         'that','for','on','with','as','this','by'], x)))
+                        * 5.0 / greatest(len(t), 1), 1.0) * 0.2
+                    + ((n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                        * 1.0 / greatest(n_char, 1)) * 0.2, 4) AS quality
+           FROM base),
+         ranked AS (
+           SELECT q.doc_id, f.family, q.quality,
+                  row_number() OVER (PARTITION BY f.family
+                    ORDER BY q.quality DESC, q.doc_id) AS rn
+           FROM q JOIN fam f ON f.doc_id = q.doc_id)
+         SELECT doc_id, family, quality FROM ranked WHERE rn = 1
+         ORDER BY doc_id""",
+
+    "q_user_features" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_type, value,
+                  epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts)) AS gap_ms
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+                count(DISTINCT event_type) AS n_types,
+                date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+                  AS span_days,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) / count(*)
+                  AS DOUBLE), 4) AS avg_value,
+                CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+         FROM g GROUP BY user_id ORDER BY user_id""",
 
     "q_salted_join" ->
       """SELECT s_name, count(*) AS n_items,

@@ -262,6 +262,19 @@ object Dedup {
     labels.select(col("id").as(idCol), col("family"))
   }
 
+  /** Survivor selection over dedup families: keep the highest-`scoreCol`
+    * row per family (min id tiebreak) — the production choice for corpus
+    * dedup (keep the BEST copy, not an arbitrary one). One window over
+    * the family key. */
+  def keepBestPerFamily(df: DataFrame, idCol: String, scoreCol: String,
+      families: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("family")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.join(families, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Embedding-cosine near-duplicates: multi-table hyperplane LSH →
     * join within buckets → exact cosine verify. `lshTables` independent
     * signatures (different hyperplane seeds) are the standard recall

@@ -57,6 +57,15 @@ object ScaleOps {
     graft.ops.CoreOps.semiJoin(Seq(key), dim.select(col(key)))(pre)
   }
 
+  /** Stratified sampling by a key column — the training-data rebalancing
+    * primitive (e.g. downsample over-represented languages). Per-stratum
+    * Bernoulli sampling, seed-deterministic, single pass, no shuffle
+    * (sampling is a map-side filter). Fractions absent from the map drop
+    * the stratum entirely. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+
   /** One-pass pipeline metrics via the Observation API — the fix for the
     * reference's recompute-per-count anti-pattern (SURVEY.md §4.3-1):
     * counts are collected as accumulator-style observations DURING the one

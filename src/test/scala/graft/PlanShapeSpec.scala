@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan pins for the properties PlanAudit inspects manually: the
+  * 100 TB story depends on these staying true, so they are asserted. */
+class PlanShapeSpec extends SparkSpec {
+
+  test("star join broadcasts the small dimensions") {
+    val plan = SparkEntry.queries("q_sql_join_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"))
+  }
+
+  test("RI semi-join plans as a hash semi-join, never a nested loop") {
+    val plan = SparkEntry.queries("q_semi_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert(!plan.contains("NestedLoop"))
+  }
+
+  test("column pruning reaches the parquet scan") {
+    val plan = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val plan = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderkey") === 42).select("o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(o_orderkey,42)"), plan.take(1500))
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect() // AQE shows codegen spans only in the final executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the executed-plan tree
+    assert(plan.contains("*("), plan.take(1500))
+  }
+}

@@ -31,6 +31,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bloomed == plain)
   }
 
+  test("stratifiedSample hits per-stratum fractions, deterministic by seed") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fr = Map("en" -> 0.5, "de" -> 1.0) // other langs dropped
+    val s1 = ScaleOps.stratifiedSample(docs, "lang", fr, seed = 7L)
+    val s2 = ScaleOps.stratifiedSample(docs, "lang", fr, seed = 7L)
+    assert(s1.select("doc_id").as[Long].collect().toSet ==
+      s2.select("doc_id").as[Long].collect().toSet) // same seed → same rows
+    val byLang = s1.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.keySet == Set("en", "de"))
+    assert(byLang("de") == total("de")) // fraction 1.0 keeps everything
+    val ratio = byLang("en").toDouble / total("en")
+    assert(ratio > 0.3 && ratio < 0.7, s"en ratio $ratio")
+  }
+
   test("observedSplitMetrics counts input/valid/rejected in one pass") {
     val df = Seq(
       (Some(1L), "a"), (Some(2L), "b"), (None, "c")
