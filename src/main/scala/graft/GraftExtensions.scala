@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64}
+import graft.functions.{DotProduct, LangId, MinHashSig, SimHash64,
+  WinnowHashes, WordShingles, WordTokens}
 import graft.plans.RewriteIntersectSize
 
 /** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -23,5 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       exprs => SimHash64(exprs(0))))
+    e.injectFunction((FunctionIdentifier("word_tokens"),
+      new ExpressionInfo(classOf[WordTokens].getName, "word_tokens"),
+      exprs => WordTokens(exprs(0))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowHashes].getName, "winnow_hashes"),
+      exprs => WinnowHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      exprs => LangId(exprs(0))))
   }
 }

@@ -65,6 +65,15 @@ class OptimizationsSpec extends SparkSpec {
       val d = fresh.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect().head.getDouble(0)
       assert(d == 11.0)
+      // the text-function surface is SQL-callable too
+      val toks = fresh.sql("SELECT word_tokens('The quick  Fox') AS t")
+        .collect().head.getSeq[String](0)
+      assert(toks == Seq("the", "quick", "fox"))
+      val lang = fresh.sql("SELECT lang_id('the cat and the dog in the house') AS l")
+        .collect().head.getString(0)
+      assert(lang == "en")
+      assert(fresh.sql("SELECT size(word_shingles('a b c d', 2)) AS n")
+        .collect().head.getInt(0) == 3)
       import fresh.implicits._
       val df2 = Seq((Seq("a"), Seq("a", "b"))).toDF("a", "b").repartition(2)
       val plan = df2.select(size(array_intersect($"a", $"b")).as("n"))
