@@ -103,6 +103,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupFamilies matches a driver-side union-find on random graphs") {
+    import graft.operators.Dedup
+    val graphGen = for {
+      n <- Gen.chooseNum(1, 30)
+      edges <- Gen.listOf(for {
+        a <- Gen.chooseNum(0L, n.toLong - 1)
+        b <- Gen.chooseNum(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, edges.distinct)
+    forAllCases(graphGen) { case (n, edges) =>
+      val ids = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("a_id", "b_id")
+      val got = Dedup.dedupFamilies(ids, pairs, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      // reference: classic union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
+
   test("upsert is idempotent for any target/source pair") {
     forAllCases(Gen.zip(tableGen, tableGen)) { case (t, s) =>
       if (t.nonEmpty || s.nonEmpty) {
