@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -24,7 +23,7 @@ import org.apache.spark.sql.types._
 
 /** MinHash signature: out[s] = min over shingles x of XXH64(x, seed=s). */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -63,7 +62,7 @@ case class MinHashSig(child: Expression, k: Int)
 /** 64-bit SimHash over an array of token strings: bit i of the result is
   * the sign of sum over tokens of ±1 by bit i of XXH64(token). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
 
   override def dataType: DataType = LongType
 
@@ -106,7 +105,7 @@ case class SimHash64(child: Expression)
   * minhash values — the bucket ids directly, skipping the intermediate
   * signature array, slice, stringify, re-hash chain. */
 case class MinHashBands(child: Expression, k: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   require(k % bands == 0, "k must be a multiple of bands")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -161,7 +160,7 @@ case class MinHashBands(child: Expression, k: Int, bands: Int)
   * to [-1, 1]. Native single pass (the HOF form re-enters the interpreter
   * bits×dim times per row). */
 case class LshBitsPacked(child: Expression, bits: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
 
   override def dataType: DataType = LongType
 

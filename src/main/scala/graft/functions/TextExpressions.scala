@@ -6,7 +6,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Lowercased whitespace tokens of a string column. */
 case class WordTokens(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -43,7 +42,7 @@ case class WordTokens(child: Expression)
 /** Distinct word n-gram shingles of a string column (whole-doc fallback
   * below n tokens), first-occurrence order. */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   require(n >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -79,7 +78,7 @@ case class WordShingles(child: Expression, n: Int)
   * HOF chain (which re-enters the interpreter O(|shingles|·w) times and
   * recomputes the hash array per reference). */
 case class WinnowHashes(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
   require(w >= 1)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -130,7 +129,7 @@ case class WinnowHashes(child: Expression, w: Int)
   * the semantics; the HOF chain re-enters the interpreted lambda evaluator
   * 4×|tokens| times per row, this does one tokenize + 4 set probes. */
 case class LangId(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefEvalCodegen {
 
   override def dataType: DataType = StringType
 

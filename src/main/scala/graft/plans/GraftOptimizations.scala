@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, BinaryExpression, Expression, Size}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType, DataType,
   * `spark.sql.extensions` (graft.GraftExtensions).
   */
 case class IntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with graft.functions.RefEvalCodegenBinary {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "intersect_count"

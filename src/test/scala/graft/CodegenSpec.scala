@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.HashExpressions
+
+/** The native expressions claim real doGenCode (RefEvalCodegen) — prove
+  * the generated code compiles by forbidding the silent interpreted
+  * fallback Spark normally uses when codegen fails. */
+class CodegenSpec extends SparkSpec {
+
+  private def withConf[A](k: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, v)
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("native expressions evaluate with codegen fallback disabled") {
+    withConf("spark.sql.codegen.fallback", "false") {
+      withConf("spark.sql.codegen.factoryMode", "CODEGEN_ONLY") {
+        val docs = Tables.load(spark, sf, "documents").limit(50)
+        val out = docs.select(
+          tokenCount(col("text")).as("n_tok"),
+          langId(col("text")).as("lang"),
+          size(shingles(col("text"), 3)).as("n_sh"),
+          size(winnowingFingerprints(col("text"))).as("n_fp"),
+          HashExpressions.simhash64(tokens(col("text"))).as("sim"),
+          size(HashExpressions.minhashSig(shingles(col("text"), 3), 16)).as("n_sig"))
+          .agg(sum("n_tok"), count(lit(1))).collect()
+        assert(out.head.getLong(1) == 50L)
+        // the binary rewrite target too
+        graft.plans.GraftOptimizations.install(spark)
+        import spark.implicits._
+        val n = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("a", "b").repartition(2)
+          .select(size(array_intersect(col("a"), col("b"))).as("n"))
+          .as[Int].collect()
+        assert(n.toSeq == Seq(1))
+      }
+    }
+  }
+}
