@@ -11,7 +11,9 @@ object PlanAudit {
     val names = if (args.length > 1) args(1).split(",").toSeq
       else Seq("q_items_pipeline", "q1_agg", "q_semi_join", "q_embed_topk",
         "q_minhash_pairs", "q_asof", "q_event_sessions", "q_rollup",
-        "q_corpus_pipeline", "q_range_join", "q_winnow_pairs", "q_heavy_hitters")
+        "q_corpus_pipeline", "q_range_join", "q_winnow_pairs", "q_heavy_hitters",
+        "q_ngram_jaccard", "q_bloom_join", "q_dedup_families", "q_pmi_bigrams",
+        "q_pack_sequences", "q_funnel", "q_resample", "q_user_features")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -14,5 +14,13 @@ object Registry {
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("word_tokens",
+      exprs => WordTokens(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("winnow_hashes",
+      exprs => WinnowHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("lang_id",
+      exprs => LangId(exprs(0)), "built-in")
   }
 }
