@@ -80,6 +80,15 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
         .orderBy("o_orderstatus")),
 
+    // S2: the same CSV ingested with a DECLARED schema (typed parsing at
+    // the reader, no inference pass); same oracle as the dynamic mode
+    "q_csv_declared" -> ((s, dir) =>
+      Pipelines.ordersFromCsvDeclared(s, dir)._1
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("o_orderstatus")),
+
     // full job orchestration (reference main + Step Functions routing):
     // all three pipelines with reject sinks, one-pass Observation metrics,
     // RI fallback, and MERGE into lake tables; compared output is the
@@ -1039,6 +1048,20 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n, max(o_orderdate) AS max_date,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_csv_declared" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY o_orderdate DESC NULLS LAST) AS rn
+             FROM orders
+             WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+               AND o_orderdate IS NOT NULL) t
+           WHERE rn = 1
+             AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = t.o_orderkey))
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_window_dedup" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus FROM (

@@ -73,8 +73,9 @@ object Pipelines {
     * split, so the valid-path result is byte-identical to running the
     * pipeline off parquet — which is exactly what the DuckDB oracle checks.
     */
-  def ordersFromCsv(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    import graft.sources.Sources
+  /** Stage the orders table as header CSV plus malformed rows (the
+    * upstream-extract stand-in shared by both CSV read modes). */
+  private def stageOrdersCsv(spark: SparkSession, sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     val csvDir = s"/tmp/graft_csv/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
     val orders = Tables.load(spark, sfDir, "orders")
@@ -88,6 +89,12 @@ object Pipelines {
         "BAD_KEY,77,F,12.5,2024-01-02T00:00:00.000Z,1-URGENT",
         ",88,O,1.0,2024-01-03T00:00:00.000Z,2-HIGH",
         "999999991,,P,notadouble,garbage-date,3-MEDIUM"))
+    csvDir
+  }
+
+  def ordersFromCsv(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.sources.Sources
+    val csvDir = stageOrdersCsv(spark, sfDir)
     val raw = Sources.readCsvDynamic(spark, csvDir)
     val validated = enforceSchema(Seq(
       "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -97,6 +104,27 @@ object Pipelines {
       "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampType))(validated)
     val (valid, rejected) = splitValid(Seq("o_orderkey", "o_custkey", "o_orderdate"))(casted)
     Sources.writeJson(rejected, s"$csvDir-rejected")
+    val deduped = latestWins(Seq("o_orderkey"), "o_orderdate")(valid)
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    (semiJoin(Seq("o_orderkey"),
+      lineitem.selectExpr("l_orderkey as o_orderkey"))(deduped), rejected)
+  }
+
+  /** S2 variant: the same CSV ingested with a DECLARED schema — the
+    * reader does the typed parsing directly (no inference pass, one fewer
+    * scan); under the default PERMISSIVE mode malformed values null out
+    * exactly like try_cast, so the reject routing is identical. */
+  def ordersFromCsvDeclared(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    import graft.sources.Sources
+    val csvDir = stageOrdersCsv(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType)))
+    val raw = Sources.readCsvDeclared(spark, csvDir, schema)
+    val (valid, rejected) = splitValid(Seq("o_orderkey", "o_custkey", "o_orderdate"))(raw)
     val deduped = latestWins(Seq("o_orderkey"), "o_orderdate")(valid)
     val lineitem = Tables.load(spark, sfDir, "lineitem")
     (semiJoin(Seq("o_orderkey"),

@@ -127,12 +127,16 @@ object Streams {
     * the batch binned range join (RangeJoin.windowFollowing). */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      windowSeconds: Long, watermarkDelay: String = "10 minutes"): DataFrame = {
+      windowSeconds: Long, watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermarkDelay)
     val r = right.withWatermark(rightTs, watermarkDelay)
+    // left_outer: an unmatched left row is emitted with nulls once the
+    // RIGHT watermark passes leftTs + window (no match can still arrive)
     l.join(r, l(leftKey) === r(rightKey) &&
       r(rightTs) >= l(leftTs) &&
-      r(rightTs) < l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"))
+      r(rightTs) < l(leftTs) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      joinType)
   }
 
   /** Streaming MERGE sink (the Delta CDC pattern on our table layer):

@@ -84,6 +84,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("left-outer interval join emits unmatched lefts with nulls after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    case class E(user_id: Long, ts: java.sql.Timestamp)
+    def t(sec: Long) = new java.sql.Timestamp((1000 + sec) * 1000)
+    val lefts = MemoryStream[(Long, java.sql.Timestamp)]
+    val rights = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streams.intervalJoin(
+      lefts.toDF().toDF("user_id", "ts"),
+      rights.toDF().toDF("c_user", "c_ts"),
+      "user_id", "c_user", "ts", "c_ts",
+      windowSeconds = 100, watermarkDelay = "0 seconds", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("t_loj").start()
+    // user 1 gets a match in-window; user 2 never does
+    lefts.addData((1L, t(0)), (2L, t(0)))
+    rights.addData((1L, t(50)))
+    q.processAllAvailable()
+    // advance both watermarks far past t(0)+100 so the unmatched left closes
+    lefts.addData((9L, t(5000))); rights.addData((9L, t(5000)))
+    q.processAllAvailable()
+    lefts.addData((9L, t(9000))); rights.addData((9L, t(9000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_loj").filter(col("user_id") < 9)
+      .select(col("user_id"), col("c_user").isNull.as("unmatched"))
+      .as[(Long, Boolean)].collect().toSet
+    assert(rows == Set((1L, false), (2L, true)))
+  }
+
   test("flatMapGroupsWithState sessionization == batch session_window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
