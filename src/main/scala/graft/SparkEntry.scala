@@ -847,9 +847,12 @@ object SparkEntry {
       // Tables.load falls back to setting it for externally-built sessions
       val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      graft.streaming.Streams.drainToBatch(
-        graft.streaming.Streams.windowedCounts(stream, "1 hour"), name)
-        .orderBy("window_start", "event_type")
+      // state partitions sized to the drain (see q_stream_interval)
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainToBatch(
+          graft.streaming.Streams.windowedCounts(stream, "1 hour"), name)
+      }
+      drained.orderBy("window_start", "event_type")
     }),
 
     // STREAM-STREAM interval join: the q_range_join semantics executed as
