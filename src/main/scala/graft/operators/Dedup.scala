@@ -110,31 +110,43 @@ object Dedup {
     inter / (size(sa) + size(sb) - inter)
   }
 
-  /** Exact n-gram Jaccard pairs with length-bucket blocking. Docs whose
-    * token counts differ by >2× can't reach 0.5 Jaccard, and a ≤2× ratio
-    * means |floor(log2(ntok_a)) - floor(log2(ntok_b))| ≤ 1 — so the a-side
-    * probes buckets {b-1, b, b+1} and the join is an EQUI-join on the
-    * bucket key (hash join, shuffle on a small int), never a non-equi
-    * nested loop. The exact ratio bound is re-applied as a post-filter, so
-    * the output is identical to the all-pairs form. Candidates travel as
-    * slim (id, bucket) rows; shingle arrays are attached afterwards by two
+  /** Exact n-gram Jaccard pairs with size-bucket blocking. The blocking
+    * key is the DISTINCT shingle-set size, where the bound is a theorem:
+    * J(A,B) ≥ t ⇒ max(|A|,|B|)/min(|A|,|B|) ≤ 1/t, and a ≤2^D ratio means
+    * |floor(log2|A|) - floor(log2|B|)| ≤ D for the smallest D with
+    * 2^D ≥ 1/t — so the a-side probes buckets within ±D and the join is
+    * an EQUI-join on the bucket key (hash join, shuffle on a small int),
+    * never a non-equi nested loop. Both the probe radius and the exact
+    * ratio post-filter are DERIVED FROM the threshold (t=0.5 → ±1, the
+    * classic 2× rule; t=0.3 → ±2), so the output is identical to the
+    * all-pairs form at any threshold in (0,1]. Candidates travel as slim
+    * (id, bucket) rows; shingle arrays are attached afterwards by two
     * id-keyed joins. Cost is O(sum of bucket-pair sizes) — for unblocked
     * web-scale corpora prefer minhashLshPairs, whose banding keys are
     * content-based rather than length-based. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val t = df.select(col(idCol).as("id"), tokenCount(col(textCol)).as("ntok"),
-      shingles(col(textCol), n).as("sh"))
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val ratio = 1.0 / threshold
+    // smallest D with 2^D ≥ ratio (integer doubling — no float-ceil slop;
+    // the tolerance keeps exact powers like ratio=2.0 at D=1)
+    var delta = 0
+    var pow = 1.0
+    while (pow * (1 + 1e-9) < ratio) { pow *= 2; delta += 1 }
+    val t = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
     val tb = t.withColumn("bucket",
-      floor(log2(greatest(col("ntok"), lit(1)))).cast("int"))
-    val a = tb.select(col("id").as("a_id"), col("ntok").as("a_n"),
-      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
-    val b = tb.select(col("id").as("b_id"), col("ntok").as("b_n"), col("bucket"))
+      floor(log2(greatest(col("nsh"), lit(1)))).cast("int"))
+    val a = tb.select(col("id").as("a_id"), col("nsh").as("a_n"),
+      explode(array((-delta to delta).map(d => col("bucket") + d): _*)).as("bucket"))
+    val b = tb.select(col("id").as("b_id"), col("nsh").as("b_n"), col("bucket"))
     // b's bucket is unique per doc, so each (a_id, b_id) pair joins at
     // most once — no distinct needed
     val cand = a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id") &&
-        col("b_n").between(col("a_n") / 2, col("a_n") * 2))
+        col("b_n") >= col("a_n") * threshold &&
+        col("a_n") >= col("b_n") * threshold)
       .select("a_id", "b_id")
     val withSh = cand
       .join(tb.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
@@ -259,6 +271,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!done)
+      // partially-propagated labels would silently split true families
+      // downstream (keepBestPerFamily keeping >1 survivor) — surface it
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupFamilies did not converge within maxIter=$maxIter rounds " +
+          "(pair-graph diameter exceeds maxIter); labels are partially " +
+          "propagated — raise maxIter for long similarity chains")
     labels.select(col("id").as(idCol), col("family"))
   }
 

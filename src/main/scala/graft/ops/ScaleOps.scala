@@ -42,17 +42,22 @@ object ScaleOps {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
-    val bloom = dim.stat.bloomFilter(key, expectedItems, fpp)
+    // Build and probe must hash the SAME representation: stat.bloomFilter
+    // stores putLong for integral columns but putBinary for strings, while
+    // BloomFilterMightContain always probes mightContainLong — so both
+    // sides are first mapped through xxhash64 (native, codegen'd), making
+    // the filter type-generic. Hash collisions only add false positives,
+    // which the exact semi-join below removes.
+    val bloom = dim.select(xxhash64(col(key)).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
     val bytes = {
       val b = new java.io.ByteArrayOutputStream()
       bloom.writeTo(b)
       b.toByteArray
     }
-    // stat.bloomFilter puts raw longs; BloomFilterMightContain probes
-    // mightContainLong on the raw value — the pair is format-compatible
     val might = GraftColumnBridge.column(BloomFilterMightContain(
       Literal(bytes, BinaryType),
-      GraftColumnBridge.expression(col(key).cast("long"))))
+      GraftColumnBridge.expression(xxhash64(col(key)))))
     val pre = fact.filter(might)
     graft.ops.CoreOps.semiJoin(Seq(key), dim.select(col(key)))(pre)
   }

@@ -92,39 +92,80 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     }
   }
 
+  /** Safe partition-pruned MERGE over the full partition tuple.
+    *
+    * The touched set is (a) every partition the source writes into, UNION
+    * (b) every partition holding a target row whose merge key appears in
+    * the source. (b) is what makes pruning SAFE: a key whose partition
+    * value changed between target and source (e.g. an order's date
+    * corrected) must have its OLD partition rewritten too, or the stale
+    * row survives and MERGE key uniqueness breaks. Delta's MERGE matches
+    * keys across all partitions for the same reason. (b) costs one
+    * column-pruned scan of the target's key+partition columns per merge —
+    * sub-linear in table bytes, the analogue of Delta's touched-file
+    * discovery join.
+    */
   private def upsertPruned(source: DataFrame): Unit = {
-    // Bounded driver-side collect: the touched partition-VALUE set, not rows.
-    val pcol = partitionCols.head
-    val touchedRaw = source.select(col(pcol).cast("string")).distinct()
-      .collect().map(r => Option(r.getString(0)))
-    val touchesNull = touchedRaw.contains(None)
-    val touched = touchedRaw.flatten.toSet
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, lit, url_encode}
     val donor = currentDir
     val target = read
-    val inTouched = col(pcol).cast("string").isin(touched.toSeq: _*)
-    val touchedTarget = target.filter(
-      if (touchesNull) inTouched || col(pcol).isNull else inTouched)
+
+    // Injective tuple → string encoding used ONLY for set membership
+    // (both sides use URLEncoder conventions, so it need not match the
+    // Hive directory escaping): each value url-encoded, null →
+    // __HIVE_DEFAULT_PARTITION__, components joined with '/'.
+    def encTuple(df: DataFrame) = concat_ws("/", partitionCols.map(c =>
+      coalesce(url_encode(col(c).cast("string")), lit(HiveNullPart))): _*)
+    def encDriver(tup: Seq[Option[String]]): String = tup.map {
+      case Some(v) => java.net.URLEncoder.encode(v, "UTF-8")
+      case None    => HiveNullPart
+    }.mkString("/")
+
+    // Bounded driver-side collects: partition-VALUE tuples, not rows.
+    val sourceParts = source.select(encTuple(source).as("__p")).distinct()
+      .collect().map(_.getString(0))
+    val matchedParts = target
+      .join(source.select(mergeKeys.map(col): _*).distinct(), mergeKeys, "left_semi")
+      .select(encTuple(target).as("__p")).distinct()
+      .collect().map(_.getString(0))
+    val touched = (sourceParts ++ matchedParts).toSet
+
+    val touchedTarget = target.filter(encTuple(target).isin(touched.toSeq: _*))
     val merged = CoreOps.antiJoin(mergeKeys, source)(touchedTarget)
       .unionByName(source, allowMissingColumns = true)
     writeTo(merged, stagingDir)
-    // Hard-link untouched partition dirs from the donor version into
+    // Hard-link untouched leaf partition dirs from the donor version into
     // staging: metadata-only (no bytes copied), and because hard links
     // survive unlinking of the original path, the donor stays a complete
     // snapshot and version pruning can delete old dirs safely. Dir names
-    // follow Hive encoding: `<pcol>=<escaped value>`, null written as
-    // __HIVE_DEFAULT_PARTITION__.
-    Files.list(donor).forEach { p =>
+    // follow Hive encoding: `<pcol>=<escaped value>` nested per partition
+    // column, null written as __HIVE_DEFAULT_PARTITION__.
+    linkUntouched(donor, donor, 0, Nil, touched, encDriver)
+    publish()
+  }
+
+  /** Recursively walk the donor's Hive-style partition directory tree and
+    * hard-link every LEAF partition dir (depth == partitionCols.size)
+    * whose decoded tuple is not in the touched set. */
+  private def linkUntouched(donorRoot: Path, dir: Path, depth: Int,
+      prefix: Seq[Option[String]], touched: Set[String],
+      enc: Seq[Option[String]] => String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    Files.list(dir).forEach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith(s"$pcol=")) {
-        val raw = n.stripPrefix(s"$pcol=")
-        val isNullPart = raw == HiveNullPart
-        val value = java.net.URLDecoder.decode(raw, "UTF-8")
-        val isTouched = if (isNullPart) touchesNull else touched.contains(value)
-        if (!isTouched && !Files.exists(stagingDir.resolve(n)))
-          linkTree(p, stagingDir.resolve(n))
+      if (Files.isDirectory(p) && n.startsWith(s"${partitionCols(depth)}=")) {
+        val raw = n.stripPrefix(s"${partitionCols(depth)}=")
+        val value: Option[String] =
+          if (raw == HiveNullPart) None
+          else Some(ExternalCatalogUtils.unescapePathName(raw))
+        val tup = prefix :+ value
+        if (depth == partitionCols.size - 1) {
+          val dst = stagingDir.resolve(donorRoot.relativize(p).toString)
+          if (!touched.contains(enc(tup)) && !Files.exists(dst))
+            linkTree(p, dst)
+        } else linkUntouched(donorRoot, p, depth + 1, tup, touched, enc)
       }
     }
-    publish()
   }
 
   /** Recursively hard-link a directory tree (same filesystem). The object-
@@ -257,7 +298,12 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val cur = read
     val old = readVersion(v)
-    val nonKey = cur.columns.filterNot(mergeKeys.contains).toSeq
+    // Hash only columns BOTH snapshots carry, so CDC works across a
+    // schema-evolving upsert (allowMissingColumns): a column added after
+    // `v` is reported through inserts/updates of the rows that set it,
+    // not by failing the old-side projection.
+    val nonKey = cur.columns.filterNot(mergeKeys.contains)
+      .filter(old.columns.contains).toSeq
     val inserts = CoreOps.antiJoin(mergeKeys, old)(cur)
       .withColumn("_change_type", lit("insert"))
     val deletes = CoreOps.antiJoin(mergeKeys, cur)(old)
@@ -268,7 +314,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       .filter(col("__h") =!= col("__h_old"))
       .drop("__h", "__h_old")
       .withColumn("_change_type", lit("update_postimage"))
-    inserts.unionByName(updates).unionByName(deletes)
+    // deletes carry the OLD snapshot's schema; columns added since `v`
+    // surface as nulls on deleted rows.
+    inserts.unionByName(updates)
+      .unionByName(deletes, allowMissingColumns = true)
   }
 
   private def deleteRecursively(p: Path): Unit =

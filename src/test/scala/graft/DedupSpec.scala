@@ -60,22 +60,24 @@ class DedupSpec extends SparkSpec {
       val len = 3 + (i % 12).toInt * 2
       (i, Seq.tabulate(len)(j => s"w${j % (3 + i % 5)}").mkString(" "))
     }.toDF("doc_id", "text")
+    // threshold BELOW 0.5 exercises the threshold-derived probe radius
+    // (±2 buckets for 1/0.3 ≈ 3.33×) — the fixed 2× bound silently
+    // dropped pairs with size ratio in (2, 3.33] here
     val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
-    // reference: raw all-pairs with the same ratio bound, no bucketing
+    // reference: TRUE all-pairs, no ratio bound, no bucketing
     val t = docs.select(col("doc_id").as("id"),
-      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"),
       graft.functions.TextFunctions.shingles(col("text"), 2).as("sh"))
-    val a = t.select(col("id").as("a_id"), col("sh").as("a_sh"), col("ntok").as("a_n"))
-    val b = t.select(col("id").as("b_id"), col("sh").as("b_sh"), col("ntok").as("b_n"))
-    val ref = a.join(b, col("a_id") < col("b_id") &&
-        col("b_n").between(col("a_n") / 2, col("a_n") * 2))
+    val a = t.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = t.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    val ref = a.join(b, col("a_id") < col("b_id"))
       .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
       .withColumn("jaccard", round(col("inter") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")), 6))
       .filter(col("jaccard") >= 0.3)
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(blocked == ref)
+    assert(blocked.nonEmpty)
   }
 
   test("dedupFamilies: transitive chains collapse to one family, singletons stay") {

@@ -199,6 +199,63 @@ class LakeTableSpec extends SparkSpec {
       s"files not clustered: areas=${areas.toSeq}")
   }
 
+  test("pruned upsert: key moving to a new partition leaves no stale row behind") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"), partitionCols = Seq("p"))
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    // id=1 moves partition x → z: its old row in p=x must be rewritten
+    // away even though the source never writes into p=x
+    t.upsert(df((1L, "A2", "z")), prunePartitions = true)
+    assert(rows(t) == Set((1L, "A2", "z"), (2L, "b", "y")))
+    assert(t.read.filter($"id" === 1L).count() == 1)
+    // p=y held no matching key → untouched (hard-linked), p=x rewritten empty
+    assert(Files.isDirectory(t.currentDir.resolve("p=y")))
+  }
+
+  test("pruned upsert on a two-level-partitioned table rewrites only touched leaves") {
+    import java.nio.file.Path
+    val root = freshRoot
+    val t = new LakeTable(spark, root, "t", Seq("id"),
+      partitionCols = Seq("y", "m"))
+    val base = Seq((1L, "a", "y23", "jan"), (2L, "b", "y23", "feb"),
+      (3L, "c", "y24", "jan")).toDF("id", "v", "y", "m")
+    t.create(base)
+    def leafFiles(dir: Path): Seq[Path] =
+      Files.walk(dir).toArray.map(_.asInstanceOf[Path]).toSeq
+        .filter(_.toString.endsWith(".parquet"))
+    def inode(p: Path): Any = Files.getAttribute(p, "unix:ino")
+    val donorLeaf = t.currentDir.resolve("y=y23/m=feb")
+    val donorInodes = leafFiles(donorLeaf).map(inode).toSet
+    // touch only (y24, jan): update id=3, insert id=4
+    t.upsert(Seq((3L, "C2", "y24", "jan"), (4L, "d", "y24", "jan"))
+      .toDF("id", "v", "y", "m"), prunePartitions = true)
+    val out = t.read.select("id", "v", "y", "m")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(out == Set((1L, "a", "y23", "jan"), (2L, "b", "y23", "feb"),
+      (3L, "C2", "y24", "jan"), (4L, "d", "y24", "jan")))
+    // untouched leaf y=y23/m=feb was hard-linked: same inodes as the donor
+    val newLeaf = t.currentDir.resolve("y=y23/m=feb")
+    assert(leafFiles(newLeaf).map(inode).toSet == donorInodes,
+      "untouched leaf partition was rewritten, not hard-linked")
+    // touched leaf got fresh files
+    val touchedLeaf = t.currentDir.resolve("y=y24/m=jan")
+    assert(Files.isDirectory(touchedLeaf))
+  }
+
+  test("changesSince works across a schema-evolving upsert") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    val v1 = t.availableVersions.lastOption.getOrElse {
+      t.upsert(df((1L, "a", "x"))); t.availableVersions.last
+    }
+    // widen with a new column while updating 2 and inserting 3
+    t.upsert(Seq((2L, "B2", "y", 7), (3L, "c", "z", 8))
+      .toDF("id", "v", "p", "extra"))
+    val changes = t.changesSince(v1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(changes == Set((2L, "update_postimage"), (3L, "insert")))
+  }
+
   test("pruned and unpruned upsert agree") {
     val (r1, r2) = (freshRoot, freshRoot)
     val t1 = LakeTable(spark, r1, "t", Seq("id"), partitionCols = Seq("p"))

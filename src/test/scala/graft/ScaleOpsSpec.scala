@@ -31,6 +31,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(bloomed == plain)
   }
 
+  test("bloomSemiJoin is exact for STRING keys (build/probe hash parity)") {
+    // regression: bloom built on raw strings but probed as long produced
+    // arbitrary false negatives — string keys must round-trip losslessly
+    val fact = Tables.load(spark, sf, "documents").select("doc_id", "lang")
+    val dim = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0).select("lang").distinct()
+    val plain = graft.ops.CoreOps.semiJoin(Seq("lang"), dim)(fact)
+      .groupBy("lang").count().as[(String, Long)].collect().toSet
+    val bloomed = ScaleOps.bloomSemiJoin(fact, dim, "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toSet
+    assert(bloomed == plain)
+    assert(bloomed.nonEmpty)
+  }
+
   test("stratifiedSample hits per-stratum fractions, deterministic by seed") {
     val docs = Tables.load(spark, sf, "documents")
     val fr = Map("en" -> 0.5, "de" -> 1.0) // other langs dropped
