@@ -12,6 +12,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/session warmup outside timings
+
+    // Machine-contention guardrails: a fixed CPU-bound calibration job
+    // timed before and after the suite + the OS load average. Query times
+    // here are wall-clock on a shared machine — if calibration_sec is far
+    // off its idle-machine value (~0.5 s at 32 cpus) or load_avg is well
+    // above `cpus`, the run is contention-skewed and its totals should
+    // not be compared against BASELINE (see README "Bench variance").
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(2000000000L).selectExpr("count(if(id % 7 = 0, 1, null))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val loadStart = loadAvg
+    val calStart = calibrate()
+
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -27,11 +44,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val calEnd = calibrate()
+    val loadEnd = loadAvg
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val cal = s"""{"sec_start":$calStart,"sec_end":$calEnd,""" +
+      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpus":$cpus}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -627,6 +627,16 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // seeded per-stratum Bernoulli sampling (training-data rebalancing:
+    // downsample over-represented languages). Sampling RNG is engine-
+    // specific → no SQL oracle (rows-only check); behavior is pinned by
+    // ScaleOpsSpec determinism + PropertySpec fraction-tolerance tests.
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.ops.ScaleOps.stratifiedSample(docs(s, dir), "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), seed = 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
     // CDC change feed between table versions (Delta CDF analogue):
     // create target, merge source, read inserts/updates/deletes vs the
     // retained snapshot
@@ -682,9 +692,14 @@ object SparkEntry {
 
     // embedding-cosine near-dup, brute-force verify path (oracle-checked).
     // Op-level threshold sits below the final cut so the 4-decimal rounding
-    // (applied in both engines) is the only boundary that matters.
+    // (applied in both engines) is the only boundary that matters. The
+    // brute path is quadratic BY CONSTRUCTION (it is the exact
+    // verification twin of the LSH sibling below), so the corpus is
+    // explicitly bounded — vec_id < 500 — per this project's no-unbounded-
+    // cartesian rule; the scale path is q_embed_neardup_lsh.
     "q_embed_neardup" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
+      Dedup.embeddingNearDupPairs(
+        emb(s, dir).filter(col("vec_id") < 500), "vec_id", "embedding",
         dim = 64, threshold = 0.35, lshBits = 0)
         .withColumn("cos", round(col("cos"), 4))
         .filter(col("cos") >= 0.4)
@@ -887,14 +902,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes"), col("content_md5"))
         .orderBy("doc_id")),
 
-    // decode/feature-extract over binary payloads (stubbed codec;
-    // deterministic but Scala-side arithmetic — rows-only check)
+    // decode/feature-extract over binary payloads (stubbed codec). The
+    // stub's arithmetic (c = c*31 + byte mod 2^64, dims from the
+    // checksum) is deterministic byte math, so it IS oracle-checkable:
+    // the DuckDB twin replays it with HUGEINT mod-2^64 list_reduce over
+    // a 64-byte payload bound (texts are ASCII → byte = code point)
     "q_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(
         col("doc_id").as("media_id"),
         when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
-        repeat(col("text"), 20).cast("binary").as("payload"))
+        substring(col("text"), 1, 64).cast("binary").as("payload"))
         .as[Multimodal.MediaRow]
       Multimodal.resized(Multimodal.decodeAndFeaturize(media), 256)
         .select("media_id", "kind", "width", "height", "n_bytes", "checksum",
@@ -1643,7 +1661,7 @@ object SparkEntry {
                   list_transform(embedding::DOUBLE[],
                     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                           y -> y * y)))) AS v
-           FROM embeddings)
+           FROM embeddings WHERE vec_id < 500)
          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 ROUND(ROUND(list_dot_product(a.v, b.v), 6), 4) AS cos
          FROM nv a JOIN nv b ON a.vec_id < b.vec_id
@@ -1818,6 +1836,44 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+
+    // replays the stub codec byte-exactly: c = c*31 + byte with 64-bit
+    // wraparound via HUGEINT mod 2^64 (texts are ASCII, so ascii(char)
+    // = byte); |trunc(c/7)| computed as abs(c) // 7
+    "q_multimodal_decode" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
+                  left(text, 64) AS p
+           FROM documents),
+         c AS (
+           SELECT media_id, kind, len(p) AS n_raw,
+                  list_reduce(
+                    list_prepend(CAST(0 AS HUGEINT),
+                      list_transform(range(1, len(p) + 1),
+                                     i -> CAST(ascii(p[i]) AS HUGEINT))),
+                    (acc, b) -> (acc * 31 + b) %
+                                18446744073709551616::HUGEINT) AS m64
+           FROM m),
+         s AS (
+           SELECT media_id, kind, n_raw,
+                  CAST(CASE WHEN m64 >= 9223372036854775808::HUGEINT
+                            THEN m64 - 18446744073709551616::HUGEINT
+                            ELSE m64 END AS BIGINT) AS checksum
+           FROM c),
+         d AS (
+           SELECT media_id, kind,
+                  CAST(16 + abs(checksum) % 1024 AS INT) AS width,
+                  CAST(16 + (abs(checksum) // 7) % 1024 AS INT) AS height,
+                  CAST(n_raw AS BIGINT) AS n_bytes, checksum
+           FROM s),
+         r AS (
+           SELECT *, least(1.0, 256.0 / greatest(width, height)) AS scale
+           FROM d)
+         SELECT media_id, kind, width, height, n_bytes, checksum,
+                CAST(floor(width * scale) AS INT) AS out_width,
+                CAST(floor(height * scale) AS INT) AS out_height
+         FROM r ORDER BY media_id""",
 
     "q_frame_sample" ->
       """SELECT doc_id AS media_id,

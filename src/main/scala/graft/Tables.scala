@@ -21,14 +21,14 @@ object Tables {
       // precision above 2^53 ns). The nanosAsLong flag must hold for the
       // life of the (lazy) scan, so it belongs in the session builder —
       // graft's entry points (Verify/Bench/tests) all provision it there.
-      // Fallback for externally-built sessions: set it once, with a
-      // warning, rather than fail the read.
-      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          "Tables.load(events): setting spark.sql.legacy.parquet.nanosAsLong=true " +
-            "for this session (pre-set it in the session builder to avoid this)")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      }
+      // Externally-built sessions get a clear failure instead of a silent
+      // session-wide reader-behavior change.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        throw new IllegalStateException(
+          "Tables.load(events) needs spark.sql.legacy.parquet.nanosAsLong=true " +
+            "(events.ts is parquet TIMESTAMP(NANOS)); set it in your " +
+            "SparkSession.builder — it cannot be applied reliably after the " +
+            "session exists, and graft will not mutate your session's conf")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

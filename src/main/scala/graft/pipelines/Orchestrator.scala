@@ -33,15 +33,61 @@ import graft.table.LakeTable
   */
 object Orchestrator {
 
+  /** `nMerged` = rows upserted by THIS run (observed during the merge
+    * write itself — no extra action), not the table's post-merge total. */
   case class JobReport(entity: String, nInput: Long, nValid: Long,
       nRejected: Long, nMerged: Long, riFallback: Boolean)
 
-  /** All three reference jobs against one lake root. Idempotent: rerunning
-    * merges the same rows onto the same keys. */
-  def runAll(spark: SparkSession, sfDir: String, root: String): Seq[JobReport] =
-    Seq(runProducts(spark, sfDir, root),
-      runOrders(spark, sfDir, root),
-      runOrderItems(spark, sfDir, root))
+  /** Source table file backing each entity's job (the "files present?"
+    * probe target — reference Lambda CountFiles, state_machine.json:4-24). */
+  private val inputTable = Map(
+    "products" -> "part", "orders" -> "orders", "order_items" -> "lineitem")
+
+  private def inputPath(sfDir: String, entity: String): Path =
+    Paths.get(sfDir, s"${inputTable(entity)}.parquet")
+
+  /** All three reference jobs against one lake root, PRESENCE-GATED like
+    * the reference's FileCountChoice (state_machine.json:25-45): an entity
+    * whose input file is absent is skipped (no report row), the others
+    * still run. Idempotent: rerunning merges the same rows onto the same
+    * keys.
+    *
+    * `archiveInputs` replays the reference's post-success archive move
+    * (order_glue_job.py:58-82): a job that lands moves its input file to
+    * `root/archive/<entity>/<file>.<millis>`. Default OFF — the standard
+    * testdata inputs are read-only and shared across queries.
+    */
+  def runAll(spark: SparkSession, sfDir: String, root: String,
+      archiveInputs: Boolean = false): Seq[JobReport] = {
+    val jobs = Seq[(String, () => JobReport)](
+      "products" -> (() => runProducts(spark, sfDir, root)),
+      "orders" -> (() => runOrders(spark, sfDir, root)),
+      "order_items" -> (() => runOrderItems(spark, sfDir, root)))
+    jobs.flatMap { case (entity, run) =>
+      if (!Files.exists(inputPath(sfDir, entity))) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"orchestrator: no input for $entity (${inputPath(sfDir, entity)}), skipping")
+        None
+      } else {
+        val report = run()
+        if (archiveInputs) archiveInput(sfDir, root, entity)
+        Some(report)
+      }
+    }
+  }
+
+  /** Post-success archive: move the job's input file into
+    * `root/archive/<entity>/` with a timestamp suffix, so a rerun of the
+    * orchestrator sees no input and skips (the reference's
+    * copy-then-delete raw/→archive/ move, order_glue_job.py:58-82). */
+  private def archiveInput(sfDir: String, root: String, entity: String): Unit = {
+    val src = inputPath(sfDir, entity)
+    val dstDir = Paths.get(root, "archive", entity)
+    Files.createDirectories(dstDir)
+    val dst = dstDir.resolve(
+      s"${src.getFileName}.${System.currentTimeMillis()}")
+    Files.move(src, dst)
+  }
 
   /** Orders job (order_glue_job.py:186-212). `dimSfDir` points at the
     * directory holding the RI dimension (lineitem) — a bad path exercises
@@ -120,12 +166,17 @@ object Orchestrator {
       val riFallback = dim.isFailure
       val joined = CoreOps.semiJoinIfPresent(riKeys, dim.get)(deduped)
       val table = LakeTable(spark, root, entity, mergeKeys)
-      table.upsert(joined)
+      // nMerged rides the merge write via a second Observation — the
+      // merged frame flows through this node during upsert's own action,
+      // so the count costs nothing extra (no post-merge table re-scan;
+      // one action per stage).
+      val mergeObs = org.apache.spark.sql.Observation()
+      table.upsert(joined.observe(mergeObs, count(lit(1)).as("n_merged")))
       JobReport(entity,
         metrics("n_input").asInstanceOf[Long],
         metrics("n_valid").asInstanceOf[Long],
         metrics("n_rejected").asInstanceOf[Long],
-        table.read.count(), riFallback)
+        mergeObs.get("n_merged").asInstanceOf[Long], riFallback)
     } finally {
       // reference writes its run log in a finally — success or not
       Sources.writeTextLog(spark,

@@ -22,13 +22,20 @@ object Streams {
     * stream source needs a *directory*; a single-file table is exposed
     * through a temp dir holding a symlink to it. */
   def readTableStream(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, LinkOption, Paths}
     val src = Paths.get(s"$sfDir/$table.parquet")
     val path =
       if (Files.isDirectory(src)) src.toString
       else {
-        val dir = Files.createTempDirectory(s"stream_$table")
-        Files.createSymbolicLink(dir.resolve(s"$table.parquet"), src)
+        // one deterministic dir per (sfDir, table), reused across calls —
+        // a fresh createTempDirectory per call would leak a dir per
+        // streaming query
+        val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_stream", s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$table")
+        Files.createDirectories(dir)
+        val link = dir.resolve(s"$table.parquet")
+        if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
+          Files.createSymbolicLink(link, src)
         dir.toString
       }
     val schema = spark.read.parquet(src.toString).schema

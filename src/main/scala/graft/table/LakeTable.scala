@@ -106,19 +106,23 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * discovery join.
     */
   private def upsertPruned(source: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, concat_ws, lit, url_encode}
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, length, lit, url_encode, when}
     val donor = currentDir
     val target = read
 
     // Injective tuple → string encoding used ONLY for set membership
     // (both sides use URLEncoder conventions, so it need not match the
-    // Hive directory escaping): each value url-encoded, null →
-    // __HIVE_DEFAULT_PARTITION__, components joined with '/'.
-    def encTuple(df: DataFrame) = concat_ws("/", partitionCols.map(c =>
-      coalesce(url_encode(col(c).cast("string")), lit(HiveNullPart))): _*)
+    // Hive directory escaping): each value url-encoded, null AND empty
+    // string → __HIVE_DEFAULT_PARTITION__ (Spark's partition writer folds
+    // "" into the null partition), components joined with '/'.
+    def encTuple(df: DataFrame) = concat_ws("/", partitionCols.map { c =>
+      val sc = col(c).cast("string")
+      coalesce(when(length(sc) === 0, lit(HiveNullPart))
+        .otherwise(url_encode(sc)), lit(HiveNullPart))
+    }: _*)
     def encDriver(tup: Seq[Option[String]]): String = tup.map {
-      case Some(v) => java.net.URLEncoder.encode(v, "UTF-8")
-      case None    => HiveNullPart
+      case Some(v) if v.nonEmpty => java.net.URLEncoder.encode(v, "UTF-8")
+      case _                     => HiveNullPart
     }.mkString("/")
 
     // Bounded driver-side collects: partition-VALUE tuples, not rows.

@@ -47,6 +47,48 @@ class OrchestratorSpec extends SparkSpec {
     assert(reports.forall(!_.riFallback))
   }
 
+  test("presence gate: entity with no input file is skipped, others still run") {
+    val root = freshRoot
+    // staging dir holding only the orders input — products (part) and
+    // order_items (lineitem) have "no files" and must be skipped
+    val staging = Files.createTempDirectory("orch_in")
+    Files.createSymbolicLink(staging.resolve("orders.parquet"),
+      java.nio.file.Paths.get(s"$sf/orders.parquet"))
+    val reports = Orchestrator.runAll(spark, staging.toString, root)
+    assert(reports.map(_.entity) == Seq("orders"))
+    // the skipped jobs wrote nothing
+    assert(!Files.exists(java.nio.file.Paths.get(root, "products")))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "order_items")))
+    // orders ran with the RI fallback (lineitem dim absent in staging)
+    assert(reports.head.riFallback)
+    assert(reports.head.nMerged > 0)
+  }
+
+  test("archive-after-success moves inputs aside; rerun sees nothing to do") {
+    val root = freshRoot
+    val staging = Files.createTempDirectory("orch_arch")
+    Seq("part", "orders", "lineitem").foreach(t =>
+      Files.copy(java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        staging.resolve(s"$t.parquet")))
+    val first = Orchestrator.runAll(spark, staging.toString, root,
+      archiveInputs = true)
+    assert(first.map(_.entity) == Seq("products", "orders", "order_items"))
+    // inputs moved to root/archive/<entity>/<file>.<timestamp>
+    Seq("part", "orders", "lineitem").foreach(t =>
+      assert(!Files.exists(staging.resolve(s"$t.parquet")), t))
+    Seq("products", "orders", "order_items").foreach { e =>
+      val archived = Files.list(
+        java.nio.file.Paths.get(root, "archive", e)).toArray
+      assert(archived.length == 1, e)
+      assert(archived.head.toString
+        .matches(""".*\.parquet\.\d+$"""), archived.head.toString)
+    }
+    // second run: everything archived → all three jobs skip
+    val second = Orchestrator.runAll(spark, staging.toString, root,
+      archiveInputs = true)
+    assert(second.isEmpty)
+  }
+
   test("missing RI dimension: job degrades to identity, does not fail") {
     val root = freshRoot
     val report = Orchestrator.runOrders(spark, sf, root,

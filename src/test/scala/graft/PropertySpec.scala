@@ -135,6 +135,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pruned upsert equals unpruned under arbitrary cross-partition key moves") {
+    // keys re-draw their partition value between target and source, so
+    // matched rows frequently change partition — the case where unsafe
+    // pruning leaves a stale duplicate behind
+    val partRowGen = for {
+      id <- Gen.chooseNum(0L, 15L)
+      p <- Gen.oneOf("a", "b", "c", "", "x y") // incl. empty + space
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (id, p, v)
+    forAllCases(Gen.zip(Gen.listOf(partRowGen), Gen.listOf(partRowGen))) {
+      case (t, s) if t.nonEmpty =>
+        val target = t.toDF("id", "p", "v")
+        val source = latestWins(Seq("id"), "v", tiebreakers = Seq($"p"))(
+          s.toDF("id", "p", "v"))
+        def run(prune: Boolean): Seq[String] = {
+          val root = Files.createTempDirectory("prop_prune").toString
+          val tbl = LakeTable(spark, root, "t", Seq("id"), partitionCols = Seq("p"))
+          tbl.create(target)
+          tbl.upsert(source, prunePartitions = prune)
+          tbl.read.collect().map(_.toString).sorted.toSeq
+        }
+        assert(run(prune = true) == run(prune = false), s"t=$t s=$s")
+      case _ => ()
+    }
+  }
+
+  test("stratifiedSample per-stratum fractions within Bernoulli tolerance") {
+    import graft.ops.ScaleOps
+    val n = 400
+    val df = (0 until 3).flatMap(s => (0 until n).map(i =>
+      (s.toLong * n + i, s"stratum$s"))).toDF("id", "lang")
+    val fracGen = Gen.zip(Gen.chooseNum(0.1, 0.9), Gen.chooseNum(0.1, 0.9),
+      Gen.chooseNum(1L, 9999L))
+    forAllCases(fracGen) { case (f0, f1, seed) =>
+      val fr = Map("stratum0" -> f0, "stratum1" -> f1) // stratum2 dropped
+      val got = ScaleOps.stratifiedSample(df, "lang", fr, seed)
+        .groupBy("lang").count()
+        .as[(String, Long)].collect().toMap
+      assert(!got.contains("stratum2")) // absent stratum fully dropped
+      fr.foreach { case (k, f) =>
+        val c = got.getOrElse(k, 0L).toDouble
+        // 4.5σ Bernoulli envelope + 1: deterministic-by-seed, never flaky
+        val tol = 4.5 * math.sqrt(n * f * (1 - f)) + 1
+        assert(math.abs(c - n * f) <= tol,
+          s"$k: got $c, want ${n * f} ± $tol (f=$f seed=$seed)")
+      }
+      // same seed → identical sample
+      val again = ScaleOps.stratifiedSample(df, "lang", fr, seed)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+      assert(again == got)
+    }
+  }
+
   test("upsert is idempotent for any target/source pair") {
     forAllCases(Gen.zip(tableGen, tableGen)) { case (t, s) =>
       if (t.nonEmpty || s.nonEmpty) {
