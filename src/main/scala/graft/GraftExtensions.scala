@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, LangId, MinHashSig, SimHash64,
-  WinnowHashes, WordShingles, WordTokens}
+import graft.functions.{CharClassCounts, DotProduct, LangId, MemberCount,
+  MinHashSig, Registry, SimHash64, WinnowHashes, WordShingles, WordTokens}
 import graft.plans.RewriteIntersectSize
 
 /** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -36,5 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
       exprs => LangId(exprs(0))))
+    e.injectFunction((FunctionIdentifier("char_class_counts"),
+      new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
+      exprs => CharClassCounts(exprs(0))))
+    e.injectFunction((FunctionIdentifier("member_count"),
+      new ExpressionInfo(classOf[MemberCount].getName, "member_count"),
+      exprs => MemberCount(exprs(0), Registry.evalStringArray(exprs(1)))))
   }
 }

@@ -22,5 +22,16 @@ object Registry {
       exprs => WinnowHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("lang_id",
       exprs => LangId(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("char_class_counts",
+      exprs => CharClassCounts(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("member_count",
+      exprs => MemberCount(exprs(0), evalStringArray(exprs(1))), "built-in")
   }
+
+  /** Fold a literal array-of-strings argument (e.g. `array('a','b')`). */
+  private[graft] def evalStringArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
 }

@@ -180,6 +180,84 @@ case class LangId(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass character-class counter: code-point length plus counts of
+  * ASCII punctuation (Java regex \p{Punct} = POSIX, ASCII-only), digits,
+  * letters, and uppercase letters in a single scan. The fused twin of
+  * four `length(x) - length(regexp_replace(x, cls, ""))` passes, each of
+  * which rescans the string AND materializes a stripped copy — this
+  * allocates nothing per class. Field semantics are pinned by the
+  * q_text_quality / q_corpus_pipeline DuckDB oracles. */
+case class CharClassCounts(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("len", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("digit", IntegerType, nullable = false),
+    StructField("alpha", IntegerType, nullable = false),
+    StructField("upper", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_class_counts needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val str = v.asInstanceOf[UTF8String].toString
+    var len = 0; var punct = 0; var digit = 0; var alpha = 0; var upper = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      len += 1
+      if (cp < 128) {
+        if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+            (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)) punct += 1
+        else if (cp >= '0' && cp <= '9') digit += 1
+        else if (cp >= 'A' && cp <= 'Z') { alpha += 1; upper += 1 }
+        else if (cp >= 'a' && cp <= 'z') alpha += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(len, punct, digit, alpha, upper)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Count of array<string> elements contained in a fixed word set — the
+  * native twin of size(filter(arr, t -> array_contains(set, t))), whose
+  * lambda re-enters the interpreted evaluator per element. One hash-set
+  * probe per element. */
+case class MemberCount(child: Expression, words: Seq[String])
+    extends UnaryExpression with RefEvalCodegen {
+
+  @transient private lazy val set: Set[UTF8String] =
+    words.map(UTF8String.fromString).toSet
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"member_count needs array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var hits = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      if (s != null && set.contains(s)) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private[functions] val SPACE = UTF8String.fromString(" ")
   private[functions] val ZH = UTF8String.fromString("zh")
@@ -224,4 +302,10 @@ object TextExpressions {
 
   def langIdNative(c: Column): Column =
     GraftColumnBridge.column(LangId(GraftColumnBridge.expression(c)))
+
+  def charClassCounts(c: Column): Column =
+    GraftColumnBridge.column(CharClassCounts(GraftColumnBridge.expression(c)))
+
+  def memberCount(arr: Column, words: Seq[String]): Column =
+    GraftColumnBridge.column(MemberCount(GraftColumnBridge.expression(arr), words))
 }

@@ -28,35 +28,43 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Count of characters matching a regex character class. */
+  /** Count of characters matching a regex character class (regex form —
+    * kept for the composable reference formulations like [[langIdHof]]). */
   private def charCount(c: Column, cls: String): Column =
     length(c) - length(regexp_replace(c, cls, ""))
 
-  def punctRatio(c: Column): Column =
-    charCount(c, "[\\p{Punct}]") / greatest(length(c), lit(1))
+  /** One native scan yielding all character-class counts
+    * (graft.functions.CharClassCounts) — each ratio below reads a field;
+    * identical trees collapse to one pass under codegen subexpression
+    * elimination. The regexp formulation rescans and materializes a
+    * stripped copy of the string per class. */
+  private def cc(c: Column, field: String): Column =
+    TextExpressions.charClassCounts(c).getField(field)
 
-  def digitRatio(c: Column): Column =
-    charCount(c, "[0-9]") / greatest(length(c), lit(1))
+  private def ccLen(c: Column): Column = greatest(cc(c, "len"), lit(1))
 
-  def alphaRatio(c: Column): Column =
-    charCount(c, "[A-Za-z]") / greatest(length(c), lit(1))
+  def punctRatio(c: Column): Column = cc(c, "punct") / ccLen(c)
 
-  def upperRatio(c: Column): Column =
-    charCount(c, "[A-Z]") / greatest(length(c), lit(1))
+  def digitRatio(c: Column): Column = cc(c, "digit") / ccLen(c)
+
+  def alphaRatio(c: Column): Column = cc(c, "alpha") / ccLen(c)
+
+  def upperRatio(c: Column): Column = cc(c, "upper") / ccLen(c)
 
   private val enStopwords = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "it", "that", "for", "on", "with", "as", "this", "by")
 
-  /** Fraction of tokens that are (English) stopwords — a fluency signal. */
-  def stopwordRatio(c: Column, stopwords: Seq[String] = enStopwords): Column = {
-    val sw = array(stopwords.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(sw, t))) /
+  /** Fraction of tokens that are (English) stopwords — a fluency signal.
+    * Native set-probe count (graft.functions.MemberCount); the filter-HOF
+    * form re-enters the interpreted lambda evaluator per token. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = enStopwords): Column =
+    TextExpressions.memberCount(tokens(c), stopwords) /
       greatest(tokenCount(c), lit(1))
-  }
 
   /** Heuristic document quality score in [0,1] — the C4/Gopher-style
     * length/punctuation/stopword signals combined. Tunable but
-    * deterministic. */
+    * deterministic. Cost per row: one tokenize pass + one char-class
+    * pass, no regexes (semantics pinned by the q_text_quality oracle). */
   def qualityScore(c: Column): Column = {
     val n = tokenCount(c)
     val lengthOk = when(n.between(10, 100000), lit(1.0))

@@ -125,14 +125,14 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       case _                     => HiveNullPart
     }.mkString("/")
 
-    // Bounded driver-side collects: partition-VALUE tuples, not rows.
-    val sourceParts = source.select(encTuple(source).as("__p")).distinct()
-      .collect().map(_.getString(0))
+    // Bounded driver-side collect: partition-VALUE tuples, not rows —
+    // source partitions ∪ matched-key target partitions in ONE action.
+    val sourceParts = source.select(encTuple(source).as("__p"))
     val matchedParts = target
       .join(source.select(mergeKeys.map(col): _*).distinct(), mergeKeys, "left_semi")
-      .select(encTuple(target).as("__p")).distinct()
-      .collect().map(_.getString(0))
-    val touched = (sourceParts ++ matchedParts).toSet
+      .select(encTuple(target).as("__p"))
+    val touched = sourceParts.unionByName(matchedParts).distinct()
+      .collect().map(_.getString(0)).toSet
 
     val touchedTarget = target.filter(encTuple(target).isin(touched.toSeq: _*))
     val merged = CoreOps.antiJoin(mergeKeys, source)(touchedTarget)

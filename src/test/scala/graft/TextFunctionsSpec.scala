@@ -31,6 +31,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double](stopwordRatio(col("t")), "the cat sat on a mat") == 0.5)
   }
 
+  test("native char-class/stopword counters == regex/HOF formulations on real docs") {
+    val docs = Tables.load(spark, sf, "documents")
+    def regexCount(c: org.apache.spark.sql.Column, cls: String) =
+      length(c) - length(regexp_replace(c, cls, ""))
+    val sw = Seq("the", "a", "an", "and", "or", "of", "to",
+      "in", "is", "it", "that", "for", "on", "with", "as", "this", "by")
+    val swArr = array(sw.map(lit): _*)
+    val cmp = docs.select(
+      graft.functions.TextExpressions.charClassCounts(col("text")).as("cc"),
+      regexCount(col("text"), "[\\p{Punct}]").as("r_punct"),
+      regexCount(col("text"), "[0-9]").as("r_digit"),
+      regexCount(col("text"), "[A-Za-z]").as("r_alpha"),
+      regexCount(col("text"), "[A-Z]").as("r_upper"),
+      length(col("text")).as("r_len"),
+      graft.functions.TextExpressions.memberCount(tokens(col("text")), sw).as("n_sw"),
+      size(filter(tokens(col("text")), t => array_contains(swArr, t))).as("r_sw"))
+    val bad = cmp.filter(
+      col("cc.punct") =!= col("r_punct") || col("cc.digit") =!= col("r_digit") ||
+      col("cc.alpha") =!= col("r_alpha") || col("cc.upper") =!= col("r_upper") ||
+      col("cc.len") =!= col("r_len") || col("n_sw") =!= col("r_sw")).count()
+    assert(bad == 0)
+    // unicode edge: non-ASCII chars count toward len only (as with the
+    // ASCII-only regex classes), astral chars count once (code points)
+    val edge = Seq("Héllo, Wörld! 42 😀").toDF("t").select(
+      graft.functions.TextExpressions.charClassCounts(col("t")).as("cc"))
+      .select("cc.len", "cc.punct", "cc.digit", "cc.alpha", "cc.upper")
+      .as[(Int, Int, Int, Int, Int)].collect().head
+    assert(edge == ((18, 2, 2, 8, 2)))
+  }
+
   test("qualityScore orders clean text above junk") {
     val clean = "the quick brown fox jumps over the lazy dog and runs on through the field"
     val junk = "@@@ ### !!! $$$ %%% ^^^ &&&"
