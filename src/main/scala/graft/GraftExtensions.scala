@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{CharClassCounts, DotProduct, LangId, MemberCount,
-  MinHashSig, Registry, SimHash64, WinnowHashes, WordShingles, WordTokens}
+  MinHashSig, Registry, SimHash64, WinnowHashes, WordNgrams, WordShingles,
+  WordTokens}
 import graft.plans.RewriteIntersectSize
 
 /** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -36,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
       exprs => LangId(exprs(0))))
+    e.injectFunction((FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      exprs => WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("char_class_counts"),
       new ExpressionInfo(classOf[CharClassCounts].getName, "char_class_counts"),
       exprs => CharClassCounts(exprs(0))))

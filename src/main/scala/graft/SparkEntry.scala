@@ -655,18 +655,18 @@ object SparkEntry {
     }),
 
     // PMI bigram collocations: corpus-level pointwise mutual information
-    // over adjacent token pairs (min count 5, top 20)
+    // over adjacent token pairs (min count 5, top 20). Bigrams come out
+    // of the native one-pass WordNgrams expression (non-distinct, every
+    // occurrence counted); w1/w2 are recovered by substring_index for the
+    // unigram joins (tokens never contain spaces).
     "q_pmi_bigrams" -> ((s, dir) => {
-      val t = tokens(col("text"))
-      val bigramType = "array<struct<w1:string,w2:string>>"
-      val bigrams = when(size(t) >= 2,
-        transform(sequence(lit(0), size(t) - 2),
-          i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2"))))
-        .otherwise(lit(null).cast(bigramType))
       val d = docs(s, dir)
-      val bi = d.select(explode(bigrams).as("b")).select(col("b.w1"), col("b.w2"))
-      val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      val uni = d.select(explode(t).as("w"))
+      val biCnt = d.select(explode(
+          graft.functions.TextExpressions.wordNgrams(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      val uni = d.select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c_w"))
       val totals = biCnt.agg(sum("c_ab").as("n_bi"))
         .crossJoin(uni.agg(sum("c_w").as("n_uni")))
@@ -675,11 +675,32 @@ object SparkEntry {
         .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
         .crossJoin(broadcast(totals))
         .filter(col("c_ab") >= 5)
-        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c_ab"),
+        .select(col("bigram"), col("c_ab"),
           round(log((col("c_ab") * col("n_uni") * col("n_uni")).cast("double") /
             (col("n_bi") * col("c_a") * col("c_b")).cast("double")), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("bigram").asc)
         .limit(20)
+    }),
+
+    // Gopher-style within-doc repetition: fraction of 3-gram occurrences
+    // that are repeats (native WordNgrams pass, row-local, no shuffle)
+    "q_repetition" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(graft.functions.TextExpressions.wordNgrams(col("text"), 3))
+          .as("n_ngrams"),
+        dupNgramFraction(col("text"), 3).as("dup_frac"))
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: train docs (doc_id >= 50) sharing ≥2
+    // distinct 3-gram shingles with the eval set (doc_id < 50); the eval
+    // shingle set is broadcast, the corpus side never shuffles its text
+    "q_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminated(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", n = 3, minShared = 2)
+        .orderBy("doc_id")
     }),
 
     // exact n-gram Jaccard near-dup pairs (bounded subset: all-pairs
@@ -868,6 +889,23 @@ object SparkEntry {
           graft.streaming.Streams.windowedCounts(stream, "1 hour"), name)
       }
       drained.orderBy("window_start", "event_type")
+    }),
+
+    // streaming exact dedup: first-seen row per (user, event_type) key,
+    // drained AvailableNow — key set equals batch DISTINCT (bounded key
+    // domain → global dedup state; see Streams.dedupStream for the
+    // unbounded-domain watermark variant)
+    "q_stream_dedup" -> ((s, dir) => {
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainAppend(
+          graft.streaming.Streams.dedupStream(
+            stream, Seq("user_id", "event_type")), name)
+      }
+      drained.select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
     }),
 
     // STREAM-STREAM interval join: the q_range_join semantics executed as
@@ -1635,6 +1673,47 @@ object SparkEntry {
          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
+
+    "q_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN
+                    [array_to_string(t[i:i+2], ' ')
+                     for i in range(1, len(t) - 1)]
+                  ELSE [] END AS gr
+           FROM toks)
+         SELECT doc_id, CAST(len(gr) AS INT) AS n_ngrams,
+                CASE WHEN len(gr) = 0 THEN 0.0
+                     ELSE ROUND(1.0 - len(list_distinct(gr)) * 1.0 / len(gr), 6)
+                END AS dup_frac
+         FROM g ORDER BY doc_id""",
+
+    "q_contamination" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, CASE WHEN len(t) >= 3 THEN list_distinct(
+                            [array_to_string(t[i:i+2], ' ')
+                             for i in range(1, len(t) - 1)])
+                          ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+         test AS (SELECT DISTINCT unnest(s) AS sh FROM sh WHERE doc_id < 50),
+         corpus AS (SELECT doc_id, unnest(s) AS sh FROM sh WHERE doc_id >= 50)
+         SELECT c.doc_id, count(*) AS n_shared
+         FROM corpus c JOIN test t USING (sh)
+         GROUP BY c.doc_id HAVING count(*) >= 2 ORDER BY doc_id""",
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
 
     "q_pack_sequences" ->
       """WITH RECURSIVE d AS (

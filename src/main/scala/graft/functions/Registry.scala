@@ -22,6 +22,8 @@ object Registry {
       exprs => WinnowHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("lang_id",
       exprs => LangId(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("char_class_counts",
       exprs => CharClassCounts(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("member_count",

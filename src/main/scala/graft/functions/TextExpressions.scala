@@ -71,6 +71,42 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** ALL word n-grams of a string (space-joined, NON-distinct, in order) —
+  * the counting unit for collocation statistics like PMI, where every
+  * occurrence matters (contrast [[WordShingles]]: distinct, whole-doc
+  * fallback — the set unit for Jaccard). Docs with fewer than n tokens
+  * yield an empty array. One pass; the HOF formulation
+  * (transform(sequence(...), i -> struct(element_at...))) re-enters the
+  * interpreted lambda evaluator and allocates a struct per position. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"ngrams needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextExpressions.tokenize(v.asInstanceOf[UTF8String])
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        out(i) = UTF8String.concatWs(TextExpressions.SPACE,
+          toks.slice(i, i + n).toIndexedSeq: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Winnowing fingerprint selection (Schleimer et al.): XXH64 each shingle,
   * take the min hash of every sliding window of `w` hashes, dedupe
   * (first-occurrence order). Input is the precomputed shingle array;
@@ -302,6 +338,9 @@ object TextExpressions {
 
   def langIdNative(c: Column): Column =
     GraftColumnBridge.column(LangId(GraftColumnBridge.expression(c)))
+
+  def wordNgrams(c: Column, n: Int): Column =
+    GraftColumnBridge.column(WordNgrams(GraftColumnBridge.expression(c), n))
 
   def charClassCounts(c: Column): Column =
     GraftColumnBridge.column(CharClassCounts(GraftColumnBridge.expression(c)))

@@ -112,6 +112,16 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** Gopher-style within-document repetition signal: the fraction of word
+    * n-gram OCCURRENCES that are repeats (1 - distinct/total). 0 = no
+    * repetition; boilerplate and looping generations score high and get
+    * filtered before training. One native WordNgrams pass per row. */
+  def dupNgramFraction(c: Column, n: Int = 3): Column = {
+    val all = TextExpressions.wordNgrams(c, n)
+    when(size(all) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(all)).cast("double") / size(all), 6))
+  }
+
   /** Content fingerprint: md5 hex of the raw text — exact-dedup key that
     * also matches DuckDB's md5() for oracle checks. */
   def fingerprintMd5(c: Column): Column = md5(c.cast("binary"))

@@ -228,6 +228,33 @@ object Dedup {
       .select("a_id", "b_id", "n_shared", "jaccard")
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with a test/eval set —
+    * the standard pre-training hygiene pass (a training doc containing
+    * eval n-grams inflates benchmark scores).
+    *
+    * Scale shape: the TEST side (small by construction — eval sets are
+    * thousands of docs) collapses to its distinct shingle set and is
+    * BROADCAST; the corpus side streams map-side through the broadcast
+    * hash join and partially aggregates per doc — the 100 TB corpus is
+    * never shuffled, only the (contaminated-doc, count) pairs are. For
+    * a test set too big to broadcast, swap the broadcast for a bloom
+    * prefilter (ScaleOps.bloomSemiJoin) + shuffle join.
+    *
+    * Output: (idCol, n_shared) for corpus docs meeting the threshold. */
+  def contaminated(corpus: DataFrame, testSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Int = 2): DataFrame = {
+    val testSh = testSet
+      .select(explode(shingles(col(textCol), n)).as("sh")).distinct()
+    // corpus shingles are distinct per doc already (shingles = set), so
+    // the per-doc count below is the distinct-overlap size
+    val corpusSh = corpus.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("sh"))
+    corpusSh.join(broadcast(testSh), Seq("sh"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-dup pair graph: every document gets
     * the MIN id reachable through pairs as its `family` — the dedup
     * endgame (keep one survivor per family) once pairwise candidates

@@ -146,6 +146,26 @@ object Streams {
       joinType)
   }
 
+  /** Streaming exact dedup — first-seen row per key, emitted in Append
+    * mode. Two state regimes, chosen by the key domain:
+    *  - `withinWatermarkOnly=false`: global dedup (`dropDuplicates`) —
+    *    state holds one entry per DISTINCT key forever, which is the
+    *    correct and bounded choice when the key domain is bounded
+    *    (user × event-type, device ids, ...).
+    *  - `withinWatermarkOnly=true`: `dropDuplicatesWithinWatermark` —
+    *    state expires once the event-time watermark passes, the only
+    *    shape that runs forever over an UNBOUNDED key domain (event
+    *    uuids); duplicates separated by more than the watermark delay
+    *    are then out of dedup scope by design.
+    * State is hash-partitioned on the key either way. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      watermarkDelay: String = "10 minutes",
+      withinWatermarkOnly: Boolean = false): DataFrame = {
+    val wm = events.withWatermark("ts", watermarkDelay)
+    if (withinWatermarkOnly) wm.dropDuplicatesWithinWatermark(keys)
+    else wm.dropDuplicates(keys)
+  }
+
   /** Streaming MERGE sink (the Delta CDC pattern on our table layer):
     * every micro-batch is deduplicated on the merge key and upserted into
     * the LakeTable via foreachBatch — idempotent per batch, so at-least-

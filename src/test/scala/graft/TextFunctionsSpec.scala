@@ -68,6 +68,20 @@ class TextFunctionsSpec extends SparkSpec {
       one[Double](qualityScore(col("t")), junk))
   }
 
+  test("wordNgrams: every occurrence, in order; short docs give empty") {
+    val g = oneSeq[String](
+      graft.functions.TextExpressions.wordNgrams(col("t"), 2), "a b a b")
+    assert(g == Seq("a b", "b a", "a b")) // non-distinct, ordered
+    assert(oneSeq[String](
+      graft.functions.TextExpressions.wordNgrams(col("t"), 3), "x y").isEmpty)
+  }
+
+  test("dupNgramFraction: repeats score high, unique text scores 0") {
+    assert(one[Double](dupNgramFraction(col("t"), 2), "a b a b") == 0.333333)
+    assert(one[Double](dupNgramFraction(col("t"), 2), "a b c d") == 0.0)
+    assert(one[Double](dupNgramFraction(col("t"), 3), "x") == 0.0) // short doc
+  }
+
   test("langId identifies real-language samples") {
     assert(one[String](langId(col("t")), "the cat is in the house and it is warm") == "en")
     assert(one[String](langId(col("t")), "der Hund ist nicht in dem Haus und die Katze") == "de")
