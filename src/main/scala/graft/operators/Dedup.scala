@@ -285,15 +285,22 @@ object Dedup {
       // plan nests the previous round's plan twice per iteration and
       // grows exponentially (the standard iterative-graph-algorithm trap;
       // a cluster deployment would use reliable checkpointing instead of
-      // executor-local blocks).
+      // executor-local blocks). The convergence probe rides the SAME
+      // action as an Observation on the propagate-join (one job per
+      // round, not two): n_changed counts labels the min-aggregation
+      // lowered this round.
+      val obs = org.apache.spark.sql.Observation()
       val next = edges
         .join(labels.select(col("id").as("src"), col("family")), Seq("src"))
         .select(col("dst").as("id"), col("family"))
         .unionByName(labels)
         .groupBy("id").agg(min("family").as("family"))
+        .join(labels.withColumnRenamed("family", "prev"), Seq("id"))
+        .observe(obs,
+          count(when(col("family") =!= col("prev"), 1)).as("n_changed"))
+        .select("id", "family")
         .localCheckpoint(true)
-      done = next.join(labels.withColumnRenamed("family", "prev"), Seq("id"))
-        .filter(col("family") =!= col("prev")).isEmpty
+      done = obs.get("n_changed").asInstanceOf[Long] == 0L
       labels = next
       i += 1
     }
