@@ -627,6 +627,16 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // deterministic consistent sample: 5 docs per language by smallest
+    // row hash. The chosen rows are engine-specific (xxhash64), so the
+    // oracle checks the invariant part — per-group sampled count =
+    // min(5, group size); subset/determinism pinned in ScaleOpsSpec
+    "q_consistent_sample" -> ((s, dir) =>
+      graft.ops.ScaleOps.consistentSamplePerGroup(
+        docs(s, dir), Seq("lang"), Seq("doc_id"), k = 5, seed = 11L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
     // seeded per-stratum Bernoulli sampling (training-data rebalancing:
     // downsample over-represented languages). Sampling RNG is engine-
     // specific → no SQL oracle (rows-only check); behavior is pinned by
@@ -680,6 +690,26 @@ object SparkEntry {
             (col("n_bi") * col("c_a") * col("c_b")).cast("double")), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("bigram").asc)
         .limit(20)
+    }),
+
+    // PII scrub: emails + long digit runs → typed placeholders, with
+    // audit counts. Deterministic PII is synthesized onto the corpus
+    // (doc_id-derived) so redaction coverage is nonzero and the DuckDB
+    // twin replays it exactly; patterns are RE2-compatible so both regex
+    // engines agree.
+    "q_pii_redact" -> ((s, dir) => {
+      val salted = docs(s, dir).withColumn("t2",
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, concat(lit(" contact user"),
+            col("doc_id"), lit("@example.com for details"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" ref 9001234"), col("doc_id"))).otherwise(lit(""))))
+      salted.select(col("doc_id"),
+          piiCounts(col("t2")).as("pc"),
+          md5(redactPii(col("t2")).cast("binary")).as("red_md5"))
+        .select(col("doc_id"), col("pc.n_emails"), col("pc.n_digit_runs"),
+          col("red_md5"))
+        .orderBy("doc_id")
     }),
 
     // Gopher-style within-doc repetition: fraction of 3-gram occurrences
@@ -1674,6 +1704,27 @@ object SparkEntry {
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
 
+    "q_pii_redact" ->
+      """WITH s AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || doc_id || '@example.com for details'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' ref 9001234' || doc_id ELSE '' END AS t2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t2, '[0-9]{7,}')) AS INT)
+             AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(t2,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '[0-9]{7,}', '<NUM>', 'g')) AS red_md5
+         FROM s ORDER BY doc_id""",
+
     "q_repetition" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -1714,6 +1765,10 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+
+    "q_consistent_sample" ->
+      """SELECT lang, LEAST(count(*), 5) AS n_sampled
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "q_pack_sequences" ->
       """WITH RECURSIVE d AS (

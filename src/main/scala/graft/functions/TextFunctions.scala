@@ -122,6 +122,23 @@ object TextFunctions {
       round(lit(1.0) - size(array_distinct(all)).cast("double") / size(all), 6))
   }
 
+  /** PII patterns kept RE2-compatible (no backrefs/lookaround) so the
+    * DuckDB oracle evaluates them identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val DigitRunRe = "[0-9]{7,}"
+
+  /** PII scrub for training corpora: replace emails and long digit runs
+    * (phone/account numbers) with typed placeholder tokens. Pure
+    * codegen'd RegExpReplace — row-local, map-side at any scale. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), DigitRunRe, "<NUM>")
+
+  /** Count of email / long-digit-run matches (the audit counterpart of
+    * [[redactPii]]). Returns a struct {n_emails, n_digit_runs}. */
+  def piiCounts(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(EmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(c, lit(DigitRunRe), lit(0))).as("n_digit_runs"))
+
   /** Content fingerprint: md5 hex of the raw text — exact-dedup key that
     * also matches DuckDB's md5() for oracle checks. */
   def fingerprintMd5(c: Column): Column = md5(c.cast("binary"))

@@ -71,6 +71,24 @@ object ScaleOps {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Deterministic consistent sample: exactly min(k, |group|) rows per
+    * group, chosen as the k smallest xxhash64 values over (seed, id
+    * columns) — the "k examples per language" eval-set primitive.
+    * Unlike rate-based sampling this is reproducible independent of row
+    * order and partitioning (the hash is a pure function of the row), and
+    * Spark 4's WindowGroupLimit turns the row_number filter into a
+    * map-side partial top-k before the exchange, so only ~k rows per
+    * group per partition shuffle. */
+  def consistentSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCols: Seq[String], k: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = xxhash64((lit(seed) +: idCols.map(col)): _*)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(h.asc +: idCols.map(col(_).asc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** One-pass pipeline metrics via the Observation API — the fix for the
     * reference's recompute-per-count anti-pattern (SURVEY.md §4.3-1):
     * counts are collected as accumulator-style observations DURING the one

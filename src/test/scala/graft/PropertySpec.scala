@@ -188,6 +188,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("contaminated matches naive shingle-set intersection on random docs") {
+    import graft.operators.Dedup
+    // naive twin of the native shingle semantics: lowercase whitespace
+    // tokens; >= n tokens -> distinct space-joined n-grams, else whole doc
+    def shingleSet(text: String, n: Int): Set[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.chooseNum(1, 8).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    val corpusGen = Gen.zip(
+      Gen.nonEmptyListOf(docGen).map(_.take(6)),
+      Gen.nonEmptyListOf(docGen).map(_.take(6)))
+    forAllCases(corpusGen) { case (testDocs, corpusDocs) =>
+      val n = 2
+      val minShared = 2
+      val test = testDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val corpus = corpusDocs.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.contaminated(corpus, test, "doc_id", "text", n, minShared)
+        .as[(Long, Long)].collect().toMap
+      val testSh = testDocs.flatMap(shingleSet(_, n)).toSet
+      val want = corpusDocs.zipWithIndex.flatMap { case (t, i) =>
+        val shared = shingleSet(t, n).count(testSh.contains)
+        if (shared >= minShared) Some((100L + i).toLong -> shared.toLong) else None
+      }.toMap
+      assert(got == want, s"test=$testDocs corpus=$corpusDocs")
+    }
+  }
+
   test("upsert is idempotent for any target/source pair") {
     forAllCases(Gen.zip(tableGen, tableGen)) { case (t, s) =>
       if (t.nonEmpty || s.nonEmpty) {

@@ -61,6 +61,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ratio > 0.3 && ratio < 0.7, s"en ratio $ratio")
   }
 
+  test("consistentSamplePerGroup: exact per-group counts, subset, repartition-stable") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sampled = ScaleOps.consistentSamplePerGroup(
+      docs, Seq("lang"), Seq("doc_id"), k = 5, seed = 11L)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    val groupSizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val perGroup = sampled.groupBy(_._1).view.mapValues(_.size).toMap
+    groupSizes.foreach { case (lang, n) =>
+      assert(perGroup(lang) == math.min(5L, n), lang)
+    }
+    // sampled rows are real rows of their group
+    val all = docs.select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(sampled.subsetOf(all))
+    // identical choice under a different physical layout (hash is a pure
+    // function of the row, not of order/partitioning)
+    val reshuffled = ScaleOps.consistentSamplePerGroup(
+      docs.repartition(17, col("doc_id")), Seq("lang"), Seq("doc_id"),
+      k = 5, seed = 11L)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(reshuffled == sampled)
+    // a different seed picks a different sample (with overwhelming odds)
+    val otherSeed = ScaleOps.consistentSamplePerGroup(
+      docs, Seq("lang"), Seq("doc_id"), k = 5, seed = 12L)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(otherSeed != sampled)
+  }
+
   test("observedSplitMetrics counts input/valid/rejected in one pass") {
     val df = Seq(
       (Some(1L), "a"), (Some(2L), "b"), (None, "c")

@@ -82,6 +82,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double](dupNgramFraction(col("t"), 3), "x") == 0.0) // short doc
   }
 
+  test("redactPii replaces emails and long digit runs, counts match") {
+    val in = "mail bob.smith+x@corp.example.org or call 5551234567 ext 12"
+    assert(one[String](redactPii(col("t")), in) ==
+      "mail <EMAIL> or call <NUM> ext 12")
+    val counts = Seq(in).toDF("t")
+      .select(piiCounts(col("t")).as("pc"))
+      .select("pc.n_emails", "pc.n_digit_runs")
+      .as[(Int, Int)].collect().head
+    assert(counts == ((1, 1))) // short digit run ("12") untouched
+  }
+
   test("langId identifies real-language samples") {
     assert(one[String](langId(col("t")), "the cat is in the house and it is warm") == "en")
     assert(one[String](langId(col("t")), "der Hund ist nicht in dem Haus und die Katze") == "de")
