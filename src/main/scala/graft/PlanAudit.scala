@@ -14,7 +14,8 @@ object PlanAudit {
         "q_corpus_pipeline", "q_range_join", "q_winnow_pairs", "q_heavy_hitters",
         "q_ngram_jaccard", "q_bloom_join", "q_dedup_families", "q_pmi_bigrams",
         "q_pack_sequences", "q_funnel", "q_resample", "q_user_features",
-        "q_repetition", "q_contamination", "q_stratified_sample")
+        "q_repetition", "q_contamination", "q_stratified_sample",
+        "q_tpch_q3", "q_tpch_q5", "q_pii_redact", "q_consistent_sample")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()

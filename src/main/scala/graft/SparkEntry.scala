@@ -881,6 +881,58 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // TPC-H Q3 shape: selective dim filter → two-table fact join →
+    // decimal-exact revenue agg → distributed top-10. The segment-filtered
+    // customer key set broadcasts; orders⋈lineitem shuffles on the order
+    // key; TakeOrderedAndProject merges per-partition heads.
+    "q_tpch_q3" -> ((s, dir) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate"))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o.join(broadcast(c), Seq("c_custkey")), Seq("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+          (lit(1) - col("l_discount").cast("decimal(20,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-way star join (region→nation→customer ⋈ orders ⋈
+    // lineitem ⋈ supplier with the nation-colocation condition) —
+    // dimensions broadcast, facts shuffle once on their join keys
+    "q_tpch_q5" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey").as("r_regionkey"))
+      val natAsia = n.join(broadcast(r), Seq("r_regionkey"))
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey").as("l_orderkey"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      l.join(o, Seq("l_orderkey"))
+        .join(broadcast(c.join(broadcast(natAsia), Seq("c_nationkey"))), Seq("c_custkey"))
+        .join(broadcast(sup), Seq("l_suppkey"))
+        .filter(col("s_nationkey") === col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+          (lit(1) - col("l_discount").cast("decimal(20,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
     // ORDER BY + LIMIT top-n (TakeOrderedAndProject — the distributed
     // top-k physical op: per-partition heads, single driver merge)
     "q_topn" -> ((s, dir) =>
@@ -893,6 +945,18 @@ object SparkEntry {
       EventOps.withJsonProp(events(s, dir), "k")
         .groupBy("event_type")
         .agg(sum(col("k").cast("long")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Spark 4 VARIANT path for semi-structured data: parse once into the
+    // shredded binary encoding, then typed path extraction — at scale
+    // this replaces re-parsing the JSON string per accessed field
+    // (get_json_object) with O(1) binary navigation
+    "q_variant_json" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
     // schema-full JSON parse (from_json → struct) then struct field access
@@ -1965,6 +2029,43 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY k_mod""",
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+                  AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+           AND l.l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+                  AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_variant_json" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS sum_k,
+                CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
