@@ -647,6 +647,28 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
 
+    // bucketed co-located join: both sides written bucketed on the join
+    // key (the write-once shuffle), then joined exchange-free — at scale
+    // this converts a per-query fact shuffle into a storage layout
+    // decision. Same oracle as the plain join; BucketedSpec pins the
+    // no-Exchange plan.
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.table.Bucketed
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      Bucketed.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_suppkey").as("s_suppkey"), col("l_quantity")),
+        s"li_bkt_$sfx", "s_suppkey", buckets = 8)
+      Bucketed.writeBucketed(
+        Tables.load(s, dir, "supplier").select("s_suppkey", "s_name"),
+        s"sup_bkt_$sfx", "s_suppkey", buckets = 8)
+      Bucketed.colocatedJoin(s, s"li_bkt_$sfx", s"sup_bkt_$sfx", Seq("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(20,4)")).cast("double").as("sum_qty"))
+        .orderBy("s_name")
+    }),
+
     // CDC change feed between table versions (Delta CDF analogue):
     // create target, merge source, read inserts/updates/deletes vs the
     // retained snapshot
@@ -1709,6 +1731,12 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM supplier s
                        WHERE s.s_acctbal > 5000 AND s.s_suppkey = l.l_suppkey)
          GROUP BY l.l_suppkey ORDER BY s_suppkey""",
+
+    "q_bucketed_join" ->
+      """SELECT s_name, count(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
 
     "q_cdc" ->
       """WITH target AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0),

@@ -12,14 +12,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketed {
 
-  /** Write `df` as a bucketed (and in-bucket sorted) managed table. */
+  /** Write `df` as a bucketed (and in-bucket sorted) managed table.
+    * Self-cleaning: a managed-table LOCATION left in the warehouse dir by
+    * a previous session is unknown to this session's in-memory catalog,
+    * so SaveMode.Overwrite alone fails with LOCATION_ALREADY_EXISTS —
+    * drop the catalog entry and remove the stale directory first. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val loc = wh.resolve(table.toLowerCase)
+    if (java.nio.file.Files.exists(loc))
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(java.nio.file.Files.delete(_))
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Exchange-free equi-join of two same-bucketed tables. */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
