@@ -1746,6 +1746,9 @@ object SparkEntry {
            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
            UNION ALL
            SELECT o_orderkey, 'update_postimage' FROM source
+           WHERE o_orderkey IN (SELECT o_orderkey FROM target)
+           UNION ALL
+           SELECT o_orderkey, 'update_preimage' FROM source
            WHERE o_orderkey IN (SELECT o_orderkey FROM target))
          ORDER BY o_orderkey, _change_type""",
 

@@ -292,12 +292,15 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
   /** CDC between a retained snapshot and the current version — the Delta
     * Change Data Feed analogue, derivable here because versions are full
-    * snapshots: `insert` (key absent in the snapshot), `update_postimage`
-    * (key present, any non-key column changed — compared via one
-    * xxhash64 over the non-key columns, no row-by-row driver work),
-    * `delete` (key gone from current). Three key-shuffles over the two
-    * snapshots; at scale this is how downstream consumers incrementally
-    * sync without re-reading the full table. */
+    * snapshots: `insert` (key absent in the snapshot),
+    * `update_preimage` + `update_postimage` (key present, any non-key
+    * column changed — compared via one xxhash64 over the non-key
+    * columns, no row-by-row driver work; the PREIMAGE row carries the
+    * old values, which is what lets a downstream consumer incrementally
+    * maintain aggregates: new_agg = agg − preimage + postimage + inserts
+    * − deletes), `delete` (key gone from current). Key-shuffles over the
+    * two snapshots only; at scale this is how consumers sync without
+    * re-reading the full table. */
   def changesSince(v: Int): DataFrame = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val cur = read
@@ -308,19 +311,24 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     // not by failing the old-side projection.
     val nonKey = cur.columns.filterNot(mergeKeys.contains)
       .filter(old.columns.contains).toSeq
+    def hashed(df: DataFrame) = xxhash64(nonKey.map(col): _*)
     val inserts = CoreOps.antiJoin(mergeKeys, old)(cur)
       .withColumn("_change_type", lit("insert"))
     val deletes = CoreOps.antiJoin(mergeKeys, cur)(old)
       .withColumn("_change_type", lit("delete"))
-    val updates = cur.withColumn("__h", xxhash64(nonKey.map(col): _*))
-      .join(old.select(mergeKeys.map(col) :+
-        xxhash64(nonKey.map(col): _*).as("__h_old"): _*), mergeKeys)
+    val changedKeys = cur.withColumn("__h", hashed(cur))
+      .join(old.select(mergeKeys.map(col) :+ hashed(old).as("__h_old"): _*),
+        mergeKeys)
       .filter(col("__h") =!= col("__h_old"))
-      .drop("__h", "__h_old")
+      .select(mergeKeys.map(col): _*)
+    val post = cur.join(changedKeys, mergeKeys, "left_semi")
       .withColumn("_change_type", lit("update_postimage"))
-    // deletes carry the OLD snapshot's schema; columns added since `v`
-    // surface as nulls on deleted rows.
-    inserts.unionByName(updates)
+    val pre = old.join(changedKeys, mergeKeys, "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
+    // deletes/preimages carry the OLD snapshot's schema; columns added
+    // since `v` surface as nulls on those rows.
+    inserts.unionByName(post)
+      .unionByName(pre, allowMissingColumns = true)
       .unionByName(deletes, allowMissingColumns = true)
   }
 

@@ -142,7 +142,12 @@ class LakeTableSpec extends SparkSpec {
     val v1 = t.availableVersions.last
     val changes = t.changesSince(v1)
       .select("id", "_change_type").as[(Long, String)].collect().toSet
-    assert(changes == Set((2L, "update_postimage"), (4L, "insert")))
+    assert(changes == Set((2L, "update_preimage"), (2L, "update_postimage"),
+      (4L, "insert")))
+    // the preimage row carries the OLD value, the postimage the new one
+    val images = t.changesSince(v1).filter($"id" === 2L)
+      .select("_change_type", "v").as[(String, String)].collect().toMap
+    assert(images == Map("update_preimage" -> "b", "update_postimage" -> "B2"))
     // unchanged rows (1, 3) must NOT appear in the feed
     t.create(df((1L, "a", "x"))) // new version dropping 2,3,4
     val v2 = t.availableVersions.last
@@ -253,7 +258,36 @@ class LakeTableSpec extends SparkSpec {
       .toDF("id", "v", "p", "extra"))
     val changes = t.changesSince(v1)
       .select("id", "_change_type").as[(Long, String)].collect().toSet
-    assert(changes == Set((2L, "update_postimage"), (3L, "insert")))
+    assert(changes == Set((2L, "update_preimage"), (2L, "update_postimage"),
+      (3L, "insert")))
+  }
+
+  test("change feed incrementally maintains an aggregate (CDF consumer pattern)") {
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum, when}
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    // value to aggregate lives in p (as a number); group key in v
+    def rows2(rs: (Long, String, Long)*) =
+      rs.map { case (i, g, x) => (i, g, x.toString) }.toDF("id", "v", "p")
+    t.create(rows2((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 5L)))
+    val v1 = { t.upsert(rows2((1L, "g1", 10L))); t.availableVersions.last }
+    // update 2 (20→25, stays g1), move 3 to g1 (5, group change), insert 4 in g2
+    t.upsert(rows2((2L, "g1", 25L), (3L, "g1", 5L), (4L, "g2", 7L)))
+    val oldAgg = t.readVersion(v1).groupBy("v")
+      .agg(fsum($"p".cast("long")).as("s"), fcount(lit(1)).as("n"))
+    // delta from the feed: +post/+insert, −pre/−delete
+    val sign = when($"_change_type".isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val delta = t.changesSince(v1)
+      .select($"v", (sign * $"p".cast("long")).as("dp"), sign.as("dn"))
+      .groupBy("v").agg(fsum($"dp").as("s"), fsum($"dn").as("n"))
+    val maintained = oldAgg.unionByName(delta)
+      .groupBy("v").agg(fsum($"s").as("s"), fsum($"n").as("n"))
+      .filter($"n" =!= 0)
+      .as[(String, Long, Long)].collect().toSet
+    val recomputed = t.read.groupBy("v")
+      .agg(fsum($"p".cast("long")).as("s"), fcount(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(maintained == recomputed)
   }
 
   test("pruned and unpruned upsert agree") {
