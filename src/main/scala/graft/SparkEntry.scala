@@ -647,6 +647,30 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
 
+    // multiset EXCEPT ALL: duplicate-preserving difference (one
+    // occurrence removed per matching right row) — contrast q_except's
+    // EXCEPT DISTINCT; summarized per key for a deterministic compare
+    "q_except_all" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      li.exceptAll(ord)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    }),
+
+    // multiset INTERSECT ALL: duplicate-preserving intersection
+    "q_intersect_all" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      li.intersectAll(ord)
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
+    }),
+
     // bucketed co-located join: both sides written bucketed on the join
     // key (the write-once shuffle), then joined exchange-free — at scale
     // this converts a per-query fact shuffle into a storage layout
@@ -1731,6 +1755,20 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM supplier s
                        WHERE s.s_acctbal > 5000 AND s.s_suppkey = l.l_suppkey)
          GROUP BY l.l_suppkey ORDER BY s_suppkey""",
+
+    "q_except_all" ->
+      """SELECT l_orderkey, count(*) AS n FROM (
+           SELECT l_orderkey FROM lineitem
+           EXCEPT ALL
+           SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+
+    "q_intersect_all" ->
+      """SELECT l_orderkey, count(*) AS n FROM (
+           SELECT l_orderkey FROM lineitem
+           INTERSECT ALL
+           SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0)
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
 
     "q_bucketed_join" ->
       """SELECT s_name, count(*) AS n_items,

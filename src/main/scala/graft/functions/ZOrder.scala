@@ -31,6 +31,27 @@ object ZOrder {
   def interleave(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  /** Morton code of N already-binned non-negative ints, `bits` bits each
+    * (requires N * bits ≤ 63). The two-column case takes the
+    * shift-or-mask fast path; the general case assembles the code bit by
+    * bit — a large but pure bitwise expression that whole-stage codegen
+    * compiles into straight-line long arithmetic. */
+  def interleaveN(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "interleaveN needs at least one column")
+    require(cols.size * bits <= 63,
+      s"${cols.size} dims x $bits bits exceeds a long (63 usable bits)")
+    if (cols.size == 1) cols.head
+    else if (cols.size == 2 && bits <= 32) interleave(cols(0), cols(1))
+    else {
+      val n = cols.size
+      val terms = for {
+        (c, d) <- cols.zipWithIndex
+        i <- 0 until bits
+      } yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + d)
+      terms.reduce(_.bitwiseOR(_))
+    }
+  }
+
   /** Linear bin of `c` into [0, 2^bits) given min/max columns. */
   def bin(c: Column, minC: Column, maxC: Column, bits: Int = 16): Column = {
     val span = (maxC - minC).cast("double")

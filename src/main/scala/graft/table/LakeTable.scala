@@ -266,29 +266,39 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   }
 
   /** OPTIMIZE ZORDER analogue: rewrite the current version clustered on
-    * the Z-order (Morton) curve of two columns, published as a new
+    * the Z-order (Morton) curve of N columns, published as a new
     * version via the same pointer swap. `repartitionByRange` on the
     * z-value gives each output file a contiguous curve segment, so
-    * parquet min/max stats prune scans filtered on either column. Content
-    * is byte-for-byte the same rows — only layout changes (checked by
-    * LakeTableSpec). */
-  def optimizeZorder(c1: String, c2: String, numFiles: Int = 8): Unit = {
+    * parquet min/max stats prune scans filtered on ANY of the clustered
+    * columns. Content is byte-for-byte the same rows — only layout
+    * changes (checked by LakeTableSpec). Per-dimension bit budget is
+    * min(16, 63/N). */
+  def optimizeZorder(cols: Seq[String], numFiles: Int): Unit = {
     import graft.functions.ZOrder
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, broadcast}
+    require(cols.nonEmpty)
     val cur = read
-    val stats = cur.agg(fmin(col(c1)).as("min1"), fmax(col(c1)).as("max1"),
-      fmin(col(c2)).as("min2"), fmax(col(c2)).as("max2"))
-    val z = ZOrder.interleave(
-      ZOrder.bin(col(c1), col("min1"), col("max1")),
-      ZOrder.bin(col(c2), col("min2"), col("max2")))
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(fmin(col(c)).as(s"__min$i"), fmax(col(c)).as(s"__max$i")) }
+    val stats = cur.agg(aggs.head, aggs.tail: _*)
+    val bits = math.min(16, 63 / cols.size)
+    val z = ZOrder.interleaveN(cols.zipWithIndex.map { case (c, i) =>
+      ZOrder.bin(col(c), col(s"__min$i"), col(s"__max$i"), bits) }, bits)
+    val statCols = cols.indices.flatMap(i => Seq(s"__min$i", s"__max$i"))
     val clustered = cur.crossJoin(broadcast(stats))
       .withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "min1", "max1", "min2", "max2")
+      .drop("__z" +: statCols: _*)
     writeTo(clustered, stagingDir)
     publish()
   }
+
+  def optimizeZorder(c1: String, c2: String, numFiles: Int): Unit =
+    optimizeZorder(Seq(c1, c2), numFiles)
+
+  def optimizeZorder(c1: String, c2: String): Unit =
+    optimizeZorder(Seq(c1, c2), 8)
 
   /** CDC between a retained snapshot and the current version — the Delta
     * Change Data Feed analogue, derivable here because versions are full

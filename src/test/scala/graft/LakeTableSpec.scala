@@ -204,6 +204,31 @@ class LakeTableSpec extends SparkSpec {
       s"files not clustered: areas=${areas.toSeq}")
   }
 
+  test("optimizeZorder on THREE columns preserves content and clusters each dim") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax, min => fmin}
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    // 16^3 uniform grid, row-major — unclustered on y and z
+    val grid = (0L until 4096L).map(i => (i, i % 16, (i / 16) % 16, i / 256))
+      .toDF("id", "x", "y", "z")
+    t.create(grid)
+    t.optimizeZorder(Seq("x", "y", "z"), numFiles = 8)
+    val out = t.read.select("id", "x", "y", "z")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == grid.as[(Long, Long, Long, Long)].collect().toSet)
+    // per-file bounding box should cover an octant-ish region, not a
+    // full-width slab: avg normalized volume well under half the cube
+    val vols = t.read.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((((fmax(col("x")) - fmin(col("x"))) + 1) *
+        ((fmax(col("y")) - fmin(col("y"))) + 1) *
+        ((fmax(col("z")) - fmin(col("z"))) + 1)).as("vol"))
+      .select("vol").as[Long].collect()
+    assert(vols.nonEmpty)
+    val full = 16L * 16L * 16L
+    assert(vols.sum.toDouble / vols.length <= full / 2.0,
+      s"files not clustered: vols=${vols.toSeq}")
+  }
+
   test("pruned upsert: key moving to a new partition leaves no stale row behind") {
     val root = freshRoot
     val t = LakeTable(spark, root, "t", Seq("id"), partitionCols = Seq("p"))

@@ -36,6 +36,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("EqualTo(o_orderkey,42)"), plan.take(1500))
   }
 
+  test("TPC-H Q3/Q5 shapes: dims broadcast, no nested loop") {
+    Seq("q_tpch_q3", "q_tpch_q5").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$q: ${plan.take(1500)}")
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), q)
+    }
+  }
+
+  test("consistent sampling does map-side partial top-k (WindowGroupLimit)") {
+    val plan = graft.ops.ScaleOps.consistentSamplePerGroup(
+      Tables.load(spark, sf, "documents"), Seq("lang"), Seq("doc_id"), 5, 7L)
+      .queryExecution.executedPlan.toString
+    // partial limit appears BELOW the exchange (and final above it)
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"))
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect() // AQE shows codegen spans only in the final executed plan
