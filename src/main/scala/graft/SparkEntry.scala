@@ -817,6 +817,20 @@ object SparkEntry {
         .select("doc_id", "n_tok", "batch")
         .orderBy("doc_id")),
 
+    // per-label centroid of the embedding column: posexplode → two hash
+    // aggs (dim-wise mean, then norm) — linear, no vector ever collected
+    // to the driver; the grouped-vector-aggregation staple for cluster
+    // quality / drift monitoring
+    "q_embed_centroids" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos")
+        .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+          max("n").as("n_vecs"))
+        .orderBy("label")),
+
     // ================= North-star: similarity search ===================
     // brute-force exact top-k for a bounded query set (oracle-checked);
     // ranking on the rounded cosine with id tiebreak keeps cross-engine
@@ -1020,7 +1034,7 @@ object SparkEntry {
     "q_stream_tumbling" -> ((s, dir) => {
       val name = s"stream_tbl_${System.nanoTime()}"
       // nanosAsLong is provisioned in the session builder (Verify/Bench);
-      // Tables.load falls back to setting it for externally-built sessions
+      // Tables.load fails fast with a clear message if it is absent
       val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // state partitions sized to the drain (see q_stream_interval)
@@ -1934,6 +1948,19 @@ object SparkEntry {
          FROM nv a JOIN nv b ON a.vec_id < b.vec_id
          WHERE ROUND(ROUND(list_dot_product(a.v, b.v), 6), 4) >= 0.4
          ORDER BY a_id, b_id""",
+
+    "q_embed_centroids" ->
+      """WITH d AS (
+           SELECT label,
+                  unnest([{'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}
+                          for i in range(1, len(embedding) + 1)]) AS u
+           FROM embeddings),
+         m AS (
+           SELECT label, u.pos AS pos, AVG(u.v) AS m, count(*) AS n
+           FROM d GROUP BY label, u.pos)
+         SELECT label, ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm,
+                CAST(MAX(n) AS BIGINT) AS n_vecs
+         FROM m GROUP BY label ORDER BY label""",
 
     "q_embed_topk" ->
       """WITH nv AS (
