@@ -647,6 +647,14 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
 
+    // column profiling (the reference's crawler-statistics step as an
+    // engine op): one aggregate over the table → long-format stats
+    "q_profile" -> ((s, dir) =>
+      graft.ops.ScaleOps.profileColumns(
+        Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column_name")),
+
     // multiset EXCEPT ALL: duplicate-preserving difference (one
     // occurrence removed per matching right row) — contrast q_except's
     // EXCEPT DISTINCT; summarized per key for a deterministic compare
@@ -1769,6 +1777,34 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM supplier s
                        WHERE s.s_acctbal > 5000 AND s.s_suppkey = l.l_suppkey)
          GROUP BY l.l_suppkey ORDER BY s_suppkey""",
+
+    "q_profile" ->
+      """SELECT * FROM (
+           SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+                  count(o_orderkey) AS n_nonnull,
+                  count(DISTINCT o_orderkey) AS n_distinct,
+                  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+                  CAST(max(o_orderkey) AS VARCHAR) AS max_val
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*), count(o_custkey),
+                  count(DISTINCT o_custkey),
+                  CAST(min(o_custkey) AS VARCHAR),
+                  CAST(max(o_custkey) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+                  count(DISTINCT o_orderstatus),
+                  CAST(min(o_orderstatus) AS VARCHAR),
+                  CAST(max(o_orderstatus) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+                  count(DISTINCT o_orderpriority),
+                  CAST(min(o_orderpriority) AS VARCHAR),
+                  CAST(max(o_orderpriority) AS VARCHAR)
+           FROM orders)
+         ORDER BY column_name""",
 
     "q_except_all" ->
       """SELECT l_orderkey, count(*) AS n FROM (

@@ -89,6 +89,29 @@ object ScaleOps {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Column profiling — the engine-side analogue of the reference's Glue
+    * crawler statistics pass (state_machine.json:69-116): per column,
+    * row/non-null/distinct counts and min/max, computed in ONE aggregate
+    * over the table (Catalyst plans the multi-distinct via Expand) and
+    * unpivoted to long format. min/max are taken in the column's native
+    * ordering and then rendered as strings. Intended for modest column
+    * lists — cost grows with the Expand factor (one duplicate of the
+    * scan's rows per distinct-counted column). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val n = count(lit(1)).as("__n")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    val row = df.agg(n, aggs: _*)
+    val stacked = cols.map(c =>
+      s"'$c', __n, __nn_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
+    row.selectExpr(s"stack(${cols.size}, $stacked) AS " +
+      "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)")
+  }
+
   /** One-pass pipeline metrics via the Observation API — the fix for the
     * reference's recompute-per-count anti-pattern (SURVEY.md §4.3-1):
     * counts are collected as accumulator-style observations DURING the one

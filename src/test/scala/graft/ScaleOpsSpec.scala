@@ -88,6 +88,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(otherSeed != sampled)
   }
 
+  test("profileColumns: one-pass long-format stats incl. nulls") {
+    val df = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "b"))
+      .toDF("id", "v")
+    val p = ScaleOps.profileColumns(df, Seq("id", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") == (("id", 3L, 2L, 2L, "1", "2")))
+    assert(p("v") == (("v", 3L, 3L, 2L, "a", "b")))
+  }
+
   test("observedSplitMetrics counts input/valid/rejected in one pass") {
     val df = Seq(
       (Some(1L), "a"), (Some(2L), "b"), (None, "c")
