@@ -99,6 +99,9 @@ object ScaleOps {
     * scan's rows per distinct-counted column). */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
+    // names are interpolated into selectExpr below — keep them simple
+    require(cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"profileColumns needs simple column names, got $cols")
     val n = count(lit(1)).as("__n")
     val aggs = cols.flatMap { c => Seq(
       count(col(c)).as(s"__nn_$c"),
