@@ -18,6 +18,7 @@ object PlanAudit {
         "q_tpch_q3", "q_tpch_q5", "q_pii_redact", "q_consistent_sample")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>

@@ -29,13 +29,21 @@ object Streams {
       else {
         // one deterministic dir per (sfDir, table), reused across calls —
         // a fresh createTempDirectory per call would leak a dir per
-        // streaming query
+        // streaming query. The key includes a hash of the FULL source
+        // path: a lossy sanitize alone would collide two sfDirs that
+        // differ only in non-alphanumeric characters and silently stream
+        // the wrong corpus.
+        val key = f"${src.toAbsolutePath.toString.hashCode}%08x"
         val dir = Paths.get(System.getProperty("java.io.tmpdir"),
-          "graft_stream", s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$table")
+          "graft_stream",
+          s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_${key}_$table")
         Files.createDirectories(dir)
         val link = dir.resolve(s"$table.parquet")
         if (!Files.exists(link, LinkOption.NOFOLLOW_LINKS))
-          Files.createSymbolicLink(link, src)
+          try Files.createSymbolicLink(link, src)
+          catch { // lost a cross-JVM race: the winner created the same link
+            case _: java.nio.file.FileAlreadyExistsException => ()
+          }
         dir.toString
       }
     val schema = spark.read.parquet(src.toString).schema

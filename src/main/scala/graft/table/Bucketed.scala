@@ -25,9 +25,9 @@ object Bucketed {
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
     val loc = wh.resolve(table.toLowerCase)
     if (java.nio.file.Files.exists(loc))
-      java.nio.file.Files.walk(loc)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(java.nio.file.Files.delete(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(loc))(
+        _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(java.nio.file.Files.delete(_)))
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)

@@ -155,7 +155,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       prefix: Seq[Option[String]], touched: Set[String],
       enc: Seq[Option[String]] => String): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    Files.list(dir).forEach { p =>
+    scala.util.Using.resource(Files.list(dir))(_.forEach { p =>
       val n = p.getFileName.toString
       if (Files.isDirectory(p) && n.startsWith(s"${partitionCols(depth)}=")) {
         val raw = n.stripPrefix(s"${partitionCols(depth)}=")
@@ -169,7 +169,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
             linkTree(p, dst)
         } else linkUntouched(donorRoot, p, depth + 1, tup, touched, enc)
       }
-    }
+    })
   }
 
   /** Recursively hard-link a directory tree (same filesystem). The object-
@@ -314,20 +314,27 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def changesSince(v: Int): DataFrame = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val cur = read
-    val old = readVersion(v)
-    // Hash only columns BOTH snapshots carry, so CDC works across a
-    // schema-evolving upsert (allowMissingColumns): a column added after
-    // `v` is reported through inserts/updates of the rows that set it,
-    // not by failing the old-side projection.
-    val nonKey = cur.columns.filterNot(mergeKeys.contains)
-      .filter(old.columns.contains).toSeq
-    def hashed(df: DataFrame) = xxhash64(nonKey.map(col): _*)
+    // Align the old snapshot to the CURRENT schema: columns added since
+    // `v` (schema-evolving upsert) project as typed nulls on the old
+    // side, so an update whose ONLY change is setting a new column
+    // (null → value) is detected like any other; columns dropped since
+    // `v` are not reported (evolution here is additive, matching the
+    // merge's allowMissingColumns semantics).
+    val old = {
+      val o = readVersion(v)
+      o.select(cur.columns.toIndexedSeq.map { c =>
+        if (o.columns.contains(c)) col(c)
+        else lit(null).cast(cur.schema(c).dataType).as(c)
+      }: _*)
+    }
+    val nonKey = cur.columns.filterNot(mergeKeys.contains).toSeq
+    def hashed = xxhash64(nonKey.map(col): _*)
     val inserts = CoreOps.antiJoin(mergeKeys, old)(cur)
       .withColumn("_change_type", lit("insert"))
     val deletes = CoreOps.antiJoin(mergeKeys, cur)(old)
       .withColumn("_change_type", lit("delete"))
-    val changedKeys = cur.withColumn("__h", hashed(cur))
-      .join(old.select(mergeKeys.map(col) :+ hashed(old).as("__h_old"): _*),
+    val changedKeys = cur.withColumn("__h", hashed)
+      .join(old.select(mergeKeys.map(col) :+ hashed.as("__h_old"): _*),
         mergeKeys)
       .filter(col("__h") =!= col("__h_old"))
       .select(mergeKeys.map(col): _*)
@@ -335,11 +342,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       .withColumn("_change_type", lit("update_postimage"))
     val pre = old.join(changedKeys, mergeKeys, "left_semi")
       .withColumn("_change_type", lit("update_preimage"))
-    // deletes/preimages carry the OLD snapshot's schema; columns added
-    // since `v` surface as nulls on those rows.
-    inserts.unionByName(post)
-      .unionByName(pre, allowMissingColumns = true)
-      .unionByName(deletes, allowMissingColumns = true)
+    inserts.unionByName(post).unionByName(pre).unionByName(deletes)
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -287,6 +287,22 @@ class LakeTableSpec extends SparkSpec {
       (3L, "insert")))
   }
 
+  test("changesSince detects an update whose ONLY change is in a new column") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    val v1 = { t.upsert(df((1L, "a", "x"))); t.availableVersions.last }
+    // id=1 keeps v and p identical — only the NEW column gets a value
+    t.upsert(Seq((1L, "a", "x", 7)).toDF("id", "v", "p", "extra"))
+    val changes = t.changesSince(v1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(changes == Set((1L, "update_preimage"), (1L, "update_postimage")))
+    // preimage carries a typed null for the then-nonexistent column
+    val pre = t.changesSince(v1)
+      .filter($"_change_type" === "update_preimage")
+      .select("extra").as[Option[Int]].collect().toSeq
+    assert(pre == Seq(None))
+  }
+
   test("change feed incrementally maintains an aggregate (CDF consumer pattern)") {
     import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum, when}
     val t = LakeTable(spark, freshRoot, "t", Seq("id"))
