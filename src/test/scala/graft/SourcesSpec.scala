@@ -83,5 +83,17 @@ class SourcesSpec extends SparkSpec {
     assert(sh == sh2)
     val mh = spark.sql("SELECT size(minhash_sig(array('x','y'), 8)) AS n").as[Int].head()
     assert(mh == 8)
+    // round-3 registrations
+    val cc = spark.sql(
+      "SELECT char_class_counts('Ab1!') AS c").select("c.len", "c.punct",
+      "c.digit", "c.alpha", "c.upper").as[(Int, Int, Int, Int, Int)].head()
+    assert(cc == ((4, 1, 1, 2, 1)))
+    val mc = spark.sql(
+      "SELECT member_count(array('the','cat'), array('the','a')) AS m")
+      .as[Int].head()
+    assert(mc == 1)
+    val ng = spark.sql(
+      "SELECT word_ngrams('a b a b', 2) AS g").as[Seq[String]].head()
+    assert(ng == Seq("a b", "b a", "a b"))
   }
 }
