@@ -1881,8 +1881,7 @@ object SparkEntry {
                 ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
                       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
                   AS jaccard
-         FROM sh a JOIN sh b
-           ON a.doc_id < b.doc_id AND b.ntok BETWEEN a.ntok / 2 AND a.ntok * 2
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
