@@ -537,6 +537,18 @@ object SparkEntry {
         shingleN = 3, k = 64, bands = 16, threshold = 0.7)
         .orderBy("a_id", "b_id")),
 
+    // incremental near-dup: a new batch (doc_id % 4 == 0) deduped against
+    // the standing corpus without re-pairing corpus x corpus — the
+    // nightly-ingestion shape; oracle = all-pairs Jaccard restricted to
+    // pairs touching the batch
+    "q_minhash_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashLshPairsIncremental(
+        d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+        .orderBy("a_id", "b_id")
+    }),
+
     // SimHash near-dup pairs: shingle-feature fingerprint, chunk-bucketed
     // candidates, exact-Jaccard verified (hash-seeded candidates → rows-
     // only oracle; containment + recall pinned by RecallSpec)
@@ -1641,6 +1653,29 @@ object SparkEntry {
                   AS jaccard
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY a_id, b_id""",
+
+    "q_minhash_incremental" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                  AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
+           AND len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
 

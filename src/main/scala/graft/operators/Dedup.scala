@@ -228,6 +228,57 @@ object Dedup {
       .select("a_id", "b_id", "n_shared", "jaccard")
   }
 
+  /** Incremental MinHash-LSH near-dup pairs: candidates for a NEW batch
+    * of documents against an existing corpus (plus within the batch)
+    * WITHOUT re-pairing the corpus against itself — the production shape
+    * for nightly ingestion at scale, where corpus x corpus candidate
+    * generation is already done and must not be repeated. The b-side of
+    * the bucket join is restricted to increment docs, so bucket-join cost
+    * is O(Σ bucket_size × increment_bucket_size), linear in the increment
+    * for stable bucket sizes. Same signature → band → bucket-join →
+    * exact-verify shape and identical thresholds as [[minhashLshPairs]],
+    * so output = the full-corpus pairs restricted to pairs touching the
+    * increment.
+    *
+    * Output: (a_id, b_id, jaccard), a_id < b_id, b-side ∈ increment or
+    * both sides ∈ increment.
+    */
+  def minhashLshPairsIncremental(corpus: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val all = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .unionByName(increment.select(col(idCol).as("id"), col(textCol).as("text")))
+    val shd = all.select(col("id"), shingles(col("text"), shingleN).as("sh"))
+    val banded = shd.select(col("id"),
+        posexplode(graft.functions.HashExpressions.minhashBands(col("sh"), k, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val capped = banded.withColumn("bsize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") <= maxBucketSize).drop("bsize")
+    val incIds = increment.select(col(idCol).as("id")).distinct()
+    val a = capped.select(col("band"), col("bucket"), col("id").as("a_id"))
+    // only increment docs probe as the b-side: every emitted pair touches
+    // the increment, and corpus x corpus pairs are never generated
+    val b = capped.join(broadcast(incIds), Seq("id"))
+      .select(col("band"), col("bucket"), col("id").as("b_id"))
+    // every pair touching the increment surfaces with the increment doc
+    // on the b-side regardless of id order, so normalize (least/greatest)
+    // instead of filtering a < b — a plain a<b would miss pairs whose
+    // increment doc carries the SMALLER id
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    val withSh = cand
+      .join(shd.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(shd.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    jaccardStaged(withSh, "a_sh", "b_sh")
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minShared` distinct word n-gram shingles with a test/eval set —
     * the standard pre-training hygiene pass (a training doc containing

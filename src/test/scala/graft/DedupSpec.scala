@@ -80,6 +80,25 @@ class DedupSpec extends SparkSpec {
     assert(blocked.nonEmpty)
   }
 
+  test("incremental LSH pairs == full-corpus pairs restricted to the increment") {
+    val docs = Tables.load(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val increment = docs.filter(col("doc_id") % 4 === 0)
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val incIds = increment.select("doc_id").as[Long].collect().toSet
+    val expected = full.filter(p => incIds(p._1) || incIds(p._2))
+    val got = Dedup.minhashLshPairsIncremental(corpus, increment,
+      "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // sanity: the full set has corpus-corpus pairs the incremental path
+    // must NOT produce (otherwise this test proves nothing)
+    assert(full.exists(p => !incIds(p._1) && !incIds(p._2)))
+    assert(expected.nonEmpty)
+  }
+
   test("contaminated flags docs overlapping the test set, broadcast plan") {
     val test = Seq((0L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
