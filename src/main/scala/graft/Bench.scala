@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness: runs every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR` under a noop sink (full evaluation — every row and
+  * column is consumed, so projection-heavy queries are actually executed;
+  * a bare `.count()` would let Catalyst prune the entire projection).
+  *
+  * Output contract: ONE JSON line on stdout,
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},...}`.
+  * The consumer of that line captures only the LAST ~2000 characters of the
+  * process output, so the line is kept under a hard byte budget: per-query
+  * times are rounded to ms and the `queries` map lists queries slowest-first,
+  * truncated when the budget would overflow (`n_queries` vs `n_shown` says
+  * how many were dropped). The complete full-precision map is always written
+  * to `BENCH_DETAIL.json` in the working directory.
+  */
 object Bench {
+  /** Stdout-line byte budget. The consumer's tail window is 2000 chars and
+    * sbt appends a ~80-char "[success] Total time" trailer after our line,
+    * so 1700 leaves comfortable slack.
+    */
+  private val LineBudget = 1700
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,10 +55,6 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      // Full-evaluation action: the noop sink consumes every row and
-      // column, so projection-heavy queries are actually executed —
-      // a bare .count() lets Catalyst prune the entire projection and
-      // under-measures map-heavy work.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         // a failed query must not masquerade as a fast one
@@ -46,13 +65,39 @@ object Bench {
     }
     val calEnd = calibrate()
     val loadEnd = loadAvg
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val cal = s"""{"sec_start":$calStart,"sec_end":$calEnd,""" +
-      s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,"cpus":$cpus}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cal = s"""{"sec_start":${fmt(calStart)},"sec_end":${fmt(calEnd)},""" +
+      s""""load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)},"cpus":$cpus}"""
+
+    // Full-precision sidecar: every query, never truncated.
+    val detailPath = "BENCH_DETAIL.json"
+    val fullQs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$fullQs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    // Stdout line: slowest queries first, truncated to fit the byte budget.
+    val sorted = results.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val tail0 = s"""},"n_queries":${results.size},"n_shown":NNN,"errors":$errs,""" +
+      s""""calibration":$cal,"sf":"$sfDir","detail":"$detailPath"}"""
+    val fixed = head.length + tail0.length
+    val shown = scala.collection.mutable.ListBuffer.empty[String]
+    var used = fixed
+    var i = 0
+    while (i < sorted.size) {
+      val (k, v) = sorted(i)
+      val ent = s"\"$k\":${fmt(v)}"
+      val add = ent.length + (if (shown.nonEmpty) 1 else 0)
+      if (used + add <= LineBudget) { shown += ent; used += add }
+      i += 1
+    }
+    val line = head + shown.mkString(",") +
+      tail0.replace("NNN", shown.size.toString)
+    println(line)
     spark.stop()
   }
 }
