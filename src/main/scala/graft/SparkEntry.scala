@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{AsOfJoin, Dedup, EventOps, Multimodal, RangeJoin, Similarity}
+import graft.operators.{AsOfJoin, Dedup, EventOps, Graph, Multimodal, RangeJoin, Retrieval, Similarity}
 import graft.ops.CoreOps._
 import graft.pipelines.Pipelines
 import graft.table.LakeTable
@@ -1140,6 +1140,73 @@ object SparkEntry {
           repeat(col("text"), 50).cast("binary").as("payload")),
         stride = 2)
         .orderBy("media_id", "frame_idx")),
+
+    // ============ Round 4: link analysis / retrieval / sketches ========
+
+    // fixed-iteration PageRank over the undirected supplier↔customer
+    // trade graph (edges from lineitem⋈orders). Fixed iterations +
+    // ranking on the ROUNDED rank make the iterative float arithmetic
+    // replayable cross-engine (the DuckDB twin chains one CTE per
+    // iteration).
+    "q_pagerank" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val edges = l.join(o, Seq("l_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("c"), col("o_custkey")).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy(col("pr").desc, col("node").asc)
+        .limit(20)
+    }),
+
+    // BM25 top-k retrieval for a fixed probe query (Lucene-style scoring
+    // variant — see Retrieval.bm25TopK); idf/tf arithmetic replayed
+    // exactly by the DuckDB twin, ranking on the rounded score
+    "q_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "hash", "window"), k = 10)),
+
+    // count-min sketch point estimates: fixed-constant universal hashing
+    // makes the sketch content itself deterministic, so the DuckDB twin
+    // rebuilds the exact cells and reproduces the exact estimates —
+    // sketch built map-side-mergeable, probed with codegen'd built-ins
+    "q_cms_counts" -> ((s, dir) => {
+      import graft.functions.SketchAggregates
+      val sk = events(s, dir).agg(
+        SketchAggregates.countMin(col("user_id"), depth = 4, width = 64).as("sk"))
+      s.range(0, 10).select(col("id").as("probe_user"))
+        .crossJoin(broadcast(sk))
+        .select(col("probe_user"),
+          SketchAggregates.countMinEstimate(col("sk"), col("probe_user"),
+            depth = 4, width = 64).as("est"))
+        .orderBy("probe_user")
+    }),
+
+    // deterministic weighted mixture sampling: per-source keep rates from
+    // a pure hash of the doc id (no RNG) — reproducible across engines,
+    // monotone in the weight; rates land near the weights
+    "q_weighted_mix" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("wt",
+        (substring(col("source"), 4, 10).cast("int") % 5 + 1) / lit(5.0))
+      val kept = graft.ops.ScaleOps.weightedMixtureSample(d, "doc_id", col("wt"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      d.groupBy("source").agg(max("wt").as("wt"), count(lit(1)).as("n_total"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("wt"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(coalesce(col("n_kept"), lit(0L)) / col("n_total"), 4).as("kept_rate"))
+        .orderBy("source")
+    }),
+
+    // corpus n-gram duplication profile per source — the memorization-
+    // risk metric: of each source's distinct 5-grams, what fraction
+    // appears in ≥2 docs corpus-wide
+    "q_dup_ngram_rate" -> ((s, dir) =>
+      Dedup.ngramDupStats(docs(s, dir), "doc_id", "text", "source",
+        n = 5, minDocs = 2)
+        .orderBy("source")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2283,5 +2350,118 @@ object SparkEntry {
                   AS frame_idx
          FROM documents WHERE doc_id % 3 = 0
          ORDER BY media_id, frame_idx""",
+
+    // 3 PageRank iterations as chained CTEs — identical edge set,
+    // identical r_{t+1} = 0.15 + 0.85·Σ r_t/deg arithmetic
+    "q_pagerank" ->
+      """WITH e0 AS (
+           SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT src, dst FROM e0
+               UNION SELECT dst AS src, src AS dst FROM e0),
+         deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+         r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+         r1 AS (SELECT e.dst AS node, 0.15 + 0.85 * SUM(r.pr / d.deg) AS pr
+                FROM e JOIN r0 r ON e.src = r.node
+                       JOIN deg d ON e.src = d.node GROUP BY e.dst),
+         r2 AS (SELECT e.dst AS node, 0.15 + 0.85 * SUM(r.pr / d.deg) AS pr
+                FROM e JOIN r1 r ON e.src = r.node
+                       JOIN deg d ON e.src = d.node GROUP BY e.dst),
+         r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * SUM(r.pr / d.deg) AS pr
+                FROM e JOIN r2 r ON e.src = r.node
+                       JOIN deg d ON e.src = d.node GROUP BY e.dst)
+         SELECT node, ROUND(pr, 6) AS pr FROM r3
+         ORDER BY ROUND(pr, 6) DESC, node LIMIT 20""",
+
+    "q_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         base AS (SELECT doc_id, len(t) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+           WHERE term IN ('spark', 'hash', 'window')
+           GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         parts AS (
+           SELECT tf.doc_id AS doc_id,
+                  ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf
+                    / (tf.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * b.dl / s.avgdl)) AS part
+           FROM tf JOIN df USING (term)
+                JOIN base b ON tf.doc_id = b.doc_id
+                CROSS JOIN stats s)
+         SELECT doc_id, ROUND(SUM(part), 4) AS score
+         FROM parts GROUP BY doc_id
+         ORDER BY ROUND(SUM(part), 4) DESC, doc_id LIMIT 10""",
+
+    // exact replay of the count-min cells: same fixed hash family
+    // ((a·(x mod p) + b) mod p) mod width, p = 2^31−1, in BIGINT math
+    "q_cms_counts" ->
+      """WITH h(i, a, b) AS (
+           VALUES (0, 1299721, 7), (1, 15485863, 101),
+                  (2, 32452843, 1009), (3, 49979687, 10007)),
+         cells AS (
+           SELECT h.i AS i,
+                  ((h.a * ((user_id % 2147483647 + 2147483647) % 2147483647)
+                    + h.b) % 2147483647) % 64 AS bkt,
+                  count(*) AS c
+           FROM events CROSS JOIN h GROUP BY 1, 2),
+         probes AS (SELECT unnest(range(0, 10)) AS probe_user),
+         est AS (
+           SELECT p.probe_user AS probe_user,
+                  MIN(coalesce(c.c, 0)) AS est
+           FROM probes p CROSS JOIN h
+           LEFT JOIN cells c ON c.i = h.i
+            AND c.bkt = ((h.a * ((p.probe_user % 2147483647 + 2147483647)
+                                 % 2147483647) + h.b) % 2147483647) % 64
+           GROUP BY 1)
+         SELECT probe_user, CAST(est AS BIGINT) AS est
+         FROM est ORDER BY probe_user""",
+
+    // same Knuth multiplicative hash + integer threshold compare
+    "q_weighted_mix" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+                  (CAST(substr(source, 4) AS INT) % 5 + 1)
+                    / CAST(5.0 AS DOUBLE) AS wt
+           FROM documents),
+         k AS (
+           SELECT source, count(*) AS n_kept
+           FROM d
+           WHERE (doc_id * 2654435761) % 4294967296 <
+                 CAST(floor(wt * 4294967296.0) AS BIGINT)
+           GROUP BY source),
+         t AS (SELECT source, MAX(wt) AS wt, count(*) AS n_total
+               FROM d GROUP BY source)
+         SELECT t.source AS source, t.wt AS wt, t.n_total AS n_total,
+                coalesce(k.n_kept, 0) AS n_kept,
+                ROUND(coalesce(k.n_kept, 0) / CAST(t.n_total AS DOUBLE), 4)
+                  AS kept_rate
+         FROM t LEFT JOIN k USING (source) ORDER BY source""",
+
+    "q_dup_ngram_rate" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         gr AS (
+           SELECT doc_id, source,
+                  unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                        for i in range(1, len(t) - 3)])) AS g
+           FROM toks WHERE len(t) >= 5),
+         dc AS (SELECT g, count(*) AS nd FROM gr GROUP BY g),
+         sg AS (SELECT DISTINCT source, g FROM gr)
+         SELECT sg.source AS source, count(*) AS n_grams,
+                count(CASE WHEN dc.nd >= 2 THEN 1 END) AS n_dup,
+                ROUND(count(CASE WHEN dc.nd >= 2 THEN 1 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+         FROM sg JOIN dc USING (g) GROUP BY sg.source ORDER BY source""",
   )
 }

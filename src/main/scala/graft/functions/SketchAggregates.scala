@@ -122,10 +122,138 @@ case class FreqItems(child: Expression, k: Int, capacity: Int,
   override def prettyName: String = "freq_items"
 }
 
+/** Count-min sketch aggregate over a long key column.
+  *
+  * `count_min(key, depth, width)` returns the flat depth×width counter
+  * array (row-major: cell (i, b) at index i·width + b). Point estimates
+  * are then plain SQL over the array — `least(element_at(...), ...)`
+  * across the depth rows — so the estimation side stays codegen'd and
+  * cross-engine-replayable. The hash family is fixed-constant universal
+  * hashing ((aᵢ·x + bᵢ) mod p) mod width with p = 2³¹−1, entirely in
+  * integer arithmetic, so an external engine can replay the exact sketch
+  * (CORRECTNESS oracle) — unlike seeded murmur sketches which are
+  * engine-private. Mergeable (cell-wise add), O(depth·width) state per
+  * partition, map-side partials like any TypedImperativeAggregate; the
+  * standard CMS guarantee: estimates never under-count, over-count
+  * ≤ 2N/width with probability 1 − 2⁻ᵈᵉᵖᵗʰ.
+  */
+case class CountMin(child: Expression, depth: Int, width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(depth >= 1 && depth <= CountMin.A.length,
+    s"depth must be in [1, ${CountMin.A.length}]")
+  require(width >= 2)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"count_min needs an integral key, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+      }
+      var i = 0
+      while (i < depth) {
+        buf(i * width + CountMin.bucket(i, x, width)) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(_.asInstanceOf[Any]))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach(out.writeLong)
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    Array.fill(n)(in.readLong())
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): CountMin =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): CountMin =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CountMin =
+    copy(child = c.head)
+  override def prettyName: String = "count_min"
+}
+
+object CountMin {
+  /** Mersenne prime 2³¹−1 — the classic universal-hashing modulus. */
+  val P: Long = 2147483647L
+  /** Fixed hash-family constants (primes); depth i uses (A(i), B(i)). */
+  val A: Array[Long] = Array(1299721L, 15485863L, 32452843L, 49979687L,
+    67867967L, 86028121L, 104395301L, 122949823L)
+  val B: Array[Long] = Array(7L, 101L, 1009L, 10007L, 100003L, 1000003L,
+    10000019L, 100000007L)
+
+  /** ((aᵢ·(x mod p) + bᵢ) mod p) mod width, with x folded non-negative
+    * first so the products stay far inside Long range. */
+  def bucket(i: Int, x: Long, width: Int): Int = {
+    val xm = java.lang.Math.floorMod(x, P)
+    (((A(i) * xm + B(i)) % P) % width).toInt
+  }
+}
+
 object SketchAggregates {
   /** Top-k frequent tokens over an array<string> column (Misra–Gries). */
   def freqItems(tokens: Column, k: Int, capacity: Int = 4096): Column =
     GraftColumnBridge.column(
       FreqItems(GraftColumnBridge.expression(tokens), k, capacity)
         .toAggregateExpression())
+
+  /** Count-min sketch over an integral key column: flat depth×width
+    * counter array (see [[CountMin]]). */
+  def countMin(key: Column, depth: Int = 4, width: Int = 64): Column =
+    GraftColumnBridge.column(
+      CountMin(GraftColumnBridge.expression(key), depth, width)
+        .toAggregateExpression())
+
+  /** Point estimate from a [[CountMin]] sketch column: min over the
+    * depth rows of the probed cell. `probe` must be the same integral
+    * key type the sketch was built over. Pure built-in expressions
+    * (element_at/least) — codegen'd, and replayable by an external
+    * engine with the same integer arithmetic. */
+  def countMinEstimate(sketch: Column, probe: Column,
+      depth: Int = 4, width: Int = 64): Column = {
+    import org.apache.spark.sql.functions._
+    val cells = (0 until depth).map { i =>
+      val xm = pmod(probe.cast("long"), lit(CountMin.P))
+      val bkt = pmod(pmod(lit(CountMin.A(i)) * xm + lit(CountMin.B(i)),
+        lit(CountMin.P)), lit(width.toLong))
+      element_at(sketch, (lit(i.toLong * width) + bkt + lit(1L)).cast("int"))
+    }
+    if (cells.size == 1) cells.head else least(cells: _*)
+  }
 }

@@ -306,6 +306,37 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus n-gram duplication profile, per group (e.g. per source):
+    * of the distinct word n-grams each group contributes, what fraction
+    * also appears in at least `minDocs` documents corpus-wide? This is
+    * the standard memorization-risk / boilerplate metric run before
+    * training (high dup_rate ⇒ the source is template-heavy and a
+    * substring-dedup pass will shrink it hardest) — the measuring twin
+    * of the pairwise dedup operators above.
+    *
+    * Scale shape: explode distinct-per-doc n-grams once, one hash agg
+    * for global doc-counts, one for the per-group rollup — linear in
+    * corpus token count, no pairwise joins, no driver state. Docs with
+    * fewer than n tokens contribute nothing (WordNgrams yields empty).
+    *
+    * Output: (group, n_grams, n_dup, dup_rate) — dup_rate rounded 4 dp.
+    */
+  def ngramDupStats(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("__doc"), col(groupCol).as("grp"),
+      explode(array_distinct(
+        graft.functions.TextExpressions.wordNgrams(col(textCol), n))).as("g"))
+    // grams are distinct per doc, so count(*) per gram = containing docs
+    val docCounts = grams.groupBy("g")
+      .agg(count(lit(1)).as("nd"))
+    grams.select("grp", "g").distinct()
+      .join(docCounts, Seq("g"))
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("nd") >= minDocs, 1)).as("n_dup"))
+      .withColumn("dup_rate", round(col("n_dup") / col("n_grams"), 4))
+  }
+
   /** Connected components over a near-dup pair graph: every document gets
     * the MIN id reachable through pairs as its `family` — the dedup
     * endgame (keep one survivor per family) once pairwise candidates

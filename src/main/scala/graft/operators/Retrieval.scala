@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextExpressions
+
+/** Lexical retrieval over a document corpus: BM25 scoring against a fixed
+  * term set — the standard pre-neural ranking function and the usual
+  * first-stage filter in a training-data curation stack (e.g. "pull the
+  * top-k documents matching this probe query" before an embedding pass).
+  *
+  * Scale shape: one explode of only the MATCHING tokens (the `isin`
+  * filter runs before the tf aggregation, so the shuffle carries
+  * (doc, term) pairs for query terms only — not the whole token stream);
+  * document-frequency and corpus statistics are tiny aggregates that
+  * broadcast back. No all-pairs anything, no driver-side state.
+  */
+object Retrieval {
+
+  /** Top-k documents by BM25 score for `queryTerms`.
+    *
+    * score(d) = Σ_t idf(t) · tf / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Robertson/Sparck-Jones)
+    *
+    * This is the Lucene-style variant that drops the classic (k1+1)
+    * numerator factor — a per-term positive constant, so document
+    * ranking is identical; dropping it also keeps every constant in the
+    * formula a plain literal both engines parse to the same double
+    * (k1+1 computed in Scala vs parsed as a literal can differ in the
+    * last ulp).
+    *
+    * Tokenization is the repo-standard whitespace/lowercase pass
+    * (TextExpressions.tokenize) so cross-engine oracles can replay it.
+    * Output ranks on the ROUNDED score (4 dp) with id tiebreak — the
+    * repo's determinism rule for cross-engine float comparison.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextExpressions.wordTokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+
+    // corpus stats: one tiny agg, broadcast into the scoring join
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+    // per-doc distinct terms ⇒ rows per term = document frequency
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part",
+        col("idf") * col("tf") /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("part"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

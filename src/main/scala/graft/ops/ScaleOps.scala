@@ -71,6 +71,30 @@ object ScaleOps {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Deterministic weighted mixture sampling — the "mix dataset Dᵢ at
+    * weight wᵢ" primitive for assembling a training corpus from sources.
+    * A row is kept iff hash(id) falls under its row's weight, with the
+    * hash a fixed multiplicative map (Knuth's 2654435761 mod 2³²) over
+    * the id column — NOT an engine-seeded RNG. That buys three things
+    * rate-based `sample()` can't: (1) reproducible across runs, row
+    * order, partitioning, and engines (the inclusion decision is a pure
+    * function of the id — an external engine can replay it exactly, so
+    * the operator is oracle-checkable); (2) stable under re-runs of an
+    * incremental pipeline (a doc's fate never flips when the batch
+    * around it changes); (3) monotone in the weight (raising wᵢ only
+    * ADDS documents — the kept set at 0.4 is a superset of 0.2, pinned
+    * in ScaleOpsSpec). Map-side filter, no shuffle, no driver state.
+    *
+    * `weight` is any per-row Column in [0, 1] (typically joined or
+    * derived from the source column). The integer threshold compare
+    * (hash < floor(w·2³²)) keeps the decision in exact integer space.
+    */
+  def weightedMixtureSample(df: DataFrame, idCol: String,
+      weight: Column): DataFrame = {
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L))
+    df.filter(h < floor(weight * lit(4294967296.0)).cast("long"))
+  }
+
   /** Deterministic consistent sample: exactly min(k, |group|) rows per
     * group, chosen as the k smallest xxhash64 values over (seed, id
     * columns) — the "k examples per language" eval-set primitive.

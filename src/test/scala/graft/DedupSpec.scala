@@ -117,6 +117,31 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("ngramDupStats: per-group share of globally duplicated n-grams") {
+    // 2-grams, minDocs=2. Doc grams:
+    //  a1: {x y, y z}   a2: {x y, y q}   b1: {x y, y z}   b2: {p q, q r}
+    // global dup grams (>=2 docs): "x y" (3 docs), "y z" (2 docs)
+    // group a distinct grams: {x y, y z, y q} -> 2/3 dup
+    // group b distinct grams: {x y, y z, p q, q r} -> 2/4 dup
+    val docs = Seq(
+      (1L, "x y z", "a"), (2L, "x y q", "a"),
+      (3L, "x y z", "b"), (4L, "p q r", "b")
+    ).toDF("doc_id", "text", "src")
+    val out = Dedup.ngramDupStats(docs, "doc_id", "text", "src", n = 2)
+      .orderBy("src")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 3L, 2L, 0.6667), ("b", 4L, 2L, 0.5)))
+  }
+
+  test("ngramDupStats drops docs shorter than n tokens") {
+    val docs = Seq((1L, "only two", "g"), (2L, "a b c d", "g"))
+      .toDF("doc_id", "text", "src")
+    // n=3: doc 1 yields nothing; doc 2 yields {a b c, b c d}, none dup
+    val out = Dedup.ngramDupStats(docs, "doc_id", "text", "src", n = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("g", 2L, 0L, 0.0)))
+  }
+
   test("dedupFamilies: transitive chains collapse to one family, singletons stay") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 0-1, 1-2 (transitive family {0,1,2}), pair {4,5}, singletons 3,6

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark spark spark engine"),      // high tf on one term
+    (2L, "spark hash join"),               // two distinct query terms
+    (3L, "sort merge join strategy"),      // no query terms
+    (4L, "hash"),                          // short doc, one term
+    (5L, "the quick brown fox jumps over the lazy dog entirely unrelated")
+  ).toDF("doc_id", "text")
+
+  test("bm25 excludes documents with no query terms") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark", "hash"))
+      .as[(Long, Double)].collect().toMap
+    assert(!out.contains(3L) && !out.contains(5L))
+    assert(out.keySet == Set(1L, 2L, 4L))
+  }
+
+  test("bm25 ranks multi-term matches above repeated single terms") {
+    // tf saturation: doc 2 matches both terms, doc 1 has tf=3 on one —
+    // BM25's tf curve saturates so coverage beats repetition
+    val top = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark", "hash"))
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 2L, s"expected doc 2 first, got ${top.toSeq}")
+  }
+
+  test("bm25 scores decrease down the returned list and respect k") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "hash"), k = 2).as[(Long, Double)].collect()
+    assert(out.length == 2)
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true })
+  }
+
+  test("bm25 rewards rarer terms via idf") {
+    // "hash" appears in 2 docs, "spark" in 2 docs; add docs to skew df
+    val skewed = docs.union(Seq(
+      (6L, "spark pipelines"), (7L, "spark streaming")).toDF("doc_id", "text"))
+    // one doc with only "spark" (common), one with only "hash" (rarer);
+    // equal tf and dl => the rarer term must score higher
+    val probe = Seq((10L, "spark alpha"), (11L, "hash alpha"))
+      .toDF("doc_id", "text").union(skewed)
+    val out = Retrieval.bm25TopK(probe, "doc_id", "text", Seq("spark", "hash"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(11L) > out(10L))
+  }
+}

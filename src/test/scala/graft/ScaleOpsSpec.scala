@@ -61,6 +61,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ratio > 0.3 && ratio < 0.7, s"en ratio $ratio")
   }
 
+  test("weightedMixtureSample: deterministic, monotone in weight, near-rate") {
+    val docs = Tables.load(spark, sf, "documents")
+    def kept(w: Double): Set[Long] =
+      ScaleOps.weightedMixtureSample(docs, "doc_id", lit(w))
+        .select("doc_id").as[Long].collect().toSet
+    val k4a = kept(0.4)
+    // pure function of the id: identical across runs and repartitioning
+    assert(kept(0.4) == k4a)
+    assert(ScaleOps.weightedMixtureSample(docs.repartition(7), "doc_id", lit(0.4))
+      .select("doc_id").as[Long].collect().toSet == k4a)
+    // monotone: raising the weight only ADDS documents
+    val k2 = kept(0.2)
+    val k8 = kept(0.8)
+    assert(k2.subsetOf(k4a) && k4a.subsetOf(k8))
+    // realized rate tracks the weight (multiplicative hash is uniform)
+    val n = docs.count().toDouble
+    assert(math.abs(k4a.size / n - 0.4) < 0.15, s"rate ${k4a.size / n}")
+    assert(kept(1.0).size == n.toLong) // weight 1.0 keeps everything
+    assert(kept(0.0).isEmpty)
+  }
+
   test("consistentSamplePerGroup: exact per-group counts, subset, repartition-stable") {
     val docs = Tables.load(spark, sf, "documents")
     val sampled = ScaleOps.consistentSamplePerGroup(

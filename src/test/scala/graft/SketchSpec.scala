@@ -38,6 +38,46 @@ class SketchSpec extends SparkSpec {
     assert(out == Map("g1" -> "x", "g2" -> "z"))
   }
 
+  test("count_min never under-counts and is exact without collisions") {
+    // keys 0..9 with known multiplicities; width 64 over 10 keys may
+    // still collide, so assert the one-sided CMS guarantee per key
+    val rows = (0L until 10L).flatMap(k => Seq.fill(k.toInt + 1)(k))
+    val df = rows.toDF("k").repartition(4) // force partial sketches + merge
+    val sk = df.agg(SketchAggregates.countMin($"k", 4, 64).as("sk"))
+    val est = spark.range(0, 10).select($"id".as("p"))
+      .crossJoin(sk)
+      .select($"p", SketchAggregates.countMinEstimate($"sk", $"p", 4, 64).as("e"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { k =>
+      assert(est(k) >= k + 1, s"under-count at $k: ${est(k)}")
+    }
+    // total over-count across all probes is bounded by collisions with
+    // the 10-key stream: with width 64 and 10 keys, most estimates are
+    // exact — require at least 8 of 10 exact
+    val exact = (0L until 10L).count(k => est(k) == k + 1)
+    assert(exact >= 8, s"only $exact exact estimates: $est")
+  }
+
+  test("count_min merge equals single-partition build") {
+    val rows = (0L until 500L).map(_ % 37)
+    val one = rows.toDF("k").coalesce(1)
+      .agg(SketchAggregates.countMin($"k", 4, 64)).head().getSeq[Long](0)
+    val many = rows.toDF("k").repartition(8)
+      .agg(SketchAggregates.countMin($"k", 4, 64)).head().getSeq[Long](0)
+    assert(one == many)
+  }
+
+  test("count_min estimate for an absent key reflects only collisions") {
+    val df = (0L until 100L).toDF("k")
+    val sk = df.agg(SketchAggregates.countMin($"k", 4, 1024).as("sk"))
+    // key far outside the inserted range; wide sketch => likely 0, and
+    // never negative
+    val e = sk.select(
+      SketchAggregates.countMinEstimate($"sk", lit(999999L), 4, 1024).as("e"))
+      .as[Long].head()
+    assert(e >= 0L && e <= 5L)
+  }
+
   test("approx_percentile lands within its rank-error bound of the exact value") {
     import org.apache.spark.sql.functions._
     val ev = Tables.load(spark, sf, "events")
