@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharClassCounts, DotProduct, LangId, MemberCount,
-  MinHashSig, Registry, SimHash64, WinnowHashes, WordNgrams, WordShingles,
-  WordTokens}
+import graft.functions.{CharClassCounts, CountMin, DotProduct, FreqItems,
+  LangId, MemberCount, MinHashSig, Registry, SimHash64, WinnowHashes,
+  WordNgrams, WordShingles, WordTokens}
 import graft.plans.RewriteIntersectSize
 
 /** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -46,5 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("member_count"),
       new ExpressionInfo(classOf[MemberCount].getName, "member_count"),
       exprs => MemberCount(exprs(0), Registry.evalStringArray(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
+      exprs => FreqItems(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("count_min"),
+      new ExpressionInfo(classOf[CountMin].getName, "count_min"),
+      exprs => CountMin(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])))
   }
 }

@@ -15,7 +15,9 @@ object PlanAudit {
         "q_ngram_jaccard", "q_bloom_join", "q_dedup_families", "q_pmi_bigrams",
         "q_pack_sequences", "q_funnel", "q_resample", "q_user_features",
         "q_repetition", "q_contamination", "q_stratified_sample",
-        "q_tpch_q3", "q_tpch_q5", "q_pii_redact", "q_consistent_sample")
+        "q_tpch_q3", "q_tpch_q5", "q_pii_redact", "q_consistent_sample",
+        "q_pagerank", "q_bm25", "q_cms_counts", "q_weighted_mix",
+        "q_dup_ngram_rate")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

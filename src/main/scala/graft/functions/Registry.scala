@@ -28,6 +28,14 @@ object Registry {
       exprs => CharClassCounts(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("member_count",
       exprs => MemberCount(exprs(0), evalStringArray(exprs(1))), "built-in")
+    // aggregates: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression during resolution, same as the built-ins
+    reg.createOrReplaceTempFunction("freq_items",
+      exprs => FreqItems(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("count_min",
+      exprs => CountMin(exprs(0), exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 
   /** Fold a literal array-of-strings argument (e.g. `array('a','b')`). */

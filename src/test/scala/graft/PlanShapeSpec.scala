@@ -54,6 +54,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"))
   }
 
+  test("pagerank and ngram-dup profiles never plan a cartesian product") {
+    Seq("q_pagerank", "q_dup_ngram_rate").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(1500)}")
+    }
+  }
+
+  test("bm25 broadcasts the tiny df/stats sides, hash-joins the tf side") {
+    val plan = SparkEntry.queries("q_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // term→df join is a broadcast hash join; the only nested-loop is the
+    // single-row corpus-stats broadcast (a deliberate 1×N attach)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect() // AQE shows codegen spans only in the final executed plan

@@ -95,5 +95,15 @@ class SourcesSpec extends SparkSpec {
     val ng = spark.sql(
       "SELECT word_ngrams('a b a b', 2) AS g").as[Seq[String]].head()
     assert(ng == Seq("a b", "b a", "a b"))
+    // round-4 registrations: sketch aggregates resolve from plain SQL
+    // (the analyzer wraps the bare AggregateFunction)
+    val fi = spark.sql(
+      """SELECT freq_items(toks, 1, 16)[0].token AS t
+         FROM (SELECT array('a','b','a') AS toks)""").as[String].head()
+    assert(fi == "a")
+    val cm = spark.sql(
+      """SELECT size(count_min(k, 4, 64)) AS n
+         FROM (SELECT CAST(5 AS BIGINT) AS k)""").as[Int].head()
+    assert(cm == 256)
   }
 }
