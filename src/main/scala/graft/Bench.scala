@@ -52,8 +52,14 @@ object Bench {
     val loadStart = loadAvg
     val calStart = calibrate()
 
+    // Dev aid: SPARK_GRAFT_ONLY=q_a,q_b times a subset. Filtered runs skip
+    // the BENCH_DETAIL.json sidecar so a scratch run never clobbers the
+    // full-suite record.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val queries = only.fold(SparkEntry.queries)(s => SparkEntry.queries.view.filterKeys(s).toMap)
+
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
@@ -75,9 +81,10 @@ object Bench {
     val fullQs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$fullQs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
     // Stdout line: slowest queries first, truncated to fit the byte budget.
     val sorted = results.toSeq.sortBy(-_._2)

@@ -25,41 +25,59 @@ object Graph {
     *
     * r₀(v) = 1;  r_{t+1}(v) = (1-d) + d · Σ_{(u,v)∈E} r_t(u) / deg(u)
     *
-    * Scale shape: degree table and rank vector are both keyed by node —
-    * the per-round plan is two hash joins + one aggregation on the edge
-    * relation, all shuffle-partitioned on node id; lineage is truncated
-    * per round so the plan stays O(1) deep regardless of iterations.
+    * Scale shape: the out-degree is fused into the edge list ONCE
+    * (`(src, dst, deg)`, materialized src-partitioned), so each round is
+    * exactly one hash join + one aggregation, both shuffle-partitioned on
+    * node id — not the naive per-round recompute of degree and node
+    * tables, which triples the join count and re-runs a distinct over the
+    * edges every iteration. In undirected mode every node is some edge's
+    * dst, so the rank vector needs no reconciling outer join with a node
+    * table either. Lineage is truncated per round so the plan stays O(1)
+    * deep regardless of iterations.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85,
       undirected: Boolean = true): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
+    // materialize the canonical edge set ONCE — the upstream edge
+    // derivation (often a fact-table join) is the expensive part, and
+    // both sides of the deg-fusion join below read it
     val e = (if (undirected)
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-    else e0).distinct().cache()
+    else e0).distinct().localCheckpoint(true)
 
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    var ranks = nodes.withColumn("pr", lit(1.0)).localCheckpoint(true)
+    // deg fused once; the join output is already hash-partitioned on src,
+    // so every round's rank join reuses this side's partitioning
+    val ew = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint(true)
+    // full node table only needed where a node can receive zero
+    // contributions (directed graphs — mirrored edges make every node a
+    // dst, so undirected r_{t+1} covers all nodes by construction)
+    lazy val nodes = ew.select(col("src").as("node"))
+      .unionByName(ew.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var ranks =
+      (if (undirected) e.select(col("src").as("node")).distinct() else nodes)
+        .withColumn("pr", lit(1.0)).localCheckpoint(true)
 
     var i = 0
     while (i < iterations) {
-      val contribs = e
+      val contribs = ew
         .join(ranks.select(col("node").as("src"), col("pr")), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("in_mass"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
+      val next =
+        if (undirected) contribs
+        else nodes.join(contribs, Seq("node"), "left")
+      ranks = next
         .select(col("node"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
       i += 1
     }
-    e.unpersist()
     ranks
   }
 }
