@@ -1207,6 +1207,60 @@ object SparkEntry {
       Dedup.ngramDupStats(docs(s, dir), "doc_id", "text", "source",
         n = 5, minDocs = 2)
         .orderBy("source")),
+
+    // HITS hubs/authorities on the directed supplier→part supply graph
+    // (edge list straight from lineitem, no upstream join). L1
+    // normalization per half-step keeps every constant replayable; the
+    // DuckDB twin chains two CTEs per iteration. Ranking on ROUNDED
+    // scores with node tiebreak, per the repo determinism rule.
+    "q_hits" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      Graph.hits(edges, "src", "dst", iterations = 2)
+        .orderBy(col("auth").desc, col("hub").desc, col("node").asc)
+        .limit(20)
+    }),
+
+    // Deterministic synchronous label propagation on the undirected
+    // supplier↔part graph: communities emerge as shared min-ish labels;
+    // output is the community-size histogram (top 20)
+    "q_label_prop" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "lineitem")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      Graph.labelPropagation(edges, "src", "dst", iterations = 2)
+        .groupBy("label").agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("label").asc)
+        .limit(20)
+    }),
+
+    // inverted-index build over the documents corpus: df + impact-
+    // truncated postings per term. Postings flattened to "doc:tf" text
+    // for the oracle compare (driver's pandas hash can't sort nested
+    // list-of-struct columns — same rule as q_array_ops).
+    "q_postings" -> ((s, dir) =>
+      Retrieval.invertedIndex(docs(s, dir), "doc_id", "text",
+        maxPostings = 20)
+        .select(col("term"), col("df"),
+          array_join(transform(col("postings"),
+            p => concat(p.getField("doc_id"), lit(":"), p.getField("tf"))),
+            " ").as("postings"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(20)),
+
+    // model-based quality filter: frozen logistic model over the text
+    // features, scored row-local and aggregated per source — the
+    // distributed-scoring half of a learned quality classifier
+    "q_quality_model" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          qualityLogit(col("text")).as("score"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("score") >= 0.6, 1)).as("n_keep"),
+          round(avg("score"), 4).as("avg_score"))
+        .orderBy("source")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2463,5 +2517,116 @@ object SparkEntry {
                 ROUND(count(CASE WHEN dc.nd >= 2 THEN 1 END)
                       / CAST(count(*) AS DOUBLE), 4) AS dup_rate
          FROM sg JOIN dc USING (g) GROUP BY sg.source ORDER BY source""",
+
+    // HITS, two iterations as chained CTEs — identical edge set,
+    // identical L1 normalization per half-step
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                           'p' || l_partkey AS dst FROM lineitem),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         h0 AS (SELECT node, 1.0 AS h FROM nodes),
+         a1r AS (SELECT e.dst AS node, SUM(h0.h) AS a
+                 FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+         a1 AS (SELECT node, a / (SELECT SUM(a) FROM a1r) AS a FROM a1r),
+         h1r AS (SELECT e.src AS node, SUM(a1.a) AS h
+                 FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+         h1 AS (SELECT node, h / (SELECT SUM(h) FROM h1r) AS h FROM h1r),
+         a2r AS (SELECT e.dst AS node, SUM(h1.h) AS a
+                 FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+         a2 AS (SELECT node, a / (SELECT SUM(a) FROM a2r) AS a FROM a2r),
+         h2r AS (SELECT e.src AS node, SUM(a2.a) AS h
+                 FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+         h2 AS (SELECT node, h / (SELECT SUM(h) FROM h2r) AS h FROM h2r)
+         SELECT n.node AS node, ROUND(COALESCE(a2.a, 0), 6) AS auth,
+                ROUND(COALESCE(h2.h, 0), 6) AS hub
+         FROM nodes n LEFT JOIN a2 ON n.node = a2.node
+                      LEFT JOIN h2 ON n.node = h2.node
+         ORDER BY ROUND(COALESCE(a2.a, 0), 6) DESC,
+                  ROUND(COALESCE(h2.h, 0), 6) DESC, n.node LIMIT 20""",
+
+    // synchronous LPA, two rounds as chained CTEs: adopt the most
+    // frequent neighbor label, ties to the smallest label
+    "q_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                            'p' || l_partkey AS dst FROM lineitem),
+         e AS (SELECT src, dst FROM e0
+               UNION SELECT dst AS src, src AS dst FROM e0),
+         r0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         n1 AS (SELECT e.src AS node, r.label, count(*) AS cnt
+                FROM e JOIN r0 r ON e.dst = r.node GROUP BY e.src, r.label),
+         r1 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                  FROM n1) WHERE rn = 1),
+         n2 AS (SELECT e.src AS node, r.label, count(*) AS cnt
+                FROM e JOIN r1 r ON e.dst = r.node GROUP BY e.src, r.label),
+         r2 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                  FROM n2) WHERE rn = 1)
+         SELECT label, count(*) AS n_members FROM r2 GROUP BY label
+         ORDER BY count(*) DESC, label LIMIT 20""",
+
+    // inverted index: same tokenize, same (tf DESC, doc_id) truncation,
+    // postings rendered doc_id-ordered as "doc:tf" text
+    "q_postings" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         tf AS (SELECT term, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+                GROUP BY term, doc_id),
+         ranked AS (SELECT term, doc_id, tf,
+                           count(*) OVER (PARTITION BY term) AS df,
+                           row_number() OVER (PARTITION BY term
+                             ORDER BY tf DESC, doc_id) AS rn
+                    FROM tf)
+         SELECT term, df,
+                string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+         FROM ranked WHERE rn <= 20
+         GROUP BY term, df
+         ORDER BY df DESC, term LIMIT 20""",
+
+    // frozen logistic quality model: identical feature arithmetic to the
+    // q_text_quality twins plus the digit class, squashed by exp()
+    "q_quality_model" ->
+      """WITH base AS (
+           SELECT source, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  length(text) AS n_char
+           FROM documents),
+         m AS (
+           SELECT source, len(toks) AS n_tok,
+                  len(list_filter(toks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it',
+                       'that','for','on','with','as','this','by'], t)))
+                    AS sw_hits,
+                  n_char - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                    AS n_punct,
+                  n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS n_alpha,
+                  n_char - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS n_digit,
+                  greatest(n_char, 1) AS len1
+           FROM base),
+         s AS (
+           SELECT source,
+                  ROUND(1.0 / (1.0 + exp(-(
+                    -1.0
+                    + 1.2 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                                  WHEN n_tok BETWEEN 3 AND 9 THEN 0.5
+                                  ELSE 0.0 END)
+                    - 2.0 * (n_punct * 1.0 / len1)
+                    + 1.5 * (n_alpha * 1.0 / len1)
+                    + 2.0 * (sw_hits * 1.0 / greatest(n_tok, 1))
+                    - 1.0 * (n_digit * 1.0 / len1)))), 6) AS score
+           FROM m)
+         SELECT source, count(*) AS n_docs,
+                count(CASE WHEN score >= 0.6 THEN 1 END) AS n_keep,
+                ROUND(AVG(score), 4) AS avg_score
+         FROM s GROUP BY source ORDER BY source""",
   )
 }

@@ -75,6 +75,28 @@ object TextFunctions {
     round(lengthOk * 0.3 + punctOk * 0.3 + fluency * 0.2 + alpha * 0.2, 4)
   }
 
+  /** Model-based quality score: a fixed linear model over the same
+    * replayable text features, squashed through a sigmoid — the
+    * distributed-scoring plumbing of a fasttext/logreg quality
+    * classifier, with the learned weights frozen as literals so the
+    * result is a pure deterministic function of the text (swap the
+    * constants for trained weights in a real deployment; the plan shape
+    * — one char-class pass + one tokenize pass per row, no shuffle —
+    * is the part that matters at corpus scale).
+    *
+    * z = −1.0 + 1.2·lengthOk − 2.0·punct + 1.5·alpha + 2.0·stop − 1.0·digit
+    * score = round(1 / (1 + e^−z), 6)
+    */
+  def qualityLogit(c: Column): Column = {
+    val n = tokenCount(c)
+    val lengthOk = when(n.between(10, 100000), lit(1.0))
+      .when(n.between(3, 9), lit(0.5)).otherwise(lit(0.0))
+    val z = lit(-1.0) + lit(1.2) * lengthOk - lit(2.0) * punctRatio(c) +
+      lit(1.5) * alphaRatio(c) + lit(2.0) * stopwordRatio(c) -
+      lit(1.0) * digitRatio(c)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   private val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),

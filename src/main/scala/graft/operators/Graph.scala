@@ -80,4 +80,99 @@ object Graph {
     }
     ranks
   }
+
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities) over a directed
+    * edge list, L1-normalized each half-step so the scores are scale-free
+    * and the arithmetic replays exactly on another engine:
+    *
+    * a_{t+1}(v) = Σ_{(u,v)∈E} h_t(u) / ‖·‖₁ ;  h_{t+1}(u) = Σ_{(u,v)∈E} a_{t+1}(v) / ‖·‖₁
+    *
+    * Nodes with no in-edges get authority 0 (and symmetrically hub 0) via
+    * the final reconciling left join — they drop out of the iteration
+    * entirely, so the per-round working set is only the reachable side.
+    *
+    * Scale shape: per half-step, one hash join of the edge list against a
+    * node-keyed score vector + one aggregation; the L1 total is a
+    * single-row aggregate broadcast back (no driver collect). The edge
+    * set is materialized once; lineage truncates per half-step.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+
+    def l1Normalize(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(sum(col(c)).as("_tot"))))
+        .select(col("node"), (col(c) / col("_tot")).as(c))
+        .localCheckpoint(true)
+
+    var hub = nodes.withColumn("h", lit(1.0)).localCheckpoint(true)
+    var auth: DataFrame = null
+    var i = 0
+    while (i < iterations) {
+      val aRaw = e
+        .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+        .select(col("dst").as("node"), col("h"))
+        .groupBy("node").agg(sum("h").as("a"))
+        .localCheckpoint(true)
+      auth = l1Normalize(aRaw, "a")
+      val hRaw = e
+        .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .select(col("src").as("node"), col("a"))
+        .groupBy("node").agg(sum("a").as("h"))
+        .localCheckpoint(true)
+      hub = l1Normalize(hRaw, "h")
+      i += 1
+    }
+    nodes
+      .join(auth, Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("a"), lit(0.0)), 6).as("auth"),
+        round(coalesce(col("h"), lit(0.0)), 6).as("hub"))
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its neighbors, ties broken by smallest
+    * label. The synchronous update + total tie order make the result a
+    * pure function of the edge set — deterministic and replayable
+    * cross-engine, unlike the usual async/randomized LPA.
+    *
+    * Edges are mirrored (undirected), so every node is some edge's src
+    * and keeps receiving a label each round.
+    *
+    * Scale shape: per round, one hash join edge⋈labels, one (node,label)
+    * count aggregation, and one row_number window partitioned by node —
+    * all shuffle-keyed by node id, no driver state, lineage truncated
+    * per round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val e = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val neigh = e
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = neigh
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("cnt").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
 }

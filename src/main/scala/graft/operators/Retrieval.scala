@@ -65,4 +65,35 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Inverted index: `(term, df, postings)` where `postings` is the top
+    * `maxPostings` documents for the term by (tf desc, doc_id asc),
+    * stored sorted by doc_id — the impact-truncated, merge-friendly
+    * layout a first-stage retriever serves from.
+    *
+    * Scale shape: the (term, doc) explode is the inherent linear cost of
+    * index construction; everything after is keyed by term. The posting
+    * list is truncated with a row_number window BEFORE collect_list, so
+    * per-term state is bounded by `maxPostings` even for stop-words —
+    * an unbounded collect_list over a hot term is exactly the per-group
+    * memory blowup that kills index builds at corpus scale. df is a
+    * count window over the same term partitioning (same shuffle).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextExpressions.wordTokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val byTerm = Window.partitionBy("term")
+    tf
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rn", row_number().over(
+        byTerm.orderBy(col("tf").desc, col("doc_id").asc)))
+      .filter(col("rn") <= maxPostings)
+      .groupBy("term", "df")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("postings"))
+  }
 }

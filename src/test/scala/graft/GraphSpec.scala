@@ -50,4 +50,48 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(out("b") - 0.575) < 1e-12)
     assert(math.abs(out("c") - 1.425) < 1e-12)
   }
+
+  test("hits one iteration matches the hand formula") {
+    // a->x, b->x, c->x, a->y. h0=1 everywhere:
+    // a1_raw: x=3, y=1 -> L1: auth(x)=0.75, auth(y)=0.25
+    // h1_raw: a=0.75+0.25=1.0, b=0.75, c=0.75 -> total 2.5
+    //   -> hub(a)=0.4, hub(b)=hub(c)=0.3
+    val edges = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("a", "y")).toDF("s", "d")
+    val out = Graph.hits(edges, "s", "d", iterations = 1)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, a, h) => n -> ((a, h)) }.toMap
+    assert(out("x") == ((0.75, 0.0)))
+    assert(out("y") == ((0.25, 0.0)))
+    assert(out("a") == ((0.0, 0.4)))
+    assert(out("b") == ((0.0, 0.3)))
+    assert(out("c") == ((0.0, 0.3)))
+  }
+
+  test("hits scores stay L1-normalized across iterations") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("s", "d")
+    val out = Graph.hits(edges, "s", "d", iterations = 3)
+    val Array(sa, sh) = out.agg(sum("auth"), sum("hub")).head()
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(sa - 1.0) < 1e-6 && math.abs(sh - 1.0) < 1e-6)
+  }
+
+  test("labelPropagation converges a triangle to one community") {
+    // r1: a adopts min(b,c)=b; b and c adopt a. r2: everything is 'a'.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", iterations = 2)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
+  test("labelPropagation keeps disjoint components in separate communities") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("y", "z"))
+      .toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", iterations = 3)
+      .as[(String, String)].collect().toMap
+    val left = Set("a", "b", "c").map(out)
+    val right = Set("x", "y", "z").map(out)
+    assert(left.forall(Set("a", "b", "c")), s"labels crossed: $out")
+    assert(right.forall(Set("x", "y", "z")), s"labels crossed: $out")
+  }
 }

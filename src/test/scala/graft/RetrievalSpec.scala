@@ -47,4 +47,22 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(out(11L) > out(10L))
   }
+
+  test("invertedIndex computes df and impact-truncated doc-ordered postings") {
+    val d = Seq((1L, "x x y"), (2L, "x z"), (3L, "y")).toDF("doc_id", "text")
+    val out = Retrieval.invertedIndex(d, "doc_id", "text", maxPostings = 1)
+      .as[(String, Long, Seq[(Long, Long)])].collect()
+      .map { case (t, df, p) => t -> ((df, p)) }.toMap
+    // df counts ALL matching docs even when the postings are truncated
+    assert(out("x") == ((2L, Seq((1L, 2L)))))  // tf desc: d1 (tf=2) wins
+    assert(out("y") == ((2L, Seq((1L, 1L)))))  // tf tie: doc_id asc wins
+    assert(out("z") == ((1L, Seq((2L, 1L)))))
+  }
+
+  test("invertedIndex postings are doc_id-sorted regardless of impact rank") {
+    val d = Seq((5L, "w"), (1L, "w w"), (3L, "w w w")).toDF("doc_id", "text")
+    val out = Retrieval.invertedIndex(d, "doc_id", "text", maxPostings = 10)
+      .as[(String, Long, Seq[(Long, Long)])].collect().head
+    assert(out._3 == Seq((1L, 2L), (3L, 3L), (5L, 1L)))
+  }
 }
