@@ -35,6 +35,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/session warmup outside timings
+    // Parquet-path warmup, also outside timings: file listing, footer
+    // decode, codec + datasource class init otherwise land entirely on
+    // whichever query the Map happens to order first (~2 s of noise
+    // attributed to one arbitrary query per run).
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try Tables.load(spark, sfDir, t).limit(1).collect()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $t: $e") }
+    }
 
     // Machine-contention guardrails: a fixed CPU-bound calibration job
     // timed before and after the suite + the OS load average. Query times

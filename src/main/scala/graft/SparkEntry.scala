@@ -1152,10 +1152,16 @@ object SparkEntry {
       val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      // dedup as narrow int pairs BEFORE rendering string node ids (the
+      // "s"/"c" prefixes are injective, so distinctness survives the
+      // concat — and the disjoint namespaces keep the mirrored set
+      // duplicate-free, satisfying the dedupEdges=false contract)
       val edges = l.join(o, Seq("l_orderkey"))
+        .select(col("l_suppkey"), col("o_custkey")).distinct()
         .select(concat(lit("s"), col("l_suppkey")).as("src"),
           concat(lit("c"), col("o_custkey")).as("dst"))
-      Graph.pageRank(edges, "src", "dst", iterations = 3)
+      Graph.pageRank(edges, "src", "dst", iterations = 3,
+        dedupEdges = false)
         .select(col("node"), round(col("pr"), 6).as("pr"))
         .orderBy(col("pr").desc, col("node").asc)
         .limit(20)
@@ -1214,10 +1220,13 @@ object SparkEntry {
     // DuckDB twin chains two CTEs per iteration. Ranking on ROUNDED
     // scores with node tiebreak, per the repo determinism rule.
     "q_hits" -> ((s, dir) => {
+      // int-pair dedup before the string render; injective prefixes keep
+      // it distinct (dedupEdges=false contract)
       val edges = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
         .select(concat(lit("s"), col("l_suppkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst"))
-      Graph.hits(edges, "src", "dst", iterations = 2)
+      Graph.hits(edges, "src", "dst", iterations = 2, dedupEdges = false)
         .orderBy(col("auth").desc, col("hub").desc, col("node").asc)
         .limit(20)
     }),
@@ -1227,9 +1236,11 @@ object SparkEntry {
     // output is the community-size histogram (top 20)
     "q_label_prop" -> ((s, dir) => {
       val edges = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
         .select(concat(lit("s"), col("l_suppkey")).as("src"),
           concat(lit("p"), col("l_partkey")).as("dst"))
-      Graph.labelPropagation(edges, "src", "dst", iterations = 2)
+      Graph.labelPropagation(edges, "src", "dst", iterations = 2,
+        dedupEdges = false)
         .groupBy("label").agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("label").asc)
         .limit(20)

@@ -10,8 +10,31 @@ import org.apache.spark.sql.functions._
   * no driver-side state beyond the loop counter — the shape that survives
   * a 1000-executor deployment (reliable checkpointing would replace
   * executor-local blocks there).
+  *
+  * Two knobs shared by every operator here:
+  *
+  *   - `dedupEdges` (default true): the operators require a
+  *     duplicate-free edge set, and dedup it themselves. A caller that
+  *     already deduplicated — typically as narrow integer pairs BEFORE
+  *     rendering string node ids, which shuffles far fewer bytes — can
+  *     pass false and skip the second distinct. For the undirected
+  *     operators the caller then also asserts the MIRRORED set is
+  *     duplicate-free (true whenever src and dst draw from disjoint id
+  *     namespaces, e.g. a bipartite "s…"/"p…" graph).
+  *   - `broadcastNodeLimit`: checkpointed score vectors have no catalyst
+  *     size statistics, so the planner would sort-merge-join them against
+  *     the edge list every round. The operators instead measure |V| once
+  *     (a cheap count over an already-materialized frame — bounded driver
+  *     state, one scalar) and broadcast the node-keyed side of every
+  *     per-round join while |V| stays under the limit. Under the limit:
+  *     zero edge shuffles per round. Over it (billion-node graphs): the
+  *     plain shuffle-join shape, unchanged.
   */
 object Graph {
+
+  /** Measured-size broadcast decision for node-keyed vectors. */
+  private def sideStrategy(nV: Long, limit: Long): DataFrame => DataFrame =
+    if (nV <= limit) broadcast _ else identity _
 
   /** Fixed-iteration PageRank over an edge list.
     *
@@ -25,47 +48,48 @@ object Graph {
     *
     * r₀(v) = 1;  r_{t+1}(v) = (1-d) + d · Σ_{(u,v)∈E} r_t(u) / deg(u)
     *
-    * Scale shape: the out-degree is fused into the edge list ONCE
-    * (`(src, dst, deg)`, materialized src-partitioned), so each round is
-    * exactly one hash join + one aggregation, both shuffle-partitioned on
-    * node id — not the naive per-round recompute of degree and node
-    * tables, which triples the join count and re-runs a distinct over the
-    * edges every iteration. In undirected mode every node is some edge's
-    * dst, so the rank vector needs no reconciling outer join with a node
-    * table either. Lineage is truncated per round so the plan stays O(1)
-    * deep regardless of iterations.
+    * Scale shape: the out-degree is fused into the edge list ONCE, so
+    * each round is exactly one hash join + one aggregation — not the
+    * naive per-round recompute of degree and node tables, which triples
+    * the join count and re-runs a distinct over the edges every
+    * iteration. In undirected mode every node is some edge's dst, so the
+    * rank vector needs no reconciling outer join with a node table
+    * either. Lineage is truncated per round so the plan stays O(1) deep
+    * regardless of iterations.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, damping: Double = 0.85,
-      undirected: Boolean = true): DataFrame = {
+      undirected: Boolean = true, dedupEdges: Boolean = true,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
     // materialize the canonical edge set ONCE — the upstream edge
     // derivation (often a fact-table join) is the expensive part, and
     // both sides of the deg-fusion join below read it
-    val e = (if (undirected)
+    val merged = if (undirected)
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-    else e0).distinct().localCheckpoint(true)
+    else e0
+    val e = (if (dedupEdges) merged.distinct() else merged)
+      .localCheckpoint(true)
 
-    // deg fused once; the join output is already hash-partitioned on src,
-    // so every round's rank join reuses this side's partitioning
-    val ew = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
-      .localCheckpoint(true)
-    // full node table only needed where a node can receive zero
-    // contributions (directed graphs — mirrored edges make every node a
-    // dst, so undirected r_{t+1} covers all nodes by construction)
-    lazy val nodes = ew.select(col("src").as("node"))
-      .unionByName(ew.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
     var ranks =
-      (if (undirected) e.select(col("src").as("node")).distinct() else nodes)
+      (if (undirected) e.select(col("src").as("node")).distinct()
+       else e.select(col("src").as("node"))
+         .unionByName(e.select(col("dst").as("node"))).distinct())
         .withColumn("pr", lit(1.0)).localCheckpoint(true)
+    val nodes = ranks.select("node")
+    val side = sideStrategy(ranks.count(), broadcastNodeLimit)
+
+    // deg fused once; the deg side is node-keyed, so the same broadcast
+    // decision applies
+    val ew = e
+      .join(side(e.groupBy("src").agg(count(lit(1)).as("deg"))), Seq("src"))
+      .localCheckpoint(true)
 
     var i = 0
     while (i < iterations) {
       val contribs = ew
-        .join(ranks.select(col("node").as("src"), col("pr")), Seq("src"))
+        .join(side(ranks.select(col("node").as("src"), col("pr"))), Seq("src"))
         .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("in_mass"))
       val next =
@@ -97,30 +121,36 @@ object Graph {
     * set is materialized once; lineage truncates per half-step.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 2): DataFrame = {
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct().localCheckpoint(true)
+      iterations: Int = 2, dedupEdges: Boolean = true,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val e = (if (dedupEdges) e0.distinct() else e0).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    val side = sideStrategy(nodes.count(), broadcastNodeLimit)
 
+    // cheap projection over an already-checkpointed frame — deliberately
+    // NOT checkpointed itself (each extra eager checkpoint is a separate
+    // scheduled job; the raw-score checkpoint below already truncates
+    // lineage and makes the double read — total + join — cheap)
     def l1Normalize(df: DataFrame, c: String): DataFrame =
       df.crossJoin(broadcast(df.agg(sum(col(c)).as("_tot"))))
         .select(col("node"), (col(c) / col("_tot")).as(c))
-        .localCheckpoint(true)
 
     var hub = nodes.withColumn("h", lit(1.0)).localCheckpoint(true)
     var auth: DataFrame = null
     var i = 0
     while (i < iterations) {
       val aRaw = e
-        .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+        .join(side(hub.select(col("node").as("src"), col("h"))), Seq("src"))
         .select(col("dst").as("node"), col("h"))
         .groupBy("node").agg(sum("h").as("a"))
         .localCheckpoint(true)
       auth = l1Normalize(aRaw, "a")
       val hRaw = e
-        .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .join(side(auth.select(col("node").as("dst"), col("a"))), Seq("dst"))
         .select(col("src").as("node"), col("a"))
         .groupBy("node").agg(sum("a").as("h"))
         .localCheckpoint(true)
@@ -145,31 +175,36 @@ object Graph {
     * Edges are mirrored (undirected), so every node is some edge's src
     * and keeps receiving a label each round.
     *
-    * Scale shape: per round, one hash join edge⋈labels, one (node,label)
-    * count aggregation, and one row_number window partitioned by node —
-    * all shuffle-keyed by node id, no driver state, lineage truncated
-    * per round.
+    * Scale shape: per round, one hash join edge⋈labels and two hash
+    * aggregations — the argmax (highest count, ties to smallest label)
+    * is `min(struct(-cnt, label))`, which gets map-side partial
+    * aggregation; a row_number window would force a full per-node sort
+    * instead. All shuffle-keyed by node id, no driver state, lineage
+    * truncated per round.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      iterations: Int = 2, dedupEdges: Boolean = true,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"))
-    val e = e0
+    val mirrored = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val e = (if (dedupEdges) mirrored.distinct() else mirrored)
+      .localCheckpoint(true)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
+    val side = sideStrategy(labels.count(), broadcastNodeLimit)
     var i = 0
     while (i < iterations) {
       val neigh = e
-        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .join(side(labels.select(col("node").as("dst"), col("label"))),
+          Seq("dst"))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
       labels = neigh
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("src").orderBy(col("cnt").desc, col("label").asc)))
-        .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("label"))
+        .select(col("src"),
+          struct((-col("cnt")).as("neg_cnt"), col("label").as("label")).as("sl"))
+        .groupBy("src").agg(min("sl").as("best"))
+        .select(col("src").as("node"), col("best.label").as("label"))
         .localCheckpoint(true)
       i += 1
     }
