@@ -1272,6 +1272,40 @@ object SparkEntry {
           count(when(col("score") >= 0.6, 1)).as("n_keep"),
           round(avg("score"), 4).as("avg_score"))
         .orderBy("source")),
+
+    // RAG/pretraining chunking: overlapping 64-token windows, stride 48.
+    // Chunk text compared by md5 to keep the oracle rows narrow.
+    "q_chunk" -> ((s, dir) =>
+      Retrieval.chunkDocuments(docs(s, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // stream-static enrichment: the events stream joins a broadcast
+    // customer-dimension snapshot, then a watermarked tumbling agg per
+    // nation. AvailableNow drain => batch-equivalent result, so the
+    // DuckDB twin is the plain batch join+agg.
+    "q_stream_enrich" -> ((s, dir) => {
+      val name = s"stream_enrich_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      val enriched = graft.streaming.Streams.enrichStream(stream, dim,
+        Seq("user_id"))
+      val agg = enriched.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(20,4)")).cast("double"), 2)
+            .as("sum_value"))
+        .select(col("w.start").as("window_start"), col("c_nationkey"),
+          col("n"), col("sum_value"))
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainToBatch(agg, name)
+      }
+      drained.orderBy("window_start", "c_nationkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2639,5 +2673,28 @@ object SparkEntry {
                 count(CASE WHEN score >= 0.6 THEN 1 END) AS n_keep,
                 ROUND(AVG(score), 4) AS avg_score
          FROM s GROUP BY source ORDER BY source""",
+
+    // identical tokenize, start offsets every 48, 1-based inclusive list
+    // slice == Spark's slice(toks, start+1, 64)
+    "q_chunk" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         st AS (SELECT doc_id, t, n, unnest(range(0, n, 48)) AS start FROM c)
+         SELECT doc_id, start // 48 AS chunk_idx,
+                least(64, n - start) AS n_tokens,
+                md5(array_to_string(t[start + 1 : start + 64], ' ')) AS chunk_fp
+         FROM st ORDER BY doc_id, chunk_idx""",
+
+    "q_stream_enrich" ->
+      """SELECT date_trunc('hour', ts) AS window_start, c_nationkey,
+                count(*) AS n,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2)
+                  AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY window_start, c_nationkey""",
   )
 }

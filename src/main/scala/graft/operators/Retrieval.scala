@@ -96,4 +96,33 @@ object Retrieval {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
         .as("postings"))
   }
+
+  /** Token-window document chunking — the standard RAG / pretraining
+    * preprocessing step: overlapping windows of `chunkSize` tokens taken
+    * every `stride` tokens (stride < chunkSize ⇒ overlap). The final
+    * window of a document may be shorter; empty documents produce no
+    * chunks. `chunk_idx` is the 0-based window ordinal (= start/stride).
+    *
+    * Scale shape: pure map-side — one tokenize pass and a posexplode of
+    * the per-document start offsets; no shuffle at any corpus size, so
+    * it parallelizes perfectly and composes with downstream repartition/
+    * packing stages without imposing a partitioning of its own.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.wordTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("start")).as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -154,6 +154,17 @@ object Streams {
       joinType)
   }
 
+  /** Stream-static enrichment join: the unbounded stream joins a static
+    * (or slowly-refreshed) dimension snapshot. The static side is
+    * re-evaluated each micro-batch by Structured Streaming — a dim
+    * refreshed in place is picked up on the next batch — and explicitly
+    * broadcast: the one join strategy that never shuffles the unbounded
+    * side and keeps no join state at all (contrast [[intervalJoin]],
+    * whose stream-stream state must be watermark-bounded). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      joinCols: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), joinCols)
+
   /** Streaming exact dedup — first-seen row per key, emitted in Append
     * mode. Two state regimes, chosen by the key domain:
     *  - `withinWatermarkOnly=false`: global dedup (`dropDuplicates`) —

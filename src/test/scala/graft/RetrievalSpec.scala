@@ -65,4 +65,22 @@ class RetrievalSpec extends SparkSpec {
       .as[(String, Long, Seq[(Long, Long)])].collect().head
     assert(out._3 == Seq((1L, 2L), (3L, 3L), (5L, 1L)))
   }
+
+  test("chunkDocuments produces overlapping windows with a short tail") {
+    val d = Seq((1L, "a b c d e"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val out = Retrieval.chunkDocuments(d, "doc_id", "text",
+      chunkSize = 3, stride = 2)
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, 3, "a b c"), (1L, 1, 3, "c d e"), (1L, 2, 1, "e"),
+      (3L, 0, 1, "x")))  // empty doc 2 yields no chunks
+  }
+
+  test("chunkDocuments with stride == chunkSize partitions exactly") {
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = Retrieval.chunkDocuments(d, "doc_id", "text",
+      chunkSize = 2, stride = 2)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._2)
+    assert(out.map(_._4).toSeq == Seq("a b", "c d"))
+  }
 }
