@@ -355,11 +355,16 @@ object Dedup {
     * @param pairs near-dup pairs with columns a_id, b_id
     */
   def dedupFamilies(ids: DataFrame, pairs: DataFrame, idCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, broadcastNodeLimit: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct().cache()
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("family"))
+    // checkpointed label tables carry no size statistics, so without a
+    // hint every round sort-merge-joins them; measure |V| once and
+    // broadcast the label side while small (same policy as graft.Graph)
+    val side: DataFrame => DataFrame =
+      if (ids.count() <= broadcastNodeLimit) broadcast _ else identity _
     var i = 0
     var done = edges.isEmpty
     while (i < maxIter && !done) {
@@ -373,11 +378,11 @@ object Dedup {
       // lowered this round.
       val obs = org.apache.spark.sql.Observation()
       val next = edges
-        .join(labels.select(col("id").as("src"), col("family")), Seq("src"))
+        .join(side(labels.select(col("id").as("src"), col("family"))), Seq("src"))
         .select(col("dst").as("id"), col("family"))
         .unionByName(labels)
         .groupBy("id").agg(min("family").as("family"))
-        .join(labels.withColumnRenamed("family", "prev"), Seq("id"))
+        .join(side(labels.withColumnRenamed("family", "prev")), Seq("id"))
         .observe(obs,
           count(when(col("family") =!= col("prev"), 1)).as("n_changed"))
         .select("id", "family")

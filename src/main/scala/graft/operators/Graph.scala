@@ -158,8 +158,8 @@ object Graph {
       i += 1
     }
     nodes
-      .join(auth, Seq("node"), "left")
-      .join(hub, Seq("node"), "left")
+      .join(side(auth), Seq("node"), "left")
+      .join(side(hub), Seq("node"), "left")
       .select(col("node"),
         round(coalesce(col("a"), lit(0.0)), 6).as("auth"),
         round(coalesce(col("h"), lit(0.0)), 6).as("hub"))

@@ -71,6 +71,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("chunking is map-only: no Exchange anywhere in the chunk plan") {
+    val plan = graft.operators.Retrieval.chunkDocuments(
+      Tables.load(spark, sf, "documents"), "doc_id", "text",
+      chunkSize = 64, stride = 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
+  test("hits reconcile joins broadcast the node-keyed score vectors") {
+    // under broadcastNodeLimit the final auth/hub reconcile must be
+    // broadcast hash joins, never a sort-merge of the node table
+    val plan = SparkEntry.queries("q_hits")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("whole-stage codegen covers the aggregation pipeline") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect() // AQE shows codegen spans only in the final executed plan
