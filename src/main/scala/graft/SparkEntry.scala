@@ -1306,6 +1306,13 @@ object SparkEntry {
       }
       drained.orderBy("window_start", "c_nationkey")
     }),
+
+    // deterministic sketch-style quantiles: bottom-4096-by-id-hash sample
+    // (TakeOrdered, O(k)/partition) + exact interpolated quantiles of the
+    // sample — replays exactly in DuckDB, unlike a randomized KLL
+    "q_sampled_quantiles" -> ((s, dir) =>
+      graft.ops.ScaleOps.hashSampledQuantiles(events(s, dir),
+        "event_id", "value", k = 4096, probs = Seq(0.5, 0.9, 0.99))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2696,5 +2703,14 @@ object SparkEntry {
                   AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2 ORDER BY window_start, c_nationkey""",
+
+    // same deterministic bottom-k-by-hash sample; quantile_cont uses the
+    // identical linear-interpolation definition as Spark's percentile
+    "q_sampled_quantiles" ->
+      """SELECT ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                ROUND(quantile_cont(value, 0.9), 4) AS p90,
+                ROUND(quantile_cont(value, 0.99), 4) AS p99
+         FROM (SELECT value FROM events
+               ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 4096)""",
   )
 }

@@ -113,6 +113,34 @@ object ScaleOps {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Approximate quantiles from a consistent (hash-deterministic) sample:
+    * keep the k rows whose md5(id) sorts lowest — a uniform pseudo-random
+    * subset that is a pure function of the ids — then take EXACT
+    * interpolated quantiles of the sample.
+    *
+    * This is the deterministic cousin of a KLL/t-digest sketch: the
+    * bottom-k-by-hash selection is order-insensitive and mergeable
+    * (bottom-k of a union = merged bottom-k's), the physical plan is a
+    * TakeOrdered — O(k) memory per partition, one pass, no full sort —
+    * and unlike randomized sketches the result replays exactly on any
+    * engine, so it gets a real oracle instead of an error-bound test.
+    * Estimation error is the standard sampling error (~1/√k on middle
+    * quantiles); PropertySpec pins it against exact percentiles.
+    */
+  def hashSampledQuantiles(df: DataFrame, idCol: String, valueCol: String,
+      k: Int, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val sample = df
+      .select(col(valueCol).as("v"), md5(col(idCol).cast("string")).as("__h"))
+      .orderBy("__h").limit(k)
+    val qs = sample.agg(
+      expr(s"percentile(v, array(${probs.mkString(",")}))").as("qs"))
+    qs.select(probs.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("qs"), i + 1), 4)
+        .as("p" + math.round(p * 100))
+    }: _*)
+  }
+
   /** Column profiling — the engine-side analogue of the reference's Glue
     * crawler statistics pass (state_machine.json:69-116): per column,
     * row/non-null/distinct counts and min/max, computed in ONE aggregate

@@ -129,4 +129,34 @@ class ScaleOpsSpec extends SparkSpec {
     val m = obs.get
     assert(m("n_input") == 3L && m("n_valid") == 2L && m("n_rejected") == 1L)
   }
+
+  test("hashSampledQuantiles estimates true quantiles within sampling error") {
+    import spark.implicits._
+    // deterministic skewed-ish values over 20k ids; k=2048 sample
+    val df = (1 to 20000).map(i => (i.toLong, (i % 997).toDouble))
+      .toDF("id", "v")
+    val out = ScaleOps.hashSampledQuantiles(df, "id", "v",
+      k = 2048, probs = Seq(0.5, 0.9)).head()
+    // true p50 ~498, p90 ~897 over the 0..996 uniform residues; allow
+    // generous sampling tolerance (~3/sqrt(k) of the range)
+    assert(math.abs(out.getDouble(0) - 498.0) < 70, out.toString)
+    assert(math.abs(out.getDouble(1) - 897.0) < 70, out.toString)
+  }
+
+  test("hashSampledQuantiles with k >= n equals exact quantiles") {
+    import spark.implicits._
+    val df = (1 to 101).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = ScaleOps.hashSampledQuantiles(df, "id", "v",
+      k = 1000, probs = Seq(0.5)).head()
+    assert(out.getDouble(0) == 51.0)
+  }
+
+  test("hashSampledQuantiles plans a TakeOrdered, not a global sort") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val plan = df.select(col("v"), md5(col("id").cast("string")).as("__h"))
+      .orderBy("__h").limit(64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
 }
