@@ -1307,6 +1307,17 @@ object SparkEntry {
       drained.orderBy("window_start", "c_nationkey")
     }),
 
+    // hard-negative mining: per probe item, the 5 most-similar items of a
+    // DIFFERENT label — contrastive-training negatives, exact brute pass
+    // over the bounded probe set (scale path: lshTopK + label filter)
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", "label", k = 5)
+        .select("query_id", "rank", "neighbor_id", "cos")
+        .orderBy("query_id", "rank")
+    }),
+
     // deterministic sketch-style quantiles: bottom-4096-by-id-hash sample
     // (TakeOrdered, O(k)/partition) + exact interpolated quantiles of the
     // sample — replays exactly in DuckDB, unlike a randomized KLL
@@ -2703,6 +2714,25 @@ object SparkEntry {
                   AS sum_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2 ORDER BY window_start, c_nationkey""",
+
+    "q_hard_negatives" ->
+      """WITH nv AS (
+           SELECT vec_id, label,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q.v, c.v), 6) AS cos
+           FROM nv q JOIN nv c ON q.vec_id < 16 AND q.label <> c.label),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // same deterministic bottom-k-by-hash sample; quantile_cont uses the
     // identical linear-interpolation definition as Spark's percentile

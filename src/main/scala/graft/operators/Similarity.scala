@@ -59,6 +59,25 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query item,
+    * the k most-similar corpus items with a DIFFERENT label — the items a
+    * two-tower/embedding model most confuses, and the standard negatives
+    * for its next training round. Same bounded shape as
+    * [[bruteForceTopK]] (broadcast query side, O(k) state per group via
+    * the TopK aggregator); at corpus scale compose [[lshTopK]]/[[ivfTopK]]
+    * with the label filter instead of the brute pass. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), normalize(col(vecCol)).as("q_v")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("n_label"), normalize(col(vecCol)).as("c_v"))
+    val scored = c.join(q, col("q_label") =!= col("n_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_v"), col("c_v")), 6).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
   /** LSH-bucketed ANN: probe the query's bucket plus `probeBits`-bit-flip
     * neighbors. Recall < 1 by construction; candidates verified exactly. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,

@@ -46,4 +46,18 @@ class SimilaritySpec extends SparkSpec {
     val got = out.select("neighbor_id").as[Long].collect().toSet
     assert(got.nonEmpty && !got.contains(0L)) // no self-match
   }
+
+  test("hardNegatives excludes same-label items even when they are nearest") {
+    // q(label 0); n1 is an exact duplicate with label 0 (cos=1, same
+    // class => NOT a negative); n2/n3 have label 1
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(d.filter($"vec_id" === 0L), d,
+      "vec_id", "embedding", "label", k = 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, 2L), (2, 3L))) // n1 excluded, n2 ranks first
+  }
 }
