@@ -1324,6 +1324,14 @@ object SparkEntry {
     "q_sampled_quantiles" -> ((s, dir) =>
       graft.ops.ScaleOps.hashSampledQuantiles(events(s, dir),
         "event_id", "value", k = 4096, probs = Seq(0.5, 0.9, 0.99))),
+
+    // per-stratum variant: an independent deterministic sample per
+    // event_type (WindowGroupLimit: map-side partial top-k per group)
+    "q_group_quantiles" -> ((s, dir) =>
+      graft.ops.ScaleOps.hashSampledQuantilesPerGroup(events(s, dir),
+        "event_type", "event_id", "value", k = 2048,
+        probs = Seq(0.5, 0.9))
+        .orderBy("event_type")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2742,5 +2750,17 @@ object SparkEntry {
                 ROUND(quantile_cont(value, 0.99), 4) AS p99
          FROM (SELECT value FROM events
                ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 4096)""",
+
+    "q_group_quantiles" ->
+      """WITH s AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+           FROM events)
+         SELECT event_type,
+                ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                ROUND(quantile_cont(value, 0.9), 4) AS p90
+         FROM s WHERE rn <= 2048
+         GROUP BY event_type ORDER BY event_type""",
   )
 }

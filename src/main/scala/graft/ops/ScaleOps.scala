@@ -141,6 +141,31 @@ object ScaleOps {
     }: _*)
   }
 
+  /** Per-group [[hashSampledQuantiles]]: an independent bottom-k-by-hash
+    * sample per group, then exact interpolated quantiles of each sample —
+    * per-stratum latency/size/score profiles at a bounded cost per
+    * stratum. The rank filter compiles to a WindowGroupLimit (map-side
+    * partial top-k per group, pinned for the consistent-sample path in
+    * PlanShapeSpec), so no group ever sorts more than its own rows and
+    * the shuffle carries at most k rows per (group, partition). */
+  def hashSampledQuantilesPerGroup(df: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, k: Int,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__h"))
+    df.select(col(groupCol), col(valueCol).as("v"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(groupCol)
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))").as("qs"))
+      .select(col(groupCol) +: probs.zipWithIndex.map { case (p, i) =>
+        round(element_at(col("qs"), i + 1), 4)
+          .as("p" + math.round(p * 100))
+      }: _*)
+  }
+
   /** Column profiling — the engine-side analogue of the reference's Glue
     * crawler statistics pass (state_machine.json:69-116): per column,
     * row/non-null/distinct counts and min/max, computed in ONE aggregate

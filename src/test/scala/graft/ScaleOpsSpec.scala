@@ -151,6 +151,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.getDouble(0) == 51.0)
   }
 
+  test("hashSampledQuantilesPerGroup samples each group independently") {
+    import spark.implicits._
+    // group "a": values 0..9 exactly (k >= n => exact quantiles);
+    // group "b": constant 7 => every quantile is 7
+    val df = ((1 to 10).map(i => (i.toLong, "a", (i - 1).toDouble)) ++
+      (11 to 30).map(i => (i.toLong, "b", 7.0))).toDF("id", "g", "v")
+    val out = ScaleOps.hashSampledQuantilesPerGroup(df, "g", "id", "v",
+      k = 100, probs = Seq(0.5, 1.0))
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("a", 4.5, 9.0), ("b", 7.0, 7.0)))
+  }
+
   test("hashSampledQuantiles plans a TakeOrdered, not a global sort") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
