@@ -1325,6 +1325,17 @@ object SparkEntry {
       graft.ops.ScaleOps.hashSampledQuantiles(events(s, dir),
         "event_id", "value", k = 4096, probs = Seq(0.5, 0.9, 0.99))),
 
+    // positional phrase match (no index): per source, how many docs
+    // contain "spark hash" as consecutive tokens — row-local HOF probe
+    "q_phrase" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          phraseMatch(col("text"), Seq("spark", "hash")).as("hit"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("hit"), 1)).as("n_match"))
+        .orderBy("source")),
+
     // per-stratum variant: an independent deterministic sample per
     // event_type (WindowGroupLimit: map-side partial top-k per group)
     "q_group_quantiles" -> ((s, dir) =>
@@ -2750,6 +2761,23 @@ object SparkEntry {
                 ROUND(quantile_cont(value, 0.99), 4) AS p99
          FROM (SELECT value FROM events
                ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 4096)""",
+
+    // same tokenize; consecutive-pair probe via 1-based list indexing
+    // (t[i+1] past the end is NULL, which the filter drops — same
+    // never-match semantics as Spark's try_element_at probe)
+    "q_phrase" ->
+      """WITH toks AS (
+           SELECT source,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         m AS (SELECT source,
+                      len(list_filter(range(1, greatest(len(t) - 1, 0) + 1),
+                          i -> t[i] = 'spark' AND t[i+1] = 'hash')) > 0 AS hit
+               FROM toks)
+         SELECT source, count(*) AS n_docs,
+                count(CASE WHEN hit THEN 1 END) AS n_match
+         FROM m GROUP BY source ORDER BY source""",
 
     "q_group_quantiles" ->
       """WITH s AS (

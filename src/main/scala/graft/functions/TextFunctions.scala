@@ -97,6 +97,26 @@ object TextFunctions {
     round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
+  /** True when the token stream contains `phrase` as CONSECUTIVE tokens —
+    * positional phrase matching without an index, the ad-hoc complement
+    * of `Retrieval.invertedIndex`. Row-local (one tokenize + one
+    * higher-order exists over start offsets), so it composes with any
+    * scan as a pushable filter and costs no shuffle at any corpus size.
+    * `try_element_at` keeps the probe ANSI-safe past the array end;
+    * a null comparison never satisfies `exists`, so truncated windows
+    * simply fail to match. */
+  def phraseMatch(c: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty)
+    val t = tokens(c)
+    val m = phrase.length
+    val lastStart = greatest(org.apache.spark.sql.functions.size(t) - (m - 1), lit(1))
+    val hit = exists(sequence(lit(1), lastStart),
+      i => phrase.zipWithIndex.map { case (w, j) =>
+        try_element_at(t, i + lit(j)) === lit(w)
+      }.reduce(_ && _))
+    coalesce(hit, lit(false))
+  }
+
   private val langStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),

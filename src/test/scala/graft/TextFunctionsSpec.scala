@@ -116,6 +116,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(oneSeq[String](shingles(col("t"), 5), "a b") == Seq("a b"))
   }
 
+  test("phraseMatch finds consecutive tokens only, at any position") {
+    assert(one[Boolean](phraseMatch(col("t"), Seq("b", "c")), "a b c d"))
+    assert(!one[Boolean](phraseMatch(col("t"), Seq("b", "d")), "a b c d"))
+    assert(one[Boolean](phraseMatch(col("t"), Seq("c", "d")), "a b c d")) // at end
+    assert(one[Boolean](phraseMatch(col("t"), Seq("a")), "A b"))          // lowercased
+    assert(!one[Boolean](phraseMatch(col("t"), Seq("a", "b", "c")), "a b")) // longer than doc
+    assert(!one[Boolean](phraseMatch(col("t"), Seq("x")), ""))           // empty doc
+  }
+
   test("winnowing fingerprints: shared-prefix docs share fingerprints") {
     val base = "one two three four five six seven eight nine ten"
     val extended = base + " eleven twelve"
