@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{CharClassCounts, CountMin, DotProduct, FreqItems,
-  LangId, MemberCount, MinHashSig, Registry, SimHash64, WinnowHashes,
-  WordNgrams, WordShingles, WordTokens}
+  LangId, MemberCount, MinHashSig, PhraseMatch, Registry, SimHash64,
+  WinnowHashes, WordNgrams, WordShingles, WordTokens}
 import graft.plans.RewriteIntersectSize
 
 /** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("member_count"),
       new ExpressionInfo(classOf[MemberCount].getName, "member_count"),
       exprs => MemberCount(exprs(0), Registry.evalStringArray(exprs(1)))))
+    e.injectFunction((FunctionIdentifier("phrase_match"),
+      new ExpressionInfo(classOf[PhraseMatch].getName, "phrase_match"),
+      exprs => PhraseMatch(exprs(0), Registry.evalStringArray(exprs(1)))))
     e.injectFunction((FunctionIdentifier("freq_items"),
       new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
       exprs => FreqItems(exprs(0), exprs(1).eval().asInstanceOf[Int],

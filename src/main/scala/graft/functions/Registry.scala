@@ -28,6 +28,8 @@ object Registry {
       exprs => CharClassCounts(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("member_count",
       exprs => MemberCount(exprs(0), evalStringArray(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("phrase_match",
+      exprs => PhraseMatch(exprs(0), evalStringArray(exprs(1))), "built-in")
     // aggregates: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression during resolution, same as the built-ins
     reg.createOrReplaceTempFunction("freq_items",

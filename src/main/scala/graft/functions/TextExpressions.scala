@@ -294,6 +294,45 @@ case class MemberCount(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Consecutive-token phrase probe in one native pass: tokenize (the
+  * repo-standard lowercase/whitespace pass) and scan for `phrase` as
+  * adjacent tokens. Exact twin of the HOF formulation
+  * (TextFunctions.phraseMatchHof — parity-pinned in TextFunctionsSpec)
+  * and of the q_phrase DuckDB oracle; the HOF re-enters the interpreted
+  * lambda evaluator |phrase|×|starts| times per row, this does one
+  * tokenize + one tight scan. */
+case class PhraseMatch(child: Expression, phrase: Seq[String])
+    extends UnaryExpression with RefEvalCodegen {
+
+  @transient private lazy val p: Array[UTF8String] =
+    phrase.map(w => UTF8String.fromString(w.toLowerCase)).toArray
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"phrase_match needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextExpressions.tokenize(v.asInstanceOf[UTF8String])
+    val n = toks.length
+    val m = p.length
+    if (m == 0 || n < m) return false
+    var i = 0
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && toks(i + j) == p(j)) j += 1
+      if (j == m) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private[functions] val SPACE = UTF8String.fromString(" ")
   private[functions] val ZH = UTF8String.fromString("zh")
@@ -347,4 +386,7 @@ object TextExpressions {
 
   def memberCount(arr: Column, words: Seq[String]): Column =
     GraftColumnBridge.column(MemberCount(GraftColumnBridge.expression(arr), words))
+
+  def phraseMatch(c: Column, phrase: Seq[String]): Column =
+    GraftColumnBridge.column(PhraseMatch(GraftColumnBridge.expression(c), phrase))
 }

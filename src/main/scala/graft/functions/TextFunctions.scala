@@ -99,13 +99,23 @@ object TextFunctions {
 
   /** True when the token stream contains `phrase` as CONSECUTIVE tokens —
     * positional phrase matching without an index, the ad-hoc complement
-    * of `Retrieval.invertedIndex`. Row-local (one tokenize + one
-    * higher-order exists over start offsets), so it composes with any
+    * of `Retrieval.invertedIndex`. Row-local (one native tokenize + one
+    * tight scan, graft.functions.PhraseMatch), so it composes with any
     * scan as a pushable filter and costs no shuffle at any corpus size.
-    * `try_element_at` keeps the probe ANSI-safe past the array end;
-    * a null comparison never satisfies `exists`, so truncated windows
-    * simply fail to match. */
+    * The HOF twin below re-enters the interpreted lambda evaluator
+    * |phrase|×|starts| times per row (~6× slower on the corpus path);
+    * TextFunctionsSpec pins native ≡ HOF. */
   def phraseMatch(c: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty)
+    TextExpressions.phraseMatch(c, phrase)
+  }
+
+  /** Composable-built-ins formulation of [[phraseMatch]] — the reference
+    * semantics the native expression is parity-tested against.
+    * `try_element_at` keeps the probe ANSI-safe past the array end; a
+    * null comparison never satisfies `exists`, so truncated windows
+    * simply fail to match. */
+  def phraseMatchHof(c: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty)
     val t = tokens(c)
     val m = phrase.length

@@ -105,5 +105,8 @@ class SourcesSpec extends SparkSpec {
       """SELECT size(count_min(k, 4, 64)) AS n
          FROM (SELECT CAST(5 AS BIGINT) AS k)""").as[Int].head()
     assert(cm == 256)
+    val pm = spark.sql(
+      "SELECT phrase_match('A b c', array('b','c')) AS m").as[Boolean].head()
+    assert(pm)
   }
 }

@@ -117,12 +117,23 @@ class TextFunctionsSpec extends SparkSpec {
   }
 
   test("phraseMatch finds consecutive tokens only, at any position") {
-    assert(one[Boolean](phraseMatch(col("t"), Seq("b", "c")), "a b c d"))
-    assert(!one[Boolean](phraseMatch(col("t"), Seq("b", "d")), "a b c d"))
-    assert(one[Boolean](phraseMatch(col("t"), Seq("c", "d")), "a b c d")) // at end
-    assert(one[Boolean](phraseMatch(col("t"), Seq("a")), "A b"))          // lowercased
-    assert(!one[Boolean](phraseMatch(col("t"), Seq("a", "b", "c")), "a b")) // longer than doc
-    assert(!one[Boolean](phraseMatch(col("t"), Seq("x")), ""))           // empty doc
+    for (f <- Seq(phraseMatch _, phraseMatchHof _)) {
+      assert(one[Boolean](f(col("t"), Seq("b", "c")), "a b c d"))
+      assert(!one[Boolean](f(col("t"), Seq("b", "d")), "a b c d"))
+      assert(one[Boolean](f(col("t"), Seq("c", "d")), "a b c d")) // at end
+      assert(one[Boolean](f(col("t"), Seq("a")), "A b"))          // lowercased
+      assert(!one[Boolean](f(col("t"), Seq("a", "b", "c")), "a b")) // longer than doc
+      assert(!one[Boolean](f(col("t"), Seq("x")), ""))           // empty doc
+    }
+  }
+
+  test("native phraseMatch ≡ HOF phraseMatch on the documents table") {
+    val d = graft.Tables.load(spark, sf, "documents")
+    val mism = d.select(
+      phraseMatch(col("text"), Seq("spark", "hash")).as("a"),
+      phraseMatchHof(col("text"), Seq("spark", "hash")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mism == 0)
   }
 
   test("winnowing fingerprints: shared-prefix docs share fingerprints") {
