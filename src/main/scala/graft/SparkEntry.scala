@@ -42,6 +42,14 @@ object SparkEntry {
   }
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Pattern set for q_decontaminate — mirrored verbatim in its oracle
+    * SQL. Includes a pattern that is a prefix of another ("fast table" /
+    * "fast table value") so the automaton's suffix-output links are
+    * exercised by the correctness gate. */
+  private val decontaminationPatterns = Seq(
+    "merge batch", "fast table", "fast table value", "value part",
+    "spark order", "scan slow", "hash value", "row fast", "window data")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
@@ -1343,6 +1351,88 @@ object SparkEntry {
         "event_type", "event_id", "value", k = 2048,
         probs = Seq(0.5, 0.9))
         .orderBy("event_type")),
+
+    // edit-distance self-join (entity resolution): all distinct part-name
+    // pairs within 2 edits, via deletion-neighborhood blocking (complete
+    // candidate generation, no all-pairs scan) + threshold levenshtein
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
+      graft.operators.FuzzyJoin.selfJoin(names, "p_name", "p_name", tau = 2)
+        .select(col("a_id").as("a_name"), col("b_id").as("b_name"), col("dist"))
+        .orderBy("a_name", "b_name")
+    }),
+
+    // benchmark decontamination: which eval-set strings occur verbatim in
+    // each document — ONE Aho–Corasick pass over the text per row for the
+    // whole pattern set (N contains() probes would re-scan the text N
+    // times); matched = sorted indices into the pattern list
+    "q_decontaminate" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextExpressions.multiPatternMatch(
+            col("text"), decontaminationPatterns).as("matched"))
+        .withColumn("n_matched", size(col("matched")))
+        .filter(col("n_matched") > 0)
+        .orderBy("doc_id")),
+
+    // unigram-LM quality signal: corpus-trained token frequencies, each
+    // doc scored by mean token log-probability (low = corpus-atypical)
+    "q_unigram_lm" -> ((s, dir) =>
+      Retrieval.unigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // schema-evolving MERGE: source carries a column the target lacks;
+    // after upsert the table has the union schema, pre-existing rows
+    // read the new column as NULL (Delta mergeSchema parity)
+    "q_schema_evolution" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      val target = base.filter(col("o_orderkey") % 3 =!= 0)
+      val source = base.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_channel",
+          when(col("o_orderkey") % 4 === 0, lit("web")).otherwise(lit("store")))
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_evolve", Seq("o_orderkey"))
+      t.create(target)
+      t.upsert(source)
+      t.read.select("o_orderkey", "o_totalprice", "o_channel")
+        .orderBy("o_orderkey")
+    }),
+
+    // change feed across a DELETE: create, row-level delete, then read
+    // the delete rows out of the version diff (the CDC branch q_cdc's
+    // upsert path never exercises)
+    "q_cdc_delete" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_cdcdel", Seq("o_orderkey"))
+      t.create(target)
+      t.delete(col("o_orderkey") % 5 === 0)
+      t.changesSince(t.availableVersions.last)
+        .select(col("o_orderkey"), col("_change_type"))
+        .orderBy("o_orderkey")
+    }),
+
+    // SemDeDup (cluster-then-dedup semantic dedup): k-means cells, then
+    // keep-min-id within each cell at cosine >= 0.4. k-means isn't
+    // SQL-replayable -> rows-only here; the cell-local rule is pinned
+    // exactly by SimilaritySpec's independent replay
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.4, nCells = 16)
+        .orderBy("id")),
+
+    // leakage-controlled train/test split: near-dup FAMILIES assigned to
+    // splits atomically (md5-threshold on the family id), so no eval doc
+    // has a near-duplicate in train; oracle replays closure + md5 rule
+    "q_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+      Dedup.leakageSafeSplit(d.select("doc_id"), pairs, "doc_id")
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2790,5 +2880,98 @@ object SparkEntry {
                 ROUND(quantile_cont(value, 0.9), 4) AS p90
          FROM s WHERE rn <= 2048
          GROUP BY event_type ORDER BY event_type""",
+
+    // oracle is the brute-force all-pairs join the operator avoids
+    "q_fuzzy_join" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS a_name, b.p_name AS b_name,
+                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM d a JOIN d b ON a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 2
+         ORDER BY a_name, b_name""",
+
+    // pattern list mirrored verbatim from decontaminationPatterns;
+    // matched = indices i (0-based) with contains(text, pats[i+1])
+    "q_decontaminate" ->
+      """WITH p AS (SELECT ['merge batch', 'fast table', 'fast table value',
+                            'value part', 'spark order', 'scan slow',
+                            'hash value', 'row fast', 'window data'] AS pats)
+         SELECT doc_id,
+                list_filter([0, 1, 2, 3, 4, 5, 6, 7, 8],
+                            i -> contains(text, pats[i + 1])) AS matched,
+                CAST(len(list_filter([0, 1, 2, 3, 4, 5, 6, 7, 8],
+                            i -> contains(text, pats[i + 1]))) AS INT) AS n_matched
+         FROM documents CROSS JOIN p
+         WHERE len(list_filter([0, 1, 2, 3, 4, 5, 6, 7, 8],
+                            i -> contains(text, pats[i + 1]))) > 0
+         ORDER BY doc_id""",
+
+    // same tokenize as the other text oracles; MLE unigram LM replay
+    "q_unigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> len(x) > 0)) AS w
+           FROM documents),
+         cnt AS (SELECT w, count(*) AS c_w FROM toks GROUP BY w),
+         tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_total FROM cnt)
+         SELECT doc_id, count(*) AS n_tokens,
+                ROUND(avg(ln(CAST(c_w AS DOUBLE) / n_total)), 4) AS avg_logprob
+         FROM toks JOIN cnt USING (w) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_schema_evolution" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+         source AS (
+           SELECT o_orderkey, o_totalprice,
+                  CASE WHEN o_orderkey % 4 = 0 THEN 'web' ELSE 'store' END AS o_channel
+           FROM orders WHERE o_orderkey % 2 = 0)
+         SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+         FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_channel FROM source
+         ORDER BY o_orderkey""",
+
+    "q_cdc_delete" ->
+      """SELECT o_orderkey, 'delete' AS _change_type FROM orders
+         WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+         ORDER BY o_orderkey""",
+
+    // q_dedup_families' closure + the md5-threshold split rule
+    "q_split_leakage" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         fam AS (
+           SELECT d.doc_id,
+                  least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS family
+           FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+           GROUP BY d.doc_id)
+         SELECT doc_id, family,
+                CASE WHEN substr(md5(CAST(family AS VARCHAR)), 1, 2) < '33'
+                     THEN 'test' ELSE 'train' END AS split
+         FROM fam ORDER BY doc_id""",
   )
 }

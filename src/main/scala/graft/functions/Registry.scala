@@ -30,6 +30,10 @@ object Registry {
       exprs => MemberCount(exprs(0), evalStringArray(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("phrase_match",
       exprs => PhraseMatch(exprs(0), evalStringArray(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("multi_pattern_match",
+      exprs => MultiPatternMatch(exprs(0), evalStringArray(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("deletion_neighborhood",
+      exprs => DeletionNeighborhood(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     // aggregates: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression during resolution, same as the built-ins
     reg.createOrReplaceTempFunction("freq_items",

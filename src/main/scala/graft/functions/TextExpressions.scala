@@ -333,6 +333,143 @@ case class PhraseMatch(child: Expression, phrase: Seq[String])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Multi-pattern exact-substring scan: which of `patterns` occur in the
+  * input string (raw case-sensitive `contains`, same as the SQL built-in).
+  * Returns the sorted distinct pattern indices that matched.
+  *
+  * One Aho–Corasick pass over the UTF-8 bytes regardless of pattern-set
+  * size — the canonical shape for benchmark decontamination, where a
+  * corpus is screened against thousands of eval-set strings: N separate
+  * `contains` probes re-scan the document N times, this scans it once.
+  * The automaton is built once per expression instance on first use and
+  * ships with the serialized plan (size = total pattern bytes, driver →
+  * executor once per task, like any broadcast literal). Byte-level
+  * matching is exact for UTF-8: a pattern's byte sequence occurs iff the
+  * character sequence occurs (UTF-8 is self-synchronizing).
+  */
+case class MultiPatternMatch(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with RefEvalCodegen {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "multi_pattern_match needs a non-empty list of non-empty patterns")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_match needs string, got ${t.simpleString}")
+  }
+
+  // goto(state)(byte) transitions; fail(state) links; out(state) = pattern
+  // indices ending at state (own + inherited from the fail chain).
+  @transient private lazy val (goto, fail, out) = {
+    val gotoB = mutable.ArrayBuffer(Array.fill(256)(-1))
+    val outB = mutable.ArrayBuffer(mutable.BitSet.empty)
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.getBytes("UTF-8").foreach { b =>
+        val c = b & 0xff
+        if (gotoB(s)(c) < 0) {
+          gotoB(s)(c) = gotoB.size
+          gotoB += Array.fill(256)(-1)
+          outB += mutable.BitSet.empty
+        }
+        s = gotoB(s)(c)
+      }
+      outB(s) += pi
+    }
+    val failB = Array.fill(gotoB.size)(0)
+    val queue = mutable.Queue.empty[Int]
+    (0 until 256).foreach { c =>
+      val s = gotoB(0)(c)
+      if (s < 0) gotoB(0)(c) = 0 else queue += s
+    }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      outB(s) |= outB(failB(s))
+      (0 until 256).foreach { c =>
+        val t = gotoB(s)(c)
+        if (t < 0) gotoB(s)(c) = gotoB(failB(s))(c)
+        else { failB(t) = gotoB(failB(s))(c); queue += t }
+      }
+    }
+    (gotoB.map(_.clone()).toArray, failB, outB.map(_.toArray.sorted).toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val hit = new java.util.BitSet(patterns.size)
+    var s = 0
+    var i = 0
+    val n = bytes.length
+    val all = patterns.size
+    while (i < n && hit.cardinality() < all) {
+      s = goto(s)(bytes(i) & 0xff)
+      val o = out(s)
+      var j = 0
+      while (j < o.length) { hit.set(o(j)); j += 1 }
+      i += 1
+    }
+    val res = new Array[Any](hit.cardinality())
+    var k = 0
+    var b = hit.nextSetBit(0)
+    while (b >= 0) { res(k) = b; k += 1; b = hit.nextSetBit(b + 1) }
+    new GenericArrayData(res)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** All distinct strings reachable from the input by deleting up to `tau`
+  * characters (the input itself included) — the SymSpell-style signature
+  * for edit-distance blocking: ed(a, b) <= tau implies the deletion
+  * neighborhoods of a and b intersect, so an equi-join on exploded
+  * variants is a COMPLETE candidate generator for a Levenshtein join.
+  * Neighborhood size is O(C(len, tau)) — meant for short entity strings
+  * (names, titles, codes), where it beats scanning: candidates come from
+  * a hash join instead of an all-pairs comparison. Operates on Unicode
+  * code points, matching what `levenshtein` counts as one edit.
+  */
+case class DeletionNeighborhood(child: Expression, tau: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  require(tau >= 1 && tau <= 3, s"deletion_neighborhood tau must be 1..3, got $tau")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"deletion_neighborhood needs string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val seen = mutable.LinkedHashSet(s)
+    var frontier = List(cps)
+    var d = 0
+    while (d < tau && frontier.nonEmpty) {
+      val next = mutable.ListBuffer.empty[Array[Int]]
+      frontier.foreach { f =>
+        var i = 0
+        while (i < f.length) {
+          val del = new Array[Int](f.length - 1)
+          System.arraycopy(f, 0, del, 0, i)
+          System.arraycopy(f, i + 1, del, i, f.length - i - 1)
+          val str = new String(del, 0, del.length)
+          if (seen.add(str)) next += del
+          i += 1
+        }
+      }
+      frontier = next.toList
+      d += 1
+    }
+    new GenericArrayData(seen.toArray.map(UTF8String.fromString(_).asInstanceOf[Any]))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private[functions] val SPACE = UTF8String.fromString(" ")
   private[functions] val ZH = UTF8String.fromString("zh")
@@ -389,4 +526,10 @@ object TextExpressions {
 
   def phraseMatch(c: Column, phrase: Seq[String]): Column =
     GraftColumnBridge.column(PhraseMatch(GraftColumnBridge.expression(c), phrase))
+
+  def multiPatternMatch(c: Column, patterns: Seq[String]): Column =
+    GraftColumnBridge.column(MultiPatternMatch(GraftColumnBridge.expression(c), patterns))
+
+  def deletionNeighborhood(c: Column, tau: Int): Column =
+    GraftColumnBridge.column(DeletionNeighborhood(GraftColumnBridge.expression(c), tau))
 }

@@ -415,6 +415,30 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Leakage-controlled train/test split: assign whole near-dup FAMILIES
+    * to a split, never individual documents — a doc-level random split
+    * leaks train content into eval through near-duplicate pairs, which is
+    * exactly the contamination the dedup pipeline exists to prevent.
+    *
+    * The split decision is md5(family id) compared against a hex-prefix
+    * threshold — engine-portable (any engine with md5 replays it, no
+    * engine-specific RNG), deterministic under re-runs and data
+    * re-partitioning, and stable under corpus growth as long as family
+    * labels are stable. `testHexPrefix` "33" puts P(first two hex chars
+    * < "33") = 51/256 ≈ 20% of FAMILIES in test; the doc-level fraction
+    * follows the family-size distribution.
+    *
+    * Output: (idCol, family, split) with split in {'train','test'}.
+    * One label-propagation pass ([[dedupFamilies]]) + a map — no extra
+    * shuffle beyond the family computation itself.
+    */
+  def leakageSafeSplit(ids: DataFrame, pairs: DataFrame, idCol: String,
+      testHexPrefix: String = "33", maxIter: Int = 20): DataFrame =
+    dedupFamilies(ids, pairs, idCol, maxIter)
+      .withColumn("split",
+        when(substring(md5(col("family").cast("string")), 1, 2)
+          < testHexPrefix, "test").otherwise("train"))
+
   /** Embedding-cosine near-duplicates: multi-table hyperplane LSH →
     * join within buckets → exact cosine verify. `lshTables` independent
     * signatures (different hyperplane seeds) are the standard recall

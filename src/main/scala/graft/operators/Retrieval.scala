@@ -108,6 +108,37 @@ object Retrieval {
     * it parallelizes perfectly and composes with downstream repartition/
     * packing stages without imposing a partitioning of its own.
     */
+  /** Unigram language-model quality signal: train token frequencies on
+    * the corpus itself, then score each document by its mean token
+    * log-probability, ln(c_w / total_tokens) averaged over the document's
+    * tokens. Low scores flag documents full of corpus-atypical tokens
+    * (mojibake, boilerplate hex, wrong language) — the cheap first rung of
+    * the perplexity-filter ladder used in pretraining curation, with the
+    * corpus itself as the reference model so no external LM is needed.
+    * No smoothing: every scored token is in the training counts by
+    * construction (train corpus = scored corpus).
+    *
+    * Output: (doc_id, n_tokens, avg_logprob) — avg_logprob rounded to 4 dp
+    * (the repo's cross-engine float rule). Empty documents are dropped.
+    *
+    * Scale shape: one explode → token-count agg (map-side partials over
+    * the token stream), a corpus-total tiny agg broadcast back, and a
+    * shuffle join of the token stream against the count table keyed by
+    * token — all linear; vocabulary never collects to the driver.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextExpressions.wordTokens(col(textCol))).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val total = counts.agg(sum("c_w").as("n_total"))
+    toks.join(counts, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c_w").cast("double") / col("n_total"))), 4)
+          .as("avg_logprob"))
+  }
+
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,

@@ -119,21 +119,49 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.Column
     val c = corpus.select(col(idCol).as("neighbor_id"),
       normalize(col(vecCol)).as("c_v")).cache()
-    var centroids: Array[Seq[Double]] = c
-      .withColumn("h", xxhash64(col("neighbor_id")))
-      .orderBy("h").limit(nCells).select("c_v").collect()
-      .map(_.getSeq[Double](0))
-    def cellScores(vcol: Column): Column = array(centroids.indices.map(i =>
+    val centroids = trainCentroids(c, "neighbor_id", "c_v", nCells, iters)
+    val index = c.withColumn("cell", cellOf(centroids, col("c_v")))
+    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_v"))
+    // nProbe nearest cells per query (score desc, cell asc on ties)
+    val sortedCells = array_sort(cellScores(centroids, col("q_v")),
+      (l, r) => when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .otherwise((l("cell") - r("cell")).cast("int")))
+    val probes = q.withColumn("cell",
+      explode(transform(slice(sortedCells, 1, nProbe), s => s("cell"))))
+    val scored = broadcast(probes).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_v"), col("c_v")), 6).as("cos"))
+    topKPerGroup(scored, k)
+  }
+
+  /** Per-cell best-match scores against the centroid table (broadcast as
+    * plan literals — nCells × dim doubles). */
+  private def cellScores(centroids: Array[Seq[Double]],
+      vcol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array(centroids.indices.map(i =>
       struct(dot(vcol, typedLit(centroids(i))).as("s"), lit(i).as("cell"))): _*)
-    def cellOf(vcol: Column): Column = array_max(cellScores(vcol)).getField("cell")
+
+  private def cellOf(centroids: Array[Seq[Double]],
+      vcol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_max(cellScores(centroids, vcol)).getField("cell")
+
+  /** Deterministic mini k-means over unit vectors: seeds are the `nCells`
+    * rows with smallest xxhash64(id) (stable pseudo-random sample, no RNG
+    * state), then `iters` Lloyd rounds as DataFrame aggregations. The only
+    * driver-side state is the centroid table (nCells × dim doubles from a
+    * bounded groupBy); empty cells keep their previous centroid. */
+  private def trainCentroids(c: DataFrame, idC: String, vC: String,
+      nCells: Int, iters: Int): Array[Seq[Double]] = {
+    var centroids: Array[Seq[Double]] = c
+      .withColumn("h", xxhash64(col(idC)))
+      .orderBy("h").limit(nCells).select(vC).collect()
+      .map(_.getSeq[Double](0))
     for (_ <- 0 until iters) {
-      // Lloyd round: per-cell per-dimension means (bounded nCells × dim
-      // rows collected), renormalized; empty cells keep their centroid
-      val means = c.withColumn("cell", cellOf(col("c_v")))
-        .select(col("cell"), posexplode(col("c_v")))
+      val means = c.withColumn("cell", cellOf(centroids, col(vC)))
+        .select(col("cell"), posexplode(col(vC)))
         .groupBy("cell", "pos").agg(avg("col").as("m"))
         .collect()
       val byCell = means.groupBy(_.getInt(0))
@@ -146,19 +174,40 @@ object Similarity {
         }.getOrElse(centroids(i))
       }.toArray
     }
-    val index = c.withColumn("cell", cellOf(col("c_v")))
-    val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_v"))
-    // nProbe nearest cells per query (score desc, cell asc on ties)
-    val sortedCells = array_sort(cellScores(col("q_v")),
-      (l, r) => when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
-        .otherwise((l("cell") - r("cell")).cast("int")))
-    val probes = q.withColumn("cell",
-      explode(transform(slice(sortedCells, 1, nProbe), s => s("cell"))))
-    val scored = broadcast(probes).join(index, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("q_v"), col("c_v")), 6).as("cos"))
-    topKPerGroup(scored, k)
+    centroids
+  }
+
+  /** SemDeDup (semantic dedup, Abbas et al. 2023): cluster the corpus with
+    * deterministic k-means, then within each cluster drop every row whose
+    * cosine similarity to a LOWER-id row of the same cluster reaches
+    * `threshold` — the set-parallel keep-min-id variant of the paper's
+    * per-cluster greedy, and the same survivor rule as the repo's other
+    * near-dup families. Embedding-level near-duplicates (paraphrases,
+    * re-encodes, templated text) land in the same Voronoi cell, so the
+    * pairwise pass runs per cell: cost is Σ cell², never corpus² — the
+    * paper's own trick for making semantic dedup tractable; `nCells`
+    * scales with the corpus to keep cells bounded. Cross-cell near-dups
+    * are missed by construction (quantified in RecallSpec, same contract
+    * as the LSH/IVF paths).
+    *
+    * Returns (id, cell, kept): full assignment with the survivor flag, so
+    * callers can either keep survivors or audit what was dropped.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, iters: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      normalize(col(vecCol)).as("v")).cache()
+    val centroids = trainCentroids(c, "id", "v", nCells, iters)
+    val index = c.withColumn("cell", cellOf(centroids, col("v")))
+    val a = index.select(col("cell"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = index.select(col("cell"), col("id").as("b_id"), col("v").as("b_v"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        round(dot(col("a_v"), col("b_v")), 6) >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    index.join(dropped.withColumn("kept", lit(false)), Seq("id"), "left_outer")
+      .select(col("id"), col("cell"),
+        coalesce(col("kept"), lit(true)).as("kept"))
   }
 
   /** Top-k rows per query_id from (query_id, neighbor_id, cos) using the

@@ -161,6 +161,23 @@ class DedupSpec extends SparkSpec {
     assert(fam.values.toSet == Set(0L)) // one family, rooted at min id
   }
 
+  test("leakageSafeSplit: families are split-atomic and both splits occur") {
+    // many singleton families so both split labels appear, plus one chain
+    val ids = (0L until 60L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Dedup.leakageSafeSplit(ids, pairs, "doc_id")
+      .as[(Long, Long, String)].collect()
+    val split = out.map(r => r._1 -> r._3).toMap
+    // connected docs never straddle splits
+    assert(split(0L) == split(1L) && split(1L) == split(2L))
+    assert(split(10L) == split(11L))
+    assert(out.map(_._3).toSet == Set("train", "test"))
+    // deterministic under re-run
+    val again = Dedup.leakageSafeSplit(ids, pairs, "doc_id")
+      .as[(Long, Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("winnowingPairs finds the planted near-dups via shared fingerprints") {
     val pairs = Dedup.winnowingPairs(corpus, "doc_id", "text",
       shingleN = 2, window = 3, minShared = 1, threshold = 0.5)

@@ -83,4 +83,15 @@ class RetrievalSpec extends SparkSpec {
       .as[(Long, Int, Int, String)].collect().sortBy(_._2)
     assert(out.map(_._4).toSeq == Seq("a b", "c d"))
   }
+
+  test("unigramLogProb scores by corpus-trained MLE frequencies") {
+    // corpus: a=2, b=2, c=1, total=5
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val out = Retrieval.unigramLogProb(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out.toSeq == Seq(
+      (1L, 3L, r4(math.log(0.4))),                        // all tokens p=2/5
+      (2L, 2L, r4((math.log(0.4) + math.log(0.2)) / 2)))) // empty doc 3 dropped
+  }
 }

@@ -60,4 +60,30 @@ class SimilaritySpec extends SparkSpec {
       .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1, 2L), (2, 3L))) // n1 excluded, n2 ranks first
   }
+
+  test("semDedup: kept iff no lower-id same-cell neighbor at threshold") {
+    val threshold = 0.4
+    val e = Tables.load(spark, sf, "embeddings")
+    val out = Similarity.semDedup(e, "vec_id", "embedding",
+      threshold = threshold, nCells = 8)
+      .select("id", "cell", "kept").as[(Long, Int, Boolean)].collect()
+    val n = e.count()
+    assert(out.length == n && out.map(_._1).distinct.length == n) // partition
+
+    // independent replay: normalized vectors in Scala, exact cell-local rule
+    val vecs = e.select($"vec_id",
+        graft.functions.VectorFunctions.normalize($"embedding").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos6(a: Seq[Double], b: Seq[Double]): Double =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCell = out.groupBy(_._2)
+    for ((_, members) <- byCell; (id, _, kept) <- members) {
+      val hasEarlierDup = members.exists { case (oid, _, _) =>
+        oid < id && cos6(vecs(oid), vecs(id)) >= threshold }
+      assert(kept == !hasEarlierDup, s"id=$id kept=$kept")
+    }
+    // the synthetic corpus HAS near-dups: something must actually drop
+    assert(out.exists(!_._3))
+  }
 }

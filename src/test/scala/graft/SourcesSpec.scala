@@ -108,5 +108,12 @@ class SourcesSpec extends SparkSpec {
     val pm = spark.sql(
       "SELECT phrase_match('A b c', array('b','c')) AS m").as[Boolean].head()
     assert(pm)
+    val mp = spark.sql(
+      "SELECT multi_pattern_match('xabcy', array('abc','zz','bc')) AS m")
+      .as[Seq[Int]].head()
+    assert(mp == Seq(0, 2))
+    val dn = spark.sql(
+      "SELECT size(deletion_neighborhood('abc', 1)) AS n").as[Int].head()
+    assert(dn == 4)
   }
 }
