@@ -19,7 +19,9 @@ object PlanAudit {
         "q_pagerank", "q_bm25", "q_cms_counts", "q_weighted_mix",
         "q_dup_ngram_rate", "q_hits", "q_label_prop", "q_postings",
         "q_quality_model", "q_chunk", "q_sampled_quantiles",
-        "q_group_quantiles", "q_hard_negatives", "q_phrase")
+        "q_group_quantiles", "q_hard_negatives", "q_phrase",
+        "q_fuzzy_join", "q_decontaminate", "q_unigram_lm", "q_semdedup",
+        "q_split_leakage")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

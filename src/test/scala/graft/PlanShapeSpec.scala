@@ -95,4 +95,36 @@ class PlanShapeSpec extends SparkSpec {
     // codegen stages print as "*(n) Operator" in the executed-plan tree
     assert(plan.contains("*("), plan.take(1500))
   }
+
+  test("fuzzy join candidates come from a hash join on variants, no BNLJ") {
+    val plan = SparkEntry.queries("q_fuzzy_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("decontamination scan is map-only over the corpus") {
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one AC pass per row; the only Exchange is the output ORDER BY sort
+    assert(plan.linesIterator.count(_.trim.startsWith("Exchange")) <= 1,
+      plan.take(1500))
+  }
+
+  test("unigram LM broadcasts the single-row total, hash-joins counts") {
+    val plan = SparkEntry.queries("q_unigram_lm")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the token→count join must be a real equi-join, not a nested loop
+    // over the vocabulary (the 1-row totals attach is the only BNLJ)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1500))
+  }
+
+  test("semDedup pairs itself only within cells (equi-join on cell)") {
+    val plan = SparkEntry.queries("q_semdedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
 }
