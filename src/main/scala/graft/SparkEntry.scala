@@ -1423,6 +1423,20 @@ object SparkEntry {
         threshold = 0.4, nCells = 16)
         .orderBy("id")),
 
+    // dirty-record -> clean-catalog fuzzy match (two-sided variant): a
+    // deterministically corrupted copy of the name table matched back at
+    // tau=2; oracle is the brute-force levenshtein join
+    "q_fuzzy_match" -> ((s, dir) => {
+      val clean = Tables.load(s, dir, "part").select(col("p_name")).distinct()
+      val dirty = clean.select(translate(col("p_name"), "e", "3").as("dirty_name"))
+        .distinct()
+      graft.operators.FuzzyJoin.join(
+        dirty, "dirty_name", "dirty_name", clean, "p_name", "p_name", tau = 2)
+        .select(col("left_id").as("dirty_name"), col("right_id").as("clean_name"),
+          col("dist"))
+        .orderBy("dirty_name", "clean_name")
+    }),
+
     // leakage-controlled train/test split: near-dup FAMILIES assigned to
     // splits atomically (md5-threshold on the family id), so no eval doc
     // has a near-duplicate in train; oracle replays closure + md5 rule
@@ -2937,6 +2951,16 @@ object SparkEntry {
       """SELECT o_orderkey, 'delete' AS _change_type FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
+
+    "q_fuzzy_match" ->
+      """WITH clean AS (SELECT DISTINCT p_name FROM part),
+            dirty AS (SELECT DISTINCT replace(p_name, 'e', '3') AS dirty_name
+                      FROM clean)
+         SELECT d.dirty_name, c.p_name AS clean_name,
+                CAST(levenshtein(d.dirty_name, c.p_name) AS INT) AS dist
+         FROM dirty d JOIN clean c
+           ON levenshtein(d.dirty_name, c.p_name) <= 2
+         ORDER BY dirty_name, clean_name""",
 
     // q_dedup_families' closure + the md5-threshold split rule
     "q_split_leakage" ->

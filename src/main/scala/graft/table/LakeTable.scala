@@ -345,6 +345,32 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     inserts.unionByName(post).unionByName(pre).unionByName(deletes)
   }
 
+  /** DESCRIBE DETAIL analogue: one row per retained snapshot (current
+    * included) with data-file count and total bytes — pure filesystem
+    * metadata, no data files read. The table-ops surface Delta exposes
+    * for compaction/retention decisions. */
+  def describeDetail: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentVersion.getOrElse(
+      throw new IllegalStateException(s"table $name has no published version"))
+    val versions = (availableVersions :+ cur).distinct.sorted
+    val rows = versions.map { v =>
+      val files = scala.util.Using.resource(Files.walk(versionDir(v)))(
+        _.iterator.asScala.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).toVector)
+      (v, files.size.toLong, files.map(Files.size).sum, v == cur)
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "bytes", "is_current")
+  }
+
+  /** VACUUM analogue: drop every retained PRIOR snapshot now (time travel
+    * to them is gone, space is reclaimed); the current version is never
+    * touched. Hard-linked files shared with the current version survive
+    * via their remaining link, so this is always safe. */
+  def vacuum(): Unit =
+    availableVersions.foreach(v => deleteRecursively(versionDir(v)))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))

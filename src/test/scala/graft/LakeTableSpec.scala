@@ -341,4 +341,26 @@ class LakeTableSpec extends SparkSpec {
     t2.create(base); t2.upsert(src, prunePartitions = true)
     assert(rows(t1) == rows(t2))
   }
+
+  test("describeDetail reports every retained snapshot with real sizes") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((2L, "b", "y")))
+    val d = t.describeDetail
+      .as[(Int, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(d.map(_._1).toSeq == Seq(1, 2))
+    assert(d.forall(r => r._2 >= 1 && r._3 > 0)) // files exist, bytes > 0
+    assert(d.filter(_._4).map(_._1).toSeq == Seq(2)) // v2 is current
+  }
+
+  test("vacuum drops prior snapshots, keeps the current version readable") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((2L, "b", "y")))
+    assert(t.availableVersions.nonEmpty)
+    t.vacuum()
+    assert(t.availableVersions.isEmpty)
+    assert(rows(t) == Set((1L, "a", "x"), (2L, "b", "y")))
+    intercept[IllegalArgumentException](t.readVersion(1))
+  }
 }
