@@ -19,7 +19,8 @@ class PropertySpec extends SparkSpec {
   private def cases[T](g: Gen[T], n: Int = 10): Seq[T] =
     (0 until n).map(i => g.pureApply(Gen.Parameters.default.withSize(20), Seed(i.toLong)))
 
-  private def forAllCases[T](g: Gen[T])(f: T => Unit): Unit = cases(g).foreach(f)
+  private def forAllCases[T](g: Gen[T], n: Int = 10)(f: T => Unit): Unit =
+    cases(g, n).foreach(f)
 
   private val rowGen = for {
     id <- Gen.chooseNum(0L, 15L)
@@ -241,6 +242,55 @@ class PropertySpec extends SparkSpec {
         val outPairs = tbl.read.select("id").as[Long].collect()
           .groupBy(identity).map { case (k, v) => k -> v.length }
         srcIds.foreach(k => assert(outPairs(k) >= 1))
+      }
+    }
+  }
+
+  test("fuzzy selfJoin matches brute-force levenshtein on random strings") {
+    import graft.operators.FuzzyJoin
+    // small alphabet maximizes collisions/near-misses; includes len<=tau
+    val strGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    forAllCases(Gen.nonEmptyListOf(strGen), n = 6) { strs =>
+      val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("id", "s")
+      for (tau <- Seq(1, 2)) {
+        val got = FuzzyJoin.selfJoin(df, "id", "s", tau)
+          .select("a_id", "b_id", "dist")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val want = (for {
+          a <- rows; b <- rows if a._1 < b._1
+          d = levenshteinRef(a._2, b._2) if d <= tau
+        } yield (a._1, b._1, d)).toSet
+        assert(got == want, s"tau=$tau strs=$strs")
+      }
+    }
+  }
+
+  /** Textbook DP edit distance — independent of both engines. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  test("multiPatternMatch equals per-pattern contains on random inputs") {
+    import graft.functions.TextExpressions
+    val strGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val caseGen = Gen.zip(Gen.nonEmptyListOf(strGen), Gen.nonEmptyListOf(strGen))
+    forAllCases(caseGen, n = 8) { case (texts, pats0) =>
+      val pats = pats0.distinct
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select($"id", TextExpressions.multiPatternMatch($"t", pats).as("m"))
+        .as[(Long, Seq[Int])].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val want = pats.indices.filter(j => t.contains(pats(j)))
+        assert(got(i.toLong) == want, s"text=$t pats=$pats")
       }
     }
   }

@@ -81,4 +81,40 @@ class RecallSpec extends SparkSpec {
     // every approx result must be a real (non-self) neighbor pair
     assert(approx.forall { case (a, b) => a != b })
   }
+
+  test("semDedup: drops only true near-dups; cross-cell miss rate measured") {
+    import graft.operators.Dedup
+    val e = Tables.load(spark, sf, "embeddings")
+    val threshold = 0.4
+    // ground truth: every doc with a LOWER-id global cosine near-dup
+    val brute = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      dim = 64, threshold = threshold, lshBits = 0)
+      .select("a_id", "b_id", "cos").as[(Long, Long, Double)].collect()
+    val trueDup = brute.map(_._2).toSet // b_id always the higher id
+    val dropped = Similarity.semDedup(e, "vec_id", "embedding",
+      threshold, nCells = 16)
+      .filter(!col("kept")).select("id").as[Long].collect().toSet
+    // precision is structural (same verify rule, within-cell): every drop
+    // must be a genuine global near-dup
+    assert(dropped.subsetOf(trueDup),
+      s"semDedup dropped non-dups: ${(dropped -- trueDup).take(5)}")
+    val recall = if (trueDup.isEmpty) 1.0
+      else (dropped & trueDup).size.toDouble / trueDup.size
+    info(f"semDedup drop recall = $recall%.3f on cos>=0.4 " +
+      f"(${trueDup.size} docs with a global near-dup; misses = cross-cell " +
+      "pairs 66 degrees apart — NOT the dedup regime, see planted check)")
+
+    // the paper's operating regime is near-parallel vectors (the corpus
+    // tops out at cos~0.55, so PLANT strong dups): an identical twin maps
+    // to the same Voronoi cell by construction and must always drop
+    val planted = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"),
+        col("label"))
+    val dropped2 = Similarity.semDedup(e.unionByName(planted),
+      "vec_id", "embedding", threshold, nCells = 16)
+      .filter(!col("kept")).select("id").as[Long].collect().toSet
+    val plantedIds = (10000L until 10010L).toSet
+    assert(plantedIds.subsetOf(dropped2),
+      s"planted exact dups survived: ${(plantedIds -- dropped2).take(5)}")
+  }
 }
