@@ -1437,6 +1437,24 @@ object SparkEntry {
         .orderBy("dirty_name", "clean_name")
     }),
 
+    // learned-BPE token accounting: train the merge table on a BOUNDED
+    // deterministic sample (64 docs, driver-side — tokenizer practice),
+    // then count subwords across the full corpus with the native encode
+    // expression. BPE encode isn't SQL-replayable -> rows-only; the
+    // algorithm is pinned against hand-computed merges in BpeSpec
+    "q_bpe_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sample = d.filter(col("doc_id") < 64).select("text").collect()
+        .flatMap(_.getString(0).toLowerCase.split("\\s+")).filter(_.nonEmpty).toSeq
+      val merges = graft.functions.Bpe.train(sample, numMerges = 100)
+      d.select(col("source"),
+          graft.functions.Bpe.bpeEncode(col("text"), merges).as("toks"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("n_subwords"))
+        .orderBy("source")
+    }),
+
     // leakage-controlled train/test split: near-dup FAMILIES assigned to
     // splits atomically (md5-threshold on the family id), so no eval doc
     // has a near-duplicate in train; oracle replays closure + md5 rule
