@@ -265,6 +265,21 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // LATERAL correlated derived table: top-2 orders per nation's
+    // customers — the "top-n per key as a join" SQL idiom (decorrelates
+    // to a ranked window, no per-row re-execution)
+    "q_lateral" -> ((s, dir) => {
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+               FROM customer c,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+               WHERE c.c_custkey < 100
+               ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    }),
+
     // correlated scalar subquery through the SQL surface
     "q_correlated" -> ((s, dir) => {
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
@@ -1713,6 +1728,15 @@ object SparkEntry {
          WHERE o_totalprice = (SELECT max(i.o_totalprice) FROM orders i
                                WHERE i.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         WHERE c.c_custkey < 100
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
 
     "q_range_frame" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -371,6 +371,26 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def vacuum(): Unit =
     availableVersions.foreach(v => deleteRecursively(versionDir(v)))
 
+  /** SHALLOW CLONE analogue: a new independent table whose v1 hard-links
+    * the current snapshot's files — metadata-only (no data copied), the
+    * object-store manifest-copy pattern on POSIX. Divergence is free in
+    * both directions: writes to either table publish new version dirs and
+    * never mutate shared files (every write path here stages then swaps),
+    * and vacuum/retention on one side only unlinks its own paths. */
+  def cloneTo(newName: String): LakeTable = {
+    val src = currentDir
+    val t = new LakeTable(spark, root, newName, mergeKeys, partitionCols,
+      keepVersions)
+    require(!t.exists, s"clone target $newName already exists")
+    val staging = Paths.get(root, s".staging_$newName")
+    if (Files.exists(staging))
+      Files.walk(staging).sorted(Comparator.reverseOrder[Path]())
+        .forEach(Files.delete(_))
+    linkTree(src, staging)
+    t.publish() // private, but same-class access is fine in Scala
+    t
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))

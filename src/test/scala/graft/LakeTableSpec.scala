@@ -353,6 +353,23 @@ class LakeTableSpec extends SparkSpec {
     assert(d.filter(_._4).map(_._1).toSeq == Seq(2)) // v2 is current
   }
 
+  test("shallow clone: same rows, then both sides diverge independently") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"))
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    val c = t.cloneTo("t2")
+    assert(rows(c) == rows(t))
+    // diverge: write to the clone, delete from the original
+    c.upsert(df((3L, "c", "z")))
+    t.delete($"id" === 1L)
+    assert(rows(c) == Set((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
+    assert(rows(t) == Set((2L, "b", "y")))
+    // vacuum on the original must not break the clone (shared hard links)
+    t.vacuum()
+    assert(rows(c).size == 3)
+    intercept[IllegalArgumentException](t.cloneTo("t2")) // target exists
+  }
+
   test("vacuum drops prior snapshots, keeps the current version readable") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"))
     t.create(df((1L, "a", "x")))

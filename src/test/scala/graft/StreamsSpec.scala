@@ -22,6 +22,20 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming decontamination == batch multi-pattern scan") {
+    // native expressions compose with Structured Streaming unchanged:
+    // the AC scan is row-local, so it runs map-side in each micro-batch
+    val pats = Seq("merge batch", "fast table", "hash value")
+    def scan(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      graft.functions.TextExpressions.multiPatternMatch(col("text"), pats).as("m"))
+    val batch = scan(Tables.load(spark, sf, "documents"))
+      .orderBy("doc_id").collect().toSeq
+    val streamed = Streams.drainAppend(
+      scan(Streams.readTableStream(spark, sf, "documents")), "t_decon")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming sliding windows == batch sliding aggregation") {
     val batch = EventOps.sliding(Tables.load(spark, sf, "events"), "1 hour", "30 minutes")
       .orderBy("window_start", "event_type").collect().toSeq
