@@ -1452,6 +1452,32 @@ object SparkEntry {
         .orderBy("dirty_name", "clean_name")
     }),
 
+    // S4 Excel scan end-to-end: stage a deterministic two-sheet workbook
+    // from the orders table, read it back in dynamic (all-string) mode
+    // with the zero-dependency XLSX reader, promote types through the
+    // standard cast path, aggregate; oracle replays from orders directly
+    "q_xlsx_pipeline" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 200).orderBy("o_orderkey").collect()
+      val hdr = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      def sheet(rows: Array[org.apache.spark.sql.Row]) =
+        hdr +: rows.map(r => Seq(r.getLong(0).toString, r.getLong(1).toString,
+          r.getDouble(2).toString)).toSeq
+      val (even, odd) = src.partition(_.getLong(0) % 2 == 0)
+      val path = s"/tmp/graft_xlsx/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders.xlsx"
+      graft.sources.Xlsx.write(path,
+        Seq("even" -> sheet(even), "odd" -> sheet(odd)))
+      graft.sources.Xlsx.readAllSheets(s, path)
+        .select(col("sheet_name"),
+          col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("p"))
+        .groupBy("sheet_name").agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("p").cast("decimal(20,4)")).cast("double").as("sum_price"))
+        .orderBy("sheet_name")
+    }),
+
     // learned-BPE token accounting: train the merge table on a BOUNDED
     // deterministic sample (64 docs, driver-side — tokenizer practice),
     // then count subwords across the full corpus with the native encode
@@ -2993,6 +3019,15 @@ object SparkEntry {
       """SELECT o_orderkey, 'delete' AS _change_type FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
+
+    "q_xlsx_pipeline" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END
+                  AS sheet_name,
+                count(*) AS n_rows,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_price
+         FROM orders WHERE o_orderkey < 200
+         GROUP BY 1 ORDER BY sheet_name""",
 
     "q_fuzzy_match" ->
       """WITH clean AS (SELECT DISTINCT p_name FROM part),

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.Xlsx
+
+/** S4 Excel scan: writer/reader round-trip plus a handcrafted workbook
+  * covering the cell-type and sparsity surface the reader claims. */
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory("xlsx").resolve(name).toString
+
+  test("multi-sheet round-trip in dynamic (all-string) mode") {
+    val path = tmp("two.xlsx")
+    Xlsx.write(path, Seq(
+      "alpha" -> Seq(Seq("id", "v"), Seq("1", "a&b<c>"), Seq("2", "y")),
+      "beta" -> Seq(Seq("id", "w"), Seq("9", "z"))))
+    assert(Xlsx.sheetNames(path) == Seq("alpha", "beta"))
+    val a = Xlsx.readSheet(spark, path, "alpha")
+    assert(a.columns.toSeq == Seq("id", "v"))
+    assert(a.as[(String, String)].collect().toSet ==
+      Set(("1", "a&b<c>"), ("2", "y"))) // XML escaping round-trips
+    val all = Xlsx.readAllSheets(spark, path)
+    assert(all.columns.toSet == Set("id", "v", "w", "sheet_name"))
+    // sheets with different columns union by name, missing -> null
+    assert(all.filter($"sheet_name" === "beta").select("v").collect().head.isNullAt(0))
+    assert(all.count() == 3)
+  }
+
+  test("foreign workbook: numbers, booleans, inline strings, sparse cells") {
+    // handcrafted (not via our writer): inlineStr + numeric + bool cells,
+    // row 2 skips column B entirely (sparse r="..." references)
+    val path = tmp("foreign.xlsx")
+    val sheet =
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c><c r="B1" t="inlineStr"><is><t>num</t></is></c><c r="C1" t="inlineStr"><is><t>flag</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><t>x</t></is></c><c r="C2" t="b"><v>1</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>0</v></c><c r="B3"><v>12.5</v></c><c r="C3" t="b"><v>0</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sst = """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"""
+    val wb = """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="s1" sheetId="1"/></sheets></workbook>"""
+    val out = new ZipOutputStream(new java.io.FileOutputStream(path))
+    Seq("xl/workbook.xml" -> wb, "xl/worksheets/sheet1.xml" -> sheet,
+      "xl/sharedStrings.xml" -> sst).foreach { case (n, c) =>
+      out.putNextEntry(new ZipEntry(n)); out.write(c.getBytes("UTF-8")); out.closeEntry()
+    }
+    out.close()
+    val rows = Xlsx.readSheet(spark, path, "s1")
+      .as[(String, Option[String], String)].collect().toSet
+    assert(rows == Set(
+      ("x", None, "true"),     // sparse B2 -> null; bool 1 -> "true"
+      ("rich", Some("12.5"), "false"))) // rich-text shared string; raw number
+  }
+
+  test("dynamic strings promote through the standard cast path") {
+    val path = tmp("cast.xlsx")
+    Xlsx.write(path, Seq("t" -> Seq(Seq("id", "price"),
+      Seq("1", "10.5"), Seq("2", "oops"))))
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val cast = graft.ops.CoreOps.castColumns(
+      Map("id" -> LongType, "price" -> DoubleType))(
+      Xlsx.readSheet(spark, path, "t"))
+    val got = cast.as[(Long, Option[Double])].collect().toSet
+    assert(got == Set((1L, Some(10.5)), (2L, None))) // try_cast semantics
+  }
+}
