@@ -67,13 +67,31 @@ object Xlsx {
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** Worksheet part name for a sheet: resolved through the workbook rels
+    * (r:id → Target) when present — foreign writers don't always number
+    * sheet parts in workbook order — falling back to positional
+    * sheet1..N for rels-less minimal files. */
+  private def sheetPart(zip: ZipFile, sheet: String): String = {
+    val wb = XML.load(zip.getInputStream(zip.getEntry("xl/workbook.xml")))
+    val sheets = (wb \\ "sheet")
+    val idx = sheets.indexWhere(s => (s \@ "name") == sheet)
+    require(idx >= 0,
+      s"sheet '$sheet' not found (have: ${sheets.map(_ \@ "name")})")
+    val rid = sheets(idx).attributes.asAttrMap.getOrElse("r:id", "")
+    val viaRels = for {
+      relsEntry <- Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+      if rid.nonEmpty
+      rels = XML.load(zip.getInputStream(relsEntry))
+      rel <- (rels \\ "Relationship").find(r => (r \@ "Id") == rid)
+    } yield "xl/" + (rel \@ "Target").stripPrefix("/xl/").stripPrefix("./")
+    viaRels.getOrElse(s"xl/worksheets/sheet${idx + 1}.xml")
+  }
+
   /** Raw cell grid of a sheet: rows of Option[String], positions from the
     * cell references. Driver-side by design (see scale note above). */
   private def readGrid(path: String, sheet: String): Vector[Vector[Option[String]]] =
     withZip(path) { zip =>
-      val names = sheetNames(path)
-      val idx = names.indexOf(sheet)
-      require(idx >= 0, s"sheet '$sheet' not in $path (have: $names)")
+      val part = sheetPart(zip, sheet)
       val shared: Vector[String] = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map { e =>
           val sst = XML.load(zip.getInputStream(e))
@@ -81,8 +99,7 @@ object Xlsx {
           // <si><r><t>x</t></r><r><t>y</t></r></si> both flatten
           (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toVector
         }.getOrElse(Vector.empty)
-      val ws = XML.load(zip.getInputStream(
-        zip.getEntry(s"xl/worksheets/sheet${idx + 1}.xml")))
+      val ws = XML.load(zip.getInputStream(zip.getEntry(part)))
       (ws \\ "row").toVector.map { row =>
         val cells = mutable.ArrayBuffer.empty[Option[String]]
         (row \ "c").foreach { c =>

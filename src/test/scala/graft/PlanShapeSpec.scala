@@ -121,6 +121,16 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("LATERAL top-n decorrelates to WindowGroupLimit, never a loop join") {
+    val plan = SparkEntry.queries("q_lateral")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // per-key LIMIT inside the lateral subquery must become a map-side
+    // partial top-k (WindowGroupLimit), not a per-row re-execution
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(1500))
+  }
+
   test("semDedup pairs itself only within cells (equi-join on cell)") {
     val plan = SparkEntry.queries("q_semdedup")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -55,6 +55,21 @@ class XlsxSpec extends SparkSpec {
       ("rich", Some("12.5"), "false"))) // rich-text shared string; raw number
   }
 
+  test("rels-based resolution finds non-positionally-named sheet parts") {
+    val path = tmp("rels.xlsx")
+    val wb = """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="only" sheetId="1" r:id="rId7"/></sheets></workbook>"""
+    val rels = """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/data99.xml"/></Relationships>"""
+    val sheet = """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row><row r="2"><c r="A2"><v>7</v></c></row></sheetData></worksheet>"""
+    val out = new ZipOutputStream(new java.io.FileOutputStream(path))
+    Seq("xl/workbook.xml" -> wb, "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/data99.xml" -> sheet).foreach { case (n, c) =>
+      out.putNextEntry(new ZipEntry(n)); out.write(c.getBytes("UTF-8")); out.closeEntry()
+    }
+    out.close()
+    assert(Xlsx.readSheet(spark, path, "only").as[String].collect().toSeq
+      == Seq("7"))
+  }
+
   test("dynamic strings promote through the standard cast path") {
     val path = tmp("cast.xlsx")
     Xlsx.write(path, Seq("t" -> Seq(Seq("id", "price"),
