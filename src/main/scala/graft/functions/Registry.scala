@@ -34,6 +34,13 @@ object Registry {
       exprs => MultiPatternMatch(exprs(0), evalStringArray(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("deletion_neighborhood",
       exprs => DeletionNeighborhood(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    // merges as a literal array of 2-element arrays: array(array('a','b'), ...)
+    reg.createOrReplaceTempFunction("bpe_encode",
+      exprs => BpeEncode(exprs(0), evalStringArrayArray(exprs(1)).map {
+        case Seq(a, b) => (a, b)
+        case other => throw new IllegalArgumentException(
+          s"bpe_encode merges must be 2-element arrays, got $other")
+      }), "built-in")
     // aggregates: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression during resolution, same as the built-ins
     reg.createOrReplaceTempFunction("freq_items",
@@ -50,4 +57,16 @@ object Registry {
     e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toObjectArray(org.apache.spark.sql.types.StringType)
       .map(_.toString).toSeq
+
+  /** Fold a literal array-of-string-arrays (e.g. `array(array('a','b'))`). */
+  private[graft] def evalStringArrayArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    e.eval().asInstanceOf[ArrayData]
+      .toObjectArray(ArrayType(StringType))
+      .map(_.asInstanceOf[ArrayData]
+        .toObjectArray(StringType).map(_.toString).toSeq)
+      .toSeq
+  }
 }

@@ -115,5 +115,9 @@ class SourcesSpec extends SparkSpec {
     val dn = spark.sql(
       "SELECT size(deletion_neighborhood('abc', 1)) AS n").as[Int].head()
     assert(dn == 4)
+    val be = spark.sql(
+      """SELECT bpe_encode('abab zq', array(array('a','b'), array('ab','ab')))
+         AS t""").as[Seq[String]].head()
+    assert(be == Seq("abab", "z", "q"))
   }
 }
