@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Plan linter: the 100 TB design checklist this repo audits by hand
+  * (PlanAudit) and pins in CI (PlanShapeSpec), packaged as a library API
+  * over any DataFrame's physical plan. Every rule is a scale smell that
+  * is invisible at lab size and dominant at cluster size:
+  *
+  *  - `cartesian-product` / `broadcast-nested-loop`: quadratic joins —
+  *    error unless a side is a deliberate single-row attach.
+  *  - `broadcastable-not-broadcast`: a shuffle join whose smaller side's
+  *    estimated size is under the session's autoBroadcastJoinThreshold —
+  *    usually a missing stats hint on checkpointed/iterative state (the
+  *    exact bug Graph.sideStrategy exists to prevent).
+  *  - `unpushed-filter`: a parquet scan with data filters that pushed
+  *    nothing down to the reader.
+  *  - `wide-scan`: a scan reading 8+ columns, every column of the file —
+  *    fine for SELECT *, a pruning failure in a narrow pipeline.
+  *  - `shuffle-count` / `codegen-coverage`: informational totals.
+  *
+  * Static analysis only — no jobs run. Severities: `error` (will not
+  * survive a scale-up), `warn` (investigate), `info` (context).
+  */
+object PlanLint {
+
+  case class Finding(rule: String, severity: String, detail: String)
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val threshold = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val thresholdBytes = parseBytes(threshold)
+    val plan = df.queryExecution.executedPlan
+    val nodes = collectAll(plan)
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+
+    nodes.foreach {
+      case j: CartesianProductExec =>
+        findings += Finding("cartesian-product", "error",
+          s"cartesian product over ${j.left.nodeName} x ${j.right.nodeName}" +
+            " - quadratic at scale; add a join key or bound a side")
+      case j: BroadcastNestedLoopJoinExec =>
+        val singleRowish = Seq(j.left, j.right).exists(maxRowsOf(_).exists(_ <= 1L))
+        if (!singleRowish)
+          findings += Finding("broadcast-nested-loop", "error",
+            "nested-loop join with a multi-row build side - every probe row" +
+              " scans the whole build side; make it an equi-join")
+      case j: SortMergeJoinExec =>
+        smallSide(j.left, j.right, thresholdBytes).foreach { side =>
+          findings += Finding("broadcastable-not-broadcast", "warn",
+            s"sort-merge join but the $side side is estimated under the " +
+              s"broadcast threshold ($thresholdBytes B) - missing stats " +
+              "(checkpointed state?) or threshold off; consider broadcast()")
+        }
+      case j: ShuffledHashJoinExec =>
+        smallSide(j.left, j.right, thresholdBytes).foreach { side =>
+          findings += Finding("broadcastable-not-broadcast", "warn",
+            s"shuffled hash join but the $side side is estimated under the " +
+              s"broadcast threshold ($thresholdBytes B); consider broadcast()")
+        }
+      case s: FileSourceScanExec =>
+        val pushed = s.metadata.getOrElse("PushedFilters", "[]")
+        if (s.dataFilters.nonEmpty && pushed == "[]")
+          findings += Finding("unpushed-filter", "warn",
+            s"scan of ${shortLoc(s)} has ${s.dataFilters.size} data filter(s)" +
+              " but pushed none to the reader - rows decode before filtering")
+        val read = s.requiredSchema.size
+        if (read >= 8 && read == s.relation.dataSchema.size)
+          findings += Finding("wide-scan", "info",
+            s"scan of ${shortLoc(s)} reads all $read columns - fine for " +
+              "SELECT *, a pruning failure in a narrow pipeline")
+      case _ =>
+    }
+
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    findings += Finding("shuffle-count", "info", s"$shuffles shuffle exchange(s)")
+    val codegen = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    findings += Finding("codegen-coverage", "info",
+      s"$codegen whole-stage codegen span(s) over ${nodes.size} nodes")
+    findings.toSeq
+  }
+
+  /** Findings as a DataFrame, for notebook/SQL consumption. */
+  def lintReport(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    lint(df).toDF("rule", "severity", "detail")
+  }
+
+  /** Errors only — the CI-gate subset. */
+  def errors(df: DataFrame): Seq[Finding] =
+    lint(df).filter(_.severity == "error")
+
+  // AQE wraps the real plan; subqueries hang off expressions — walk both.
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    self ++ p.subqueries.flatMap(collectAll)
+  }
+
+  // Exchange/reused nodes often carry no logicalLink; the first linked
+  // descendant (e.g. the Aggregate under a BroadcastExchange) does. Only
+  // descend through LINKLESS single-child wrappers — descending past a
+  // linked multi-row node could surface an unrelated single-row input
+  // and mask a real quadratic join.
+  private def maxRowsOf(p: SparkPlan): Option[Long] = {
+    def firstMaxRows(q: SparkPlan): Option[Long] = q.logicalLink match {
+      case Some(l) => l.maxRows
+      case None if q.children.size == 1 => firstMaxRows(q.children.head)
+      case None => None
+    }
+    firstMaxRows(p)
+  }
+
+  /** Which side (if any) of a shuffle join sits under the broadcast
+    * threshold by logical size estimate. */
+  private def smallSide(l: SparkPlan, r: SparkPlan,
+      threshold: Long): Option[String] = {
+    if (threshold <= 0) return None
+    // SMJ children are Sort/Exchange wrappers without logicalLinks;
+    // descend like maxRowsOf does
+    def size(p: SparkPlan): Option[BigInt] = p.logicalLink match {
+      case Some(l) => Some(l.stats.sizeInBytes)
+      case None if p.children.size == 1 => size(p.children.head)
+      case None => None
+    }
+    (size(l), size(r)) match {
+      case (Some(a), _) if a <= threshold => Some("left")
+      case (_, Some(b)) if b <= threshold => Some("right")
+      case _ => None
+    }
+  }
+
+  private def shortLoc(s: FileSourceScanExec): String = {
+    val loc = s.metadata.getOrElse("Location", "")
+    loc.split('/').takeRight(1).headOption.getOrElse(loc).stripSuffix("]")
+  }
+
+  private def parseBytes(v: String): Long = {
+    val t = v.trim.toLowerCase
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else if (t.endsWith("b")) (t.dropRight(1), 1L)
+      else (t, 1L)
+    scala.util.Try(num.trim.toDouble * mult).map(_.toLong).getOrElse(-1L)
+  }
+}

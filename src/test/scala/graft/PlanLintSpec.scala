@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.PlanLint
+
+/** The plan linter must flag deliberately bad plans and stay quiet on the
+  * repo's own (pinned-good) query shapes. */
+class PlanLintSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flags a genuine cartesian product as an error") {
+    val a = Tables.load(spark, sf, "customer")
+    val b = Tables.load(spark, sf, "orders")
+    val bad = a.crossJoin(b)
+    val errs = PlanLint.errors(bad).map(_.rule)
+    assert(errs.contains("cartesian-product") ||
+      errs.contains("broadcast-nested-loop"), PlanLint.lint(bad))
+  }
+
+  test("single-row cross attach (stats pattern) is NOT an error") {
+    val d = Tables.load(spark, sf, "documents")
+    val stats = d.agg(count(lit(1)).as("n"))
+    val ok = d.crossJoin(broadcast(stats)) // the totals-attach idiom
+    assert(PlanLint.errors(ok).isEmpty, PlanLint.lint(ok))
+  }
+
+  test("flags a small side forced through a sort-merge join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dim = Tables.load(spark, sf, "nation") // tiny
+      val fact = Tables.load(spark, sf, "customer")
+      val j = fact.join(dim, fact("c_nationkey") === dim("n_nationkey"))
+      // executedPlan is lazy: force planning while broadcast is disabled,
+      // THEN restore a realistic threshold for the lint's size check
+      j.queryExecution.executedPlan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val warns = PlanLint.lint(j).filter(_.rule == "broadcastable-not-broadcast")
+      assert(warns.nonEmpty, PlanLint.lint(j))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("repo query shapes produce no errors; info totals always present") {
+    Seq("q1_agg", "q_semi_join", "q_tpch_q3", "q_bm25").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(PlanLint.errors(df).isEmpty, s"$q: ${PlanLint.lint(df)}")
+      val rules = PlanLint.lint(df).map(_.rule)
+      assert(rules.contains("shuffle-count") && rules.contains("codegen-coverage"))
+    }
+  }
+
+  test("no scale errors across the whole lazy analytic query surface") {
+    // skipped: queries whose CONSTRUCTION is eager (lake DML, iterative
+    // loops, stream drains, fixture staging) — linting them would run jobs
+    val eager = Set(
+      "q_merge_upsert", "q_merge_upsert_pruned", "q_delete_update",
+      "q_zorder", "q_cdc", "q_cdc_delete", "q_schema_evolution",
+      "q_orchestrator", "q_csv_pipeline", "q_csv_declared", "q_json_source",
+      "q_orc_source", "q_items_pipeline", "q_orders_pipeline",
+      "q_products_pipeline", "q_xlsx_pipeline", "q_bpe_tokens",
+      "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
+      "q_dedup_families", "q_family_survivors", "q_pagerank", "q_hits",
+      "q_label_prop", "q_valid_counts", "q_corpus_pipeline"
+    ) ++ SparkEntry.queries.keys.filter(_.startsWith("q_stream"))
+    // allowed: documented bounded brute-force verification twins — the
+    // cartesian/non-equi shape is the point (README/ARCHITECTURE notes)
+    val boundedBrute = Set("q_embed_neardup", "q_embed_topk",
+      "q_hard_negatives", "q_embed_ann_lsh")
+    val linted = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(eager).filterNot(boundedBrute)
+    assert(linted.size > 70) // the gate covers the bulk of the contract
+    linted.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val errs = PlanLint.errors(df)
+      assert(errs.isEmpty, s"$q: $errs")
+    }
+  }
+
+  test("lintReport renders findings as a DataFrame") {
+    val r = PlanLint.lintReport(Tables.load(spark, sf, "orders").limit(5))
+    assert(r.columns.toSeq == Seq("rule", "severity", "detail"))
+    assert(r.count() >= 2) // the two info totals at minimum
+  }
+}
