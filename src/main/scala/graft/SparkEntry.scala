@@ -1452,6 +1452,21 @@ object SparkEntry {
         .orderBy("dirty_name", "clean_name")
     }),
 
+    // MAP-typed column surface: build a status->count map per customer
+    // (map_from_entries over sorted entries), then read it back out with
+    // element_at / map_keys / size — oracle replays map-free
+    "q_map_ops" -> ((s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("n"))
+        .groupBy("o_custkey")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("o_orderstatus"), col("n"))))).as("m"))
+        .select(col("o_custkey"),
+          size(col("m")).as("n_statuses"),
+          coalesce(element_at(col("m"), lit("O")), lit(0L)).as("n_open"),
+          array_join(map_keys(col("m")), ",").as("statuses"))
+        .orderBy("o_custkey")),
+
     // S4 Excel scan end-to-end: stage a deterministic two-sheet workbook
     // from the orders table, read it back in dynamic (all-string) mode
     // with the zero-dependency XLSX reader, promote types through the
@@ -3019,6 +3034,17 @@ object SparkEntry {
       """SELECT o_orderkey, 'delete' AS _change_type FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
+
+    "q_map_ops" ->
+      """WITH g AS (SELECT o_custkey, o_orderstatus, count(*) AS n
+                    FROM orders GROUP BY 1, 2)
+         SELECT o_custkey,
+                CAST(count(*) AS INT) AS n_statuses,
+                CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN n END), 0)
+                     AS BIGINT) AS n_open,
+                string_agg(o_orderstatus, ',' ORDER BY o_orderstatus)
+                  AS statuses
+         FROM g GROUP BY o_custkey ORDER BY o_custkey""",
 
     "q_xlsx_pipeline" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END
