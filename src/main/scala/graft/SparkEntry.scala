@@ -1452,6 +1452,28 @@ object SparkEntry {
         .orderBy("dirty_name", "clean_name")
     }),
 
+    // SCD Type 2 MERGE: two history-preserving upserts (initial load,
+    // then a batch where 1-in-3 keys changed and 1-in-3 is a no-op);
+    // fixed asOf timestamps keep reruns + oracle deterministic
+    "q_scd2" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 500)
+      val batch2 = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2) // changed
+        .unionByName(base.filter(col("o_orderkey") % 3 === 1)) // unchanged
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_scd2", Seq("o_orderkey"))
+      t.drop() // fresh history per run
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      t.upsertScd2(base, Seq("o_totalprice"), t0)
+      t.upsertScd2(batch2, Seq("o_totalprice"), t1)
+      t.read.select("o_orderkey", "o_totalprice",
+          "__valid_from", "__valid_to", "__is_current")
+        .orderBy("o_orderkey", "__valid_from")
+    }),
+
     // MAP-typed column surface: build a status->count map per customer
     // (map_from_entries over sorted entries), then read it back out with
     // element_at / map_keys / size — oracle replays map-free
@@ -3034,6 +3056,21 @@ object SparkEntry {
       """SELECT o_orderkey, 'delete' AS _change_type FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
+
+    "q_scd2" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey < 500)
+         SELECT o_orderkey, o_totalprice,
+                TIMESTAMP '2024-01-01 00:00:00' AS __valid_from,
+                CASE WHEN o_orderkey % 3 = 0
+                     THEN TIMESTAMP '2024-02-01 00:00:00' END AS __valid_to,
+                o_orderkey % 3 <> 0 AS __is_current
+         FROM base
+         UNION ALL
+         SELECT o_orderkey, o_totalprice * 2,
+                TIMESTAMP '2024-02-01 00:00:00', NULL, true
+         FROM base WHERE o_orderkey % 3 = 0
+         ORDER BY o_orderkey, __valid_from""",
 
     "q_map_ops" ->
       """WITH g AS (SELECT o_custkey, o_orderstatus, count(*) AS n

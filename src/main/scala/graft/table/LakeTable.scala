@@ -345,6 +345,58 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     inserts.unionByName(post).unionByName(pre).unionByName(deletes)
   }
 
+  /** SCD Type 2 MERGE: history-preserving dimension upsert. Rows carry
+    * `__valid_from` / `__valid_to` / `__is_current`; for each incoming
+    * key whose TRACKED attributes changed (or that is new), the current
+    * row (if any) is closed out (`__valid_to` = asOf, `__is_current` =
+    * false) and a new current row inserted. Unchanged keys and already-
+    * historical rows pass through untouched — the standard warehouse
+    * pattern for slowly-changing dimensions, expressed as one anti-join +
+    * one change-detection join + a union (same single-shuffle budget as
+    * the plain MERGE; change detection hashes only the tracked columns).
+    *
+    * `source` must be deduplicated on `mergeKeys` and NOT contain the
+    * bookkeeping columns; `asOf` is caller-supplied so reruns are
+    * idempotent and the oracle can replay it (no current_timestamp).
+    */
+  def upsertScd2(source: DataFrame, trackCols: Seq[String],
+      asOf: java.sql.Timestamp): Unit = {
+    import org.apache.spark.sql.functions.{lit, when, xxhash64}
+    val meta = Seq("__valid_from", "__valid_to", "__is_current")
+    require(meta.forall(c => !source.columns.contains(c)),
+      "source must not carry SCD bookkeeping columns")
+    def hashed(df: DataFrame) = xxhash64(trackCols.map(col): _*)
+    if (!exists) {
+      create(source
+        .withColumn("__valid_from", lit(asOf))
+        .withColumn("__valid_to", lit(null).cast("timestamp"))
+        .withColumn("__is_current", lit(true)))
+      return
+    }
+    val cur = read
+    // keys whose tracked attributes changed, plus brand-new keys
+    val changedKeys = source.withColumn("__h_new", hashed(source))
+      .join(cur.filter(col("__is_current"))
+        .select(mergeKeys.map(col) :+ hashed(cur).as("__h_old"): _*),
+        mergeKeys, "left_outer")
+      .filter(col("__h_old").isNull || col("__h_new") =!= col("__h_old"))
+      .select(mergeKeys.map(col): _*)
+    val closing = cur.join(changedKeys, mergeKeys, "left_semi")
+      .filter(col("__is_current"))
+      .withColumn("__valid_to", lit(asOf))
+      .withColumn("__is_current", lit(false))
+    val untouched = cur
+      .join(changedKeys.withColumn("__chg", lit(true)), mergeKeys, "left_outer")
+      .filter(col("__chg").isNull || !col("__is_current"))
+      .drop("__chg")
+    val inserts = source.join(changedKeys, mergeKeys, "left_semi")
+      .withColumn("__valid_from", lit(asOf))
+      .withColumn("__valid_to", lit(null).cast("timestamp"))
+      .withColumn("__is_current", lit(true))
+    writeTo(untouched.unionByName(closing).unionByName(inserts), stagingDir)
+    publish()
+  }
+
   /** DESCRIBE DETAIL analogue: one row per retained snapshot (current
     * included) with data-file count and total bytes — pure filesystem
     * metadata, no data files read. The table-ops surface Delta exposes
@@ -362,6 +414,12 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     }
     import spark.implicits._
     rows.toDF("version", "n_files", "bytes", "is_current")
+  }
+
+  /** DROP TABLE analogue: remove the table (all versions + pointer). */
+  def drop(): Unit = {
+    deleteRecursively(tableDir)
+    deleteRecursively(stagingDir)
   }
 
   /** VACUUM analogue: drop every retained PRIOR snapshot now (time travel

@@ -342,6 +342,44 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(t1) == rows(t2))
   }
 
+  test("SCD2: changed keys get history, unchanged are no-ops, reruns idempotent") {
+    val t = LakeTable(spark, freshRoot, "dim", Seq("id"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val v1 = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+    t.upsertScd2(v1, Seq("name"), t0)
+    // 1 changes, 2 unchanged, 3 is new
+    val v2 = Seq((1L, "alicia"), (2L, "bob"), (3L, "carol")).toDF("id", "name")
+    t.upsertScd2(v2, Seq("name"), t1)
+    def state = t.read
+      .select("id", "name", "__is_current")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(state == Set(
+      (1L, "alice", false), (1L, "alicia", true), // closed + new version
+      (2L, "bob", true),                          // untouched no-op
+      (3L, "carol", true)))                       // new key
+    // closed row carries the close-out timestamp
+    val closed = t.read.filter(!$"__is_current")
+      .select("__valid_to").as[java.sql.Timestamp].head()
+    assert(closed == t1)
+    // rerunning the same batch at the same asOf is a no-op
+    t.upsertScd2(v2, Seq("name"), t1)
+    assert(state.size == 4)
+  }
+
+  test("a crashed write (stale staging dir) never corrupts the table") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    // simulate a writer that died after staging, before publish
+    val staging = java.nio.file.Paths.get(root, ".staging_t")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.writeString(staging.resolve("garbage.parquet"), "junk")
+    assert(rows(t) == Set((1L, "a", "x"))) // readers unaffected
+    t.upsert(df((2L, "b", "y"))) // next writer replaces the stale staging
+    assert(rows(t) == Set((1L, "a", "x"), (2L, "b", "y")))
+  }
+
   test("describeDetail reports every retained snapshot with real sizes") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"))
     t.create(df((1L, "a", "x")))
