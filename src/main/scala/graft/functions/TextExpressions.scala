@@ -339,13 +339,19 @@ case class PhraseMatch(child: Expression, phrase: Seq[String])
   *
   * One Aho–Corasick pass over the UTF-8 bytes regardless of pattern-set
   * size — the canonical shape for benchmark decontamination, where a
-  * corpus is screened against thousands of eval-set strings: N separate
+  * corpus is screened against many eval-set strings: N separate
   * `contains` probes re-scan the document N times, this scans it once.
-  * The automaton is built once per expression instance on first use and
-  * ships with the serialized plan (size = total pattern bytes, driver →
-  * executor once per task, like any broadcast literal). Byte-level
-  * matching is exact for UTF-8: a pattern's byte sequence occurs iff the
-  * character sequence occurs (UTF-8 is self-synchronizing).
+  * What ships with the serialized plan is the pattern list (total
+  * pattern bytes); the automaton is rebuilt lazily per executor. The
+  * in-memory automaton uses DENSE 256-way transition rows — the fastest
+  * scan form, at ~1 KB of heap per trie state (state count <= total
+  * pattern bytes). That is the right trade up to pattern sets in the
+  * tens of thousands of bytes; for decontamination against millions of
+  * pattern bytes, shard the pattern list across several expression
+  * columns (union the index arrays) so each automaton stays bounded.
+  * Byte-level matching is exact for UTF-8: a pattern's byte sequence
+  * occurs iff the character sequence occurs (UTF-8 is
+  * self-synchronizing).
   */
 case class MultiPatternMatch(child: Expression, patterns: Seq[String])
     extends UnaryExpression with RefEvalCodegen {
@@ -399,15 +405,19 @@ case class MultiPatternMatch(child: Expression, patterns: Seq[String])
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val hit = new java.util.BitSet(patterns.size)
+    var nHit = 0 // O(1) early-exit counter (cardinality() is O(n/64))
     var s = 0
     var i = 0
     val n = bytes.length
     val all = patterns.size
-    while (i < n && hit.cardinality() < all) {
+    while (i < n && nHit < all) {
       s = goto(s)(bytes(i) & 0xff)
       val o = out(s)
       var j = 0
-      while (j < o.length) { hit.set(o(j)); j += 1 }
+      while (j < o.length) {
+        if (!hit.get(o(j))) { hit.set(o(j)); nHit += 1 }
+        j += 1
+      }
       i += 1
     }
     val res = new Array[Any](hit.cardinality())

@@ -108,6 +108,24 @@ object Retrieval {
     * it parallelizes perfectly and composes with downstream repartition/
     * packing stages without imposing a partitioning of its own.
     */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextExpressions.wordTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkSize), col("n") - col("start")).as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Unigram language-model quality signal: train token frequencies on
     * the corpus itself, then score each document by its mean token
     * log-probability, ln(c_w / total_tokens) averaged over the document's
@@ -137,23 +155,5 @@ object Retrieval {
         count(lit(1)).as("n_tokens"),
         round(avg(log(col("c_w").cast("double") / col("n_total"))), 4)
           .as("avg_logprob"))
-  }
-
-  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int, stride: Int): DataFrame = {
-    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
-      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
-    docs
-      .select(col(idCol).as("doc_id"),
-        TextExpressions.wordTokens(col(textCol)).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .filter(col("n") > 0)
-      .select(col("doc_id"), col("toks"), col("n"),
-        posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
-          .as(Seq("chunk_idx", "start")))
-      .select(col("doc_id"), col("chunk_idx"),
-        least(lit(chunkSize), col("n") - col("start")).as("n_tokens"),
-        array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ")
-          .as("chunk_text"))
   }
 }

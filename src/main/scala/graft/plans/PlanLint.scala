@@ -143,12 +143,19 @@ object PlanLint {
     loc.split('/').takeRight(1).headOption.getOrElse(loc).stripSuffix("]")
   }
 
+  // Accepts every form Spark's own byte-conf parser does: "10485760",
+  // "10m", "10mb", "1g", "512kb", "1tb" (strip an optional trailing 'b'
+  // FIRST, then the unit letter — "10mb".endsWith("m") is false).
   private def parseBytes(v: String): Long = {
-    val t = v.trim.toLowerCase
+    val t0 = v.trim.toLowerCase
+    val t = if (t0.length > 1 && t0.endsWith("b") &&
+      "kmgtp".contains(t0.charAt(t0.length - 2))) t0.dropRight(1) else t0
     val (num, mult) =
       if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
       else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
       else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else if (t.endsWith("t")) (t.dropRight(1), 1L << 40)
+      else if (t.endsWith("p")) (t.dropRight(1), 1L << 50)
       else if (t.endsWith("b")) (t.dropRight(1), 1L)
       else (t, 1L)
     scala.util.Try(num.trim.toDouble * mult).map(_.toLong).getOrElse(-1L)

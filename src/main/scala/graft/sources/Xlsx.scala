@@ -48,10 +48,15 @@ object Xlsx {
   def readSheet(spark: SparkSession, path: String, sheet: String): DataFrame = {
     val grid = readGrid(path, sheet)
     require(grid.nonEmpty, s"sheet '$sheet' in $path is empty")
+    // width = widest row, not just the header: data rows wider than the
+    // header (trailing computed column, sparse header) must not silently
+    // truncate; extra columns get CSV-style synthetic names
+    val width = grid.map(_.length).max
     val header = grid.head.map(_.getOrElse(""))
-    val width = header.length
+      .padTo(width, "").zipWithIndex
+      .map { case (h, i) => if (h.nonEmpty) h else s"_c$i" }
     val rows = grid.tail.map { r =>
-      Row.fromSeq(r.padTo(width, None).take(width).map(_.orNull))
+      Row.fromSeq(r.padTo(width, None).map(_.orNull))
     }
     val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
     spark.createDataFrame(
@@ -193,6 +198,8 @@ object Xlsx {
     sb.toString
   }
 
+  // used in both text and ATTRIBUTE context (sheet names) — quotes too
   private def escape(s: String): String = s
     .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;").replace("'", "&apos;")
 }

@@ -353,7 +353,9 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * historical rows pass through untouched — the standard warehouse
     * pattern for slowly-changing dimensions, expressed as one anti-join +
     * one change-detection join + a union (same single-shuffle budget as
-    * the plain MERGE; change detection hashes only the tracked columns).
+    * the plain MERGE; change detection compares only the tracked columns,
+    * null-safely — Spark's hash functions SKIP null inputs, so a hash
+    * comparison would miss a null↔value swap between two tracked columns).
     *
     * `source` must be deduplicated on `mergeKeys` and NOT contain the
     * bookkeeping columns; `asOf` is caller-supplied so reruns are
@@ -361,11 +363,11 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     */
   def upsertScd2(source: DataFrame, trackCols: Seq[String],
       asOf: java.sql.Timestamp): Unit = {
-    import org.apache.spark.sql.functions.{lit, when, xxhash64}
+    import org.apache.spark.sql.functions.{lit, struct}
     val meta = Seq("__valid_from", "__valid_to", "__is_current")
     require(meta.forall(c => !source.columns.contains(c)),
       "source must not carry SCD bookkeeping columns")
-    def hashed(df: DataFrame) = xxhash64(trackCols.map(col): _*)
+    def tracked = struct(trackCols.map(col): _*)
     if (!exists) {
       create(source
         .withColumn("__valid_from", lit(asOf))
@@ -374,12 +376,13 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       return
     }
     val cur = read
-    // keys whose tracked attributes changed, plus brand-new keys
-    val changedKeys = source.withColumn("__h_new", hashed(source))
+    // keys whose tracked attributes changed, plus brand-new keys;
+    // struct <=> struct is null-safe field-wise equality
+    val changedKeys = source.withColumn("__t_new", tracked)
       .join(cur.filter(col("__is_current"))
-        .select(mergeKeys.map(col) :+ hashed(cur).as("__h_old"): _*),
+        .select(mergeKeys.map(col) :+ tracked.as("__t_old"): _*),
         mergeKeys, "left_outer")
-      .filter(col("__h_old").isNull || col("__h_new") =!= col("__h_old"))
+      .filter(!(col("__t_new") <=> col("__t_old")))
       .select(mergeKeys.map(col): _*)
     val closing = cur.join(changedKeys, mergeKeys, "left_semi")
       .filter(col("__is_current"))
@@ -441,9 +444,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       keepVersions)
     require(!t.exists, s"clone target $newName already exists")
     val staging = Paths.get(root, s".staging_$newName")
-    if (Files.exists(staging))
-      Files.walk(staging).sorted(Comparator.reverseOrder[Path]())
-        .forEach(Files.delete(_))
+    deleteRecursively(staging)
     linkTree(src, staging)
     t.publish() // private, but same-class access is fine in Scala
     t

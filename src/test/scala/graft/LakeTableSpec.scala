@@ -367,6 +367,25 @@ class LakeTableSpec extends SparkSpec {
     assert(state.size == 4)
   }
 
+  test("SCD2 detects a null<->value swap between tracked columns") {
+    // hash-based change detection misses this (hash functions skip null
+    // inputs): (phone=null, fax=555) vs (phone=555, fax=null)
+    val t = LakeTable(spark, freshRoot, "dim", Seq("id"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val v1 = Seq((1L, Option.empty[String], Some("555")))
+      .toDF("id", "phone", "fax")
+    val v2 = Seq((1L, Some("555"), Option.empty[String]))
+      .toDF("id", "phone", "fax")
+    t.upsertScd2(v1, Seq("phone", "fax"), t0)
+    t.upsertScd2(v2, Seq("phone", "fax"), t1)
+    val state = t.read.select("id", "phone", "fax", "__is_current")
+      .as[(Long, Option[String], Option[String], Boolean)].collect().toSet
+    assert(state == Set(
+      (1L, None, Some("555"), false),
+      (1L, Some("555"), None, true)))
+  }
+
   test("a crashed write (stale staging dir) never corrupts the table") {
     val root = freshRoot
     val t = LakeTable(spark, root, "t", Seq("id"))

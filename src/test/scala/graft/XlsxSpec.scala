@@ -70,6 +70,24 @@ class XlsxSpec extends SparkSpec {
       == Seq("7"))
   }
 
+  test("data rows wider than the header widen the schema, never truncate") {
+    val path = tmp("wide.xlsx")
+    Xlsx.write(path, Seq("t" -> Seq(
+      Seq("a", "b"),
+      Seq("1", "2", "extra")))) // third value has no header cell
+    val df = Xlsx.readSheet(spark, path, "t")
+    assert(df.columns.toSeq == Seq("a", "b", "_c2"))
+    assert(df.select("_c2").as[String].collect().toSeq == Seq("extra"))
+  }
+
+  test("quotes in sheet names survive the attribute-context escaping") {
+    val path = tmp("quotes.xlsx")
+    Xlsx.write(path, Seq("""say "hi"""" -> Seq(Seq("h"), Seq("v"))))
+    assert(Xlsx.sheetNames(path) == Seq("""say "hi""""))
+    assert(Xlsx.readSheet(spark, path, """say "hi"""")
+      .as[String].collect().toSeq == Seq("v"))
+  }
+
   test("dynamic strings promote through the standard cast path") {
     val path = tmp("cast.xlsx")
     Xlsx.write(path, Seq("t" -> Seq(Seq("id", "price"),
