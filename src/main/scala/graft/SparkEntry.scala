@@ -1452,6 +1452,24 @@ object SparkEntry {
         .orderBy("dirty_name", "clean_name")
     }),
 
+    // REAL media decode (not the stub): per order key, a deterministic
+    // 1x1 P6 PPM is byte-built and decoded by the pure-JVM codec; the
+    // oracle replays the ITU-R 601 luma arithmetic directly
+    "q_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 1000).as[Long].map { k =>
+          val (r, g, b) = ((k % 256).toInt, ((k / 3) % 256).toInt, ((k / 7) % 256).toInt)
+          graft.operators.Multimodal.MediaRow(k, "image",
+            "P6\n1 1\n255\n".getBytes("US-ASCII") ++
+              Array(r.toByte, g.toByte, b.toByte))
+        }
+      graft.operators.Multimodal.decodeReal(rows).toDF()
+        .select(col("media_id").as("o_orderkey"), col("decoded"),
+          round(col("mean_level"), 4).as("luma"))
+        .orderBy("o_orderkey")
+    }),
+
     // SCD Type 2 MERGE: two history-preserving upserts (initial load,
     // then a batch where 1-in-3 keys changed and 1-in-3 is a no-op);
     // fixed asOf timestamps keep reruns + oracle deterministic
@@ -3056,6 +3074,13 @@ object SparkEntry {
       """SELECT o_orderkey, 'delete' AS _change_type FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
+
+    "q_media_decode" ->
+      """SELECT o_orderkey, true AS decoded,
+                ROUND(0.299 * (o_orderkey % 256) +
+                      0.587 * ((o_orderkey // 3) % 256) +
+                      0.114 * ((o_orderkey // 7) % 256), 4) AS luma
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
 
     "q_scd2" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders

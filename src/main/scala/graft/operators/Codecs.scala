@@ -1,0 +1,104 @@
+package graft.operators
+
+/** Real pure-JVM decoders for the uncompressed media formats — the
+  * concrete end of [[Multimodal]]'s pluggable codec story. Compressed
+  * formats (JPEG/MP3/H.264) need native libraries this container doesn't
+  * have and stay behind the deterministic stub; the two formats below
+  * are fully specified byte layouts, so "no image/audio libs" is no
+  * reason to stub them:
+  *
+  *  - PPM P6 (binary RGB): ASCII header `P6 <w> <h> <maxval>` with
+  *    `#` comments, then `w*h*3` bytes. Features: dims + mean luma
+  *    (ITU-R 601 weights).
+  *  - WAV (RIFF/WAVE, PCM 16-bit LE): chunked container; `fmt ` carries
+  *    channels/sample-rate/bit-depth, `data` the samples. Features:
+  *    sample count, duration, RMS amplitude (normalized to [0,1]).
+  *
+  * Both decoders are row-local and allocation-light — exactly what runs
+  * inside the mapPartitions batch loop at corpus scale.
+  */
+object Codecs {
+
+  /** Uniform decoded-media record across modalities; unused fields are
+    * zero (e.g. sample_rate for images, width for audio). */
+  case class Decoded(format: String, width: Int, height: Int, channels: Int,
+      sampleRate: Int, nSamples: Long, meanLevel: Double)
+
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    decodePpm(bytes).orElse(decodeWav(bytes))
+
+  /** PPM P6. Returns None on anything malformed — never throws. */
+  def decodePpm(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    // read 3 whitespace-separated ASCII ints, skipping '#' comments
+    def nextInt(): Option[Int] = {
+      while (i < b.length &&
+        (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t' ||
+          b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      }
+      val start = i
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      if (i == start) None
+      else scala.util.Try(new String(b, start, i - start, "US-ASCII").toInt).toOption
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); maxv <- nextInt()
+      if w > 0 && h > 0 && maxv == 255 && i < b.length
+      _ = { i += 1 } // single whitespace after maxval, then pixel data
+      if b.length - i >= w.toLong * h * 3
+    } yield {
+      var luma = 0.0
+      var p = i
+      val end = i + w * h * 3
+      while (p < end) {
+        luma += 0.299 * (b(p) & 0xff) + 0.587 * (b(p + 1) & 0xff) +
+          0.114 * (b(p + 2) & 0xff)
+        p += 3
+      }
+      Decoded("ppm", w, h, 3, 0, w.toLong * h, luma / (w.toLong * h))
+    }
+  }
+
+  /** WAV, PCM 16-bit only (format tag 1). None on anything else. */
+  def decodeWav(b: Array[Byte]): Option[Decoded] = {
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= b.length && s.indices.forall(k => b(off + k) == s(k))
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+        (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    def u16(off: Int): Int = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
+    if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None // offset, len
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val len = u32(off + 4).toInt
+      if (ascii(off, "fmt ") && off + 24 <= b.length && u16(off + 8) == 1)
+        fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      else if (ascii(off, "data"))
+        data = Some((off + 8, math.min(len, b.length - off - 8)))
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for {
+      (channels, rate, bits) <- fmt
+      if bits == 16 && channels > 0 && rate > 0
+      (dOff, dLen) <- data
+    } yield {
+      val nSamples = dLen / (2 * channels)
+      var sumSq = 0.0
+      var p = dOff
+      val end = dOff + nSamples * 2 * channels
+      while (p + 1 < end) {
+        val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort / 32768.0
+        sumSq += s * s
+        p += 2
+      }
+      val n = (end - dOff) / 2
+      Decoded("wav", 0, 0, channels, rate, nSamples.toLong,
+        if (n == 0) 0.0 else math.sqrt(sumSq / n))
+    }
+  }
+}

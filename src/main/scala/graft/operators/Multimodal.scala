@@ -58,6 +58,28 @@ object Multimodal {
     }
   }
 
+  case class RealDecodedRow(media_id: Long, kind: String, decoded: Boolean,
+      format: String, width: Int, height: Int, channels: Int,
+      sample_rate: Int, n_samples: Long, mean_level: Double)
+
+  /** Decode with the REAL codecs ([[Codecs]]: PPM images, PCM WAV audio)
+    * where the payload is one of the supported uncompressed formats;
+    * rows in formats needing native libraries come back with
+    * `decoded = false` (route them to the stub path or an external
+    * decode service). Same mapPartitions batch shape as the stub path. */
+  def decodeReal(media: Dataset[MediaRow]): Dataset[RealDecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      Codecs.decode(r.payload) match {
+        case Some(d) => RealDecodedRow(r.media_id, r.kind, decoded = true,
+          d.format, d.width, d.height, d.channels, d.sampleRate,
+          d.nSamples, d.meanLevel)
+        case None => RealDecodedRow(r.media_id, r.kind, decoded = false,
+          "unknown", 0, 0, 0, 0, 0L, 0.0)
+      }
+    })
+  }
+
   /** Resize metadata transform (pure arithmetic on decoded dims — the
     * real pixel resample is part of the stubbed codec layer). */
   def resized(decoded: Dataset[DecodedRow], maxSide: Int): DataFrame =

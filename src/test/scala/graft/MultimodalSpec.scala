@@ -44,4 +44,44 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_._1 == 2L))
     assert(frames.map(_._2) == Set(0)) // 10000 bytes → 2 frames → idx 0 (stride 2)
   }
+
+  test("real PPM decode: dims, channels, exact mean luma, comment header") {
+    // 2x1 P6 image: white pixel + black pixel, with a header comment
+    val header = "P6\n# test image\n2 1\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](-1, -1, -1, 0, 0, 0) // 255,255,255, 0,0,0
+    val d = graft.operators.Codecs.decodePpm(header ++ pixels).get
+    assert((d.width, d.height, d.channels, d.format) == ((2, 1, 3, "ppm")))
+    // luma(white)=255*(.299+.587+.114)=255, luma(black)=0 -> mean 127.5
+    assert(math.abs(d.meanLevel - 127.5) < 1e-9)
+    // truncated pixel data -> clean None, never a throw
+    assert(graft.operators.Codecs.decodePpm(header ++ pixels.take(3)).isEmpty)
+  }
+
+  test("real WAV decode: PCM samples, rate, channels, exact RMS") {
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val samples = Seq(16384, -16384, 0, 32767) // mono 16-bit
+    val data = samples.flatMap(le16).toArray
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val d = graft.operators.Codecs.decodeWav(wav).get
+    assert((d.format, d.channels, d.sampleRate, d.nSamples) ==
+      (("wav", 1, 8000, 4L)))
+    val expectRms = math.sqrt(samples.map(s => math.pow(s / 32768.0, 2)).sum / 4)
+    assert(math.abs(d.meanLevel - expectRms) < 1e-12)
+  }
+
+  test("decodeReal routes real formats and flags the rest undecoded") {
+    val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", ppm),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3, 4))) // junk
+    val out = Multimodal.decodeReal(rows.toDS())
+      .collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).format == "ppm" && out(0).width == 1)
+    assert(!out(1).decoded && out(1).format == "unknown")
+  }
 }
