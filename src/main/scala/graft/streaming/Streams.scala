@@ -200,6 +200,27 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming SCD Type 2 sink: each micro-batch is deduplicated on the
+    * merge key (latest wins) and applied as a history-preserving upsert —
+    * the streaming dimension-maintenance pattern. `asOfForBatch` maps the
+    * deduplicated batch to its effective timestamp (e.g. its max event
+    * time), keeping reruns of a replayed batch idempotent: an identical
+    * batch at the same asOf is a no-op by upsertScd2's change detection. */
+  def scd2Stream(streamDf: DataFrame, table: graft.table.LakeTable,
+      mergeKeys: Seq[String], orderCol: String, trackCols: Seq[String],
+      asOfForBatch: DataFrame => java.sql.Timestamp): Unit = {
+    val q = streamDf.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val deduped = graft.ops.CoreOps.latestWins(mergeKeys, orderCol)(batch)
+          table.upsertScd2(deduped.drop(orderCol), trackCols,
+            asOfForBatch(deduped))
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result — AvailableNow processes existing files as micro-batches then
     * stops (the reference's file-drop batch model). */

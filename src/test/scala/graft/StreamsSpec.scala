@@ -86,6 +86,31 @@ class StreamsSpec extends SparkSpec {
     assert(table.read.count() == batch.count())
   }
 
+  test("streaming SCD2 sink == batch SCD2 of the same deduped batch") {
+    import graft.table.LakeTable
+    val root = java.nio.file.Files.createTempDirectory("scd2s").toString
+    val asOf = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def eventCols(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id"), col("event_type"))
+    // streaming: latest event per user (by event_id) becomes the dimension
+    val t1 = LakeTable(spark, root, "s", Seq("user_id"))
+    Streams.scd2Stream(
+      eventCols(Streams.readTableStream(spark, sf, "events"))
+        .withColumn("ord", col("event_id")),
+      t1, Seq("user_id"), "ord", Seq("event_type"), _ => asOf)
+    // batch twin
+    val t2 = LakeTable(spark, root, "b", Seq("user_id"))
+    val deduped = graft.ops.CoreOps.latestWins(Seq("user_id"), "ord")(
+      eventCols(Tables.load(spark, sf, "events"))
+        .withColumn("ord", col("event_id"))).drop("ord")
+    t2.upsertScd2(deduped, Seq("event_type"), asOf)
+    def snap(t: LakeTable) = t.read
+      .select("user_id", "event_id", "event_type", "__is_current")
+      .collect().map(_.toString).sorted.toSeq
+    assert(snap(t1) == snap(t2))
+    assert(t1.read.filter(!col("__is_current")).isEmpty) // first load: all current
+  }
+
   test("stream-stream interval join == batch range join") {
     val ev = Tables.load(spark, sf, "events")
     val batch = graft.operators.RangeJoin.windowFollowing(

@@ -88,6 +88,29 @@ class XlsxSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("v"))
   }
 
+  test("property: random unicode grids round-trip write -> read exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cell = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("a&b", "<tag>", "x\"y'z", "héllo", "数据", "", "  pad  "))
+    val gridGen = for {
+      w <- Gen.chooseNum(1, 5)
+      h <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(h, Gen.listOfN(w, cell))
+    } yield (w, rows)
+    (0 until 8).foreach { seed =>
+      val (w, rows) = gridGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val header = (0 until w).map(i => s"h$i")
+      val path = tmp(s"prop$seed.xlsx")
+      Xlsx.write(path, Seq("t" -> (header +: rows.map(_.toSeq))))
+      val back = Xlsx.readSheet(spark, path, "t")
+      assert(back.columns.toSeq == header)
+      val got = back.collect().map(_.toSeq.map(String.valueOf)).toSeq
+      assert(got == rows.map(_.toSeq), s"seed=$seed")
+    }
+  }
+
   test("dynamic strings promote through the standard cast path") {
     val path = tmp("cast.xlsx")
     Xlsx.write(path, Seq("t" -> Seq(Seq("id", "price"),
