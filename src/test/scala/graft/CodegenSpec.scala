@@ -40,6 +40,16 @@ class CodegenSpec extends SparkSpec {
           .select(size(array_intersect(col("a"), col("b"))).as("n"))
           .as[Int].collect()
         assert(n.toSeq == Seq(1))
+        // round-4 expressions: AC scan, deletion neighborhood, BPE encode
+        val r4 = docs.select(
+          size(graft.functions.TextExpressions.multiPatternMatch(
+            col("text"), Seq("merge batch", "fast table"))).as("n_pat"),
+          size(graft.functions.TextExpressions.deletionNeighborhood(
+            substring(col("text"), 1, 8), 1)).as("n_del"),
+          size(graft.functions.Bpe.bpeEncode(
+            col("text"), Seq(("t", "h"), ("th", "e")))).as("n_bpe"))
+          .agg(count(lit(1))).collect()
+        assert(r4.head.getLong(0) == 50L)
       }
     }
   }
