@@ -1452,6 +1452,20 @@ object SparkEntry {
         .orderBy("dirty_name", "clean_name")
     }),
 
+    // deterministic epoch shuffle: each doc's position in two different
+    // epoch permutations (pure function of (epoch, id) -> md5 order,
+    // reproducible across engines); oracle replays the same ranking
+    "q_epoch_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def pos(epoch: Int) = row_number().over(Window.orderBy(
+        md5(concat_ws(":", lit(epoch), col("doc_id").cast("string"))),
+        col("doc_id")))
+      docs(s, dir).select(col("doc_id"))
+        .withColumn("pos_e1", pos(1))
+        .withColumn("pos_e2", pos(2))
+        .orderBy("doc_id")
+    }),
+
     // REAL media decode (not the stub): per order key, a deterministic
     // 1x1 P6 PPM is byte-built and decoded by the pure-JVM codec; the
     // oracle replays the ITU-R 601 luma arithmetic directly
@@ -3074,6 +3088,16 @@ object SparkEntry {
       """SELECT o_orderkey, 'delete' AS _change_type FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
+
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY
+                  md5('1' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+                  AS pos_e1,
+                CAST(row_number() OVER (ORDER BY
+                  md5('2' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+                  AS pos_e2
+         FROM documents ORDER BY doc_id""",
 
     "q_media_decode" ->
       """SELECT o_orderkey, true AS decoded,

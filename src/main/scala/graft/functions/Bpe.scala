@@ -98,6 +98,32 @@ object Bpe {
 
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(BpeEncode(GraftColumnBridge.expression(c), merges))
+
+  /** Persist a merge table (one `left<TAB>right` line per merge, rank =
+    * line order) — the interchange format other tokenizer stacks use for
+    * merges.txt, so a table trained here loads elsewhere and vice versa. */
+  def saveMerges(path: String, merges: Seq[(String, String)]): Unit = {
+    require(merges.forall { case (a, b) =>
+      !a.contains("\t") && !a.contains("\n") && !b.contains("\t") && !b.contains("\n") },
+      "merge symbols must not contain tab/newline")
+    val p = java.nio.file.Paths.get(path)
+    Option(p.toAbsolutePath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p,
+      merges.map { case (a, b) => s"$a\t$b" }.mkString("", "\n", "\n"))
+  }
+
+  def loadMerges(path: String): Seq[(String, String)] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        line.split("\t", -1) match {
+          case Array(a, b) => (a, b)
+          case other => throw new IllegalArgumentException(
+            s"bad merges line (${other.length} fields): $line")
+        }
+      }
 }
 
 /** Subword tokens of a string under a learned BPE merge table: repo-

@@ -95,6 +95,17 @@ object ScaleOps {
     df.filter(h < floor(weight * lit(4294967296.0)).cast("long"))
   }
 
+  /** Deterministic epoch shuffle: a global reordering of the corpus that
+    * is a pure function of (id, epoch) — md5 over the seeded id, so it is
+    * reproducible across reruns and engines, independent of partitioning,
+    * and a DIFFERENT permutation each epoch (the training-loader contract:
+    * shuffled, but resumable and auditable). At scale this is a single
+    * range-partitioned sort on a 32-char key — the same cost as any
+    * ORDER BY; no driver-side state. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.orderBy(md5(concat_ws(":", lit(epoch), col(idCol).cast("string"))),
+      col(idCol))
+
   /** Deterministic consistent sample: exactly min(k, |group|) rows per
     * group, chosen as the k smallest xxhash64 values over (seed, id
     * columns) — the "k examples per language" eval-set primitive.

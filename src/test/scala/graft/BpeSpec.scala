@@ -43,6 +43,17 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("abab", "abc", "z", "z"))
   }
 
+  test("merge table persists and reloads byte-identically") {
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("é", "ü"), ("x y", "z"))
+    val path = java.nio.file.Files.createTempDirectory("bpe")
+      .resolve("merges.txt").toString
+    Bpe.saveMerges(path, merges)
+    assert(Bpe.loadMerges(path) == merges)
+    // symbols with tab/newline are rejected up front, not corrupted
+    intercept[IllegalArgumentException](
+      Bpe.saveMerges(path, Seq(("a\tb", "c"))))
+  }
+
   test("corpus-trained encode: every subword round-trips to the document") {
     val d = Tables.load(spark, sf, "documents")
     val sample = d.filter($"doc_id" < 64).select("text").collect()

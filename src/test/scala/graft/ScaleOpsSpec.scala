@@ -171,4 +171,21 @@ class ScaleOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
+
+  test("epochShuffle: reproducible per epoch, different across epochs") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("id")
+    def order(epoch: Int) =
+      graft.ops.ScaleOps.epochShuffle(df, "id", epoch)
+        .as[Long].collect().toSeq
+    val e1 = order(1)
+    assert(e1 == order(1)) // rerun-stable
+    assert(e1.sorted == (1L to 200L)) // a permutation, nothing lost
+    val e2 = order(2)
+    assert(e2 != e1 && e2.sorted == e1.sorted) // new permutation per epoch
+    // partitioning-independent: same order from a differently-split input
+    val repart = graft.ops.ScaleOps.epochShuffle(df.repartition(7), "id", 1)
+      .as[Long].collect().toSeq
+    assert(repart == e1)
+  }
 }
