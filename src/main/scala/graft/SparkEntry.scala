@@ -1506,6 +1506,34 @@ object SparkEntry {
         .orderBy("o_orderkey", "__valid_from")
     }),
 
+    // effective-dated lookup against the SCD2 dimension: each fact joins
+    // the price version valid at its timestamp (before/after the repricing)
+    "q_scd2_lookup" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 500)
+      val batch2 = base.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_scd2l", Seq("o_orderkey"))
+      t.drop()
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      t.upsertScd2(base, Seq("o_totalprice"), t0)
+      t.upsertScd2(batch2, Seq("o_totalprice"), t1)
+      // facts: every key once mid-January (sees v1) and once mid-March
+      // (sees the repriced v2 where one exists)
+      val facts = base.select(col("o_orderkey"),
+          explode(array(
+            lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+            lit(java.sql.Timestamp.valueOf("2024-03-15 00:00:00"))))
+            .as("fact_ts"))
+      LakeTable.scd2Lookup(facts, t.read, Seq("o_orderkey"), "fact_ts")
+        .select(col("o_orderkey"), col("fact_ts"),
+          col("o_totalprice").as("effective_price"))
+        .orderBy("o_orderkey", "fact_ts")
+    }),
+
     // MAP-typed column surface: build a status->count map per customer
     // (map_from_entries over sorted entries), then read it back out with
     // element_at / map_keys / size — oracle replays map-free
@@ -3120,6 +3148,21 @@ object SparkEntry {
                 TIMESTAMP '2024-02-01 00:00:00', NULL, true
          FROM base WHERE o_orderkey % 3 = 0
          ORDER BY o_orderkey, __valid_from""",
+
+    "q_scd2_lookup" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                       WHERE o_orderkey < 500),
+            facts AS (SELECT o_orderkey, unnest([
+                        TIMESTAMP '2024-01-15 00:00:00',
+                        TIMESTAMP '2024-03-15 00:00:00']) AS fact_ts
+                      FROM base)
+         SELECT f.o_orderkey, f.fact_ts,
+                CASE WHEN b.o_orderkey % 3 = 0
+                      AND f.fact_ts >= TIMESTAMP '2024-02-01 00:00:00'
+                     THEN b.o_totalprice * 2 ELSE b.o_totalprice END
+                  AS effective_price
+         FROM facts f JOIN base b USING (o_orderkey)
+         ORDER BY o_orderkey, fact_ts""",
 
     "q_map_ops" ->
       """WITH g AS (SELECT o_custkey, o_orderstatus, count(*) AS n

@@ -459,4 +459,28 @@ object LakeTable {
   def apply(spark: SparkSession, root: String, name: String, mergeKeys: Seq[String],
       partitionCols: Seq[String] = Nil): LakeTable =
     new LakeTable(spark, root, name, mergeKeys, partitionCols)
+
+  /** Effective-dated lookup against an SCD2 snapshot (as written by
+    * `upsertScd2`): each fact row joins the ONE dimension version whose
+    * validity interval contains the fact's timestamp —
+    * `__valid_from <= ts < coalesce(__valid_to, +inf)`. Facts earlier
+    * than the key's first version (or with no key match) drop out, like
+    * any inner dimension lookup.
+    *
+    * Scale shape: an equi-join on the dimension keys with the interval
+    * predicate as a residual filter — versions-per-key is small by
+    * construction (one per change), so this is NOT a range join and
+    * needs no binning; the join broadcasts or shuffles like any
+    * fact-dim join. */
+  def scd2Lookup(facts: DataFrame, dimSnapshot: DataFrame,
+      keys: Seq[String], factTs: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dim = dimSnapshot.withColumnRenamed("__valid_from", "__vf")
+      .withColumnRenamed("__valid_to", "__vt")
+      .drop("__is_current")
+    facts.join(dim, keys)
+      .filter(col("__vf") <= col(factTs) &&
+        (col("__vt").isNull || col(factTs) < col("__vt")))
+      .drop("__vf", "__vt")
+  }
 }

@@ -367,6 +367,27 @@ class LakeTableSpec extends SparkSpec {
     assert(state.size == 4)
   }
 
+  test("scd2Lookup resolves each fact to its effective version") {
+    val t = LakeTable(spark, freshRoot, "dim", Seq("id"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    t.upsertScd2(Seq((1L, "v1")).toDF("id", "v"), Seq("v"), t0)
+    t.upsertScd2(Seq((1L, "v2")).toDF("id", "v"), Seq("v"), t1)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val facts = Seq(
+      (1L, ts("2023-12-01 00:00:00")), // before first version -> drops
+      (1L, ts("2024-01-15 00:00:00")), // inside v1
+      (1L, ts("2024-02-01 00:00:00")), // boundary: valid_from inclusive
+      (9L, ts("2024-01-15 00:00:00"))  // unknown key -> drops
+    ).toDF("id", "fact_ts")
+    val out = LakeTable.scd2Lookup(facts, t.read, Seq("id"), "fact_ts")
+      .select("id", "fact_ts", "v").as[(Long, java.sql.Timestamp, String)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, ts("2024-01-15 00:00:00"), "v1"),
+      (1L, ts("2024-02-01 00:00:00"), "v2")))
+  }
+
   test("SCD2 detects a null<->value swap between tracked columns") {
     // hash-based change detection misses this (hash functions skip null
     // inputs): (phone=null, fax=555) vs (phone=555, fax=null)

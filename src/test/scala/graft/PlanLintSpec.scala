@@ -64,6 +64,7 @@ class PlanLintSpec extends SparkSpec {
       "q_orchestrator", "q_csv_pipeline", "q_csv_declared", "q_json_source",
       "q_orc_source", "q_items_pipeline", "q_orders_pipeline",
       "q_products_pipeline", "q_xlsx_pipeline", "q_bpe_tokens", "q_scd2",
+      "q_scd2_lookup",
       "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
       "q_dedup_families", "q_family_survivors", "q_pagerank", "q_hits",
       "q_label_prop", "q_valid_counts", "q_corpus_pipeline"
