@@ -1457,8 +1457,11 @@ object SparkEntry {
     // reproducible across engines); oracle replays the same ranking
     "q_epoch_shuffle" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // rank via the operator's own key expression (no re-inlined format);
+      // the unpartitioned window is the bounded VERIFICATION shape — the
+      // operator itself (ScaleOps.epochShuffle) sorts distributed
       def pos(epoch: Int) = row_number().over(Window.orderBy(
-        md5(concat_ws(":", lit(epoch), col("doc_id").cast("string"))),
+        graft.ops.ScaleOps.epochShuffleKey(col("doc_id"), epoch),
         col("doc_id")))
       docs(s, dir).select(col("doc_id"))
         .withColumn("pos_e1", pos(1))

@@ -104,8 +104,10 @@ object Bpe {
     * merges.txt, so a table trained here loads elsewhere and vice versa. */
   def saveMerges(path: String, merges: Seq[(String, String)]): Unit = {
     require(merges.forall { case (a, b) =>
-      !a.contains("\t") && !a.contains("\n") && !b.contains("\t") && !b.contains("\n") },
-      "merge symbols must not contain tab/newline")
+      Seq(a, b).forall(s =>
+        !s.contains("\t") && !s.contains("\n") && !s.contains("\r")) },
+      "merge symbols must not contain tab/newline/carriage-return " +
+        "(readAllLines treats \\r as a terminator too)")
     val p = java.nio.file.Paths.get(path)
     Option(p.toAbsolutePath.getParent)
       .foreach(java.nio.file.Files.createDirectories(_))

@@ -71,15 +71,19 @@ object Codecs {
         (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
     def u16(off: Int): Int = (b(off) & 0xff) | (b(off + 1) & 0xff) << 8
     if (b.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
-    var off = 12
+    // chunk offsets as Long: a corrupt 32-bit length near 2^32 must move
+    // the cursor FORWARD past the end (loop exits, decode -> None), never
+    // wrap negative via toInt and wedge the scan — decode is total
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
-    var data: Option[(Int, Int)] = None // offset, len
+    var data: Option[(Int, Int)] = None // offset, len (both sane Ints)
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val len = u32(off + 4).toInt
-      if (ascii(off, "fmt ") && off + 24 <= b.length && u16(off + 8) == 1)
-        fmt = Some((u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
-      else if (ascii(off, "data"))
-        data = Some((off + 8, math.min(len, b.length - off - 8)))
+      val o = off.toInt
+      val len = u32(o + 4) // 0 .. 2^32-1, non-negative by construction
+      if (ascii(o, "fmt ") && o + 24 <= b.length && u16(o + 8) == 1)
+        fmt = Some((u16(o + 10), u32(o + 12).toInt, u16(o + 22)))
+      else if (ascii(o, "data"))
+        data = Some((o + 8, math.min(len, (b.length - o - 8).toLong).toInt))
       off += 8 + len + (len & 1) // chunks are word-aligned
     }
     for {

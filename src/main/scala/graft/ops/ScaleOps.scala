@@ -103,8 +103,13 @@ object ScaleOps {
     * range-partitioned sort on a 32-char key — the same cost as any
     * ORDER BY; no driver-side state. */
   def epochShuffle(df: DataFrame, idCol: String, epoch: Int): DataFrame =
-    df.orderBy(md5(concat_ws(":", lit(epoch), col(idCol).cast("string"))),
-      col(idCol))
+    df.orderBy(epochShuffleKey(col(idCol), epoch), col(idCol))
+
+  /** The (epoch, id) shuffle key — exposed so verification queries and
+    * cross-engine oracles rank with the IDENTICAL expression instead of
+    * re-inlining the format. */
+  def epochShuffleKey(id: Column, epoch: Int): Column =
+    md5(concat_ws(":", lit(epoch), id.cast("string")))
 
   /** Deterministic consistent sample: exactly min(k, |group|) rows per
     * group, chosen as the k smallest xxhash64 values over (seed, id

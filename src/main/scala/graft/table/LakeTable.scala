@@ -475,6 +475,11 @@ object LakeTable {
   def scd2Lookup(facts: DataFrame, dimSnapshot: DataFrame,
       keys: Seq[String], factTs: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val clash = facts.columns.toSet
+      .intersect(dimSnapshot.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"fact and dimension share non-key columns $clash — rename or drop " +
+        "them on one side, or the join output is ambiguous")
     val dim = dimSnapshot.withColumnRenamed("__valid_from", "__vf")
       .withColumnRenamed("__valid_to", "__vt")
       .drop("__is_current")

@@ -74,6 +74,26 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(d.meanLevel - expectRms) < 1e-12)
   }
 
+  test("corrupt WAV chunk lengths terminate cleanly as None, never hang") {
+    def le32(v: Long) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // chunk length 0xFFFFFFF8: as a signed Int this is -8 (zero advance —
+    // the infinite-scan shape); as unsigned it steps past the end -> None
+    val evil = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xFFFFFFF8L) ++ Array.fill[Byte](32)(0)
+    assert(graft.operators.Codecs.decodeWav(evil).isEmpty)
+    // corrupt DATA length on an otherwise-valid file: clamps to the real
+    // remaining bytes instead of surfacing negative sample counts
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val data = le16(1000) ++ le16(-1000)
+    val badLen = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(0xFFFFFF00L) ++ data
+    val d = graft.operators.Codecs.decodeWav(badLen)
+    assert(d.forall(_.nSamples >= 0))
+  }
+
   test("decodeReal routes real formats and flags the rest undecoded") {
     val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
     val rows = Seq(
