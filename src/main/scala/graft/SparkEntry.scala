@@ -1452,6 +1452,17 @@ object SparkEntry {
         .orderBy("dirty_name", "clean_name")
     }),
 
+    // the WHOLE training-data pipeline as one call: language filter ->
+    // quality floor -> decontamination -> exact dedup -> near-dup
+    // families -> best-per-family -> leakage-safe split; the oracle
+    // replays all seven stages from proven fragments
+    "q_curate" -> ((s, dir) =>
+      Pipelines.curateCorpus(docs(s, dir), "doc_id", "text", "lang",
+        keepLangs = Seq("en"), minQuality = 0.6,
+        evalPatterns = Seq("merge batch", "fast table", "hash value", "row fast"))
+        .select("doc_id", "lang", "quality", "family", "split")
+        .orderBy("doc_id")),
+
     // deterministic epoch shuffle: each doc's position in two different
     // epoch permutations (pure function of (epoch, id) -> md5 order,
     // reproducible across engines); oracle replays the same ranking
@@ -3119,6 +3130,87 @@ object SparkEntry {
       """SELECT o_orderkey, 'delete' AS _change_type FROM orders
          WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
          ORDER BY o_orderkey""",
+
+    // stages replayed from the q_quality_model / q_dedup_exact /
+    // q_dedup_families / q_split_leakage oracle fragments
+    "q_curate" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id, lang, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  length(text) AS n_char
+           FROM documents WHERE lang = 'en'),
+         m AS (
+           SELECT doc_id, lang, text, toks, len(toks) AS n_tok,
+                  len(list_filter(toks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it',
+                       'that','for','on','with','as','this','by'], t)))
+                    AS sw_hits,
+                  n_char - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                    AS n_punct,
+                  n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS n_alpha,
+                  n_char - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS n_digit,
+                  greatest(n_char, 1) AS len1
+           FROM base),
+         q AS (
+           SELECT doc_id, lang, text, toks,
+                  ROUND(1.0 / (1.0 + exp(-(
+                    -1.0
+                    + 1.2 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                                  WHEN n_tok BETWEEN 3 AND 9 THEN 0.5
+                                  ELSE 0.0 END)
+                    - 2.0 * (n_punct * 1.0 / len1)
+                    + 1.5 * (n_alpha * 1.0 / len1)
+                    + 2.0 * (sw_hits * 1.0 / greatest(n_tok, 1))
+                    - 1.0 * (n_digit * 1.0 / len1)))), 6) AS quality
+           FROM m),
+         kept AS (
+           SELECT * FROM q
+           WHERE quality >= 0.6
+             AND NOT (contains(text, 'merge batch')
+                   OR contains(text, 'fast table')
+                   OR contains(text, 'hash value')
+                   OR contains(text, 'row fast'))),
+         exact AS (
+           SELECT * FROM kept k
+           WHERE doc_id = (SELECT min(doc_id) FROM kept k2
+                           WHERE md5(array_to_string(k2.toks, ' ')) =
+                                 md5(array_to_string(k.toks, ' ')))),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 3 THEN list_distinct(
+                         [array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)])
+                       ELSE [array_to_string(toks, ' ')] END AS s
+           FROM exact),
+         pairs AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         fam AS (
+           SELECT e.doc_id, e.lang, e.quality,
+                  least(e.doc_id, coalesce(min(r.dst), e.doc_id)) AS family
+           FROM exact e LEFT JOIN reach r ON r.src = e.doc_id
+           GROUP BY e.doc_id, e.lang, e.quality),
+         best AS (
+           SELECT * FROM fam f
+           WHERE doc_id = (SELECT f2.doc_id FROM fam f2
+                           WHERE f2.family = f.family
+                           ORDER BY f2.quality DESC, f2.doc_id ASC LIMIT 1))
+         SELECT doc_id, lang, quality, family,
+                CASE WHEN substr(md5(CAST(family AS VARCHAR)), 1, 2) < '33'
+                     THEN 'test' ELSE 'train' END AS split
+         FROM best ORDER BY doc_id""",
 
     "q_epoch_shuffle" ->
       """SELECT doc_id,

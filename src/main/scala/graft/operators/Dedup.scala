@@ -435,9 +435,13 @@ object Dedup {
   def leakageSafeSplit(ids: DataFrame, pairs: DataFrame, idCol: String,
       testHexPrefix: String = "33", maxIter: Int = 20): DataFrame =
     dedupFamilies(ids, pairs, idCol, maxIter)
-      .withColumn("split",
-        when(substring(md5(col("family").cast("string")), 1, 2)
-          < testHexPrefix, "test").otherwise("train"))
+      .withColumn("split", splitColumn(col("family"), testHexPrefix))
+
+  /** The family→split decision, exposed so every consumer (and the
+    * cross-engine oracles) uses the IDENTICAL rule. */
+  def splitColumn(family: Column, testHexPrefix: String = "33"): Column =
+    when(substring(md5(family.cast("string")), 1, 2) < testHexPrefix, "test")
+      .otherwise("train")
 
   /** Embedding-cosine near-duplicates: multi-table hyperplane LSH →
     * join within buckets → exact cosine verify. `lshTables` independent

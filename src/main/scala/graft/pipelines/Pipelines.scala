@@ -149,6 +149,47 @@ object Pipelines {
       .orderBy("lang")
   }
 
+  /** End-to-end training-corpus curation — the full LLM-data pipeline as
+    * ONE call, each stage an already-verified operator:
+    *
+    *   1. language filter on the label column
+    *   2. quality floor: frozen-logistic score ([[graft.functions
+    *      .TextFunctions.qualityLogit]]) at `minQuality`
+    *   3. benchmark decontamination: drop docs containing ANY eval-set
+    *      string (one Aho–Corasick pass per row)
+    *   4. exact dedup: keep min id per normalized fingerprint
+    *   5. near-dup families: MinHash+LSH pairs at `nearDupThreshold` →
+    *      connected components
+    *   6. survivor selection: best quality per family (min-id tiebreak)
+    *   7. leakage-safe split: whole families to train/test by md5 rule
+    *
+    * Output: one row per SURVIVING doc — (idCol, langCol, quality,
+    * family, split). Every stage is linear or bucketed (the near-dup
+    * stage is the repo's banded-LSH shape, never all-pairs), so the
+    * composite inherits the 100 TB story of its parts.
+    */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, keepLangs: Seq[String], minQuality: Double,
+      evalPatterns: Seq[String], shingleN: Int = 3,
+      nearDupThreshold: Double = 0.7, testHexPrefix: String = "33"): DataFrame = {
+    import graft.functions.{TextExpressions, TextFunctions}
+    import graft.operators.Dedup
+    val kept = docs
+      .filter(col(langCol).isin(keepLangs: _*))
+      .withColumn("quality", TextFunctions.qualityLogit(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .filter(size(TextExpressions.multiPatternMatch(
+        col(textCol), evalPatterns)) === 0)
+    val exact = Dedup.dropExactDuplicates(kept, idCol, textCol)
+    val pairs = Dedup.minhashLshPairs(exact, idCol, textCol, shingleN,
+      k = 64, bands = 16, threshold = nearDupThreshold)
+    val fams = Dedup.dedupFamilies(exact.select(col(idCol)), pairs, idCol)
+    Dedup.keepBestPerFamily(
+        exact.select(col(idCol), col(langCol), col("quality")),
+        idCol, "quality", fams)
+      .withColumn("split", Dedup.splitColumn(col("family"), testHexPrefix))
+  }
+
   /** Products pipeline (products_glue_job.py:135-194): declared-schema
     * read, empty-input guard, exact dedup on PK, not-null filter, RI
     * semi-join from the fact table's key set. The part dim is small

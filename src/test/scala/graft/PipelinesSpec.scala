@@ -28,4 +28,32 @@ class PipelinesSpec extends SparkSpec {
     val i = graft.pipelines.Pipelines.orderItems(spark, sf)
     assert(i.groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1).isEmpty)
   }
+
+  test("curateCorpus: every stage's invariant holds on the output") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val pats = Seq("merge batch", "fast table")
+    val out = graft.pipelines.Pipelines.curateCorpus(docs,
+      "doc_id", "text", "lang", Seq("en"), minQuality = 0.6,
+      evalPatterns = pats).cache()
+    val rows = out.as[(Long, String, Double, Long, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 == "en")) // language filter
+    assert(rows.forall(_._3 >= 0.6)) // quality floor
+    // one survivor per family, and the family label is a member's id
+    assert(rows.map(_._4).distinct.length == rows.length)
+    // decontamination: no surviving doc contains an eval pattern
+    val dirty = out.join(docs, "doc_id")
+      .filter(pats.map(p => col("text").contains(p)).reduce(_ || _))
+    assert(dirty.isEmpty)
+    // split is a pure function of the family id
+    assert(rows.forall { case (_, _, _, fam, split) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(fam.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      (hex < "33") == (split == "test")
+    })
+    out.unpersist()
+  }
 }
