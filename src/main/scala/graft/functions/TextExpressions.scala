@@ -540,6 +540,25 @@ object TextExpressions {
   def multiPatternMatch(c: Column, patterns: Seq[String]): Column =
     GraftColumnBridge.column(MultiPatternMatch(GraftColumnBridge.expression(c), patterns))
 
+  /** [[multiPatternMatch]] over a pattern set too large for one dense
+    * automaton (see the memory note on [[MultiPatternMatch]]): the
+    * patterns are split into `shardSize` shards, each its own bounded
+    * automaton, and the per-shard index arrays are re-based and merged —
+    * identical output to the single-automaton form, heap bounded by the
+    * shard size, still one pass per shard (P/shardSize passes total
+    * instead of P contains-probes). */
+  def multiPatternMatchSharded(c: Column, patterns: Seq[String],
+      shardSize: Int): Column = {
+    import org.apache.spark.sql.functions.{array_sort, flatten, array => farray, lit, transform}
+    require(shardSize > 0)
+    val shards = patterns.grouped(shardSize).toSeq
+    if (shards.size <= 1) multiPatternMatch(c, patterns)
+    else array_sort(flatten(farray(shards.zipWithIndex.map {
+      case (shard, i) =>
+        transform(multiPatternMatch(c, shard), x => x + lit(i * shardSize))
+    }: _*)))
+  }
+
   def deletionNeighborhood(c: Column, tau: Int): Column =
     GraftColumnBridge.column(DeletionNeighborhood(GraftColumnBridge.expression(c), tau))
 }

@@ -62,6 +62,12 @@ object PlanLint {
             s"shuffled hash join but the $side side is estimated under the " +
               s"broadcast threshold ($thresholdBytes B); consider broadcast()")
         }
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty =>
+        findings += Finding("global-window", "warn",
+          "window with no PARTITION BY funnels every row through one " +
+            "partition - fine for bounded verification output, a " +
+            "single-executor bottleneck on a corpus-sized frame")
       case s: FileSourceScanExec =>
         val pushed = s.metadata.getOrElse("PushedFilters", "[]")
         if (s.dataFilters.nonEmpty && pushed == "[]")

@@ -91,6 +91,17 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(n.head.isNullAt(0))
   }
 
+  test("sharded multi-pattern match == single automaton on real docs") {
+    val pats = Seq("merge batch", "fast table", "hash value", "row fast",
+      "spark order", "scan slow", "value part")
+    val d = Tables.load(spark, sf, "documents")
+    val single = d.select($"doc_id",
+      TextExpressions.multiPatternMatch($"text", pats).as("m"))
+    val sharded = d.select($"doc_id",
+      TextExpressions.multiPatternMatchSharded($"text", pats, shardSize = 3).as("m"))
+    assert(single.exceptAll(sharded).isEmpty && sharded.exceptAll(single).isEmpty)
+  }
+
   test("multi-pattern match agrees with N contains() probes on real docs") {
     val pats = Seq("merge batch", "fast table", "hash value", "row fast")
     val d = Tables.load(spark, sf, "documents")
