@@ -1463,6 +1463,19 @@ object SparkEntry {
         .select("doc_id", "lang", "quality", "family", "split")
         .orderBy("doc_id")),
 
+    // nightly increment: docs >= 250 curated AGAINST the standing corpus
+    // (< 250) — corpus never self-paired; admitted = quality-gated,
+    // decontaminated, no exact/near dup in corpus or earlier new doc
+    "q_curate_increment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Pipelines.curateIncrement(
+        d.filter(col("doc_id") >= 250),
+        d.filter(col("doc_id") < 250).select("doc_id", "text"),
+        "doc_id", "text", "lang", keepLangs = Seq("en"), minQuality = 0.6,
+        evalPatterns = Seq("merge batch", "fast table"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic epoch shuffle: each doc's position in two different
     // epoch permutations (pure function of (epoch, id) -> md5 order,
     // reproducible across engines); oracle replays the same ranking
@@ -3211,6 +3224,76 @@ object SparkEntry {
                 CASE WHEN substr(md5(CAST(family AS VARCHAR)), 1, 2) < '33'
                      THEN 'test' ELSE 'train' END AS split
          FROM best ORDER BY doc_id""",
+
+    "q_curate_increment" ->
+      """WITH prep AS (
+           SELECT doc_id, lang, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  length(text) AS n_char
+           FROM documents),
+         corpus AS (SELECT * FROM prep WHERE doc_id < 250),
+         nm AS (
+           SELECT doc_id, lang, text, toks, len(toks) AS n_tok,
+                  len(list_filter(toks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it',
+                       'that','for','on','with','as','this','by'], t))) AS sw_hits,
+                  n_char - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+                  n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+                  n_char - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                  greatest(n_char, 1) AS len1
+           FROM prep WHERE doc_id >= 250 AND lang = 'en'),
+         q AS (
+           SELECT doc_id, lang, text, toks,
+                  ROUND(1.0 / (1.0 + exp(-(
+                    -1.0
+                    + 1.2 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                                  WHEN n_tok BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END)
+                    - 2.0 * (n_punct * 1.0 / len1)
+                    + 1.5 * (n_alpha * 1.0 / len1)
+                    + 2.0 * (sw_hits * 1.0 / greatest(n_tok, 1))
+                    - 1.0 * (n_digit * 1.0 / len1)))), 6) AS quality
+           FROM nm),
+         kept AS (
+           SELECT * FROM q WHERE quality >= 0.6
+             AND NOT (contains(text, 'merge batch') OR contains(text, 'fast table'))),
+         exact_new AS (
+           SELECT * FROM kept k
+           WHERE doc_id = (SELECT min(doc_id) FROM kept k2
+                           WHERE md5(array_to_string(k2.toks, ' ')) =
+                                 md5(array_to_string(k.toks, ' ')))),
+         fresh AS (
+           SELECT * FROM exact_new e
+           WHERE NOT EXISTS (SELECT 1 FROM corpus c
+                             WHERE md5(array_to_string(c.toks, ' ')) =
+                                   md5(array_to_string(e.toks, ' ')))),
+         
+         shf AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(
+                    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+                  ELSE [array_to_string(toks, ' ')] END AS s
+           FROM fresh),
+         shc AS (
+           SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(
+                    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+                  ELSE [array_to_string(toks, ' ')] END AS s
+           FROM corpus),
+         corp_dups AS (
+           SELECT DISTINCT f.doc_id FROM shf f JOIN shc c
+           ON len(list_intersect(c.s, f.s)) * 1.0 /
+              (len(c.s) + len(f.s) - len(list_intersect(c.s, f.s))) >= 0.7),
+         new_dups AS (
+           SELECT DISTINCT b.doc_id FROM shf a JOIN shf b
+           ON a.doc_id < b.doc_id AND
+              len(list_intersect(a.s, b.s)) * 1.0 /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7)
+         SELECT doc_id, lang, quality,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+                     THEN 'test' ELSE 'train' END AS split
+         FROM fresh
+         WHERE doc_id NOT IN (SELECT doc_id FROM corp_dups)
+           AND doc_id NOT IN (SELECT doc_id FROM new_dups)
+         ORDER BY doc_id""",
 
     "q_epoch_shuffle" ->
       """SELECT doc_id,

@@ -190,6 +190,59 @@ object Pipelines {
       .withColumn("split", Dedup.splitColumn(col("family"), testHexPrefix))
   }
 
+  /** Nightly-ingestion curation: admit only NEW documents that pass the
+    * same quality/decontamination gates as [[curateCorpus]] AND are not
+    * exact or near duplicates of the STANDING corpus or of a smaller-id
+    * new doc (keep-min-id, the repo's survivor convention).
+    *
+    * Scale shape: the standing corpus is never self-paired —
+    * [[graft.operators.Dedup.minhashLshPairsIncremental]] only emits
+    * pairs touching the increment, so nightly cost is
+    * O(increment × collision rate), not O(corpus²). Admitted docs are
+    * split-assigned individually (they are non-dups by construction, so
+    * each is its own family).
+    *
+    * Output: (idCol, langCol, quality, split) for admitted new docs.
+    */
+  def curateIncrement(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, langCol: String, keepLangs: Seq[String],
+      minQuality: Double, evalPatterns: Seq[String], shingleN: Int = 3,
+      nearDupThreshold: Double = 0.7, testHexPrefix: String = "33"): DataFrame = {
+    import graft.functions.{TextExpressions, TextFunctions}
+    import graft.operators.Dedup
+    val kept = newDocs
+      .filter(col(langCol).isin(keepLangs: _*))
+      .withColumn("quality", TextFunctions.qualityLogit(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .filter(size(TextExpressions.multiPatternMatch(
+        col(textCol), evalPatterns)) === 0)
+    val exactNew = Dedup.dropExactDuplicates(kept, idCol, textCol)
+    // drop exact dups of the standing corpus (fingerprint anti-join —
+    // 32-char keys shuffle, never the text)
+    val corpusFp = corpus.select(
+      TextFunctions.fingerprintNormalized(col(textCol)).as("__fp")).distinct()
+    val fresh = exactNew
+      .withColumn("__fp", TextFunctions.fingerprintNormalized(col(textCol)))
+      .join(corpusFp, Seq("__fp"), "left_anti").drop("__fp")
+    // near-dups touching the increment only; pairs come back normalized
+    // a_id < b_id, so: b new => drop b (covers corpus-new AND new-new);
+    // b in corpus => its partner a is new => drop a
+    val pairs = Dedup.minhashLshPairsIncremental(
+      corpus.select(col(idCol), col(textCol)),
+      fresh.select(col(idCol), col(textCol)),
+      idCol, textCol, shingleN, k = 64, bands = 16,
+      threshold = nearDupThreshold)
+    val corpusIds = corpus.select(col(idCol).as("__cid")).distinct()
+    val dropB = pairs.join(corpusIds, pairs("b_id") === corpusIds("__cid"),
+      "left_anti").select(col("b_id").as("__drop"))
+    val dropA = pairs.join(corpusIds, pairs("b_id") === corpusIds("__cid"),
+      "left_semi").select(col("a_id").as("__drop"))
+    val drops = dropB.unionByName(dropA).distinct()
+    fresh.join(drops, fresh(idCol) === drops("__drop"), "left_anti")
+      .select(col(idCol), col(langCol), col("quality"))
+      .withColumn("split", Dedup.splitColumn(col(idCol), testHexPrefix))
+  }
+
   /** Products pipeline (products_glue_job.py:135-194): declared-schema
     * read, empty-input guard, exact dedup on PK, not-null filter, RI
     * semi-join from the fact table's key set. The part dim is small

@@ -29,6 +29,26 @@ class PipelinesSpec extends SparkSpec {
     assert(i.groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1).isEmpty)
   }
 
+  test("curateIncrement admits only genuinely new, clean documents") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Tables.load(spark, sf, "documents")
+    val corpus = d.filter($"doc_id" < 250).select("doc_id", "text")
+    val out = graft.pipelines.Pipelines.curateIncrement(
+      d.filter($"doc_id" >= 250), corpus, "doc_id", "text", "lang",
+      Seq("en"), minQuality = 0.6, evalPatterns = Seq("merge batch"))
+    val rows = out.as[(Long, String, Double, String)].collect()
+    assert(rows.nonEmpty && rows.forall(_._1 >= 250)) // only new docs
+    assert(rows.forall(r => r._2 == "en" && r._3 >= 0.6))
+    // no admitted doc is an exact dup of the corpus (fingerprint check)
+    val admText = out.join(d, "doc_id")
+      .select(graft.functions.TextFunctions
+        .fingerprintNormalized($"text").as("fp"))
+    val corpFp = corpus.select(graft.functions.TextFunctions
+      .fingerprintNormalized($"text").as("fp"))
+    assert(admText.join(corpFp, Seq("fp"), "left_semi").isEmpty)
+  }
+
   test("curateCorpus: every stage's invariant holds on the output") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -66,7 +66,8 @@ class PlanLintSpec extends SparkSpec {
       "q_products_pipeline", "q_xlsx_pipeline", "q_bpe_tokens", "q_scd2",
       "q_scd2_lookup",
       "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
-      "q_dedup_families", "q_family_survivors", "q_curate", "q_pagerank", "q_hits",
+      "q_dedup_families", "q_family_survivors", "q_curate",
+      "q_curate_increment", "q_pagerank", "q_hits",
       "q_label_prop", "q_valid_counts", "q_corpus_pipeline"
     ) ++ SparkEntry.queries.keys.filter(_.startsWith("q_stream"))
     // allowed: documented bounded brute-force verification twins — the
