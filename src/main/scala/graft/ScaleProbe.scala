@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the dedup/curate family: inflates the
+  * documents table ×1/×2/×4/×8 and measures wall-clock for
+  * `Dedup.minhashLshPairs` and `Pipelines.curateCorpus` at each factor,
+  * converting the "near-linear at scale" design argument into data.
+  *
+  * Inflation preserves the workload's SHAPE instead of its bytes: replica
+  * r shifts ids past the original range and prefixes every token with
+  * `r<r>`, so replicas are NOT near-duplicates of each other (every
+  * shingle differs) while each replica reproduces the original corpus's
+  * internal dup structure exactly — the true near-dup pair count scales
+  * exactly ×N, which is what makes the wall-time slope interpretable.
+  * (Union with verbatim copies would instead grow pairs quadratically in
+  * N — a property of that synthetic data, not of the operator.)
+  *
+  * Also reports the LSH bucket-cap hit count (buckets over
+  * `maxBucketSize` that the skew guard drops) at each factor.
+  *
+  * Output: one JSON line per factor on stdout. Not part of CI — run
+  * manually: `SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+
+    def inflate(n: Int): DataFrame =
+      (0 until n).map { r =>
+        if (r == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(r * maxId)).as("doc_id"),
+          // prefix EVERY token: replicas share no shingles with each
+          // other or the original, so near-dup structure is per-replica
+          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"r$r$$1").as("text"),
+          col("lang"))
+      }.reduce(_ unionByName _)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val maxBucketSize = 1000
+    Seq(1, 2, 4, 8).foreach { n =>
+      // materialize the inflated corpus OUTSIDE the timed region (the
+      // probe measures the operators, not the inflation regex)
+      val d = inflate(n).localCheckpoint(true)
+      val rows = d.count()
+
+      val (nPairs, pairsSec) = timed {
+        graft.operators.Dedup.minhashLshPairs(
+          d, "doc_id", "text", shingleN = 3, k = 64, bands = 16,
+          threshold = 0.7, maxBucketSize = maxBucketSize).count()
+      }
+
+      // skew-guard audit: how many (band, bucket) groups exceed the cap
+      // (the ones minhashLshPairs drops before its self-join)
+      val banded = d.select(col("doc_id"),
+        posexplode(graft.functions.HashExpressions.minhashBands(
+          graft.functions.TextFunctions.shingles(col("text"), 3), 64, 16)))
+      val cappedBuckets = banded.groupBy("pos", "col")
+        .agg(count(lit(1)).as("c")).filter(col("c") > maxBucketSize).count()
+
+      val (nSurvivors, curateSec) = timed {
+        graft.pipelines.Pipelines.curateCorpus(
+          d, "doc_id", "text", "lang", keepLangs = Seq("en"),
+          minQuality = 0.6,
+          evalPatterns = Seq("merge batch", "fast table", "hash value",
+            "row fast")).count()
+      }
+
+      println(s"""{"factor":$n,"rows":$rows,"pairs_sec":${f"$pairsSec%.2f"},""" +
+        s""""n_pairs":$nPairs,"capped_buckets":$cappedBuckets,""" +
+        s""""curate_sec":${f"$curateSec%.2f"},"n_survivors":$nSurvivors}""")
+    }
+    spark.stop()
+  }
+}

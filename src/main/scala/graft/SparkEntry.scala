@@ -672,13 +672,14 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
 
-    // seeded per-stratum Bernoulli sampling (training-data rebalancing:
-    // downsample over-represented languages). Sampling RNG is engine-
-    // specific → no SQL oracle (rows-only check); behavior is pinned by
-    // ScaleOpsSpec determinism + PropertySpec fraction-tolerance tests.
+    // deterministic per-stratum sampling (training-data rebalancing:
+    // downsample over-represented languages) via the replayable Knuth-
+    // hash threshold — exact counts cross-engine, so this gets a real
+    // oracle; the engine-seeded sampleBy variant stays in the library
+    // (ScaleOps.stratifiedSample), pinned by ScaleOpsSpec/PropertySpec.
     "q_stratified_sample" -> ((s, dir) =>
-      graft.ops.ScaleOps.stratifiedSample(docs(s, dir), "lang",
-        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), seed = 42L)
+      graft.ops.ScaleOps.hashStratifiedSample(docs(s, dir), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25))
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
         .orderBy("lang")),
 
@@ -1380,14 +1381,19 @@ object SparkEntry {
     // benchmark decontamination: which eval-set strings occur verbatim in
     // each document — ONE Aho–Corasick pass over the text per row for the
     // whole pattern set (N contains() probes would re-scan the text N
-    // times); matched = sorted indices into the pattern list
+    // times); matched = sorted indices into the pattern list, rendered as
+    // a comma-joined scalar (the oracle comparer can't hash ARRAY columns)
     "q_decontaminate" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
           graft.functions.TextExpressions.multiPatternMatch(
-            col("text"), decontaminationPatterns).as("matched"))
-        .withColumn("n_matched", size(col("matched")))
+            col("text"), decontaminationPatterns).as("matched_arr"))
+        .withColumn("n_matched", size(col("matched_arr")))
         .filter(col("n_matched") > 0)
+        .select(col("doc_id"),
+          array_join(transform(col("matched_arr"), _.cast("string")), ",")
+            .as("matched"),
+          col("n_matched"))
         .orderBy("doc_id")),
 
     // unigram-LM quality signal: corpus-trained token frequencies, each
@@ -1482,12 +1488,16 @@ object SparkEntry {
     "q_epoch_shuffle" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       // rank via the operator's own key expression (no re-inlined format);
-      // the unpartitioned window is the bounded VERIFICATION shape — the
-      // operator itself (ScaleOps.epochShuffle) sorts distributed
+      // the unpartitioned window is the VERIFICATION shape — bounded for
+      // real by filter + limit(2000), which carries a maxRows bound into
+      // the plan (PlanLint's global-window rule accepts only provably
+      // bounded inputs). The operator itself (ScaleOps.epochShuffle)
+      // sorts distributed.
       def pos(epoch: Int) = row_number().over(Window.orderBy(
         graft.ops.ScaleOps.epochShuffleKey(col("doc_id"), epoch),
         col("doc_id")))
       docs(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 2000).limit(2000)
         .withColumn("pos_e1", pos(1))
         .withColumn("pos_e2", pos(2))
         .orderBy("doc_id")
@@ -2856,6 +2866,18 @@ object SparkEntry {
          SELECT probe_user, CAST(est AS BIGINT) AS est
          FROM est ORDER BY probe_user""",
 
+    // same Knuth multiplicative hash + integer threshold, per stratum;
+    // langs outside the fraction map drop (weight 0), mirroring sampleBy
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled
+         FROM documents
+         WHERE (doc_id * 2654435761) % 4294967296 <
+               CAST(floor(CASE lang WHEN 'en' THEN 0.5
+                                    WHEN 'de' THEN 1.0
+                                    WHEN 'fr' THEN 0.25
+                                    ELSE 0.0 END * 4294967296.0) AS BIGINT)
+         GROUP BY lang ORDER BY lang""",
+
     // same Knuth multiplicative hash + integer threshold compare
     "q_weighted_mix" ->
       """WITH d AS (
@@ -3097,19 +3119,22 @@ object SparkEntry {
          ORDER BY a_name, b_name""",
 
     // pattern list mirrored verbatim from decontaminationPatterns;
-    // matched = indices i (0-based) with contains(text, pats[i+1])
+    // matched = indices i (0-based) with contains(text, pats[i+1]),
+    // comma-joined to a scalar so the comparer can sort/hash it
     "q_decontaminate" ->
       """WITH p AS (SELECT ['merge batch', 'fast table', 'fast table value',
                             'value part', 'spark order', 'scan slow',
-                            'hash value', 'row fast', 'window data'] AS pats)
+                            'hash value', 'row fast', 'window data'] AS pats),
+         m AS (SELECT doc_id,
+                      list_filter([0, 1, 2, 3, 4, 5, 6, 7, 8],
+                                  i -> contains(text, pats[i + 1])) AS matched_arr
+               FROM documents CROSS JOIN p)
          SELECT doc_id,
-                list_filter([0, 1, 2, 3, 4, 5, 6, 7, 8],
-                            i -> contains(text, pats[i + 1])) AS matched,
-                CAST(len(list_filter([0, 1, 2, 3, 4, 5, 6, 7, 8],
-                            i -> contains(text, pats[i + 1]))) AS INT) AS n_matched
-         FROM documents CROSS JOIN p
-         WHERE len(list_filter([0, 1, 2, 3, 4, 5, 6, 7, 8],
-                            i -> contains(text, pats[i + 1]))) > 0
+                array_to_string(list_transform(matched_arr,
+                                               x -> CAST(x AS VARCHAR)), ',')
+                  AS matched,
+                CAST(len(matched_arr) AS INT) AS n_matched
+         FROM m WHERE len(matched_arr) > 0
          ORDER BY doc_id""",
 
     // same tokenize as the other text oracles; MLE unigram LM replay
@@ -3303,7 +3328,7 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY
                   md5('2' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
                   AS pos_e2
-         FROM documents ORDER BY doc_id""",
+         FROM documents WHERE doc_id < 2000 ORDER BY doc_id""",
 
     "q_media_decode" ->
       """SELECT o_orderkey, true AS decoded,

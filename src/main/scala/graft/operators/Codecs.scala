@@ -80,7 +80,11 @@ object Codecs {
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val o = off.toInt
       val len = u32(o + 4) // 0 .. 2^32-1, non-negative by construction
-      if (ascii(o, "fmt ") && o + 24 <= b.length && u16(o + 8) == 1)
+      // the fmt fields are only read if the chunk DECLARES the full
+      // 16-byte PCM layout (len >= 16) — a truncated fmt chunk must not
+      // silently read bytes belonging to the next chunk
+      if (ascii(o, "fmt ") && len >= 16 && o + 24 <= b.length &&
+          u16(o + 8) == 1)
         fmt = Some((u16(o + 10), u32(o + 12).toInt, u16(o + 22)))
       else if (ascii(o, "data"))
         data = Some((o + 8, math.min(len, (b.length - o - 8).toLong).toInt))

@@ -25,10 +25,13 @@ import graft.functions.TextExpressions
   * Degenerate buckets: variants shared by a large fraction of the corpus
   * (e.g. the empty string, when inputs are shorter than tau) quadratically
   * blow up the candidate set; `maxBucketSize` drops them explicitly, same
-  * contract as Dedup's banding caps. With the default no pairs are lost
-  * for inputs longer than tau: a dropped variant only loses a pair if NO
-  * other shared variant survives, and near-identical short strings share
-  * many variants — callers wanting a hard guarantee set it to Int.MaxValue.
+  * contract as Dedup's banding caps. The cap is a RECALL trade, not a
+  * free lunch: a pair is lost iff EVERY variant the two strings share is
+  * over the cap — which takes more than `maxBucketSize` near-identical
+  * strings (near-dups share many variants, so usually several must all
+  * blow up at once), but can genuinely happen in pathological corpora
+  * (>10k near-identical catalog entries). Callers needing completeness
+  * set maxBucketSize = Int.MaxValue and pay the quadratic bucket.
   *
   * Neighborhood size is O(C(len, tau)) per string — this is the
   * short-string operator. For long strings (documents) use the n-gram /

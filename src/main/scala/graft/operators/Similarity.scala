@@ -119,10 +119,17 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
       iters: Int = 2): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      normalize(col(vecCol)).as("c_v")).cache()
-    val centroids = trainCentroids(c, "neighbor_id", "c_v", nCells, iters)
-    val index = c.withColumn("cell", cellOf(centroids, col("c_v")))
+    val cBase = corpus.select(col(idCol).as("neighbor_id"),
+      normalize(col(vecCol)).as("c_v"))
+    // cache ONLY for the eager multi-pass training phase, released
+    // deterministically — a suite-long session must not keep paying for
+    // this block (the lazy tail below scans the corpus exactly once, so
+    // it needs no cache at all)
+    val cached = cBase.cache()
+    val centroids =
+      try trainCentroids(cached, "neighbor_id", "c_v", nCells, iters)
+      finally cached.unpersist(blocking = true)
+    val index = cBase.withColumn("cell", cellOf(centroids, col("c_v")))
     val q = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_v"))
     // nProbe nearest cells per query (score desc, cell asc on ties)
     val sortedCells = array_sort(cellScores(centroids, col("q_v")),
@@ -195,10 +202,19 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 16, iters: Int = 2): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"),
-      normalize(col(vecCol)).as("v")).cache()
-    val centroids = trainCentroids(c, "id", "v", nCells, iters)
-    val index = c.withColumn("cell", cellOf(centroids, col("v")))
+    val cBase = corpus.select(col(idCol).as("id"),
+      normalize(col(vecCol)).as("v"))
+    // training cache released deterministically (see ivfTopK); the index
+    // is scanned three times below (both self-join sides + the survivor
+    // join), so materialize it ONCE via localCheckpoint — lineage
+    // truncated, blocks ContextCleaner-managed instead of session-pinned
+    // (the same policy as the iterative graph ops)
+    val cached = cBase.cache()
+    val centroids =
+      try trainCentroids(cached, "id", "v", nCells, iters)
+      finally cached.unpersist(blocking = true)
+    val index = cBase.withColumn("cell", cellOf(centroids, col("v")))
+      .localCheckpoint(eager = true)
     val a = index.select(col("cell"), col("id").as("a_id"), col("v").as("a_v"))
     val b = index.select(col("cell"), col("id").as("b_id"), col("v").as("b_v"))
     val dropped = a.join(b, Seq("cell"))

@@ -71,6 +71,23 @@ object ScaleOps {
       fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Deterministic stratified sampling: [[weightedMixtureSample]]'s
+    * replayable hash-threshold rule applied per stratum — keep a row iff
+    * knuthHash(id) falls under the stratum's fraction. Same three
+    * properties (engine-replayable, rerun-stable, monotone in the
+    * fraction), so unlike the engine-seeded [[stratifiedSample]] it gets
+    * an exact cross-engine oracle; the RNG-seeded variant stays as the
+    * engine-native alternative. Strata absent from the map drop entirely,
+    * mirroring sampleBy. Map-side filter, no shuffle. */
+  def hashStratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1], got $fractions")
+    val weight = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc) }
+    weightedMixtureSample(df, idCol, weight)
+  }
+
   /** Deterministic weighted mixture sampling — the "mix dataset Dᵢ at
     * weight wᵢ" primitive for assembling a training corpus from sources.
     * A row is kept iff hash(id) falls under its row's weight, with the

@@ -74,10 +74,20 @@ object Pipelines {
     * pipeline off parquet — which is exactly what the DuckDB oracle checks.
     */
   /** Stage the orders table as header CSV plus malformed rows (the
-    * upstream-extract stand-in shared by both CSV read modes). */
+    * upstream-extract stand-in shared by both CSV read modes). Staged
+    * ONCE per sfDir: re-dumping the full CSV on every call would put
+    * tmpfs I/O variance inside the benched region (these two queries
+    * were the most load-sensitive entries in the round-4 detail).
+    * Restages only when missing or the source parquet is newer. */
   private def stageOrdersCsv(spark: SparkSession, sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     val csvDir = s"/tmp/graft_csv/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+    val marker = Paths.get(csvDir, "zz_malformed.csv")
+    val src = Paths.get(sfDir, "orders.parquet")
+    if (Files.exists(marker) && Files.exists(src) &&
+        Files.getLastModifiedTime(marker)
+          .compareTo(Files.getLastModifiedTime(src)) > 0)
+      return csvDir
     val orders = Tables.load(spark, sfDir, "orders")
     orders.write.mode("overwrite").option("header", "true").csv(csvDir)
     // malformed rows: every one must fail the not-null split (a bad KEY

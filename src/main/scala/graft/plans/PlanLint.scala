@@ -13,6 +13,9 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *
   *  - `cartesian-product` / `broadcast-nested-loop`: quadratic joins —
   *    error unless a side is a deliberate single-row attach.
+  *  - `global-window`: a window with no PARTITION BY — error unless the
+  *    input is provably bounded (a limit in the plan), since it funnels
+  *    the whole frame through one partition.
   *  - `broadcastable-not-broadcast`: a shuffle join whose smaller side's
   *    estimated size is under the session's autoBroadcastJoinThreshold —
   *    usually a missing stats hint on checkpointed/iterative state (the
@@ -30,11 +33,17 @@ object PlanLint {
 
   case class Finding(rule: String, severity: String, detail: String)
 
-  def lint(df: DataFrame): Seq[Finding] = {
-    val threshold = df.sparkSession.conf
+  def lint(df: DataFrame): Seq[Finding] =
+    lintPlan(df.queryExecution.executedPlan, df.sparkSession)
+
+  /** Lint an already-materialized physical plan — the entry point for
+    * executed-plan capture ([[lintExecuted]]), where there is no live
+    * DataFrame to hand over. */
+  def lintPlan(plan: SparkPlan,
+      spark: org.apache.spark.sql.SparkSession): Seq[Finding] = {
+    val threshold = spark.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val thresholdBytes = parseBytes(threshold)
-    val plan = df.queryExecution.executedPlan
     val nodes = collectAll(plan)
     val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
 
@@ -64,10 +73,20 @@ object PlanLint {
         }
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty =>
-        findings += Finding("global-window", "warn",
-          "window with no PARTITION BY funnels every row through one " +
-            "partition - fine for bounded verification output, a " +
-            "single-executor bottleneck on a corpus-sized frame")
+        // a global window over a provably bounded input (a limit in the
+        // plan carries logical maxRows) is a legitimate verification
+        // shape; over an unbounded frame it funnels the whole corpus
+        // through one partition — the same exemption logic as the
+        // single-row BNLJ attach above
+        if (maxRowsOf(w.child).exists(_ <= 10000L))
+          findings += Finding("global-window", "info",
+            "window with no PARTITION BY over a provably bounded input " +
+              "(maxRows <= 10000) - acceptable verification shape")
+        else
+          findings += Finding("global-window", "error",
+            "window with no PARTITION BY funnels every row through one " +
+              "partition - a single-executor bottleneck on a corpus-sized " +
+              "frame; bound the input (limit) or add PARTITION BY")
       case s: FileSourceScanExec =>
         val pushed = s.metadata.getOrElse("PushedFilters", "[]")
         if (s.dataFilters.nonEmpty && pushed == "[]")
@@ -101,6 +120,51 @@ object PlanLint {
   /** Errors only — the CI-gate subset. */
   def errors(df: DataFrame): Seq[Finding] =
     lint(df).filter(_.severity == "error")
+
+  /** Run `action` while capturing EVERY query execution it triggers on
+    * the session, then lint each captured physical plan — the post-hoc
+    * gate for operators whose work happens eagerly (lake DML, iterative
+    * loops, foreachBatch sinks): their interesting plans are the jobs
+    * they run, not the frame they return, so the lazy `lint(df)` entry
+    * point never sees them.
+    *
+    * Returns (action result, findings across all captured executions).
+    * QueryExecutionListener delivery is asynchronous; the listener bus is
+    * drained before reading the capture. Failed executions are skipped
+    * (they surface through the action itself), and a plan that cannot be
+    * linted post-hoc is recorded as an `unlintable` info finding rather
+    * than crashing the audit. */
+  def lintExecuted[A](spark: org.apache.spark.sql.SparkSession)
+      (action: => A): (A, Seq[Finding]) = {
+    val captured =
+      new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { captured.add(qe); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val result =
+      try {
+        val a = action
+        org.apache.spark.GraftListenerBridge.drainListenerBus(
+          spark.sparkContext, 30000)
+        a
+      } finally spark.listenerManager.unregister(listener)
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    captured.forEach { qe =>
+      scala.util.Try(lintPlan(qe.executedPlan, spark)) match {
+        case scala.util.Success(fs) => findings ++= fs
+        case scala.util.Failure(e) =>
+          findings += Finding("unlintable", "info",
+            s"captured execution could not be linted post-hoc: $e")
+      }
+    }
+    (result, findings.toSeq)
+  }
 
   // AQE wraps the real plan; subqueries hang off expressions — walk both.
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = {

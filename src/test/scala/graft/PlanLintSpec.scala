@@ -46,6 +46,24 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  test("unpartitioned window over an unbounded frame is an error") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, sf, "documents")
+    val bad = d.withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+    assert(PlanLint.errors(bad).map(_.rule).contains("global-window"),
+      PlanLint.lint(bad))
+  }
+
+  test("unpartitioned window over a limit-bounded frame is NOT an error") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, sf, "documents").limit(100)
+    val ok = d.withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+    val findings = PlanLint.lint(ok)
+    assert(!PlanLint.errors(ok).map(_.rule).contains("global-window"), findings)
+    assert(findings.exists(f =>
+      f.rule == "global-window" && f.severity == "info"), findings)
+  }
+
   test("repo query shapes produce no errors; info totals always present") {
     Seq("q1_agg", "q_semi_join", "q_tpch_q3", "q_bm25").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
@@ -56,8 +74,11 @@ class PlanLintSpec extends SparkSpec {
   }
 
   test("no scale errors across the whole lazy analytic query surface") {
-    // skipped: queries whose CONSTRUCTION is eager (lake DML, iterative
-    // loops, stream drains, fixture staging) — linting them would run jobs
+    // skipped HERE: queries whose CONSTRUCTION is eager (lake DML,
+    // iterative loops, stream drains, fixture staging) — linting them
+    // lazily would run jobs. The representative eager ones are gated by
+    // the executed-plan capture test below instead; streams stay out
+    // (microbatch plans don't flow through QueryExecutionListener).
     val eager = Set(
       "q_merge_upsert", "q_merge_upsert_pruned", "q_delete_update",
       "q_zorder", "q_cdc", "q_cdc_delete", "q_schema_evolution",
@@ -81,6 +102,24 @@ class PlanLintSpec extends SparkSpec {
       val df = SparkEntry.queries(q)(spark, sf)
       val errs = PlanLint.errors(df)
       assert(errs.isEmpty, s"$q: $errs")
+    }
+  }
+
+  test("executed-plan lint covers the eager DML/iterative queries") {
+    // these run jobs during CONSTRUCTION, so the lazy gate above cannot
+    // lint them — capture every execution they trigger instead and lint
+    // those plans post-hoc (merge internals, iterative rounds, sinks)
+    val eagerCovered = Seq("q_merge_upsert", "q_delete_update", "q_cdc",
+      "q_zorder", "q_schema_evolution", "q_scd2", "q_csv_pipeline",
+      "q_pagerank", "q_dedup_families", "q_curate")
+    eagerCovered.foreach { q =>
+      val (_, findings) = PlanLint.lintExecuted(spark) {
+        SparkEntry.queries(q)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val errs = findings.filter(_.severity == "error")
+      assert(errs.isEmpty, s"$q: $errs")
+      assert(findings.nonEmpty, s"$q captured no executions")
     }
   }
 

@@ -86,4 +86,22 @@ class SimilaritySpec extends SparkSpec {
     // the synthetic corpus HAS near-dups: something must actually drop
     assert(out.exists(!_._3))
   }
+
+  test("ivfTopK and semDedup leave no cached blocks behind") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter($"vec_id" < 4L)
+    Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3,
+      nCells = 4, nProbe = 2).count()
+    // training cache is released in a finally with blocking=true, so the
+    // DataFrame cache registry must be empty the moment the call returns
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ivfTopK leaked a cached DataFrame")
+    Similarity.semDedup(e, "vec_id", "embedding",
+      threshold = 0.4, nCells = 4).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "semDedup leaked a cached DataFrame")
+    // semDedup's index is a localCheckpoint: ContextCleaner-managed, not
+    // registered in the cache manager — the suite-long pin is gone either
+    // way, which is what this guards.
+  }
 }
