@@ -58,8 +58,10 @@ object ScaleProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    val factors = sys.env.get("SPARK_GRAFT_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8))
     val maxBucketSize = 1000
-    Seq(1, 2, 4, 8).foreach { n =>
+    factors.foreach { n =>
       // materialize the inflated corpus OUTSIDE the timed region (the
       // probe measures the operators, not the inflation regex)
       val d = inflate(n).localCheckpoint(true)

@@ -1503,6 +1503,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the FULL-corpus epoch ranking, scale-safely: two-phase distributed
+    // ranking (md5-prefix bucket -> partitioned window, plus a <=256-row
+    // offset table) — identical output to a global row_number with no
+    // global window anywhere in the plan
+    "q_epoch_positions" -> ((s, dir) =>
+      graft.ops.ScaleOps.epochPositions(
+        docs(s, dir).select("doc_id"), "doc_id", epoch = 1)
+        .orderBy("doc_id")),
+
     // REAL media decode (not the stub): per order key, a deterministic
     // 1x1 P6 PPM is byte-built and decoded by the pure-JVM codec; the
     // oracle replays the ITU-R 601 luma arithmetic directly
@@ -3329,6 +3338,14 @@ object SparkEntry {
                   md5('2' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
                   AS pos_e2
          FROM documents WHERE doc_id < 2000 ORDER BY doc_id""",
+
+    // the two-phase ranking must equal the plain global row_number
+    "q_epoch_positions" ->
+      """SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY
+                  md5('1' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+                  AS pos
+         FROM documents ORDER BY doc_id""",
 
     "q_media_decode" ->
       """SELECT o_orderkey, true AS decoded,

@@ -128,6 +128,38 @@ object ScaleOps {
   def epochShuffleKey(id: Column, epoch: Int): Column =
     md5(concat_ws(":", lit(epoch), id.cast("string")))
 
+  /** Explicit epoch positions (id → 1-based rank in the epoch
+    * permutation) WITHOUT a global window — the classic two-phase
+    * distributed ranking: bucket every row by the first two hex chars of
+    * its shuffle key (256 buckets whose lexicographic order equals the
+    * full-key order), rank within each bucket with a PARTITIONED window,
+    * and add per-bucket offsets from a ≤256-row aggregate (bounded
+    * driver state, same budget class as the IVF centroid table). The
+    * md5 key is uniform, so buckets are balanced by construction — no
+    * partition ever ranks more than ~1/256 of the corpus. Output is
+    * identical to `row_number() OVER (ORDER BY key, id)` and therefore
+    * exactly replayable by any engine. Construction is eager (one small
+    * count-per-bucket job). */
+  def epochPositions(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = epochShuffleKey(col(idCol), epoch)
+    val bucketed = df.select(col(idCol), key.as("__k"),
+      substring(key, 1, 2).as("__b"))
+    val counts = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .orderBy("__b").collect() // <= 256 rows by construction
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val t = (r.getString(0), acc); acc += r.getLong(1); t
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__b", "__off")
+    val w = Window.partitionBy("__b").orderBy(col("__k"), col(idCol))
+    bucketed.withColumn("__rn", row_number().over(w))
+      .join(broadcast(offDf), Seq("__b"))
+      .select(col(idCol), (col("__off") + col("__rn")).cast("int").as("pos"))
+  }
+
   /** Deterministic consistent sample: exactly min(k, |group|) rows per
     * group, chosen as the k smallest xxhash64 values over (seed, id
     * columns) — the "k examples per language" eval-set primitive.

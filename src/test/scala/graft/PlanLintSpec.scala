@@ -86,6 +86,7 @@ class PlanLintSpec extends SparkSpec {
       "q_orc_source", "q_items_pipeline", "q_orders_pipeline",
       "q_products_pipeline", "q_xlsx_pipeline", "q_bpe_tokens", "q_scd2",
       "q_scd2_lookup",
+      "q_epoch_positions",
       "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
       "q_dedup_families", "q_family_survivors", "q_curate",
       "q_curate_increment", "q_pagerank", "q_hits",
@@ -111,7 +112,7 @@ class PlanLintSpec extends SparkSpec {
     // those plans post-hoc (merge internals, iterative rounds, sinks)
     val eagerCovered = Seq("q_merge_upsert", "q_delete_update", "q_cdc",
       "q_zorder", "q_schema_evolution", "q_scd2", "q_csv_pipeline",
-      "q_pagerank", "q_dedup_families", "q_curate")
+      "q_pagerank", "q_dedup_families", "q_curate", "q_epoch_positions")
     eagerCovered.foreach { q =>
       val (_, findings) = PlanLint.lintExecuted(spark) {
         SparkEntry.queries(q)(spark, sf)

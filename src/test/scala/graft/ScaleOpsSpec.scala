@@ -188,4 +188,23 @@ class ScaleOpsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(repart == e1)
   }
+
+  test("epochPositions equals the global-window row_number, windowlessly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).toDF("id")
+    val got = graft.ops.ScaleOps.epochPositions(df, "id", epoch = 3)
+      .as[(Long, Int)].collect().toMap
+    val want = df.withColumn("pos", row_number().over(Window.orderBy(
+        graft.ops.ScaleOps.epochShuffleKey(col("id"), 3), col("id"))))
+      .as[(Long, Int)].collect().toMap
+    assert(got == want)
+    // positions are a permutation of 1..n
+    assert(got.values.toSeq.sorted == (1 to 500))
+    // and the plan really has no unpartitioned window
+    val lint = graft.plans.PlanLint.lint(
+      graft.ops.ScaleOps.epochPositions(df, "id", epoch = 3))
+    assert(!lint.exists(f => f.rule == "global-window" && f.severity == "error"),
+      lint)
+  }
 }
