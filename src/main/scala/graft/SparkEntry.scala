@@ -1484,23 +1484,16 @@ object SparkEntry {
 
     // deterministic epoch shuffle: each doc's position in two different
     // epoch permutations (pure function of (epoch, id) -> md5 order,
-    // reproducible across engines); oracle replays the same ranking
+    // reproducible across engines); ranked with the WINDOWLESS two-phase
+    // epochPositions (round 4 ranked through an unpartitioned window —
+    // a single-executor funnel this suite no longer contains anywhere);
+    // oracle replays the same ranking as a plain global row_number
     "q_epoch_shuffle" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // rank via the operator's own key expression (no re-inlined format);
-      // the unpartitioned window is the VERIFICATION shape — bounded for
-      // real by filter + limit(2000), which carries a maxRows bound into
-      // the plan (PlanLint's global-window rule accepts only provably
-      // bounded inputs). The operator itself (ScaleOps.epochShuffle)
-      // sorts distributed.
-      def pos(epoch: Int) = row_number().over(Window.orderBy(
-        graft.ops.ScaleOps.epochShuffleKey(col("doc_id"), epoch),
-        col("doc_id")))
-      docs(s, dir).select(col("doc_id"))
-        .filter(col("doc_id") < 2000).limit(2000)
-        .withColumn("pos_e1", pos(1))
-        .withColumn("pos_e2", pos(2))
-        .orderBy("doc_id")
+      val base = docs(s, dir).select("doc_id")
+      def pos(epoch: Int, name: String) =
+        graft.ops.ScaleOps.epochPositions(base, "doc_id", epoch)
+          .withColumnRenamed("pos", name)
+      pos(1, "pos_e1").join(pos(2, "pos_e2"), "doc_id").orderBy("doc_id")
     }),
 
     // the FULL-corpus epoch ranking, scale-safely: two-phase distributed
@@ -3337,7 +3330,7 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY
                   md5('2' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
                   AS pos_e2
-         FROM documents WHERE doc_id < 2000 ORDER BY doc_id""",
+         FROM documents ORDER BY doc_id""",
 
     // the two-phase ranking must equal the plain global row_number
     "q_epoch_positions" ->

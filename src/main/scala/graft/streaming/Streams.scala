@@ -224,20 +224,24 @@ object Streams {
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result — AvailableNow processes existing files as micro-batches then
     * stops (the reference's file-drop batch model). */
-  def drainToBatch(streamDf: DataFrame, name: String): DataFrame = {
-    val q = streamDf.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    streamDf.sparkSession.table(name)
-  }
+  def drainToBatch(streamDf: DataFrame, name: String): DataFrame =
+    drainWithExecution(streamDf, name, OutputMode.Complete())._1
 
   /** Append-mode drain for non-aggregating / flatMapGroupsWithState streams. */
-  def drainAppend(streamDf: DataFrame, name: String): DataFrame = {
-    val q = streamDf.writeStream.outputMode(OutputMode.Append())
+  def drainAppend(streamDf: DataFrame, name: String): DataFrame =
+    drainWithExecution(streamDf, name, OutputMode.Append())._1
+
+  /** Drain and ALSO return the last micro-batch's QueryExecution (None
+    * if no batch ran) — micro-batch plans bypass QueryExecutionListener,
+    * so this is how the PlanLint gate audits streaming physical plans. */
+  def drainWithExecution(streamDf: DataFrame, name: String,
+      mode: OutputMode): (DataFrame,
+        Option[org.apache.spark.sql.execution.QueryExecution]) = {
+    val q = streamDf.writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    streamDf.sparkSession.table(name)
+    (streamDf.sparkSession.table(name),
+      org.apache.spark.sql.GraftStreamingBridge.lastExecution(q))
   }
 }

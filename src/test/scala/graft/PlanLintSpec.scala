@@ -77,8 +77,8 @@ class PlanLintSpec extends SparkSpec {
     // skipped HERE: queries whose CONSTRUCTION is eager (lake DML,
     // iterative loops, stream drains, fixture staging) — linting them
     // lazily would run jobs. The representative eager ones are gated by
-    // the executed-plan capture test below instead; streams stay out
-    // (microbatch plans don't flow through QueryExecutionListener).
+    // the executed-plan capture test below; streaming micro-batch plans
+    // (which bypass QueryExecutionListener) by the last-execution test.
     val eager = Set(
       "q_merge_upsert", "q_merge_upsert_pruned", "q_delete_update",
       "q_zorder", "q_cdc", "q_cdc_delete", "q_schema_evolution",
@@ -86,7 +86,7 @@ class PlanLintSpec extends SparkSpec {
       "q_orc_source", "q_items_pipeline", "q_orders_pipeline",
       "q_products_pipeline", "q_xlsx_pipeline", "q_bpe_tokens", "q_scd2",
       "q_scd2_lookup",
-      "q_epoch_positions",
+      "q_epoch_positions", "q_epoch_shuffle",
       "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
       "q_dedup_families", "q_family_survivors", "q_curate",
       "q_curate_increment", "q_pagerank", "q_hits",
@@ -112,7 +112,8 @@ class PlanLintSpec extends SparkSpec {
     // those plans post-hoc (merge internals, iterative rounds, sinks)
     val eagerCovered = Seq("q_merge_upsert", "q_delete_update", "q_cdc",
       "q_zorder", "q_schema_evolution", "q_scd2", "q_csv_pipeline",
-      "q_pagerank", "q_dedup_families", "q_curate", "q_epoch_positions")
+      "q_pagerank", "q_dedup_families", "q_curate", "q_epoch_positions",
+      "q_epoch_shuffle")
     eagerCovered.foreach { q =>
       val (_, findings) = PlanLint.lintExecuted(spark) {
         SparkEntry.queries(q)(spark, sf)
@@ -121,6 +122,31 @@ class PlanLintSpec extends SparkSpec {
       val errs = findings.filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")
       assert(findings.nonEmpty, s"$q captured no executions")
+    }
+  }
+
+  test("streaming micro-batch plans lint clean (last-execution capture)") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val events = Streams.readTableStream(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // a watermarked windowed aggregation AND a stream-static broadcast
+    // enrich — the two plan families the lazy + listener gates can't see
+    val (aggOut, aggQe) = Streams.drainWithExecution(
+      Streams.windowedCounts(events), "lint_stream_agg",
+      OutputMode.Complete())
+    assert(aggOut.count() > 0)
+    assert(aggQe.nonEmpty, "no micro-batch execution captured")
+    val dim = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val (enrichOut, enrichQe) = Streams.drainWithExecution(
+      Streams.enrichStream(events, dim, Seq("user_id")),
+      "lint_stream_enrich", OutputMode.Append())
+    assert(enrichOut.count() > 0)
+    Seq("agg" -> aggQe, "enrich" -> enrichQe).foreach { case (tag, qe) =>
+      val errs = PlanLint.lintPlan(qe.get.executedPlan, spark)
+        .filter(_.severity == "error")
+      assert(errs.isEmpty, s"$tag: $errs")
     }
   }
 
