@@ -68,7 +68,11 @@ object Bench {
     val queries = only.fold(SparkEntry.queries)(s => SparkEntry.queries.view.filterKeys(s).toMap)
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = queries.map { case (name, fn) =>
+    // deterministic (sorted) run order: Map hash order reshuffles whenever
+    // a query is added, silently moving residual warm-up noise onto a
+    // different query each round — sorted order keeps per-query times
+    // comparable across rounds
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
@@ -77,7 +81,7 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val calEnd = calibrate()
     val loadEnd = loadAvg
     val total = if (results.nonEmpty) results.values.sum else 0.0

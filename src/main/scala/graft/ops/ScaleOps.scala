@@ -143,8 +143,10 @@ object ScaleOps {
   def epochPositions(df: DataFrame, idCol: String, epoch: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val key = epochShuffleKey(col(idCol), epoch)
-    val bucketed = df.select(col(idCol), key.as("__k"),
-      substring(key, 1, 2).as("__b"))
+    // null ids have no deterministic cross-engine rank (and would yield a
+    // null bucket) — they are excluded, matching the oracle's NOT NULL id
+    val bucketed = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), key.as("__k"), substring(key, 1, 2).as("__b"))
     val counts = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
       .orderBy("__b").collect() // <= 256 rows by construction
     var acc = 0L
