@@ -60,11 +60,31 @@ object ScaleProbe {
 
     val factors = sys.env.get("SPARK_GRAFT_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8))
-    val maxBucketSize = 1000
+    // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
+    // paragraph to that fraction of docs (chosen by a deterministic id
+    // hash) — the degenerate-bucket scenario the maxBucketSize guard
+    // exists for: every affected doc shares the boilerplate shingles, so
+    // their band buckets blow past the cap and are DROPPED instead of
+    // self-joining quadratically (0.3 × 40k docs sharing ~48 shingles
+    // would otherwise be ~10^8 candidate pairs from those buckets alone).
+    // The probe shows capped_buckets > 0 and a bounded wall-time.
+    val skew = sys.env.get("SPARK_GRAFT_SKEW").map(_.toDouble).getOrElse(0.0)
+    val boiler = (1 to 50).map(i => s"boilerplate$i").mkString(" ") + " "
+    // SPARK_GRAFT_NOCAP=1 disables the bucket cap — the control run that
+    // shows what the guard is saving (quadratic candidate generation)
+    val maxBucketSize =
+      if (sys.env.get("SPARK_GRAFT_NOCAP").contains("1")) Int.MaxValue
+      else 1000
     factors.foreach { n =>
       // materialize the inflated corpus OUTSIDE the timed region (the
       // probe measures the operators, not the inflation regex)
-      val d = inflate(n).localCheckpoint(true)
+      val base = inflate(n)
+      val skewed =
+        if (skew <= 0) base
+        else base.withColumn("text",
+          when(pmod(col("doc_id") * lit(2654435761L), lit(100)) < skew * 100,
+            concat(lit(boiler), col("text"))).otherwise(col("text")))
+      val d = skewed.localCheckpoint(true)
       val rows = d.count()
 
       val (nPairs, pairsSec) = timed {
