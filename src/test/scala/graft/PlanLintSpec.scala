@@ -73,31 +73,33 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  // queries whose CONSTRUCTION is eager (lake DML, iterative loops,
+  // fixture staging, bounded driver-side training) — linting them lazily
+  // would run jobs, so they are gated by the executed-plan capture test
+  // instead; stream drains are gated by the last-execution test (their
+  // micro-batch plans bypass QueryExecutionListener)
+  private val eagerQueries = Set(
+    "q_merge_upsert", "q_merge_upsert_pruned", "q_delete_update",
+    "q_zorder", "q_cdc", "q_cdc_delete", "q_schema_evolution",
+    "q_orchestrator", "q_csv_pipeline", "q_csv_declared", "q_json_source",
+    "q_orc_source", "q_items_pipeline", "q_orders_pipeline",
+    "q_products_pipeline", "q_xlsx_pipeline", "q_bpe_tokens", "q_scd2",
+    "q_scd2_lookup",
+    "q_epoch_positions", "q_epoch_shuffle",
+    "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
+    "q_dedup_families", "q_family_survivors", "q_curate",
+    "q_curate_increment", "q_pagerank", "q_hits",
+    "q_label_prop", "q_valid_counts", "q_corpus_pipeline")
+  private def streamQueries =
+    SparkEntry.queries.keys.filter(_.startsWith("q_stream")).toSet
+
   test("no scale errors across the whole lazy analytic query surface") {
-    // skipped HERE: queries whose CONSTRUCTION is eager (lake DML,
-    // iterative loops, stream drains, fixture staging) — linting them
-    // lazily would run jobs. The representative eager ones are gated by
-    // the executed-plan capture test below; streaming micro-batch plans
-    // (which bypass QueryExecutionListener) by the last-execution test.
-    val eager = Set(
-      "q_merge_upsert", "q_merge_upsert_pruned", "q_delete_update",
-      "q_zorder", "q_cdc", "q_cdc_delete", "q_schema_evolution",
-      "q_orchestrator", "q_csv_pipeline", "q_csv_declared", "q_json_source",
-      "q_orc_source", "q_items_pipeline", "q_orders_pipeline",
-      "q_products_pipeline", "q_xlsx_pipeline", "q_bpe_tokens", "q_scd2",
-      "q_scd2_lookup",
-      "q_epoch_positions", "q_epoch_shuffle",
-      "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
-      "q_dedup_families", "q_family_survivors", "q_curate",
-      "q_curate_increment", "q_pagerank", "q_hits",
-      "q_label_prop", "q_valid_counts", "q_corpus_pipeline"
-    ) ++ SparkEntry.queries.keys.filter(_.startsWith("q_stream"))
     // allowed: documented bounded brute-force verification twins — the
     // cartesian/non-equi shape is the point (README/ARCHITECTURE notes)
     val boundedBrute = Set("q_embed_neardup", "q_embed_topk",
       "q_hard_negatives", "q_embed_ann_lsh")
     val linted = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(eager).filterNot(boundedBrute)
+      .filterNot(eagerQueries).filterNot(streamQueries).filterNot(boundedBrute)
     assert(linted.size > 70) // the gate covers the bulk of the contract
     linted.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
@@ -106,15 +108,13 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
-  test("executed-plan lint covers the eager DML/iterative queries") {
+  test("executed-plan lint covers EVERY eager query (non-stream)") {
     // these run jobs during CONSTRUCTION, so the lazy gate above cannot
     // lint them — capture every execution they trigger instead and lint
-    // those plans post-hoc (merge internals, iterative rounds, sinks)
-    val eagerCovered = Seq("q_merge_upsert", "q_delete_update", "q_cdc",
-      "q_zorder", "q_schema_evolution", "q_scd2", "q_csv_pipeline",
-      "q_pagerank", "q_dedup_families", "q_curate", "q_epoch_positions",
-      "q_epoch_shuffle")
-    eagerCovered.foreach { q =>
+    // those plans post-hoc (merge internals, iterative rounds, sinks).
+    // Derived from the SAME set the lazy test excludes, so a new eager
+    // query cannot silently fall between the two gates.
+    eagerQueries.toSeq.sorted.foreach { q =>
       val (_, findings) = PlanLint.lintExecuted(spark) {
         SparkEntry.queries(q)(spark, sf)
           .write.format("noop").mode("overwrite").save()
