@@ -1523,6 +1523,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // REAL pixel resample: per order key a 2x2 P6 with four DISTINCT
+    // pixels is built, nearest-neighbor-resized to 1x1 (which must pick
+    // the top-left source pixel: src = floor(dst*2/1) = 0), and the
+    // resized PPM re-decoded — the oracle replays the top-left pixel's
+    // luma, so selecting any other pixel (or emitting a malformed PPM)
+    // fails the hash
+    "q_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 1000).as[Long].map { k =>
+          def px(i: Int) = Array((((k + i) % 256).toInt).toByte,
+            (((k / 3 + i) % 256).toInt).toByte,
+            (((k / 7 + i) % 256).toInt).toByte)
+          graft.operators.Multimodal.MediaRow(k, "image",
+            "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+              px(0) ++ px(1) ++ px(2) ++ px(3))
+        }
+      val resized = graft.operators.Multimodal.resizeReal(rows, 1, 1)
+        .map(r => graft.operators.Multimodal.MediaRow(r.media_id, "image",
+          r.payload))
+      graft.operators.Multimodal.decodeReal(resized).toDF()
+        .select(col("media_id").as("o_orderkey"), col("width"), col("height"),
+          round(col("mean_level"), 4).as("luma"))
+        .orderBy("o_orderkey")
+    }),
+
     // SCD Type 2 MERGE: two history-preserving upserts (initial load,
     // then a batch where 1-in-3 keys changed and 1-in-3 is a no-op);
     // fixed asOf timestamps keep reruns + oracle deterministic
@@ -3342,6 +3368,15 @@ object SparkEntry {
 
     "q_media_decode" ->
       """SELECT o_orderkey, true AS decoded,
+                ROUND(0.299 * (o_orderkey % 256) +
+                      0.587 * ((o_orderkey // 3) % 256) +
+                      0.114 * ((o_orderkey // 7) % 256), 4) AS luma
+         FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+
+    // nearest-neighbor 2x2 -> 1x1 must keep exactly the top-left pixel,
+    // whose channels replay as pure arithmetic on the order key
+    "q_media_resize" ->
+      """SELECT o_orderkey, CAST(1 AS INT) AS width, CAST(1 AS INT) AS height,
                 ROUND(0.299 * (o_orderkey % 256) +
                       0.587 * ((o_orderkey // 3) % 256) +
                       0.114 * ((o_orderkey // 7) % 256), 4) AS luma

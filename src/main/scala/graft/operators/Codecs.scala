@@ -27,8 +27,9 @@ object Codecs {
   def decode(bytes: Array[Byte]): Option[Decoded] =
     decodePpm(bytes).orElse(decodeWav(bytes))
 
-  /** PPM P6. Returns None on anything malformed — never throws. */
-  def decodePpm(b: Array[Byte]): Option[Decoded] = {
+  /** P6 header scan: (width, height, pixel-data offset), with the full
+    * pixel payload verified present. None on anything malformed. */
+  private def ppmHeader(b: Array[Byte]): Option[(Int, Int, Int)] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
     var i = 2
     // read 3 whitespace-separated ASCII ints, skipping '#' comments
@@ -49,16 +50,49 @@ object Codecs {
       if w > 0 && h > 0 && maxv == 255 && i < b.length
       _ = { i += 1 } // single whitespace after maxval, then pixel data
       if b.length - i >= w.toLong * h * 3
-    } yield {
+    } yield (w, h, i)
+  }
+
+  /** PPM P6. Returns None on anything malformed — never throws. */
+  def decodePpm(b: Array[Byte]): Option[Decoded] =
+    ppmHeader(b).map { case (w, h, off) =>
       var luma = 0.0
-      var p = i
-      val end = i + w * h * 3
+      var p = off
+      val end = off + w * h * 3
       while (p < end) {
         luma += 0.299 * (b(p) & 0xff) + 0.587 * (b(p + 1) & 0xff) +
           0.114 * (b(p + 2) & 0xff)
         p += 3
       }
       Decoded("ppm", w, h, 3, 0, w.toLong * h, luma / (w.toLong * h))
+    }
+
+  /** Nearest-neighbor resize of a P6 payload to outW×outH — the REAL
+    * pixel resample for the image format the pure-JVM codec fully
+    * decodes (src pixel = floor(dst·src/out), the standard NN mapping).
+    * Emits a well-formed P6; None for non-PPM/malformed input or
+    * non-positive target dims. Row-local; allocation = output size. */
+  def resizePpmNearest(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    if (outW <= 0 || outH <= 0) return None
+    ppmHeader(b).map { case (w, h, off) =>
+      val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + outW * outH * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var p = header.length
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * h / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * w / outW).toInt
+          val src = off + (sy * w + sx) * 3
+          out(p) = b(src); out(p + 1) = b(src + 1); out(p + 2) = b(src + 2)
+          p += 3
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
   }
 

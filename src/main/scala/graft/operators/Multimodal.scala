@@ -80,8 +80,27 @@ object Multimodal {
     })
   }
 
+  case class ResizedRow(media_id: Long, resized: Boolean, width: Int,
+      height: Int, payload: Array[Byte])
+
+  /** REAL pixel resample (nearest neighbor) for PPM payloads
+    * ([[Codecs.resizePpmNearest]]), batched per partition like the other
+    * codec stages. Rows whose payload isn't a decodable PPM come back
+    * with `resized = false` and the original bytes (route them to the
+    * metadata-only [[resized]] path or an external service). */
+  def resizeReal(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      Codecs.resizePpmNearest(r.payload, outW, outH) match {
+        case Some(p) => ResizedRow(r.media_id, resized = true, outW, outH, p)
+        case None => ResizedRow(r.media_id, resized = false, 0, 0, r.payload)
+      }
+    })
+  }
+
   /** Resize metadata transform (pure arithmetic on decoded dims — the
-    * real pixel resample is part of the stubbed codec layer). */
+    * real pixel resample for PPM is [[resizeReal]]; this is the
+    * plan-only path for formats the pure-JVM codec can't resample). */
   def resized(decoded: Dataset[DecodedRow], maxSide: Int): DataFrame =
     decoded.toDF().withColumn("scale",
         least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))

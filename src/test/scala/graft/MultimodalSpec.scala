@@ -101,6 +101,36 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.operators.Codecs.decodeWav(truncFmt).isEmpty)
   }
 
+  test("resizePpmNearest: exact NN sampling, upscale replication, totality") {
+    import graft.operators.Codecs
+    // 2x2 with four distinct pixels
+    val px = Array[Byte](
+      10, 11, 12,  20, 21, 22, // row 0: (0,0) (1,0)
+      30, 31, 32,  40, 41, 42) // row 1: (0,1) (1,1)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    // downscale to 1x1 keeps exactly the top-left pixel
+    val down = Codecs.resizePpmNearest(ppm, 1, 1).get
+    val dDown = Codecs.decodePpm(down).get
+    assert((dDown.width, dDown.height) == ((1, 1)))
+    assert(down.takeRight(3).toSeq == Seq[Byte](10, 11, 12))
+    // upscale 2x2 -> 4x4 replicates each source pixel into a 2x2 block
+    val up = Codecs.resizePpmNearest(ppm, 4, 4).get
+    val dUp = Codecs.decodePpm(up).get
+    assert((dUp.width, dUp.height) == ((4, 4)))
+    val body = up.drop(up.length - 48)
+    // first output row: (0,0) (0,0) (1,0) (1,0)
+    assert(body.take(12).toSeq ==
+      Seq[Byte](10, 11, 12, 10, 11, 12, 20, 21, 22, 20, 21, 22))
+    // last output row: (0,1) (0,1) (1,1) (1,1)
+    assert(body.takeRight(12).toSeq ==
+      Seq[Byte](30, 31, 32, 30, 31, 32, 40, 41, 42, 40, 41, 42))
+    // totality: non-PPM bytes and non-positive dims are clean Nones
+    assert(Codecs.resizePpmNearest("not a ppm".getBytes, 2, 2).isEmpty)
+    assert(Codecs.resizePpmNearest(ppm, 0, 2).isEmpty)
+    // resize of a truncated payload is rejected by the header check
+    assert(Codecs.resizePpmNearest(ppm.dropRight(1), 1, 1).isEmpty)
+  }
+
   test("codecs are total on arbitrary bytes: no throw, no hang") {
     val rnd = new scala.util.Random(42) // fixed seed: deterministic CI
     val prefixes = Seq(Array.empty[Byte], "P6".getBytes, "P6\n99999999 99999999\n255\n".getBytes,
