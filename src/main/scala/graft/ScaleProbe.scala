@@ -82,7 +82,10 @@ object ScaleProbe {
       val skewed =
         if (skew <= 0) base
         else base.withColumn("text",
-          when(pmod(col("doc_id") * lit(2654435761L), lit(100)) < skew * 100,
+          // the canonical deterministic row hash (same rule/constant as
+          // weightedMixtureSample), thresholded at the skew fraction
+          when(graft.ops.ScaleOps.knuthHash(col("doc_id")) <
+              math.floor(skew * 4294967296.0).toLong,
             concat(lit(boiler), col("text"))).otherwise(col("text")))
       val d = skewed.localCheckpoint(true)
       val rows = d.count()

@@ -1490,9 +1490,11 @@ object SparkEntry {
     // oracle replays the same ranking as a plain global row_number
     "q_epoch_shuffle" -> ((s, dir) => {
       val base = docs(s, dir).select("doc_id")
+      // INT cast at the query layer to mirror the oracle's CAST(... AS
+      // INT); the operator itself emits LONG positions
       def pos(epoch: Int, name: String) =
         graft.ops.ScaleOps.epochPositions(base, "doc_id", epoch)
-          .withColumnRenamed("pos", name)
+          .select(col("doc_id"), col("pos").cast("int").as(name))
       pos(1, "pos_e1").join(pos(2, "pos_e2"), "doc_id").orderBy("doc_id")
     }),
 
@@ -1503,6 +1505,7 @@ object SparkEntry {
     "q_epoch_positions" -> ((s, dir) =>
       graft.ops.ScaleOps.epochPositions(
         docs(s, dir).select("doc_id"), "doc_id", epoch = 1)
+        .select(col("doc_id"), col("pos").cast("int").as("pos"))
         .orderBy("doc_id")),
 
     // REAL media decode (not the stub): per order key, a deterministic
@@ -3356,7 +3359,7 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY
                   md5('2' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
                   AS pos_e2
-         FROM documents ORDER BY doc_id""",
+         FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""",
 
     // the two-phase ranking must equal the plain global row_number
     "q_epoch_positions" ->
@@ -3364,7 +3367,7 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY
                   md5('1' || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
                   AS pos
-         FROM documents ORDER BY doc_id""",
+         FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""",
 
     "q_media_decode" ->
       """SELECT o_orderkey, true AS decoded,

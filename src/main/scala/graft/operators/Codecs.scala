@@ -74,6 +74,9 @@ object Codecs {
     * non-positive target dims. Row-local; allocation = output size. */
   def resizePpmNearest(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
     if (outW <= 0 || outH <= 0) return None
+    // the output buffer is Int-indexed: reject dims whose pixel payload
+    // would overflow (total-None contract, never a NegativeArraySize)
+    if (outW.toLong * outH * 3 > Int.MaxValue - 64) return None
     ppmHeader(b).map { case (w, h, off) =>
       val header = s"P6\n$outW $outH\n255\n".getBytes("US-ASCII")
       val out = new Array[Byte](header.length + outW * outH * 3)

@@ -107,10 +107,16 @@ object ScaleOps {
     * (hash < floor(w·2³²)) keeps the decision in exact integer space.
     */
   def weightedMixtureSample(df: DataFrame, idCol: String,
-      weight: Column): DataFrame = {
-    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(4294967296L))
-    df.filter(h < floor(weight * lit(4294967296.0)).cast("long"))
-  }
+      weight: Column): DataFrame =
+    df.filter(knuthHash(col(idCol)) <
+      floor(weight * lit(4294967296.0)).cast("long"))
+
+  /** THE canonical deterministic row hash (Knuth's multiplicative map,
+    * 2654435761 mod 2³²) behind [[weightedMixtureSample]] /
+    * [[hashStratifiedSample]] and the probe's skew injection — one
+    * definition so the constant/modulus can never silently diverge. */
+  def knuthHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
 
   /** Deterministic epoch shuffle: a global reordering of the corpus that
     * is a pure function of (id, epoch) — md5 over the seeded id, so it is
@@ -144,9 +150,13 @@ object ScaleOps {
     import org.apache.spark.sql.expressions.Window
     val key = epochShuffleKey(col(idCol), epoch)
     // null ids have no deterministic cross-engine rank (and would yield a
-    // null bucket) — they are excluded, matching the oracle's NOT NULL id
+    // null bucket) — they are excluded; verification oracles must filter
+    // them symmetrically (id IS NOT NULL). Materialized ONCE: both the
+    // offset-count job and the ranking job read the checkpoint instead
+    // of re-scanning + re-hashing the corpus (same policy as semDedup).
     val bucketed = df.filter(col(idCol).isNotNull)
       .select(col(idCol), key.as("__k"), substring(key, 1, 2).as("__b"))
+      .localCheckpoint(true)
     val counts = bucketed.groupBy("__b").agg(count(lit(1)).as("__c"))
       .orderBy("__b").collect() // <= 256 rows by construction
     var acc = 0L
@@ -157,9 +167,11 @@ object ScaleOps {
     import spark.implicits._
     val offDf = offsets.toDF("__b", "__off")
     val w = Window.partitionBy("__b").orderBy(col("__k"), col(idCol))
+    // pos stays LONG in the operator — an INT cast would wrap negative
+    // past 2^31 rows; oracles that want INT cast at the query layer
     bucketed.withColumn("__rn", row_number().over(w))
       .join(broadcast(offDf), Seq("__b"))
-      .select(col(idCol), (col("__off") + col("__rn")).cast("int").as("pos"))
+      .select(col(idCol), (col("__off") + col("__rn")).as("pos"))
   }
 
   /** Deterministic consistent sample: exactly min(k, |group|) rows per

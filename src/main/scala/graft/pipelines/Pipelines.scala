@@ -79,14 +79,30 @@ object Pipelines {
     * tmpfs I/O variance inside the benched region (these two queries
     * were the most load-sensitive entries in the round-4 detail).
     * Restages only when missing or the source parquet is newer. */
+  // the code-defined part of the staged fixture; its hash invalidates
+  // the staging cache when THIS definition changes, not just the source
+  private val malformedRows = Seq(
+    "BAD_KEY,77,F,12.5,2024-01-02T00:00:00.000Z,1-URGENT",
+    ",88,O,1.0,2024-01-03T00:00:00.000Z,2-HIGH",
+    "999999991,,P,notadouble,garbage-date,3-MEDIUM")
+
   private def stageOrdersCsv(spark: SparkSession, sfDir: String): String = {
     import java.nio.file.{Files, Paths}
     val csvDir = s"/tmp/graft_csv/${sfDir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
-    val marker = Paths.get(csvDir, "zz_malformed.csv")
     val src = Paths.get(sfDir, "orders.parquet")
-    if (Files.exists(marker) && Files.exists(src) &&
-        Files.getLastModifiedTime(marker)
-          .compareTo(Files.getLastModifiedTime(src)) > 0)
+    // the stamp ties the staged copy to BOTH inputs: the source parquet
+    // (by mtime) and the code-defined fixture shape (by content hash) —
+    // a marker-mtime-only guard would keep serving a stale staging after
+    // the malformed-row definition changes
+    // sibling of csvDir, NOT inside it — the CSV reader ingests every
+    // file in the directory, so an in-dir stamp would become a data row
+    val stampFile = Paths.get(csvDir + ".stamp")
+    val stamp = java.util.UUID.nameUUIDFromBytes(
+      (malformedRows.mkString("\n") + "|v1").getBytes("UTF-8")).toString
+    if (Files.exists(stampFile) && Files.exists(src) &&
+        Files.getLastModifiedTime(stampFile)
+          .compareTo(Files.getLastModifiedTime(src)) > 0 &&
+        Files.readString(stampFile).trim == stamp)
       return csvDir
     val orders = Tables.load(spark, sfDir, "orders")
     orders.write.mode("overwrite").option("header", "true").csv(csvDir)
@@ -94,11 +110,8 @@ object Pipelines {
     // column), so they route to rejected rather than altering the output
     val header = orders.columns.mkString(",")
     Files.write(Paths.get(csvDir, "zz_malformed.csv"),
-      java.util.List.of(
-        header,
-        "BAD_KEY,77,F,12.5,2024-01-02T00:00:00.000Z,1-URGENT",
-        ",88,O,1.0,2024-01-03T00:00:00.000Z,2-HIGH",
-        "999999991,,P,notadouble,garbage-date,3-MEDIUM"))
+      java.util.List.of(header +: malformedRows: _*))
+    Files.writeString(stampFile, stamp)
     csvDir
   }
 

@@ -124,9 +124,11 @@ class MultimodalSpec extends SparkSpec {
     // last output row: (0,1) (0,1) (1,1) (1,1)
     assert(body.takeRight(12).toSeq ==
       Seq[Byte](30, 31, 32, 30, 31, 32, 40, 41, 42, 40, 41, 42))
-    // totality: non-PPM bytes and non-positive dims are clean Nones
+    // totality: non-PPM bytes, non-positive and overflowing dims are
+    // clean Nones (46341^2*3 overflows Int)
     assert(Codecs.resizePpmNearest("not a ppm".getBytes, 2, 2).isEmpty)
     assert(Codecs.resizePpmNearest(ppm, 0, 2).isEmpty)
+    assert(Codecs.resizePpmNearest(ppm, 46341, 46341).isEmpty)
     // resize of a truncated payload is rejected by the header check
     assert(Codecs.resizePpmNearest(ppm.dropRight(1), 1, 1).isEmpty)
   }

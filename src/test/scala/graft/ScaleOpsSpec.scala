@@ -194,13 +194,14 @@ class ScaleOpsSpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 500L).toDF("id")
     val got = graft.ops.ScaleOps.epochPositions(df, "id", epoch = 3)
-      .as[(Long, Int)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     val want = df.withColumn("pos", row_number().over(Window.orderBy(
-        graft.ops.ScaleOps.epochShuffleKey(col("id"), 3), col("id"))))
-      .as[(Long, Int)].collect().toMap
+        graft.ops.ScaleOps.epochShuffleKey(col("id"), 3), col("id")))
+        .cast("long"))
+      .as[(Long, Long)].collect().toMap
     assert(got == want)
     // positions are a permutation of 1..n
-    assert(got.values.toSeq.sorted == (1 to 500))
+    assert(got.values.toSeq.sorted == (1L to 500L))
     // and the plan really has no unpartitioned window
     val lint = graft.plans.PlanLint.lint(
       graft.ops.ScaleOps.epochPositions(df, "id", epoch = 3))
