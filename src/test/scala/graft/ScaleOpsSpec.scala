@@ -189,6 +189,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(repart == e1)
   }
 
+  test("hashStratifiedSample: exact hash rule, absent strata drop, monotone") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "grp")
+    val got = graft.ops.ScaleOps.hashStratifiedSample(
+      df, "grp", "id", Map("a" -> 0.5, "b" -> 0.2))
+      .as[(Long, String)].collect().toSet
+    // exact replay of the Knuth-hash threshold rule
+    def hash(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val want = (1L to 1000L).flatMap { i =>
+      val grp = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val f = Map("a" -> 0.5, "b" -> 0.2).getOrElse(grp, 0.0)
+      if (hash(i) < math.floor(f * 4294967296.0).toLong) Some((i, grp)) else None
+    }.toSet
+    assert(got == want)
+    assert(!got.exists(_._2 == "c")) // absent stratum drops entirely
+    // monotone: raising a fraction only ADDS rows
+    val wider = graft.ops.ScaleOps.hashStratifiedSample(
+      df, "grp", "id", Map("a" -> 0.8, "b" -> 0.2))
+      .as[(Long, String)].collect().toSet
+    assert(got.subsetOf(wider))
+  }
+
   test("epochPositions equals the global-window row_number, windowlessly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
