@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Shingle-disjoint ×n corpus inflation (see object doc): replica r
+    * shifts ids past `maxId` and prefixes every token with `r<r>`, so
+    * replicas share no shingles while each reproduces the original's
+    * internal dup structure — true near-dup pairs scale exactly ×n.
+    * Shared with ScaleProbeSpec so the CI re-run of a scaling-table row
+    * exercises the identical inflation code. */
+  def inflate(docs: DataFrame, maxId: Long, n: Int): DataFrame =
+    (0 until n).map { r =>
+      if (r == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(r * maxId)).as("doc_id"),
+        // prefix EVERY token: replicas share no shingles with each
+        // other or the original, so near-dup structure is per-replica
+        regexp_replace(col("text"), "([A-Za-z0-9]+)", s"r$r$$1").as("text"),
+        col("lang"))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,17 +57,6 @@ object ScaleProbe {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text", "lang")
     val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
-
-    def inflate(n: Int): DataFrame =
-      (0 until n).map { r =>
-        if (r == 0) docs
-        else docs.select(
-          (col("doc_id") + lit(r * maxId)).as("doc_id"),
-          // prefix EVERY token: replicas share no shingles with each
-          // other or the original, so near-dup structure is per-replica
-          regexp_replace(col("text"), "([A-Za-z0-9]+)", s"r$r$$1").as("text"),
-          col("lang"))
-      }.reduce(_ unionByName _)
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
@@ -78,7 +84,7 @@ object ScaleProbe {
     factors.foreach { n =>
       // materialize the inflated corpus OUTSIDE the timed region (the
       // probe measures the operators, not the inflation regex)
-      val base = inflate(n)
+      val base = inflate(docs, maxId, n)
       val skewed =
         if (skew <= 0) base
         else base.withColumn("text",

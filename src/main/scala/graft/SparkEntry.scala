@@ -542,11 +542,15 @@ object SparkEntry {
         countDistinct(fingerprintMd5(col("text"))).as("n_unique"),
         countDistinct(fingerprintNormalized(col("text"))).as("n_unique_norm"))),
 
-    // winnowing fingerprints use engine-specific xxhash64 — rows-only
+    // per-doc content fingerprints — the exact-dedup keys of
+    // Dedup.exactByContent / dropExactDuplicates, md5-based so DuckDB
+    // replays them exactly (hash-green). The hash-seeded winnowing
+    // fingerprint variant stays covered by q_winnow_pairs' exact-Jaccard
+    // oracle plus its unit specs (xxhash64 itself is engine-bound).
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        size(winnowingFingerprints(col("text"))).as("n_fp"),
-        array_min(winnowingFingerprints(col("text"))).as("min_fp"))
+        fingerprintMd5(col("text")).as("fp"),
+        fingerprintNormalized(col("text")).as("fp_norm"))
         .orderBy("doc_id")),
 
     // MinHash+LSH near-dup pairs. The LSH candidate stage is hash-seeded,
@@ -1035,6 +1039,63 @@ object SparkEntry {
           (lit(1) - col("l_discount").cast("decimal(20,4)")))
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // TPC-H Q9 shape (product-profit by nation × year): part filter →
+    // three broadcast dims onto lineitem → one fact-fact shuffle with
+    // orders on the order key → decimal-exact profit agg. partsupp does
+    // not exist in this corpus, so p_retailprice stands in for
+    // ps_supplycost in the cost term — same join/agg skeleton.
+    "q_tpch_q9" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name").as("nation"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+      l.join(broadcast(p), Seq("l_partkey"))
+        .join(broadcast(sup), Seq("l_suppkey"))
+        .join(broadcast(n), Seq("s_nationkey"))
+        .join(o, Seq("l_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1) - col("l_discount").cast("decimal(20,4)")) -
+            col("p_retailprice").cast("decimal(20,4)") *
+            col("l_quantity").cast("decimal(20,4)"))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    }),
+
+    // TPC-H Q18 shape (large-quantity orders): HAVING subquery as a
+    // partial-agg groupBy whose tiny output AQE broadcasts back onto
+    // orders, then onto customer — the top-100 merges per-partition
+    // heads (TakeOrderedAndProject), never a global sort.
+    "q_tpch_q18" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("decimal(20,4)").as("qty"))
+      val qual = l.groupBy("l_orderkey")
+        .agg(sum("qty").as("total_qty"))
+        .filter(col("total_qty") > 9)
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      o.join(qual, Seq("l_orderkey"))
+        .join(c, Seq("o_custkey"))
+        .select(col("c_name"), col("o_custkey").as("c_custkey"),
+          col("l_orderkey").as("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
     }),
 
     // ORDER BY + LIMIT top-n (TakeOrderedAndProject — the distributed
@@ -2174,6 +2235,13 @@ object SparkEntry {
                               x -> len(x) > 0), ' '))) AS n_unique_norm
          FROM documents""",
 
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+                md5(array_to_string(
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0), ' ')) AS fp_norm
+         FROM documents ORDER BY doc_id""",
+
     "q_minhash_pairs" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -2765,6 +2833,39 @@ object SparkEntry {
          WHERE r.r_name = 'ASIA'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
+    "q_tpch_q9" ->
+      """SELECT n.n_name AS nation,
+                CAST(year(o.o_orderdate) AS INT) AS o_year,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(20,4))) -
+                         CAST(p_retailprice AS DECIMAL(20,4)) *
+                         CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_profit
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_name LIKE '%widget%'
+         GROUP BY nation, o_year
+         ORDER BY nation ASC, o_year DESC""",
+
+    "q_tpch_q18" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                o.o_totalprice,
+                CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,4))) AS DOUBLE)
+                  AS total_qty
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(20,4))) > 9)
+         GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                  o.o_totalprice
+         ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100""",
+
     "q_variant_json" ->
       """SELECT event_type, count(*) AS n,
                 CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -2902,7 +3003,7 @@ object SparkEntry {
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled
          FROM documents
-         WHERE (doc_id * 2654435761) % 4294967296 <
+         WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 <
                CAST(floor(CASE lang WHEN 'en' THEN 0.5
                                     WHEN 'de' THEN 1.0
                                     WHEN 'fr' THEN 0.25
@@ -2919,7 +3020,7 @@ object SparkEntry {
          k AS (
            SELECT source, count(*) AS n_kept
            FROM d
-           WHERE (doc_id * 2654435761) % 4294967296 <
+           WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 <
                  CAST(floor(wt * 4294967296.0) AS BIGINT)
            GROUP BY source),
          t AS (SELECT source, MAX(wt) AS wt, count(*) AS n_total

@@ -366,32 +366,37 @@ object Dedup {
     val side: DataFrame => DataFrame =
       if (ids.count() <= broadcastNodeLimit) broadcast _ else identity _
     var i = 0
-    var done = edges.isEmpty
-    while (i < maxIter && !done) {
-      // localCheckpoint TRUNCATES the lineage each round — without it the
-      // plan nests the previous round's plan twice per iteration and
-      // grows exponentially (the standard iterative-graph-algorithm trap;
-      // a cluster deployment would use reliable checkpointing instead of
-      // executor-local blocks). The convergence probe rides the SAME
-      // action as an Observation on the propagate-join (one job per
-      // round, not two): n_changed counts labels the min-aggregation
-      // lowered this round.
-      val obs = org.apache.spark.sql.Observation()
-      val next = edges
-        .join(side(labels.select(col("id").as("src"), col("family"))), Seq("src"))
-        .select(col("dst").as("id"), col("family"))
-        .unionByName(labels)
-        .groupBy("id").agg(min("family").as("family"))
-        .join(side(labels.withColumnRenamed("family", "prev")), Seq("id"))
-        .observe(obs,
-          count(when(col("family") =!= col("prev"), 1)).as("n_changed"))
-        .select("id", "family")
-        .localCheckpoint(true)
-      done = obs.get("n_changed").asInstanceOf[Long] == 0L
-      labels = next
-      i += 1
-    }
-    edges.unpersist()
+    // try/finally: an iteration throwing mid-loop must not leave the edge
+    // set pinned in the block manager for the rest of a long session (the
+    // same leak class the ANN caches had before round 5 fixed them)
+    val done = try {
+      var converged = edges.isEmpty
+      while (i < maxIter && !converged) {
+        // localCheckpoint TRUNCATES the lineage each round — without it
+        // the plan nests the previous round's plan twice per iteration
+        // and grows exponentially (the standard iterative-graph-algorithm
+        // trap; a cluster deployment would use reliable checkpointing
+        // instead of executor-local blocks). The convergence probe rides
+        // the SAME action as an Observation on the propagate-join (one
+        // job per round, not two): n_changed counts labels the
+        // min-aggregation lowered this round.
+        val obs = org.apache.spark.sql.Observation()
+        val next = edges
+          .join(side(labels.select(col("id").as("src"), col("family"))), Seq("src"))
+          .select(col("dst").as("id"), col("family"))
+          .unionByName(labels)
+          .groupBy("id").agg(min("family").as("family"))
+          .join(side(labels.withColumnRenamed("family", "prev")), Seq("id"))
+          .observe(obs,
+            count(when(col("family") =!= col("prev"), 1)).as("n_changed"))
+          .select("id", "family")
+          .localCheckpoint(true)
+        converged = obs.get("n_changed").asInstanceOf[Long] == 0L
+        labels = next
+        i += 1
+      }
+      converged
+    } finally edges.unpersist(blocking = true)
     if (!done)
       // partially-propagated labels would silently split true families
       // downstream (keepBestPerFamily keeping >1 survivor) — surface it

@@ -114,9 +114,23 @@ object ScaleOps {
   /** THE canonical deterministic row hash (Knuth's multiplicative map,
     * 2654435761 mod 2³²) behind [[weightedMixtureSample]] /
     * [[hashStratifiedSample]] and the probe's skew injection — one
-    * definition so the constant/modulus can never silently diverge. */
-  def knuthHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+    * definition so the constant/modulus can never silently diverge.
+    *
+    * Computed as a split multiply entirely below 2⁶³: a naive
+    * `id * 2654435761` overflows Long for ids ≥ ~3.47e9 (an ANSI-mode
+    * error on Spark, a BIGINT error on DuckDB), so the product mod 2³²
+    * is assembled from the id's low/high 16-bit halves instead —
+    * (x mod 2³²)·2¹⁶ ≡ x·2¹⁶ (mod 2³²) makes the stepwise reduction
+    * exact. Total over the full Long domain on both engines (the DuckDB
+    * twin multiplies in HUGEINT), pinned against a BigInt replay in
+    * ScaleOpsSpec including ids past the naive overflow point. */
+  def knuthHash(id: Column): Column = {
+    val id32 = pmod(id.cast("long"), lit(4294967296L))
+    val hi = shiftright(id32, 16) // id32 < 2³², so arithmetic shift is safe
+    val lo = id32.bitwiseAND(lit(65535L))
+    pmod(pmod(hi * lit(2654435761L), lit(4294967296L)) * lit(65536L) +
+      lo * lit(2654435761L), lit(4294967296L))
+  }
 
   /** Deterministic epoch shuffle: a global reordering of the corpus that
     * is a pure function of (id, epoch) — md5 over the seeded id, so it is

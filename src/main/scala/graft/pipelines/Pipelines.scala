@@ -97,9 +97,16 @@ object Pipelines {
     // sibling of csvDir, NOT inside it — the CSV reader ingests every
     // file in the directory, so an in-dir stamp would become a data row
     val stampFile = Paths.get(csvDir + ".stamp")
+    // the token folds in every code-defined input of the staged fixture:
+    // the malformed rows AND the writer config (header mode) — change
+    // either and the version bump below, or the stamp mismatches and
+    // restages. csvDir existence is checked explicitly: the stamp is a
+    // SIBLING of csvDir, so a deleted csvDir with a surviving stamp must
+    // not be served as a hit.
     val stamp = java.util.UUID.nameUUIDFromBytes(
-      (malformedRows.mkString("\n") + "|v1").getBytes("UTF-8")).toString
-    if (Files.exists(stampFile) && Files.exists(src) &&
+      (malformedRows.mkString("\n") + "|header=true|v2").getBytes("UTF-8")).toString
+    if (Files.isDirectory(Paths.get(csvDir)) &&
+        Files.exists(stampFile) && Files.exists(src) &&
         Files.getLastModifiedTime(stampFile)
           .compareTo(Files.getLastModifiedTime(src)) > 0 &&
         Files.readString(stampFile).trim == stamp)

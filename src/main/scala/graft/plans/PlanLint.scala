@@ -130,12 +130,24 @@ object PlanLint {
     *
     * Returns (action result, findings across all captured executions).
     * QueryExecutionListener delivery is asynchronous; the listener bus is
-    * drained before reading the capture. Failed executions are skipped
-    * (they surface through the action itself), and a plan that cannot be
-    * linted post-hoc is recorded as an `unlintable` info finding rather
-    * than crashing the audit. */
+    * drained BEFORE registering (so an event still queued from an earlier
+    * action is not misattributed to this one) and again before reading
+    * the capture. Failed executions are skipped (they surface through the
+    * action itself), and a plan that cannot be linted post-hoc is
+    * recorded as an `unlintable` info finding rather than crashing the
+    * audit.
+    *
+    * The capture is session-global: any execution COMPLETING on this
+    * session while `action` runs is attributed to it. Callers hold the
+    * single-threaded-session invariant — in this repo the test suites
+    * share one session and run sequentially, and every stream drain
+    * completes inside its builder before returning — so the attribution
+    * is exact here; a concurrently-shared session would need per-
+    * execution tagging before trusting this gate. */
   def lintExecuted[A](spark: org.apache.spark.sql.SparkSession)
       (action: => A): (A, Seq[Finding]) = {
+    org.apache.spark.GraftListenerBridge.drainListenerBus(
+      spark.sparkContext, 30000)
     val captured =
       new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.QueryExecution]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {

@@ -241,7 +241,33 @@ object Streams {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    (streamDf.sparkSession.table(name),
-      org.apache.spark.sql.GraftStreamingBridge.lastExecution(q))
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf => qe.foreach(e => buf += name -> e))
+    (streamDf.sparkSession.table(name), qe)
+  }
+
+  // thread-local so nothing is retained outside an explicit capture scope
+  // (a session-global registry would pin every drained micro-batch plan
+  // for the life of a 131-query bench run)
+  private val drainCapture =
+    new ThreadLocal[Option[scala.collection.mutable.ArrayBuffer[
+      (String, org.apache.spark.sql.execution.QueryExecution)]]] {
+      override def initialValue = None
+    }
+
+  /** Run `action` and collect the last-micro-batch QueryExecution of
+    * every stream drained THROUGH THIS API on the calling thread — the
+    * per-query hook that lets the PlanLint gate audit a query whose
+    * drain happens inside its own construction (every `q_stream_*`
+    * entry), where the caller never sees the streaming query object.
+    * Nested captures restore the outer scope on exit. */
+  def withDrainCapture[T](action: => T): (T,
+      Seq[(String, org.apache.spark.sql.execution.QueryExecution)]) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.spark.sql.execution.QueryExecution)]
+    val prev = drainCapture.get
+    drainCapture.set(Some(buf))
+    try { val r = action; (r, buf.toSeq) }
+    finally drainCapture.set(prev)
   }
 }

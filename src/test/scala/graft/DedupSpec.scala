@@ -161,6 +161,22 @@ class DedupSpec extends SparkSpec {
     assert(fam.values.toSet == Set(0L)) // one family, rooted at min id
   }
 
+  test("dedupFamilies releases the edge cache even when a round throws") {
+    val ids = Seq(0L, 1L).toDF("doc_id")
+    // assert_true(a_id < 0) detonates on first evaluation — the edge set's
+    // first action is INSIDE the try, so the failure exercises the finally
+    val pairs = Seq((0L, 1L)).toDF("a_id", "b_id")
+      .select((col("a_id") + assert_true(col("a_id") < 0).cast("long"))
+        .as("a_id"), col("b_id"))
+    intercept[Exception] {
+      Dedup.dedupFamilies(ids, pairs, "doc_id").count()
+    }
+    // the cache registration happens eagerly at .cache(); only the
+    // blocking finally-unpersist can have emptied the registry here
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupFamilies leaked its edge cache after a mid-run failure")
+  }
+
   test("leakageSafeSplit: families are split-atomic and both splits occur") {
     // many singleton families so both split labels appear, plus one chain
     val ids = (0L until 60L).toDF("doc_id")

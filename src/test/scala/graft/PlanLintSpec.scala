@@ -92,20 +92,38 @@ class PlanLintSpec extends SparkSpec {
     "q_label_prop", "q_valid_counts", "q_corpus_pipeline")
   private def streamQueries =
     SparkEntry.queries.keys.filter(_.startsWith("q_stream")).toSet
+  // documented bounded brute-force verification twins — the cartesian /
+  // non-equi shape is the point (README/ARCHITECTURE notes); they stay in
+  // the lazy gate but only those two rules are tolerated for them
+  private val boundedBrute = Set("q_embed_neardup", "q_embed_topk",
+    "q_hard_negatives", "q_embed_ann_lsh")
+  private val bruteAllowedRules =
+    Set("cartesian-product", "broadcast-nested-loop")
 
   test("no scale errors across the whole lazy analytic query surface") {
-    // allowed: documented bounded brute-force verification twins — the
-    // cartesian/non-equi shape is the point (README/ARCHITECTURE notes)
-    val boundedBrute = Set("q_embed_neardup", "q_embed_topk",
-      "q_hard_negatives", "q_embed_ann_lsh")
     val linted = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(eagerQueries).filterNot(streamQueries).filterNot(boundedBrute)
+      .filterNot(eagerQueries).filterNot(streamQueries)
     assert(linted.size > 70) // the gate covers the bulk of the contract
     linted.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       val errs = PlanLint.errors(df)
+        .filterNot(e => boundedBrute(q) && bruteAllowedRules(e.rule))
       assert(errs.isEmpty, s"$q: $errs")
     }
+  }
+
+  test("the three gates partition the ENTIRE query surface — no query " +
+      "falls outside lazy, eager, and streaming") {
+    val all = SparkEntry.queries.keySet
+    assert(eagerQueries.subsetOf(all),
+      s"stale eager entries: ${eagerQueries -- all}")
+    assert(boundedBrute.subsetOf(all),
+      s"stale brute entries: ${boundedBrute -- all}")
+    assert((eagerQueries intersect streamQueries).isEmpty)
+    assert((boundedBrute intersect (eagerQueries ++ streamQueries)).isEmpty)
+    val lazySet = all -- eagerQueries -- streamQueries
+    assert(lazySet ++ eagerQueries ++ streamQueries == all)
+    assert(all.size >= 131, s"query surface shrank: ${all.size}")
   }
 
   test("executed-plan lint covers EVERY eager query (non-stream)") {
@@ -122,6 +140,29 @@ class PlanLintSpec extends SparkSpec {
       val errs = findings.filter(_.severity == "error")
       assert(errs.isEmpty, s"$q: $errs")
       assert(findings.nonEmpty, s"$q captured no executions")
+    }
+  }
+
+  test("per-query streaming lint: every q_stream_* micro-batch plan is clean") {
+    import graft.streaming.Streams
+    val qs = streamQueries.toSeq.sorted
+    assert(qs.nonEmpty)
+    qs.foreach { q =>
+      // each q_stream_* drains its stream DURING construction via
+      // drainToBatch/drainAppend — withDrainCapture collects the last
+      // micro-batch QueryExecution of every drain on this thread, then
+      // the noop write executes (and thereby covers) the batch tail too
+      val (_, captured) = Streams.withDrainCapture {
+        SparkEntry.queries(q)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(captured.nonEmpty,
+        s"$q drained no stream through Streams.drainWithExecution")
+      captured.foreach { case (name, qe) =>
+        val errs = PlanLint.lintPlan(qe.executedPlan, spark)
+          .filter(_.severity == "error")
+        assert(errs.isEmpty, s"$q [$name]: $errs")
+      }
     }
   }
 

@@ -212,6 +212,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.subsetOf(wider))
   }
 
+  test("knuthHash is total over huge ids (past naive Long overflow)") {
+    import spark.implicits._
+    // ids ≥ ~3.47e9 overflow a naive id*2654435761 Long multiply; the
+    // split-multiply formulation must still equal the exact BigInt map
+    val ids = Seq(0L, 1L, 3470000000L, 4294967295L, 4294967296L,
+      1234567890123L, Long.MaxValue, Long.MaxValue - 7L)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.ops.ScaleOps.knuthHash(col("id")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { i =>
+      val want = ((BigInt(i).mod(BigInt(2).pow(32))) * BigInt(2654435761L))
+        .mod(BigInt(2).pow(32)).toLong
+      assert(got(i) == want, s"id=$i")
+    }
+  }
+
   test("epochPositions equals the global-window row_number, windowlessly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
