@@ -1192,6 +1192,41 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // streaming sliding windows (width 1h, slide 30m) drained AvailableNow
+    // — same answer as the batch q_event_sliding, same oracle
+    "q_stream_sliding" -> ((s, dir) => {
+      val name = s"stream_slide_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainToBatch(
+          graft.streaming.Streams.slidingCounts(stream, "1 hour", "30 minutes"),
+          name)
+      }
+      drained.orderBy("window_start", "event_type")
+    }),
+
+    // streaming sessionization (flatMapGroupsWithState, event-time
+    // timeouts) drained AvailableNow: a session is emitted once the
+    // watermark passes its end + gap, and the final no-data micro-batch
+    // flushes everything closed by the global max event time — so the
+    // drained result is EXACTLY the batch sessions whose
+    // end + gap <= max(ts); each user's trailing open session stays
+    // pending by design (streaming semantics, not data loss), which the
+    // oracle's HAVING replays.
+    "q_stream_sessions" -> ((s, dir) => {
+      val name = s"stream_sess_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainAppend(
+          graft.streaming.Streams.sessionize(stream, gapSeconds = 4 * 3600),
+          name)
+      }
+      drained.select("user_id", "session_start", "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    }),
+
     // ================= North-star: multimodal columns ==================
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withMediaMeta(
@@ -2682,6 +2717,38 @@ object SparkEntry {
            FROM events)
          SELECT window_start, event_type, count(*) AS n
          FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    "q_stream_sliding" ->
+      """WITH w AS (
+           SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                          time_bucket(INTERVAL '30 minutes', ts)
+                            - INTERVAL '30 minutes']) AS window_start,
+                  event_type
+           FROM events)
+         SELECT window_start, event_type, count(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    // the batch sessionization restricted to sessions the stream's final
+    // watermark (= global max ts, delay 0) has closed: end + gap <= max(ts)
+    "q_stream_sessions" ->
+      """WITH m AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL '4 hours'
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+           FROM m),
+         g AS (SELECT max(ts) AS mx FROM events)
+         SELECT user_id, MIN(ts) AS session_start, count(*) AS n_events,
+                ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE), 2)
+                  AS sum_value
+         FROM s, g GROUP BY user_id, sid, mx
+         HAVING MAX(ts) + INTERVAL '4 hours' <= mx
+         ORDER BY user_id, session_start""",
 
     "q_event_sessions" ->
       """WITH m AS (

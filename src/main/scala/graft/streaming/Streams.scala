@@ -72,6 +72,19 @@ object Streams {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       n_events: Long, sum_value: Double)
 
+  /** Session value total replaying EXACTLY the batch/oracle arithmetic
+    * (`round(sum(value.cast(decimal(20,4))).cast(double), 2)`): each
+    * value quantized to 4 decimal places HALF_UP, summed exactly, cast
+    * to double, then rounded to 2 places HALF_UP — a naive double sum
+    * can flip the final 2-dp rounding and hash-mismatch the cross-engine
+    * oracle once sessions grow past a handful of events. */
+  private def sumValue2dp(s: List[Ev]): Double = {
+    val sum = s.map(e => BigDecimal(e.value)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+    BigDecimal(sum.toDouble)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Split a time-sorted event list into sessions at `gapMs` gaps
     * (new session when ts >= prev_ts + gap — same as EventOps.sessions). */
   private def splitSessions(all: List[Ev], gapMs: Long): List[List[Ev]] =
@@ -127,7 +140,7 @@ object Streams {
             state.setTimeoutTimestamp(open.head.last.ts.getTime + gapMs)
           }
           closed.iterator.map(s => SessionOut(user, s.head.ts, s.size.toLong,
-            math.round(s.map(_.value).sum * 100.0) / 100.0))
+            sumValue2dp(s)))
       }.toDF()
   }
 
