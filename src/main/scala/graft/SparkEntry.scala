@@ -487,6 +487,14 @@ object SparkEntry {
         .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
         .orderBy("o_orderstatus")),
 
+    // KMV distinct sketch — the deterministic md5-based k-minimum-values
+    // estimator (ScaleOps.kmvDistinct): unlike the engine-seeded HLL row
+    // above, a DuckDB replay reproduces it bit-for-bit (hash-green)
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.ops.ScaleOps.kmvDistinct(Tables.load(s, dir, "orders"),
+        Seq("o_orderstatus"), "o_custkey", k = 64)
+        .orderBy("o_orderstatus")),
+
     // ================= North-star: text analysis =======================
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).groupBy("lang")
@@ -1096,6 +1104,63 @@ object SparkEntry {
           col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+
+    // TPC-H Q7 shape (volume shipping between nation pairs, by year):
+    // nations pre-filtered to the pair set BEFORE joining (suppliers of
+    // the set broadcast; the customer side keeps only 4/25 nations and
+    // AQE picks its strategy from the measured post-filter size), the
+    // cross-nation pair condition applied after both dims attach. Four
+    // nations rather than TPC-H's two so the smallest test SF still
+    // produces rows.
+    "q_tpch_q7" -> ((s, dir) => {
+      val pair = Seq("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+      val n1 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("cust_nation"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+          "l_shipdate")
+      l.join(o, Seq("l_orderkey"))
+        .join(broadcast(sup.join(broadcast(n1), Seq("s_nationkey"))),
+          Seq("l_suppkey"))
+        .join(c.join(broadcast(n2), Seq("c_nationkey")), Seq("o_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1) - col("l_discount").cast("decimal(20,4)")))
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q14 shape (promo revenue share by month): one broadcast dim
+    // onto the fact, conditional decimal agg, share computed in double
+    // after the exact decimal sums.
+    "q_tpch_q14" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_type"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+      val rev = col("l_extendedprice").cast("decimal(20,4)") *
+        (lit(1) - col("l_discount").cast("decimal(20,4)"))
+      l.join(broadcast(p), Seq("l_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).cast("double") /
+            sum(rev).cast("double"), 4).as("promo_share"))
+        .orderBy("month")
     }),
 
     // ORDER BY + LIMIT top-n (TakeOrderedAndProject — the distributed
@@ -2932,6 +2997,56 @@ object SparkEntry {
          GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
                   o.o_totalprice
          ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100""",
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS INT) AS l_year,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+           AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+           AND n1.n_name <> n2.n_name
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_tpch_q14" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(20,4)) *
+                             (1 - CAST(l_discount AS DECIMAL(20,4)))
+                        ELSE 0 END) AS DOUBLE) /
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                               (1 - CAST(l_discount AS DECIMAL(20,4))))
+                           AS DOUBLE), 4) AS promo_share
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         GROUP BY month ORDER BY month""",
+
+    // KMV: identical md5→60-bit-hash→bottom-k→(k-1)·2^60/h_k arithmetic
+    "q_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT o_orderstatus,
+                  ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                    AS hv
+           FROM orders),
+         r AS (
+           SELECT o_orderstatus, hv,
+                  row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv)
+                    AS rn
+           FROM h)
+         SELECT o_orderstatus,
+                CAST(CASE WHEN count(*) < 64 THEN count(*)
+                          ELSE floor(63.0 * 1152921504606846976.0 /
+                                     CAST(max(hv) AS DOUBLE))
+                     END AS BIGINT) AS est_distinct
+         FROM r WHERE rn <= 64
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_variant_json" ->
       """SELECT event_type, count(*) AS n,

@@ -259,6 +259,47 @@ object ScaleOps {
       }: _*)
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — the deterministic,
+    * engine-portable cousin of HLL: hash every value to a 60-bit integer
+    * (first 15 hex chars of md5), keep the k smallest DISTINCT hashes
+    * per group, and estimate the distinct count as (k-1)·2⁶⁰ / h_k where
+    * h_k is the k-th smallest hash (Bar-Yossef et al.). A pure function
+    * of the value set: reruns, partitioning, and any engine with md5
+    * reproduce it bit-for-bit — so unlike the engine-seeded HLL of
+    * `approx_count_distinct` (q_approx_distinct, rows-only) this sketch
+    * gets an exact cross-engine oracle. Groups with fewer than k
+    * distinct values return the EXACT count (the sketch saw everything).
+    *
+    * Scale shape: map-side hash projection, distinct on (group, hash) —
+    * one shuffle on a narrow key — then a per-group bottom-k that
+    * compiles to WindowGroupLimit (map-side partial top-k, same shape
+    * as [[hashSampledQuantilesPerGroup]]); the final agg touches ≤ k
+    * rows per group. Mergeable by construction (bottom-k of a union =
+    * merged bottom-k's). Estimation error is the standard KMV ~1/√(k-2)
+    * relative bound, pinned in ScaleOpsSpec.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    // 15 hex chars = 60 bits: fits a Long exactly on both engines
+    val h = conv(substring(
+      md5(col(valueCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    df.select(gs :+ h.as("__h"): _*).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("__n"), max("__h").as("__hk"))
+      .select(gs :+
+        when(col("__n") < k, col("__n"))
+          .otherwise(floor(lit((k - 1).toDouble * 1.152921504606846976e18) /
+            col("__hk").cast("double")).cast("long"))
+          .as("est_distinct"): _*)
+  }
+
   /** Column profiling — the engine-side analogue of the reference's Glue
     * crawler statistics pass (state_machine.json:69-116): per column,
     * row/non-null/distinct counts and min/max, computed in ONE aggregate

@@ -212,6 +212,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.subsetOf(wider))
   }
 
+  test("kmvDistinct: exact under k, inside KMV error bound over k, " +
+      "repartition-stable") {
+    import spark.implicits._
+    // fewer than k distinct values → the sketch saw everything: exact
+    val small = (1L to 40L).map(i => (i, "s")).toDF("id", "grp")
+    assert(graft.ops.ScaleOps.kmvDistinct(small, Seq("grp"), "id", k = 64)
+      .as[(String, Long)].head() == ("s", 40L))
+    // 10k distinct per group at k=256: KMV relative error ~1/√(k-2) ≈ 6%
+    val df = (1L to 20000L).map(i => (i, "g" + (i % 2))).toDF("id", "grp")
+    val est = graft.ops.ScaleOps.kmvDistinct(df, Seq("grp"), "id", k = 256)
+      .as[(String, Long)].collect().toMap
+    est.values.foreach(v =>
+      assert(math.abs(v - 10000.0) / 10000.0 < 0.25, est)) // 4σ headroom
+    // pure function of the value set — partitioning cannot move it
+    val re = graft.ops.ScaleOps.kmvDistinct(
+      df.repartition(13), Seq("grp"), "id", k = 256)
+      .as[(String, Long)].collect().toMap
+    assert(re == est)
+  }
+
   test("knuthHash is total over huge ids (past naive Long overflow)") {
     import spark.implicits._
     // ids ≥ ~3.47e9 overflow a naive id*2654435761 Long multiply; the
