@@ -1391,6 +1391,25 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // α=0.5 temperature-scaled source mixing: per-source keep rate
+    // √(n_min/nᵢ) (sqrt is IEEE-exact on every engine — the reason the
+    // operator pins α=0.5), kept set decided by the deterministic hash
+    // rule; rates and kept counts replay exactly in DuckDB
+    "q_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = graft.ops.ScaleOps.temperatureMixSample(d, "source", "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      val totals = d.groupBy("source").agg(count(lit(1)).as("n_total"))
+      totals.crossJoin(broadcast(totals.agg(min("n_total").as("nmin"))))
+        .select(col("source"), col("n_total"),
+          round(sqrt(col("nmin").cast("double") / col("n_total").cast("double")), 6)
+            .as("rate"))
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_total"), col("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // corpus n-gram duplication profile per source — the memorization-
     // risk metric: of each source's distinct 5-grams, what fraction
     // appears in ≥2 docs corpus-wide
@@ -3191,6 +3210,25 @@ object SparkEntry {
                                     WHEN 'fr' THEN 0.25
                                     ELSE 0.0 END * 4294967296.0) AS BIGINT)
          GROUP BY lang ORDER BY lang""",
+
+    // α=0.5 temperature mixing: sqrt-exact rates + the same hash rule
+    "q_temperature_mix" ->
+      """WITH t AS (SELECT source, count(*) AS n_total
+                    FROM documents GROUP BY source),
+         m AS (SELECT min(n_total) AS nmin FROM t),
+         r AS (SELECT source, n_total,
+                      sqrt(CAST(nmin AS DOUBLE) / CAST(n_total AS DOUBLE))
+                        AS rate_full
+               FROM t, m),
+         k AS (SELECT d.source, count(*) AS n_kept
+               FROM documents d JOIN r USING (source)
+               WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 <
+                     CAST(floor(rate_full * 4294967296.0) AS BIGINT)
+               GROUP BY d.source)
+         SELECT r.source AS source, r.n_total AS n_total,
+                ROUND(r.rate_full, 6) AS rate,
+                coalesce(k.n_kept, 0) AS n_kept
+         FROM r LEFT JOIN k USING (source) ORDER BY source""",
 
     // same Knuth multiplicative hash + integer threshold compare
     "q_weighted_mix" ->

@@ -259,6 +259,38 @@ object ScaleOps {
       }: _*)
   }
 
+  /** Temperature-scaled source mixing at α = 0.5 — the standard
+    * "upweight small sources" corpus-assembly rule (multilingual
+    * sampling): source i keeps rate rᵢ = √(n_min / nᵢ), so the smallest
+    * source keeps everything and a source 100× larger keeps 10%. The
+    * kept set is then decided per row by the deterministic
+    * [[weightedMixtureSample]] hash rule — reproducible across reruns,
+    * partitioning, and engines.
+    *
+    * α is PINNED at 0.5 deliberately: the rate computation is then a
+    * division plus `sqrt`, both exactly rounded under IEEE-754 on every
+    * engine, so a DuckDB replay reproduces the kept set bit-for-bit
+    * (q_temperature_mix is hash-green). A generic-α variant would need
+    * `pow`, which differs in the last ulp across libm implementations —
+    * callers wanting other temperatures supply their own weight column
+    * to [[weightedMixtureSample]] and accept an engine-bound boundary.
+    *
+    * Scale shape: one count aggregation per source, a single-row min
+    * broadcast, a broadcast join of the tiny per-source rate table onto
+    * the corpus, then the map-side hash filter — no extra shuffle of
+    * the data itself. */
+  def temperatureMixSample(df: DataFrame, sourceCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val nmin = counts.agg(min("__n").as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(sourceCol),
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+          .as("__rate"))
+    weightedMixtureSample(df.join(broadcast(rates), Seq(sourceCol)),
+      idCol, col("__rate")).drop("__rate")
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch — the deterministic,
     * engine-portable cousin of HLL: hash every value to a 60-bit integer
     * (first 15 hex chars of md5), keep the k smallest DISTINCT hashes

@@ -212,6 +212,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.subsetOf(wider))
   }
 
+  test("temperatureMixSample: smallest source keeps all, sqrt-scaled " +
+      "rates replay exactly, repartition-stable") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (1001L to 1025L).map(i => (i, "small"))).toDF("id", "src")
+    val bySrc = graft.ops.ScaleOps.temperatureMixSample(df, "src", "id")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("small") == 25) // n_min source: rate 1, keeps everything
+    // big keeps per-row hash < sqrt(25/100)·2³² — exact scalar replay
+    def hash(id: Long) = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+    val thr = math.floor(math.sqrt(25.0 / 100.0) * 4294967296.0).toLong
+    assert(bySrc("big") == (1L to 100L).count(hash(_) < thr))
+    val re = graft.ops.ScaleOps.temperatureMixSample(
+      df.repartition(7), "src", "id")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(re == bySrc)
+  }
+
   test("kmvDistinct: exact under k, inside KMV error bound over k, " +
       "repartition-stable") {
     import spark.implicits._
