@@ -1271,6 +1271,36 @@ object SparkEntry {
       drained.orderBy("window_start", "event_type")
     }),
 
+    // foreachBatch MERGE sink as an oracle-checked query: the events
+    // stream drains AvailableNow into a LakeTable with per-batch
+    // latest-wins dedup + upsert. The table is deterministically reset
+    // to the even-id half's latest rows first, so the stream genuinely
+    // UPDATEs (overlapping keys) and INSERTs (odd-id-only keys); the
+    // final state is the global latest-wins of the corpus regardless of
+    // micro-batch slicing, which the oracle replays. The __ord struct
+    // (ts, event_id) makes the per-key winner total-ordered.
+    "q_stream_upsert" -> ((s, dir) => {
+      // Tables.load already converts events.ts to timestamp; the raw
+      // file stream needs the same conversion applied explicitly
+      def shape(df: DataFrame) = df
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+        .withColumn("__ord", struct(col("ts"), col("event_id")))
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "events_stream_upsert",
+        Seq("user_id", "event_type"))
+      t.create(graft.ops.CoreOps.latestWins(Seq("user_id", "event_type"), "__ord")(
+        shape(Tables.load(s, dir, "events").filter(col("event_id") % 2 === 0))))
+      graft.streaming.Streams.upsertStream(
+        shape(graft.streaming.Streams.readTableStream(s, dir, "events")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        t, Seq("user_id", "event_type"), "__ord")
+      t.read.select(col("user_id"), col("event_type"),
+        col("event_id").as("win_event_id"),
+        round(col("value"), 2).as("win_value"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // streaming sessionization (flatMapGroupsWithState, event-time
     // timeouts) drained AvailableNow: a session is emitted once the
     // watermark passes its end + gap, and the final no-data micro-batch
@@ -2811,6 +2841,17 @@ object SparkEntry {
            FROM events)
          SELECT window_start, event_type, count(*) AS n
          FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+
+    // final MERGE state = global latest-wins: (ts DESC, event_id DESC)
+    // is exactly the __ord struct's descending order
+    "q_stream_upsert" ->
+      """SELECT user_id, event_type, event_id AS win_event_id,
+                ROUND(value, 2) AS win_value
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
 
     // the batch sessionization restricted to sessions the stream's final
     // watermark (= global max ts, delay 0) has closed: end + gap <= max(ts)

@@ -211,6 +211,12 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // the MERGE internals are batch executions (listener-visible); this
+    // registers the stream-side micro-batch plan with an active capture
+    // scope so the per-query streaming lint gate sees foreachBatch sinks
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_upsert" -> e))
   }
 
   /** Streaming SCD Type 2 sink: each micro-batch is deduplicated on the
@@ -232,6 +238,9 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_scd2" -> e))
   }
 
   /** Drain a streaming DataFrame into an in-memory table and return the
