@@ -21,7 +21,9 @@ object PlanAudit {
         "q_quality_model", "q_chunk", "q_sampled_quantiles",
         "q_group_quantiles", "q_hard_negatives", "q_phrase",
         "q_fuzzy_join", "q_decontaminate", "q_unigram_lm", "q_semdedup",
-        "q_split_leakage", "q_lateral", "q_fuzzy_match", "q_bpe_tokens")
+        "q_split_leakage", "q_lateral", "q_fuzzy_match", "q_bpe_tokens",
+        "q_tpch_q7", "q_tpch_q9", "q_tpch_q14", "q_tpch_q18",
+        "q_kmv_distinct", "q_temperature_mix")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
