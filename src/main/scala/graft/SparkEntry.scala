@@ -1448,6 +1448,13 @@ object SparkEntry {
         n = 5, minDocs = 2)
         .orderBy("source")),
 
+    // source×source 5-gram overlap matrix — pairwise cross-source
+    // leakage (which PAIR shares content; q_dup_ngram_rate above is the
+    // per-source rollup)
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), "source", "text", n = 5)
+        .orderBy("src_a", "src_b")),
+
     // HITS hubs/authorities on the directed supplier→part supply graph
     // (edge list straight from lineitem, no upstream join). L1
     // normalization per half-step keeps every constant replayable; the
@@ -3310,6 +3317,31 @@ object SparkEntry {
                 ROUND(count(CASE WHEN dc.nd >= 2 THEN 1 END)
                       / CAST(count(*) AS DOUBLE), 4) AS dup_rate
          FROM sg JOIN dc USING (g) GROUP BY sg.source ORDER BY source""",
+
+    "q_source_overlap" ->
+      """WITH toks AS (
+           SELECT source,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         gr AS (
+           SELECT source, unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                                for i in range(1, len(t) - 3)])) AS g
+           FROM toks WHERE len(t) >= 5),
+         sg AS (SELECT DISTINCT source AS src, g FROM gr),
+         sizes AS (SELECT src, count(*) AS n FROM sg GROUP BY src),
+         shared AS (
+           SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+           FROM sg a JOIN sg b USING (g)
+           WHERE a.src < b.src GROUP BY 1, 2)
+         SELECT s.src_a AS src_a, s.src_b AS src_b, s.n_shared AS n_shared,
+                sa.n AS n_a, sb.n AS n_b,
+                ROUND(s.n_shared /
+                      CAST(sa.n + sb.n - s.n_shared AS DOUBLE), 6) AS jaccard
+         FROM shared s
+         JOIN sizes sa ON sa.src = s.src_a
+         JOIN sizes sb ON sb.src = s.src_b
+         ORDER BY src_a, src_b""",
 
     // HITS, two iterations as chained CTEs — identical edge set,
     // identical L1 normalization per half-step

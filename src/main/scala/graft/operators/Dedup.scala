@@ -337,6 +337,44 @@ object Dedup {
       .withColumn("dup_rate", round(col("n_dup") / col("n_grams"), 4))
   }
 
+  /** Source×source n-gram overlap matrix — the pairwise leakage metric
+    * between corpus sources ([[ngramDupStats]] is the per-source rollup;
+    * this localizes WHICH pair of sources shares content): for each
+    * unordered source pair with any overlap, the distinct-n-gram
+    * intersection size, both set sizes, and the Jaccard. Run before
+    * mixing sources into a training corpus — a mirrored or
+    * scraped-twice source shows up as an off-diagonal spike. Pairs
+    * sharing nothing are absent (inner join on the gram).
+    *
+    * Scale shape: distinct (source, gram) — one hash shuffle keyed on
+    * the gram — then a self-equi-join on the gram whose per-key fan-out
+    * is bounded by the SOURCE count (≤ S rows per gram per side, S in
+    * the dozens, so the join output is ≤ S² rows per gram), then one
+    * aggregation per pair and a broadcast of the tiny per-source size
+    * table. Linear in corpus token count; no driver state.
+    */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    val grams = df.select(col(srcCol).as("src"),
+      explode(array_distinct(
+        graft.functions.TextExpressions.wordNgrams(col(textCol), n))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    grams
+      .join(grams.select(col("src").as("src_b"), col("g")), Seq("g"))
+      .filter(col("src") < col("src_b"))
+      .groupBy(col("src").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("n_grams").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n_grams").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** Connected components over a near-dup pair graph: every document gets
     * the MIN id reachable through pairs as its `family` — the dedup
     * endgame (keep one survivor per family) once pairwise candidates

@@ -142,6 +142,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(("g", 2L, 0L, 0.0)))
   }
 
+  test("sourceOverlap: hand-computed pair matrix, non-overlapping pair absent") {
+    val docs = Seq(
+      (0L, "a", "one two three four"),     // grams: {one two, two three, three four}
+      (1L, "b", "two three four five"),    // {two three, three four, four five}
+      (2L, "c", "nine ten eleven twelve"), // disjoint from a and b
+      (3L, "a", "one two three four")      // duplicate doc: distinct per source
+    ).toDF("doc_id", "src", "text")
+    val out = Dedup.sourceOverlap(docs, "src", "text", n = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq.sorted
+    // a∩b = {two three, three four} → 2 of (3 + 3 - 2) = 0.5; c pairs absent
+    assert(out == Seq(("a", "b", 2L, 3L, 3L, 0.5)))
+  }
+
   test("dedupFamilies: transitive chains collapse to one family, singletons stay") {
     val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // chain 0-1, 1-2 (transitive family {0,1,2}), pair {4,5}, singletons 3,6
