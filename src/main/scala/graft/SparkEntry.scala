@@ -3101,7 +3101,7 @@ object SparkEntry {
            SELECT DISTINCT o_orderstatus,
                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
                     AS hv
-           FROM orders),
+           FROM orders WHERE o_custkey IS NOT NULL),
          r AS (
            SELECT o_orderstatus, hv,
                   row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv)

@@ -320,7 +320,12 @@ object ScaleOps {
       md5(col(valueCol).cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
-    df.select(gs :+ h.as("__h"): _*).distinct()
+    // null values are excluded like count_distinct does — and necessarily
+    // so for the oracle: a null hash sorts FIRST in Spark's ascending
+    // window but LAST in DuckDB's, which would skew the bottom-k
+    // differently per engine
+    df.filter(col(valueCol).isNotNull)
+      .select(gs :+ h.as("__h"): _*).distinct()
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(gs: _*)

@@ -248,6 +248,13 @@ class ScaleOpsSpec extends SparkSpec {
       df.repartition(13), Seq("grp"), "id", k = 256)
       .as[(String, Long)].collect().toMap
     assert(re == est)
+    // nulls excluded like count_distinct (and Spark/DuckDB order null
+    // hashes at opposite ends, so including them would break the oracle)
+    val withNulls = (1L to 30L)
+      .map(i => (if (i % 3 == 0) None else Some(i), "n"))
+      .toDF("id", "grp")
+    assert(graft.ops.ScaleOps.kmvDistinct(withNulls, Seq("grp"), "id", k = 64)
+      .as[(String, Long)].head() == ("n", 20L))
   }
 
   test("knuthHash is total over huge ids (past naive Long overflow)") {
