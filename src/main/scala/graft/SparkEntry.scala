@@ -187,6 +187,33 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // K2 time travel through the version-retaining atomic swap: create
+    // (vN) → MERGE (vN+1) → read BOTH the current table and the retained
+    // pre-merge snapshot via readVersion, contrasted per status. The
+    // snapshot is resolved RELATIVE to availableVersions (second
+    // highest), so reruns in a long session — which keep appending
+    // versions — always compare this run's own pair.
+    "q_time_travel" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_time_travel", Seq("o_orderkey"))
+      t.create(target)
+      t.upsert(source)
+      def agg(df: DataFrame, nCol: String, sumCol: String) =
+        df.groupBy("o_orderstatus").agg(
+          count(lit(1)).as(nCol),
+          sum(col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double").as(sumCol))
+      val prevV = t.availableVersions.sorted.takeRight(2).head
+      agg(t.read, "n_cur", "sum_cur")
+        .join(agg(t.readVersion(prevV), "n_prev", "sum_prev"),
+          Seq("o_orderstatus"))
+        .orderBy("o_orderstatus")
+    }),
+
     // K2 partition-pruned MERGE: year-partitioned orders table, source
     // touching a single partition — only that partition is rewritten,
     // untouched ones are hard-linked into the new version (sub-linear in
@@ -2077,6 +2104,31 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
          FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // current state = the q_merge_upsert merge; previous snapshot = the
+    // pre-merge target, both replayed relationally
+    "q_time_travel" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            cur AS (SELECT o_orderstatus, count(*) AS n_cur,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                                AS DOUBLE) AS sum_cur
+                    FROM merged GROUP BY 1),
+            prev AS (SELECT o_orderstatus, count(*) AS n_prev,
+                            CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                                 AS DOUBLE) AS sum_prev
+                     FROM target GROUP BY 1)
+         SELECT o_orderstatus, n_cur, sum_cur, n_prev, sum_prev
+         FROM cur JOIN prev USING (o_orderstatus)
+         ORDER BY o_orderstatus""",
 
     "q_merge_upsert_pruned" ->
       """WITH base AS (SELECT *, year(o_orderdate) AS o_year FROM orders),

@@ -80,6 +80,7 @@ class PlanLintSpec extends SparkSpec {
   // micro-batch plans bypass QueryExecutionListener)
   private val eagerQueries = Set(
     "q_merge_upsert", "q_merge_upsert_pruned", "q_delete_update",
+    "q_time_travel",
     "q_zorder", "q_cdc", "q_cdc_delete", "q_schema_evolution",
     "q_orchestrator", "q_csv_pipeline", "q_csv_declared", "q_json_source",
     "q_orc_source", "q_items_pipeline", "q_orders_pipeline",
