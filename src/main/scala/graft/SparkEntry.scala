@@ -190,9 +190,13 @@ object SparkEntry {
     // K2 time travel through the version-retaining atomic swap: create
     // (vN) → MERGE (vN+1) → read BOTH the current table and the retained
     // pre-merge snapshot via readVersion, contrasted per status. The
-    // snapshot is resolved RELATIVE to availableVersions (second
-    // highest), so reruns in a long session — which keep appending
-    // versions — always compare this run's own pair.
+    // snapshot is the max of availableVersions AFTER the merge — the
+    // version the merge displaced, i.e. this run's own create. (A
+    // "second-highest" heuristic instead resolves to the PREVIOUS run's
+    // final state once the table dir has accumulated versions — reruns
+    // in a long session keep appending — a silent rerun instability the
+    // full-suite oracle run caught while targeted fresh-dir runs
+    // passed.)
     "q_time_travel" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
       val target = orders.filter(col("o_orderkey") % 3 =!= 0)
@@ -202,12 +206,15 @@ object SparkEntry {
       val t = LakeTable(s, root, "orders_time_travel", Seq("o_orderkey"))
       t.create(target)
       t.upsert(source)
+      // availableVersions lists retained PRIOR snapshots (current
+      // excluded), so its max after the merge is exactly the snapshot
+      // the merge displaced — THIS run's create
+      val prevV = t.availableVersions.max
       def agg(df: DataFrame, nCol: String, sumCol: String) =
         df.groupBy("o_orderstatus").agg(
           count(lit(1)).as(nCol),
           sum(col("o_totalprice").cast("decimal(20,4)"))
             .cast("double").as(sumCol))
-      val prevV = t.availableVersions.sorted.takeRight(2).head
       agg(t.read, "n_cur", "sum_cur")
         .join(agg(t.readVersion(prevV), "n_prev", "sum_prev"),
           Seq("o_orderstatus"))
