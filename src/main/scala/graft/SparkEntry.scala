@@ -1197,6 +1197,131 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): pure scan-side predicate
+    // stack — every conjunct reaches the parquet reader as a pushed
+    // filter, then one decimal-exact partial-aggregated sum. The plan to
+    // want at 100 TB: no shuffle at all beyond the single-row final agg.
+    "q_tpch_q6" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+            col("l_discount").cast("decimal(20,4)"))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q10 shape (returned-item revenue, top 20 customers): date
+    // window on orders + returnflag filter on lineitem BEFORE the join,
+    // one fact-fact shuffle, nation broadcast onto the customer side,
+    // TakeOrderedAndProject top-20.
+    "q_tpch_q10" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .join(broadcast(n), Seq("c_nationkey"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey").as("c_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, Seq("l_orderkey"))
+        .join(c, Seq("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1) - col("l_discount").cast("decimal(20,4)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q12 shape (shipping-priority class counts by mode; this
+    // corpus has no l_shipmode, so l_returnflag plays the 2-value mode
+    // column): fact filter → one shuffle join → conditional counts.
+    "q_tpch_q12" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "A") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, Seq("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join so zero-order customers survive with count 0, then a second
+    // tiny aggregation over the per-customer counts. The filtered orders
+    // side shuffles once on custkey; the histogram agg is ~50 rows.
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      c.join(o, Seq("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // `l_quantity < 0.2 * avg(l_quantity per part)` rewritten as a
+    // per-part partial agg joined back onto the fact, with the predicate
+    // in INTEGER-EXACT form (qty·5·cnt < sum) so both engines compare
+    // exact decimals — no cross-engine double-average drift. The per-part
+    // agg output is tiny and AQE broadcasts it back.
+    "q_tpch_q17" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "PROMO" && col("p_brand").like("Brand#1%"))
+        .select(col("p_partkey").as("l_partkey"))
+      val qty = col("l_quantity").cast("decimal(20,4)")
+      val perPart = Tables.load(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(qty).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(broadcast(p), Seq("l_partkey"))
+        .join(perPart, Seq("l_partkey"))
+        .filter(qty * lit(5) * col("cnt_qty") < col("sum_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(20,4)"))
+          .cast("double") / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive brand/size/quantity predicates): the
+    // three OR'd conjunct groups stay a single scan + broadcast join —
+    // the part-side disjunction (brand ∈ {...}) is pushable, the mixed
+    // fact/dim residual evaluates post-join inside codegen.
+    "q_tpch_q19" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"), col("p_size"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val q = col("l_quantity")
+      val hit =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          q.between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          q.between(10, 25)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          q.between(20, 35))
+      l.join(broadcast(p), Seq("l_partkey"))
+        .filter(hit)
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1) - col("l_discount").cast("decimal(20,4)")))
+          .cast("double").as("revenue"))
+    }),
+
     // ORDER BY + LIMIT top-n (TakeOrderedAndProject — the distributed
     // top-k physical op: per-partition heads, single driver merge)
     "q_topn" -> ((s, dir) =>
@@ -3153,6 +3278,81 @@ object SparkEntry {
                            AS DOUBLE), 4) AS promo_share
          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
          GROUP BY month ORDER BY month""",
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                        CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.04
+           AND l_quantity < 24""",
+
+    "q_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+                  AS revenue
+         FROM customer c
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+         ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""",
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE l_returnflag IN ('R','A')
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+               FROM customer c
+               LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority <> '4-NOT SPECIFIED'
+               GROUP BY c.c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    // correlated 0.2·avg predicate replayed in integer-exact form
+    // (qty·5·cnt < sum of exact decimals) — see the Spark side
+    "q_tpch_q17" ->
+      """WITH perpart AS (
+           SELECT l_partkey,
+                  SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sum_qty,
+                  COUNT(*) AS cnt_qty
+           FROM lineitem GROUP BY l_partkey)
+         SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(20,4)))
+                     AS DOUBLE) / 7.0 AS avg_yearly
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN perpart a ON a.l_partkey = l.l_partkey
+         WHERE p.p_type = 'PROMO' AND p.p_brand LIKE 'Brand#1%'
+           AND CAST(l.l_quantity AS DECIMAL(20,4)) * 5 * a.cnt_qty
+               < a.sum_qty""",
+
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                        (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 25)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 35)""",
 
     // KMV: identical md5→60-bit-hash→bottom-k→(k-1)·2^60/h_k arithmetic
     "q_kmv_distinct" ->
