@@ -1322,6 +1322,150 @@ object SparkEntry {
           .cast("double").as("revenue"))
     }),
 
+    // TPC-H Q2 shape (min-cost supplier per part; no partsupp table, so
+    // the part↔supplier relation is the DISTINCT (partkey,suppkey) pairs
+    // observed in lineitem, and s_acctbal stands in for ps_supplycost):
+    // the correlated MIN subquery becomes a per-part partial agg joined
+    // back on equality — arithmetic-free, so double equality is exact.
+    "q_tpch_q2" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "LARGE" && col("p_size") < 16)
+        .select(col("p_partkey").as("l_partkey"), col("p_name"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"),
+          col("s_acctbal"), col("s_nationkey"))
+      val n = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+      val cand = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(p), Seq("l_partkey"))
+        .join(broadcast(sup), Seq("l_suppkey"))
+        .join(broadcast(n), Seq("s_nationkey"))
+      val mins = cand.groupBy("l_partkey")
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      cand.join(mins, Seq("l_partkey"))
+        .filter(col("s_acctbal") === col("min_bal"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("p_name"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+          col("s_name").asc, col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS over lineitem as
+    // a LEFT SEMI join with a non-equi residual (shipdate > orderdate +
+    // 60 days — the corpus has no commit/receipt dates) — the semi join
+    // keys on the order key, so it stays a hash join with the interval
+    // condition evaluated as the join residual.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q8 shape (national market share by year): region-filtered
+    // customers on the order side, supplier nation attached by broadcast,
+    // share = conditional decimal sum / total decimal sum, divided in
+    // double only after both sums are exact.
+    "q_tpch_q8" -> ((s, dir) => {
+      val r = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA").select("r_regionkey")
+      val nc = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey").as("r_regionkey"))
+        .join(broadcast(r), Seq("r_regionkey"))
+        .select(col("n_nationkey").as("c_nationkey"))
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(broadcast(nc), Seq("c_nationkey"))
+        .select(col("c_custkey").as("o_custkey"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val ns = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("supp_nation"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        .join(broadcast(ns), Seq("s_nationkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val rev = col("l_extendedprice").cast("decimal(20,4)") *
+        (lit(1) - col("l_discount").cast("decimal(20,4)"))
+      l.join(o, Seq("l_orderkey"))
+        .join(c, Seq("o_custkey"))
+        .join(broadcast(sup), Seq("l_suppkey"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_0", rev).otherwise(lit(0)))
+            .cast("double") /
+          sum(rev).cast("double"), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q11 shape (important-part inventory value; lineitem revenue
+    // per part stands in for ps_supplycost·ps_availqty): the `HAVING
+    // value > fraction · total` scalar subquery joins the single-row
+    // total back via a literal-key broadcast equi-join (never a
+    // nested-loop cross join), and the threshold compares exact decimals
+    // (value·1000 > total ⇔ value > 0.1% of total).
+    "q_tpch_q11" -> ((s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey").as("l_suppkey"))
+      val rev = col("l_extendedprice").cast("decimal(20,4)") *
+        (lit(1) - col("l_discount").cast("decimal(20,4)"))
+      val lv = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(broadcast(sup), Seq("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(rev).as("value_dec"))
+      val total = lv.agg(sum(col("value_dec")).as("total_dec"))
+        .withColumn("k", lit(1))
+      lv.withColumn("k", lit(1))
+        .join(broadcast(total), Seq("k"))
+        .filter(col("value_dec") * 1000 > col("total_dec"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarter revenue per supplier, keep
+    // the row(s) equal to the global max — the max is a single-row agg
+    // attached by the same literal-key broadcast join, compared in exact
+    // decimals so ties survive identically in both engines.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+          (lit(1) - col("l_discount").cast("decimal(20,4)"))).as("total_dec"))
+      val mx = rev.agg(max(col("total_dec")).as("max_dec"))
+        .withColumn("k", lit(1))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      rev.withColumn("k", lit(1))
+        .join(broadcast(mx), Seq("k"))
+        .filter(col("total_dec") === col("max_dec"))
+        .join(broadcast(sup), Seq("l_suppkey"))
+        .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+          col("total_dec").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // ORDER BY + LIMIT top-n (TakeOrderedAndProject — the distributed
     // top-k physical op: per-partition heads, single driver merge)
     "q_topn" -> ((s, dir) =>
@@ -3353,6 +3497,90 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 25)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
                 AND l_quantity BETWEEN 20 AND 35)""",
+
+    // part↔supplier relation = DISTINCT lineitem pairs; correlated MIN
+    // replayed as a CTE agg + equality join (arithmetic-free)
+    "q_tpch_q2" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         cand AS (
+           SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name
+           FROM ps
+           JOIN part p ON p.p_partkey = ps.l_partkey
+           JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           WHERE p.p_type = 'LARGE' AND p.p_size < 16),
+         mins AS (SELECT p_partkey, MIN(s_acctbal) AS min_bal
+                  FROM cand GROUP BY p_partkey)
+         SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_name
+         FROM cand c JOIN mins m ON m.p_partkey = c.p_partkey
+         WHERE c.s_acctbal = m.min_bal
+         ORDER BY c.s_acctbal DESC, c.n_name ASC, c.s_name ASC,
+                  c.p_partkey ASC LIMIT 100""",
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+               AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_0'
+                         THEN CAST(l_extendedprice AS DECIMAL(20,4)) *
+                              (1 - CAST(l_discount AS DECIMAL(20,4)))
+                         ELSE 0 END) AS DOUBLE) /
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                               (1 - CAST(l_discount AS DECIMAL(20,4))))
+                           AS DOUBLE), 6) AS mkt_share
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+         JOIN region r ON r.r_regionkey = cn.n_regionkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY o_year ORDER BY o_year""",
+
+    // HAVING vs global total in integer-exact form: value·1000 > total
+    "q_tpch_q11" ->
+      """WITH lv AS (
+           SELECT l_partkey,
+                  SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(20,4)))) AS value_dec
+           FROM lineitem l
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           WHERE s.s_nationkey < 5
+           GROUP BY l_partkey),
+         t AS (SELECT SUM(value_dec) AS total_dec FROM lv)
+         SELECT lv.l_partkey AS p_partkey,
+                CAST(lv.value_dec AS DOUBLE) AS value
+         FROM lv, t WHERE lv.value_dec * 1000 > t.total_dec
+         ORDER BY value DESC, p_partkey ASC LIMIT 100""",
+
+    "q_tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                      (1 - CAST(l_discount AS DECIMAL(20,4)))) AS total_dec
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey),
+         mx AS (SELECT MAX(total_dec) AS max_dec FROM rev)
+         SELECT r.l_suppkey AS s_suppkey, s.s_name,
+                CAST(r.total_dec AS DOUBLE) AS total_revenue
+         FROM rev r
+         JOIN supplier s ON s.s_suppkey = r.l_suppkey
+         JOIN mx ON r.total_dec = mx.max_dec
+         ORDER BY s_suppkey""",
 
     // KMV: identical md5→60-bit-hash→bottom-k→(k-1)·2^60/h_k arithmetic
     "q_kmv_distinct" ->
