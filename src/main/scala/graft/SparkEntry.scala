@@ -1466,6 +1466,117 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q16 shape (supplier counts per part attribute): DISTINCT
+    // part↔supplier pairs from lineitem, the NOT-IN supplier exclusion
+    // as a LEFT ANTI join (acctbal stands in for the complaints filter),
+    // COUNT(DISTINCT) per attribute triple.
+    "q_tpch_q16" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 49))
+        .select(col("p_partkey").as("l_partkey"),
+          col("p_brand"), col("p_type"), col("p_size"))
+      val excl = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") < 1000)
+        .select(col("s_suppkey").as("l_suppkey"))
+      Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(p), Seq("l_partkey"))
+        .join(broadcast(excl), Seq("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+
+    // TPC-H Q20 shape (excess-inventory suppliers; shipped-quantity
+    // dominance stands in for ps_availqty > 0.5·sum): per-(part,supplier)
+    // 1996 quantity vs the part total in INTEGER-EXACT form
+    // (qty·2 > total), distinct dominant suppliers semi-joined onto the
+    // nation-filtered supplier dim.
+    "q_tpch_q20" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("small%"))
+        .select(col("p_partkey").as("l_partkey"))
+      val perPS = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("decimal(20,4)").as("q"))
+        .join(broadcast(p), Seq("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("q")).as("ps_qty"))
+      val perP = perPS.groupBy("l_partkey")
+        .agg(sum(col("ps_qty")).as("p_qty"))
+      val dominant = perPS.join(perP, Seq("l_partkey"))
+        .filter(col("ps_qty") * 2 > col("p_qty"))
+        .select(col("l_suppkey").as("s_suppkey")).distinct()
+      Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") < 20)
+        .join(dominant, Seq("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the only
+    // supplier with a returned line in a multi-supplier completed order —
+    // EXISTS as a semi join and NOT EXISTS as an anti join, both hash
+    // joins on the order key with a supplier-inequality residual.
+    "q_tpch_q21" -> ((s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") < 13)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val base = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(o, Seq("l_orderkey"))
+        .join(broadcast(sup), Seq("l_suppkey"))
+      val others = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o2_orderkey"),
+          col("l_suppkey").as("o2_suppkey"))
+      val othersR = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3_orderkey"),
+          col("l_suppkey").as("o3_suppkey"))
+      base
+        .join(others, col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(othersR, col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q22 shape (dormant high-balance customers): the global
+    // positive-balance average via a literal-key broadcast join compared
+    // in integer-exact form (bal·cnt > sum), recent orders removed by a
+    // LEFT ANTI join, per-nation count + balance total.
+    "q_tpch_q22" -> ((s, dir) => {
+      val bal = col("c_acctbal").cast("decimal(20,4)")
+      val stats = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 0.0 && col("c_nationkey") < 7)
+        .agg(sum(bal).as("sum_bal"), count(lit(1)).as("cnt_bal"))
+        .withColumn("k", lit(1))
+      val recent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .filter(col("c_nationkey") < 7)
+        .withColumn("k", lit(1))
+        .join(broadcast(stats), Seq("k"))
+        .filter(bal * col("cnt_bal") > col("sum_bal"))
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(bal).cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // ORDER BY + LIMIT top-n (TakeOrderedAndProject — the distributed
     // top-k physical op: per-partition heads, single driver merge)
     "q_topn" -> ((s, dir) =>
@@ -3581,6 +3692,78 @@ object SparkEntry {
          JOIN supplier s ON s.s_suppkey = r.l_suppkey
          JOIN mx ON r.total_dec = mx.max_dec
          ORDER BY s_suppkey""",
+
+    "q_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p.p_brand, p.p_type, p.p_size,
+                count(DISTINCT ps.l_suppkey) AS supplier_cnt
+         FROM ps
+         JOIN part p ON p.p_partkey = ps.l_partkey
+         WHERE p.p_type <> 'PROMO'
+           AND p.p_size IN (1,4,9,14,19,24,29,34,49)
+           AND ps.l_suppkey NOT IN (
+             SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+         GROUP BY p.p_brand, p.p_type, p.p_size
+         ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""",
+
+    // shipped-quantity dominance in integer-exact form: qty·2 > total
+    "q_tpch_q20" ->
+      """WITH l96 AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(l_quantity AS DECIMAL(20,4)) AS q
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'),
+         ps AS (SELECT l_partkey, l_suppkey, SUM(q) AS ps_qty
+                FROM l96 JOIN part p ON p.p_partkey = l96.l_partkey
+                WHERE p.p_name LIKE 'small%'
+                GROUP BY l_partkey, l_suppkey),
+         pt AS (SELECT l_partkey, SUM(ps_qty) AS p_qty
+                FROM ps GROUP BY l_partkey)
+         SELECT s.s_name, s.s_acctbal
+         FROM supplier s
+         WHERE s.s_nationkey < 20 AND s.s_suppkey IN (
+           SELECT ps.l_suppkey FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+           WHERE ps.ps_qty * 2 > pt.p_qty)
+         ORDER BY s.s_name""",
+
+    "q_tpch_q21" ->
+      """SELECT s.s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+           AND s.s_nationkey < 13
+           AND EXISTS (
+             SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_returnflag = 'R')
+         GROUP BY s.s_name
+         ORDER BY numwait DESC, s.s_name ASC LIMIT 100""",
+
+    // positive-balance average in integer-exact form: bal·cnt > sum
+    "q_tpch_q22" ->
+      """WITH pos AS (
+           SELECT SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS sum_bal,
+                  COUNT(*) AS cnt_bal
+           FROM customer WHERE c_acctbal > 0.0 AND c_nationkey < 7)
+         SELECT c.c_nationkey, count(*) AS numcust,
+                CAST(SUM(CAST(c.c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+                  AS totacctbal
+         FROM customer c, pos
+         WHERE c.c_nationkey < 7
+           AND CAST(c.c_acctbal AS DECIMAL(20,4)) * pos.cnt_bal
+               > pos.sum_bal
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY c.c_nationkey ORDER BY c.c_nationkey""",
 
     // KMV: identical md5→60-bit-hash→bottom-k→(k-1)·2^60/h_k arithmetic
     "q_kmv_distinct" ->
