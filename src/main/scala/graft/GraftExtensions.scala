@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.{CharClassCounts, CountMin, DotProduct, FreqItems,
-  LangId, MemberCount, MinHashSig, PhraseMatch, Registry, SimHash64,
-  WinnowHashes, WordNgrams, WordShingles, WordTokens}
+  JaroWinkler, LangId, MemberCount, MinHashSig, PhraseMatch, Registry,
+  SimHash64, WinnowHashes, WordNgrams, WordShingles, WordTokens}
 import graft.plans.RewriteIntersectSize
 
 /** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -53,6 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
       exprs => FreqItems(exprs(0), exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      exprs => JaroWinkler(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("count_min"),
       new ExpressionInfo(classOf[CountMin].getName, "count_min"),
       exprs => CountMin(exprs(0), exprs(1).eval().asInstanceOf[Int],

@@ -2009,6 +2009,29 @@ object SparkEntry {
         .orderBy("a_name", "b_name")
     }),
 
+    // Jaro–Winkler name-similarity self-join (entity resolution's other
+    // classic measure, complementing q_fuzzy_join's edit distance): the
+    // native expression stays inside codegen, and first-byte blocking
+    // keeps the candidate set an equi-join — at corpus scale the block
+    // key would widen (prefix-2, soundex class), never all-pairs. The
+    // oracle replays the exact same algorithm in the other engine;
+    // round(·,6) washes last-ulp double drift; the ≥ threshold compares
+    // the ROUNDED score in both engines so boundary rows can't flicker.
+    "q_jaro_pairs" -> ((s, dir) => {
+      val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name1"),
+        substring(col("p_name"), 1, 1).as("blk"))
+      val b = names.select(col("p_name").as("name2"),
+        substring(col("p_name"), 1, 1).as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("name1") < col("name2"))
+        .withColumn("sim", round(graft.functions.StringSimilarity
+          .jaroWinklerCol(col("name1"), col("name2")), 6))
+        .filter(col("sim") >= 0.5)
+        .select("name1", "name2", "sim")
+        .orderBy("name1", "name2")
+    }),
+
     // benchmark decontamination: which eval-set strings occur verbatim in
     // each document — ONE Aho–Corasick pass over the text per row for the
     // whole pattern set (N contains() probes would re-scan the text N
@@ -4212,6 +4235,19 @@ object SparkEntry {
          FROM d a JOIN d b ON a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY a_name, b_name""",
+
+    // same first-byte blocking; DuckDB's jaro_winkler_similarity is the
+    // same algorithm (0.7 boost gate, prefix≤4, scale 0.1) — both sides
+    // round to 6 before the threshold so boundary rows agree
+    "q_jaro_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS name1, b.p_name AS name2,
+                ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+         FROM n a JOIN n b
+           ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+          AND a.p_name < b.p_name
+         WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.5
+         ORDER BY name1, name2""",
 
     // pattern list mirrored verbatim from decontaminationPatterns;
     // matched = indices i (0-based) with contains(text, pats[i+1]),
