@@ -2056,6 +2056,12 @@ object SparkEntry {
       Retrieval.unigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df), ranked on the rounded score (cross-engine rule)
+    "q_tfidf" -> ((s, dir) =>
+      Retrieval.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "term")),
+
     // schema-evolving MERGE: source carries a column the target lacks;
     // after upsert the table has the union schema, pre-existing rows
     // read the new column as NULL (Delta mergeSchema parity)
@@ -4281,6 +4287,28 @@ object SparkEntry {
                 ROUND(avg(ln(CAST(c_w AS DOUBLE) / n_total)), 4) AS avg_logprob
          FROM toks JOIN cnt USING (w) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // same tokenization replay as q_unigram_lm; ranking replays the
+    // rounded-score + term tiebreak exactly
+    "q_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> len(x) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         sc AS (
+           SELECT doc_id, term, tf, df,
+                  ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS rn
+           FROM sc)
+         SELECT doc_id, term, tf, df, score FROM rk WHERE rn <= 3
+         ORDER BY doc_id, term""",
 
     "q_schema_evolution" ->
       """WITH target AS (

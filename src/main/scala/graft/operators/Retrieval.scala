@@ -156,4 +156,39 @@ object Retrieval {
         round(avg(log(col("c_w").cast("double") / col("n_total"))), 4)
           .as("avg_logprob"))
   }
+
+  /** Classic TF–IDF keyword extraction: the top-`k` terms of each
+    * document by `tf · ln(N/df)`, the standard "what is this document
+    * about" signal (and the weighting BM25 refines). Complements
+    * [[bm25TopK]]: BM25 ranks documents for a fixed query; this ranks
+    * terms within every document, no query needed.
+    *
+    * Ranking uses the ROUNDED score (4 dp) with a term tiebreak so the
+    * kept set is identical across engines (the repo's determinism rule —
+    * ranking on the raw double would let a last-ulp ln() difference
+    * flip a boundary row). Scale shape: the tf agg shuffles (doc,term)
+    * pairs once; document frequency is a second agg on the tf output
+    * co-partitioned by term; N is a single-row broadcast; the top-k is a
+    * doc-partitioned window (WindowGroupLimit pushes the rank filter
+    * map-side). Nothing global, nothing all-pairs.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"need k > 0, got $k")
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(TextExpressions.wordTokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "term", "tf", "df", "score")
+  }
 }

@@ -94,4 +94,22 @@ class RetrievalSpec extends SparkSpec {
       (1L, 3L, r4(math.log(0.4))),                        // all tokens p=2/5
       (2L, 2L, r4((math.log(0.4) + math.log(0.2)) / 2)))) // empty doc 3 dropped
   }
+
+  test("tfIdfTopTerms: ubiquitous terms score 0, rare repeats rank first") {
+    // N=3; "the" in every doc (idf=ln(1)=0); "cat" only in doc 1 twice
+    val d = Seq((1L, "the cat cat"), (2L, "the dog"), (3L, "the fish"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.tfIdfTopTerms(d, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc 1: cat tf=2 df=1 score=2·ln3; the tf=1 df=3 score=0
+    val cat = out.find(r => r._1 == 1L && r._2 == "cat").get
+    assert(cat == ((1L, "cat", 2L, 1L, r4(2 * math.log(3.0)))))
+    val the1 = out.find(r => r._1 == 1L && r._2 == "the").get
+    assert(the1._5 == 0.0)
+    // k=2 cap holds per doc, every doc represented
+    assert(out.groupBy(_._1).forall(_._2.length <= 2))
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
