@@ -1736,6 +1736,26 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // mapGroupsWithState running per-key aggregate (Update mode): count,
+    // exact-decimal value total, latest event type — one fixed-size state
+    // record per key. The Update-mode memory sink holds every per-batch
+    // emission; the final state is the max of the monotone counter.
+    "q_stream_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val name = s"stream_run_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainUpdate(
+          graft.streaming.Streams.runningStats(stream), name)
+      }
+      val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+      drained.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "n_events", "sum_value", "last_type")
+        .orderBy("user_id")
+    }),
+
     // ================= North-star: multimodal columns ==================
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.withMediaMeta(
@@ -3349,6 +3369,23 @@ object SparkEntry {
          FROM s, g GROUP BY user_id, sid, mx
          HAVING MAX(ts) + INTERVAL '4 hours' <= mx
          ORDER BY user_id, session_start""",
+
+    // final per-key state = whole-corpus aggregate; latest type replays
+    // the (ts, event_id)-max rule; sum replays the decimal arithmetic
+    "q_stream_running" ->
+      """WITH last AS (
+           SELECT user_id, event_type AS last_type FROM (
+             SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) WHERE rn = 1)
+         SELECT e.user_id, count(*) AS n_events,
+                ROUND(CAST(SUM(CAST(e.value AS DECIMAL(20,4))) AS DOUBLE), 2)
+                  AS sum_value,
+                l.last_type
+         FROM events e JOIN last l USING (user_id)
+         GROUP BY e.user_id, l.last_type
+         ORDER BY user_id""",
 
     "q_event_sessions" ->
       """WITH m AS (

@@ -144,6 +144,62 @@ object Streams {
       }.toDF()
   }
 
+  case class RunEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+  // running sum kept as exact ten-thousandths so incremental
+  // accumulation replays the decimal(20,4) oracle arithmetic exactly
+  // regardless of arrival order or batch boundaries
+  case class RunAcc(n: Long, tenThousandths: Long, lastTs: Long,
+      lastId: Long, lastType: String)
+  case class RunOut(user_id: Long, n_events: Long, sum_value: Double,
+      last_type: String)
+
+  /** Per-key running aggregate via `mapGroupsWithState` (Update mode):
+    * event count, exact-decimal value total, and the latest event type
+    * (by (ts, event_id) — order-independent max, so replays across any
+    * batch split). The third custom-state primitive next to
+    * [[sessionize]]'s flatMapGroupsWithState and the foreachBatch MERGE
+    * sink: state here is ONE fixed-size record per key (no buffered
+    * rows), hash-partitioned on the key — the shape that scales to any
+    * key cardinality an executor set can hash.
+    *
+    * Emits the updated state of every key seen in each micro-batch;
+    * after an AvailableNow drain the FINAL state per key is the row
+    * with that key's maximum (monotone) `n_events`. */
+  def runningStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("ts"),
+      col("event_id").cast("long"), col("event_type"),
+      col("value").cast("double")).as[RunEv]
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState[RunAcc, RunOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[RunEv], state: GroupState[RunAcc]) =>
+          var st = state.getOption
+            .getOrElse(RunAcc(0L, 0L, Long.MinValue, Long.MinValue, ""))
+          rows.foreach { e =>
+            val units = BigDecimal(e.value)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .underlying.unscaledValue.longValueExact
+            val later = e.ts.getTime > st.lastTs ||
+              (e.ts.getTime == st.lastTs && e.event_id > st.lastId)
+            st = RunAcc(st.n + 1, st.tenThousandths + units,
+              if (later) e.ts.getTime else st.lastTs,
+              if (later) e.event_id else st.lastId,
+              if (later) e.event_type else st.lastType)
+          }
+          state.update(st)
+          // same double-then-2dp sequence as sumValue2dp / the oracle's
+          // ROUND(CAST(sum AS DOUBLE), 2)
+          val sumD = java.math.BigDecimal.valueOf(st.tenThousandths, 4)
+            .doubleValue()
+          RunOut(user, st.n,
+            BigDecimal(sumD).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble,
+            st.lastType)
+      }.toDF()
+  }
+
   /** Watermarked STREAM-STREAM interval join: right rows of the same key
     * within [left.ts, left.ts + window) attach to each left row. Both
     * sides carry watermarks and the join condition bounds the time range,
@@ -252,6 +308,12 @@ object Streams {
   /** Append-mode drain for non-aggregating / flatMapGroupsWithState streams. */
   def drainAppend(streamDf: DataFrame, name: String): DataFrame =
     drainWithExecution(streamDf, name, OutputMode.Append())._1
+
+  /** Update-mode drain for mapGroupsWithState streams — the memory sink
+    * accumulates every per-batch emission; callers reduce to final
+    * state (e.g. max of a monotone counter per key). */
+  def drainUpdate(streamDf: DataFrame, name: String): DataFrame =
+    drainWithExecution(streamDf, name, OutputMode.Update())._1
 
   /** Drain and ALSO return the last micro-batch's QueryExecution (None
     * if no batch ran) — micro-batch plans bypass QueryExecutionListener,

@@ -191,6 +191,38 @@ class StreamsSpec extends SparkSpec {
     assert(sessions == batch)
   }
 
+  test("mapGroupsWithState running stats accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, sec: Long, id: Long, t: String, v: Double) =
+      Streams.RunEv(u, new java.sql.Timestamp(sec * 1000), id, t, v)
+    val input = MemoryStream[Streams.RunEv]
+    val q = Streams.runningStats(input.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_run").start()
+    // batch 1: two events for user 1 — latest is id 2
+    input.addData(ev(1, 10, 1, "view", 1.005), ev(1, 20, 2, "click", 2.0))
+    q.processAllAvailable()
+    // batch 2: user 1 grows (OLDER ts than current last must NOT win the
+    // last_type slot); user 2 appears
+    input.addData(ev(1, 15, 3, "scroll", 0.495), ev(2, 5, 4, "buy", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("t_run")
+      .groupBy("user_id").agg(
+        max(struct(col("n_events"), col("sum_value"), col("last_type")))
+          .as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.sum_value"),
+        col("s.last_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    // 1.005 quantizes to 1.0050 HALF_UP; exact sum 3.5000 → 3.5
+    assert(fin == Seq((1L, 3L, 3.5, "click"), (2L, 1L, 7.0, "buy")))
+    // the update sink saw user 1's state twice (once per batch)
+    assert(spark.table("t_run").filter(col("user_id") === 1L).count() == 2)
+  }
+
   test("sessions spanning micro-batches are emitted once, never split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
