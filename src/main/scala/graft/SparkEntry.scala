@@ -1416,10 +1416,11 @@ object SparkEntry {
 
     // TPC-H Q11 shape (important-part inventory value; lineitem revenue
     // per part stands in for ps_supplycost·ps_availqty): the `HAVING
-    // value > fraction · total` scalar subquery joins the single-row
-    // total back via a literal-key broadcast equi-join (never a
-    // nested-loop cross join), and the threshold compares exact decimals
-    // (value·1000 > total ⇔ value > 0.1% of total).
+    // value > fraction · total` scalar subquery is the bounded
+    // single-row broadcast stats attach (the bm25/unigram-LM pattern —
+    // a 1-row build side, exempted by PlanLint's maxRows rule), with
+    // the threshold in exact decimals (value·1000 > total ⇔ value >
+    // 0.1% of total).
     "q_tpch_q11" -> ((s, dir) => {
       val sup = Tables.load(s, dir, "supplier")
         .filter(col("s_nationkey") < 5)
@@ -1432,9 +1433,7 @@ object SparkEntry {
         .groupBy("l_partkey")
         .agg(sum(rev).as("value_dec"))
       val total = lv.agg(sum(col("value_dec")).as("total_dec"))
-        .withColumn("k", lit(1))
-      lv.withColumn("k", lit(1))
-        .join(broadcast(total), Seq("k"))
+      lv.crossJoin(broadcast(total))
         .filter(col("value_dec") * 1000 > col("total_dec"))
         .select(col("l_partkey").as("p_partkey"),
           col("value_dec").cast("double").as("value"))
@@ -1443,9 +1442,9 @@ object SparkEntry {
     }),
 
     // TPC-H Q15 shape (top supplier): quarter revenue per supplier, keep
-    // the row(s) equal to the global max — the max is a single-row agg
-    // attached by the same literal-key broadcast join, compared in exact
-    // decimals so ties survive identically in both engines.
+    // the row(s) equal to the global max — the max is the same bounded
+    // single-row broadcast attach, compared in exact decimals so ties
+    // survive identically in both engines.
     "q_tpch_q15" -> ((s, dir) => {
       val rev = Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -1454,11 +1453,9 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
           (lit(1) - col("l_discount").cast("decimal(20,4)"))).as("total_dec"))
       val mx = rev.agg(max(col("total_dec")).as("max_dec"))
-        .withColumn("k", lit(1))
       val sup = Tables.load(s, dir, "supplier")
         .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
-      rev.withColumn("k", lit(1))
-        .join(broadcast(mx), Seq("k"))
+      rev.crossJoin(broadcast(mx))
         .filter(col("total_dec") === col("max_dec"))
         .join(broadcast(sup), Seq("l_suppkey"))
         .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
@@ -1553,22 +1550,20 @@ object SparkEntry {
     }),
 
     // TPC-H Q22 shape (dormant high-balance customers): the global
-    // positive-balance average via a literal-key broadcast join compared
-    // in integer-exact form (bal·cnt > sum), recent orders removed by a
-    // LEFT ANTI join, per-nation count + balance total.
+    // positive-balance average as the bounded single-row broadcast
+    // attach, compared in integer-exact form (bal·cnt > sum), recent
+    // orders removed by a LEFT ANTI join, per-nation count + total.
     "q_tpch_q22" -> ((s, dir) => {
       val bal = col("c_acctbal").cast("decimal(20,4)")
       val stats = Tables.load(s, dir, "customer")
         .filter(col("c_acctbal") > 0.0 && col("c_nationkey") < 7)
         .agg(sum(bal).as("sum_bal"), count(lit(1)).as("cnt_bal"))
-        .withColumn("k", lit(1))
       val recent = Tables.load(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
         .select(col("o_custkey").as("c_custkey"))
       Tables.load(s, dir, "customer")
         .filter(col("c_nationkey") < 7)
-        .withColumn("k", lit(1))
-        .join(broadcast(stats), Seq("k"))
+        .crossJoin(broadcast(stats))
         .filter(bal * col("cnt_bal") > col("sum_bal"))
         .join(recent, Seq("c_custkey"), "left_anti")
         .groupBy("c_nationkey")

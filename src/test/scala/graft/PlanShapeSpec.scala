@@ -45,6 +45,57 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  private def formatted(q: String): String = {
+    import org.apache.spark.sql.execution.ExplainMode
+    SparkEntry.queries(q)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("full TPC-H suite: no unbounded loop join anywhere") {
+    // the scalar-subquery shapes (q11/q15/q22) attach a SINGLE-ROW
+    // aggregate; Catalyst plans that as the bounded broadcast stats
+    // attach (same family as bm25's crossJoin(broadcast(stats))), which
+    // PlanLint exempts by maxRows — so the pin here is PlanLint's own
+    // verdict, not a blanket no-BNLJ string match
+    val all = (Seq("q1_agg") ++
+      Seq(2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+        19, 20, 21, 22).map(n => s"q_tpch_q$n"))
+    all.foreach { q =>
+      val errs = graft.plans.PlanLint.lint(
+        SparkEntry.queries(q)(spark, sf)).filter(_.severity == "error")
+      assert(errs.isEmpty, s"$q: $errs")
+    }
+  }
+
+  test("TPC-H q6/q19: every scan-side predicate is pushed to parquet") {
+    val pushed6 = formatted("q_tpch_q6").linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    // date window, discount band, quantity cap all reach the reader
+    assert(pushed6.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed6.contains("LessThan(l_shipdate") &&
+      pushed6.contains("GreaterThanOrEqual(l_discount,0.02)") &&
+      pushed6.contains("LessThan(l_quantity,24.0)"), pushed6)
+    // the brand/size disjunction is pushed into the part scan AND the
+    // derived quantity-band disjunction into the lineitem scan
+    val pushed19 = formatted("q_tpch_q19").linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed19.contains("Brand#12") && pushed19.contains("Brand#34"),
+      pushed19)
+    assert(pushed19.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      pushed19)
+  }
+
+  test("TPC-H q17/q21: correlated rewrites stay broadcast/semi/anti hash joins") {
+    val p17 = SparkEntry.queries("q_tpch_q17")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p17.contains("BroadcastHashJoin"), p17.take(1200))
+    val p21 = SparkEntry.queries("q_tpch_q21")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      p21.take(1200))
+    assert(!p21.contains("NestedLoop"), p21.take(1200))
+  }
+
   test("consistent sampling does map-side partial top-k (WindowGroupLimit)") {
     val plan = graft.ops.ScaleOps.consistentSamplePerGroup(
       Tables.load(spark, sf, "documents"), Seq("lang"), Seq("doc_id"), 5, 7L)
