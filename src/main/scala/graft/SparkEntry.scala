@@ -529,6 +529,15 @@ object SparkEntry {
         Seq("o_orderstatus"), "o_custkey", k = 64)
         .orderBy("o_orderstatus")),
 
+    // KMV set operations — the mergeability payoff: |A|, |B|, |A∪B|,
+    // |A∩B| of two customer cohorts from bottom-64 sketches, exact
+    // below k, ρ/k-scaled above it; deterministic md5 chain → hash-green
+    "q_kmv_setops" -> ((s, dir) =>
+      graft.ops.ScaleOps.kmvSetOps(Tables.load(s, dir, "orders"),
+        "o_custkey",
+        col("o_orderstatus") === "F", col("o_orderstatus") === "O",
+        k = 64)),
+
     // ================= North-star: text analysis =======================
     "q_text_stats" -> ((s, dir) =>
       docs(s, dir).groupBy("lang")
@@ -3845,6 +3854,41 @@ object SparkEntry {
                      END AS BIGINT) AS est_distinct
          FROM r WHERE rn <= 64
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // same md5→60-bit chain as q_kmv_distinct; tags replayed by UNION ALL
+    "q_kmv_setops" ->
+      """WITH m AS (
+           SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                    AS h,
+                  bool_or(o_orderstatus = 'F') AS in_a,
+                  bool_or(o_orderstatus = 'O') AS in_b
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderstatus IN ('F','O')
+           GROUP BY h),
+         t AS (
+           SELECT h, in_a, in_b, 'a' AS tag FROM m WHERE in_a
+           UNION ALL SELECT h, in_a, in_b, 'b' FROM m WHERE in_b
+           UNION ALL SELECT h, in_a, in_b, 'u' FROM m),
+         r AS (SELECT *, row_number() OVER (PARTITION BY tag ORDER BY h)
+                         AS rn FROM t),
+         s AS (SELECT tag, count(*) AS n, max(h) AS hk,
+                      CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+                           AS BIGINT) AS nboth
+               FROM r WHERE rn <= 64 GROUP BY tag),
+         e AS (SELECT tag, n, nboth,
+                      CASE WHEN n < 64 THEN n
+                           ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+                                           CAST(hk AS DOUBLE)) AS BIGINT)
+                      END AS est
+               FROM s)
+         SELECT MAX(CASE WHEN tag = 'a' THEN est END) AS est_a,
+                MAX(CASE WHEN tag = 'b' THEN est END) AS est_b,
+                MAX(CASE WHEN tag = 'u' THEN est END) AS est_union,
+                MAX(CASE WHEN tag = 'u' THEN
+                      CASE WHEN n < 64 THEN nboth
+                           ELSE CAST(floor(CAST(nboth * est AS DOUBLE) / 64)
+                                     AS BIGINT) END END) AS est_intersect
+         FROM e""",
 
     "q_variant_json" ->
       """SELECT event_type, count(*) AS n,

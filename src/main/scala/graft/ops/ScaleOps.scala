@@ -337,6 +337,60 @@ object ScaleOps {
           .as("est_distinct"): _*)
   }
 
+  /** KMV set-operation estimates between two cohorts — the mergeability
+    * payoff of [[kmvDistinct]]: distinct counts of A, B, A∪B and A∩B
+    * from bottom-k sketches, never materializing either distinct set.
+    * Union sketch = bottom-k of the merged hashes (KMV's closure under
+    * union); intersection via the standard ρ/k scaling of the union
+    * estimate (Beyer et al.), where ρ counts union-sketch members
+    * belonging to BOTH cohorts. Everything degrades to EXACT counts
+    * while the union's distinct count is below k.
+    *
+    * Same determinism contract as [[kmvDistinct]] (md5 60-bit hashes,
+    * floor arithmetic) — bit-for-bit reproducible on any engine with
+    * md5, so the whole estimator chain sits under the exact oracle.
+    *
+    * Scale shape: one filtered pass → distinct on the hash (narrow
+    * shuffle) with cohort membership flags folded by max; the three
+    * sketches come from ONE tag-partitioned bottom-k window
+    * (WindowGroupLimit); the finale aggregates ≤ 3k rows to a single
+    * row. Cohort predicates are row-local. */
+  def kmvSetOps(df: DataFrame, valueCol: String,
+      condA: Column, condB: Column, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(
+      md5(col(valueCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val m = df.filter((condA || condB) && col(valueCol).isNotNull)
+      .select(h.as("__h"), condA.as("__ia"), condB.as("__ib"))
+      .groupBy("__h").agg(max("__ia").as("in_a"), max("__ib").as("in_b"))
+    val tagged = m.select(col("__h"), col("in_a"), col("in_b"),
+      explode(expr("filter(array(CASE WHEN in_a THEN 'a' END, " +
+        "CASE WHEN in_b THEN 'b' END, 'u'), x -> x IS NOT NULL)"))
+        .as("__tag"))
+    val w = Window.partitionBy("__tag").orderBy("__h")
+    val est = when(col("__n") < k, col("__n"))
+      .otherwise(floor(lit((k - 1).toDouble * 1.152921504606846976e18) /
+        col("__hk").cast("double")).cast("long"))
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy("__tag")
+      .agg(count(lit(1)).as("__n"), max("__h").as("__hk"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("__both"))
+      .withColumn("__est", est)
+      .agg(
+        max(when(col("__tag") === "a", col("__est"))).as("est_a"),
+        max(when(col("__tag") === "b", col("__est"))).as("est_b"),
+        max(when(col("__tag") === "u", col("__est"))).as("est_union"),
+        // below k the union sketch saw every hash, so ρ IS the exact
+        // hash-level intersection; above k, scale the union estimate
+        max(when(col("__tag") === "u",
+          when(col("__n") < k, col("__both"))
+            .otherwise(floor(col("__both") * col("__est") /
+              lit(k.toDouble)).cast("long")))).as("est_intersect"))
+  }
+
   /** Column profiling — the engine-side analogue of the reference's Glue
     * crawler statistics pass (state_machine.json:69-116): per column,
     * row/non-null/distinct counts and min/max, computed in ONE aggregate

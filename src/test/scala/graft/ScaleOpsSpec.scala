@@ -257,6 +257,37 @@ class ScaleOpsSpec extends SparkSpec {
       .as[(String, Long)].head() == ("n", 20L))
   }
 
+  test("kmvSetOps: exact below k, bounded estimates + invariants above") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A = 1..40, B = 21..60 → |A|=40 |B|=40 |A∪B|=60 |A∩B|=20; union
+    // under k ⇒ every output is the exact count
+    val small = (1L to 60L).map(i => (i, if (i <= 40) "a" else "x",
+      if (i > 20) "b" else "x")).toDF("id", "ta", "tb")
+    val ex = graft.ops.ScaleOps.kmvSetOps(small, "id",
+      col("ta") === "a", col("tb") === "b", k = 64)
+      .as[(Long, Long, Long, Long)].head()
+    assert(ex == ((40L, 40L, 60L, 20L)))
+    // A = 1..2000, B = 1001..3000 at k=256: errors inside 4σ of the
+    // ~1/√(k-2) bound; intersection via ρ/k scaling is noisier — pin a
+    // generous band plus the structural invariants
+    val big = (1L to 3000L).map(i => (i, i <= 2000, i > 1000))
+      .toDF("id", "ia", "ib")
+    val (ea, eb, eu, ei) = graft.ops.ScaleOps.kmvSetOps(big, "id",
+      col("ia"), col("ib"), k = 256)
+      .as[(Long, Long, Long, Long)].head()
+    assert(math.abs(ea - 2000.0) / 2000.0 < 0.25, (ea, eb, eu, ei))
+    assert(math.abs(eb - 2000.0) / 2000.0 < 0.25, (ea, eb, eu, ei))
+    assert(math.abs(eu - 3000.0) / 3000.0 < 0.25, (ea, eb, eu, ei))
+    assert(math.abs(ei - 1000.0) / 1000.0 < 0.40, (ea, eb, eu, ei))
+    assert(ei <= math.min(ea, eb) && eu <= ea + eb, (ea, eb, eu, ei))
+    // pure function of the value sets — partitioning cannot move it
+    val re = graft.ops.ScaleOps.kmvSetOps(big.repartition(13), "id",
+      col("ia"), col("ib"), k = 256)
+      .as[(Long, Long, Long, Long)].head()
+    assert(re == ((ea, eb, eu, ei)))
+  }
+
   test("knuthHash is total over huge ids (past naive Long overflow)") {
     import spark.implicits._
     // ids ≥ ~3.47e9 overflow a naive id*2654435761 Long multiply; the
