@@ -702,6 +702,37 @@ object SparkEntry {
         .orderBy("s_name")
     }),
 
+    // FULL OUTER reconciliation: daily ordered vs shipped revenue with
+    // either side possibly absent — the one outer-join flavor the rest
+    // of the suite didn't exercise; both sides pre-aggregate to day
+    // grain BEFORE the join so the outer join touches ~2.5k rows, not
+    // the facts
+    "q_full_outer" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(20,4)"))
+          .cast("double").as("order_revenue"))
+      val l = Tables.load(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,4)") *
+            (lit(1) - col("l_discount").cast("decimal(20,4)")))
+          .cast("double").as("shipped_revenue"))
+      o.join(l, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("order_revenue"), lit(0.0)).as("order_revenue"),
+          coalesce(col("shipped_revenue"), lit(0.0)).as("shipped_revenue"))
+        .orderBy("day")
+    }),
+
+    // two-phase salted aggregation (hot-group-key skew guard): partial
+    // agg on (key, salt) then merge — decomposable sums make the result
+    // EXACTLY the plain groupBy, which is the oracle
+    "q_salted_agg" -> ((s, dir) =>
+      graft.ops.ScaleOps.saltedAgg(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", buckets = 8)
+        .orderBy("l_returnflag")),
+
     // bloom-filter-accelerated semi-join: fact prefiltered by a dim-key
     // bloom before the shuffle, exact semi-join finish — output is
     // EXACTLY the plain semi-join, which is what the oracle checks
@@ -3068,6 +3099,31 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM supplier s
                        WHERE s.s_acctbal > 5000 AND s.s_suppkey = l.l_suppkey)
          GROUP BY l.l_suppkey ORDER BY s_suppkey""",
+
+    // two-phase salted agg == plain groupBy for decomposable aggregates
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_value
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_full_outer" ->
+      """WITH o AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                    AS order_revenue
+           FROM orders GROUP BY 1),
+         l AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4)) *
+                           (1 - CAST(l_discount AS DECIMAL(20,4))))
+                       AS DOUBLE) AS shipped_revenue
+           FROM lineitem GROUP BY 1)
+         SELECT COALESCE(o.day, l.day) AS day,
+                COALESCE(o.order_revenue, 0.0) AS order_revenue,
+                COALESCE(l.shipped_revenue, 0.0) AS shipped_revenue
+         FROM o FULL OUTER JOIN l ON o.day = l.day
+         ORDER BY day""",
 
     "q_profile" ->
       """SELECT * FROM (

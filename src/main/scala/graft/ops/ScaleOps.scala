@@ -26,6 +26,31 @@ object ScaleOps {
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Two-phase salted aggregation — the skew guard for a HOT GROUP KEY
+    * (the agg-side twin of [[saltedJoin]]): phase 1 aggregates on
+    * (key, salt) so one pathological key's rows spread across `buckets`
+    * reducers; phase 2 merges the ≤ `buckets` partials per key. Only
+    * decomposable aggregates (sum/count/min/max) survive the two-phase
+    * split — which is also why the result is EXACTLY the plain groupBy
+    * (the cross-engine oracle). Spark's own partial aggregation already
+    * map-side-combines; salting matters when the REDUCE side itself is
+    * skewed — combine ratios collapse (high-cardinality payloads,
+    * exploded rows) and one reducer still drowns.
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], sumCol: String,
+      buckets: Int = 8): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val ks = keyCols.map(col)
+    val partial = df
+      .withColumn("__salt", (rand(seed = 42) * buckets).cast("int"))
+      .groupBy(ks :+ col("__salt"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col(sumCol).cast("decimal(20,4)")).as("__s"))
+    partial.groupBy(ks: _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        sum(col("__s")).cast("double").as("sum_value"))
+  }
+
   /** Bloom-filter-accelerated semi-join — the runtime-filter pattern for
     * big-fact × selective-dim joins at scale: build a bloom filter over
     * the dim keys (one bounded driver-side sketch, ~MBs for millions of

@@ -288,6 +288,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(re == ((ea, eb, eu, ei)))
   }
 
+  test("saltedAgg == plain groupBy under planted 90% key skew") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 90% of rows share one hot key — the reduce-side shape saltedAgg
+    // exists for; decomposable sums make equality exact, not approximate
+    val df = (1L to 2000L)
+      .map(i => (if (i % 10 != 0) "hot" else s"k${i % 7}", i / 100.0))
+      .toDF("k", "v")
+    val salted = graft.ops.ScaleOps.saltedAgg(df, Seq("k"), "v", buckets = 8)
+      .as[(String, Long, Double)].collect().toSet
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(20,4)")).cast("double").as("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted == plain)
+    // phase 1 really splits the hot key: > 1 salt bucket materializes
+    val buckets = df.withColumn("__salt",
+        (rand(seed = 42) * 8).cast("int"))
+      .filter(col("k") === "hot").select("__salt").distinct().count()
+    assert(buckets > 1, s"salt produced $buckets bucket(s)")
+  }
+
   test("knuthHash is total over huge ids (past naive Long overflow)") {
     import spark.implicits._
     // ids ≥ ~3.47e9 overflow a naive id*2654435761 Long multiply; the
