@@ -702,6 +702,24 @@ object SparkEntry {
         .orderBy("s_name")
     }),
 
+    // triangle counting on the co-purchase part graph (parts sharing an
+    // order are linked; any order with ≥3 distinct parts contributes a
+    // clique): ordered edge-iterator — wedges by middle-vertex equi-join,
+    // closed by a semi-join, each triangle counted once via x<y<z.
+    // Canonical order is STRING order (the operator's node-id domain);
+    // the oracle replays the same VARCHAR least/greatest.
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
+          Seq("l_orderkey"))
+        .filter(col("l_partkey") < col("p2"))
+      graft.operators.Graph.triangleCounts(pairs, "l_partkey", "p2")
+        .orderBy(col("n_triangles").desc, col("vertex").asc)
+        .limit(50)
+    }),
+
     // FULL OUTER reconciliation: daily ordered vs shipped revenue with
     // either side possibly absent — the one outer-join flavor the rest
     // of the suite didn't exercise; both sides pre-aggregate to day
@@ -3099,6 +3117,27 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM supplier s
                        WHERE s.s_acctbal > 5000 AND s.s_suppkey = l.l_suppkey)
          GROUP BY l.l_suppkey ORDER BY s_suppkey""",
+
+    // same lexicographic canonicalization (VARCHAR least/greatest),
+    // wedge join, and EXISTS closure as the operator
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT CAST(a.l_partkey AS VARCHAR) AS u,
+                  CAST(b.l_partkey AS VARCHAR) AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey),
+         e AS (SELECT DISTINCT LEAST(u, v) AS lo, GREATEST(u, v) AS hi
+               FROM pr WHERE u <> v),
+         w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+               FROM e e1 JOIN e e2 ON e2.lo = e1.hi),
+         t AS (SELECT x, y, z FROM w
+               WHERE EXISTS (SELECT 1 FROM e
+                             WHERE e.lo = w.x AND e.hi = w.z)),
+         vx AS (SELECT unnest([x, y, z]) AS vertex FROM t)
+         SELECT vertex, count(*) AS n_triangles FROM vx
+         GROUP BY vertex
+         ORDER BY n_triangles DESC, vertex ASC LIMIT 50""",
 
     // two-phase salted agg == plain groupBy for decomposable aggregates
     "q_salted_agg" ->

@@ -94,4 +94,26 @@ class GraphSpec extends SparkSpec {
     assert(left.forall(Set("a", "b", "c")), s"labels crossed: $out")
     assert(right.forall(Set("x", "y", "z")), s"labels crossed: $out")
   }
+
+  test("triangleCounts: K4 minus an edge, robust to duplicates/reversals") {
+    // vertices a,b,c,d; edges ab,ac,ad,bc,bd (cd missing) → triangles
+    // abc and abd: a:2 b:2 c:1 d:1. Reversed + duplicate edges and a
+    // self-loop must not change anything.
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("b", "d"), ("c", "c"))
+      .toDF("s", "d")
+    val out = Graph.triangleCounts(edges, "s", "d")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 2L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+    // triangle-free graph (a 4-cycle) → empty output
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("s", "d")
+    assert(Graph.triangleCounts(square, "s", "d").count() == 0)
+    // numeric ids canonicalize in STRING order ("10" < "9") — the
+    // documented contract the cross-engine oracle replays
+    val num = Seq((9L, 10L), (9L, 11L), (10L, 11L)).toDF("s", "d")
+    val numOut = Graph.triangleCounts(num, "s", "d")
+      .as[(String, Long)].collect().toMap
+    assert(numOut == Map("9" -> 1L, "10" -> 1L, "11" -> 1L))
+  }
 }
