@@ -703,19 +703,36 @@ object SparkEntry {
     }),
 
     // triangle counting on the co-purchase part graph (parts sharing an
-    // order are linked; any order with ≥3 distinct parts contributes a
-    // clique): ordered edge-iterator — wedges by middle-vertex equi-join,
-    // closed by a semi-join, each triangle counted once via x<y<z.
-    // Canonical order is STRING order (the operator's node-id domain);
-    // the oracle replays the same VARCHAR least/greatest.
+    // order are linked): ordered edge-iterator — wedges by middle-vertex
+    // equi-join, closed by a semi-join, each triangle counted once via
+    // x<y<z. Edges are SUPPORT-PRUNED to pairs co-purchased ≥2 times —
+    // the market-basket sparsification that bounds the wedge count
+    // (Σ deg²): the raw singleton graph at sf0.1 has 1.2M edges and
+    // hub degrees in the hundreds (a ~30 s wedge explosion); pruning
+    // keeps ~3.6k meaningful edges. Canonical order is STRING order
+    // (the operator's node-id domain); the oracle replays the same
+    // VARCHAR least/greatest.
     "q_triangles" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("p2")),
-          Seq("l_orderkey"))
-        .filter(col("l_partkey") < col("p2"))
-      graft.operators.Graph.triangleCounts(pairs, "l_partkey", "p2")
+      // pair generation as ONE aggregation: collect the order's distinct
+      // part set, emit its within-array pairs map-side — replaces the
+      // self-join formulation (two scans + two distinct shuffles +
+      // broadcast build over 600k rows) with a single groupBy plus the
+      // pair-key shuffle. Pairs emit in sorted-array order, the same
+      // string canonicalization the operator and oracle use.
+      val ps = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey").cast("string")))
+          .as("ps"))
+      val pairs = ps
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS u, y AS v))))")).as("pr"))
+        .select(col("pr.u").as("u"), col("pr.v").as("v"))
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+      graft.operators.Graph.triangleCounts(pairs, "u", "v")
         .orderBy(col("n_triangles").desc, col("vertex").asc)
         .limit(50)
     }),
@@ -3119,14 +3136,15 @@ object SparkEntry {
          GROUP BY l.l_suppkey ORDER BY s_suppkey""",
 
     // same lexicographic canonicalization (VARCHAR least/greatest),
-    // wedge join, and EXISTS closure as the operator
+    // support-≥2 edge pruning, wedge join, and EXISTS closure
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pr AS (
            SELECT CAST(a.l_partkey AS VARCHAR) AS u,
                   CAST(b.l_partkey AS VARCHAR) AS v
            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                              AND a.l_partkey < b.l_partkey),
+                              AND a.l_partkey < b.l_partkey
+           GROUP BY u, v HAVING count(*) >= 2),
          e AS (SELECT DISTINCT LEAST(u, v) AS lo, GREATEST(u, v) AS hi
                FROM pr WHERE u <> v),
          w AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
