@@ -737,6 +737,25 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // trending top-k: weekly top-3 parts by shipped quantity — the
+    // two-level shape (time-bucket agg, then a bucket-partitioned rank
+    // that WindowGroupLimit pushes map-side) behind every "trending
+    // now" panel; rank on the exact decimal total with id tiebreak
+    "q_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = Tables.load(s, dir, "lineitem")
+        .groupBy(date_trunc("week", col("l_shipdate")).as("week"),
+          col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(20,4)")).as("qty_dec"))
+      val w = Window.partitionBy("week")
+        .orderBy(col("qty_dec").desc, col("l_partkey").asc)
+      agg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("week"), col("l_partkey"),
+          col("qty_dec").cast("double").as("qty"), col("rn"))
+        .orderBy("week", "rn")
+    }),
+
     // FULL OUTER reconciliation: daily ordered vs shipped revenue with
     // either side possibly absent — the one outer-join flavor the rest
     // of the suite didn't exercise; both sides pre-aggregate to day
@@ -3156,6 +3175,16 @@ object SparkEntry {
          SELECT vertex, count(*) AS n_triangles FROM vx
          GROUP BY vertex
          ORDER BY n_triangles DESC, vertex ASC LIMIT 50""",
+
+    "q_trending" ->
+      """WITH a AS (
+           SELECT date_trunc('week', l_shipdate) AS week, l_partkey,
+                  SUM(CAST(l_quantity AS DECIMAL(20,4))) AS qty_dec
+           FROM lineitem GROUP BY week, l_partkey),
+         r AS (SELECT *, row_number() OVER (PARTITION BY week
+                 ORDER BY qty_dec DESC, l_partkey ASC) AS rn FROM a)
+         SELECT week, l_partkey, CAST(qty_dec AS DOUBLE) AS qty, rn
+         FROM r WHERE rn <= 3 ORDER BY week, rn""",
 
     // two-phase salted agg == plain groupBy for decomposable aggregates
     "q_salted_agg" ->
