@@ -12,11 +12,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * against an independent SQL engine case-by-case in
   * StringSimilaritySpec): match window = max(len)/2 − 1 (floor, min 0 —
   * a 0 window matches same-position only, so "ab"/"ba" scores 0);
-  * either side empty → 0.0 (NOT 1.0 for both-empty); Winkler prefix
-  * boost `jw = j + p·0.1·(1−j)` with prefix capped at 4, applied only
-  * when the Jaro score exceeds 0.7. Byte-level comparison makes ASCII
-  * exact and multi-byte code points conservative (a differing code
-  * point can never count as a match).
+  * either side empty → 0.0 (including BOTH empty — verified against
+  * DuckDB 1.0, which also returns 0.0, not the 1.0 some
+  * implementations use); Winkler prefix boost `jw = j + p·0.1·(1−j)`
+  * with prefix capped at 4, applied only when the Jaro score exceeds
+  * 0.7. Comparison is BYTE-level: exact for ASCII and matching
+  * byte-oriented reference implementations, but multi-byte code
+  * points can partially match through shared UTF-8 lead bytes, so
+  * non-ASCII scores are byte-granularity (an "é"/"è" pair scores
+  * ~0.67, not 0) — restrict oracle-gated uses to ASCII columns.
   *
   * Reference behavior: the reference engine's fuzzy matching is
   * Levenshtein-based (`jobs/order_glue_job.py:48-55` normalizes then

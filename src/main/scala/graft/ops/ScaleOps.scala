@@ -335,15 +335,26 @@ object ScaleOps {
     * merged bottom-k's). Estimation error is the standard KMV ~1/√(k-2)
     * relative bound, pinned in ScaleOpsSpec.
     */
+  // shared KMV primitives — ONE definition each so a change to the hash
+  // width or estimator can't silently apply to only one of the two KMV
+  // queries' oracles. 15 hex chars = 60 bits: fits a Long exactly on
+  // both engines; estimate = (k-1)·2⁶⁰ / h_k, exact count below k.
+  private def kmvHash(valueCol: String): Column =
+    conv(substring(
+      md5(col(valueCol).cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  private def kmvEstimate(n: Column, hk: Column, k: Int): Column =
+    when(n < k, n)
+      .otherwise(floor(lit((k - 1).toDouble * 1.152921504606846976e18) /
+        hk.cast("double")).cast("long"))
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
     val gs = groupCols.map(col)
-    // 15 hex chars = 60 bits: fits a Long exactly on both engines
-    val h = conv(substring(
-      md5(col(valueCol).cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    val h = kmvHash(valueCol)
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
     // null values are excluded like count_distinct does — and necessarily
     // so for the oracle: a null hash sorts FIRST in Spark's ascending
@@ -356,10 +367,7 @@ object ScaleOps {
       .groupBy(gs: _*)
       .agg(count(lit(1)).as("__n"), max("__h").as("__hk"))
       .select(gs :+
-        when(col("__n") < k, col("__n"))
-          .otherwise(floor(lit((k - 1).toDouble * 1.152921504606846976e18) /
-            col("__hk").cast("double")).cast("long"))
-          .as("est_distinct"): _*)
+        kmvEstimate(col("__n"), col("__hk"), k).as("est_distinct"): _*)
   }
 
   /** KMV set-operation estimates between two cohorts — the mergeability
@@ -384,26 +392,21 @@ object ScaleOps {
       condA: Column, condB: Column, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(
-      md5(col(valueCol).cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
     val m = df.filter((condA || condB) && col(valueCol).isNotNull)
-      .select(h.as("__h"), condA.as("__ia"), condB.as("__ib"))
+      .select(kmvHash(valueCol).as("__h"),
+        condA.as("__ia"), condB.as("__ib"))
       .groupBy("__h").agg(max("__ia").as("in_a"), max("__ib").as("in_b"))
     val tagged = m.select(col("__h"), col("in_a"), col("in_b"),
       explode(expr("filter(array(CASE WHEN in_a THEN 'a' END, " +
         "CASE WHEN in_b THEN 'b' END, 'u'), x -> x IS NOT NULL)"))
         .as("__tag"))
     val w = Window.partitionBy("__tag").orderBy("__h")
-    val est = when(col("__n") < k, col("__n"))
-      .otherwise(floor(lit((k - 1).toDouble * 1.152921504606846976e18) /
-        col("__hk").cast("double")).cast("long"))
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy("__tag")
       .agg(count(lit(1)).as("__n"), max("__h").as("__hk"),
         sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("__both"))
-      .withColumn("__est", est)
+      .withColumn("__est", kmvEstimate(col("__n"), col("__hk"), k))
       .agg(
         max(when(col("__tag") === "a", col("__est"))).as("est_a"),
         max(when(col("__tag") === "b", col("__est"))).as("est_b"),

@@ -30,7 +30,9 @@ class StringSimilaritySpec extends SparkSpec {
   }
 
   test("edges: empties score 0, identical 1, window-0 transposition 0") {
-    assert(jw("", "") == 0.0) // both-empty is 0.0, NOT 1.0
+    // both-empty pinned to the independent engine too: DuckDB 1.0
+    // jaro_winkler_similarity('','') = 0.0 (not the 1.0 of some libs)
+    assert(jw("", "") == 0.0)
     assert(jw("a", "") == 0.0 && jw("", "a") == 0.0)
     assert(jw("abc", "abc") == 1.0 && jw("a", "a") == 1.0)
     assert(jw("ab", "ba") == 0.0) // window max(2,2)/2-1 = 0
