@@ -2171,6 +2171,12 @@ object SparkEntry {
       Retrieval.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy("doc_id", "term")),
 
+    // bigram-LM quality signal (perplexity-ladder rung above
+    // q_unigram_lm): add-0.5-smoothed P(w2|w1), mean log-prob per doc
+    "q_bigram_lm" -> ((s, dir) =>
+      Retrieval.bigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // schema-evolving MERGE: source carries a column the target lacks;
     // after upsert the table has the union schema, pre-existing rows
     // read the new column as NULL (Delta mergeSchema parity)
@@ -4505,6 +4511,34 @@ object SparkEntry {
                 ROUND(avg(ln(CAST(c_w AS DOUBLE) / n_total)), 4) AS avg_logprob
          FROM toks JOIN cnt USING (w) CROSS JOIN tot
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // bigram generation replayed like q_pmi_bigrams; context counts
+    // derived from the bigram counts; α=0.5 terms exactly representable
+    "q_bigram_lm" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         bi AS (
+           SELECT doc_id,
+                  unnest([t[i] || ' ' || t[i+1]
+                          for i in range(1, len(t))]) AS bg
+           FROM toks WHERE len(t) >= 2),
+         bic AS (SELECT bg, count(*) AS c_bg FROM bi GROUP BY bg),
+         ctx AS (SELECT split_part(bg, ' ', 1) AS w1,
+                        CAST(SUM(c_bg) AS BIGINT) AS c_ctx
+                 FROM bic GROUP BY 1),
+         vv AS (SELECT count(DISTINCT w) AS v
+                FROM (SELECT unnest(t) AS w FROM toks))
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                ROUND(avg(ln((c_bg + 0.5) / (c_ctx + 0.5 * vv.v))), 4)
+                  AS avg_logprob
+         FROM bi b
+         JOIN bic USING (bg)
+         JOIN ctx ON ctx.w1 = split_part(bg, ' ', 1)
+         CROSS JOIN vv
+         GROUP BY b.doc_id ORDER BY doc_id""",
 
     // same tokenization replay as q_unigram_lm; ranking replays the
     // rounded-score + term tiebreak exactly

@@ -157,6 +157,44 @@ object Retrieval {
           .as("avg_logprob"))
   }
 
+  /** Bigram-LM quality signal — the rung above [[unigramLogProb]] on
+    * the perplexity-filter ladder: P(w₂|w₁) with add-α smoothing,
+    * α·|V| in the denominator, each document scored by its mean bigram
+    * log-probability. Catches locally-incoherent text (shuffled or
+    * templated token salad) that unigram frequencies can't, still with
+    * the corpus itself as the model — no external LM.
+    *
+    * Context count c(w₁·) is the sum of bigram counts starting with w₁
+    * (self-consistent with the numerator), |V| is the distinct unigram
+    * count. α = 0.5 keeps every arithmetic term exactly representable
+    * (int + 0.5), so the only cross-engine float surface is ln/avg —
+    * handled by the repo's round-4dp rule like unigramLogProb.
+    * Documents with fewer than 2 tokens are dropped. Scale shape: one
+    * bigram explode, counts co-partitioned on the bigram, context
+    * counts derived FROM the bigram counts (no second corpus pass),
+    * |V| a single-row broadcast.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val bi = docs.select(col(idCol).as("doc_id"),
+      explode(TextExpressions.wordNgrams(col(textCol), 2)).as("bg"))
+    val biCounts = bi.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val ctx = biCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c_bg").as("c_ctx"))
+    val vocab = docs
+      .select(explode(TextExpressions.wordTokens(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bi.join(biCounts, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c_bg") + lit(alpha)) /
+          (col("c_ctx") + lit(alpha) * col("v")))), 4).as("avg_logprob"))
+  }
+
   /** Classic TF–IDF keyword extraction: the top-`k` terms of each
     * document by `tf · ln(N/df)`, the standard "what is this document
     * about" signal (and the weighting BM25 refines). Complements

@@ -95,6 +95,19 @@ class RetrievalSpec extends SparkSpec {
       (2L, 2L, r4((math.log(0.4) + math.log(0.2)) / 2)))) // empty doc 3 dropped
   }
 
+  test("bigramLogProb scores by smoothed corpus bigram frequencies") {
+    // corpus bigrams: "a b" ×2 (docs 1,2), "b a" ×1 (doc 1); V = 2
+    // ctx: c(a·)=2, c(b·)=1; α=0.5 ⇒ P(b|a)=(2+.5)/(2+1)=5/6,
+    // P(a|b)=(1+.5)/(1+1)=3/4
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    val out = Retrieval.bigramLogProb(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(out.toSeq == Seq(
+      (1L, 2L, r4((math.log(5.0 / 6) + math.log(3.0 / 4)) / 2)),
+      (2L, 1L, r4(math.log(5.0 / 6))))) // 1-token doc 3 dropped
+  }
+
   test("tfIdfTopTerms: ubiquitous terms score 0, rare repeats rank first") {
     // N=3; "the" in every doc (idf=ln(1)=0); "cat" only in doc 1 twice
     val d = Seq((1L, "the cat cat"), (2L, "the dog"), (3L, "the fish"))
