@@ -2177,6 +2177,12 @@ object SparkEntry {
       Retrieval.bigramLogProb(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // per-source KL divergence from the corpus token distribution —
+    // the multi-source distribution-drift diagnostic
+    "q_source_kl" -> ((s, dir) =>
+      Retrieval.sourceKlDivergence(docs(s, dir), "source", "text")
+        .orderBy("source")),
+
     // schema-evolving MERGE: source carries a column the target lacks;
     // after upsert the table has the union schema, pre-existing rows
     // read the new column as NULL (Delta mergeSchema parity)
@@ -4539,6 +4545,31 @@ object SparkEntry {
          JOIN ctx ON ctx.w1 = split_part(bg, ' ', 1)
          CROSS JOIN vv
          GROUP BY b.doc_id ORDER BY doc_id""",
+
+    // log ratio as ONE double division of exact integer products,
+    // identical on both engines
+    "q_source_kl" ->
+      """WITH toks AS (
+           SELECT source,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> len(x) > 0)) AS w
+           FROM documents),
+         sw AS (SELECT source, w, count(*) AS c_sw
+                FROM toks GROUP BY source, w),
+         ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+                FROM sw GROUP BY source),
+         cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w
+                FROM sw GROUP BY w),
+         tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw)
+         SELECT sw.source, MAX(ns.n_s) AS n_tokens,
+                ROUND(SUM((CAST(c_sw AS DOUBLE) / n_s) *
+                          ln(CAST(c_sw * n AS DOUBLE) /
+                             CAST(c_w * n_s AS DOUBLE))), 4) AS kl
+         FROM sw
+         JOIN cw USING (w)
+         JOIN ns ON ns.source = sw.source
+         CROSS JOIN tot
+         GROUP BY sw.source ORDER BY sw.source""",
 
     // same tokenization replay as q_unigram_lm; ranking replays the
     // rounded-score + term tiebreak exactly

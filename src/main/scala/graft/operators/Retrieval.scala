@@ -195,6 +195,39 @@ object Retrieval {
           (col("c_ctx") + lit(alpha) * col("v")))), 4).as("avg_logprob"))
   }
 
+  /** Per-source KL divergence from the corpus token distribution —
+    * the distribution-drift diagnostic of a multi-source curation
+    * pipeline: KL(P_source ‖ P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w)),
+    * high for sources whose vocabulary usage diverges from the blend
+    * (templated boilerplate, wrong domain, encoding damage). Always
+    * finite: every source token is in the corpus by construction.
+    *
+    * Cross-engine determinism: the log ratio is computed as
+    * ln((c_sw·N) / (c_w·n_s)) — one double division of exact integer
+    * products (bounded well below 2⁶³ at any realistic vocab) — and
+    * the weighted sum rounds to 4 dp like every LM score here. Scale
+    * shape: one token explode, (source, word) counts co-partitioned,
+    * corpus counts derived FROM the per-source counts (no second
+    * pass), totals a single-row broadcast.
+    */
+  def sourceKlDivergence(docs: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val sw = docs.select(col(srcCol).as("source"),
+        explode(TextExpressions.wordTokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val perSource = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val cw = sw.groupBy("w").agg(sum("c_sw").as("c_w"))
+    val tot = cw.agg(sum("c_w").as("n"))
+    sw.join(cw, Seq("w"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum((col("c_sw").cast("double") / col("n_s")) *
+          log((col("c_sw") * col("n")).cast("double") /
+            (col("c_w") * col("n_s")).cast("double"))), 4).as("kl"))
+  }
+
   /** Classic TF–IDF keyword extraction: the top-`k` terms of each
     * document by `tf · ln(N/df)`, the standard "what is this document
     * about" signal (and the weighting BM25 refines). Complements

@@ -108,6 +108,23 @@ class RetrievalSpec extends SparkSpec {
       (2L, 1L, r4(math.log(5.0 / 6))))) // 1-token doc 3 dropped
   }
 
+  test("sourceKlDivergence: 0 for corpus-identical source, >0 for skew") {
+    // A: a=2,b=1 (n=3); B: a=1,b=2 (n=3); corpus: a=3,b=3 (N=6) →
+    // p_c = (1/2, 1/2); KL_A = 2/3·ln(4/3) + 1/3·ln(2/3), KL_B same by
+    // symmetry; C: "a b" matches the corpus distribution exactly → 0
+    val d = Seq(("A", "a a b"), ("B", "a b b"), ("C", "a b"))
+      .toDF("source", "text")
+    val out = Retrieval.sourceKlDivergence(d, "source", "text")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val ab = r4(2.0 / 3 * math.log(4.0 / 3) + 1.0 / 3 * math.log(2.0 / 3))
+    // C's corpus now has a=4,b=4 of 8 — still uniform, C still exact
+    val withC = Seq(("A", 3L, ab), ("B", 3L, ab), ("C", 2L, 0.0))
+    // recompute A/B against the 3-source corpus: a=4,b=4 (N=8), p_c
+    // still (1/2,1/2) — the hand values above hold unchanged
+    assert(out.toSeq == withC, out.toSeq)
+  }
+
   test("tfIdfTopTerms: ubiquitous terms score 0, rare repeats rank first") {
     // N=3; "the" in every doc (idf=ln(1)=0); "cat" only in doc 1 twice
     val d = Seq((1L, "the cat cat"), (2L, "the dog"), (3L, "the fish"))
