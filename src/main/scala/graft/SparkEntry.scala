@@ -756,6 +756,50 @@ object SparkEntry {
         .orderBy("week", "rn")
     }),
 
+    // market-basket association rules over the same co-purchase pairs
+    // as q_triangles: support ≥2 itemset pairs expanded to both rule
+    // directions, confidence = sup(ab)/sup(a), lift computed as ONE
+    // double division of exact integer products — deterministic across
+    // engines — ranked on the rounded lift with rule tiebreaks
+    "q_assoc_rules" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").cast("string").as("p"))
+        .distinct()
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val singles = li.groupBy("p").agg(count(lit(1)).as("sup_single"))
+      val pairSets = li.groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("p"))).as("ps"))
+      val pairs = pairSets
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS u, y AS v))))")).as("pr"))
+        .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+        .agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 2)
+      val rules = pairs.select(explode(array(
+          struct(col("u").as("antecedent"), col("v").as("consequent"),
+            col("sup_ab")),
+          struct(col("v").as("antecedent"), col("u").as("consequent"),
+            col("sup_ab")))).as("r"))
+        .select("r.antecedent", "r.consequent", "r.sup_ab")
+      rules
+        .join(singles.select(col("p").as("antecedent"),
+          col("sup_single").as("sup_a")), Seq("antecedent"))
+        .join(singles.select(col("p").as("consequent"),
+          col("sup_single").as("sup_b")), Seq("consequent"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("antecedent"), col("consequent"), col("sup_ab"),
+          round(col("sup_ab").cast("double") / col("sup_a"), 4)
+            .as("confidence"),
+          round((col("sup_ab") * col("n_orders")).cast("double") /
+            (col("sup_a") * col("sup_b")).cast("double"), 4).as("lift"))
+        .orderBy(col("lift").desc, col("antecedent").asc,
+          col("consequent").asc)
+        .limit(30)
+    }),
+
     // FULL OUTER reconciliation: daily ordered vs shipped revenue with
     // either side possibly absent — the one outer-join flavor the rest
     // of the suite didn't exercise; both sides pre-aggregate to day
@@ -3187,6 +3231,35 @@ object SparkEntry {
          SELECT vertex, count(*) AS n_triangles FROM vx
          GROUP BY vertex
          ORDER BY n_triangles DESC, vertex ASC LIMIT 50""",
+
+    // both rule directions from each support-≥2 pair; lift as one
+    // double division of integer products
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey,
+                            CAST(l_partkey AS VARCHAR) AS p
+                     FROM lineitem),
+         n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+         s AS (SELECT p, count(*) AS sup_single FROM li GROUP BY p),
+         pr AS (
+           SELECT a.p AS u, b.p AS v, count(*) AS sup_ab
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                              AND a.p < b.p
+           GROUP BY u, v HAVING count(*) >= 2),
+         rules AS (
+           SELECT u AS antecedent, v AS consequent, sup_ab FROM pr
+           UNION ALL
+           SELECT v, u, sup_ab FROM pr)
+         SELECT r.antecedent, r.consequent, r.sup_ab,
+                ROUND(CAST(r.sup_ab AS DOUBLE) / sa.sup_single, 4)
+                  AS confidence,
+                ROUND(CAST(r.sup_ab * n.n_orders AS DOUBLE) /
+                      CAST(sa.sup_single * sb.sup_single AS DOUBLE), 4)
+                  AS lift
+         FROM rules r
+         JOIN s sa ON sa.p = r.antecedent
+         JOIN s sb ON sb.p = r.consequent
+         CROSS JOIN n
+         ORDER BY lift DESC, antecedent ASC, consequent ASC LIMIT 30""",
 
     "q_trending" ->
       """WITH a AS (
