@@ -53,6 +53,30 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
+  /** Per-order DISTINCT part sets for the co-purchase queries
+    * (q_triangles, q_assoc_rules) — ONE lineitem scan + one shuffle;
+    * derive counts/pairs from this so the exchange is reused instead of
+    * re-scanning per branch. Parts as sorted STRINGS: the pair order
+    * (and Graph.triangleCounts' canonicalization) is lexicographic,
+    * replayed by the oracles' VARCHAR comparisons. */
+  private def copurchaseSets(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey").cast("string")))
+        .as("ps"))
+
+  /** Within-order pairs of a sorted set column `ps`, support-counted and
+    * pruned — the single definition of the slice(i+2) pair expression
+    * and the support threshold both co-purchase queries share. */
+  private def supportPrunedPairs(sets: DataFrame, minSupport: Int): DataFrame =
+    sets.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS u, y AS v))))")).as("pr"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSupport)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= Reference pipelines end-to-end (§3.1) ===========
@@ -713,25 +737,12 @@ object SparkEntry {
     // (the operator's node-id domain); the oracle replays the same
     // VARCHAR least/greatest.
     "q_triangles" -> ((s, dir) => {
-      // pair generation as ONE aggregation: collect the order's distinct
-      // part set, emit its within-array pairs map-side — replaces the
-      // self-join formulation (two scans + two distinct shuffles +
-      // broadcast build over 600k rows) with a single groupBy plus the
-      // pair-key shuffle. Pairs emit in sorted-array order, the same
-      // string canonicalization the operator and oracle use.
-      val ps = Tables.load(s, dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(array_sort(collect_set(col("l_partkey").cast("string")))
-          .as("ps"))
-      val pairs = ps
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), " +
-            "y -> struct(x AS u, y AS v))))")).as("pr"))
-        .select(col("pr.u").as("u"), col("pr.v").as("v"))
-        .groupBy("u", "v")
-        .agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2)
+      // pair generation as ONE aggregation (copurchaseSets): collect the
+      // order's distinct part set, emit its within-array pairs map-side
+      // — replaces the self-join formulation (two scans + two distinct
+      // shuffles + broadcast build over 600k rows) with a single groupBy
+      // plus the pair-key shuffle
+      val pairs = supportPrunedPairs(copurchaseSets(s, dir), 2)
       graft.operators.Graph.triangleCounts(pairs, "u", "v")
         .orderBy(col("n_triangles").desc, col("vertex").asc)
         .limit(50)
@@ -762,22 +773,15 @@ object SparkEntry {
     // double division of exact integer products — deterministic across
     // engines — ranked on the rounded lift with rule tiebreaks
     "q_assoc_rules" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey").cast("string").as("p"))
-        .distinct()
-      val nOrders = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val singles = li.groupBy("p").agg(count(lit(1)).as("sup_single"))
-      val pairSets = li.groupBy("l_orderkey")
-        .agg(array_sort(collect_set(col("p"))).as("ps"))
-      val pairs = pairSets
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "transform(slice(ps, i + 2, size(ps)), " +
-            "y -> struct(x AS u, y AS v))))")).as("pr"))
-        .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
-        .agg(count(lit(1)).as("sup_ab"))
-        .filter(col("sup_ab") >= 2)
+      // EVERY input (order count, singleton supports, pair supports)
+      // derives from the one copurchaseSets aggregation, so the
+      // collect_set exchange is planned once and reused — not four
+      // independent lineitem scan branches
+      val sets = copurchaseSets(s, dir)
+      val nOrders = sets.agg(count(lit(1)).as("n_orders"))
+      val singles = sets.select(explode(col("ps")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("sup_single"))
+      val pairs = supportPrunedPairs(sets, 2)
       val rules = pairs.select(explode(array(
           struct(col("u").as("antecedent"), col("v").as("consequent"),
             col("sup_ab")),
