@@ -59,7 +59,7 @@ object SparkEntry {
     * re-scanning per branch. Parts as sorted STRINGS: the pair order
     * (and Graph.triangleCounts' canonicalization) is lexicographic,
     * replayed by the oracles' VARCHAR comparisons. */
-  private def copurchaseSets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def copurchaseSets(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey").cast("string")))
@@ -68,7 +68,7 @@ object SparkEntry {
   /** Within-order pairs of a sorted set column `ps`, support-counted and
     * pruned — the single definition of the slice(i+2) pair expression
     * and the support threshold both co-purchase queries share. */
-  private def supportPrunedPairs(sets: DataFrame, minSupport: Int): DataFrame =
+  private[graft] def supportPrunedPairs(sets: DataFrame, minSupport: Int): DataFrame =
     sets.select(explode(expr(
         "flatten(transform(ps, (x, i) -> " +
           "transform(slice(ps, i + 2, size(ps)), " +
@@ -769,9 +769,12 @@ object SparkEntry {
 
     // market-basket association rules over the same co-purchase pairs
     // as q_triangles: support ≥2 itemset pairs expanded to both rule
-    // directions, confidence = sup(ab)/sup(a), lift computed as ONE
-    // double division of exact integer products — deterministic across
-    // engines — ranked on the rounded lift with rule tiebreaks
+    // directions, confidence = sup(ab)/sup(a), lift computed as
+    // (sup_ab/sup_a)·(n/sup_b) — two double divisions and a multiply in
+    // fixed order, bit-identical on both engines and overflow-free (a
+    // raw sup_ab·n Long product would wrap silently at extreme order
+    // counts where DuckDB's BIGINT errors) — ranked on the rounded
+    // lift with rule tiebreaks
     "q_assoc_rules" -> ((s, dir) => {
       // EVERY input (order count, singleton supports, pair supports)
       // derives from the one copurchaseSets aggregation, so the
@@ -797,8 +800,8 @@ object SparkEntry {
         .select(col("antecedent"), col("consequent"), col("sup_ab"),
           round(col("sup_ab").cast("double") / col("sup_a"), 4)
             .as("confidence"),
-          round((col("sup_ab") * col("n_orders")).cast("double") /
-            (col("sup_a") * col("sup_b")).cast("double"), 4).as("lift"))
+          round((col("sup_ab").cast("double") / col("sup_a")) *
+            (col("n_orders").cast("double") / col("sup_b")), 4).as("lift"))
         .orderBy(col("lift").desc, col("antecedent").asc,
           col("consequent").asc)
         .limit(30)
@@ -956,16 +959,23 @@ object SparkEntry {
         .withColumn("w2", substring_index(col("bigram"), " ", -1))
       val uni = d.select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c_w"))
+      // single-row × single-row: broadcast anyway — the repo convention
+      // (lit-key/true-condition joins constant-fold to BNLJ; the
+      // broadcast form is the only BNLJ PlanLint exempts)
       val totals = biCnt.agg(sum("c_ab").as("n_bi"))
-        .crossJoin(uni.agg(sum("c_w").as("n_uni")))
+        .crossJoin(broadcast(uni.agg(sum("c_w").as("n_uni"))))
       biCnt
         .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
         .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
         .crossJoin(broadcast(totals))
         .filter(col("c_ab") >= 5)
+        // pmi = ln((c_ab/n_bi)·(n_uni/c_a)·(n_uni/c_b)): fixed double-op
+        // order, bit-identical on both engines, no integer products (a
+        // raw n_uni² Long would wrap past ~3e9 corpus tokens)
         .select(col("bigram"), col("c_ab"),
-          round(log((col("c_ab") * col("n_uni") * col("n_uni")).cast("double") /
-            (col("n_bi") * col("c_a") * col("c_b")).cast("double")), 4).as("pmi"))
+          round(log((col("c_ab").cast("double") / col("n_bi")) *
+            (col("n_uni").cast("double") / col("c_a")) *
+            (col("n_uni").cast("double") / col("c_b"))), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("bigram").asc)
         .limit(20)
     }),
@@ -1754,10 +1764,8 @@ object SparkEntry {
     // drain into a memory sink) — oracle-checked against the same SQL.
     "q_stream_tumbling" -> ((s, dir) => {
       val name = s"stream_tbl_${System.nanoTime()}"
-      // nanosAsLong is provisioned in the session builder (Verify/Bench);
-      // Tables.load fails fast with a clear message if it is absent
+      // readTableStream normalizes events.ts exactly like Tables.load
       val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       // state partitions sized to the drain (see q_stream_interval)
       val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
         graft.streaming.Streams.drainToBatch(
@@ -1773,7 +1781,6 @@ object SparkEntry {
     "q_stream_dedup" -> ((s, dir) => {
       val name = s"stream_dedup_${System.nanoTime()}"
       val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
         graft.streaming.Streams.drainAppend(
           graft.streaming.Streams.dedupStream(
@@ -1789,7 +1796,6 @@ object SparkEntry {
     "q_stream_interval" -> ((s, dir) => {
       val name = s"stream_ij_${System.nanoTime()}"
       def ev() = graft.streaming.Streams.readTableStream(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val errors = ev().filter(col("event_type") === "error")
         .select(col("user_id"), col("ts"))
       val clicks = ev().filter(col("event_type") === "click")
@@ -1813,7 +1819,6 @@ object SparkEntry {
     "q_stream_sliding" -> ((s, dir) => {
       val name = s"stream_slide_${System.nanoTime()}"
       val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
         graft.streaming.Streams.drainToBatch(
           graft.streaming.Streams.slidingCounts(stream, "1 hour", "30 minutes"),
@@ -1831,8 +1836,8 @@ object SparkEntry {
     // micro-batch slicing, which the oracle replays. The __ord struct
     // (ts, event_id) makes the per-key winner total-ordered.
     "q_stream_upsert" -> ((s, dir) => {
-      // Tables.load already converts events.ts to timestamp; the raw
-      // file stream needs the same conversion applied explicitly
+      // readTableStream and Tables.load both normalize events.ts, so
+      // stream and batch halves see the same timestamp type
       def shape(df: DataFrame) = df
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("ts"), col("value"))
@@ -1843,8 +1848,7 @@ object SparkEntry {
       t.create(graft.ops.CoreOps.latestWins(Seq("user_id", "event_type"), "__ord")(
         shape(Tables.load(s, dir, "events").filter(col("event_id") % 2 === 0))))
       graft.streaming.Streams.upsertStream(
-        shape(graft.streaming.Streams.readTableStream(s, dir, "events")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        shape(graft.streaming.Streams.readTableStream(s, dir, "events")),
         t, Seq("user_id", "event_type"), "__ord")
       t.read.select(col("user_id"), col("event_type"),
         col("event_id").as("win_event_id"),
@@ -1863,7 +1867,6 @@ object SparkEntry {
     "q_stream_sessions" -> ((s, dir) => {
       val name = s"stream_sess_${System.nanoTime()}"
       val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
         graft.streaming.Streams.drainAppend(
           graft.streaming.Streams.sessionize(stream, gapSeconds = 4 * 3600),
@@ -1881,7 +1884,6 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val name = s"stream_run_${System.nanoTime()}"
       val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
         graft.streaming.Streams.drainUpdate(
           graft.streaming.Streams.runningStats(stream), name)
@@ -2101,7 +2103,6 @@ object SparkEntry {
     "q_stream_enrich" -> ((s, dir) => {
       val name = s"stream_enrich_${System.nanoTime()}"
       val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val dim = Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_nationkey"))
       val enriched = graft.streaming.Streams.enrichStream(stream, dim,
@@ -2168,24 +2169,17 @@ object SparkEntry {
 
     // Jaro–Winkler name-similarity self-join (entity resolution's other
     // classic measure, complementing q_fuzzy_join's edit distance): the
-    // native expression stays inside codegen, and first-byte blocking
-    // keeps the candidate set an equi-join — at corpus scale the block
-    // key would widen (prefix-2, soundex class), never all-pairs. The
-    // oracle replays the exact same algorithm in the other engine;
+    // native expression stays inside codegen; blocking is the compound
+    // (2-char prefix × length band) key — a 1-char key's buckets grow
+    // linearly with the corpus and its within-bucket pairs
+    // quadratically, the textbook weak blocking key (see
+    // FuzzyJoin.jaroCandidates and FuzzyJoinSpec's candidate-count
+    // pin). The oracle replays the exact same blocking + algorithm;
     // round(·,6) washes last-ulp double drift; the ≥ threshold compares
     // the ROUNDED score in both engines so boundary rows can't flicker.
     "q_jaro_pairs" -> ((s, dir) => {
       val names = Tables.load(s, dir, "part").select(col("p_name")).distinct()
-      val a = names.select(col("p_name").as("name1"),
-        substring(col("p_name"), 1, 1).as("blk"))
-      val b = names.select(col("p_name").as("name2"),
-        substring(col("p_name"), 1, 1).as("blk"))
-      a.join(b, Seq("blk"))
-        .filter(col("name1") < col("name2"))
-        .withColumn("sim", round(graft.functions.StringSimilarity
-          .jaroWinklerCol(col("name1"), col("name2")), 6))
-        .filter(col("sim") >= 0.5)
-        .select("name1", "name2", "sim")
+      graft.operators.FuzzyJoin.jaroSelfJoin(names, "p_name", minSim = 0.5)
         .orderBy("name1", "name2")
     }),
 
@@ -3236,8 +3230,9 @@ object SparkEntry {
          GROUP BY vertex
          ORDER BY n_triangles DESC, vertex ASC LIMIT 50""",
 
-    // both rule directions from each support-≥2 pair; lift as one
-    // double division of integer products
+    // both rule directions from each support-≥2 pair; lift as
+    // (sup_ab/sup_a)·(n/sup_b), same fixed double-op order as the
+    // Spark side — no integer products, overflow-free
     "q_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey,
                             CAST(l_partkey AS VARCHAR) AS p
@@ -3256,8 +3251,8 @@ object SparkEntry {
          SELECT r.antecedent, r.consequent, r.sup_ab,
                 ROUND(CAST(r.sup_ab AS DOUBLE) / sa.sup_single, 4)
                   AS confidence,
-                ROUND(CAST(r.sup_ab * n.n_orders AS DOUBLE) /
-                      CAST(sa.sup_single * sb.sup_single AS DOUBLE), 4)
+                ROUND((CAST(r.sup_ab AS DOUBLE) / sa.sup_single) *
+                      (CAST(n.n_orders AS DOUBLE) / sb.sup_single), 4)
                   AS lift
          FROM rules r
          JOIN s sa ON sa.p = r.antecedent
@@ -3377,8 +3372,9 @@ object SparkEntry {
          tot AS (SELECT (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bic) AS n_bi,
                         (SELECT CAST(SUM(c_w) AS BIGINT) FROM unic) AS n_uni)
          SELECT w1 || ' ' || w2 AS bigram, c_ab,
-                ROUND(ln(CAST(c_ab * n_uni * n_uni AS DOUBLE) /
-                         CAST(n_bi * a.c_w * b.c_w AS DOUBLE)), 4) AS pmi
+                ROUND(ln((CAST(c_ab AS DOUBLE) / n_bi) *
+                         (CAST(n_uni AS DOUBLE) / a.c_w) *
+                         (CAST(n_uni AS DOUBLE) / b.c_w)), 4) AS pmi
          FROM bic
          JOIN unic a ON a.w = bic.w1
          JOIN unic b ON b.w = bic.w2
@@ -4549,15 +4545,18 @@ object SparkEntry {
          WHERE levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY a_name, b_name""",
 
-    // same first-byte blocking; DuckDB's jaro_winkler_similarity is the
-    // same algorithm (0.7 boost gate, prefix≤4, scale 0.1) — both sides
-    // round to 6 before the threshold so boundary rows agree
+    // same (2-char prefix × length band of 4) blocking; DuckDB's
+    // jaro_winkler_similarity is the same algorithm (0.7 boost gate,
+    // prefix≤4, scale 0.1) — both sides round to 6 before the threshold
+    // so boundary rows agree
     "q_jaro_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
          SELECT a.p_name AS name1, b.p_name AS name2,
                 ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
          FROM n a JOIN n b
-           ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+           ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+          AND CAST(floor(length(a.p_name) / 4) AS BIGINT)
+              = CAST(floor(length(b.p_name) / 4) AS BIGINT)
           AND a.p_name < b.p_name
          WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.5
          ORDER BY name1, name2""",
@@ -4623,8 +4622,8 @@ object SparkEntry {
          CROSS JOIN vv
          GROUP BY b.doc_id ORDER BY doc_id""",
 
-    // log ratio as ONE double division of exact integer products,
-    // identical on both engines
+    // log ratio as (c_sw/c_w)·(n/n_s), same fixed double-op order as
+    // the Spark side — no integer products, overflow-free
     "q_source_kl" ->
       """WITH toks AS (
            SELECT source,
@@ -4640,8 +4639,8 @@ object SparkEntry {
          tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw)
          SELECT sw.source, MAX(ns.n_s) AS n_tokens,
                 ROUND(SUM((CAST(c_sw AS DOUBLE) / n_s) *
-                          ln(CAST(c_sw * n AS DOUBLE) /
-                             CAST(c_w * n_s AS DOUBLE))), 4) AS kl
+                          ln((CAST(c_sw AS DOUBLE) / c_w) *
+                             (CAST(n AS DOUBLE) / n_s))), 4) AS kl
          FROM sw
          JOIN cw USING (w)
          JOIN ns ON ns.source = sw.source

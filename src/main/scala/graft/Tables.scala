@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Named access to the driver-provided testdata tables (TESTDATA.md).
   *
@@ -13,25 +15,44 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize `events.ts` across driver testdata generations to ONE
+    * type — session-zone TimestampType — so every downstream operator
+    * (batch and streaming; this is a pure projection, streaming-safe)
+    * sees the same thing:
+    *   - parquet TIMESTAMP(NANOS) (older generations): arrives as a
+    *     long of nanos under the `nanosAsLong` legacy flag;
+    *     floor-converted to micros with integer `div` (double division
+    *     would lose precision above 2^53 ns);
+    *   - parquet timestamp[us] (current generation): arrives as
+    *     TIMESTAMP_NTZ; cast re-types the same wall-clock value (all
+    *     graft entry points run UTC sessions).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as a long of nanos and floor-convert to
-      // microseconds with integer `div` (double division would lose
-      // precision above 2^53 ns). The nanosAsLong flag must hold for the
-      // life of the (lazy) scan, so it belongs in the session builder —
-      // graft's entry points (Verify/Bench/tests) all provision it there.
-      // Externally-built sessions get a clear failure instead of a silent
-      // session-wide reader-behavior change.
-      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-        throw new IllegalStateException(
-          "Tables.load(events) needs spark.sql.legacy.parquet.nanosAsLong=true " +
-            "(events.ts is parquet TIMESTAMP(NANOS)); set it in your " +
-            "SparkSession.builder — it cannot be applied reliably after the " +
-            "session exists, and graft will not mutate your session's conf")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // schema inference fails fast here when the file is TIMESTAMP(NANOS)
+      // and the session lacks the legacy flag — surface the fix instead of
+      // Spark's bare "Illegal Parquet type"
+      val raw =
+        try spark.read.parquet(s"$sfDir/$name.parquet")
+        catch {
+          case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+            throw new IllegalStateException(
+              "events.ts is parquet TIMESTAMP(NANOS); set " +
+                "spark.sql.legacy.parquet.nanosAsLong=true in your " +
+                "SparkSession.builder — it cannot be applied reliably after " +
+                "the session exists, and graft will not mutate your session's " +
+                "conf", e)
+        }
+      normalizeEventTs(raw)
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view so plain `spark.sql` works —

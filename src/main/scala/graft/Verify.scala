@@ -14,8 +14,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // provisioned at build time so no query has to mutate session state:
-      // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
-      // long-of-nanos under this flag (converted in Tables.load)
+      // older testdata generations carry events.ts as TIMESTAMP(NANOS),
+      // which Spark only reads as long-of-nanos under this flag
+      // (normalized in Tables.load; harmless for timestamp[us] data)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

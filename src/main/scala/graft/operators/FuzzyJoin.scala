@@ -68,6 +68,45 @@ object FuzzyJoin {
       .filter(col("dist") >= 0)
   }
 
+  /** Candidate pairs for the Jaro–Winkler self-join, blocked on
+    * (2-char prefix × length band): two strings are candidates iff they
+    * share their first two characters AND floor(len / lenBand). Output
+    * (name1, name2) with name1 < name2, each unordered pair once.
+    *
+    * Why this key and not first-char: a 1-char key over a K-letter
+    * alphabet yields ~n²/(2K) candidate pairs — bucket sizes grow
+    * linearly with the corpus, within-bucket pairs quadratically. The
+    * compound key multiplies the distinct-block count (second char ×
+    * length bands), dividing every bucket, and is still a pure
+    * equi-join — shuffle on the key, no all-pairs scan. Like all
+    * blocking this bounds RECALL by construction: a pair differing in
+    * its first two chars, or split across adjacent length bands, is not
+    * a candidate. Jaro–Winkler's prefix boost (the measure's own bias)
+    * makes shared-prefix blocking the standard choice for it.
+    */
+  def jaroCandidates(df: DataFrame, strCol: String,
+      lenBand: Int = 4): DataFrame = {
+    def keyed(nm: String) = df.select(col(strCol).as(nm),
+      substring(col(strCol), 1, 2).as("blk_pfx"),
+      floor(length(col(strCol)) / lenBand).as("blk_len"))
+    keyed("name1").join(keyed("name2"), Seq("blk_pfx", "blk_len"))
+      .filter(col("name1") < col("name2"))
+      .select("name1", "name2")
+  }
+
+  /** Jaro–Winkler name-similarity self-join over the blocked candidates:
+    * (name1, name2, sim) with sim = round(jw, 6) >= minSim. Rounding
+    * before the threshold keeps boundary rows identical across engines
+    * (last-ulp double drift can't flip a comparison on the rounded
+    * value). The native expression stays inside codegen.
+    */
+  def jaroSelfJoin(df: DataFrame, strCol: String, minSim: Double,
+      lenBand: Int = 4): DataFrame =
+    jaroCandidates(df, strCol, lenBand)
+      .withColumn("sim", round(graft.functions.StringSimilarity
+        .jaroWinklerCol(col("name1"), col("name2")), 6))
+      .filter(col("sim") >= minSim)
+
   /** Left-to-right variant: for every left row, the right rows within
     * `tau` edits (dirty-record → clean-catalog match). Output
     * (left_id, right_id, left_str, right_str, dist).

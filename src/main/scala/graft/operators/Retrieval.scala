@@ -203,8 +203,11 @@ object Retrieval {
     * finite: every source token is in the corpus by construction.
     *
     * Cross-engine determinism: the log ratio is computed as
-    * ln((c_sw·N) / (c_w·n_s)) — one double division of exact integer
-    * products (bounded well below 2⁶³ at any realistic vocab) — and
+    * ln((c_sw/c_w)·(N/n_s)) — two double divisions and one multiply in
+    * a fixed order, so both engines produce the bit-identical IEEE754
+    * value with NO integer products (c_sw·N as a Long would silently
+    * wrap past ~3e9 corpus tokens under non-ANSI Spark while DuckDB's
+    * BIGINT errors loudly, desynchronizing the oracle) — and
     * the weighted sum rounds to 4 dp like every LM score here. Scale
     * shape: one token explode, (source, word) counts co-partitioned,
     * corpus counts derived FROM the per-source counts (no second
@@ -224,8 +227,8 @@ object Retrieval {
       .groupBy("source")
       .agg(max(col("n_s")).as("n_tokens"),
         round(sum((col("c_sw").cast("double") / col("n_s")) *
-          log((col("c_sw") * col("n")).cast("double") /
-            (col("c_w") * col("n_s")).cast("double"))), 4).as("kl"))
+          log((col("c_sw").cast("double") / col("c_w")) *
+            (col("n").cast("double") / col("n_s")))), 4).as("kl"))
   }
 
   /** Classic TF–IDF keyword extraction: the top-`k` terms of each

@@ -12,7 +12,13 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   * is invisible at lab size and dominant at cluster size:
   *
   *  - `cartesian-product` / `broadcast-nested-loop`: quadratic joins —
-  *    error unless a side is a deliberate single-row attach.
+  *    error unless the BUILD side is a deliberate single-row broadcast
+  *    attach. The exempt shape is exactly the repo's totals-attach
+  *    convention `crossJoin(broadcast(agg))`: a naked `crossJoin(agg)`
+  *    only becomes the same BNLJ while runtime stats prove the side
+  *    tiny, and degrades to a flagged cartesian product the moment they
+  *    can't (checkpointed state, external source) — write the broadcast
+  *    explicitly.
   *  - `global-window`: a window with no PARTITION BY — error unless the
   *    input is provably bounded (a limit in the plan), since it funnels
   *    the whole frame through one partition.
@@ -53,11 +59,20 @@ object PlanLint {
           s"cartesian product over ${j.left.nodeName} x ${j.right.nodeName}" +
             " - quadratic at scale; add a join key or bound a side")
       case j: BroadcastNestedLoopJoinExec =>
-        val singleRowish = Seq(j.left, j.right).exists(maxRowsOf(_).exists(_ <= 1L))
-        if (!singleRowish)
+        // exempt ONLY the single-row broadcast-attach shape: the build
+        // (broadcast) side provably one row. A single-row STREAMED side
+        // against a multi-row broadcast build is still wrong at scale —
+        // it broadcasts the big side.
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case _ => j.right
+        }
+        if (!maxRowsOf(build).exists(_ <= 1L))
           findings += Finding("broadcast-nested-loop", "error",
             "nested-loop join with a multi-row build side - every probe row" +
-              " scans the whole build side; make it an equi-join")
+              " scans the whole build side; make it an equi-join, or if this" +
+              " is a totals attach, broadcast a provably single-row side" +
+              " (crossJoin(broadcast(agg)))")
       case j: SortMergeJoinExec =>
         smallSide(j.left, j.right, thresholdBytes).foreach { side =>
           findings += Finding("broadcastable-not-broadcast", "warn",

@@ -47,7 +47,11 @@ object Streams {
         dir.toString
       }
     val schema = spark.read.parquet(src.toString).schema
-    spark.readStream.schema(schema).parquet(path)
+    val raw = spark.readStream.schema(schema).parquet(path)
+    // same ts normalization as the batch path (Tables.load), so batch
+    // and stream pipelines see one timestamp type regardless of the
+    // testdata generation's parquet layout
+    if (table == "events") graft.Tables.normalizeEventTs(raw) else raw
   }
 
   /** Watermarked tumbling-window count/sum over the events stream.

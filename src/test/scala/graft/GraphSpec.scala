@@ -116,4 +116,39 @@ class GraphSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(numOut == Map("9" -> 1L, "10" -> 1L, "11" -> 1L))
   }
+
+  // q_triangles / q_assoc_rules stay tractable ONLY because support
+  // pruning shrinks the co-purchase pair graph before the wedge /
+  // rule-expansion stages (unpruned = the documented 30 s wedge
+  // explosion, ARCHITECTURE §5). Pin the mechanism adversarially so a
+  // future threshold change can't silently reintroduce the blow-up:
+  // inflate BASKET SIZES with globally-unique filler parts — the raw
+  // within-basket pair count grows quadratically in basket size, but
+  // every filler pair has support 1, so the support-≥2 edge set must
+  // stay EXACTLY the planted hot pairs, independent of inflation.
+  test("support pruning caps the co-purchase pair graph under basket inflation") {
+    val nOrders = 40
+    val hot = Seq("h1", "h2", "h3") // planted in every order: 3 hot pairs
+    def sets(fill: Int) = (0 until nOrders).map { o =>
+      // filler ids globally unique across ALL orders → no filler pair
+      // can reach support 2, deterministically (no randomness needed)
+      o.toLong -> (hot ++ (0 until fill).map(j => f"u${o * fill + j}%06d"))
+        .sorted
+    }.toDF("l_orderkey", "ps")
+    def prunedCount(fill: Int): Long =
+      SparkEntry.supportPrunedPairs(sets(fill), 2).count()
+    def rawCount(fill: Int): Long = { // the explosion the pruning absorbs
+      val b = hot.size + fill
+      nOrders.toLong * b * (b - 1) / 2
+    }
+    val at0 = prunedCount(0)
+    assert(at0 == 3, s"expected exactly the 3 planted hot pairs, got $at0")
+    for (fill <- Seq(8, 32)) {
+      assert(prunedCount(fill) == 3,
+        s"support-pruned edges grew under ×$fill basket inflation")
+    }
+    // the adversarial premise is real: raw pairs grew ~120× while the
+    // pruned edge set stayed flat
+    assert(rawCount(32) > 100 * rawCount(0))
+  }
 }

@@ -25,6 +25,28 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.errors(ok).isEmpty, PlanLint.lint(ok))
   }
 
+  test("naked single-row crossJoin degrades to a flagged cartesian " +
+      "without stats; only the broadcast form is exempt") {
+    // the repo convention is crossJoin(broadcast(agg)): the naked form
+    // only plans as the exempt BNLJ while the optimizer can PROVE the
+    // side tiny — with auto-broadcast off (stats absent / threshold
+    // misconfigured) it becomes the quadratic cartesian, which must flag
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = Tables.load(spark, sf, "documents")
+      val naked = d.crossJoin(d.agg(count(lit(1)).as("n")))
+      naked.queryExecution.executedPlan // plan under the degraded config
+      assert(PlanLint.errors(naked).map(_.rule).contains("cartesian-product"),
+        PlanLint.lint(naked))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the explicit broadcast form stays exempt (same attach, planned as
+    // single-row-build BNLJ regardless of stats)
+    val d2 = Tables.load(spark, sf, "documents")
+    val ok = d2.crossJoin(broadcast(d2.agg(count(lit(1)).as("n"))))
+    assert(PlanLint.errors(ok).isEmpty, PlanLint.lint(ok))
+  }
+
   test("flags a small side forced through a sort-merge join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -122,9 +144,12 @@ class PlanLintSpec extends SparkSpec {
       s"stale brute entries: ${boundedBrute -- all}")
     assert((eagerQueries intersect streamQueries).isEmpty)
     assert((boundedBrute intersect (eagerQueries ++ streamQueries)).isEmpty)
-    val lazySet = all -- eagerQueries -- streamQueries
-    assert(lazySet ++ eagerQueries ++ streamQueries == all)
-    assert(all.size >= 131, s"query surface shrank: ${all.size}")
+    // the lazy gate lints exactly `all -- eager -- stream` (same
+    // expression as the lazy test's filter), so with the subset +
+    // disjointness assertions above the three gates partition `all` by
+    // construction — asserting the union here would be tautological
+    // (ADVICE r6). What CAN rot is the floor:
+    assert(all.size >= 168, s"query surface shrank: ${all.size}")
   }
 
   test("executed-plan lint covers EVERY eager query (non-stream)") {
@@ -171,7 +196,6 @@ class PlanLintSpec extends SparkSpec {
     import graft.streaming.Streams
     import org.apache.spark.sql.streaming.OutputMode
     val events = Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     // a watermarked windowed aggregation AND a stream-static broadcast
     // enrich — the two plan families the lazy + listener gates can't see
     val (aggOut, aggQe) = Streams.drainWithExecution(

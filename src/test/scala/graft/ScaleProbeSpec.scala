@@ -31,9 +31,18 @@ class ScaleProbeSpec extends SparkSpec {
     // pair set; banding recall at j≥0.7 on this corpus is 1 (fixed seeds,
     // deterministic) — any deviation means a pair was lost or invented
     assert(inflated == 8 * base, s"pairs: base=$base ×8=$inflated")
-    // generous sub-quadratic budget: 8× data quadratically would be 64×;
-    // the floor term absorbs fixed per-job scheduling at tiny scale
-    assert(inflatedSec < 16 * math.max(baseSec, 2.0),
-      f"×8 wall-time $inflatedSec%.1fs vs base $baseSec%.1fs — super-linear drift")
+    // Wall-clock on a shared CI host flakes (BASELINE.md documents 15–21%
+    // ambient windows with clean-looking probes; a spike during only the
+    // ×8 run would trip any fixed ratio), so the sub-quadratic TIMING
+    // assertion is opt-in for idle-machine runs; the exact pair-count
+    // check above is the unconditional correctness pin (ADVICE r6).
+    val msg =
+      f"×8 wall-time $inflatedSec%.1fs vs base $baseSec%.1fs (budget 16×, floor 2 s)"
+    if (sys.env.get("SPARK_GRAFT_STRICT_TIMING").contains("1"))
+      // generous sub-quadratic budget: 8× data quadratically would be 64×;
+      // the floor term absorbs fixed per-job scheduling at tiny scale
+      assert(inflatedSec < 16 * math.max(baseSec, 2.0),
+        s"$msg — super-linear drift")
+    else info(msg)
   }
 }

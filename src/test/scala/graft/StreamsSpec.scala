@@ -13,10 +13,8 @@ class StreamsSpec extends SparkSpec {
   test("streaming windowed counts == batch tumbling aggregation") {
     val batch = EventOps.tumbling(Tables.load(spark, sf, "events"), "1 hour")
       .orderBy("window_start", "event_type").collect().toSeq
-    // stream the same parquet through readStream; ts arrives as long nanos
-    // under nanosAsLong, so rebuild the µs timestamp exactly like Tables.load
+    // readTableStream normalizes events.ts exactly like Tables.load
     val stream = Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val streamed = Streams.drainToBatch(Streams.windowedCounts(stream, "1 hour"), "t_win")
       .orderBy("window_start", "event_type").collect().toSeq
     assert(streamed == batch)
@@ -40,7 +38,6 @@ class StreamsSpec extends SparkSpec {
     val batch = EventOps.sliding(Tables.load(spark, sf, "events"), "1 hour", "30 minutes")
       .orderBy("window_start", "event_type").collect().toSeq
     val stream = Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val streamed = Streams.drainToBatch(
       Streams.slidingCounts(stream, "1 hour", "30 minutes"), "t_slide")
       .orderBy("window_start", "event_type").collect().toSeq
@@ -49,7 +46,6 @@ class StreamsSpec extends SparkSpec {
 
   test("streaming dedup == batch distinct keys across micro-batches") {
     val stream = Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val out = Streams.drainAppend(
       Streams.dedupStream(stream, Seq("user_id", "event_type")), "t_dedup")
       .select("user_id", "event_type").distinct().count()
@@ -59,7 +55,6 @@ class StreamsSpec extends SparkSpec {
     // the watermark-scoped variant emits AT LEAST the distinct keys (a
     // key can re-emit once its state expires) — never loses one
     val stream2 = Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val outWm = Streams.drainAppend(
       Streams.dedupStream(stream2, Seq("user_id", "event_type"),
         withinWatermarkOnly = true), "t_dedup_wm")
@@ -71,7 +66,6 @@ class StreamsSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("cdc").toString
     val table = graft.table.LakeTable(spark, root, "events_t", Seq("event_id"))
     val stream = Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "user_id", "ts", "event_type", "value")
     Streams.upsertStream(stream, table, Seq("event_id"), "ts")
     val batch = Tables.load(spark, sf, "events")
@@ -80,7 +74,6 @@ class StreamsSpec extends SparkSpec {
     assert(table.read.select("event_id").distinct().count() == batch.count())
     // idempotent rerun: same source stream again → identical table
     Streams.upsertStream(Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "user_id", "ts", "event_type", "value"),
       table, Seq("event_id"), "ts")
     assert(table.read.count() == batch.count())
@@ -120,7 +113,6 @@ class StreamsSpec extends SparkSpec {
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .orderBy("user_id").collect().toSeq
     def stream() = Streams.readTableStream(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val errors = stream().filter(col("event_type") === "error")
       .select(col("user_id"), col("ts"))
     val clicks = stream().filter(col("event_type") === "click")
