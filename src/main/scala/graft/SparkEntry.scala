@@ -2013,6 +2013,37 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // multi-epoch annealed mixture schedule over the skewed lang
+    // grouping (sources are uniform by construction): keep-rates at
+    // α ∈ {1, 1/2, 1/4} — division and sqrt only, IEEE-exact on both
+    // engines (the same pinning argument as q_temperature_mix)
+    "q_mix_schedule" -> ((s, dir) =>
+      graft.ops.ScaleOps.annealedMixSchedule(
+        docs(s, dir).select(col("lang").as("source")), "source")
+        .orderBy("source")),
+
+    // one-row key-skew profile of events.user_id — the pre-shuffle
+    // diagnostic that decides whether a join/agg needs the suite's
+    // salted shapes; exact percentiles over PER-KEY frequencies (one
+    // row per distinct key, so exact stays cheap at corpus scale)
+    "q_key_skew" -> ((s, dir) =>
+      graft.operators.Profiling.keySkewProfile(events(s, dir), "user_id")),
+
+    // the concrete salting sidecar: per-key salt factors for users
+    // whose event count exceeds the 70-rows-per-task budget; integer
+    // ceil-division, so the plan replays exactly
+    "q_salt_plan" -> ((s, dir) =>
+      graft.operators.Profiling.saltPlan(events(s, dir), "user_id", 70)
+        .orderBy(col("freq").desc, col("key").asc)),
+
+    // log2-bucketed token-count histogram over documents — the
+    // sequence-length distribution that sizes packing/truncation;
+    // bucket = bit length via bin(), integer-exact cross-engine
+    "q_length_hist" -> ((s, dir) =>
+      graft.operators.Profiling.lengthHistogram(
+        docs(s, dir), size(tokens(col("text"))))
+        .orderBy("bucket")),
+
     // corpus n-gram duplication profile per source — the memorization-
     // risk metric: of each source's distinct 5-grams, what fraction
     // appears in ≥2 docs corpus-wide
@@ -4300,6 +4331,62 @@ object SparkEntry {
                 ROUND(coalesce(k.n_kept, 0) / CAST(t.n_total AS DOUBLE), 4)
                   AS kept_rate
          FROM t LEFT JOIN k USING (source) ORDER BY source""",
+
+    // same IEEE-exact division/sqrt chain as the Spark side; FLOOR of
+    // the identical double product, so kept counts replay exactly
+    "q_mix_schedule" ->
+      """WITH c AS (SELECT lang AS source, count(*) AS n_docs
+                    FROM documents GROUP BY lang),
+         m AS (SELECT MIN(n_docs) AS nmin FROM c)
+         SELECT source, n_docs,
+                ROUND(CAST(nmin AS DOUBLE) / n_docs, 6) AS rate_a100,
+                CAST(FLOOR(n_docs * (CAST(nmin AS DOUBLE) / n_docs))
+                     AS BIGINT) AS keep_a100,
+                ROUND(sqrt(CAST(nmin AS DOUBLE) / n_docs), 6) AS rate_a50,
+                CAST(FLOOR(n_docs * sqrt(CAST(nmin AS DOUBLE) / n_docs))
+                     AS BIGINT) AS keep_a50,
+                ROUND(sqrt(sqrt(CAST(nmin AS DOUBLE) / n_docs)), 6) AS rate_a25,
+                CAST(FLOOR(n_docs * sqrt(sqrt(CAST(nmin AS DOUBLE) / n_docs)))
+                     AS BIGINT) AS keep_a25
+         FROM c CROSS JOIN m ORDER BY source""",
+
+    // exact percentiles over per-key frequencies: quantile_cont is the
+    // same linear-interpolation definition as Spark's percentile
+    "q_key_skew" ->
+      """WITH f AS (SELECT user_id, count(*) AS freq
+                    FROM events GROUP BY user_id)
+         SELECT CAST(SUM(freq) AS BIGINT) AS n_rows,
+                count(*) AS n_keys,
+                MAX(freq) AS max_freq,
+                ROUND(AVG(freq), 4) AS avg_freq,
+                ROUND(CAST(MAX(freq) AS DOUBLE) / SUM(freq), 6) AS top1_share,
+                ROUND(quantile_cont(freq, 0.5), 4) AS freq_p50,
+                ROUND(quantile_cont(freq, 0.9), 4) AS freq_p90,
+                ROUND(quantile_cont(freq, 0.99), 4) AS freq_p99
+         FROM f""",
+
+    // integer ceil-division replayed with //; only keys above the
+    // per-task budget appear
+    "q_salt_plan" ->
+      """WITH f AS (SELECT user_id AS key, count(*) AS freq
+                    FROM events GROUP BY user_id)
+         SELECT key, freq, CAST((freq + 69) // 70 AS INT) AS salt
+         FROM f WHERE freq > 70
+         ORDER BY freq DESC, key ASC""",
+
+    // bucket = bit length via bin(); same tokenization replay as the
+    // other text queries
+    "q_length_hist" ->
+      """WITH t AS (
+           SELECT CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> len(x) > 0)) AS BIGINT) AS n
+           FROM documents)
+         SELECT CAST(length(bin(n)) AS INT) AS bucket,
+                count(*) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS total_len,
+                MIN(n) AS min_len, MAX(n) AS max_len
+         FROM t GROUP BY bucket ORDER BY bucket""",
 
     "q_dup_ngram_rate" ->
       """WITH toks AS (

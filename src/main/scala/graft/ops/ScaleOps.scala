@@ -316,6 +316,34 @@ object ScaleOps {
       idCol, col("__rate")).drop("__rate")
   }
 
+  /** Multi-epoch annealed mixture schedule — the corpus-assembly PLAN
+    * that [[temperatureMixSample]] executes one epoch of: per source,
+    * the keep-rate at α = 1, 0.5, and 0.25 (rᵢ = (n_min/nᵢ)^α,
+    * annealing from proportional toward uniform across epochs, the
+    * standard multilingual/multi-source curriculum), plus the expected
+    * kept-document count at each α. Emitting the schedule as data lets
+    * the driver budget epochs before launching them.
+    *
+    * α values are PINNED to {1, 1/2, 1/4} for the same reason
+    * temperatureMixSample pins 0.5: each rate is then division and
+    * `sqrt` only — exactly rounded under IEEE-754 on every engine, so
+    * the oracle replays bit-for-bit where a libm `pow` would drift in
+    * the last ulp. Scale shape: one count agg per source + a single-row
+    * min broadcast; output is one row per source. */
+  def annealedMixSchedule(df: DataFrame, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min("n_docs").as("__nmin"))
+    val r1 = col("__nmin").cast("double") / col("n_docs").cast("double")
+    def sched(r: org.apache.spark.sql.Column, tag: String) = Seq(
+      round(r, 6).as(s"rate_$tag"),
+      floor(col("n_docs").cast("double") * r).cast("long").as(s"keep_$tag"))
+    counts.crossJoin(broadcast(nmin))
+      .select(col("source") +: col("n_docs") +:
+        (sched(r1, "a100") ++ sched(sqrt(r1), "a50") ++
+          sched(sqrt(sqrt(r1)), "a25")): _*)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch — the deterministic,
     * engine-portable cousin of HLL: hash every value to a 60-bit integer
     * (first 15 hex chars of md5), keep the k smallest DISTINCT hashes

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profiling
+
+/** Shuffle-planning diagnostics pinned on hand-computed fixtures: the
+  * skew profile's exact numbers, the salt plan's ceil-division, the
+  * log2 histogram's bit-length bucketing, and the annealed mix
+  * schedule's IEEE-exact rates. */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // key a: 6 rows, b: 3, c: 1 → freqs {6,3,1}
+  private val skewed =
+    (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+
+  test("keySkewProfile: exact counts, shares, and percentiles") {
+    val r = Profiling.keySkewProfile(skewed, "k").head()
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("max_freq") == 6L)
+    assert(r.getAs[Double]("avg_freq") == 3.3333)
+    assert(r.getAs[Double]("top1_share") == 0.6)
+    // exact percentiles of {1,3,6}: p50 = 3; p90 interpolates
+    // 3 + 0.8*(6-3) = 5.4; p99 = 3 + 0.98*3 = 5.94
+    assert(r.getAs[Double]("freq_p50") == 3.0)
+    assert(r.getAs[Double]("freq_p90") == 5.4)
+    assert(r.getAs[Double]("freq_p99") == 5.94)
+  }
+
+  test("saltPlan: ceil-division factors, only keys above budget") {
+    val got = Profiling.saltPlan(skewed, "k", rowsPerTask = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // a: ceil(6/2)=3, b: ceil(3/2)=2; c (1 <= 2) absent
+    assert(got == Set(("a", 6L, 3), ("b", 3L, 2)))
+    // exact-budget key is NOT salted (> not >=): freq 3 at budget 3
+    val exact = Profiling.saltPlan(skewed, "k", rowsPerTask = 3)
+      .collect().map(_.getString(0)).toSet
+    assert(exact == Set("a"))
+  }
+
+  test("lengthHistogram: bit-length buckets, totals, bounds") {
+    val lens = Seq(1, 1, 2, 3, 7, 8, 1023, 1024).toDF("n")
+    val got = Profiling.lengthHistogram(lens, col("n"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // bit lengths: 1→1, 2..3→2, 7→3, 8→4, 1023→10, 1024→11
+    assert(got == Seq(
+      (1, 2L, 2L, 1L, 1L), (2, 2L, 5L, 2L, 3L), (3, 1L, 7L, 7L, 7L),
+      (4, 1L, 8L, 8L, 8L), (10, 1L, 1023L, 1023L, 1023L),
+      (11, 1L, 1024L, 1024L, 1024L)))
+  }
+
+  test("annealedMixSchedule: sqrt-chain rates and floor'd keeps") {
+    val d = (Seq.fill(16)("big") ++ Seq.fill(4)("small")).toDF("source")
+    val got = graft.ops.ScaleOps.annealedMixSchedule(d, "source")
+      .orderBy("source").collect()
+    val big = got(0)
+    assert(big.getAs[String]("source") == "big")
+    assert(big.getAs[Long]("n_docs") == 16L)
+    assert(big.getAs[Double]("rate_a100") == 0.25)
+    assert(big.getAs[Long]("keep_a100") == 4L)
+    assert(big.getAs[Double]("rate_a50") == 0.5) // sqrt(0.25)
+    assert(big.getAs[Long]("keep_a50") == 8L)
+    assert(big.getAs[Double]("rate_a25") == 0.707107) // sqrt(0.5) rounded
+    assert(big.getAs[Long]("keep_a25") == 11L) // floor(16*0.70710678)
+    val small = got(1)
+    // the smallest source keeps everything at every temperature
+    assert(Seq("keep_a100", "keep_a50", "keep_a25")
+      .forall(c => small.getAs[Long](c) == 4L))
+    assert(Seq("rate_a100", "rate_a50", "rate_a25")
+      .forall(c => small.getAs[Double](c) == 1.0))
+  }
+}
