@@ -2044,6 +2044,24 @@ object SparkEntry {
         docs(s, dir), size(tokens(col("text"))))
         .orderBy("bucket")),
 
+    // one-pass whole-table profile (null rates + KMV distinct
+    // estimates) over the stable-cast orders columns; md5 sketch, so
+    // the estimates replay exactly in the oracle (and ARE exact for
+    // the low-cardinality columns)
+    "q_table_profile" -> ((s, dir) =>
+      graft.operators.Profiling.tableProfile(
+        Tables.load(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        k = 64)
+        .orderBy("col_name")),
+
+    // median/MAD robust outlier screen per event type — exact
+    // percentiles, identical IEEE predicate order on both engines
+    "q_robust_outliers" -> ((s, dir) =>
+      graft.operators.Profiling.robustOutliers(
+        events(s, dir), "event_type", "value", nMads = 3.0)
+        .orderBy("event_type")),
+
     // corpus n-gram duplication profile per source — the memorization-
     // risk metric: of each source's distinct 5-grams, what fraction
     // appears in ≥2 docs corpus-wide
@@ -4387,6 +4405,57 @@ object SparkEntry {
                 CAST(SUM(n) AS BIGINT) AS total_len,
                 MIN(n) AS min_len, MAX(n) AS max_len
          FROM t GROUP BY bucket ORDER BY bucket""",
+
+    // same md5→60-bit KMV chain as q_kmv_distinct, stacked per column
+    "q_table_profile" ->
+      """WITH s AS (
+           SELECT 'o_orderkey' AS col_name,
+                  CAST(o_orderkey AS VARCHAR) AS v FROM orders
+           UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+           FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+         b AS (SELECT col_name, count(*) AS n_rows,
+                      count(CASE WHEN v IS NULL THEN 1 END) AS n_null
+               FROM s GROUP BY col_name),
+         h AS (SELECT DISTINCT col_name,
+                      ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv
+               FROM s WHERE v IS NOT NULL),
+         r AS (SELECT col_name, hv,
+                      row_number() OVER (PARTITION BY col_name ORDER BY hv)
+                        AS rn
+               FROM h),
+         d AS (SELECT col_name,
+                      CAST(CASE WHEN count(*) < 64 THEN count(*)
+                           ELSE floor(63.0 * 1152921504606846976.0 /
+                                      CAST(max(hv) AS DOUBLE))
+                           END AS BIGINT) AS est_distinct
+               FROM r WHERE rn <= 64 GROUP BY col_name)
+         SELECT b.col_name AS col_name, b.n_rows AS n_rows,
+                b.n_null AS n_null,
+                ROUND(CAST(b.n_null AS DOUBLE) / b.n_rows, 6) AS null_rate,
+                coalesce(d.est_distinct, 0) AS est_distinct
+         FROM b LEFT JOIN d USING (col_name) ORDER BY col_name""",
+
+    // exact medians via quantile_cont (same interpolation as Spark's
+    // percentile); outlier predicate in the identical operation order
+    "q_robust_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                      FROM events GROUP BY event_type),
+         dv AS (SELECT e.event_type, m.med,
+                       abs(e.value - m.med) AS adev
+                FROM events e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                 FROM dv GROUP BY event_type)
+         SELECT dv.event_type AS event_type, count(*) AS n,
+                ROUND(MAX(dv.med), 4) AS med,
+                ROUND(MAX(mad.mad), 4) AS mad,
+                count(CASE WHEN dv.adev > 3.0 * mad.mad THEN 1 END)
+                  AS n_outliers,
+                ROUND(count(CASE WHEN dv.adev > 3.0 * mad.mad THEN 1 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
+         FROM dv JOIN mad USING (event_type)
+         GROUP BY dv.event_type ORDER BY event_type""",
 
     "q_dup_ngram_rate" ->
       """WITH toks AS (

@@ -69,6 +69,70 @@ object Profiling {
         min("__len").as("min_len"),
         max("__len").as("max_len"))
 
+  /** One-pass whole-table profile: for each named column, row count,
+    * null count/rate, and a KMV distinct-count estimate — the "what is
+    * in this table" report that precedes schema decisions (partition
+    * column choice, dictionary-encoding candidates, join-key sanity)
+    * without one job per column. Values are profiled via their string
+    * cast (one explode of narrow (name, value) pairs → ONE shuffle for
+    * all columns together); distinct counts use
+    * [[graft.ops.ScaleOps.kmvDistinct]], so they are md5-deterministic,
+    * cross-engine replayable, and EXACT for columns with fewer than `k`
+    * distinct values. Integer/string columns cast stably on any engine;
+    * floating/timestamp columns' renderings are engine-specific, so
+    * profile those via an explicit normalization if cross-engine
+    * comparison matters.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "tableProfile needs at least one column")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+    val base = stacked.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+    val dist = graft.ops.ScaleOps.kmvDistinct(stacked, Seq("col_name"), "v", k)
+    base.join(dist, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        round(col("n_null").cast("double") / col("n_rows"), 6).as("null_rate"),
+        // an all-null column has no sketch row: its distinct count is 0
+        coalesce(col("est_distinct"), lit(0L)).as("est_distinct"))
+  }
+
+  /** Robust per-group outlier profile via median/MAD — the data-quality
+    * screen that survives the heavy tails a mean/stddev z-score drowns
+    * in: per group, the exact median, the median absolute deviation,
+    * and how many rows sit more than `nMads` MADs from the median.
+    *
+    * Determinism: exact `percentile` medians (same linear-interpolation
+    * definition as DuckDB's quantile_cont), and the outlier predicate
+    * compares `abs(v - med) > nMads * mad` with the identical IEEE
+    * operation order on both engines. Scale shape: two exact-percentile
+    * aggs over the grouped values + broadcast joins of the tiny
+    * per-group stats; exact percentiles hold a per-group value-count
+    * map, so this targets BOUNDED group cardinality — for unbounded
+    * domains use hashSampledQuantilesPerGroup's sampled medians.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      nMads: Double = 3.0): DataFrame = {
+    val g = col(groupCol)
+    val med = df.groupBy(g.as("__g"))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), g === col("__g"))
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col("__g").as("__g2"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), col("__g") === col("__g2"))
+      .groupBy(g)
+      .agg(count(lit(1)).as("n"),
+        round(max("med"), 4).as("med"),
+        round(max("mad"), 4).as("mad"),
+        count(when(col("adev") > lit(nMads) * col("mad"), 1)).as("n_outliers"),
+        round(count(when(col("adev") > lit(nMads) * col("mad"), 1))
+          .cast("double") / count(lit(1)), 6).as("outlier_rate"))
+  }
+
   /** Salt factors for keys above `rowsPerTask`: key, freq, and
     * salt = ceil(freq / rowsPerTask) computed as exact integer
     * arithmetic (`(freq + r - 1) div r`). Keys at or under the budget

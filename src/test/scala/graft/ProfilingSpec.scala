@@ -53,6 +53,36 @@ class ProfilingSpec extends SparkSpec {
       (11, 1L, 1024L, 1024L, 1024L)))
   }
 
+  test("tableProfile: null rates and exact KMV distincts below k") {
+    val t = Seq((1, Option("a")), (2, Option("b")), (3, None), (4, Option("a")))
+      .toDF("id", "s")
+    val got = Profiling.tableProfile(t, Seq("id", "s"))
+      .orderBy("col_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // 4 distinct ids, 2 distinct strings, one null in s — all below
+    // k = 64, so the KMV estimates are exact counts
+    assert(got == Seq(("id", 4L, 0L, 0.0, 4L), ("s", 4L, 1L, 0.25, 2L)))
+    // all-null column: no sketch row, distinct 0
+    val n = Seq[Option[String]](None, None).toDF("x")
+    val gotN = Profiling.tableProfile(n, Seq("x")).head()
+    assert(gotN.getLong(2) == 2L && gotN.getDouble(3) == 1.0 &&
+      gotN.getLong(4) == 0L)
+  }
+
+  test("robustOutliers: hand-computed median/MAD screen") {
+    val d = ((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _))
+      .toDF("grp", "value")
+    val r = Profiling.robustOutliers(d, "grp", "value").head()
+    // values 1..9,100: med = 5.5; |dev| medians to 2.5; 3 MADs = 7.5;
+    // only the planted 100 (dev 94.5) crosses it
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("med") == 5.5)
+    assert(r.getAs[Double]("mad") == 2.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Double]("outlier_rate") == 0.1)
+  }
+
   test("annealedMixSchedule: sqrt-chain rates and floor'd keeps") {
     val d = (Seq.fill(16)("big") ++ Seq.fill(4)("small")).toDF("source")
     val got = graft.ops.ScaleOps.annealedMixSchedule(d, "source")
