@@ -2062,6 +2062,29 @@ object SparkEntry {
         events(s, dir), "event_type", "value", nMads = 3.0)
         .orderBy("event_type")),
 
+    // exact join-output cardinality without running the join — the
+    // pre-flight explosion check (here: lineitem's l_partkey self-join,
+    // the co-purchase pair-expansion cost); decimal products so hot
+    // keys can't wrap a Long
+    "q_join_cardinality" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      graft.operators.Profiling.joinCardinality(li, "l_partkey", li, "l_partkey")
+    }),
+
+    // winsorized per-event-type stats: exact percentile bounds, clip
+    // counts, and the deterministic decimal-summed clipped mean
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Profiling.winsorizedStats(
+        events(s, dir), "event_type", "value", pLo = 0.01, pHi = 0.99)
+        .orderBy("event_type")),
+
+    // first-order Markov transition matrix of user event streams; the
+    // (ts, event_id) tiebreak makes lead() total-ordered on both engines
+    "q_transitions" -> ((s, dir) =>
+      graft.operators.EventOps.transitionMatrix(
+        events(s, dir), "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")),
+
     // corpus n-gram duplication profile per source — the memorization-
     // risk metric: of each source's distinct 5-grams, what fraction
     // appears in ≥2 docs corpus-wide
@@ -4456,6 +4479,51 @@ object SparkEntry {
                       / CAST(count(*) AS DOUBLE), 6) AS outlier_rate
          FROM dv JOIN mad USING (event_type)
          GROUP BY dv.event_type ORDER BY event_type""",
+
+    // HUGEINT-exact frequency products cast to BIGINT, mirroring the
+    // Spark side's decimal(38,0) products
+    "q_join_cardinality" ->
+      """WITH f AS (SELECT l_partkey AS k, count(*) AS fl
+                    FROM lineitem GROUP BY l_partkey)
+         SELECT count(*) AS n_matched_keys,
+                CAST(SUM(fl * fl) AS BIGINT) AS join_rows,
+                CAST(MAX(fl * fl) AS BIGINT) AS max_key_fanout
+         FROM f""",
+
+    // same exact-percentile bounds, clip predicate, and round-then-
+    // decimal-sum mean chain as the Spark side
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type,
+                           quantile_cont(value, 0.01) AS lo,
+                           quantile_cont(value, 0.99) AS hi
+                    FROM events GROUP BY event_type),
+         c AS (SELECT e.event_type, e.value, b.lo, b.hi,
+                      least(greatest(e.value, b.lo), b.hi) AS clip
+               FROM events e JOIN b USING (event_type))
+         SELECT event_type, count(*) AS n,
+                ROUND(MAX(lo), 4) AS lo, ROUND(MAX(hi), 4) AS hi,
+                count(CASE WHEN value < lo THEN 1 END) AS n_clipped_lo,
+                count(CASE WHEN value > hi THEN 1 END) AS n_clipped_hi,
+                ROUND(CAST(SUM(CAST(ROUND(clip, 4) AS DECIMAL(20,4)))
+                           AS DOUBLE) / count(*), 4) AS mean_wins
+         FROM c GROUP BY event_type ORDER BY event_type""",
+
+    // lead() with the same (ts, event_id) total order; probabilities
+    // as one double division of exact counts
+    "q_transitions" ->
+      """WITH nx AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events),
+         pr AS (SELECT from_type, to_type, count(*) AS n
+                FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+                FROM pr GROUP BY from_type)
+         SELECT pr.from_type AS from_type, pr.to_type AS to_type, pr.n AS n,
+                ROUND(CAST(pr.n AS DOUBLE) / tt.n_from, 6) AS p
+         FROM pr JOIN tt USING (from_type)
+         ORDER BY from_type, to_type""",
 
     "q_dup_ngram_rate" ->
       """WITH toks AS (

@@ -106,4 +106,33 @@ object EventOps {
         round(coalesce(last(col("sv"), ignoreNulls = true).over(w), lit(0.0)), 2)
           .as("carried"))
   }
+
+  /** First-order event-transition matrix: counts and conditional
+    * probabilities of (event_type → next event_type) within each user's
+    * time-ordered stream — the Markov-chain view of behavior (what
+    * follows a click?) and the base table for next-event prediction
+    * features. `tieCol` makes the per-user ordering total (same-ts rows
+    * would otherwise make `lead` engine-dependent, the repo's
+    * determinism rule for every windowed query).
+    *
+    * Scale shape: one user-partitioned window (lead) — the partition key
+    * is the user, so state per task is one user's stream — then a
+    * (from, to) count agg whose output is |types|², tiny; probabilities
+    * attach via a broadcast join of per-from totals rather than a second
+    * window over the pairs. */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("to_type", lead(col(typeCol), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+  }
 }

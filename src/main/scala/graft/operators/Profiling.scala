@@ -133,6 +133,57 @@ object Profiling {
           .cast("double") / count(lit(1)), 6).as("outlier_rate"))
   }
 
+  /** Exact join-output cardinality WITHOUT running the join: matched
+    * key count, the exact output row count Σ f_left(k)·f_right(k), and
+    * the worst single-key fan-out — the pre-flight check that tells you
+    * whether an equi-join (or a self-join pair expansion like the
+    * co-purchase queries) will explode before you pay for it. Cost is
+    * two frequency aggs + a join of the (small) frequency tables —
+    * never the join itself.
+    *
+    * Per-key products are computed in decimal(38,0) so a hot key times
+    * a hot key can't silently wrap a Long (the overflow class the
+    * round-7 review purged); the final counts cast back to long, which
+    * bounds the usable estimate at ~9.2e18 output rows — beyond any
+    * join you'd actually run. */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val fl = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("fl"))
+    val fr = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("fr"))
+    val prod = col("fl").cast("decimal(19,0)") * col("fr").cast("decimal(19,0)")
+    fl.join(fr, Seq("k"))
+      .agg(count(lit(1)).as("n_matched_keys"),
+        sum(prod).cast("long").as("join_rows"),
+        max(prod).cast("long").as("max_key_fanout"))
+  }
+
+  /** Winsorized per-group stats: exact percentile bounds [pLo, pHi],
+    * how many rows clip at each side, and the mean AFTER clipping — the
+    * standard tail-taming transform reported as data (apply the same
+    * `least(greatest(...))` expression to transform rows). Determinism:
+    * exact percentiles; the clipped mean goes through round(4) then an
+    * exact decimal(20,4) sum before one double division, the repo's
+    * deterministic-mean pattern. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds [$pLo, $pHi]")
+    val g = col(groupCol)
+    val bounds = df.groupBy(g.as("__g"))
+      .agg(expr(s"percentile($valueCol, $pLo)").as("lo"),
+        expr(s"percentile($valueCol, $pHi)").as("hi"))
+    val clipped = df.join(broadcast(bounds), g === col("__g"))
+      .withColumn("__clip",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+    clipped.groupBy(g)
+      .agg(count(lit(1)).as("n"),
+        round(max("lo"), 4).as("lo"),
+        round(max("hi"), 4).as("hi"),
+        count(when(col(valueCol) < col("lo"), 1)).as("n_clipped_lo"),
+        count(when(col(valueCol) > col("hi"), 1)).as("n_clipped_hi"),
+        round(sum(round(col("__clip"), 4).cast("decimal(20,4)"))
+          .cast("double") / count(lit(1)), 4).as("mean_wins"))
+  }
+
   /** Salt factors for keys above `rowsPerTask`: key, freq, and
     * salt = ceil(freq / rowsPerTask) computed as exact integer
     * arithmetic (`(freq + r - 1) div r`). Keys at or under the budget

@@ -83,6 +83,32 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("outlier_rate") == 0.1)
   }
 
+  test("joinCardinality: exact output rows and fan-out, no join run") {
+    val l = Seq("a", "a", "a", "b", "c").toDF("k1") // freqs 3,1,1
+    val r = Seq("a", "a", "b", "d").toDF("k2")      // freqs 2,1,1
+    val row = Profiling.joinCardinality(l, "k1", r, "k2").head()
+    // matched keys a,b; rows = 3*2 + 1*1 = 7; max fan-out = 6
+    assert(row.getLong(0) == 2L && row.getLong(1) == 7L &&
+      row.getLong(2) == 6L)
+    // ground truth: the actual join
+    assert(l.join(r, $"k1" === $"k2").count() == 7L)
+  }
+
+  test("winsorizedStats: bounds, clip counts, clipped mean") {
+    // 0..10 plus outlier 1000 in one group: p0/p1 quantiles pinned by
+    // round numbers — use pLo=0, pHi=0.5 for hand-computable bounds
+    val d = ((0 to 10).map(_.toDouble) :+ 1000.0).map(("g", _))
+      .toDF("grp", "value")
+    val r = Profiling.winsorizedStats(d, "grp", "value", 0.0, 0.5).head()
+    // 12 values sorted: lo = min = 0; hi = median = interp(5,6) = 5.5
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Double]("lo") == 0.0 && r.getAs[Double]("hi") == 5.5)
+    assert(r.getAs[Long]("n_clipped_lo") == 0L)
+    assert(r.getAs[Long]("n_clipped_hi") == 6L) // 6,7,8,9,10,1000
+    // clipped values: 0,1,2,3,4,5 then 5.5×6 → mean = (15 + 33)/12 = 4.0
+    assert(r.getAs[Double]("mean_wins") == 4.0)
+  }
+
   test("annealedMixSchedule: sqrt-chain rates and floor'd keeps") {
     val d = (Seq.fill(16)("big") ++ Seq.fill(4)("small")).toDF("source")
     val got = graft.ops.ScaleOps.annealedMixSchedule(d, "source")
