@@ -748,6 +748,33 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // 1-hop/2-hop reachability profile over the same support-pruned
+    // co-purchase graph as q_triangles (pruning is what bounds the
+    // wedge-shaped 2-hop frontier, pinned by GraphSpec)
+    "q_two_hop" -> ((s, dir) => {
+      val pairs = supportPrunedPairs(copurchaseSets(s, dir), 2)
+      graft.operators.Graph.twoHopNeighborhood(pairs, "u", "v")
+        .orderBy(col("n_2hop").desc, col("vertex").asc)
+        .limit(50)
+    }),
+
+    // per-label embedding-norm stats — the vector-column profile
+    // (collapsed/exploded embedding detection): norms in sequential
+    // double accumulation, rounded, then the decimal-sum mean pattern
+    "q_embed_norms" -> ((s, dir) => {
+      val n = emb(s, dir).select(col("label"),
+        round(graft.functions.VectorFunctions.l2Norm(
+          graft.functions.VectorFunctions.toDouble(col("embedding"))), 4)
+          .as("norm"))
+      n.groupBy("label").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("norm").cast("decimal(20,4)")).cast("double") /
+          count(lit(1)), 4).as("mean_norm"),
+        min("norm").as("min_norm"),
+        max("norm").as("max_norm"))
+        .orderBy("label")
+    }),
+
     // trending top-k: weekly top-3 parts by shipped quantity — the
     // two-level shape (time-bucket agg, then a bucket-partitioned rank
     // that WindowGroupLimit pushes map-side) behind every "trending
@@ -3301,6 +3328,43 @@ object SparkEntry {
          SELECT vertex, count(*) AS n_triangles FROM vx
          GROUP BY vertex
          ORDER BY n_triangles DESC, vertex ASC LIMIT 50""",
+
+    // same support-≥2 pair CTE as q_triangles; adjacency symmetrized,
+    // 2-hop via one self-join, distinct counts
+    "q_two_hop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT CAST(a.l_partkey AS VARCHAR) AS u,
+                  CAST(b.l_partkey AS VARCHAR) AS v
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                              AND a.l_partkey < b.l_partkey
+           GROUP BY u, v HAVING count(*) >= 2),
+         adj AS (SELECT u AS s, v AS d FROM pr WHERE u <> v
+                 UNION SELECT v, u FROM pr WHERE u <> v),
+         two AS (SELECT a.s AS s, b.d AS d
+                 FROM adj a JOIN adj b ON a.d = b.s
+                 WHERE a.s <> b.d),
+         reach AS (SELECT s, d FROM adj UNION SELECT s, d FROM two),
+         h1 AS (SELECT s, count(*) AS n_1hop FROM adj GROUP BY s),
+         h2 AS (SELECT s, count(*) AS n_2hop FROM reach GROUP BY s)
+         SELECT h1.s AS vertex, h1.n_1hop AS n_1hop, h2.n_2hop AS n_2hop
+         FROM h1 JOIN h2 USING (s)
+         ORDER BY n_2hop DESC, vertex ASC LIMIT 50""",
+
+    // same norm chain as the q_embed_topk oracle (sequential double
+    // accumulation over the DOUBLE[] cast), then the decimal-sum mean
+    "q_embed_norms" ->
+      """WITH n AS (
+           SELECT label,
+                  ROUND(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                     x -> x * x))), 4)
+                    AS norm
+           FROM embeddings)
+         SELECT label, count(*) AS n,
+                ROUND(CAST(SUM(CAST(norm AS DECIMAL(20,4))) AS DOUBLE)
+                      / count(*), 4) AS mean_norm,
+                MIN(norm) AS min_norm, MAX(norm) AS max_norm
+         FROM n GROUP BY label ORDER BY label""",
 
     // both rule directions from each support-≥2 pair; lift as
     // (sup_ab/sup_a)·(n/sup_b), same fixed double-op order as the

@@ -246,4 +246,36 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-vertex 1-hop and 2-hop neighborhood sizes — the local
+    * reachability profile (how connected is this item within two
+    * referrals?) and the BFS-frontier building block: the 2-hop set is
+    * one adjacency self-join, distinct-counted; iterate the same step
+    * for k-hop. Edges are undirected (symmetrized), self-loops dropped,
+    * the vertex itself excluded from its own neighborhood.
+    *
+    * Scale shape: the 2-hop frontier materializes Σ_y deg(y)² candidate
+    * pairs — the SAME wedge quantity triangleCounts walks, bounded in
+    * this repo by running on support-pruned graphs (see q_triangles /
+    * GraphSpec's basket-inflation spec); production hub-caps degrees
+    * first. Both joins are equi-joins on the frontier vertex; counts are
+    * distinct-aggregated per source, never collected.
+    */
+  def twoHopNeighborhood(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("string").as("s"),
+      col(dstCol).cast("string").as("d"))
+    val adj = raw.filter(col("s") =!= col("d"))
+      .union(raw.filter(col("s") =!= col("d"))
+        .select(col("d").as("s"), col("s").as("d")))
+      .distinct()
+    val two = adj.select(col("s"), col("d").as("m"))
+      .join(adj.select(col("s").as("m"), col("d")), Seq("m"))
+      .filter(col("s") =!= col("d"))
+      .select("s", "d")
+    val reach = adj.union(two).distinct()
+    adj.groupBy("s").agg(count(lit(1)).as("n_1hop")) // adj is distinct
+      .join(reach.groupBy("s").agg(count(lit(1)).as("n_2hop")), Seq("s"))
+      .select(col("s").as("vertex"), col("n_1hop"), col("n_2hop"))
+  }
 }

@@ -117,6 +117,23 @@ class GraphSpec extends SparkSpec {
     assert(numOut == Map("9" -> 1L, "10" -> 1L, "11" -> 1L))
   }
 
+  test("twoHopNeighborhood: path and triangle-with-pendant, dup/reversal-proof") {
+    // path a-b-c-d (with a duplicate and a reversed edge thrown in)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "b"), ("c", "d"), ("c", "d"))
+      .toDF("s", "d")
+    val got = Graph.twoHopNeighborhood(path, "s", "d")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == Map("a" -> (1L, 2L), "b" -> (2L, 3L),
+      "c" -> (2L, 3L), "d" -> (1L, 2L)))
+    // K3 plus pendant d-a: everyone reaches everyone within 2 hops
+    val k3p = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("d", "a"))
+      .toDF("s", "d")
+    val got2 = Graph.twoHopNeighborhood(k3p, "s", "d")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got2 == Map("a" -> (3L, 3L), "b" -> (2L, 3L),
+      "c" -> (2L, 3L), "d" -> (1L, 3L)))
+  }
+
   // q_triangles / q_assoc_rules stay tractable ONLY because support
   // pruning shrinks the co-purchase pair graph before the wedge /
   // rule-expansion stages (unpruned = the documented 30 s wedge
