@@ -1989,6 +1989,26 @@ object SparkEntry {
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "hash", "window"), k = 10)),
 
+    // hybrid retrieval: BM25 top-20 (lexical) ⊕ cosine top-20 around
+    // doc 0's embedding (dense), fused by reciprocal rank (c=60) —
+    // rank-based, so neither score needs calibrating; both input lists
+    // are bounded, so the ranking windows sit under the limit exemption
+    "q_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+          Seq("spark", "hash", "window"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("doc_id", "rank")
+      val e = emb(s, dir)
+      val en = graft.operators.Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(bm, en, "doc_id", "rank", c = 60, k = 10)
+        .select(col("id").as("doc_id"), col("rank_a"), col("rank_b"),
+          col("rrf"))
+    }),
+
     // count-min sketch point estimates: fixed-constant universal hashing
     // makes the sketch content itself deterministic, so the DuckDB twin
     // rebuilds the exact cells and reproduces the exact estimates —
@@ -4360,6 +4380,61 @@ object SparkEntry {
          SELECT doc_id, ROUND(SUM(part), 4) AS score
          FROM parts GROUP BY doc_id
          ORDER BY ROUND(SUM(part), 4) DESC, doc_id LIMIT 10""",
+
+    // BM25 top-20 (same scoring replay as q_bm25) ⊕ cosine top-20 for
+    // query vector 0 (same norm/dot chain as q_embed_topk), fused by
+    // 1/(60+rank) with the identical two-term sum order
+    "q_rrf_fusion" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         base AS (SELECT doc_id, len(t) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+           WHERE term IN ('spark', 'hash', 'window')
+           GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         parts AS (
+           SELECT tf.doc_id AS doc_id,
+                  ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf
+                    / (tf.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * b.dl / s.avgdl)) AS part
+           FROM tf JOIN df USING (term)
+                JOIN base b ON tf.doc_id = b.doc_id
+                CROSS JOIN stats s),
+         bm AS (SELECT doc_id, ROUND(SUM(part), 4) AS score
+                FROM parts GROUP BY doc_id
+                ORDER BY ROUND(SUM(part), 4) DESC, doc_id LIMIT 20),
+         bmr AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS INT) AS rank_a
+                 FROM bm),
+         nv AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings),
+         qv AS (SELECT v FROM nv WHERE vec_id = 0),
+         scored AS (
+           SELECT c.vec_id AS doc_id,
+                  ROUND(list_dot_product(qv.v, c.v), 6) AS cos
+           FROM nv c CROSS JOIN qv WHERE c.vec_id <> 0),
+         er AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                            AS INT) AS rank_b
+                FROM scored ORDER BY cos DESC, doc_id LIMIT 20)
+         SELECT COALESCE(bmr.doc_id, er.doc_id) AS doc_id,
+                bmr.rank_a AS rank_a, er.rank_b AS rank_b,
+                ROUND(COALESCE(1.0 / (60 + bmr.rank_a), 0.0)
+                      + COALESCE(1.0 / (60 + er.rank_b), 0.0), 6) AS rrf
+         FROM bmr FULL OUTER JOIN er ON bmr.doc_id = er.doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
 
     // exact replay of the count-min cells: same fixed hash family
     // ((a·(x mod p) + b) mod p) mod width, p = 2^31−1, in BIGINT math

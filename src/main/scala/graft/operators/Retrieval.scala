@@ -66,6 +66,31 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion of two bounded rankings — the standard
+    * hybrid-retrieval combiner (lexical BM25 list ⊕ dense embedding
+    * list): rrf(d) = Σ 1/(c + rank_i(d)) over the lists containing d,
+    * c = 60 per Cormack et al. Rank-based, so the two lists' scores
+    * never need calibrating against each other — exactly why RRF is
+    * the default fusion in hybrid search.
+    *
+    * Determinism: each contribution is one double division; the sum is
+    * two terms in fixed column order; ties on the ROUNDED fused score
+    * break by id. Scale shape: both inputs are top-k lists (bounded by
+    * construction), so the full-outer join and the final sort are
+    * driver-trivial; the heavy lifting happened in the rankers. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      c: Int = 60, k: Int = 10): DataFrame = {
+    val ra = a.select(col(idCol).as("id"), col(rankCol).as("rank_a"))
+    val rb = b.select(col(idCol).as("id"), col(rankCol).as("rank_b"))
+    ra.join(rb, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        round(coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Inverted index: `(term, df, postings)` where `postings` is the top
     * `maxPostings` documents for the term by (tf desc, doc_id asc),
     * stored sorted by doc_id — the impact-truncated, merge-friendly

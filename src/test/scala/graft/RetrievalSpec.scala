@@ -142,4 +142,22 @@ class RetrievalSpec extends SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length <= 2))
     assert(out.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("rrfFuse: both-list docs outrank single-list docs; hand values") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, "doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2 in both lists: 1/62 + 1/61; docs 1 and 3 single-list
+    assert(got == Seq(
+      2L -> r6(1.0 / 62 + 1.0 / 61),
+      1L -> r6(1.0 / 61),
+      3L -> r6(1.0 / 62)))
+    // ranks survive as nullable columns
+    val row3 = Retrieval.rrfFuse(a, b, "doc_id", "rank")
+      .filter($"id" === 3L).head()
+    assert(row3.isNullAt(1) && row3.getInt(2) == 2)
+  }
 }
