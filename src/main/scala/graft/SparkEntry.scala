@@ -2132,6 +2132,32 @@ object SparkEntry {
         events(s, dir), "user_id", "event_type", "ts", "event_id")
         .orderBy("from_type", "to_type")),
 
+    // asymmetric containment near-dups (quote/subset detection) over
+    // capped 5-gram postings — the duplication direction Jaccard
+    // misses; threshold on the rounded max-direction containment
+    "q_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(docs(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.5, maxDf = 50)
+        .orderBy("a_id", "b_id")),
+
+    // per-source OOV rate against the corpus top-100 vocab — the
+    // tokenizer-coverage report; vocab boundary tie-broken (count desc,
+    // token asc) identically on both engines
+    "q_vocab_coverage" -> ((s, dir) =>
+      Retrieval.vocabCoverage(docs(s, dir), "source", "text", vocabSize = 100)
+        .orderBy("source")),
+
+    // deterministic ~2000-token-per-source prefix sample in md5(id)
+    // order, summarized per source; the window is source-partitioned
+    // with an (hash, id) total order
+    "q_token_budget" -> ((s, dir) =>
+      graft.ops.ScaleOps.tokenBudgetSample(
+        docs(s, dir), "source", "doc_id", "text", budgetTokens = 2000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          max("cum_tok").as("last_cum"))
+        .orderBy("source")),
+
     // corpus n-gram duplication profile per source — the memorization-
     // risk metric: of each source's distinct 5-grams, what fraction
     // appears in ≥2 docs corpus-wide
@@ -4663,6 +4689,73 @@ object SparkEntry {
                 ROUND(CAST(pr.n AS DOUBLE) / tt.n_from, 6) AS p
          FROM pr JOIN tt USING (from_type)
          ORDER BY from_type, to_type""",
+
+    // same capped-gram definition on both engines: grams in ≤50 docs,
+    // postings self-join, counts over capped sets only
+    "q_containment" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         gr AS (
+           SELECT doc_id,
+                  unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                                        for i in range(1, len(t) - 3)])) AS g
+           FROM toks WHERE len(t) >= 5),
+         dfg AS (SELECT g FROM gr GROUP BY g HAVING count(*) <= 50),
+         cg AS (SELECT gr.doc_id, gr.g FROM gr JOIN dfg USING (g)),
+         sz AS (SELECT doc_id, count(*) AS n_g FROM cg GROUP BY doc_id),
+         sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       count(*) AS shared
+                FROM cg a JOIN cg b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a_id, b_id)
+         SELECT sh.a_id AS a_id, sh.b_id AS b_id, sh.shared AS shared,
+                sa.n_g AS n_a, sb.n_g AS n_b,
+                ROUND(GREATEST(CAST(sh.shared AS DOUBLE) / sa.n_g,
+                               CAST(sh.shared AS DOUBLE) / sb.n_g), 4)
+                  AS c_max
+         FROM sh JOIN sz sa ON sa.doc_id = sh.a_id
+                 JOIN sz sb ON sb.doc_id = sh.b_id
+         WHERE ROUND(GREATEST(CAST(sh.shared AS DOUBLE) / sa.n_g,
+                              CAST(sh.shared AS DOUBLE) / sb.n_g), 4) >= 0.5
+         ORDER BY a_id, b_id""",
+
+    // top-100 vocab with the same (count desc, token asc) boundary
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT source,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> len(x) > 0)) AS w
+           FROM documents),
+         cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         vocab AS (SELECT w FROM cnt ORDER BY c DESC, w ASC LIMIT 100)
+         SELECT source, count(*) AS n_tokens, count(v.w) AS n_in_vocab,
+                ROUND(1.0 - count(v.w) / CAST(count(*) AS DOUBLE), 6)
+                  AS oov_rate
+         FROM toks LEFT JOIN vocab v USING (w)
+         GROUP BY source ORDER BY source""",
+
+    // same md5(id) walk order and running sum, BIGINT throughout
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT source, doc_id AS id,
+                  CAST(len(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> len(x) > 0)) AS BIGINT) AS n_tok,
+                  md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         c AS (SELECT source, id, n_tok,
+                      CAST(SUM(n_tok) OVER (PARTITION BY source
+                                            ORDER BY h, id
+                                            ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) AS cum_tok
+               FROM t)
+         SELECT source, count(*) AS n_docs,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                MAX(cum_tok) AS last_cum
+         FROM c WHERE cum_tok - n_tok < 2000
+         GROUP BY source ORDER BY source""",
 
     "q_dup_ngram_rate" ->
       """WITH toks AS (

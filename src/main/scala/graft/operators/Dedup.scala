@@ -156,6 +156,49 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Asymmetric containment near-dup pairs: C(A→B) = |g(A)∩g(B)|/|g(A)|
+    * over distinct word n-gram sets — the quote/subset detector Jaccard
+    * structurally misses (a short doc fully quoted inside a long one has
+    * J ≈ |A|/|B| ≈ 0 but C(A→B) = 1). Reports each pair once with
+    * `c_max` = max of the two directions, thresholded on the ROUNDED
+    * value (cross-engine boundary rule).
+    *
+    * Candidates come from the n-gram postings themselves (equi-join on
+    * the gram), with grams appearing in more than `maxDf` documents
+    * dropped EVERYWHERE — from the candidate join and from all three
+    * counts — so containment is defined over informative grams only.
+    * The cap is the posting-list bound (join cost Σ df², df ≤ maxDf,
+    * the same cap-the-hot-bucket contract as the LSH/deletion caps) AND
+    * a precision filter: boilerplate grams shared by half the corpus
+    * carry no duplication signal. The oracle replays the capped
+    * definition exactly.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.5, maxDf: Int = 50): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("g"))
+      .distinct()
+    val capped = g
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_g"))
+    val shared = capped.select(col("id").as("a_id"), col("g"))
+      .join(capped.select(col("id").as("b_id"), col("g")), Seq("g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("a_id"), col("n_g").as("n_a")), Seq("a_id"))
+      .join(sizes.select(col("id").as("b_id"), col("n_g").as("n_b")), Seq("b_id"))
+      .withColumn("c_max", round(greatest(
+        col("shared").cast("double") / col("n_a"),
+        col("shared").cast("double") / col("n_b")), 4))
+      .filter(col("c_max") >= threshold)
+      .select("a_id", "b_id", "shared", "n_a", "n_b", "c_max")
+  }
+
   /** 64-bit SimHash: per feature-hash bit, +1 if set else -1, summed over
     * features; sign of each sum is the fingerprint bit. Near-dups differ
     * in few bits (Hamming). One native pass per row

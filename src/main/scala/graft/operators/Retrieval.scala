@@ -66,6 +66,32 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Per-source vocabulary coverage against the corpus top-`vocabSize`
+    * tokens — the OOV-rate report that sizes tokenizer vocabularies and
+    * flags sources whose token distribution a fixed vocab serves badly
+    * (code, other languages, encoding damage). Vocab selection ties
+    * break (count desc, token asc) so the boundary is identical across
+    * engines. Scale shape: one token-count agg, a bounded top-k
+    * (TakeOrdered, never a global sort of the corpus), then the vocab —
+    * tiny by construction — broadcasts into a map-side membership join.
+    */
+  def vocabCoverage(docs: DataFrame, sourceCol: String, textCol: String,
+      vocabSize: Int = 100): DataFrame = {
+    require(vocabSize > 0, s"need vocabSize > 0, got $vocabSize")
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(TextExpressions.wordTokens(col(textCol))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("__in_v"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__in_v")).as("n_in_vocab"),
+        round(lit(1.0) -
+          count(col("__in_v")).cast("double") / count(lit(1)), 6)
+          .as("oov_rate"))
+  }
+
   /** Reciprocal-rank fusion of two bounded rankings — the standard
     * hybrid-retrieval combiner (lexical BM25 list ⊕ dense embedding
     * list): rrf(d) = Σ 1/(c + rank_i(d)) over the lists containing d,

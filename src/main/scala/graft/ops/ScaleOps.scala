@@ -316,6 +316,35 @@ object ScaleOps {
       idCol, col("__rate")).drop("__rate")
   }
 
+  /** Deterministic per-source token-budget sampling: walk each source's
+    * documents in md5(id) order (the repo's engine-portable shuffle) and
+    * keep every document that STARTS under the budget — so the kept set
+    * is a stable pseudo-random prefix whose token total first meets the
+    * budget, reproducible across reruns, partitioning, and engines.
+    * This is the "give me ~N tokens per source" primitive of corpus
+    * assembly (the token-denominated sibling of the rate-based
+    * [[temperatureMixSample]]).
+    *
+    * Scale shape: token counts are one native map-side expression; the
+    * running sum is a window partitioned BY SOURCE ordered by the hash
+    * (never a global window), with an (hash, id) compound order so ties
+    * cannot reorder across engines. Returns the kept rows with their
+    * cumulative token position. */
+  def tokenBudgetSample(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"need budgetTokens > 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(sourceCol).as("source"), col(idCol).as("id"),
+      size(graft.functions.TextExpressions.wordTokens(col(textCol)))
+        .cast("long").as("n_tok"),
+      md5(col(idCol).cast("string").cast("binary")).as("__h"))
+    val w = Window.partitionBy("source").orderBy(col("__h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") - col("n_tok") < budgetTokens)
+      .select("source", "id", "n_tok", "cum_tok")
+  }
+
   /** Multi-epoch annealed mixture schedule — the corpus-assembly PLAN
     * that [[temperatureMixSample]] executes one epoch of: per source,
     * the keep-rate at α = 1, 0.5, and 0.25 (rᵢ = (n_min/nᵢ)^α,

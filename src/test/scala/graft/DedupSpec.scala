@@ -249,6 +249,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L))) // near-identical vectors share all hyperplane signs
   }
 
+  test("ngramContainmentPairs: quote inside a longer doc scores c_max 1") {
+    // doc 1 is QUOTED whole inside doc 2: Jaccard is small (2 shared of
+    // 12 grams) but containment in the A-direction is exactly 1.0
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = quote + " one two three four five six seven eight nine ten"
+    val docs = Seq((1L, quote), (2L, host),
+      (3L, "totally unrelated content with many different words here"))
+      .toDF("id", "txt")
+    val got = Dedup.ngramContainmentPairs(docs, "id", "txt",
+      n = 5, threshold = 0.9, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.length == 1)
+    val (a, b, shared, nA, _, cMax) = got.head
+    assert((a, b) == (1L, 2L) && shared == nA && cMax == 1.0)
+    // same pair is invisible to Jaccard at any usable threshold
+    val j = Dedup.ngramJaccardPairs(docs, "id", "txt", n = 5, threshold = 0.5)
+    assert(j.count() == 0)
+  }
+
+  test("ngramContainmentPairs: maxDf cap drops boilerplate grams") {
+    // the same 5-gram in every doc is capped out at maxDf=2, so no
+    // pair survives; raising the cap brings the pairs back
+    val boiler = "common header line repeated verbatim"
+    val docs = Seq((1L, boiler + " tail one"), (2L, boiler + " tail two"),
+      (3L, boiler + " tail three")).toDF("id", "txt")
+    val capped = Dedup.ngramContainmentPairs(docs, "id", "txt",
+      n = 5, threshold = 0.3, maxDf = 2)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.ngramContainmentPairs(docs, "id", "txt",
+      n = 5, threshold = 0.3, maxDf = 50)
+    assert(uncapped.count() == 3)
+  }
+
   test("cosine matches hand computation") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))).toDF("a", "b")
     val c = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))

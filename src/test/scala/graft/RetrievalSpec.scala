@@ -143,6 +143,22 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._1).distinct.sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("vocabCoverage: OOV rates against the top-k vocab with tie rule") {
+    val docs = Seq(("A", "x x x y"), ("B", "x z")).toDF("src", "txt")
+    val got = Retrieval.vocabCoverage(docs, "src", "txt", vocabSize = 1)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // vocab = {x} (count 4); A: 3/4 in-vocab, B: 1/2
+    assert(got == Seq(("A", 4L, 3L, 0.25), ("B", 2L, 1L, 0.5)))
+    // ties at the boundary break token-asc: y and z both count 1, so
+    // vocabSize=2 admits y (not z)
+    val got2 = Retrieval.vocabCoverage(docs, "src", "txt", vocabSize = 2)
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(got2 == Seq(("A", 0.0), ("B", 0.5)))
+  }
+
   test("rrfFuse: both-list docs outrank single-list docs; hand values") {
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")

@@ -345,4 +345,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!lint.exists(f => f.rule == "global-window" && f.severity == "error"),
       lint)
   }
+  test("tokenBudgetSample: budget-prefix in md5 order, deterministic") {
+    val docs = (1L to 6L).map(i => ("s", i, ("w " * 10).trim))
+      .toDF("src", "id", "txt")
+    val got = ScaleOps.tokenBudgetSample(docs, "src", "id", "txt", 25L)
+      .orderBy("cum_tok").collect()
+    // every doc is 10 tokens; docs starting at cum 0, 10, 20 are kept
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Long]("cum_tok")).toSeq == Seq(10L, 20L, 30L))
+    // deterministic: same kept ids on a rerun
+    val again = ScaleOps.tokenBudgetSample(docs, "src", "id", "txt", 25L)
+      .orderBy("cum_tok").collect()
+    assert(got.map(_.getAs[Long]("id")).toSeq ==
+      again.map(_.getAs[Long]("id")).toSeq)
+    // a doc's worth of budget keeps exactly one doc per source
+    assert(ScaleOps.tokenBudgetSample(docs, "src", "id", "txt", 1L)
+      .count() == 1)
+  }
 }
