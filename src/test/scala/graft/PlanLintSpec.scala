@@ -118,8 +118,10 @@ class PlanLintSpec extends SparkSpec {
   // documented bounded brute-force verification twins — the cartesian /
   // non-equi shape is the point (README/ARCHITECTURE notes); they stay in
   // the lazy gate but only those two rules are tolerated for them
+  // q_rrf_fusion's dense leg IS bruteForceTopK (single-query broadcast
+  // side), so it inherits the same documented bounded-brute shape
   private val boundedBrute = Set("q_embed_neardup", "q_embed_topk",
-    "q_hard_negatives", "q_embed_ann_lsh")
+    "q_hard_negatives", "q_embed_ann_lsh", "q_rrf_fusion")
   private val bruteAllowedRules =
     Set("cartesian-product", "broadcast-nested-loop")
 
