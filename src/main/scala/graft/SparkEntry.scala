@@ -775,6 +775,37 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // personalized PageRank on the bipartite user–event-type graph,
+    // seeded at the purchase node: random-walk-with-restart relevance
+    // of every user (and type) to purchasing behavior
+    "q_ppr" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        concat(lit("u"), col("user_id")).as("src"),
+        concat(lit("t_"), col("event_type")).as("dst")).distinct()
+      graft.operators.Graph.personalizedPageRank(
+        ev, "src", "dst", Seq("t_purchase"), iterations = 3)
+        .select(col("node"), round(col("pr"), 6).as("ppr"))
+        .orderBy(col("ppr").desc, col("node").asc)
+        .limit(20)
+    }),
+
+    // frequent triples (Apriori level above q_assoc_rules' pairs) from
+    // the SAME copurchaseSets aggregation — within-array triple
+    // expansion map-side, support-pruned after one shuffle; basket
+    // sizes bound the cubic expansion (orders have ≤7 lines)
+    "q_itemsets3" -> ((s, dir) =>
+      copurchaseSets(s, dir).select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> " +
+            "transform(slice(ps, i + j + 3, size(ps)), " +
+            "z -> struct(x AS a, y AS b, z AS c))))))")).as("t"))
+        .select("t.a", "t.b", "t.c")
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("a").asc, col("b").asc,
+          col("c").asc)
+        .limit(30)),
+
     // trending top-k: weekly top-3 parts by shipped quantity — the
     // two-level shape (time-bucket agg, then a bucket-partitioned rank
     // that WindowGroupLimit pushes map-side) behind every "trending
@@ -4379,6 +4410,51 @@ object SparkEntry {
                        JOIN deg d ON e.src = d.node GROUP BY e.dst)
          SELECT node, ROUND(pr, 6) AS pr FROM r3
          ORDER BY ROUND(pr, 6) DESC, node LIMIT 20""",
+
+    // same teleport CASE, division/sum chain, and (1-d)*t + d*mass
+    // operation order as the Spark loop, unrolled three iterations
+    "q_ppr" ->
+      """WITH e0 AS (SELECT DISTINCT 'u' || user_id AS src,
+                            't_' || event_type AS dst
+                     FROM events),
+         e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         t AS (SELECT node, CASE WHEN node = 't_purchase'
+                                 THEN 1.0 ELSE 0.0 END AS t FROM n),
+         r0 AS (SELECT node, t AS pr FROM t),
+         r1 AS (SELECT t.node, 0.15 * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
+                FROM t LEFT JOIN (SELECT e.dst AS node,
+                                         SUM(r.pr / d.deg) AS im
+                                  FROM e JOIN r0 r ON e.src = r.node
+                                         JOIN deg d ON e.src = d.node
+                                  GROUP BY e.dst) m USING (node)),
+         r2 AS (SELECT t.node, 0.15 * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
+                FROM t LEFT JOIN (SELECT e.dst AS node,
+                                         SUM(r.pr / d.deg) AS im
+                                  FROM e JOIN r1 r ON e.src = r.node
+                                         JOIN deg d ON e.src = d.node
+                                  GROUP BY e.dst) m USING (node)),
+         r3 AS (SELECT t.node, 0.15 * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
+                FROM t LEFT JOIN (SELECT e.dst AS node,
+                                         SUM(r.pr / d.deg) AS im
+                                  FROM e JOIN r2 r ON e.src = r.node
+                                         JOIN deg d ON e.src = d.node
+                                  GROUP BY e.dst) m USING (node))
+         SELECT node, ROUND(pr, 6) AS ppr FROM r3
+         ORDER BY ppr DESC, node ASC LIMIT 20""",
+
+    // three-way distinct self-join replays the within-basket triple
+    // expansion; VARCHAR part ordering matches the sorted string sets
+    "q_itemsets3" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey,
+                            CAST(l_partkey AS VARCHAR) AS p
+                     FROM lineitem)
+         SELECT a.p AS a, b.p AS b, c.p AS c, count(*) AS support
+         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+                   JOIN li c ON a.l_orderkey = c.l_orderkey AND b.p < c.p
+         GROUP BY a.p, b.p, c.p HAVING count(*) >= 2
+         ORDER BY support DESC, a ASC, b ASC, c ASC LIMIT 30""",
 
     "q_bm25" ->
       """WITH toks AS (

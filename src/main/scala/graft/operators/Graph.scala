@@ -105,6 +105,56 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: identical iteration to [[pageRank]] except
+    * the teleport mass (1−d) flows ONLY to the seed set (uniformly,
+    * 1/|S| each) instead of every node — so scores measure importance
+    * RELATIVE to the seeds (the standard seed-expansion / related-items
+    * primitive: "what is close to these nodes under random walks with
+    * restart"). Nodes unreachable from the seeds converge to 0.
+    *
+    * Same scale shapes as [[pageRank]]: canonical undirected edge set
+    * materialized once, degree fused once, per-round hash join + agg
+    * with node-keyed broadcast under `broadcastNodeLimit`, per-round
+    * localCheckpoint lineage truncation. Same determinism contract —
+    * division/sum arithmetic replayed by the oracle, ranking on the
+    * rounded score.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[String], iterations: Int = 3, damping: Double = 0.85,
+      broadcastNodeLimit: Long = 1000000L): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val e0 = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst"))
+    val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    // teleport vector: computed once against the node set; a seed not in
+    // the graph simply contributes nothing (same CASE on both engines)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .withColumn("t", when(col("node").isin(seeds: _*),
+        lit(1.0 / seeds.size)).otherwise(lit(0.0)))
+      .localCheckpoint(true)
+    val side = sideStrategy(nodes.count(), broadcastNodeLimit)
+    val ew = e
+      .join(side(e.groupBy("src").agg(count(lit(1)).as("deg"))), Seq("src"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), col("t").as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val contribs = ew
+        .join(side(ranks.select(col("node").as("src"), col("pr"))), Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("in_mass"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("t"),
+          (lit(1.0 - damping) * col("t") +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+        .select("node", "pr")
+      i += 1
+    }
+    ranks
+  }
+
   /** Fixed-iteration HITS (Kleinberg hubs & authorities) over a directed
     * edge list, L1-normalized each half-step so the scores are scale-free
     * and the arithmetic replays exactly on another engine:

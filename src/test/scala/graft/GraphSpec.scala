@@ -117,6 +117,28 @@ class GraphSpec extends SparkSpec {
     assert(numOut == Map("9" -> 1L, "10" -> 1L, "11" -> 1L))
   }
 
+  test("personalizedPageRank: hand-computed walk, zero off-component") {
+    // path a-b-c plus a disconnected x-y; seed {a}, 2 iterations:
+    // r1 = (0.15, 0.85, 0); r2(a) = 0.15 + 0.85*(0.85/2) = 0.51125,
+    // r2(b) = 0.85*0.15 = 0.1275, r2(c) = 0.85*(0.85/2) = 0.36125
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("s", "d")
+    val out = Graph.personalizedPageRank(edges, "s", "d", Seq("a"),
+        iterations = 2)
+      .as[(String, Double)].collect().toMap
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(r6(out("a")) == 0.51125)
+    assert(r6(out("b")) == 0.1275)
+    assert(r6(out("c")) == 0.36125)
+    // teleport never reaches the disconnected component
+    assert(out("x") == 0.0 && out("y") == 0.0)
+    // multi-seed: teleport splits 1/|S|; symmetric seeds tie exactly
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "d")
+    val two = Graph.personalizedPageRank(tri, "s", "d", Seq("a", "c"),
+        iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(two("a") == two("c") && two("a") > two("b"))
+  }
+
   test("twoHopNeighborhood: path and triangle-with-pendant, dup/reversal-proof") {
     // path a-b-c-d (with a duplicate and a reversed edge thrown in)
     val path = Seq(("a", "b"), ("b", "c"), ("c", "b"), ("c", "d"), ("c", "d"))

@@ -111,7 +111,7 @@ class PlanLintSpec extends SparkSpec {
     "q_epoch_positions", "q_epoch_shuffle",
     "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
     "q_dedup_families", "q_family_survivors", "q_curate",
-    "q_curate_increment", "q_pagerank", "q_hits",
+    "q_curate_increment", "q_pagerank", "q_ppr", "q_hits",
     "q_label_prop", "q_valid_counts", "q_corpus_pipeline")
   private def streamQueries =
     SparkEntry.queries.keys.filter(_.startsWith("q_stream")).toSet
