@@ -2100,6 +2100,16 @@ object SparkEntry {
         docs(s, dir).select(col("lang").as("source")), "source")
         .orderBy("source")),
 
+    // rolling 7-day distinct users from MERGEABLE daily KMV sketches —
+    // raw events touched once, every window answered by sketch merge;
+    // k=4096 >> weekly cardinality at lab scale, so counts are exact
+    // and the oracle checks them against a recomputed sliding distinct
+    "q_rolling_uniques" -> ((s, dir) =>
+      graft.ops.ScaleOps.rollingKmvDistinct(
+        events(s, dir).select(to_date(col("ts")).as("day"), col("user_id")),
+        "day", "user_id", windowDays = 7, k = 4096)
+        .orderBy("day")),
+
     // one-row key-skew profile of events.user_id — the pre-shuffle
     // diagnostic that decides whether a join/agg needs the suite's
     // salted shapes; exact percentiles over PER-KEY frequencies (one
@@ -4631,6 +4641,18 @@ object SparkEntry {
                 CAST(FLOOR(n_docs * sqrt(sqrt(CAST(nmin AS DOUBLE) / n_docs)))
                      AS BIGINT) AS keep_a25
          FROM c CROSS JOIN m ORDER BY source""",
+
+    // recomputed exact sliding distinct — equals the sketch rollup
+    // while the window cardinality sits below k
+    "q_rolling_uniques" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                        FROM events),
+         days AS (SELECT DISTINCT day FROM daily)
+         SELECT d.day AS day,
+                count(DISTINCT u.day) AS n_days,
+                count(DISTINCT u.user_id) AS uniques
+         FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+         GROUP BY d.day ORDER BY d.day""",
 
     // exact percentiles over per-key frequencies: quantile_cont is the
     // same linear-interpolation definition as Spark's percentile

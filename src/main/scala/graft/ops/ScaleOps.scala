@@ -406,6 +406,52 @@ object ScaleOps {
       .otherwise(floor(lit((k - 1).toDouble * 1.152921504606846976e18) /
         hk.cast("double")).cast("long"))
 
+  /** Rolling `windowDays`-day distinct counts from MERGEABLE daily KMV
+    * sketches — the pre-aggregated-sketch rollup pattern: the raw
+    * values are touched ONCE to build one bottom-k sketch per day
+    * (a (day, k·long) table — the thing a production pipeline
+    * materializes nightly), and every rolling window is then answered
+    * by merging ≤ `windowDays` sketches, never by re-scanning events.
+    * A recomputed exact sliding distinct re-reads every event
+    * `windowDays` times; this reads each once.
+    *
+    * Shape: daily sketches via distinct + groupBy(day); each sketch
+    * contributes to its `windowDays` windows by an OFFSET EXPLODE +
+    * groupBy(window day) — equi-shuffles only, no unpartitioned window
+    * anywhere; per-group state ≤ windowDays·k hashes. Day-grain rows
+    * are calendar-bounded, so every post-sketch stage is tiny at any
+    * corpus scale.
+    *
+    * Same determinism contract as [[kmvDistinct]] (md5 60-bit bottom-k,
+    * union-closure merge, exact below k) — with `k` above the true
+    * window cardinality the counts are EXACT, which is what the oracle
+    * checks at lab scale; size k to the expected window cardinality for
+    * estimate-mode at production scale. */
+  def rollingKmvDistinct(df: DataFrame, dayCol: String, valueCol: String,
+      windowDays: Int, k: Int): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val sk = df.filter(col(valueCol).isNotNull)
+      .select(col(dayCol).as("day"), kmvHash(valueCol).as("h")).distinct()
+      .groupBy("day")
+      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("sk"))
+    val days = sk.select(col("day"))
+    val contrib = sk
+      .select(col("day"), col("sk"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(expr("date_add(day, off)").as("day"), col("sk"))
+      // windows whose anchor day has no data of its own don't exist
+      .join(days, Seq("day"), "left_semi")
+    contrib.groupBy("day")
+      .agg(count(lit(1)).as("n_days"),
+        flatten(collect_list(col("sk"))).as("hs"))
+      .select(col("day"), col("n_days"),
+        array_sort(array_distinct(col("hs"))).as("u"))
+      .select(col("day"), col("n_days"),
+        kmvEstimate(size(col("u")).cast("long"),
+          element_at(col("u"), k), k).as("uniques"))
+  }
+
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")

@@ -345,6 +345,31 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!lint.exists(f => f.rule == "global-window" && f.severity == "error"),
       lint)
   }
+  test("rollingKmvDistinct: sketch-merged windows equal exact sliding distinct") {
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // day 1: users 1,2; day 2: users 2,3; day 10: user 9 (outside any
+    // 3-day window of the first two)
+    val rows = Seq(
+      (d("2024-01-01"), 1L), (d("2024-01-01"), 2L),
+      (d("2024-01-02"), 2L), (d("2024-01-02"), 3L),
+      (d("2024-01-10"), 9L))
+      .toDF("day", "user_id")
+    val got = ScaleOps.rollingKmvDistinct(rows, "day", "user_id",
+        windowDays = 3, k = 64)
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSeq
+    // window@01-01: {1,2}; @01-02: both days, {1,2,3} — user 2 counted
+    // ONCE across days (sketch union, not sum); @01-10: {9} alone
+    assert(got == Seq(
+      ("2024-01-01", 1L, 2L), ("2024-01-02", 2L, 3L),
+      ("2024-01-10", 1L, 1L)))
+    // no phantom window rows for dataless anchor days (01-03, 01-04
+    // would otherwise inherit day-02's sketch)
+    assert(got.map(_._1) == Seq("2024-01-01", "2024-01-02", "2024-01-10"))
+  }
+
   test("tokenBudgetSample: budget-prefix in md5 order, deterministic") {
     val docs = (1L to 6L).map(i => ("s", i, ("w " * 10).trim))
       .toDF("src", "id", "txt")
