@@ -2110,6 +2110,67 @@ object SparkEntry {
         "day", "user_id", windowDays = 7, k = 4096)
         .orderBy("day")),
 
+    // exact repeated-paragraph detection: disjoint 20-token chunks
+    // fingerprinted (md5), doc pairs sharing a chunk counted — the
+    // chunk-granularity exact-substring dedup complementing
+    // q_containment's gram-set view; hot fingerprints capped at df≤50
+    // like every posting join here
+    "q_chunk_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ch = Retrieval.chunkDocuments(docs(s, dir), "doc_id", "text",
+          chunkSize = 20, stride = 20)
+        .filter(col("n_tokens") === 20) // short tails carry no signal
+        .select(col("doc_id"),
+          md5(col("chunk_text").cast("binary")).as("fp"))
+        .distinct()
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("__df") <= 50).drop("__df")
+      ch.select(col("doc_id").as("a_id"), col("fp"))
+        .join(ch.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_chunks"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Theil–Sen robust trend per event type over daily counts: the
+    // exact median of all pairwise slopes — outlier days can't drag
+    // the estimate the way least squares lets them; pair count is
+    // calendar-bounded (days², not events²)
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("d", datediff(col("day"),
+          lit("2020-01-01").cast("date")).cast("double"))
+      val a = daily.select(col("event_type"), col("d").as("d1"),
+        col("n").as("n1"))
+      val b = daily.select(col("event_type"), col("d").as("d2"),
+        col("n").as("n2"))
+      a.join(b, Seq("event_type"))
+        .filter(col("d2") > col("d1"))
+        .withColumn("slope",
+          (col("n2") - col("n1")).cast("double") / (col("d2") - col("d1")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+        .orderBy("event_type")
+    }),
+
+    // functional-dependency screens: a PK that must determine (orders)
+    // next to a key that must NOT (users emit many event types)
+    "q_fd_profile" -> ((s, dir) => {
+      def p(df: DataFrame, det: String, dep: String, label: String) =
+        graft.operators.Profiling.functionalDependency(df, det, dep)
+          .select(lit(label).as("fd"), col("n_keys"),
+            col("violating_keys"), col("violation_rate"),
+            col("max_dep_values"))
+      p(Tables.load(s, dir, "orders"), "o_orderkey", "o_custkey",
+        "orderkey_custkey")
+        .unionByName(p(events(s, dir), "user_id", "event_type",
+          "user_eventtype"))
+        .orderBy("fd")
+    }),
+
     // one-row key-skew profile of events.user_id — the pre-shuffle
     // diagnostic that decides whether a join/agg needs the suite's
     // salted shapes; exact percentiles over PER-KEY frequencies (one
@@ -4641,6 +4702,68 @@ object SparkEntry {
                 CAST(FLOOR(n_docs * sqrt(sqrt(CAST(nmin AS DOUBLE) / n_docs)))
                      AS BIGINT) AS keep_a25
          FROM c CROSS JOIN m ORDER BY source""",
+
+    // same 20-token disjoint chunk replay as q_chunk's CTE (stride ==
+    // chunkSize), same df≤50 cap
+    "q_chunk_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         c AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         st AS (SELECT doc_id, t, n, unnest(range(0, n, 20)) AS start FROM c),
+         ch AS (SELECT DISTINCT doc_id,
+                       md5(array_to_string(t[start + 1 : start + 20], ' '))
+                         AS fp
+                FROM st WHERE least(20, n - start) = 20),
+         dfc AS (SELECT fp FROM ch GROUP BY fp HAVING count(*) <= 50),
+         cc AS (SELECT ch.doc_id, ch.fp FROM ch JOIN dfc USING (fp))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                count(*) AS shared_chunks
+         FROM cc a JOIN cc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY a_id, b_id ORDER BY a_id, b_id""",
+
+    // same pairwise-slope construction; quantile_cont == percentile
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               count(*) AS n
+                        FROM events GROUP BY event_type, day),
+         d AS (SELECT event_type,
+                      CAST(date_diff('day', DATE '2020-01-01', day)
+                           AS DOUBLE) AS d,
+                      n
+               FROM daily),
+         p AS (SELECT a.event_type AS event_type,
+                      CAST(b.n - a.n AS DOUBLE) / (b.d - a.d) AS slope
+               FROM d a JOIN d b ON a.event_type = b.event_type
+                                AND b.d > a.d)
+         SELECT event_type, count(*) AS n_pairs,
+                ROUND(quantile_cont(slope, 0.5), 6) AS ts_slope
+         FROM p GROUP BY event_type ORDER BY event_type""",
+
+    // exact distinct-dependent counting per determinant, twice
+    "q_fd_profile" ->
+      """WITH o AS (SELECT o_orderkey AS k,
+                           count(DISTINCT o_custkey) AS nd
+                    FROM orders GROUP BY o_orderkey),
+         e AS (SELECT user_id AS k,
+                      count(DISTINCT event_type) AS nd
+               FROM events GROUP BY user_id)
+         SELECT 'orderkey_custkey' AS fd, count(*) AS n_keys,
+                count(CASE WHEN nd > 1 THEN 1 END) AS violating_keys,
+                ROUND(count(CASE WHEN nd > 1 THEN 1 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+                MAX(nd) AS max_dep_values
+         FROM o
+         UNION ALL
+         SELECT 'user_eventtype', count(*),
+                count(CASE WHEN nd > 1 THEN 1 END),
+                ROUND(count(CASE WHEN nd > 1 THEN 1 END)
+                      / CAST(count(*) AS DOUBLE), 6),
+                MAX(nd)
+         FROM e
+         ORDER BY fd""",
 
     // recomputed exact sliding distinct — equals the sketch rollup
     // while the window cardinality sits below k

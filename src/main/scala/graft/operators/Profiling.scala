@@ -184,6 +184,24 @@ object Profiling {
           .cast("double") / count(lit(1)), 4).as("mean_wins"))
   }
 
+  /** Functional-dependency profile: does `detCol` determine `depCol`?
+    * One row: key count, how many keys map to MORE than one distinct
+    * dependent value (violations), the violation rate, and the worst
+    * key's fan-out. The schema-inference / data-quality primitive
+    * behind "is this a safe join key", "can I denormalize this pair",
+    * and "did upstream duplicate-with-drift corrupt the dimension".
+    * One distinct-agg shuffle on the determinant, then a single-row
+    * reduce — exact, engine-portable counting throughout. */
+  def functionalDependency(df: DataFrame, detCol: String,
+      depCol: String): DataFrame =
+    df.groupBy(col(detCol).as("k"))
+      .agg(countDistinct(col(depCol)).as("nd"))
+      .agg(count(lit(1)).as("n_keys"),
+        count(when(col("nd") > 1, 1)).as("violating_keys"),
+        round(count(when(col("nd") > 1, 1)).cast("double") /
+          count(lit(1)), 6).as("violation_rate"),
+        max("nd").as("max_dep_values"))
+
   /** Salt factors for keys above `rowsPerTask`: key, freq, and
     * salt = ceil(freq / rowsPerTask) computed as exact integer
     * arithmetic (`(freq + r - 1) div r`). Keys at or under the budget

@@ -109,6 +109,19 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_wins") == 4.0)
   }
 
+  test("functionalDependency: holds, violates, counts the worst key") {
+    val holds = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val h = Profiling.functionalDependency(holds, "k", "v").head()
+    assert(h.getLong(0) == 2L && h.getLong(1) == 0L &&
+      h.getDouble(2) == 0.0 && h.getLong(3) == 1L)
+    val breaks = Seq((1, "a"), (1, "b"), (1, "c"), (2, "x"), (3, "y"),
+      (3, "y")).toDF("k", "v")
+    val b = Profiling.functionalDependency(breaks, "k", "v").head()
+    // key 1 fans out to 3 values; 1 of 3 keys violates
+    assert(b.getLong(0) == 3L && b.getLong(1) == 1L &&
+      b.getDouble(2) == 0.333333 && b.getLong(3) == 3L)
+  }
+
   test("annealedMixSchedule: sqrt-chain rates and floor'd keeps") {
     val d = (Seq.fill(16)("big") ++ Seq.fill(4)("small")).toDF("source")
     val got = graft.ops.ScaleOps.annealedMixSchedule(d, "source")
