@@ -2110,6 +2110,45 @@ object SparkEntry {
         "day", "user_id", windowDays = 7, k = 4096)
         .orderBy("day")),
 
+    // per-source exact-dup rate on the normalized fingerprint — the
+    // one-line "how dirty is each source" report that decides whether
+    // a source needs the full dedup pipeline before mixing
+    "q_dedup_rate" -> ((s, dir) =>
+      docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(graft.functions.TextFunctions
+            .fingerprintNormalized(col("text"))).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          round((col("n_docs") - col("n_unique")).cast("double") /
+            col("n_docs"), 6).as("dup_rate"))
+        .orderBy("source")),
+
+    // per-(user, type) inter-arrival gaps (lag under a total (ts, id)
+    // order), exact median/p90 per type in seconds — the event-cadence
+    // profile; microsecond-exact diffs, one double division at the end
+    "q_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap_us, 0.5)") / 1e6, 4)
+            .as("median_gap_s"),
+          round(expr("percentile(gap_us, 0.9)") / 1e6, 4).as("p90_gap_s"))
+        .orderBy("event_type")
+    }),
+
+    // 20-bucket equi-width histogram of order totals — the value-
+    // distribution profile behind range-partition boundary choices
+    "q_numeric_hist" -> ((s, dir) =>
+      graft.operators.Profiling.numericHistogram(
+        Tables.load(s, dir, "orders"), "o_totalprice", nBuckets = 20)
+        .orderBy("bucket")),
+
     // exact repeated-paragraph detection: disjoint 20-token chunks
     // fingerprinted (md5), doc pairs sharing a chunk counted — the
     // chunk-granularity exact-substring dedup complementing
@@ -4702,6 +4741,50 @@ object SparkEntry {
                 CAST(FLOOR(n_docs * sqrt(sqrt(CAST(nmin AS DOUBLE) / n_docs)))
                      AS BIGINT) AS keep_a25
          FROM c CROSS JOIN m ORDER BY source""",
+
+    // same normalized-fingerprint replay as q_fingerprint
+    "q_dedup_rate" ->
+      """WITH f AS (
+           SELECT source,
+                  md5(array_to_string(
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> len(x) > 0), ' ')) AS fp
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+                count(DISTINCT fp) AS n_unique,
+                ROUND(CAST(count(*) - count(DISTINCT fp) AS DOUBLE)
+                      / count(*), 6) AS dup_rate
+         FROM f GROUP BY source ORDER BY source""",
+
+    // same (user, type) partition and (ts, event_id) total order;
+    // epoch_us == unix_micros
+    "q_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS gap_us
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps,
+                ROUND(quantile_cont(gap_us, 0.5) / 1e6, 4) AS median_gap_s,
+                ROUND(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_gap_s
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+
+    // same clamped floor((v-lo)/((hi-lo)/20)) bucket expression
+    "q_numeric_hist" ->
+      """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+                    FROM orders WHERE o_totalprice IS NOT NULL)
+         SELECT CASE WHEN hi = lo THEN 0
+                     ELSE least(19, CAST(floor((o_totalprice - lo) /
+                                               ((hi - lo) / 20)) AS INT))
+                END AS bucket,
+                count(*) AS n,
+                ROUND(MIN(o_totalprice), 4) AS bucket_min,
+                ROUND(MAX(o_totalprice), 4) AS bucket_max
+         FROM orders CROSS JOIN b
+         WHERE o_totalprice IS NOT NULL
+         GROUP BY bucket ORDER BY bucket""",
 
     // same 20-token disjoint chunk replay as q_chunk's CTE (stride ==
     // chunkSize), same df≤50 cap

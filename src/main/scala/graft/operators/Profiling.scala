@@ -184,6 +184,33 @@ object Profiling {
           .cast("double") / count(lit(1)), 4).as("mean_wins"))
   }
 
+  /** Equi-width numeric histogram: `nBuckets` buckets spanning
+    * [min, max], one agg for the bounds (single-row broadcast) + one
+    * map-side bucketing pass + one tiny agg. Bucket index is
+    * `floor((v - min) / width)` clamped to the top bucket (the max
+    * value itself) — the same IEEE division on any engine, so the
+    * boundary assignment replays exactly. Null-safe (nulls dropped),
+    * degenerate min==max collapses to one bucket. The classic value-
+    * distribution profile for choosing range-partition boundaries and
+    * spotting truncated/spiked columns. */
+  def numericHistogram(df: DataFrame, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
+    val v = col(valueCol).cast("double")
+    val bounds = df.filter(v.isNotNull)
+      .agg(min(v).as("lo"), max(v).as("hi"))
+    df.filter(v.isNotNull).crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((v - col("lo")) /
+              ((col("hi") - col("lo")) / nBuckets)).cast("int"))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(v), 4).as("bucket_min"),
+        round(max(v), 4).as("bucket_max"))
+  }
+
   /** Functional-dependency profile: does `detCol` determine `depCol`?
     * One row: key count, how many keys map to MORE than one distinct
     * dependent value (violations), the violation rate, and the worst

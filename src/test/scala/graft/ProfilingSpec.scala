@@ -109,6 +109,22 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_wins") == 4.0)
   }
 
+  test("numericHistogram: clamped equi-width buckets, degenerate range") {
+    val d = (0 to 10).map(_.toDouble).toDF("v")
+    val got = Profiling.numericHistogram(d, "v", nBuckets = 5)
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // width 2: [0,2) [2,4) [4,6) [6,8) [8,10]; the max value clamps
+    // into the top bucket instead of spilling to a phantom bucket 5
+    assert(got == Seq((0, 2L, 0.0, 1.0), (1, 2L, 2.0, 3.0),
+      (2, 2L, 4.0, 5.0), (3, 2L, 6.0, 7.0), (4, 3L, 8.0, 10.0)))
+    // min == max: everything in bucket 0
+    val flat = Seq(5.0, 5.0).toDF("v")
+    val f = Profiling.numericHistogram(flat, "v", 5).head()
+    assert(f.getInt(0) == 0 && f.getLong(1) == 2L)
+  }
+
   test("functionalDependency: holds, violates, counts the worst key") {
     val holds = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
     val h = Profiling.functionalDependency(holds, "k", "v").head()
