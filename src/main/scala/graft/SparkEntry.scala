@@ -2110,6 +2110,34 @@ object SparkEntry {
         "day", "user_id", windowDays = 7, k = 4096)
         .orderBy("day")),
 
+    // revenue concentration (Pareto report): share of total revenue
+    // held by the top 1% / 10% / 50% of customers — computed via exact
+    // percentile THRESHOLDS + filtered sums, no global ranking window
+    // anywhere (the windowless path to "top-x% share" at corpus scale);
+    // exact decimal sums, one double division per segment
+    "q_pareto" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("rev_dec"))
+        .withColumn("rev", col("rev_dec").cast("double"))
+      val th = rev.agg(
+        expr("percentile(rev, 0.99)").as("p99"),
+        expr("percentile(rev, 0.90)").as("p90"),
+        expr("percentile(rev, 0.50)").as("p50"),
+        sum("rev_dec").as("total_dec"))
+      rev.crossJoin(broadcast(th))
+        .select(explode(array(
+          struct(lit("top1").as("segment"), (col("rev") >= col("p99")).as("keep")),
+          struct(lit("top10").as("segment"), (col("rev") >= col("p90")).as("keep")),
+          struct(lit("top50").as("segment"), (col("rev") >= col("p50")).as("keep"))))
+          .as("sg"), col("rev_dec"), col("total_dec"))
+        .filter(col("sg.keep"))
+        .groupBy(col("sg.segment").as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("rev_dec")).cast("double") /
+            max(col("total_dec")).cast("double"), 6).as("revenue_share"))
+        .orderBy("segment")
+    }),
+
     // per-source exact-dup rate on the normalized fingerprint — the
     // one-line "how dirty is each source" report that decides whether
     // a source needs the full dedup pipeline before mixing
@@ -4741,6 +4769,34 @@ object SparkEntry {
                 CAST(FLOOR(n_docs * sqrt(sqrt(CAST(nmin AS DOUBLE) / n_docs)))
                      AS BIGINT) AS keep_a25
          FROM c CROSS JOIN m ORDER BY source""",
+
+    // same percentile thresholds + filtered decimal sums; >= boundary
+    // on the identical doubles on both engines
+    "q_pareto" ->
+      """WITH r AS (
+           SELECT o_custkey,
+                  SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS rev_dec,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                    AS rev
+           FROM orders GROUP BY o_custkey),
+         t AS (SELECT quantile_cont(rev, 0.99) AS p99,
+                      quantile_cont(rev, 0.90) AS p90,
+                      quantile_cont(rev, 0.50) AS p50,
+                      SUM(rev_dec) AS total_dec
+               FROM r),
+         seg AS (
+           SELECT 'top1' AS segment, rev_dec, total_dec
+           FROM r CROSS JOIN t WHERE rev >= p99
+           UNION ALL
+           SELECT 'top10', rev_dec, total_dec
+           FROM r CROSS JOIN t WHERE rev >= p90
+           UNION ALL
+           SELECT 'top50', rev_dec, total_dec
+           FROM r CROSS JOIN t WHERE rev >= p50)
+         SELECT segment, count(*) AS n_customers,
+                ROUND(CAST(SUM(rev_dec) AS DOUBLE)
+                      / CAST(MAX(total_dec) AS DOUBLE), 6) AS revenue_share
+         FROM seg GROUP BY segment ORDER BY segment""",
 
     // same normalized-fingerprint replay as q_fingerprint
     "q_dedup_rate" ->
