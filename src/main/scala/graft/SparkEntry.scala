@@ -2689,6 +2689,35 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // REAL compressed-image decode via pure-JDK javax.imageio: per order
+    // key a deterministic 2x2 raster is encoded by the JDK's own writer
+    // — PNG for even keys, JPEG for odd — then decoded back through
+    // Codecs.decodeImage. PNG is lossless, so its ITU-R 601 mean luma
+    // replays as exact arithmetic on the key in DuckDB (same sequential
+    // row-major accumulation both sides); JPEG is DCT-lossy
+    // (deterministic per JDK but not arithmetic-replayable), so the
+    // oracle pins its format/dims/channels and leaves luma NULL
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 600).as[Long].map { k =>
+          val fmt = if (k % 2 == 0) "png" else "jpeg"
+          val payload = graft.operators.Codecs.encodeImage(fmt, 2, 2, (x, y) => {
+            val i = y * 2 + x
+            val r = ((k + i) % 256).toInt
+            val g = ((k / 3 + i) % 256).toInt
+            val b = ((k / 7 + i) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          graft.operators.Multimodal.MediaRow(k, "image", payload)
+        }
+      graft.operators.Multimodal.decodeReal(rows).toDF()
+        .select(col("media_id").as("o_orderkey"), col("format"),
+          col("width"), col("height"), col("channels"),
+          when(col("format") === "png", round(col("mean_level"), 4)).as("luma"))
+        .orderBy("o_orderkey")
+    }),
+
     // SCD Type 2 MERGE: two history-preserving upserts (initial load,
     // then a batch where 1-in-3 keys changed and 1-in-3 is a no-op);
     // fixed asOf timestamps keep reruns + oracle deterministic
@@ -5687,6 +5716,31 @@ object SparkEntry {
                       0.587 * ((o_orderkey // 3) % 256) +
                       0.114 * ((o_orderkey // 7) % 256), 4) AS luma
          FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+
+    // PNG (lossless): the 2x2 raster's mean luma replays pixel-by-pixel
+    // in the same left-to-right accumulation order the decoder uses;
+    // JPEG (lossy): format/dims/channels are pinned, luma is NULL
+    "q_image_decode" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                  AS format,
+                CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+                CAST(3 AS INT) AS channels,
+                CASE WHEN o_orderkey % 2 = 0 THEN ROUND((
+                   (0.299 * ((o_orderkey + 0) % 256) +
+                    0.587 * ((o_orderkey // 3 + 0) % 256) +
+                    0.114 * ((o_orderkey // 7 + 0) % 256)) +
+                   (0.299 * ((o_orderkey + 1) % 256) +
+                    0.587 * ((o_orderkey // 3 + 1) % 256) +
+                    0.114 * ((o_orderkey // 7 + 1) % 256)) +
+                   (0.299 * ((o_orderkey + 2) % 256) +
+                    0.587 * ((o_orderkey // 3 + 2) % 256) +
+                    0.114 * ((o_orderkey // 7 + 2) % 256)) +
+                   (0.299 * ((o_orderkey + 3) % 256) +
+                    0.587 * ((o_orderkey // 3 + 3) % 256) +
+                    0.114 * ((o_orderkey // 7 + 3) % 256))) / 4, 4)
+                END AS luma
+         FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey""",
 
     "q_scd2" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders

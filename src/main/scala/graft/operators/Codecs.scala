@@ -1,21 +1,27 @@
 package graft.operators
 
-/** Real pure-JVM decoders for the uncompressed media formats — the
-  * concrete end of [[Multimodal]]'s pluggable codec story. Compressed
-  * formats (JPEG/MP3/H.264) need native libraries this container doesn't
-  * have and stay behind the deterministic stub; the two formats below
-  * are fully specified byte layouts, so "no image/audio libs" is no
-  * reason to stub them:
+/** Real pure-JVM decoders for media payloads — the concrete end of
+  * [[Multimodal]]'s pluggable codec story. Three tiers:
   *
-  *  - PPM P6 (binary RGB): ASCII header `P6 <w> <h> <maxval>` with
-  *    `#` comments, then `w*h*3` bytes. Features: dims + mean luma
-  *    (ITU-R 601 weights).
-  *  - WAV (RIFF/WAVE, PCM 16-bit LE): chunked container; `fmt ` carries
-  *    channels/sample-rate/bit-depth, `data` the samples. Features:
-  *    sample count, duration, RMS amplitude (normalized to [0,1]).
+  *  - Hand-rolled byte-layout decoders for the fully specified
+  *    uncompressed formats:
+  *    - PPM P6 (binary RGB): ASCII header `P6 <w> <h> <maxval>` with
+  *      `#` comments, then `w*h*3` bytes. Features: dims + mean luma
+  *      (ITU-R 601 weights).
+  *    - WAV (RIFF/WAVE, PCM 16-bit LE): chunked container; `fmt ` carries
+  *      channels/sample-rate/bit-depth, `data` the samples. Features:
+  *      sample count, duration, RMS amplitude (normalized to [0,1]).
+  *  - [[decodeImage]]: the compressed raster formats the JDK itself
+  *    ships readers for — PNG, JPEG, BMP, GIF (and TIFF on JDK 9+) via
+  *    pure-JDK `javax.imageio.ImageIO`, which works headless with no
+  *    native libraries. Same feature set as the PPM path (dims,
+  *    channels, ITU-R 601 mean luma over the decoded raster).
+  *  - Formats that genuinely need native codecs (H.264 video, MP3
+  *    audio) have no JDK decoder and stay behind [[Multimodal]]'s
+  *    clearly-marked deterministic stub.
   *
-  * Both decoders are row-local and allocation-light — exactly what runs
-  * inside the mapPartitions batch loop at corpus scale.
+  * All decoders are row-local — exactly what runs inside the
+  * mapPartitions batch loop at corpus scale.
   */
 object Codecs {
 
@@ -25,7 +31,75 @@ object Codecs {
       sampleRate: Int, nSamples: Long, meanLevel: Double)
 
   def decode(bytes: Array[Byte]): Option[Decoded] =
-    decodePpm(bytes).orElse(decodeWav(bytes))
+    decodePpm(bytes).orElse(decodeWav(bytes)).orElse(decodeImage(bytes))
+
+  // ImageIO's default reader cache spills to temp FILES per decode —
+  // per-row disk I/O inside a hot mapPartitions loop. Keep it in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG / JPEG / BMP / GIF decode via pure-JDK `javax.imageio` (no
+    * native libraries, headless-safe). Features mirror [[decodePpm]]:
+    * dims, channel count, and ITU-R 601 mean luma over the decoded
+    * raster in row-major order (sRGB via `getRGB`, so the luma of a
+    * losslessly-coded image — PNG/BMP/GIF — replays exactly from the
+    * source pixels; JPEG luma is deterministic for a given JDK but not
+    * arithmetic-replayable, being DCT-lossy). Returns None on any
+    * malformed/unsupported payload — never throws. */
+  def decodeImage(bytes: Array[Byte]): Option[Decoded] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            val channels = img.getColorModel.getNumComponents
+            var luma = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                luma += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Some(Decoded(fmt, w, h, channels, 0, w.toLong * h,
+              luma / (w.toLong * h)))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic test-image builder: encode a w×h raster whose pixel
+    * (x,y) is the 24-bit RGB `pixel(x, y)` with the JDK's own `format`
+    * writer ("png", "jpeg", "bmp", "gif"). Used by the decode oracles
+    * and specs — PNG being lossless, `decodeImage(encodeImage("png",…))`
+    * returns exactly the source pixels. */
+  def encodeImage(format: String, w: Int, h: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(x, y) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, baos))
+      throw new IllegalArgumentException(s"no JDK writer for format $format")
+    baos.toByteArray
+  }
 
   /** P6 header scan: (width, height, pixel-data offset), with the full
     * pixel payload verified present. None on anything malformed. */

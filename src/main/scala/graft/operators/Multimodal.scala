@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages.
   *
-  * The Spark-side plumbing is real (schema, batch shape, partitioning);
-  * the codec itself is STUBBED deterministically — this container has no
-  * image/audio libraries, so `decodeStub` derives a fake raster from the
-  * bytes. Swap `decodeStub`/`sampleFramesStub` for a real codec (e.g. a
-  * JNI decoder) without touching the pipeline around them.
+  * The Spark-side plumbing is real (schema, batch shape, partitioning),
+  * and so is the decode for every format the JVM can handle without
+  * native libraries: PPM/WAV via hand-rolled byte readers and PNG/JPEG/
+  * BMP/GIF via pure-JDK `javax.imageio` (see [[Codecs]] — all handled by
+  * [[decodeReal]]). Only formats that genuinely need native codecs
+  * (H.264 video, MP3 audio) go through the clearly-marked deterministic
+  * stub ([[decodeAndFeaturize]]); swap it for a JNI decoder without
+  * touching the pipeline around it.
   *
   * Batch shape: per-partition iterator processing via `mapPartitions` on a
   * typed Dataset — the Scala analogue of `mapInPandas` (one batch in, one
@@ -62,11 +65,12 @@ object Multimodal {
       format: String, width: Int, height: Int, channels: Int,
       sample_rate: Int, n_samples: Long, mean_level: Double)
 
-  /** Decode with the REAL codecs ([[Codecs]]: PPM images, PCM WAV audio)
-    * where the payload is one of the supported uncompressed formats;
-    * rows in formats needing native libraries come back with
-    * `decoded = false` (route them to the stub path or an external
-    * decode service). Same mapPartitions batch shape as the stub path. */
+  /** Decode with the REAL codecs ([[Codecs]]: PPM images and PCM WAV
+    * audio via hand-rolled byte readers; PNG/JPEG/BMP/GIF via pure-JDK
+    * `javax.imageio`); rows in formats needing native libraries (H.264,
+    * MP3) come back with `decoded = false` (route them to the stub path
+    * or an external decode service). Same mapPartitions batch shape as
+    * the stub path. */
   def decodeReal(media: Dataset[MediaRow]): Dataset[RealDecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>

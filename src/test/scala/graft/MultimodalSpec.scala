@@ -136,7 +136,10 @@ class MultimodalSpec extends SparkSpec {
   test("codecs are total on arbitrary bytes: no throw, no hang") {
     val rnd = new scala.util.Random(42) // fixed seed: deterministic CI
     val prefixes = Seq(Array.empty[Byte], "P6".getBytes, "P6\n99999999 99999999\n255\n".getBytes,
-      "RIFF".getBytes, ("RIFF" + "\u0000" * 4 + "WAVE").getBytes)
+      "RIFF".getBytes, ("RIFF" + "\u0000" * 4 + "WAVE").getBytes,
+      // PNG and JPEG magics: random tails must die inside ImageIO, not throw
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte),
+      Array(0xff, 0xd8, 0xff).map(_.toByte))
     (0 until 200).foreach { i =>
       val body = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
       val bytes = prefixes(i % prefixes.length) ++ body
@@ -148,14 +151,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO PNG decode: pixel-exact roundtrip (dims, channels, luma)") {
+    import graft.operators.Codecs
+    // 2x2 with four distinct pixels
+    def pix(x: Int, y: Int): Int = {
+      val i = y * 2 + x
+      ((10 + i) << 16) | ((20 + i) << 8) | (30 + i)
+    }
+    val png = Codecs.encodeImage("png", 2, 2, pix)
+    val d = Codecs.decodeImage(png).get
+    assert((d.format, d.width, d.height, d.channels) == (("png", 2, 2, 3)))
+    // PNG is lossless: ITU-R 601 mean luma replays exactly from source
+    val want = (0 until 4).map { i =>
+      0.299 * (10 + i) + 0.587 * (20 + i) + 0.114 * (30 + i)
+    }.sum / 4
+    assert(math.abs(d.meanLevel - want) < 1e-9)
+    // the general decode() chain routes image bytes too
+    assert(Codecs.decode(png).get.format == "png")
+  }
+
+  test("ImageIO JPEG/BMP/GIF decode: exact dims; lossy luma stays near source") {
+    import graft.operators.Codecs
+    // uniform color: JPEG's DCT reconstructs a flat block near-exactly
+    val flat = (100 << 16) | (150 << 8) | 200
+    val srcLuma = 0.299 * 100 + 0.587 * 150 + 0.114 * 200
+    val jpg = Codecs.decodeImage(Codecs.encodeImage("jpeg", 8, 8, (_, _) => flat)).get
+    assert((jpg.format, jpg.width, jpg.height, jpg.channels) == (("jpeg", 8, 8, 3)))
+    assert(math.abs(jpg.meanLevel - srcLuma) < 3.0)
+    // BMP is lossless 24-bit: luma exact
+    val bmp = Codecs.decodeImage(Codecs.encodeImage("bmp", 3, 5, (_, _) => flat)).get
+    assert((bmp.format, bmp.width, bmp.height, bmp.channels) == (("bmp", 3, 5, 3)))
+    assert(math.abs(bmp.meanLevel - srcLuma) < 1e-9)
+    // GIF palettizes: dims always survive, pin those
+    val gif = Codecs.decodeImage(Codecs.encodeImage("gif", 4, 2, (_, _) => flat)).get
+    assert((gif.format, gif.width, gif.height) == (("gif", 4, 2)))
+  }
+
+  test("ImageIO totality: truncated/corrupt/alien bytes are clean Nones") {
+    import graft.operators.Codecs
+    val png = Codecs.encodeImage("png", 4, 4, (x, y) => (x * 40) << 16 | (y * 50))
+    assert(Codecs.decodeImage(png.take(8)).isEmpty) // magic only, no chunks
+    assert(Codecs.decodeImage(png.take(png.length / 2)).isEmpty) // cut IDAT
+    assert(Codecs.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Codecs.decodeImage("not an image at all".getBytes).isEmpty)
+    // PPM/WAV payloads have no ImageIO reader: None here, handled upstream
+    val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Codecs.decodeImage(ppm).isEmpty)
+  }
+
   test("decodeReal routes real formats and flags the rest undecoded") {
     val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
+    val png = graft.operators.Codecs.encodeImage("png", 3, 2, (x, y) => x << 16 | y)
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", ppm),
-      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3, 4))) // junk
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3, 4)), // junk
+      Multimodal.MediaRow(3L, "image", png))
     val out = Multimodal.decodeReal(rows.toDS())
       .collect().sortBy(_.media_id)
     assert(out(0).decoded && out(0).format == "ppm" && out(0).width == 1)
     assert(!out(1).decoded && out(1).format == "unknown")
+    assert(out(2).decoded && out(2).format == "png" &&
+      out(2).width == 3 && out(2).height == 2)
   }
 }
