@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharClassCounts, CountMin, DotProduct, FreqItems,
-  JaroWinkler, LangId, MemberCount, MinHashSig, PhraseMatch, Registry,
-  SimHash64, WinnowHashes, WordNgrams, WordShingles, WordTokens}
+import graft.functions.{BottomK, CharClassCounts, CountMin, DotProduct,
+  FreqItems, JaroWinkler, LangId, MemberCount, MinHashSig, PhraseMatch,
+  Registry, SimHash64, WinnowHashes, WordNgrams, WordShingles, WordTokens}
 import graft.plans.RewriteIntersectSize
 
 /** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -60,5 +60,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CountMin].getName, "count_min"),
       exprs => CountMin(exprs(0), exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("bottom_k"),
+      new ExpressionInfo(classOf[BottomK].getName, "bottom_k"),
+      exprs => BottomK(exprs(0), exprs(1).eval().asInstanceOf[Int])))
   }
 }

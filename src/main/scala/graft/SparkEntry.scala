@@ -77,6 +77,31 @@ object SparkEntry {
       .agg(count(lit(1)).as("sup_ab"))
       .filter(col("sup_ab") >= minSupport)
 
+  /** Apriori-pruned within-order TRIPLE candidates: baskets are first
+    * filtered to items that appear in some support-`minSupport` pair
+    * (every sub-pair of a frequent triple is frequent, so the filter
+    * drops no qualifying triple and adds none — surviving triples are
+    * counted over exactly the same baskets), THEN the cubic expansion
+    * runs on the shrunken arrays. A large-basket corpus can't go cubic
+    * on filler items the pair screen already rejected: candidate count
+    * is C(freq-items-in-basket, 3) per basket, not C(|basket|, 3).
+    * The item screen is a semi-join (AQE broadcasts the pruned item
+    * set when small), not a driver-side collect. */
+  private[graft] def aprioriTripleCandidates(sets: DataFrame, minSupport: Int): DataFrame = {
+    val freqItems = supportPrunedPairs(sets, minSupport)
+      .select(explode(array(col("u"), col("v"))).as("item")).distinct()
+    sets.select(col("l_orderkey"), explode(col("ps")).as("item"))
+      .join(freqItems, Seq("item"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("item"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> " +
+          "transform(slice(ps, i + j + 3, size(ps)), " +
+          "z -> struct(x AS a, y AS b, z AS c))))))")).as("t"))
+      .select("t.a", "t.b", "t.c")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ================= Reference pipelines end-to-end (§3.1) ===========
@@ -790,16 +815,12 @@ object SparkEntry {
     }),
 
     // frequent triples (Apriori level above q_assoc_rules' pairs) from
-    // the SAME copurchaseSets aggregation — within-array triple
-    // expansion map-side, support-pruned after one shuffle; basket
-    // sizes bound the cubic expansion (orders have ≤7 lines)
+    // the SAME copurchaseSets aggregation — Apriori-pruned: baskets are
+    // filtered to pair-frequent items BEFORE the cubic within-array
+    // expansion (aprioriTripleCandidates), so basket size bounds only
+    // the frequent-item part of the expansion, not raw |basket|^3
     "q_itemsets3" -> ((s, dir) =>
-      copurchaseSets(s, dir).select(explode(expr(
-          "flatten(transform(ps, (x, i) -> " +
-            "flatten(transform(slice(ps, i + 2, size(ps)), (y, j) -> " +
-            "transform(slice(ps, i + j + 3, size(ps)), " +
-            "z -> struct(x AS a, y AS b, z AS c))))))")).as("t"))
-        .select("t.a", "t.b", "t.c")
+      aprioriTripleCandidates(copurchaseSets(s, dir), 2)
         .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .orderBy(col("support").desc, col("a").asc, col("b").asc,
@@ -4557,7 +4578,7 @@ object SparkEntry {
          ORDER BY media_id, frame_idx""",
 
     // 3 PageRank iterations as chained CTEs — identical edge set,
-    // identical r_{t+1} = 0.15 + 0.85·Σ r_t/deg arithmetic
+    // identical r_{t+1} = (1-d) + 0.85·Σ r_t/deg arithmetic
     "q_pagerank" ->
       """WITH e0 AS (
            SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
@@ -4566,13 +4587,13 @@ object SparkEntry {
                UNION SELECT dst AS src, src AS dst FROM e0),
          deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
          r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
-         r1 AS (SELECT e.dst AS node, 0.15 + 0.85 * SUM(r.pr / d.deg) AS pr
+         r1 AS (SELECT e.dst AS node, (1.0 - 0.85) + 0.85 * SUM(r.pr / d.deg) AS pr
                 FROM e JOIN r0 r ON e.src = r.node
                        JOIN deg d ON e.src = d.node GROUP BY e.dst),
-         r2 AS (SELECT e.dst AS node, 0.15 + 0.85 * SUM(r.pr / d.deg) AS pr
+         r2 AS (SELECT e.dst AS node, (1.0 - 0.85) + 0.85 * SUM(r.pr / d.deg) AS pr
                 FROM e JOIN r1 r ON e.src = r.node
                        JOIN deg d ON e.src = d.node GROUP BY e.dst),
-         r3 AS (SELECT e.dst AS node, 0.15 + 0.85 * SUM(r.pr / d.deg) AS pr
+         r3 AS (SELECT e.dst AS node, (1.0 - 0.85) + 0.85 * SUM(r.pr / d.deg) AS pr
                 FROM e JOIN r2 r ON e.src = r.node
                        JOIN deg d ON e.src = d.node GROUP BY e.dst)
          SELECT node, ROUND(pr, 6) AS pr FROM r3
@@ -4590,19 +4611,19 @@ object SparkEntry {
          t AS (SELECT node, CASE WHEN node = 't_purchase'
                                  THEN 1.0 ELSE 0.0 END AS t FROM n),
          r0 AS (SELECT node, t AS pr FROM t),
-         r1 AS (SELECT t.node, 0.15 * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
+         r1 AS (SELECT t.node, (1.0 - 0.85) * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
                 FROM t LEFT JOIN (SELECT e.dst AS node,
                                          SUM(r.pr / d.deg) AS im
                                   FROM e JOIN r0 r ON e.src = r.node
                                          JOIN deg d ON e.src = d.node
                                   GROUP BY e.dst) m USING (node)),
-         r2 AS (SELECT t.node, 0.15 * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
+         r2 AS (SELECT t.node, (1.0 - 0.85) * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
                 FROM t LEFT JOIN (SELECT e.dst AS node,
                                          SUM(r.pr / d.deg) AS im
                                   FROM e JOIN r1 r ON e.src = r.node
                                          JOIN deg d ON e.src = d.node
                                   GROUP BY e.dst) m USING (node)),
-         r3 AS (SELECT t.node, 0.15 * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
+         r3 AS (SELECT t.node, (1.0 - 0.85) * t.t + 0.85 * COALESCE(m.im, 0.0) AS pr
                 FROM t LEFT JOIN (SELECT e.dst AS node,
                                          SUM(r.pr / d.deg) AS im
                                   FROM e JOIN r2 r ON e.src = r.node
@@ -4857,18 +4878,23 @@ object SparkEntry {
          GROUP BY event_type ORDER BY event_type""",
 
     // same clamped floor((v-lo)/((hi-lo)/20)) bucket expression
+    // the v CTE casts to DOUBLE up front so every bucket operand is the
+    // same IEEE double Spark's cast("double") sees — bit-identical floor
+    // boundaries even if a future testdata generation stores
+    // o_totalprice as DECIMAL (DuckDB would otherwise subtract exactly
+    // in decimal before dividing, which can flip floor() at boundaries)
     "q_numeric_hist" ->
-      """WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
-                    FROM orders WHERE o_totalprice IS NOT NULL)
+      """WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS p FROM orders
+                    WHERE o_totalprice IS NOT NULL),
+            b AS (SELECT MIN(p) AS lo, MAX(p) AS hi FROM v)
          SELECT CASE WHEN hi = lo THEN 0
-                     ELSE least(19, CAST(floor((o_totalprice - lo) /
+                     ELSE least(19, CAST(floor((p - lo) /
                                                ((hi - lo) / 20)) AS INT))
                 END AS bucket,
                 count(*) AS n,
-                ROUND(MIN(o_totalprice), 4) AS bucket_min,
-                ROUND(MAX(o_totalprice), 4) AS bucket_max
-         FROM orders CROSS JOIN b
-         WHERE o_totalprice IS NOT NULL
+                ROUND(MIN(p), 4) AS bucket_min,
+                ROUND(MAX(p), 4) AS bucket_max
+         FROM v CROSS JOIN b
          GROUP BY bucket ORDER BY bucket""",
 
     // same 20-token disjoint chunk replay as q_chunk's CTE (stride ==

@@ -51,6 +51,9 @@ object Registry {
     reg.createOrReplaceTempFunction("count_min",
       exprs => CountMin(exprs(0), exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("bottom_k",
+      exprs => BottomK(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Fold a literal array-of-strings argument (e.g. `array('a','b')`). */

@@ -226,12 +226,101 @@ object CountMin {
   }
 }
 
+/** Bounded bottom-k aggregate over a long column — the KMV sketch
+  * builder: keeps the k SMALLEST distinct values with O(k) state per
+  * aggregation buffer (a capped sorted set), map-side partial
+  * aggregation, and a union-closure merge. `collect_set` + sort + slice
+  * computes the same answer with O(distinct) state — fine at lab scale,
+  * but the whole point of a bottom-k sketch is that per-group state
+  * never exceeds k, and this operator actually delivers that bound.
+  * Output: the ascending array of the ≤ k smallest distinct inputs.
+  */
+case class BottomK(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  require(k >= 1, s"bottom_k needs k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bottom_k needs an integral column, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) buf.add(v)
+    else if (v < buf.last) { buf.add(v); if (buf.size > k) buf.pollLast() }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Number].longValue())
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+      b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) add(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next().longValue())
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): BottomK =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): BottomK =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BottomK =
+    copy(child = c.head)
+  override def prettyName: String = "bottom_k"
+}
+
 object SketchAggregates {
   /** Top-k frequent tokens over an array<string> column (Misra–Gries). */
   def freqItems(tokens: Column, k: Int, capacity: Int = 4096): Column =
     GraftColumnBridge.column(
       FreqItems(GraftColumnBridge.expression(tokens), k, capacity)
         .toAggregateExpression())
+
+  /** Bounded bottom-k of an integral column: ascending array of the ≤ k
+    * smallest distinct values, O(k) buffer state (see [[BottomK]]). */
+  def bottomK(v: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      BottomK(GraftColumnBridge.expression(v), k).toAggregateExpression())
 
   /** Count-min sketch over an integral key column: flat depth×width
     * counter array (see [[CountMin]]). */

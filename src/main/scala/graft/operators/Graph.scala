@@ -274,27 +274,60 @@ object Graph {
     * exactly once with NO post-hoc dedup, and every join is an
     * equi-join — never an all-pairs step.
     *
-    * Scale shape: wedge count is Σ_y deg_lo(y)·deg_hi(y) — the quantity
-    * a production deployment bounds by degree-capping hub vertices
-    * before wedge building (the same cap-the-hot-key move as the LSH
-    * bucket cap); the closing join then only touches wedges. Output: one
-    * row per vertex appearing in ≥1 triangle, (vertex, n_triangles).
+    * Scale shape: wedge count is Σ_y deg_lo(y)·deg_hi(y) — bounded on
+    * skewed graphs by `maxDegree` (the same cap-the-hot-key move as the
+    * LSH bucket cap): vertices whose undirected degree exceeds the cap
+    * are excluded from the wedge-MIDDLE role, so the frontier is at most
+    * maxDegree·|E| (linear in edges) instead of quadratic in hub degree.
+    * The approximation is explicit: a triangle is missed iff its MEDIAN
+    * vertex (the y of x<y<z) is a hub — the standard production
+    * trade-off, since hub-mediated triangles dominate cost but carry the
+    * least signal. Default Int.MaxValue = exact (uncapped). The closing
+    * join then only touches wedges. Output: one row per vertex appearing
+    * in ≥1 counted triangle, (vertex, n_triangles).
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val raw = edges.select(col(srcCol).cast("string").as("u"),
-      col(dstCol).cast("string").as("v"))
-    val e = raw.filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("lo"),
-        greatest(col("u"), col("v")).as("hi"))
-      .distinct()
-    val wedges = e.select(col("lo").as("x"), col("hi").as("y"))
-      .join(e.select(col("lo").as("y"), col("hi").as("z")), Seq("y"))
-    val tri = wedges.join(
+      dstCol: String, maxDegree: Int = Int.MaxValue): DataFrame = {
+    val e = canonicalUndirected(edges, srcCol, dstCol)
+    val tri = wedges(e, maxDegree).join(
       e.select(col("lo").as("x"), col("hi").as("z")), Seq("x", "z"),
       "left_semi")
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Canonical duplicate-free undirected edge set: self-loops dropped,
+    * every edge ordered (lo < hi). */
+  private[graft] def canonicalUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("string").as("u"),
+      col(dstCol).cast("string").as("v"))
+    raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
+      .distinct()
+  }
+
+  /** Ordered wedges x–y–z (x<y<z, edges (x,y) and (y,z) present) over a
+    * canonical edge set. With `maxDegree < Int.MaxValue`, vertices whose
+    * undirected degree exceeds the cap are semi-joined OUT of the middle
+    * role before the self-join — each surviving middle fans out at most
+    * maxDegree×maxDegree, and the total frontier is ≤ maxDegree·|E|. The
+    * endpoint roles are never filtered, so hubs still appear in wedges —
+    * just not as the pivot that multiplies. */
+  private[graft] def wedges(e: DataFrame, maxDegree: Int): DataFrame = {
+    val (byHi, byLo) =
+      if (maxDegree == Int.MaxValue) (e, e)
+      else {
+        val ok = e.select(col("lo").as("n"))
+          .unionByName(e.select(col("hi").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= maxDegree)
+        (e.join(ok.select(col("n").as("hi")), Seq("hi"), "left_semi"),
+          e.join(ok.select(col("n").as("lo")), Seq("lo"), "left_semi"))
+      }
+    byHi.select(col("lo").as("x"), col("hi").as("y"))
+      .join(byLo.select(col("lo").as("y"), col("hi").as("z")), Seq("y"))
   }
 
   /** Per-vertex 1-hop and 2-hop neighborhood sizes — the local
@@ -305,21 +338,35 @@ object Graph {
     * the vertex itself excluded from its own neighborhood.
     *
     * Scale shape: the 2-hop frontier materializes Σ_y deg(y)² candidate
-    * pairs — the SAME wedge quantity triangleCounts walks, bounded in
-    * this repo by running on support-pruned graphs (see q_triangles /
-    * GraphSpec's basket-inflation spec); production hub-caps degrees
-    * first. Both joins are equi-joins on the frontier vertex; counts are
+    * pairs — the SAME wedge quantity triangleCounts walks, bounded two
+    * ways: by running on support-pruned graphs (see q_triangles /
+    * GraphSpec's basket-inflation spec), and by `maxDegree`, which
+    * excludes hub vertices from the INTERMEDIATE role so each surviving
+    * middle fans out at most maxDegree² and the frontier stays ≤
+    * maxDegree·|E|. The approximation is explicit: 2-hop paths routed
+    * through a hub are not counted (a hub intermediate connects
+    * "everything to everything" and drowns the local profile — dropping
+    * it is the standard neighborhood-profile practice). Hubs still get
+    * their own row and still appear as endpoints. Default = exact.
+    * Both joins are equi-joins on the frontier vertex; counts are
     * distinct-aggregated per source, never collected.
     */
   def twoHopNeighborhood(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, maxDegree: Int = Int.MaxValue): DataFrame = {
     val raw = edges.select(col(srcCol).cast("string").as("s"),
       col(dstCol).cast("string").as("d"))
     val adj = raw.filter(col("s") =!= col("d"))
       .union(raw.filter(col("s") =!= col("d"))
         .select(col("d").as("s"), col("s").as("d")))
       .distinct()
-    val two = adj.select(col("s"), col("d").as("m"))
+    val mids = adj.select(col("s"), col("d").as("m"))
+    val midsCapped =
+      if (maxDegree == Int.MaxValue) mids
+      else mids.join( // degree in the symmetric adj = undirected degree
+        adj.groupBy("s").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= maxDegree).select(col("s").as("m")),
+        Seq("m"), "left_semi")
+    val two = midsCapped
       .join(adj.select(col("s").as("m"), col("d")), Seq("m"))
       .filter(col("s") =!= col("d"))
       .select("s", "d")

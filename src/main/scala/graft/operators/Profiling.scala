@@ -39,17 +39,33 @@ object Profiling {
   def keyFrequencies(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("freq"))
 
-  /** One-row skew profile of `keyCol`'s frequency distribution. */
-  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
-    keyFrequencies(df, keyCol).agg(
+  /** One-row skew profile of `keyCol`'s frequency distribution.
+    *
+    * Percentiles are EXACT while the distinct-key count stays at or
+    * under `exactPercentilesUpTo`, and switch to `approx_percentile`
+    * above it: exact `percentile` buffers every distinct frequency in
+    * one aggregation buffer, which at billions of keys would make the
+    * diagnostic itself the bottleneck it exists to prevent. The
+    * frequency table is materialized once (localCheckpoint) so the
+    * key count probe and the profile share the expensive shuffle; the
+    * probe moves one scalar to the driver. Either way the output
+    * schema is identical (double percentiles, rounded). */
+  def keySkewProfile(df: DataFrame, keyCol: String,
+      exactPercentilesUpTo: Long = 4194304L): DataFrame = {
+    val freq = keyFrequencies(df, keyCol).localCheckpoint(true)
+    val pct =
+      if (freq.count() <= exactPercentilesUpTo) "percentile"
+      else "approx_percentile"
+    freq.agg(
       sum("freq").as("n_rows"),
       count(lit(1)).as("n_keys"),
       max("freq").as("max_freq"),
       round(avg("freq"), 4).as("avg_freq"),
       round(max("freq").cast("double") / sum("freq"), 6).as("top1_share"),
-      round(expr("percentile(freq, 0.5)"), 4).as("freq_p50"),
-      round(expr("percentile(freq, 0.9)"), 4).as("freq_p90"),
-      round(expr("percentile(freq, 0.99)"), 4).as("freq_p99"))
+      round(expr(s"$pct(freq, 0.5)").cast("double"), 4).as("freq_p50"),
+      round(expr(s"$pct(freq, 0.9)").cast("double"), 4).as("freq_p90"),
+      round(expr(s"$pct(freq, 0.99)").cast("double"), 4).as("freq_p99"))
+  }
 
   /** Log₂-bucketed histogram of a per-row length/count column — the
     * sequence-length distribution report that sizes packing
@@ -141,11 +157,14 @@ object Profiling {
     * two frequency aggs + a join of the (small) frequency tables —
     * never the join itself.
     *
-    * Per-key products are computed in decimal(38,0) so a hot key times
-    * a hot key can't silently wrap a Long (the overflow class the
-    * round-7 review purged); the final counts cast back to long, which
+    * Per-key products multiply decimal(19,0) operands — Spark's
+    * precision promotion makes the product decimal(38,0) — so a hot key
+    * times a hot key can't silently wrap a Long (the overflow class the
+    * round-7 review purged). The final sum/max cast back to long, which
     * bounds the usable estimate at ~9.2e18 output rows — beyond any
-    * join you'd actually run. */
+    * join you'd actually run; past that bound (or past decimal(38,0) in
+    * the sum) non-ANSI Spark yields NULL rather than saturating, so a
+    * NULL join_rows reads as "too big to run", not zero. */
   def joinCardinality(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String): DataFrame = {
     val fl = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("fl"))

@@ -415,12 +415,17 @@ object ScaleOps {
     * A recomputed exact sliding distinct re-reads every event
     * `windowDays` times; this reads each once.
     *
-    * Shape: daily sketches via distinct + groupBy(day); each sketch
+    * Shape: daily sketches via the bounded [[graft.functions.BottomK]]
+    * aggregate — O(k) buffer state with map-side partial aggregation,
+    * so the build is ONE shuffle of ≤ k-hash partial sketches per
+    * (day, input-partition), never a distinct of the raw hashes (the
+    * collect_set formulation this replaced buffered every distinct
+    * hash of a day in one aggregation buffer). Each sketch then
     * contributes to its `windowDays` windows by an OFFSET EXPLODE +
     * groupBy(window day) — equi-shuffles only, no unpartitioned window
-    * anywhere; per-group state ≤ windowDays·k hashes. Day-grain rows
-    * are calendar-bounded, so every post-sketch stage is tiny at any
-    * corpus scale.
+    * anywhere; per-group state ≤ windowDays·k hashes in the merge
+    * stage too. Day-grain rows are calendar-bounded, so every
+    * post-sketch stage is tiny at any corpus scale.
     *
     * Same determinism contract as [[kmvDistinct]] (md5 60-bit bottom-k,
     * union-closure merge, exact below k) — with `k` above the true
@@ -432,9 +437,9 @@ object ScaleOps {
     require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val sk = df.filter(col(valueCol).isNotNull)
-      .select(col(dayCol).as("day"), kmvHash(valueCol).as("h")).distinct()
+      .select(col(dayCol).as("day"), kmvHash(valueCol).as("h"))
       .groupBy("day")
-      .agg(slice(sort_array(collect_set(col("h"))), 1, k).as("sk"))
+      .agg(graft.functions.SketchAggregates.bottomK(col("h"), k).as("sk"))
     val days = sk.select(col("day"))
     val contrib = sk
       .select(col("day"), col("sk"),

@@ -189,5 +189,67 @@ class GraphSpec extends SparkSpec {
     // the adversarial premise is real: raw pairs grew ~120× while the
     // pruned edge set stayed flat
     assert(rawCount(32) > 100 * rawCount(0))
+
+    // the TRIPLE level (q_itemsets3) is guarded the same way: baskets
+    // are filtered to pair-frequent items before the cubic expansion,
+    // so the CANDIDATE count (pre-support-count) is exactly
+    // nOrders × C(3,3) = nOrders — flat under inflation — while the
+    // unpruned expansion would be nOrders × C(3+fill, 3)
+    def tripleCandidates(fill: Int): Long =
+      SparkEntry.aprioriTripleCandidates(sets(fill), 2).count()
+    def rawTriples(fill: Int): Long = {
+      val b = hot.size.toLong + fill
+      nOrders.toLong * b * (b - 1) * (b - 2) / 6
+    }
+    for (fill <- Seq(0, 8, 32)) {
+      assert(tripleCandidates(fill) == nOrders.toLong,
+        s"triple candidates grew under ×$fill basket inflation")
+    }
+    // ~1000× raw blow-up absorbed at fill=32 (C(35,3)=6545 vs C(3,3)=1)
+    assert(rawTriples(32) > 1000 * rawTriples(0))
+  }
+
+  // the deg² wedge frontier is the scale killer on skewed graphs; the
+  // maxDegree cap must keep it LINEAR by excluding hubs from the middle
+  // role — planted hub: "m" bridges nb below-spokes and na above-spokes,
+  // so every a<m<z wedge pivots on the hub
+  test("maxDegree hub cap keeps the wedge frontier linear on a planted hub") {
+    val nb = 20
+    val below = (0 until nb).map(i => (f"a$i%02d", "m"))
+    val above = (0 until nb).map(i => ("m", f"z$i%02d"))
+    val edges = (below ++ above).toDF("s", "d")
+    val e = Graph.canonicalUndirected(edges, "s", "d")
+    // uncapped: nb×nb hub-middle wedges (the quadratic frontier)
+    assert(Graph.wedges(e, Int.MaxValue).count() == nb.toLong * nb)
+    // capped below the hub degree (2·nb): spokes have degree 1, hub is
+    // excluded from the middle role -> zero wedges, frontier collapses
+    assert(Graph.wedges(e, nb).count() == 0L)
+    // a cap ABOVE every degree changes nothing (exactness preserved)
+    assert(Graph.wedges(e, 3 * nb).count() == nb.toLong * nb)
+
+    // triangleCounts: hub-median triangles are the ones dropped. K3
+    // {a,m,z} + the star: uncapped counts the triangle at all 3 vertices;
+    // capped at deg<=2 drops it (median m is a hub), exactness above cap
+    val tri = edges.union(Seq(("a00", "z00")).toDF("s", "d"))
+    val uncapped = Graph.triangleCounts(tri, "s", "d")
+      .as[(String, Long)].collect().toMap
+    assert(uncapped == Map("a00" -> 1L, "m" -> 1L, "z00" -> 1L))
+    assert(Graph.triangleCounts(tri, "s", "d", maxDegree = nb).count() == 0L)
+    assert(Graph.triangleCounts(tri, "s", "d", maxDegree = 3 * nb)
+      .as[(String, Long)].collect().toMap == uncapped)
+
+    // twoHopNeighborhood: hub-mediated reach is dropped, hub keeps its
+    // own row, direct edges unaffected. Star only: uncapped spokes see
+    // all 2·nb-1 others + hub via 2 hops... capped at 1 they see only m
+    val star = edges
+    val capped = Graph.twoHopNeighborhood(star, "s", "d", maxDegree = 1)
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(capped("m") == (2L * nb, 2L * nb)) // hub row intact
+    assert(capped("a00") == (1L, 1L)) // no hub-routed expansion
+    val full = Graph.twoHopNeighborhood(star, "s", "d")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(full("a00") == (1L, 2L * nb)) // hub + the 2nb-1 other spokes
   }
 }

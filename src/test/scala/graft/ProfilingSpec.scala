@@ -29,6 +29,21 @@ class ProfilingSpec extends SparkSpec {
     assert(r.getAs[Double]("freq_p99") == 5.94)
   }
 
+  test("keySkewProfile switches to approx_percentile past the key-count bound") {
+    // force the approx path: bound of 0 distinct keys (3 > 0). At this
+    // scale approx_percentile is still exact for p50 (the buffered
+    // histogram is lossless under the accuracy budget), so the switch
+    // must not change the non-percentile columns or the schema
+    val ap = Profiling.keySkewProfile(skewed, "k", exactPercentilesUpTo = 0L)
+    assert(ap.queryExecution.analyzed.toString.contains("approx_percentile"))
+    val r = ap.head()
+    assert(r.getAs[Long]("n_rows") == 10L && r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Double]("freq_p50") == 3.0) // exact at tiny cardinality
+    // default bound: exact percentile, no approx anywhere in the plan
+    val ex = Profiling.keySkewProfile(skewed, "k")
+    assert(!ex.queryExecution.analyzed.toString.contains("approx_percentile"))
+  }
+
   test("saltPlan: ceil-division factors, only keys above budget") {
     val got = Profiling.saltPlan(skewed, "k", rowsPerTask = 2)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet

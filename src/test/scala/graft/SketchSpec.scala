@@ -90,4 +90,32 @@ class SketchSpec extends SparkSpec {
     val (lo, hi, ap) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
     assert(ap >= lo && ap <= hi, s"approx median $ap outside [$lo, $hi]")
   }
+
+  test("bottom_k: smallest distinct values, duplicate-proof, ascending") {
+    import graft.functions.SketchAggregates
+    val df = Seq(9L, 3L, 7L, 3L, 1L, 7L, 5L, 100L).toDF("v")
+    val got = df.agg(SketchAggregates.bottomK(col("v"), 3).as("bk"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(1L, 3L, 5L)) // duplicates collapse, ascending order
+    // k above the distinct count returns everything (exact mode)
+    val all = df.agg(SketchAggregates.bottomK(col("v"), 100).as("bk"))
+      .head().getSeq[Long](0)
+    assert(all == Seq(1L, 3L, 5L, 7L, 9L, 100L))
+    // SQL registration parity
+    graft.functions.Registry.register(spark)
+    df.createOrReplaceTempView("bk_in")
+    assert(spark.sql("SELECT bottom_k(v, 3) FROM bk_in")
+      .head().getSeq[Long](0) == Seq(1L, 3L, 5L))
+  }
+
+  test("bottom_k multi-partition merge equals single-partition build") {
+    import graft.functions.SketchAggregates
+    val vals = (0 until 1000).map(i => ((i * 7919L) % 997L))
+    val one = vals.toDF("v").coalesce(1)
+      .agg(SketchAggregates.bottomK(col("v"), 16)).head().getSeq[Long](0)
+    val many = vals.toDF("v").repartition(13)
+      .agg(SketchAggregates.bottomK(col("v"), 16)).head().getSeq[Long](0)
+    assert(one == many) // union-closure merge: partitioning-invariant
+    assert(one == vals.distinct.sorted.take(16))
+  }
 }
