@@ -27,7 +27,10 @@ import org.apache.spark.sql.SparkSession
   *     min (the reference methodology used to record BASELINE).
   *   - default single-pass mode retries just the queries that exceed their
   *     committed BENCH_DETAIL.json time by >max(1.5x, +0.75 s), capped at
-  *     12, and takes the min.
+  *     12, and takes the min; if the run is still broadly inflated after
+  *     that (median ratio vs the reference > 1.2 — contention, not
+  *     spikes), it auto-escalates to a full second pass so the reported
+  *     value is min-of-2 (`"escalated":true` in the JSON line).
   * `value` is the sum of per-query best times (the comparable metric);
   * `wall_sec` is the honest elapsed suite time including retries. The line
   * also self-reports comparability vs the committed reference
@@ -102,15 +105,20 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
 
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val retryErrors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // (elapsed, ranClean): a failed run's elapsed is returned but flagged,
+    // so the caller can keep it OUT of min/best — a failed query must not
+    // masquerade as a fast one (its fast-failure time would otherwise
+    // poison the committed BENCH_DETAIL.json that calibrates retries)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        // a failed query must not masquerade as a fast one
-        errors += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
 
     // deterministic (sorted) run order: Map hash order reshuffles whenever
@@ -121,27 +129,56 @@ object Bench {
     val wallT0 = System.nanoTime()
     val repeat = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt)
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (pass <- 1 to repeat; (name, fn) <- ordered) {
-      val t = timeOne(name, fn)
-      best(name) = best.get(name).fold(t)(math.min(_, t))
+    val failTime = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def runPass(): Unit = for ((name, fn) <- ordered) {
+      val (t, ok) = timeOne(name, fn)
+      if (ok) best(name) = best.get(name).fold(t)(math.min(_, t))
+      else { errors += name; failTime(name) = math.max(failTime.getOrElse(name, 0.0), t) }
     }
+    for (pass <- 1 to repeat) runPass()
+    // a query that never ran clean reports its (max) failed elapsed —
+    // visible cost, and unambiguous next to its entry in `errors`
+    for ((k, v) <- failTime if !best.contains(k)) best(k) = v
 
     // Adaptive spike retry (single-pass mode only; REPEAT already covers
     // it): one-sided spikes are re-timed once, min taken. Only queries
-    // that ran clean are retried — a FAILED query's time stays as-is.
+    // that ran clean are retried; a retry that itself fails keeps the
+    // clean first-pass time and is tagged in retry_errors — NOT errors
+    // (the suite result stands; only the re-measurement failed).
     var retried = 0
     var spikeRecovered = 0.0
-    if (repeat == 1 && reference.nonEmpty) {
+    def retrySpikes(): Unit = {
       val spiked = best.toSeq
         .filter { case (k, v) => !errors.contains(k) &&
           reference.get(k).exists(r => v > math.max(r * 1.5, r + 0.75)) }
         .sortBy { case (k, v) => -(v - reference(k)) }
         .take(12)
       for ((name, first) <- spiked) {
-        val t = timeOne(name, queries(name))
-        if (t < first) { spikeRecovered += first - t; best(name) = t }
+        val (t, ok) = timeOne(name, queries(name))
+        if (ok) { if (t < first) { spikeRecovered += first - t; best(name) = t } }
+        else retryErrors += name
         retried += 1
       }
+    }
+    if (repeat == 1 && reference.nonEmpty) retrySpikes()
+
+    // Auto-escalation: if after spike retries the run is still broadly
+    // inflated vs the committed reference (median ratio > 1.2 — per-query
+    // retries only help when spikes are few), a whole second pass converts
+    // the run to min-of-2, which converges to the record methodology even
+    // on a noisy host. Skipped in REPEAT/filtered modes.
+    def medianRatio: Option[Double] = {
+      val rs = best.collect {
+        case (k, v) if reference.get(k).exists(_ > 0.05) => v / reference(k)
+      }.toSeq.sorted
+      if (rs.isEmpty) None else Some(rs(rs.size / 2))
+    }
+    var escalated = false
+    if (repeat == 1 && only.isEmpty && medianRatio.exists(_ > 1.2)) {
+      escalated = true
+      System.err.println(s"[bench] median ratio ${medianRatio.get} > 1.2 " +
+        "after retries: escalating to a full second pass (min-of-2)")
+      runPass()
     }
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     val results: Map[String, Double] = best.toMap
@@ -171,7 +208,9 @@ object Bench {
         s""""ratio_vs_detail":{"median":${fmt(med)},"p90":${fmt(p90)},""" +
           s""""n":${ratios.size}},"comparability":"$verdict""""
       }
+    val retryErrs = retryErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noise = s""""repeat":$repeat,"retried":$retried,""" +
+      s""""retry_errors":$retryErrs,"escalated":$escalated,""" +
       s""""spike_sec_recovered":${fmt(spikeRecovered)},"wall_sec":${fmt(wallSec)},$cmp"""
 
     // Full-precision sidecar: every query, never truncated.
