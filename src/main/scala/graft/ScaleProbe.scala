@@ -42,6 +42,24 @@ object ScaleProbe {
         col("lang"))
     }.reduce(_ unionByName _)
 
+  /** Events inflation for the profiling / rolling-sketch probes: replica
+    * r shifts event_id and user_id past their max while keeping
+    * timestamps — each replica reproduces the original key-frequency
+    * histogram over fresh keys (n_keys/n_rows scale exactly ×n,
+    * max/avg frequency invariant) and per-day distinct users scale
+    * exactly ×n, which is what makes the measured slope and the
+    * exactness pins in ScaleProbeSpec interpretable. */
+  def inflateEvents(ev: DataFrame, maxEvent: Long, maxUser: Long,
+      n: Int): DataFrame =
+    (0 until n).map { r =>
+      if (r == 0) ev
+      else ev.select(
+        (col("event_id") + lit(r * maxEvent)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(r * maxUser)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,6 +139,36 @@ object ScaleProbe {
       println(s"""{"factor":$n,"rows":$rows,"pairs_sec":${f"$pairsSec%.2f"},""" +
         s""""n_pairs":$nPairs,"capped_buckets":$cappedBuckets,""" +
         s""""curate_sec":${f"$curateSec%.2f"},"n_survivors":$nSurvivors}""")
+    }
+
+    // ---- Profiling / rolling-sketch family (round-7 additions): same
+    // factor ladder over shape-preserving events inflation. Expected
+    // slopes: keySkewProfile ~linear (one count-agg + one single-row
+    // reduce), tableProfile ~linear (one stacked agg), rollingKmvDistinct
+    // ~linear in events with a calendar-bounded sketch-merge tail.
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    factors.foreach { n =>
+      val d = inflateEvents(ev, maxEvent, maxUser, n).localCheckpoint(true)
+      val rows = d.count()
+      val (_, skewSec) = timed {
+        graft.operators.Profiling.keySkewProfile(d, "user_id").collect()
+      }
+      val (_, profSec) = timed {
+        graft.operators.Profiling.tableProfile(d,
+          Seq("user_id", "event_type", "value"), k = 256).collect()
+      }
+      val (nWindows, rollSec) = timed {
+        graft.ops.ScaleOps.rollingKmvDistinct(
+          d.withColumn("day", to_date(col("ts"))), "day", "user_id",
+          windowDays = 7, k = 1024).count()
+      }
+      println(s"""{"family":"profiling","factor":$n,"rows":$rows,""" +
+        s""""key_skew_sec":${f"$skewSec%.2f"},""" +
+        s""""table_profile_sec":${f"$profSec%.2f"},""" +
+        s""""rolling_kmv_sec":${f"$rollSec%.2f"},"n_windows":$nWindows}""")
     }
     spark.stop()
   }

@@ -2739,6 +2739,35 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // REAL compressed-image pixel resample: per key a 2x2 PNG with four
+    // DISTINCT pixels is NN-resized to 1x1 through the full
+    // decode->sample->PNG-re-encode->decode roundtrip; NN must pick the
+    // top-left source pixel (src = floor(dst*2/1) = 0) and PNG
+    // re-encoding is lossless, so the surviving pixel's luma replays as
+    // exact arithmetic on the key — picking any other pixel, resampling
+    // lossily, or emitting a malformed PNG fails the hash
+    "q_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 600).as[Long].map { k =>
+          val payload = graft.operators.Codecs.encodeImage("png", 2, 2, (x, y) => {
+            val i = y * 2 + x
+            val r = ((k + i) % 256).toInt
+            val g = ((k / 3 + i) % 256).toInt
+            val b = ((k / 7 + i) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          graft.operators.Multimodal.MediaRow(k, "image", payload)
+        }
+      val resized = graft.operators.Multimodal.resizeReal(rows, 1, 1)
+        .map(r => graft.operators.Multimodal.MediaRow(r.media_id, "image",
+          r.payload))
+      graft.operators.Multimodal.decodeReal(resized).toDF()
+        .select(col("media_id").as("o_orderkey"), col("format"),
+          col("width"), col("height"), round(col("mean_level"), 4).as("luma"))
+        .orderBy("o_orderkey")
+    }),
+
     // SCD Type 2 MERGE: two history-preserving upserts (initial load,
     // then a batch where 1-in-3 keys changed and 1-in-3 is a no-op);
     // fixed asOf timestamps keep reruns + oracle deterministic
@@ -5766,6 +5795,16 @@ object SparkEntry {
                     0.587 * ((o_orderkey // 3 + 3) % 256) +
                     0.114 * ((o_orderkey // 7 + 3) % 256))) / 4, 4)
                 END AS luma
+         FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey""",
+
+    // NN 2x2 -> 1x1 through PNG re-encode keeps exactly the top-left
+    // pixel (i=0), whose channels replay as pure arithmetic on the key
+    "q_image_resize" ->
+      """SELECT o_orderkey, 'png' AS format,
+                CAST(1 AS INT) AS width, CAST(1 AS INT) AS height,
+                ROUND(0.299 * (o_orderkey % 256) +
+                      0.587 * ((o_orderkey // 3) % 256) +
+                      0.114 * ((o_orderkey // 7) % 256), 4) AS luma
          FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey""",
 
     "q_scd2" ->

@@ -80,6 +80,42 @@ object Codecs {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Nearest-neighbor resize for the ImageIO raster formats — the
+    * compressed-format sibling of [[resizePpmNearest]], same NN mapping
+    * (src pixel = floor(dst·src/out)). The input is decoded by the JDK
+    * reader; the resampled raster is re-encoded as PNG regardless of
+    * input format, so downstream decode sees exactly the sampled pixels
+    * (PNG is lossless — re-encoding as JPEG would corrupt the samples
+    * it just picked). None for undecodable payloads, non-positive or
+    * output-buffer-overflowing target dims; never throws. Row-local,
+    * allocation = output raster. */
+  def resizeImageNearest(bytes: Array[Byte], outW: Int,
+      outH: Int): Option[Array[Byte]] = {
+    if (outW <= 0 || outH <= 0) return None
+    if (outW.toLong * outH > Int.MaxValue / 8) return None // 2 ints/px + slack
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val out = new java.awt.image.BufferedImage(outW, outH,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < outH) {
+        val sy = (y.toLong * img.getHeight / outH).toInt
+        var x = 0
+        while (x < outW) {
+          val sx = (x.toLong * img.getWidth / outW).toInt
+          out.setRGB(x, y, img.getRGB(sx, sy))
+          x += 1
+        }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      Some(baos.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Deterministic test-image builder: encode a w×h raster whose pixel
     * (x,y) is the 24-bit RGB `pixel(x, y)` with the JDK's own `format`
     * writer ("png", "jpeg", "bmp", "gif"). Used by the decode oracles

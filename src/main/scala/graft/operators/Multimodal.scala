@@ -88,14 +88,17 @@ object Multimodal {
       height: Int, payload: Array[Byte])
 
   /** REAL pixel resample (nearest neighbor) for PPM payloads
-    * ([[Codecs.resizePpmNearest]]), batched per partition like the other
-    * codec stages. Rows whose payload isn't a decodable PPM come back
-    * with `resized = false` and the original bytes (route them to the
+    * ([[Codecs.resizePpmNearest]]) and the ImageIO formats
+    * ([[Codecs.resizeImageNearest]] — PNG/JPEG/BMP/GIF in, PNG out),
+    * batched per partition like the other codec stages. Rows whose
+    * payload no pure-JVM codec can resample come back with
+    * `resized = false` and the original bytes (route them to the
     * metadata-only [[resized]] path or an external service). */
   def resizeReal(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[ResizedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      Codecs.resizePpmNearest(r.payload, outW, outH) match {
+      Codecs.resizePpmNearest(r.payload, outW, outH)
+        .orElse(Codecs.resizeImageNearest(r.payload, outW, outH)) match {
         case Some(p) => ResizedRow(r.media_id, resized = true, outW, outH, p)
         case None => ResizedRow(r.media_id, resized = false, 0, 0, r.payload)
       }

@@ -199,6 +199,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.decodeImage(ppm).isEmpty)
   }
 
+  test("resizeImageNearest: exact NN through PNG re-encode, totality") {
+    import graft.operators.Codecs
+    def pix(x: Int, y: Int): Int = {
+      val i = y * 2 + x
+      ((50 + i) << 16) | ((80 + i) << 8) | (120 + i)
+    }
+    val png = Codecs.encodeImage("png", 2, 2, pix)
+    // downscale to 1x1 keeps exactly the top-left pixel, losslessly
+    val down = Codecs.decodeImage(Codecs.resizeImageNearest(png, 1, 1).get).get
+    assert((down.format, down.width, down.height) == (("png", 1, 1)))
+    val wantTL = 0.299 * 50 + 0.587 * 80 + 0.114 * 120
+    assert(math.abs(down.meanLevel - wantTL) < 1e-9)
+    // upscale 2x2 -> 4x4 replicates pixels: mean luma is invariant
+    val up = Codecs.decodeImage(Codecs.resizeImageNearest(png, 4, 4).get).get
+    assert((up.width, up.height) == ((4, 4)))
+    val srcMean = (0 until 4).map { i =>
+      0.299 * (50 + i) + 0.587 * (80 + i) + 0.114 * (120 + i)
+    }.sum / 4
+    assert(math.abs(up.meanLevel - srcMean) < 1e-9)
+    // JPEG input resamples too (output is still lossless PNG)
+    val jpg = Codecs.encodeImage("jpeg", 8, 8, (_, _) => 0x6496c8)
+    val rj = Codecs.decodeImage(Codecs.resizeImageNearest(jpg, 2, 2).get).get
+    assert((rj.format, rj.width, rj.height) == (("png", 2, 2)))
+    // totality: junk bytes, non-positive and overflowing dims
+    assert(Codecs.resizeImageNearest("junk".getBytes, 2, 2).isEmpty)
+    assert(Codecs.resizeImageNearest(png, 0, 1).isEmpty)
+    assert(Codecs.resizeImageNearest(png, 1 << 16, 1 << 16).isEmpty)
+    // PPM payloads are the hand-rolled codec's job, not ImageIO's
+    val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Codecs.resizeImageNearest(ppm, 1, 1).isEmpty)
+  }
+
   test("decodeReal routes real formats and flags the rest undecoded") {
     val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
     val png = graft.operators.Codecs.encodeImage("png", 3, 2, (x, y) => x << 16 | y)

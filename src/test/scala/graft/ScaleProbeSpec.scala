@@ -45,4 +45,47 @@ class ScaleProbeSpec extends SparkSpec {
         s"$msg — super-linear drift")
     else info(msg)
   }
+
+  // CI-light pin for the profiling/rolling-sketch ScaleProbe rows: the
+  // shape-preserving events inflation makes exact expectations provable,
+  // so a probe row can't rot into measuring a different computation
+  test("×8 events inflation: skew profile and rolling KMV scale exactly") {
+    import graft.operators.Profiling
+    import graft.ops.ScaleOps
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxE = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxU = ev.agg(max("user_id")).head().getLong(0) + 1
+    def at(n: Int) =
+      ScaleProbe.inflateEvents(ev, maxE, maxU, n).localCheckpoint(true)
+    val b = at(1)
+    val i8 = at(8)
+
+    // keySkewProfile: rows/keys scale exactly ×8; max/avg frequency are
+    // replica-invariant (interpolated percentiles are NOT — the rank
+    // index shifts between N and 8N copies of the same multiset, so
+    // they're probed for presence, not pinned)
+    val p1 = Profiling.keySkewProfile(b, "user_id").head()
+    val p8 = Profiling.keySkewProfile(i8, "user_id").head()
+    assert(p8.getAs[Long]("n_rows") == 8 * p1.getAs[Long]("n_rows"))
+    assert(p8.getAs[Long]("n_keys") == 8 * p1.getAs[Long]("n_keys"))
+    assert(p8.getAs[Long]("max_freq") == p1.getAs[Long]("max_freq"))
+    assert(p8.getAs[Double]("avg_freq") == p1.getAs[Double]("avg_freq"))
+    assert(p8.getAs[Double]("freq_p90") >= p1.getAs[Double]("freq_p50"))
+
+    // rollingKmvDistinct with k above window cardinality is exact: the
+    // window set (anchor days) is inflation-invariant and every window's
+    // distinct count scales exactly ×8 (shifted user ids are disjoint)
+    def roll(d: org.apache.spark.sql.DataFrame) =
+      ScaleOps.rollingKmvDistinct(
+        d.withColumn("day", to_date(col("ts"))), "day", "user_id",
+        windowDays = 7, k = 65536)
+        .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    val r1 = roll(b)
+    val r8 = roll(i8)
+    assert(r1.nonEmpty && r1.keySet == r8.keySet)
+    r1.foreach { case (day, u) =>
+      assert(r8(day) == 8 * u, s"window $day: ${r8(day)} != 8×$u")
+    }
+  }
 }
