@@ -2768,6 +2768,53 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // REAL audio feature extraction: per key an 8-sample PCM-16 WAV is
+    // byte-built (samples are pure key arithmetic), then RMS / peak /
+    // zero-crossings come from the codec. Every feature is exact across
+    // engines: /32768 and /2^30 are power-of-two scalings, so the
+    // sum-of-squares is a sum of exactly-representable dyadic rationals
+    // (order-independent), and peak/ZCR are integer comparisons
+    "q_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 600).as[Long].map { k =>
+          val samples = Array.tabulate[Short](8)(i =>
+            (((k * 31 + i * 997) % 65536) - 32768).toShort)
+          graft.operators.Multimodal.MediaRow(k, "audio",
+            graft.operators.Codecs.encodeWav(8000, 1, samples))
+        }
+      graft.operators.Multimodal.audioFeaturesReal(rows).toDF()
+        .select(col("media_id").as("o_orderkey"), col("n_samples"),
+          round(col("rms"), 6).as("rms"),
+          round(col("peak"), 6).as("peak"),
+          col("zero_crossings"))
+        .orderBy("o_orderkey")
+    }),
+
+    // REAL per-channel color means: the same deterministic 2x2 PNG as
+    // q_image_decode, reduced per channel instead of to luma — each mean
+    // replays as integer-sum arithmetic on the key
+    "q_image_channels" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 600).as[Long].map { k =>
+          val payload = graft.operators.Codecs.encodeImage("png", 2, 2, (x, y) => {
+            val i = y * 2 + x
+            val r = ((k + i) % 256).toInt
+            val g = ((k / 3 + i) % 256).toInt
+            val b = ((k / 7 + i) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          graft.operators.Multimodal.MediaRow(k, "image", payload)
+        }
+      graft.operators.Multimodal.imageChannelsReal(rows).toDF()
+        .select(col("media_id").as("o_orderkey"),
+          round(col("r_mean"), 4).as("r_mean"),
+          round(col("g_mean"), 4).as("g_mean"),
+          round(col("b_mean"), 4).as("b_mean"))
+        .orderBy("o_orderkey")
+    }),
+
     // SCD Type 2 MERGE: two history-preserving upserts (initial load,
     // then a batch where 1-in-3 keys changed and 1-in-3 is a no-op);
     // fixed asOf timestamps keep reruns + oracle deterministic
@@ -5805,6 +5852,45 @@ object SparkEntry {
                 ROUND(0.299 * (o_orderkey % 256) +
                       0.587 * ((o_orderkey // 3) % 256) +
                       0.114 * ((o_orderkey // 7) % 256), 4) AS luma
+         FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey""",
+
+    // time-domain audio features replayed over the unnested synthetic
+    // samples: /32768 and the squared terms are power-of-two scalings of
+    // integers (exactly representable doubles), so SUM order can't skew
+    // the RMS; ZCR is a lag-window sign-flip count; all integer-exact
+    "q_audio_features" ->
+      """WITH s AS (
+           SELECT o_orderkey AS k, i,
+                  ((o_orderkey * 31 + i * 997) % 65536) - 32768 AS raw
+           FROM orders CROSS JOIN (SELECT unnest(range(8)) AS i)
+           WHERE o_orderkey < 600),
+         f AS (SELECT k, i, raw,
+                 CASE WHEN lag(raw) OVER (PARTITION BY k ORDER BY i)
+                        IS NULL THEN 0
+                      WHEN (raw >= 0) <>
+                        (lag(raw) OVER (PARTITION BY k ORDER BY i) >= 0)
+                        THEN 1 ELSE 0 END AS flip
+               FROM s)
+         SELECT k AS o_orderkey, CAST(8 AS BIGINT) AS n_samples,
+                ROUND(SQRT(SUM((raw / 32768.0) * (raw / 32768.0)) / 8), 6)
+                  AS rms,
+                ROUND(MAX(ABS(raw)) / 32768.0, 6) AS peak,
+                CAST(SUM(flip) AS BIGINT) AS zero_crossings
+         FROM f GROUP BY k ORDER BY o_orderkey""",
+
+    // per-channel means of the 2x2 raster: integer channel sums then one
+    // exact /4, same accumulation both engines
+    "q_image_channels" ->
+      """SELECT o_orderkey,
+                ROUND(((o_orderkey + 0) % 256 + (o_orderkey + 1) % 256 +
+                       (o_orderkey + 2) % 256 + (o_orderkey + 3) % 256)
+                      / 4.0, 4) AS r_mean,
+                ROUND(((o_orderkey // 3 + 0) % 256 + (o_orderkey // 3 + 1) % 256 +
+                       (o_orderkey // 3 + 2) % 256 + (o_orderkey // 3 + 3) % 256)
+                      / 4.0, 4) AS g_mean,
+                ROUND(((o_orderkey // 7 + 0) % 256 + (o_orderkey // 7 + 1) % 256 +
+                       (o_orderkey // 7 + 2) % 256 + (o_orderkey // 7 + 3) % 256)
+                      / 4.0, 4) AS b_mean
          FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey""",
 
     "q_scd2" ->

@@ -209,8 +209,10 @@ object Codecs {
     }
   }
 
-  /** WAV, PCM 16-bit only (format tag 1). None on anything else. */
-  def decodeWav(b: Array[Byte]): Option[Decoded] = {
+  /** RIFF/WAVE chunk scan shared by [[decodeWav]] and [[audioFeatures]]:
+    * (channels, sampleRate, dataOffset, dataLen) for PCM 16-bit payloads
+    * (format tag 1), None on anything else. */
+  private def wavPcm16(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     def ascii(off: Int, s: String): Boolean =
       off + s.length <= b.length && s.indices.forall(k => b(off + k) == s(k))
     def u32(off: Int): Long =
@@ -241,7 +243,12 @@ object Codecs {
       (channels, rate, bits) <- fmt
       if bits == 16 && channels > 0 && rate > 0
       (dOff, dLen) <- data
-    } yield {
+    } yield (channels, rate, dOff, dLen)
+  }
+
+  /** WAV, PCM 16-bit only (format tag 1). None on anything else. */
+  def decodeWav(b: Array[Byte]): Option[Decoded] =
+    wavPcm16(b).map { case (channels, rate, dOff, dLen) =>
       val nSamples = dLen / (2 * channels)
       var sumSq = 0.0
       var p = dOff
@@ -255,5 +262,98 @@ object Codecs {
       Decoded("wav", 0, 0, channels, rate, nSamples.toLong,
         if (n == 0) 0.0 else math.sqrt(sumSq / n))
     }
+
+  /** Audio feature record beyond RMS: peak amplitude (max |s|/32768,
+    * exact division) and zero-crossing count (sign flips between
+    * consecutive samples, frame-major across interleaved channels;
+    * s >= 0 counts as non-negative) — the cheap time-domain screens a
+    * speech/music corpus pipeline runs to drop silence (peak ≈ 0),
+    * clipped takes (peak at 1.0 = |−32768|/32768), and noise (ZCR near
+    * Nyquist). Integer sample reads + one exact division per sample:
+    * every field replays exactly on another engine. */
+  case class AudioFeatures(channels: Int, sampleRate: Int, nSamples: Long,
+      rms: Double, peak: Double, zeroCrossings: Long)
+
+  /** Time-domain features of a PCM-16 WAV payload; None when the bytes
+    * aren't one ([[wavPcm16]]). Total — never throws. */
+  def audioFeatures(b: Array[Byte]): Option[AudioFeatures] =
+    wavPcm16(b).map { case (channels, rate, dOff, dLen) =>
+      val nSamples = dLen / (2 * channels)
+      val end = dOff + nSamples * 2 * channels
+      var sumSq = 0.0
+      var peak = 0.0
+      var zc = 0L
+      var prevNonNeg = true
+      var first = true
+      var p = dOff
+      while (p + 1 < end) {
+        val raw = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort
+        val s = raw / 32768.0
+        sumSq += s * s
+        val a = if (s < 0) -s else s
+        if (a > peak) peak = a
+        val nonNeg = raw >= 0
+        if (!first && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        first = false
+        p += 2
+      }
+      val n = (end - dOff) / 2
+      AudioFeatures(channels, rate, nSamples.toLong,
+        if (n == 0) 0.0 else math.sqrt(sumSq / n), peak, zc)
+    }
+
+  /** Minimal PCM-16 mono/stereo WAV builder (44-byte canonical header +
+    * little-endian samples) — the audio sibling of [[encodeImage]],
+    * used by oracles and specs to synthesize deterministic payloads. */
+  def encodeWav(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "bad WAV params")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(off: Int, s: String): Unit =
+      s.indices.foreach(i => out(off + i) = s.charAt(i).toByte)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put(0, "RIFF"); le32(4, 36 + dataLen); put(8, "WAVE")
+    put(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * channels * 2)
+    le16(32, channels * 2); le16(34, 16)
+    put(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { le16(44 + i * 2, samples(i)); i += 1 }
+    out
   }
+
+  /** Per-channel mean of an ImageIO raster (r_mean, g_mean, b_mean) —
+    * the color-distribution feature the luma in [[decodeImage]] folds
+    * away; row-major accumulation, exact for lossless formats. None on
+    * undecodable payloads. */
+  def imageChannelMeans(bytes: Array[Byte]): Option[(Double, Double, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var r = 0.0; var g = 0.0; var bl = 0.0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; bl += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        if (n == 0) None else Some((r / n, g / n, bl / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

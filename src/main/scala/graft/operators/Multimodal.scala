@@ -105,6 +105,45 @@ object Multimodal {
     })
   }
 
+  case class AudioRow(media_id: Long, decoded: Boolean, channels: Int,
+      sample_rate: Int, n_samples: Long, rms: Double, peak: Double,
+      zero_crossings: Long)
+
+  /** Time-domain audio screen over PCM WAV payloads
+    * ([[Codecs.audioFeatures]]: RMS, peak amplitude, zero-crossing
+    * count) — the silence/clipping/noise triage stage of an audio
+    * corpus pipeline, batched per partition like every codec stage.
+    * Non-WAV rows come back `decoded = false`. */
+  def audioFeaturesReal(media: Dataset[MediaRow]): Dataset[AudioRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      Codecs.audioFeatures(r.payload) match {
+        case Some(f) => AudioRow(r.media_id, decoded = true, f.channels,
+          f.sampleRate, f.nSamples, f.rms, f.peak, f.zeroCrossings)
+        case None =>
+          AudioRow(r.media_id, decoded = false, 0, 0, 0L, 0.0, 0.0, 0L)
+      }
+    })
+  }
+
+  case class ChannelRow(media_id: Long, decoded: Boolean, r_mean: Double,
+      g_mean: Double, b_mean: Double)
+
+  /** Per-channel color means over ImageIO payloads
+    * ([[Codecs.imageChannelMeans]]) — the color-distribution feature
+    * (sepia/grayscale/tint detection) the luma decode folds away.
+    * Undecodable rows come back `decoded = false`. */
+  def imageChannelsReal(media: Dataset[MediaRow]): Dataset[ChannelRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      Codecs.imageChannelMeans(r.payload) match {
+        case Some((rm, gm, bm)) =>
+          ChannelRow(r.media_id, decoded = true, rm, gm, bm)
+        case None => ChannelRow(r.media_id, decoded = false, 0.0, 0.0, 0.0)
+      }
+    })
+  }
+
   /** Resize metadata transform (pure arithmetic on decoded dims — the
     * real pixel resample for PPM is [[resizeReal]]; this is the
     * plan-only path for formats the pure-JVM codec can't resample). */

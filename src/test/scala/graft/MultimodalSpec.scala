@@ -231,6 +231,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.resizeImageNearest(ppm, 1, 1).isEmpty)
   }
 
+  test("audioFeatures: exact RMS/peak/ZCR on a synthesized WAV") {
+    import graft.operators.Codecs
+    val samples = Array[Short](16384, -16384, 0, -32768, 32767)
+    val wav = Codecs.encodeWav(8000, 1, samples)
+    val f = Codecs.audioFeatures(wav).get
+    assert(f.channels == 1 && f.sampleRate == 8000 && f.nSamples == 5L)
+    assert(f.peak == 1.0) // |-32768| / 32768
+    // sign flips: +16384->-16384, -16384->0 (zero is non-negative),
+    // 0->-32768, -32768->32767
+    assert(f.zeroCrossings == 4L)
+    // power-of-two scalings keep every term exactly representable, so
+    // the RMS is bit-equal to the direct formula, not just close
+    val want = math.sqrt(
+      samples.map(s => (s / 32768.0) * (s / 32768.0)).sum / 5)
+    assert(f.rms == want)
+    // decodeWav's RMS agrees (same sample walk)
+    assert(Codecs.decodeWav(wav).get.meanLevel == f.rms)
+    assert(Codecs.audioFeatures("junk".getBytes).isEmpty)
+    assert(Codecs.audioFeatures(Array.empty[Byte]).isEmpty)
+  }
+
+  test("imageChannelMeans: exact per-channel means on lossless rasters") {
+    import graft.operators.Codecs
+    val png = Codecs.encodeImage("png", 2, 1,
+      (x, _) => if (x == 0) 0xff0000 else 0x000040)
+    val (r, g, b) = Codecs.imageChannelMeans(png).get
+    assert(r == 127.5 && g == 0.0 && b == 32.0)
+    assert(Codecs.imageChannelMeans("nope".getBytes).isEmpty)
+  }
+
   test("decodeReal routes real formats and flags the rest undecoded") {
     val ppm = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30)
     val png = graft.operators.Codecs.encodeImage("png", 3, 2, (x, y) => x << 16 | y)
