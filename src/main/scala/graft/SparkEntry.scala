@@ -1893,6 +1893,50 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // stream-stream LEFT OUTER interval join: unmatched error rows are
+    // emitted with nulls only when the watermark proves no click can
+    // still arrive — the state-expiry semantics the inner variant never
+    // exercises. The cutoff is applied AFTER the join, not on the left
+    // stream: the global watermark is min(left, right), so a
+    // pre-filtered left side would trail its own max and the newest
+    // unmatched rows could never flush (observed: n_unmatched short by
+    // the tail rows). With full-range watermarks, every retained row's
+    // eviction bound (ts + window = cutoff + 3600) clears the final
+    // watermark (max ts − 600) by a 3900 s margin, so the AvailableNow
+    // drain flushes EVERY retained unmatched row and the oracle can
+    // replay the join relationally without modeling eviction timing
+    "q_stream_outer" -> ((s, dir) => {
+      val name = s"stream_oj_${System.nanoTime()}"
+      // the join's effective watermark is min(left wm, right wm), each
+      // trailing ITS OWN type's max ts — anchor the cutoff there, not at
+      // the global max (a sparse tail of other event types would leave
+      // the last errors/clicks stuck in state and short the unmatched
+      // counts, as observed at sf0.001)
+      val maxTs = Tables.load(s, dir, "events")
+        .agg(least(
+          max(when(col("event_type") === "error", col("ts"))),
+          max(when(col("event_type") === "click", col("ts")))))
+        .head().getTimestamp(0)
+      // 8100 s = window 3600 + watermark delay 600 + margin 3900
+      val cutoff = new java.sql.Timestamp(maxTs.getTime - 8100L * 1000)
+      def ev() = graft.streaming.Streams.readTableStream(s, dir, "events")
+      val errors = ev().filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"))
+      val clicks = ev().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val joined = graft.streaming.Streams.intervalJoin(
+        errors, clicks, "user_id", "c_user", "ts", "c_ts",
+        windowSeconds = 3600, joinType = "left_outer")
+        .filter(col("ts") <= lit(cutoff))
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainAppend(joined, name)
+      }
+      drained.groupBy("user_id")
+        .agg(count(col("c_ts")).as("n_matched"),
+          (count(lit(1)) - count(col("c_ts"))).as("n_unmatched"))
+        .orderBy("user_id")
+    }),
+
     // streaming sliding windows (width 1h, slide 30m) drained AvailableNow
     // — same answer as the batch q_event_sliding, same oracle
     "q_stream_sliding" -> ((s, dir) => {
@@ -4137,6 +4181,28 @@ object SparkEntry {
            ON c.user_id = e.user_id AND c.ts >= e.ts
               AND c.ts < e.ts + INTERVAL '24 hours'
          GROUP BY e.user_id ORDER BY e.user_id""",
+
+    // the left-outer stream emits every pre-cutoff error row exactly
+    // once per matching click plus once with nulls when unmatched, so
+    // the relational left join replays it; 8100 s mirrors the Spark
+    // side's cutoff (window + watermark delay + margin)
+    "q_stream_outer" ->
+      """WITH mx AS (SELECT LEAST(
+                       MAX(ts) FILTER (WHERE event_type = 'error'),
+                       MAX(ts) FILTER (WHERE event_type = 'click')) AS m
+                     FROM events),
+            e AS (SELECT user_id, ts FROM events CROSS JOIN mx
+                  WHERE event_type = 'error'
+                    AND ts <= m - INTERVAL 8100 SECONDS),
+            c AS (SELECT user_id AS c_user, ts AS c_ts FROM events
+                  WHERE event_type = 'click'),
+            j AS (SELECT e.user_id, c.c_ts
+                  FROM e LEFT JOIN c ON e.user_id = c.c_user
+                    AND c.c_ts >= e.ts
+                    AND c.c_ts < e.ts + INTERVAL 3600 SECONDS)
+         SELECT user_id, CAST(COUNT(c_ts) AS BIGINT) AS n_matched,
+                CAST(COUNT(*) - COUNT(c_ts) AS BIGINT) AS n_unmatched
+         FROM j GROUP BY user_id ORDER BY user_id""",
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
