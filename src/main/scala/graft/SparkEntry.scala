@@ -1108,6 +1108,16 @@ object SparkEntry {
         n = 3, threshold = 0.7)
         .orderBy("a_id", "b_id")),
 
+    // exact word-token Jaccard via PREFIX FILTERING (PPJoin candidate
+    // rule): candidates only from rarest-first token prefixes — exact
+    // at the threshold with no df cap and no recall loss; the oracle
+    // replays the plain all-pairs Jaccard definition, so any pair the
+    // prefix pruning loses (or invents) fails the hash
+    "q_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixFilterJaccardPairs(docs(s, dir), "doc_id", "text",
+        threshold = 0.8)
+        .orderBy("a_id", "b_id")),
+
     // embedding-cosine near-dup, brute-force verify path (oracle-checked).
     // Op-level threshold sits below the final cut so the 4-decimal rounding
     // (applied in both engines) is the only boundary that matters. The
@@ -3923,6 +3933,25 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY a_id, b_id""",
+
+    // the prefix-filter join is exact, so the oracle is the DEFINITION:
+    // all-pairs distinct-token Jaccard, thresholded on the rounded value
+    "q_prefix_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, list_distinct(
+                    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                x -> len(x) > 0)) AS t
+           FROM documents),
+         nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+                      (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+                      6) AS jaccard
+         FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+         WHERE ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
+                     (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))),
+                     6) >= 0.8
          ORDER BY a_id, b_id""",
 
     "q_pii_redact" ->

@@ -156,6 +156,74 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Exact word-token Jaccard pairs via PREFIX FILTERING — the
+    * high-threshold set-similarity join of SSJoin/PPJoin (Chaudhuri et
+    * al. 2006, Xiao et al. 2008; public algorithms): order each doc's
+    * distinct tokens rarest-first (ascending global document frequency,
+    * ties by token), keep only the first |t| − ceil(θ·|t|) + 1 as the
+    * doc's PREFIX, and generate candidates from pairs sharing a prefix
+    * token. The prefix lemma makes the result EXACT: two sets with
+    * J ≥ θ overlap in more than the suffix length, so they must share
+    * at least one prefix token — no df cap, no recall loss, unlike
+    * LSH's probabilistic banding.
+    *
+    * vs [[ngramJaccardPairs]]'s size-bucket blocking: the pruning here
+    * is by CONTENT — hot boilerplate tokens sort to the suffixes and
+    * never generate candidates, so candidate cost concentrates on rare
+    * tokens with short posting lists (Σ prefix-df², each term bounded
+    * by how rare the token is, not by a cap that sacrifices recall).
+    * Shuffle shape: one df agg, one per-doc ranking window (partitioned
+    * by doc id), one posting equi-join on the prefix token, two slim
+    * id-keyed joins for the exact verify.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val tokSets = distinctTokenSets(df, idCol, textCol)
+    val cand = prefixCandidates(tokSets, threshold)
+    val withToks = cand
+      .join(tokSets.select(col("id").as("a_id"), col("toks").as("a_tk")), Seq("a_id"))
+      .join(tokSets.select(col("id").as("b_id"), col("toks").as("b_tk")), Seq("b_id"))
+    jaccardStaged(withToks, "a_tk", "b_tk")
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  private def distinctTokenSets(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(tokens(col(textCol))).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** The prefix-filter candidate stage (exposed for the spec that pins
+    * the content pruning: a token shared by every doc sorts to the
+    * suffixes and must generate zero candidates on its own). */
+  private[graft] def prefixCandidates(tokSets: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.expressions.Window
+    val posting = tokSets.select(col("id"), explode(col("toks")).as("tok"))
+    val dfreq = posting.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    // rarest-first rank inside each doc (total order via the token tie)
+    val ranked = posting.join(dfreq, Seq("tok"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("tdf").asc, col("tok").asc)))
+      .join(tokSets.select(col("id"), size(col("toks")).as("n")), Seq("id"))
+    // prefix length |t| - ceil(θ|t|) + 1; the tiny negative epsilon can
+    // only shrink the ceil at exact integers, i.e. LENGTHEN the prefix —
+    // conservative, completeness never depends on float rounding
+    val prefix = ranked.filter(col("rn") <=
+      col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+    val a = prefix.select(col("tok"), col("id").as("a_id"), col("n").as("a_n"))
+    val b = prefix.select(col("tok"), col("id").as("b_id"), col("n").as("b_n"))
+    a.join(b, Seq("tok"))
+      .filter(col("a_id") < col("b_id") &&
+        // length-ratio bound: J ≥ θ ⇒ sizes within 1/θ of each other
+        col("b_n") >= col("a_n") * threshold &&
+        col("a_n") >= col("b_n") * threshold)
+      .select("a_id", "b_id").distinct()
+  }
+
   /** Asymmetric containment near-dup pairs: C(A→B) = |g(A)∩g(B)|/|g(A)|
     * over distinct word n-gram sets — the quote/subset detector Jaccard
     * structurally misses (a short doc fully quoted inside a long one has

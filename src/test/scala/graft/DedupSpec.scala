@@ -283,6 +283,54 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 3)
   }
 
+  test("prefixFilterJaccardPairs == brute-force Jaccard (exactness lemma)") {
+    // near-dup cluster + unrelated docs + a short doc (size-ratio edge)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"), // J=4/6 vs 1
+      (3L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (4L, "one two three four five"),
+      (5L, "one two three four six"), // J=4/6 vs 4
+      (6L, "alpha beta"), // small vs 1: J=2/5
+      (7L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    def brute(theta: Double): Set[(Long, Long)] = {
+      val t = docs.select(col("doc_id").as("id"),
+        array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("tk"))
+      t.select(col("id").as("a_id"), col("tk").as("a_tk"))
+        .crossJoin(t.select(col("id").as("b_id"), col("tk").as("b_tk")))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("i", size(array_intersect(col("a_tk"), col("b_tk"))))
+        .withColumn("j", col("i") /
+          (size(col("a_tk")) + size(col("b_tk")) - col("i")))
+        .filter(round(col("j"), 6) >= theta)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    }
+    for (theta <- Seq(0.5, 0.66, 0.8, 1.0)) {
+      val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", theta)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == brute(theta), s"theta=$theta")
+    }
+  }
+
+  test("prefix filtering prunes by content: a universal token generates no candidates") {
+    // every doc shares 'common'; the other 4 tokens are globally unique.
+    // prefix length at theta=0.8 is 5 - 4 + 1 = 2 rarest tokens — the
+    // universal token (df = n) sorts LAST and never enters a prefix, so
+    // the candidate set is EMPTY while brute pairs would be C(40,2)
+    val n = 40
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d common")
+    }.toDF("doc_id", "text")
+    val tokSets = docs.select(col("doc_id").as("id"),
+      array_distinct(graft.functions.TextFunctions.tokens(col("text"))).as("toks"))
+    assert(Dedup.prefixCandidates(tokSets, 0.8).count() == 0L)
+    // sanity of the premise: at a LOW threshold the prefix lengthens to
+    // include the hot token and candidates appear — the pruning is the
+    // threshold-scaled prefix, not an accident of the fixture
+    assert(Dedup.prefixCandidates(tokSets, 0.2).count() > 0L)
+  }
+
   test("cosine matches hand computation") {
     val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))).toDF("a", "b")
     val c = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
