@@ -2095,6 +2095,15 @@ object SparkEntry {
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "hash", "window"), k = 10)),
 
+    // retrieval evaluation harness: MRR / precision@k / recall@k of the
+    // BM25 ranker against boolean-AND lexical relevance — the
+    // division-only IR metrics (nDCG's log2 gains are libm-bound);
+    // relevance, ranking, and every metric replay exactly in DuckDB
+    "q_retrieval_eval" -> ((s, dir) =>
+      Retrieval.retrievalEval(docs(s, dir), "doc_id", "text",
+        Seq(Seq("spark", "hash", "window"), Seq("merge", "table")),
+        k = 10)),
+
     // hybrid retrieval: BM25 top-20 (lexical) ⊕ cosine top-20 around
     // doc 0's embedding (dense), fused by reciprocal rank (c=60) —
     // rank-based, so neither score needs calibrating; both input lists
@@ -4841,6 +4850,71 @@ object SparkEntry {
          SELECT doc_id, ROUND(SUM(part), 4) AS score
          FROM parts GROUP BY doc_id
          ORDER BY ROUND(SUM(part), 4) DESC, doc_id LIMIT 10""",
+
+    // per-query BM25 replay (q_bm25's CTE) + boolean-AND relevance via
+    // list_has_all; MRR/precision/recall are single exact divisions
+    "q_retrieval_eval" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         base AS (SELECT doc_id, len(t) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+         tf1 AS (SELECT doc_id, term, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+                 WHERE term IN ('spark', 'hash', 'window')
+                 GROUP BY doc_id, term),
+         df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+         bm1 AS (SELECT tf1.doc_id,
+                        ROUND(SUM(ln(1.0 + (s.n_docs - df1.df + 0.5)
+                                     / (df1.df + 0.5)) * tf1.tf
+                                  / (tf1.tf + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * b.dl / s.avgdl))), 4) AS score
+                 FROM tf1 JOIN df1 USING (term)
+                      JOIN base b ON tf1.doc_id = b.doc_id
+                      CROSS JOIN stats s
+                 GROUP BY tf1.doc_id
+                 ORDER BY score DESC, tf1.doc_id LIMIT 10),
+         r1 AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY score DESC, doc_id) AS INT) AS rank FROM bm1),
+         rel1 AS (SELECT doc_id FROM toks
+                  WHERE list_has_all(t, ['spark', 'hash', 'window'])),
+         tf2 AS (SELECT doc_id, term, count(*) AS tf
+                 FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+                 WHERE term IN ('merge', 'table')
+                 GROUP BY doc_id, term),
+         df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+         bm2 AS (SELECT tf2.doc_id,
+                        ROUND(SUM(ln(1.0 + (s.n_docs - df2.df + 0.5)
+                                     / (df2.df + 0.5)) * tf2.tf
+                                  / (tf2.tf + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * b.dl / s.avgdl))), 4) AS score
+                 FROM tf2 JOIN df2 USING (term)
+                      JOIN base b ON tf2.doc_id = b.doc_id
+                      CROSS JOIN stats s
+                 GROUP BY tf2.doc_id
+                 ORDER BY score DESC, tf2.doc_id LIMIT 10),
+         r2 AS (SELECT doc_id, CAST(row_number() OVER
+                  (ORDER BY score DESC, doc_id) AS INT) AS rank FROM bm2),
+         rel2 AS (SELECT doc_id FROM toks
+                  WHERE list_has_all(t, ['merge', 'table'])),
+         m AS (
+           SELECT 0 AS query_id, 'spark hash window' AS query,
+                  (SELECT count(*) FROM rel1) AS n_rel,
+                  (SELECT count(*) FROM r1 JOIN rel1 USING (doc_id)) AS n_hits,
+                  (SELECT min(rank) FROM r1 JOIN rel1 USING (doc_id)) AS fr
+           UNION ALL
+           SELECT 1, 'merge table',
+                  (SELECT count(*) FROM rel2),
+                  (SELECT count(*) FROM r2 JOIN rel2 USING (doc_id)),
+                  (SELECT min(rank) FROM r2 JOIN rel2 USING (doc_id)))
+         SELECT query_id, query, n_rel, n_hits,
+                ROUND(COALESCE(1.0 / fr, 0.0), 6) AS mrr,
+                ROUND(n_hits / 10.0, 6) AS precision_k,
+                ROUND(CASE WHEN n_rel > 0 THEN n_hits * 1.0 / n_rel
+                      ELSE 0.0 END, 6) AS recall_k
+         FROM m ORDER BY query_id""",
 
     // BM25 top-20 (same scoring replay as q_bm25) ⊕ cosine top-20 for
     // query vector 0 (same norm/dot chain as q_embed_topk), fused by

@@ -117,6 +117,50 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Ranking-quality evaluation of the BM25 retriever against a
+    * replayable relevance rule: a document is RELEVANT to a query iff
+    * its token set contains every query term (boolean-AND — the
+    * strictest lexical ground truth derivable without labels, and
+    * exactly replayable by another engine). Per query: relevant-set
+    * size, hits in the top-k, and the division-only IR metrics — MRR
+    * (1/rank of the first relevant result, 0 when none), precision@k,
+    * recall@k. nDCG is deliberately absent: its log2 gain chain is
+    * libm-shaped and engine-dependent, while these three are single
+    * exact divisions.
+    *
+    * `queries` is a bounded driver-side probe list (the evalPatterns
+    * precedent) — one ranking job per query, each fully distributed;
+    * the per-query metric rows are single-row aggregates attached via
+    * broadcast. */
+  def retrievalEval(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[Seq[String]], k: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "retrievalEval needs at least one query")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextExpressions.wordTokens(col(textCol)).as("toks"))
+    queries.zipWithIndex.map { case (terms, qi) =>
+      val ranked = bm25TopK(docs, idCol, textCol, terms, k)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+      val rel = toks.filter(
+        terms.map(t => array_contains(col("toks"), t)).reduce(_ && _))
+        .select("doc_id")
+      val hits = ranked.join(rel, Seq("doc_id"), "left_semi")
+      rel.agg(count(lit(1)).as("n_rel"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"),
+          min(col("rank")).as("first_rank"))))
+        .select(lit(qi).as("query_id"),
+          lit(terms.mkString(" ")).as("query"),
+          col("n_rel"), col("n_hits"),
+          round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 6)
+            .as("mrr"),
+          round(col("n_hits") / lit(k.toDouble), 6).as("precision_k"),
+          round(when(col("n_rel") > 0,
+            col("n_hits").cast("double") / col("n_rel"))
+            .otherwise(lit(0.0)), 6).as("recall_k"))
+    }.reduce(_ unionByName _).orderBy("query_id")
+  }
+
   /** Inverted index: `(term, df, postings)` where `postings` is the top
     * `maxPostings` documents for the term by (tf desc, doc_id asc),
     * stored sorted by doc_id — the impact-truncated, merge-friendly

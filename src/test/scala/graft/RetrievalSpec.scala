@@ -159,6 +159,33 @@ class RetrievalSpec extends SparkSpec {
     assert(got2 == Seq(("A", 0.0), ("B", 0.5)))
   }
 
+  test("retrievalEval: hand-computed MRR/precision/recall, zero-relevant query") {
+    // docs 1,2 contain both probe terms (relevant); 3 has one term
+    // (retrieved by BM25 but NOT relevant); 4 is noise
+    val docs = Seq(
+      (1L, "cat dog bird"),
+      (2L, "cat dog fish fish"),
+      (3L, "cat mouse mouse"),
+      (4L, "zebra yak emu")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.retrievalEval(docs, "doc_id", "text",
+      Seq(Seq("cat", "dog"), Seq("unicorn")), k = 2)
+      .collect().map(r => r.getAs[Int]("query_id") -> r).toMap
+    val q0 = out(0)
+    assert(q0.getAs[Long]("n_rel") == 2L)
+    // k=2: both top slots must be the two relevant docs (they match two
+    // terms vs doc 3's one), so hits=2, first rank 1
+    assert(q0.getAs[Long]("n_hits") == 2L)
+    assert(q0.getAs[Double]("mrr") == 1.0)
+    assert(q0.getAs[Double]("precision_k") == 1.0)
+    assert(q0.getAs[Double]("recall_k") == 1.0)
+    // a query with NO relevant docs: all metrics zero, no NULL leakage
+    val q1 = out(1)
+    assert(q1.getAs[Long]("n_rel") == 0L && q1.getAs[Long]("n_hits") == 0L)
+    assert(q1.getAs[Double]("mrr") == 0.0 &&
+      q1.getAs[Double]("recall_k") == 0.0)
+  }
+
   test("rrfFuse: both-list docs outrank single-list docs; hand values") {
     val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
     val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
