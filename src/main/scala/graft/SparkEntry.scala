@@ -1112,9 +1112,16 @@ object SparkEntry {
     // rule): candidates only from rarest-first token prefixes — exact
     // at the threshold with no df cap and no recall loss; the oracle
     // replays the plain all-pairs Jaccard definition, so any pair the
-    // prefix pruning loses (or invents) fails the hash
+    // prefix pruning loses (or invents) fails the hash. Bounded to a
+    // doc slice like the other definition-oracle verify twins
+    // (q_ngram_jaccard, q_embed_neardup): this synthetic corpus draws
+    // from a tiny vocabulary, so most pairs ARE >0.8-similar and the
+    // output (and any exact join's verify stage) is inherently
+    // quadratic in corpus size — a property of the data, not the
+    // operator; the content-pruned candidate stage is the scale path
     "q_prefix_jaccard" -> ((s, dir) =>
-      Dedup.prefixFilterJaccardPairs(docs(s, dir), "doc_id", "text",
+      Dedup.prefixFilterJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 500), "doc_id", "text",
         threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
@@ -3951,7 +3958,7 @@ object SparkEntry {
            SELECT doc_id, list_distinct(
                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
                                 x -> len(x) > 0)) AS t
-           FROM documents),
+           FROM documents WHERE doc_id < 500),
          nz AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0)
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 ROUND(len(list_intersect(a.t, b.t)) * 1.0 /
