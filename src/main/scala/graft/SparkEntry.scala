@@ -3004,6 +3004,169 @@ object SparkEntry {
       Dedup.leakageSafeSplit(d.select("doc_id"), pairs, "doc_id")
         .orderBy("doc_id")
     }),
+
+    // ============== round 8: monitoring / quantization / CEP =============
+
+    // rolling 7-day z-score anomaly screen over daily per-type volumes —
+    // the data-drift monitor you'd run nightly on an ingest firehose;
+    // variance from integer frame sums, comparisons on the rounded score
+    "q_rolling_zscore" -> ((s, dir) =>
+      EventOps.rollingZScore(events(s, dir), "event_type", "ts",
+        windowDays = 7, zThreshold = 2.0)
+        .orderBy("event_type", "day")),
+
+    // equal-frequency histogram: order-value deciles per priority class
+    // via ntile over a fully-tiebroken partitioned order — usable
+    // range-partition boundaries where equi-width buckets would collapse
+    "q_equidepth_hist" -> ((s, dir) =>
+      graft.operators.Profiling.equiDepthHistogram(
+        Tables.load(s, dir, "orders"),
+        "o_orderpriority", "o_totalprice", "o_orderkey", nBuckets = 10)
+        .orderBy("o_orderpriority", "bucket")),
+
+    // int8 scalar quantization profile: per-vector scale + EXACT integer
+    // code mass + reconstruction error of the round trip — the audit you
+    // run before switching an embedding store to int8
+    "q_int8_quant" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      val e = emb(s, dir)
+      // internal name "sc" ≠ output alias "scale": Spark 4's lateral
+      // column alias resolution would otherwise bind the err
+      // expression's scale reference to the ROUNDED output column
+      val d = e.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("sc", int8Scale(col("v")))
+        .withColumn("q", int8Codes(col("v")))
+      val err = zip_with(col("v"), col("q"),
+        (x, qi) => x - dequant(qi, col("sc")))
+      d.select(col("vec_id"), round(col("sc"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (acc, qi) => acc + abs(qi)).as("code_l1"),
+          round(dot(err, err) / size(col("q")), 10).as("mse"))
+        .orderBy("vec_id")
+    }),
+
+    // ANN under fixed-scale int8 quantization of unit vectors: integer
+    // dot-product ranking (4× scan bandwidth cut) — exact arithmetic,
+    // so unlike LSH/IVF this approximate path has a full oracle
+    "q_int8_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.int8TopK(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // 2-core of the co-purchase graph (support-≥2 pairs): peel degree-<2
+    // vertices for 3 rounds — the dense-cluster filter that bounds the
+    // wedge ops' frontier; fixed rounds keep it oracle-replayable
+    "q_kcore" -> ((s, dir) => {
+      val edges = supportPrunedPairs(copurchaseSets(s, dir), 2)
+        .select(col("u"), col("v"))
+      Graph.kCore(edges, "u", "v", k = 2, rounds = 3)
+        .orderBy("vertex")
+    }),
+
+    // CEP conversion detection on the event stream: purchases preceded
+    // by ≥1 view of the same user within 4 h, with trigger count and
+    // latest-view attribution — flatMapGroupsWithState, watermark-exact
+    "q_stream_pattern" -> ((s, dir) => {
+      val name = s"stream_pat_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainAppend(
+          graft.streaming.Streams.patternDetect(
+            stream, triggerType = "view", actionType = "purchase",
+            withinSeconds = 4 * 3600),
+          name)
+      }
+      drained.select("user_id", "purchase_id", "purchase_ts",
+          "n_trigger", "last_trigger_ts")
+        .orderBy("user_id", "purchase_ts", "purchase_id")
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram
+    // log-likelihood ratio of each doc vs the English-target slice —
+    // the classifier-free way to tilt a crawl toward a reference domain
+    "q_dsir_weights" -> ((s, dir) =>
+      graft.ops.ScaleOps.dsirWeights(docs(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", buckets = 128)
+        .orderBy("doc_id")),
+
+    // file-level data skipping (zone maps): range-cluster orders into 8
+    // files, then answer a narrow BETWEEN from only the files whose
+    // min/max intersect it — result equality is the oracle, file-count
+    // pruning is pinned in FileSkippingSpec
+    "q_skipping_scan" -> ((s, dir) => {
+      val dst = s"/tmp/graft_skip/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+      Tables.load(s, dir, "orders")
+        .repartitionByRange(8, col("o_totalprice"))
+        .write.mode("overwrite").parquet(dst)
+      graft.table.FileSkipping.skippingScan(
+          s, dst, "o_totalprice", 50000.0, 100000.0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // RM3-lite pseudo-relevance feedback: BM25 pass 1 → top-5 docs'
+    // frequent long terms expand the query at half weight → re-scored
+    // top-10 (both rankings on rounded scores, integer-count term ties)
+    "q_prf_expand" -> ((s, dir) =>
+      Retrieval.prfExpandedTopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "hash", "window"), fbDocs = 5, fbTerms = 5,
+        beta = 0.5, k = 10)),
+
+    // day-of-week seasonal profile per event type — the multiplicative
+    // index that deseasonalizes before q_rolling_zscore's trend logic
+    "q_seasonal_index" -> ((s, dir) =>
+      EventOps.seasonalIndex(events(s, dir), "event_type", "ts")
+        .orderBy("event_type", "dow")),
+
+    // per-file Bloom index point lookup: layout clustered by DATE, probe
+    // by ORDER KEY — min/max zone maps see the full key span per file
+    // and prune nothing, the Bloom bitmap prunes to ~1 file (pinned in
+    // FileSkippingSpec); result equality is the oracle
+    "q_bloom_skip" -> ((s, dir) => {
+      val dst = s"/tmp/graft_bloomskip/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+      Tables.load(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.mode("overwrite").parquet(dst)
+      graft.table.FileSkipping.bloomSkippingScan(
+          s, dst, "o_orderkey", 100L)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    // Efraimidis–Spirakis weighted k-sample per language, weight =
+    // n_chars (longer docs proportionally likelier) — exact-k weighted
+    // sampling with a fully hash-replayable key
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.ops.ScaleOps.weightedSamplePerGroup(
+        docs(s, dir).select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "doc_id", "n_chars", k = 5, seed = 7L)
+        .select("lang", "sample_rank", "doc_id", "n_chars")
+        .orderBy("lang", "sample_rank")),
+
+    // zero-dep Avro container-file source (Avro core ships with Spark;
+    // spark-avro does not): bounded dimension snapshot → two .avro files
+    // → distributed binaryFile+DataFileStream read-back
+    "q_avro_roundtrip" -> ((s, dir) => {
+      import org.apache.avro.Schema.Type
+      val root = s"/tmp/graft_avro/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val src = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy("n_nationkey").collect() // bounded: 25-row dimension
+      val fields = Seq("n_nationkey" -> Type.LONG, "n_name" -> Type.STRING,
+        "n_regionkey" -> Type.LONG)
+      def rows(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => Seq[Any](r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      val (even, odd) = src.partition(_.getLong(0) % 2 == 0)
+      graft.sources.Avro.write(s"$root/part-0.avro", "nation", fields, rows(even))
+      graft.sources.Avro.write(s"$root/part-1.avro", "nation", fields, rows(odd))
+      graft.sources.Avro.read(s, root)
+        .orderBy("n_nationkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6164,5 +6327,299 @@ object SparkEntry {
                 CASE WHEN substr(md5(CAST(family AS VARCHAR)), 1, 2) < '33'
                      THEN 'test' ELSE 'train' END AS split
          FROM fam ORDER BY doc_id""",
+
+    // ============== round 8: monitoring / quantization / CEP =============
+
+    // identical integer frame sums + one shared IEEE formula
+    // (var = sumsq/n − mean²); stats NULL until the frame is full,
+    // anomaly compares the ROUNDED z on both engines
+    "q_rolling_zscore" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+                  count(*) OVER fr AS cnt_w,
+                  SUM(n) OVER fr AS sum_w,
+                  SUM(n * n) OVER fr AS sumsq_w
+           FROM daily
+           WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         z AS (
+           SELECT event_type, day, n, cnt_w,
+                  CAST(sum_w AS DOUBLE) / 7.0 AS mean_r,
+                  CAST(sumsq_w AS DOUBLE) / 7.0
+                    - (CAST(sum_w AS DOUBLE) / 7.0) * (CAST(sum_w AS DOUBLE) / 7.0)
+                    AS var_r
+           FROM w),
+         s AS (
+           SELECT event_type, day, n,
+                  CASE WHEN cnt_w = 7 THEN ROUND(mean_r, 4) END AS mean_w,
+                  CASE WHEN cnt_w = 7 AND var_r > 0
+                       THEN ROUND((CAST(n AS DOUBLE) - mean_r) / sqrt(var_r), 4)
+                  END AS z,
+                  cnt_w
+           FROM z)
+         SELECT event_type, day, n, mean_w, z,
+                CASE WHEN cnt_w = 7 THEN COALESCE(abs(z) >= 2.0, FALSE)
+                END AS is_anomaly
+         FROM s ORDER BY event_type, day""",
+
+    // ntile over the identical fully-tiebroken order — the SQL-standard
+    // ceil(n/k)-first-buckets split is common to both engines
+    "q_equidepth_hist" ->
+      """WITH v AS (SELECT o_orderpriority,
+                           CAST(o_totalprice AS DOUBLE) AS p, o_orderkey
+                    FROM orders WHERE o_totalprice IS NOT NULL)
+         SELECT o_orderpriority, bucket, count(*) AS n,
+                ROUND(MIN(p), 4) AS bucket_min,
+                ROUND(MAX(p), 4) AS bucket_max
+         FROM (SELECT o_orderpriority, p,
+                      ntile(10) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY p, o_orderkey) AS bucket
+               FROM v)
+         GROUP BY o_orderpriority, bucket
+         ORDER BY o_orderpriority, bucket""",
+
+    // replay of the exact quantization arithmetic: scale = max |x|,
+    // q = floor(x·127/scale + 0.5) clamped (the engine-neutral rounding
+    // form), reconstruction error in the same sequential double chain
+    "q_int8_quant" ->
+      """WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) AS scale
+               FROM d),
+         c AS (SELECT vec_id, v, scale,
+                      list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                        ELSE CAST(greatest(-127, least(127,
+                               floor(x * 127.0 / scale + 0.5))) AS INT)
+                        END) AS qc
+               FROM q)
+         SELECT vec_id, ROUND(scale, 6) AS scale,
+                CAST(list_sum(list_transform(qc,
+                       x -> abs(CAST(x AS BIGINT)))) AS BIGINT) AS code_l1,
+                ROUND(list_sum(list_transform(range(len(v)), i ->
+                        (v[i + 1] - qc[i + 1] * scale / 127.0) *
+                        (v[i + 1] - qc[i + 1] * scale / 127.0)))
+                      / len(v), 10) AS mse
+         FROM c ORDER BY vec_id""",
+
+    // integer dot products of fixed-scale int8 codes — exact arithmetic
+    // end to end (|q·c| ≤ 64·127² ≪ 2^53), ties broken on neighbor id
+    "q_int8_ann" ->
+      """WITH nv AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id,
+                      list_transform(v, x -> CAST(greatest(-127, least(127,
+                        floor(x * 127.0 + 0.5))) AS DOUBLE)) AS q
+               FROM nv),
+         scored AS (
+           SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                  CAST(list_dot_product(qq.q, cc.q) AS BIGINT) AS dot_q
+           FROM c qq JOIN c cc
+             ON qq.vec_id < 16 AND qq.vec_id <> cc.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, dot_q,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot_q DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, dot_q FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // 3 unrolled peel rounds over the same support-≥2 co-purchase edge
+    // set (VARCHAR part keys match the sorted-string pair generation)
+    "q_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey,
+                            CAST(l_partkey AS VARCHAR) AS p
+                     FROM lineitem),
+         e0 AS (SELECT a.p AS lo, b.p AS hi
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+                GROUP BY a.p, b.p HAVING count(*) >= 2),
+         d1 AS (SELECT n, count(*) AS deg FROM (
+                  SELECT lo AS n FROM e0 UNION ALL SELECT hi FROM e0)
+                GROUP BY n),
+         k1 AS (SELECT n FROM d1 WHERE deg >= 2),
+         e1 AS (SELECT lo, hi FROM e0
+                WHERE lo IN (SELECT n FROM k1) AND hi IN (SELECT n FROM k1)),
+         d2 AS (SELECT n, count(*) AS deg FROM (
+                  SELECT lo AS n FROM e1 UNION ALL SELECT hi FROM e1)
+                GROUP BY n),
+         k2 AS (SELECT n FROM d2 WHERE deg >= 2),
+         e2 AS (SELECT lo, hi FROM e1
+                WHERE lo IN (SELECT n FROM k2) AND hi IN (SELECT n FROM k2)),
+         d3 AS (SELECT n, count(*) AS deg FROM (
+                  SELECT lo AS n FROM e2 UNION ALL SELECT hi FROM e2)
+                GROUP BY n),
+         k3 AS (SELECT n FROM d3 WHERE deg >= 2),
+         e3 AS (SELECT lo, hi FROM e2
+                WHERE lo IN (SELECT n FROM k3) AND hi IN (SELECT n FROM k3))
+         SELECT vertex, count(*) AS degree FROM (
+           SELECT lo AS vertex FROM e3 UNION ALL SELECT hi AS vertex FROM e3)
+         GROUP BY vertex ORDER BY vertex""",
+
+    // every purchase the final watermark passed (strictly, at the
+    // watermark's millisecond granularity — the date_trunc mirror of the
+    // operator's ms-domain boundary) joined to its 4 h view window;
+    // inner join = matched-only, interval arithmetic in microseconds
+    "q_stream_pattern" ->
+      """WITH g AS (SELECT max(ts) AS mx FROM events),
+         p AS (SELECT user_id, event_id, ts FROM events, g
+               WHERE event_type = 'purchase'
+                 AND date_trunc('milliseconds', ts)
+                     < date_trunc('milliseconds', mx)),
+         v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+         SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+                count(*) AS n_trigger, max(v.ts) AS last_trigger_ts
+         FROM p JOIN v ON p.user_id = v.user_id
+              AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL '4 hours'
+         GROUP BY p.user_id, p.event_id, p.ts
+         ORDER BY p.user_id, p.ts, p.event_id""",
+
+    // same md5→60-bit→mod-128 bucketing, same add-one smoothing, the
+    // single float op (ln) rounded to 6 dp before the EXACT decimal sum
+    "q_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, (lang = 'en') AS is_tgt,
+                  unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\s+'),
+                    x -> len(x) > 0)) AS tok
+           FROM documents),
+         b AS (
+           SELECT doc_id, is_tgt,
+                  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 128 AS bucket
+           FROM toks),
+         stats AS (
+           SELECT bucket, count(*) AS n_raw,
+                  count(*) FILTER (WHERE is_tgt) AS n_tgt
+           FROM b GROUP BY bucket),
+         tot AS (SELECT SUM(n_raw) AS t_raw, SUM(n_tgt) AS t_tgt FROM stats),
+         lr AS (
+           SELECT bucket,
+                  CAST(ROUND(ln(
+                    ((n_tgt + 1.0) / (t_tgt + 128.0)) /
+                    ((n_raw + 1.0) / (t_raw + 128.0))), 6)
+                    AS DECIMAL(16,6)) AS lr
+           FROM stats, tot)
+         SELECT doc_id, count(*) AS n_tok, CAST(SUM(lr) AS DOUBLE) AS weight
+         FROM b JOIN lr USING (bucket)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // stats-pruned scan ≡ full-table filter (pruning is a physical
+    // optimization; the oracle checks it cannot change the answer)
+    "q_skipping_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // two chained BM25 replays: pass-1 top-5 feedback docs, expansion =
+    // top-5 (count desc, term asc) length-≥4 non-query terms at weight
+    // 0.5, pass-2 weighted rescore — all ranking on rounded scores
+    "q_prf_expand" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         base AS (SELECT doc_id, len(t) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+         tf1 AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+           WHERE term IN ('spark', 'hash', 'window')
+           GROUP BY doc_id, term),
+         df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY term),
+         pass1 AS (
+           SELECT tf1.doc_id AS doc_id,
+                  ROUND(SUM(ln(1.0 + (s.n_docs - df1.df + 0.5) / (df1.df + 0.5))
+                        * tf1.tf
+                        / (tf1.tf + 1.2 * ((1.0 - 0.75)
+                            + 0.75 * b.dl / s.avgdl))), 4) AS score
+           FROM tf1 JOIN df1 USING (term)
+                JOIN base b ON tf1.doc_id = b.doc_id
+                CROSS JOIN stats s
+           GROUP BY tf1.doc_id
+           ORDER BY score DESC, doc_id LIMIT 5),
+         exp AS (
+           SELECT term, 0.5 AS w
+           FROM (SELECT unnest(t) AS term FROM toks
+                 WHERE doc_id IN (SELECT doc_id FROM pass1)) u
+           WHERE len(term) >= 4
+             AND term NOT IN ('spark', 'hash', 'window')
+           GROUP BY term
+           ORDER BY count(*) DESC, term LIMIT 5),
+         weights AS (
+           SELECT unnest(['spark', 'hash', 'window']) AS term, 1.0 AS w
+           UNION ALL SELECT term, w FROM exp),
+         tf2 AS (
+           SELECT doc_id, term, w, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+                JOIN weights USING (term)
+           GROUP BY doc_id, term, w),
+         df2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term)
+         SELECT tf2.doc_id AS doc_id,
+                ROUND(SUM(tf2.w
+                      * ln(1.0 + (s.n_docs - df2.df + 0.5) / (df2.df + 0.5))
+                      * tf2.tf
+                      / (tf2.tf + 1.2 * ((1.0 - 0.75)
+                          + 0.75 * b.dl / s.avgdl))), 4) AS score
+         FROM tf2 JOIN df2 USING (term)
+              JOIN base b ON tf2.doc_id = b.doc_id
+              CROSS JOIN stats s
+         GROUP BY tf2.doc_id
+         ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // integer daily sums through one shared division chain; ISO weekday
+    "q_seasonal_index" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         dw AS (
+           SELECT event_type, isodow(day) AS dow,
+                  SUM(n) AS s_dow, count(*) AS d_dow
+           FROM daily GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, SUM(n) AS s_all, count(*) AS d_all
+           FROM daily GROUP BY 1)
+         SELECT dw.event_type, dw.dow, dw.d_dow AS n_days,
+                ROUND(CAST(s_dow AS DOUBLE) / d_dow, 4) AS avg_n,
+                ROUND((CAST(s_dow AS DOUBLE) / d_dow) /
+                      (CAST(s_all AS DOUBLE) / d_all), 4) AS seasonal_index
+         FROM dw JOIN tot USING (event_type)
+         ORDER BY event_type, dow""",
+
+    // the Avro writer/reader pair must reproduce the dimension exactly
+    "q_avro_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+
+    // Bloom pruning is physical-only — the lookup answer can't change
+    "q_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_orderkey = 100 ORDER BY o_orderkey""",
+
+    // same md5(seed|id)→60-bit→u∈(0,1] chain, key = −ln(u)/w rounded to
+    // 6 dp, id tiebreak, k smallest per group
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT lang, doc_id, n_chars,
+                  ROUND(-ln((('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                             + 1.0) / 1.152921504606846976e18)
+                        / CAST(n_chars AS DOUBLE), 6) AS es_key
+           FROM documents WHERE n_chars > 0),
+         ranked AS (
+           SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY es_key, doc_id) AS sample_rank
+           FROM keyed)
+         SELECT lang, sample_rank, doc_id, n_chars FROM ranked
+         WHERE sample_rank <= 5 ORDER BY lang, sample_rank""",
   )
 }

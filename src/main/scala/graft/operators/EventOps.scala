@@ -135,4 +135,71 @@ object EventOps {
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n").cast("double") / col("n_from"), 6).as("p"))
   }
+
+  /** Day-of-week seasonal index per key: mean daily volume on each ISO
+    * weekday divided by the key's overall mean daily volume — index > 1
+    * means that weekday runs hot. The multiplicative seasonal profile
+    * that deseasonalizes traffic before trend/anomaly logic (pairs with
+    * [[rollingZScore]], whose plain z-scores would flag every weekend as
+    * an anomaly on weekday-heavy traffic).
+    *
+    * Same reduction discipline as rollingZScore: raw events collapse to
+    * (key, day) rows first; the per-(key, dow) and per-key aggregates
+    * are integer sums, combined with ONE fixed division formula
+    * `(s_dow/d_dow)/(s_all/d_all)` the oracle replays verbatim. ISO
+    * weekday numbering (Mon=1..Sun=7) is used because both engines
+    * expose it without locale dependence. */
+  def seasonalIndex(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDow = daily
+      .groupBy(col(keyCol), (weekday(col("day")) + 1).as("dow"))
+      .agg(sum("n").as("s_dow"), count(lit(1)).as("d_dow"))
+    val totals = daily.groupBy(col(keyCol))
+      .agg(sum("n").as("s_all"), count(lit(1)).as("d_all"))
+    byDow.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("dow"), col("d_dow").as("n_days"),
+        round(col("s_dow").cast("double") / col("d_dow"), 4).as("avg_n"),
+        round((col("s_dow").cast("double") / col("d_dow")) /
+          (col("s_all").cast("double") / col("d_all")), 4).as("seasonal_index"))
+  }
+
+  /** Rolling z-score anomaly detection over daily counts per key: each
+    * (key, day) gets the mean/variance of the trailing `windowDays`-row
+    * frame and a z-score flagging days whose volume deviates from the
+    * recent trend (the standard ops-monitoring / data-drift primitive).
+    *
+    * Scale shape: the raw stream reduces to one row per (key, day)
+    * FIRST (a plain partial/final count agg), so the window runs over
+    * |keys|·|days| rows, partitioned by key — never over raw events.
+    * Determinism contract: variance is derived from integer sum/sumsq
+    * over the frame (`var = sumsq/n − mean²`, one fixed formula the
+    * oracle replays verbatim), comparisons happen on the ROUNDED
+    * z-score, and partial frames (fewer than `windowDays` rows) emit
+    * NULL stats rather than misleading small-sample scores. */
+  def rollingZScore(events: DataFrame, keyCol: String, tsCol: String,
+      windowDays: Int = 7, zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val nd = windowDays.toDouble
+    val full = count(lit(1)).over(w) === windowDays
+    val mean = sum("n").over(w).cast("double") / lit(nd)
+    val variance = sum(col("n") * col("n")).over(w).cast("double") / lit(nd) -
+      mean * mean
+    val z = round((col("n").cast("double") - mean) /
+      sqrt(variance), 4)
+    daily
+      .withColumn("mean_w", when(full, round(mean, 4)))
+      .withColumn("z", when(full && variance > 0, z))
+      .withColumn("is_anomaly",
+        when(full, coalesce(abs(col("z")) >= zThreshold, lit(false))))
+      .select(col(keyCol), col("day"), col("n"), col("mean_w"), col("z"),
+        col("is_anomaly"))
+  }
 }

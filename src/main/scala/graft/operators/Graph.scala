@@ -375,4 +375,45 @@ object Graph {
       .join(reach.groupBy("s").agg(count(lit(1)).as("n_2hop")), Seq("s"))
       .select(col("s").as("vertex"), col("n_1hop"), col("n_2hop"))
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * vertex whose degree in the CURRENT surviving subgraph is below `k`
+    * (deleting a vertex lowers its neighbors' degrees, which is why the
+    * peel iterates), for `rounds` rounds. The classic community-density
+    * filter — the k-core is where spam rings, dense co-purchase
+    * clusters, and well-connected concept groups live, and peeling away
+    * low-degree fringe is the standard preprocessing step before the
+    * expensive wedge-quantity ops ([[triangleCounts]],
+    * [[twoHopNeighborhood]]) since it shrinks exactly the frontier they
+    * square.
+    *
+    * A FIXED round count (rather than loop-to-fixpoint) keeps the
+    * computation deterministic and replayable by an unrolled relational
+    * oracle; peeling converges geometrically in practice, and a caller
+    * can pass a larger `rounds` for deep cores (each round is one agg +
+    * two semi-joins on the shrinking edge set, lineage truncated per
+    * round — the same per-round shape as the other iteratives here).
+    * Returns (vertex, degree) of the surviving subgraph after the last
+    * peel — degrees are ≥ k iff the peel converged, and the last round's
+    * deletions are reflected in the degree values either way. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
+    var e = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val keep = e.select(col("lo").as("n"))
+        .unionByName(e.select(col("hi").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("n")
+      e = e.join(keep.select(col("n").as("lo")), Seq("lo"), "left_semi")
+        .join(keep.select(col("n").as("hi")), Seq("hi"), "left_semi")
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.select(col("lo").as("vertex"))
+      .unionByName(e.select(col("hi").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+  }
 }

@@ -260,4 +260,34 @@ object Profiling {
         expr(s"(freq + ${rowsPerTask - 1}) div $rowsPerTask")
           .cast("int").as("salt"))
   }
+
+  /** Equal-frequency (equi-depth) histogram per group: `nBuckets`
+    * equally-populated buckets of `valueCol` within each `groupCol`
+    * value, via `ntile` over a fully-tiebroken order (value, then
+    * `tieCol`) so bucket assignment is deterministic and replays
+    * identically on any engine (ntile's ⌈n/k⌉-first-buckets split is
+    * the SQL-standard rule both Spark and DuckDB implement). The
+    * complement of [[numericHistogram]]: equi-width shows the shape,
+    * equi-depth gives you usable range-partition boundaries when the
+    * distribution is skewed.
+    *
+    * Scale shape: the window is PARTITIONED by the group column — each
+    * group sorts independently, nothing global. For a single-group /
+    * whole-table equi-depth at 100 TB, don't sort: sample quantile
+    * cutpoints instead (ScaleOps.sampledQuantiles) and bucket by
+    * comparison — this exact form is for per-group profiles where
+    * groups are numerous and each fits a partition. */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+      tieCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val w = Window.partitionBy(groupCol).orderBy(v.asc, col(tieCol).asc)
+    df.filter(v.isNotNull)
+      .withColumn("bucket", ntile(nBuckets).over(w))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(v), 4).as("bucket_min"),
+        round(max(v), 4).as("bucket_max"))
+  }
 }

@@ -66,6 +66,63 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (RM3-lite, Lavrenko &
+    * Croft's relevance-model family): run BM25 once, harvest the most
+    * frequent terms of the top-`fbDocs` feedback documents (minimum
+    * length 4, original query terms excluded — the cheap stoplist), and
+    * re-score with the expanded weighted query — original terms weight
+    * 1.0, expansion terms weight `beta`. The classic recall lever when
+    * queries are short and vocabulary mismatch hides relevant docs.
+    *
+    * Everything is deterministic and oracle-replayable: feedback docs
+    * come from [[bm25TopK]]'s rounded-score/id ranking, expansion terms
+    * tie-break (count desc, term asc) on integer counts, and the final
+    * ranking is on the rounded weighted score. Scale shape: two BM25
+    * passes (each one token-explode + bounded aggs) plus one bounded
+    * top-`fbTerms` TakeOrdered; the term-weight table (≤ |query| +
+    * fbTerms rows) broadcasts into the scoring join — no driver-side
+    * collect anywhere. */
+  def prfExpandedTopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], fbDocs: Int = 5, fbTerms: Int = 5,
+      beta: Double = 0.5, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fb = bm25TopK(docs, idCol, textCol, queryTerms, fbDocs, k1, b)
+      .select(col("doc_id"))
+    val expansion = docs
+      .join(fb.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_semi")
+      .select(explode(TextExpressions.wordTokens(col(textCol))).as("term"))
+      .filter(length(col("term")) >= 4 && !col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(fbTerms)
+      .select(col("term"), lit(beta).as("w"))
+    val weights = queryTerms.toDF("term")
+      .select(col("term"), lit(1.0).as("w"))
+      .unionByName(expansion)
+
+    // second BM25 pass, per-term parts weighted by the expanded query
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextExpressions.wordTokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(weights), Seq("term"))
+      .groupBy("doc_id", "dl", "term", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part",
+        col("w") * col("idf") * col("tf") /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("part"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Per-source vocabulary coverage against the corpus top-`vocabSize`
     * tokens — the OOV-rate report that sizes tokenizer vocabularies and
     * flags sources whose token distribution a fixed vocab serves badly

@@ -144,6 +144,35 @@ object Similarity {
     topKPerGroup(scored, k)
   }
 
+  /** Top-k under fixed-scale int8 quantization of unit vectors: both
+    * sides are normalized then quantized with
+    * [[VectorFunctions.int8CodesUnit]] and ranked by the raw integer
+    * dot product of the codes — the production trick that cuts
+    * embedding-scan memory/bandwidth 4× (int8 codes instead of float32)
+    * at a small, measured ranking-quality cost (RecallSpec pins recall
+    * vs float cosine, like the other approximate paths). Every
+    * arithmetic step is exact integer math (|q_i·c_i| ≤ 127², 64-dim
+    * sums ≪ 2^53 in double), so unlike the seeded LSH/IVF paths this
+    * approximate method has an EXACT cross-engine oracle (ties broken
+    * on neighbor id). Same scale shape as [[bruteForceTopK]]: bounded
+    * broadcast query side, one corpus scan, O(k) shuffle state via
+    * [[TopKAgg]]. */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.int8CodesUnit
+    val codes = (d: DataFrame, as: String, vAs: String) =>
+      d.select(col(idCol).as(as),
+        transform(int8CodesUnit(normalize(col(vecCol))), _.cast("double")).as(vAs))
+    val q = broadcast(codes(queries, "query_id", "q_v"))
+    val c = codes(corpus, "neighbor_id", "c_v")
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("q_v"), col("c_v")).as("cos"))
+    topKPerGroup(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos").cast("long").as("dot_q"))
+  }
+
   /** Per-cell best-match scores against the centroid table (broadcast as
     * plan literals — nCells × dim doubles). */
   private def cellScores(centroids: Array[Seq[Double]],

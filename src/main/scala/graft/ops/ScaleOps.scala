@@ -553,6 +553,86 @@ object ScaleOps {
       "(column_name, n_rows, n_nonnull, n_distinct, min_val, max_val)")
   }
 
+  /** Weighted k-sample WITHOUT replacement per group, one pass, no RNG
+    * state — Efraimidis–Spirakis (IPL 2006) A-ES keys on a replayable
+    * hash: u = (h+1)/2⁶⁰ ∈ (0,1] from the repo-standard md5→60-bit
+    * hash of (seed, id), key = −ln(u)/w, and the k SMALLEST keys per
+    * group win — inclusion probability proportional to weight, exactly
+    * the "sample long docs more" / "sample by quality score" primitive
+    * a curation pipeline needs where rate-based sampling
+    * ([[weightedMixtureSample]]) can't hit an exact k.
+    *
+    * Deterministic contract: ranking on the 6-dp-ROUNDED key with id
+    * tiebreak (the repo's cross-engine float-ranking rule; ln is the
+    * only float op). Scale shape: one row-local key computation + a
+    * per-group top-k window — right when groups are numerous; for ONE
+    * giant group compose the same key with a TakeOrdered-style bounded
+    * top-k instead of a window. Weights must be > 0 (enforced). */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat_ws("|", lit(seed.toString),
+      col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + 1.0d) / lit(1.152921504606846976e18)
+    val key = round(-log(u) / col(weightCol).cast("double"), 6)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(key.asc, col(idCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** DSIR-style importance weights for target-domain upsampling (Data
+    * Selection via Importance Resampling, Xie et al. 2023): each doc is
+    * scored by how much more likely its hashed-unigram bag is under the
+    * TARGET distribution than under the raw corpus —
+    * `w(doc) = Σ_tokens log(p_tgt[bucket(tok)] / p_raw[bucket(tok)])`
+    * with add-one smoothing over `buckets` hashed features. Docs with
+    * positive weight look like the target domain; resampling by weight
+    * is the paper's recipe for tilting a web-scale corpus toward a
+    * high-quality / in-domain reference set without training a
+    * classifier.
+    *
+    * Scale shape: one token explode → one (bucket, is-target) count agg
+    * of at most `buckets` rows (broadcast back onto the token stream) →
+    * one per-doc sum. No model state, no driver collect; the bucket
+    * table is bounded by construction.
+    *
+    * Determinism contract: bucket = md5-derived 60-bit hash mod
+    * `buckets` (the repo's standard replayable hash); each bucket's
+    * log-ratio is ROUNDED to 6 decimals and carried as decimal(16,6),
+    * so the per-doc sum is EXACT decimal arithmetic — token order and
+    * engine float-sum order cannot move the result (the only float op
+    * is the single per-bucket `ln`, rounded immediately). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 128): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    import graft.functions.TextFunctions.tokens
+    val toks = docs.select(col(idCol).as("id"), targetPred.as("is_tgt"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % buckets)
+    val bucketStats = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_raw"),
+        count(when(col("is_tgt"), 1)).as("n_tgt"))
+    val totals = bucketStats.agg(sum("n_raw").as("t_raw"),
+      sum("n_tgt").as("t_tgt"))
+    val b = buckets.toDouble
+    val ratios = bucketStats.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(
+          ((col("n_tgt").cast("double") + 1.0d) / (col("t_tgt").cast("double") + lit(b))) /
+          ((col("n_raw").cast("double") + 1.0d) / (col("t_raw").cast("double") + lit(b)))),
+          6).cast("decimal(16,6)").as("lr"))
+    toks.join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum("lr").cast("double").as("weight"))
+      .select(col("id").as(idCol), col("n_tok"), col("weight"))
+  }
+
   /** One-pass pipeline metrics via the Observation API — the fix for the
     * reference's recompute-per-count anti-pattern (SURVEY.md §4.3-1):
     * counts are collected as accumulator-style observations DURING the one

@@ -204,6 +204,93 @@ object Streams {
       }.toDF()
   }
 
+  case class PatEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String)
+  case class PatState(events: List[PatEv])
+  case class PatOut(user_id: Long, purchase_id: Long,
+      purchase_ts: java.sql.Timestamp, n_trigger: Long,
+      last_trigger_ts: java.sql.Timestamp)
+
+  /** Event-time in MICROSECONDS — `Timestamp.getTime` alone truncates to
+    * millis, which would make the window-boundary comparisons coarser
+    * than the microsecond-precision oracle replay. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** CEP-style pattern detection via `flatMapGroupsWithState`: emit one
+    * row per `actionType` event that was preceded by ≥1 `triggerType`
+    * event of the same key within `withinSeconds` — the streaming
+    * "view → purchase inside the attribution window" conversion
+    * primitive, with the trigger count and the latest trigger timestamp
+    * attached.
+    *
+    * Watermark correctness (same contract as [[sessionize]]): an action
+    * is scored only once the event-time watermark has passed its
+    * timestamp — no trigger able to precede it can still arrive — so
+    * matches are emitted exactly once with the COMPLETE trigger set,
+    * regardless of how events split across micro-batches or arrive
+    * out of order within the allowed lateness. Pending actions set an
+    * event-time timeout at their own timestamp so the final watermark
+    * advance flushes them without new data.
+    *
+    * State per key is bounded by the window: triggers older than
+    * watermark − `withinSeconds` can no longer match anything and are
+    * dropped on every invocation, actions leave state when emitted.
+    * Hash-partitioned on the key — the same state scaling as every
+    * stateful op here. */
+  def patternDetect(events: DataFrame, triggerType: String,
+      actionType: String, withinSeconds: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = withinSeconds * 1000000L
+    val typed = events.withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin(triggerType, actionType))
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type")).as[PatEv]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatState, PatOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[PatEv], state: GroupState[PatState]) =>
+          val newEvents = if (state.hasTimedOut) Nil else rows.toList
+          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ newEvents)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // an action is scored only once the watermark is STRICTLY past
+          // it; ts == wm stays pending, so on a finite drain an action at
+          // exactly max(ts) is out of scope — the oracle's
+          // `p.ts < max(ts)` bound mirrors this boundary precisely
+          val (ready, pendingActs) = all.filter(_.event_type == actionType)
+            .partition(a => tsMicros(a.ts) < wmUs)
+          val triggers = all.filter(_.event_type == triggerType)
+          val out = ready.flatMap { a =>
+            val aUs = tsMicros(a.ts)
+            val matched = triggers.filter { t =>
+              val tUs = tsMicros(t.ts)
+              tUs < aUs && tUs >= aUs - winUs
+            }
+            if (matched.isEmpty) Nil
+            else List(PatOut(user, a.event_id, a.ts, matched.size.toLong,
+              matched.maxBy(t => tsMicros(t.ts)).ts))
+          }
+          // triggers still inside some future action's window + unscored
+          // actions stay; everything else leaves state
+          val keepTriggers = triggers.filter(t => tsMicros(t.ts) + winUs >= wmUs)
+          if (keepTriggers.isEmpty && pendingActs.isEmpty) state.remove()
+          else {
+            state.update(PatState(keepTriggers ++ pendingActs))
+            if (pendingActs.nonEmpty)
+              // the timeout must sit strictly above the current watermark
+              // (engine contract); a pending action whose millisecond
+              // timestamp equals the watermark is clamped to wm+1ms — it
+              // fires only if the watermark still advances past it
+              state.setTimeoutTimestamp(
+                math.max(pendingActs.map(_.ts.getTime).min,
+                  state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** Watermarked STREAM-STREAM interval join: right rows of the same key
     * within [left.ts, left.ts + window) attach to each left row. Both
     * sides carry watermarks and the join condition bounds the time range,

@@ -252,4 +252,29 @@ class GraphSpec extends SparkSpec {
       .map(t => t._1 -> (t._2, t._3)).toMap
     assert(full("a00") == (1L, 2L * nb)) // hub + the 2nb-1 other spokes
   }
+
+  test("kCore: planted triangle survives a 2-core peel, tails peel away") {
+    import spark.implicits._
+    // triangle a-b-c, tail c-d-e: round 1 drops e (deg 1), round 2 drops
+    // d (its degree fell to 1 when e left), round 3 is stable
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("s", "d")
+    val core = Graph.kCore(edges, "s", "d", k = 2, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(core == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // one round is NOT enough — d still present (cascade not yet seen)
+    val r1 = Graph.kCore(edges, "s", "d", k = 2, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r1.keySet == Set("a", "b", "c", "d"))
+  }
+
+  test("kCore: 3 rounds reach the fixpoint on the co-purchase graph") {
+    val edges = SparkEntry.supportPrunedPairs(
+      SparkEntry.copurchaseSets(spark, sf), 2).select("u", "v")
+    def run(r: Int) = Graph.kCore(edges, "u", "v", k = 2, rounds = r)
+      .orderBy("vertex").collect().toSeq
+    val r3 = run(3)
+    assert(r3 == run(6), "q_kcore's fixed 3 rounds stopped short of the fixpoint")
+    assert(r3.nonEmpty) // the oracle comparison must not be vacuous
+  }
 }

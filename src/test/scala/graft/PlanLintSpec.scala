@@ -112,7 +112,11 @@ class PlanLintSpec extends SparkSpec {
     "q_semdedup", "q_embed_ann_ivf", "q_split_leakage",
     "q_dedup_families", "q_family_survivors", "q_curate",
     "q_curate_increment", "q_pagerank", "q_ppr", "q_hits",
-    "q_label_prop", "q_valid_counts", "q_corpus_pipeline")
+    "q_label_prop", "q_valid_counts", "q_corpus_pipeline",
+    "q_kcore", // iterative peel localCheckpoints per round
+    "q_skipping_scan", // writes the range-clustered layout, stats pass
+    "q_bloom_skip", // writes the layout + runs the bloom-index build
+    "q_avro_roundtrip") // bounded dim collect + fixture write
   private def streamQueries =
     SparkEntry.queries.keys.filter(_.startsWith("q_stream")).toSet
   // documented bounded brute-force verification twins — the cartesian /
@@ -120,8 +124,10 @@ class PlanLintSpec extends SparkSpec {
   // the lazy gate but only those two rules are tolerated for them
   // q_rrf_fusion's dense leg IS bruteForceTopK (single-query broadcast
   // side), so it inherits the same documented bounded-brute shape
+  // q_int8_ann is bruteForceTopK's shape over int8 codes (bounded
+  // 16-query broadcast side, one corpus scan) — same documented contract
   private val boundedBrute = Set("q_embed_neardup", "q_embed_topk",
-    "q_hard_negatives", "q_embed_ann_lsh", "q_rrf_fusion")
+    "q_hard_negatives", "q_embed_ann_lsh", "q_rrf_fusion", "q_int8_ann")
   private val bruteAllowedRules =
     Set("cartesian-product", "broadcast-nested-loop")
 

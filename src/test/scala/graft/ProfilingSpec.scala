@@ -173,4 +173,25 @@ class ProfilingSpec extends SparkSpec {
     assert(Seq("rate_a100", "rate_a50", "rate_a25")
       .forall(c => small.getAs[Double](c) == 1.0))
   }
+
+  test("equiDepthHistogram: buckets within ±1 row, ordered non-overlapping ranges") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.load(spark, sf, "orders")
+    val got = graft.operators.Profiling.equiDepthHistogram(
+      orders, "o_orderpriority", "o_totalprice", "o_orderkey", nBuckets = 10)
+      .orderBy("o_orderpriority", "bucket").collect()
+    val byGroup = got.groupBy(_.getString(0))
+    val totals = orders.groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq == (1 to 10)) // all buckets present
+      val ns = rows.map(_.getLong(2))
+      assert(ns.sum == totals(g)) // nothing dropped
+      assert(ns.max - ns.min <= 1, s"$g buckets not equal-depth: ${ns.toSeq}")
+      // equal-frequency boundaries: each bucket's min ≥ the previous max
+      rows.sliding(2).foreach { case Array(a, b) =>
+        assert(b.getDouble(3) >= a.getDouble(4), s"$g bucket ranges overlap")
+      case _ => }
+    }
+  }
 }

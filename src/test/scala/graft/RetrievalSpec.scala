@@ -203,4 +203,31 @@ class RetrievalSpec extends SparkSpec {
       .filter($"id" === 3L).head()
     assert(row3.isNullAt(1) && row3.getInt(2) == 2)
   }
+
+  test("prfExpandedTopK surfaces vocabulary-mismatch docs plain BM25 cannot") {
+    // doc 1 matches the query and repeatedly uses 'gradient'; doc 2
+    // never contains a query term but is rich in 'gradient' — only the
+    // expanded query can score it. Short filler docs keep idf sane.
+    val docs = (Seq(
+      (1L, "training loss training gradient gradient gradient descent"),
+      (2L, "gradient gradient gradient clipping stabilizes deep nets"),
+      (3L, "cats sleep on warm windowsills every afternoon"),
+      (4L, "the stock market closed mixed on tuesday")) ++
+      (5L to 12L).map(i => (i, s"filler document number $i about nothing")))
+      .toDF("doc_id", "text")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("training"), k = 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!plain.contains(2L), "premise broken: plain BM25 already finds doc 2")
+    val prf = Retrieval.prfExpandedTopK(docs, "doc_id", "text",
+      Seq("training"), fbDocs = 1, fbTerms = 2, beta = 0.5, k = 12)
+    val ids = prf.select("doc_id").as[Long].collect()
+    assert(ids.contains(2L), s"expansion failed to surface doc 2: ${ids.toSeq}")
+    // original-query docs still rank first (weight 1.0 vs beta)
+    assert(ids.head == 1L)
+    // deterministic replay
+    val again = Retrieval.prfExpandedTopK(docs, "doc_id", "text",
+      Seq("training"), fbDocs = 1, fbTerms = 2, beta = 0.5, k = 12)
+    assert(prf.collect().toSeq == again.collect().toSeq)
+  }
 }

@@ -387,4 +387,64 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ScaleOps.tokenBudgetSample(docs, "src", "id", "txt", 1L)
       .count() == 1)
   }
+
+  test("weightedSamplePerGroup: exact k, weight-proportional inclusion, deterministic") {
+    // group g: 1000 items, item 0 carries 50× the weight of the rest —
+    // over many disjoint seeds its inclusion frequency must far exceed
+    // a uniform item's k/n
+    val df = (0 until 1000).map(i => ("g", i.toLong,
+      if (i == 0) 50.0 else 1.0)).toDF("grp", "id", "w")
+    val k = 10
+    val hits = (1 to 40).map { seed =>
+      val s = ScaleOps.weightedSamplePerGroup(df, Seq("grp"), "id", "w",
+        k, seed.toLong).select("id").as[Long].collect()
+      assert(s.length == k)
+      assert(s.distinct.length == k) // without replacement
+      if (s.contains(0L)) 1 else 0
+    }.sum
+    // P(include heavy) = 1-(1-p)… with w=50/1049 per draw ≈ 0.38 vs
+    // uniform ≈ 0.01; 40 trials → expect ≈ 15 hits, uniform ≈ 0.4
+    assert(hits >= 5, s"heavy item sampled only $hits/40 times")
+    // deterministic for a fixed seed
+    val a = ScaleOps.weightedSamplePerGroup(df, Seq("grp"), "id", "w", k, 3L)
+      .orderBy("sample_rank").collect().toSeq
+    val b = ScaleOps.weightedSamplePerGroup(df, Seq("grp"), "id", "w", k, 3L)
+      .orderBy("sample_rank").collect().toSeq
+    assert(a == b)
+    // zero/negative weights are excluded, not sampled
+    val z = ScaleOps.weightedSamplePerGroup(
+      Seq(("g", 1L, 0.0), ("g", 2L, 1.0)).toDF("grp", "id", "w"),
+      Seq("grp"), "id", "w", 5)
+    assert(z.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("dsirWeights: target-domain docs score above off-domain, exact token counts") {
+    // target docs speak vocabulary A, off-domain docs vocabulary B, one
+    // mixed doc sits between — the weight ordering is the operator's job
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha", "en"),
+      (2L, "beta gamma alpha beta gamma", "en"),
+      (3L, "zork quux blarg zork quux", "de"),
+      (4L, "alpha zork beta quux", "de"),
+      (5L, "blarg blarg quux zork", "de")).toDF("doc_id", "text", "lang")
+    val got = ScaleOps.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64)
+      .orderBy("doc_id").collect()
+    val w = got.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nTok = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nTok == Map(1L -> 4L, 2L -> 5L, 3L -> 5L, 4L -> 4L, 5L -> 4L))
+    // per-token average ordering: pure-target docs above the mixed doc,
+    // mixed above pure-off-domain (absolute signs depend on smoothing
+    // mass at this tiny corpus size — the ORDERING is the contract)
+    def perTok(id: Long) = w(id) / nTok(id)
+    assert(perTok(1L) > perTok(4L) && perTok(2L) > perTok(4L),
+      s"target docs not above mixed: $w")
+    assert(perTok(4L) > perTok(3L) && perTok(4L) > perTok(5L),
+      s"mixed doc not above off-domain: $w")
+    // deterministic replay — the decimal-sum contract leaves no float
+    // accumulation order to vary
+    val again = ScaleOps.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 64).orderBy("doc_id").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -104,4 +104,28 @@ class SimilaritySpec extends SparkSpec {
     // registered in the cache manager — the suite-long pin is gone either
     // way, which is what this guards.
   }
+
+  test("int8 quantization: hand-checked codes, clamping, zero vector") {
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions.{col, typedLit}
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 1.0f, 0.5f, -0.25f))).toDF("id", "v")
+    val got = df.select(col("id"), int8Scale(col("v")).as("s"),
+        int8Codes(col("v")).as("q"))
+      .as[(Long, Double, Seq[Int])].collect().sortBy(_._1)
+    // scale = max|x|; codes = floor(x·127/scale + 0.5):
+    // (1, -0.5, 0.25, 0) → scale 1 → (127, floor(-63.0)= -63, 32, 0)
+    assert(got(0) == ((1L, 1.0, Seq(127, -63, 32, 0))))
+    // zero vector: scale 0, all codes 0 (no NaN division)
+    assert(got(1) == ((2L, 0.0, Seq(0, 0, 0, 0))))
+    // scale 2: (-127, 64, 32, floor(-15.375)= -16)
+    assert(got(2) == ((3L, 2.0, Seq(-127, 64, 32, -16))))
+    // unit-scale codes clamp out-of-range values instead of wrapping
+    val clamped = df.filter(col("id") === 3L)
+      .select(int8CodesUnit(col("v")).as("q")).as[Seq[Int]].head()
+    assert(clamped == Seq(-127, 127, 64, -32)) // floor(-31.25) = -32
+  }
 }

@@ -241,4 +241,68 @@ class StreamsSpec extends SparkSpec {
       .select("n_events", "sum_value").collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
     assert(out == Seq((3L, 3.0), (1L, 1.0)))
   }
+
+  test("patternDetect == batch interval-join replay on the events table") {
+    val ev = Tables.load(spark, sf, "events")
+    val winSec = 4 * 3600
+    // batch replay: purchases strictly before the final watermark
+    // (max ts at millisecond granularity) joined to their view window
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val mx = ev.agg(max(date_trunc("millisecond", col("ts"))).as("mx"))
+    val expected = p.crossJoin(broadcast(mx))
+      .filter(date_trunc("millisecond", col("purchase_ts")) < col("mx"))
+      .join(v, Seq("user_id"))
+      .filter(col("view_ts") < col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $winSec SECONDS"))
+      .groupBy("user_id", "purchase_id", "purchase_ts")
+      .agg(count(lit(1)).as("n_trigger"), max("view_ts").as("last_trigger_ts"))
+      .orderBy("user_id", "purchase_ts").collect().toSeq
+    val stream = Streams.readTableStream(spark, sf, "events")
+    val got = Streams.drainAppend(
+      Streams.patternDetect(stream, "view", "purchase", winSec), "t_pat")
+      .select("user_id", "purchase_id", "purchase_ts", "n_trigger",
+        "last_trigger_ts")
+      .orderBy("user_id", "purchase_ts").collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty) // the parity must not be vacuous
+  }
+
+  test("patternDetect across micro-batches: complete trigger set, exactly-once, strict boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, sec: Long, id: Long, t: String) =
+      Streams.PatEv(u, new java.sql.Timestamp((1000 + sec) * 1000), id, t)
+    val input = MemoryStream[Streams.PatEv]
+    val q = Streams.patternDetect(input.toDF(), "view", "purchase",
+        withinSeconds = 100)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_pat_mb").start()
+    // window boundary: view at 60 is exactly purchase(160) - 100 → IN
+    // (>= lower bound); view at 10 is out (10 < 60); view ts == purchase
+    // ts would be out (strict <)
+    input.addData(ev(1, 10, 1, "view"), ev(1, 60, 2, "view"),
+      ev(1, 120, 4, "view"), ev(1, 160, 3, "purchase"))
+    q.processAllAvailable()
+    // wm is still 0 while batch 1 processes — nothing may emit yet
+    assert(spark.table("t_pat_mb").count() == 0)
+    // two watermark advances on an unrelated key: the first moves wm to
+    // 160, the second strictly past it — the purchase must emit via the
+    // event-time timeout with the COMPLETE trigger set, no data for key 1
+    input.addData(ev(2, 500, 5, "view")); q.processAllAvailable()
+    input.addData(ev(2, 900, 6, "view")); q.processAllAvailable()
+    val rows = spark.table("t_pat_mb")
+      .select("user_id", "purchase_id", "n_trigger", "last_trigger_ts")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime))
+    assert(rows == Seq((1L, 3L, 2L, (1000 + 120) * 1000L)))
+    // exactly-once: more watermark advances must not re-emit
+    input.addData(ev(2, 1200, 7, "view")); q.processAllAvailable()
+    assert(spark.table("t_pat_mb").count() == 1)
+    q.stop()
+  }
 }
