@@ -3137,6 +3137,50 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Z-order + conjunctive skipping: Morton-clustered layout keeps
+    // per-file ranges tight on BOTH columns, so a two-column range
+    // conjunction prunes multiplicatively (per-dimension pruning pinned
+    // in FileSkippingSpec); answer equality is the oracle
+    "q_zorder_skip" -> ((s, dir) => {
+      import graft.functions.ZOrder
+      val dst = s"/tmp/graft_zskip/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders"
+      val o = Tables.load(s, dir, "orders")
+      val b = o.agg(min(col("o_totalprice")).as("p_lo"),
+        max(col("o_totalprice")).as("p_hi"),
+        min(col("o_custkey")).as("c_lo"), max(col("o_custkey")).as("c_hi"))
+      val z = ZOrder.interleave(
+        ZOrder.bin(col("o_totalprice"), col("p_lo"), col("p_hi")),
+        ZOrder.bin(col("o_custkey"), col("c_lo"), col("c_hi")))
+      o.crossJoin(broadcast(b)).withColumn("z", z)
+        .repartitionByRange(8, col("z"))
+        .drop("p_lo", "p_hi", "c_lo", "c_hi")
+        .write.mode("overwrite").parquet(dst)
+      graft.table.FileSkipping.skippingScanConj(s, dst,
+          Seq(("o_totalprice", 100000.0, 200000.0), ("o_custkey", 20L, 80L)))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // absence detection (negation CEP): views with NO purchase inside
+    // the 4 h attribution window — decidable only via the event-time
+    // timeout once the watermark strictly passes view_ts + window
+    "q_stream_abandon" -> ((s, dir) => {
+      val name = s"stream_abandon_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainAppend(
+          graft.streaming.Streams.abandonDetect(
+            stream, triggerType = "view", actionType = "purchase",
+            withinSeconds = 4 * 3600),
+          name)
+      }
+      drained.select("user_id", "view_id", "view_ts")
+        .orderBy("user_id", "view_ts", "view_id")
+    }),
+
     // Efraimidis–Spirakis weighted k-sample per language, weight =
     // n_chars (longer docs proportionally likelier) — exact-k weighted
     // sampling with a fully hash-replayable key
@@ -6604,6 +6648,34 @@ object SparkEntry {
     "q_bloom_skip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
          FROM orders WHERE o_orderkey = 100 ORDER BY o_orderkey""",
+
+    // zone-map pruning is physical-only; the conjunction's answer is a
+    // plain two-predicate filter
+    "q_zorder_skip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_price
+         FROM orders
+         WHERE o_totalprice >= 100000.0 AND o_totalprice <= 200000.0
+           AND o_custkey >= 20 AND o_custkey <= 80
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // every view the final watermark decided (strictly past ts + 4 h at
+    // ms granularity) with an EMPTY (view, view+4h] purchase window
+    "q_stream_abandon" ->
+      """WITH g AS (SELECT max(ts) AS mx FROM events),
+         v AS (SELECT user_id, event_id, ts FROM events, g
+               WHERE event_type = 'view'
+                 AND date_trunc('milliseconds', ts + INTERVAL '4 hours')
+                     < date_trunc('milliseconds', mx)),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts
+         FROM v
+         WHERE NOT EXISTS (
+           SELECT 1 FROM p
+           WHERE p.user_id = v.user_id
+             AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '4 hours')
+         ORDER BY v.user_id, v.ts, v.event_id""",
 
     // same md5(seed|id)→60-bit→u∈(0,1] chain, key = −ln(u)/w rounded to
     // 6 dp, id tiebreak, k smallest per group

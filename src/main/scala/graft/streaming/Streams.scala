@@ -291,6 +291,75 @@ object Streams {
       }.toDF()
   }
 
+  case class AbandonOut(user_id: Long, view_id: Long,
+      view_ts: java.sql.Timestamp)
+
+  /** ABSENCE detection — the negation dual of [[patternDetect]]: emit
+    * each `triggerType` event that was NOT followed by an `actionType`
+    * event of the same key within `withinSeconds` (cart/view
+    * abandonment, missed-heartbeat, SLA-breach alerts). Negation is the
+    * classically hard streaming case because "nothing happened" has no
+    * row to react to — it NEEDS the event-time timeout machinery: a
+    * trigger becomes decidable only once the watermark strictly passes
+    * trigger_ts + window (no qualifying action can still arrive), at
+    * which point it is emitted iff its action window stayed empty, and
+    * leaves state either way. Pending triggers set a timeout just past
+    * their decision point so the final watermark advance flushes them
+    * without new data.
+    *
+    * State per key: undecided triggers (≤ window-bounded) + actions
+    * still inside some pending trigger's window; both pruned every
+    * invocation. Exactly-once, complete-window semantics across
+    * micro-batches, same contract as [[patternDetect]]/[[sessionize]]. */
+  def abandonDetect(events: DataFrame, triggerType: String,
+      actionType: String, withinSeconds: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = withinSeconds * 1000000L
+    val typed = events.withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin(triggerType, actionType))
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type")).as[PatEv]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatState, AbandonOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[PatEv], state: GroupState[PatState]) =>
+          val newEvents = if (state.hasTimedOut) Nil else rows.toList
+          val all = state.getOption.map(_.events).getOrElse(Nil) ++ newEvents
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // decidable once the watermark is STRICTLY past ts + window;
+          // the oracle mirrors the ms-granularity boundary with
+          // date_trunc('milliseconds', ts + window) < trunc(max ts)
+          val (decided, pending) = all.filter(_.event_type == triggerType)
+            .partition(t => tsMicros(t.ts) + winUs < wmUs)
+          val actions = all.filter(_.event_type == actionType)
+          val out = decided
+            .filter { t =>
+              val tUs = tsMicros(t.ts)
+              !actions.exists { a =>
+                val aUs = tsMicros(a.ts)
+                aUs > tUs && aUs <= tUs + winUs
+              }
+            }
+            .map(t => AbandonOut(user, t.event_id, t.ts))
+          // actions only matter inside a still-pending trigger's window
+          val keepActions = actions.filter(a => tsMicros(a.ts) + winUs > wmUs)
+          if (pending.isEmpty && keepActions.isEmpty) state.remove()
+          else {
+            state.update(PatState(pending ++ keepActions))
+            if (pending.nonEmpty) {
+              // fire once the watermark can be strictly past ts + window
+              val next = pending.map(t =>
+                Math.floorDiv(tsMicros(t.ts) + winUs, 1000L) + 1).min
+              state.setTimeoutTimestamp(
+                math.max(next, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** Watermarked STREAM-STREAM interval join: right rows of the same key
     * within [left.ts, left.ts + window) attach to each left row. Both
     * sides carry watermarks and the join condition bounds the time range,

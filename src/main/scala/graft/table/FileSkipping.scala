@@ -54,6 +54,26 @@ object FileSkipping {
     base.filter(col(valueCol) >= lit(lo) && col(valueCol) <= lit(hi))
   }
 
+  /** Conjunctive multi-column range scan: each column's zone map prunes
+    * independently and the candidate sets INTERSECT — the access
+    * pattern Z-order layouts exist for (interleaved clustering keeps
+    * per-file ranges tight on EVERY clustered column, so a conjunction
+    * prunes multiplicatively where a single-column sort layout prunes
+    * on one column only; measured in FileSkippingSpec). */
+  def skippingScanConj(spark: SparkSession, path: String,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "need at least one (col, lo, hi) predicate")
+    val files = preds.map { case (c, lo, hi) =>
+      candidateFiles(spark, path, c, lo, hi).toSet
+    }.reduce(_ intersect _)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files.toSeq.sorted: _*)
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    }
+  }
+
   /** The k (word, bit) Bloom positions of a value: hash j =
     * xxhash64(j, v), word = ⌊|h| mod (words·64) / 64⌋, bit = mod 64.
     * One definition shared by the build and the probe so they can never

@@ -108,4 +108,41 @@ class FileSkippingSpec extends SparkSpec {
       -987654321L)
     assert(out.count() == 0)
   }
+
+  test("z-order layout prunes on BOTH columns; single-sort layout on one") {
+    import graft.functions.ZOrder
+    val o = Tables.load(spark, sf, "orders")
+    val b = o.agg(min(col("o_totalprice")).as("p_lo"),
+      max(col("o_totalprice")).as("p_hi"),
+      min(col("o_custkey")).as("c_lo"), max(col("o_custkey")).as("c_hi"))
+    val z = ZOrder.interleave(
+      ZOrder.bin(col("o_totalprice"), col("p_lo"), col("p_hi")),
+      ZOrder.bin(col("o_custkey"), col("c_lo"), col("c_hi")))
+    val zDst = java.nio.file.Files.createTempDirectory("zskip").toString
+    o.crossJoin(broadcast(b)).withColumn("z", z)
+      .repartitionByRange(8, col("z"))
+      .drop("p_lo", "p_hi", "c_lo", "c_hi")
+      .write.mode("overwrite").parquet(zDst)
+    val pDst = layout() // price-range-sorted control
+    def nCand(dst: String, c: String, lo: Any, hi: Any) =
+      FileSkipping.candidateFiles(spark, dst, c, lo, hi).length
+    // narrow ranges on each dimension (~1/8 of each value span)
+    val (pLo, pHi) = (100000.0, 160000.0)
+    val (cLo, cHi) = (20L, 40L)
+    // the z layout prunes meaningfully on BOTH columns
+    assert(nCand(zDst, "o_totalprice", pLo, pHi) < 8,
+      "z layout failed to prune on price")
+    assert(nCand(zDst, "o_custkey", cLo, cHi) < 8,
+      "z layout failed to prune on custkey")
+    // the single-column layout cannot prune the OTHER column at all
+    assert(nCand(pDst, "o_custkey", cLo, cHi) == 8)
+    // conjunction equality vs plain filter
+    val got = FileSkipping.skippingScanConj(spark, zDst,
+        Seq(("o_totalprice", pLo, pHi), ("o_custkey", cLo, cHi)))
+      .agg(count(lit(1)), sum("o_orderkey")).head()
+    val want = o.filter(col("o_totalprice").between(pLo, pHi) &&
+        col("o_custkey").between(cLo, cHi))
+      .agg(count(lit(1)), sum("o_orderkey")).head()
+    assert(got == want && want.getLong(0) > 0)
+  }
 }

@@ -116,6 +116,7 @@ class PlanLintSpec extends SparkSpec {
     "q_kcore", // iterative peel localCheckpoints per round
     "q_skipping_scan", // writes the range-clustered layout, stats pass
     "q_bloom_skip", // writes the layout + runs the bloom-index build
+    "q_zorder_skip", // writes the Morton-clustered layout, stats passes
     "q_avro_roundtrip") // bounded dim collect + fixture write
   private def streamQueries =
     SparkEntry.queries.keys.filter(_.startsWith("q_stream")).toSet

@@ -271,6 +271,61 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty) // the parity must not be vacuous
   }
 
+  test("abandonDetect == batch NOT-EXISTS replay on the events table") {
+    val ev = Tables.load(spark, sf, "events")
+    val winSec = 4 * 3600
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val mx = ev.agg(max(date_trunc("millisecond", col("ts"))).as("mx"))
+    val expected = v.crossJoin(broadcast(mx))
+      .filter(date_trunc("millisecond",
+        col("view_ts") + expr(s"INTERVAL $winSec SECONDS")) < col("mx"))
+      .join(p, v("user_id") === p("user_id") &&
+        col("p_ts") > col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr(s"INTERVAL $winSec SECONDS"),
+        "left_anti")
+      .select("user_id", "view_id", "view_ts")
+      .orderBy("user_id", "view_ts").collect().toSeq
+    val stream = Streams.readTableStream(spark, sf, "events")
+    val got = Streams.drainAppend(
+      Streams.abandonDetect(stream, "view", "purchase", winSec), "t_abandon")
+      .select("user_id", "view_id", "view_ts")
+      .orderBy("user_id", "view_ts").collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("abandonDetect across micro-batches: conversion suppresses, timeout emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, sec: Long, id: Long, t: String) =
+      Streams.PatEv(u, new java.sql.Timestamp((1000 + sec) * 1000), id, t)
+    val input = MemoryStream[Streams.PatEv]
+    val q = Streams.abandonDetect(input.toDF(), "view", "purchase",
+        withinSeconds = 100)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_ab_mb").start()
+    // u1: view@10 converted by purchase@50; view@60 NOT converted
+    // (next purchase only at 300 > 60+100)
+    input.addData(ev(1, 10, 1, "view"), ev(1, 50, 2, "purchase"),
+      ev(1, 60, 3, "view")); q.processAllAvailable()
+    assert(spark.table("t_ab_mb").count() == 0) // undecidable yet
+    // watermark advances on an unrelated key; u1 gets NO new data —
+    // only the timeout can decide view@60
+    input.addData(ev(2, 300, 4, "view")); q.processAllAvailable()
+    input.addData(ev(2, 700, 5, "view")); q.processAllAvailable()
+    val rows = spark.table("t_ab_mb").select("user_id", "view_id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sorted
+    // view@60 times out unanswered; u2's own view@300 is abandoned too
+    // once the watermark passes 400 (view@700 is still undecidable)
+    assert(rows == Seq((1L, 3L), (2L, 4L)), s"got $rows")
+    q.stop()
+  }
+
   test("patternDetect across micro-batches: complete trigger set, exactly-once, strict boundaries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
