@@ -170,6 +170,36 @@ object ScaleProbe {
         s""""table_profile_sec":${f"$profSec%.2f"},""" +
         s""""rolling_kmv_sec":${f"$rollSec%.2f"},"n_windows":$nWindows}""")
     }
+
+    // ---- ANN family (round-8): corpus inflation by id-shifted replicas
+    // (identical vectors, distinct ids — each query's true top-k set is
+    // invariant up to replica ids, and result size is always
+    // |queries|·k). Expected slopes: both scans ~linear in corpus; the
+    // int8 path trades a constant factor (quantize once, integer dots)
+    // and must not diverge from the float slope.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    factors.foreach { n =>
+      val corpus = (0 until n).map { r =>
+        if (r == 0) emb
+        else emb.select((col("vec_id") + lit(r * maxVec)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val rows = corpus.count()
+      val q = emb.filter(col("vec_id") < 16)
+      val (nBrute, bruteSec) = timed {
+        graft.operators.Similarity.bruteForceTopK(
+          q, corpus, "vec_id", "embedding", k = 5).count()
+      }
+      val (nInt8, int8Sec) = timed {
+        graft.operators.Similarity.int8TopK(
+          q, corpus, "vec_id", "embedding", k = 5).count()
+      }
+      println(s"""{"family":"ann","factor":$n,"rows":$rows,""" +
+        s""""brute_sec":${f"$bruteSec%.2f"},"n_brute":$nBrute,""" +
+        s""""int8_sec":${f"$int8Sec%.2f"},"n_int8":$nInt8}""")
+    }
     spark.stop()
   }
 }

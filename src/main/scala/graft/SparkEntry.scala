@@ -3181,6 +3181,46 @@ object SparkEntry {
         .orderBy("user_id", "view_ts", "view_id")
     }),
 
+    // level-2 sequential patterns: users with type a EVENTUALLY before
+    // type b (min/max-timestamp profile trick — no raw-event self-join)
+    "q_seq_patterns" -> ((s, dir) =>
+      EventOps.sequencePairSupport(events(s, dir), "user_id", "event_type", "ts")
+        .orderBy(col("support").desc, col("a"), col("b"))),
+
+    // CUSUM level-shift evidence per event type — the cumulative drift
+    // detector that complements q_rolling_zscore's pointwise spikes;
+    // sequential fold replayed exactly via list_reduce
+    "q_cusum" -> ((s, dir) =>
+      EventOps.cusumDrift(events(s, dir), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // k-anonymity audit over (lang, source) quasi-identifiers: the
+    // privacy screen a training corpus runs before release — groups
+    // smaller than k are re-identification risks
+    "q_k_anonymity" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("violates_k5", col("n") < 5)
+        .orderBy("lang", "source")),
+
+    // conversion-latency distribution: first view → first subsequent
+    // purchase per user; exact interpolated percentiles over the
+    // user-bounded latency set
+    "q_time_to_convert" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("fv"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id"))
+        .filter(col("ts") > col("fv"))
+        .groupBy("user_id", "fv").agg(min("ts").as("cp"))
+        .select(((unix_micros(col("cp")) - unix_micros(col("fv"))).cast("double")
+          / 1000000.0d).as("latency_s"))
+      conv.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(latency_s, 0.5)"), 1).as("median_s"),
+        round(expr("percentile(latency_s, 0.9)"), 1).as("p90_s"))
+    }),
+
     // Efraimidis–Spirakis weighted k-sample per language, weight =
     // n_chars (longer docs proportionally likelier) — exact-k weighted
     // sampling with a fully hash-replayable key
@@ -6648,6 +6688,68 @@ object SparkEntry {
     "q_bloom_skip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
          FROM orders WHERE o_orderkey = 100 ORDER BY o_orderkey""",
+
+    // prefix identity replay: p_t = P_t − t·μ on the exact integer
+    // running count; s_t = p_t − min(0, running min p); min/max are
+    // order-insensitive so no float accumulation order exists
+    "q_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, SUM(n) AS total, count(*) AS n_days
+           FROM daily GROUP BY event_type),
+         pre AS (
+           SELECT d.event_type, d.day, t.n_days,
+                  CAST(t.total AS DOUBLE) / t.n_days AS mu,
+                  CAST(SUM(n) OVER w AS DOUBLE)
+                    - CAST(count(*) OVER w AS DOUBLE)
+                      * (CAST(t.total AS DOUBLE) / t.n_days) AS p
+           FROM daily d JOIN tot t USING (event_type)
+           WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING)),
+         s AS (
+           SELECT event_type, n_days, mu,
+                  p - least(CAST(0 AS DOUBLE),
+                            min(p) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING)) AS sv
+           FROM pre)
+         SELECT event_type, n_days, ROUND(mu, 4) AS mean_daily,
+                ROUND(MAX(sv), 4) AS max_cusum
+         FROM s GROUP BY event_type, n_days, mu ORDER BY event_type""",
+
+    // exact small-group counting; the flag is derived, not probabilistic
+    "q_k_anonymity" ->
+      """SELECT lang, source, count(*) AS n, count(*) < 5 AS violates_k5
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    // ∃ a-before-b replayed via the same min/max profile reduction
+    "q_seq_patterns" ->
+      """WITH prof AS (
+           SELECT user_id, event_type,
+                  min(ts) AS first_ts, max(ts) AS last_ts
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS a, b.event_type AS b, count(*) AS support
+         FROM prof a JOIN prof b
+           ON a.user_id = b.user_id AND a.first_ts < b.last_ts
+         GROUP BY 1, 2 ORDER BY support DESC, a, b""",
+
+    // identical epoch-microsecond arithmetic; quantile_cont is the same
+    // linear interpolation as Spark's percentile
+    "q_time_to_convert" ->
+      """WITH fv AS (
+           SELECT user_id, min(ts) AS fv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         conv AS (
+           SELECT (CAST(epoch_us(min(e.ts)) - epoch_us(fv.fv) AS DOUBLE)
+                   / 1000000.0) AS latency_s
+           FROM events e JOIN fv USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > fv.fv
+           GROUP BY e.user_id, fv.fv)
+         SELECT count(*) AS n_converted,
+                ROUND(quantile_cont(latency_s, 0.5), 1) AS median_s,
+                ROUND(quantile_cont(latency_s, 0.9), 1) AS p90_s
+         FROM conv""",
 
     // zone-map pruning is physical-only; the conjunction's answer is a
     // plain two-predicate filter

@@ -136,6 +136,65 @@ object EventOps {
         round(col("n").cast("double") / col("n_from"), 6).as("p"))
   }
 
+  /** Sequential-pattern support (PrefixSpan level 2, the practical
+    * core): for each ordered type pair (a → b), the number of users
+    * with SOME a-event strictly before SOME b-event — not-necessarily-
+    * adjacent ordering, the thing [[transitionMatrix]]'s adjacent
+    * bigrams cannot see. The classic behavioral-mining primitive
+    * ("signup → purchase eventually", "error → churn").
+    *
+    * The trick that keeps it scale-safe: "∃ a before b" ⟺
+    * `min_ts(a) < max_ts(b)` per user, so the raw stream reduces to one
+    * (user, type, first_ts, last_ts) profile row per user-type — the
+    * pair join is |types|² per user over that tiny profile, never a
+    * self-join of raw events. a = b is meaningful (the type recurs). */
+  def sequencePairSupport(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String): DataFrame = {
+    val prof = events.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+    val a = prof.select(col("u"), col("t").as("a"), col("first_ts"))
+    val b = prof.select(col("u"), col("t").as("b"), col("last_ts"))
+    a.join(b, Seq("u"))
+      .filter(col("first_ts") < col("last_ts"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  /** CUSUM drift statistic per key (Page 1954): over the day-ordered
+    * daily counts, S_t = max(0, S_{t−1} + (x_t − μ)) with μ the key's
+    * own mean daily volume; the reported maximum of S is the classic
+    * changepoint evidence — a LEVEL SHIFT accumulates where
+    * [[rollingZScore]]'s pointwise test only sees isolated spikes.
+    *
+    * Computed WITHOUT the recursion via the prefix identity
+    * `S_t = p_t − min(0, min_{j≤t} p_j)` where `p_t = Σ_{j≤t} (x_j − μ)
+    * = P_t − t·μ` with P_t the INTEGER running count. That form is the
+    * engine-portability trick: the only accumulation (P_t) is integer
+    * and exact, every float op is a per-row expression on exact inputs,
+    * and min/max are order-insensitive — so the oracle replays
+    * bit-identically. (A sequential double fold is NOT portable:
+    * DuckDB's list_reduce evaluates struct fields against the updated
+    * accumulator.) Windows are partitioned per key over
+    * calendar-bounded daily rows — never raw events. */
+  def cusumDrift(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy(col(keyCol))
+      .agg(sum("n").as("total"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mu = col("total").cast("double") / col("n_days")
+    val p = sum("n").over(w).cast("double") -
+      count(lit(1)).over(w).cast("double") * mu
+    daily.join(broadcast(tot), Seq(keyCol))
+      .withColumn("mu", mu)
+      .withColumn("s", p - least(lit(0.0d), min(p).over(w)))
+      .groupBy(col(keyCol))
+      .agg(max("n_days").as("n_days"), round(max("mu"), 4).as("mean_daily"),
+        round(max("s"), 4).as("max_cusum"))
+  }
+
   /** Day-of-week seasonal index per key: mean daily volume on each ISO
     * weekday divided by the key's overall mean daily volume — index > 1
     * means that weekday runs hot. The multiplicative seasonal profile

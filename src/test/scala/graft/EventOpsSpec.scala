@@ -71,6 +71,33 @@ class EventOpsSpec extends SparkSpec {
     assert(full.getDouble(3) == 3.0 && full.isNullAt(4) && !full.getBoolean(5))
   }
 
+  test("sequencePairSupport: eventually-before semantics, repeats, per-user counting") {
+    val ev = Seq(
+      (1L, ts(1), "x"), (1L, ts(2), "y"), (1L, ts(3), "x"),
+      (2L, ts(5), "y")).toDF("user_id", "ts", "event_type")
+    val got = EventOps.sequencePairSupport(ev, "user_id", "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // u1: x(1)→y(2), y(2)→x(3), x(1)→x(3) recurrence; y has no second y;
+    // u2 contributes nothing (single event of one type)
+    assert(got == Set(("x", "y", 1L), ("y", "x", 1L), ("x", "x", 1L)))
+  }
+
+  test("cusumDrift: level shift accumulates, pointwise noise does not") {
+    // counts 2,2,8,8 → μ=5; fold: 0,0,3,6 → max 6 (the level shift
+    // accumulates). A symmetric alternation 2,8,2,8 under the same μ
+    // peaks at only 3 — CUSUM separates shift from noise.
+    def mk(counts: Seq[Int], key: String) = counts.zipWithIndex.flatMap {
+      case (n, d) => (0 until n).map(i => (ts(86400L * d + i), key))
+    }
+    val ev = (mk(Seq(2, 2, 8, 8), "shift") ++ mk(Seq(2, 8, 2, 8), "noise"))
+      .toDF("ts", "event_type")
+    val got = EventOps.cusumDrift(ev, "event_type", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("shift") == ((4L, 5.0, 6.0)))
+    assert(got("noise") == ((4L, 5.0, 3.0)))
+  }
+
   test("seasonalIndex: hand-computed weekday profile over two weeks") {
     // epoch day 0 (1970-01-01) is a THURSDAY (isodow 4). Mondays get 4
     // events, every other day 2: overall mean = 32/14, so Monday index

@@ -88,4 +88,45 @@ class ScaleProbeSpec extends SparkSpec {
       assert(r8(day) == 8 * u, s"window $day: ${r8(day)} != 8×$u")
     }
   }
+
+  test("×8 embeddings inflation: ANN result sizes invariant, scores replica-stable") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val corpus8 = (0 until 8).map { r =>
+      if (r == 0) emb
+      else emb.select((col("vec_id") + lit(r * maxVec)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    val q = emb.filter(col("vec_id") < 8)
+    def top(c: org.apache.spark.sql.DataFrame,
+        f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =>
+          org.apache.spark.sql.DataFrame) = f(q, c).collect()
+    val brute = (d: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =>
+      Similarity.bruteForceTopK(d, c, "vec_id", "embedding", k = 5)
+    val int8 = (d: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =>
+      Similarity.int8TopK(d, c, "vec_id", "embedding", k = 5)
+    // invariants under inflation: result size stays |queries|·k, and a
+    // larger corpus can only RAISE each query's best score — at ×8 an
+    // identical replica of the query itself exists, so the float path's
+    // rank-1 must be a self-replica at cosine 1.0
+    for ((f, isFloat) <- Seq((brute, true), (int8, false))) {
+      val base = top(emb, f)
+      val big = top(corpus8, f)
+      assert(base.length == 8 * 5 && big.length == 8 * 5)
+      def rank1(rows: Array[org.apache.spark.sql.Row]) = rows
+        .filter(_.getInt(1) == 1)
+        .map(r => r.getLong(0) ->
+          (r.getLong(2), r.get(3).toString.toDouble)).toMap
+      val b1 = rank1(base); val g1 = rank1(big)
+      b1.keySet.foreach { qid =>
+        assert(g1(qid)._2 >= b1(qid)._2,
+          s"query $qid: best score dropped under inflation")
+        if (isFloat) {
+          assert(g1(qid)._2 == 1.0)
+          assert(g1(qid)._1 % maxVec == qid, "rank-1 not a self-replica")
+        }
+      }
+    }
+  }
 }
