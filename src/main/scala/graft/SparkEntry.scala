@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import graft.operators.{AsOfJoin, Dedup, EventOps, Graph, Multimodal, RangeJoin, Retrieval, Similarity}
+import graft.operators.{AsOfJoin, Dedup, EventOps, Graph, Multimodal, RangeJoin, Retrieval, Similarity, Stats}
 import graft.ops.CoreOps._
 import graft.pipelines.Pipelines
 import graft.table.LakeTable
@@ -3250,6 +3250,98 @@ object SparkEntry {
       graft.sources.Avro.write(s"$root/part-1.avro", "nation", fields, rows(odd))
       graft.sources.Avro.read(s, root)
         .orderBy("n_nationkey")
+    }),
+
+    // ——— closed-form statistics / experimentation family ———
+
+    // A/B readout on the deterministic user-parity split: 2×2 table,
+    // pooled two-proportion z, uncorrected chi-square — every statistic
+    // a fixed closed form over exact integer counts
+    "q_ab_test" -> ((s, dir) =>
+      Stats.abTest(events(s, dir), "user_id", "event_type", "purchase")),
+
+    // Kaplan–Meier days-to-purchase survival (right-censored at the
+    // user's last event); product-limit via 6-dp-ln exact-decimal sums
+    "q_kaplan_meier" -> ((s, dir) =>
+      Stats.kaplanMeier(events(s, dir), "user_id", "event_type", "ts",
+        "purchase").orderBy("t_days")),
+
+    // Gini concentration of per-customer revenue within each market
+    // segment — the inequality scalar next to q_pareto's top-share view
+    "q_gini" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Stats.giniByGroup(
+        rev.join(cust, rev("o_custkey") === cust("c_custkey"))
+          .select(col("c_mktsegment"), col("o_custkey"), col("revenue")),
+        "c_mktsegment", "o_custkey", "revenue")
+        .orderBy("c_mktsegment")
+    }),
+
+    // EWMA (α = 1/2) smoothing of daily event volume per type — exact
+    // dyadic closed form, bit-identical across engines by construction
+    "q_ewma" -> ((s, dir) =>
+      Stats.ewmaDaily(events(s, dir), "event_type", "ts")
+        .orderBy("event_type", "day")),
+
+    // per-returnflag OLS of extendedprice on quantity (+ r²): the
+    // normal equations over ONE pass of exact decimal moments
+    "q_ols" -> ((s, dir) =>
+      Stats.olsByGroup(Tables.load(s, dir, "lineitem"),
+        "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    // full Pearson pair matrix over the four lineitem measures in ONE
+    // aggregate pass (6 pair rows unfold from the single moment row)
+    "q_corr_matrix" -> ((s, dir) =>
+      Stats.pearsonPairs(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("x_col", "y_col")),
+
+    // Benford first-digit screen on order totals (digit extraction via
+    // exact decimal render, not log10; expected masses fixed literals)
+    "q_benford" -> ((s, dir) =>
+      Stats.benford(Tables.load(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")),
+
+    // declarative data-quality gate: completeness / uniqueness / bound /
+    // domain / referential-integrity constraints in one scan of orders
+    "q_dq_suite" -> ((s, dir) =>
+      graft.operators.Profiling.dqSuite(
+        Tables.load(s, dir, "orders"), Tables.load(s, dir, "customer"),
+        keyCol = "o_orderkey", completenessCol = "o_custkey",
+        boundCol = "o_totalprice", lowerBound = 0.0,
+        domainCol = "o_orderstatus", domain = Seq("F", "P", "O"),
+        fkCol = "o_custkey", dimKeyCol = "c_custkey")
+        .orderBy("constraint")),
+
+    // longest consecutive-active-day streaks per user (gaps-and-islands
+    // via the row_number difference trick — pure date arithmetic)
+    "q_gaps_islands" -> ((s, dir) =>
+      EventOps.gapsIslands(events(s, dir), "user_id", "ts")
+        .orderBy("user_id")),
+
+    // item-item cosine collaborative filtering from co-purchase counts:
+    // sim = sup_ab / √(n_a·n_b) on the SAME shared copurchaseSets
+    // exchange the other basket queries reuse; sqrt is IEEE-exact so
+    // the ranking needs no rounding rescue (rounded anyway for display)
+    "q_item_cf" -> ((s, dir) => {
+      val sets = copurchaseSets(s, dir)
+      val itemN = sets.select(explode(col("ps")).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("n_orders"))
+      supportPrunedPairs(sets, 2)
+        .join(itemN.select(col("item").as("u"), col("n_orders").as("n_u")),
+          Seq("u"))
+        .join(itemN.select(col("item").as("v"), col("n_orders").as("n_v")),
+          Seq("v"))
+        .select(col("u"), col("v"), col("sup_ab"),
+          round(col("sup_ab").cast("double") /
+            sqrt((col("n_u") * col("n_v")).cast("double")), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("u"), col("v"))
+        .limit(50)
     }),
   )
 
@@ -6795,5 +6887,342 @@ object SparkEntry {
            FROM keyed)
          SELECT lang, sample_rank, doc_id, n_chars FROM ranked
          WHERE sample_rank <= 5 ORDER BY lang, sample_rank""",
+
+    // every statistic is integer-count arithmetic + one fixed double
+    // formula; the 2×2 determinant replayed in the same a·d − b·c form
+    "q_ab_test" ->
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS converted
+           FROM events GROUP BY user_id),
+         arms AS (
+           SELECT user_id % 2 AS arm, count(*) AS n,
+                  CAST(SUM(converted) AS BIGINT) AS conv
+           FROM u GROUP BY 1),
+         t AS (
+           SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+                  max(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+                  max(CASE WHEN arm = 1 THEN n END) AS n_b,
+                  max(CASE WHEN arm = 1 THEN conv END) AS conv_b
+           FROM arms)
+         SELECT n_a, conv_a, n_b, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b
+               - CAST(conv_a AS DOUBLE) / n_a, 6) AS lift,
+           CASE WHEN (conv_a + conv_b) > 0
+                 AND (n_a + n_b) > (conv_a + conv_b) THEN
+             ROUND((CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 6)
+           END AS z_stat,
+           CASE WHEN (conv_a + conv_b) > 0
+                 AND (n_a + n_b) > (conv_a + conv_b) THEN
+             ROUND(CAST(n_a + n_b AS DOUBLE)
+                 * CAST(conv_a * (n_b - conv_b)
+                        - (n_a - conv_a) * conv_b AS DOUBLE)
+                 * CAST(conv_a * (n_b - conv_b)
+                        - (n_a - conv_a) * conv_b AS DOUBLE)
+                 / CAST(n_a * n_b * (conv_a + conv_b)
+                        * ((n_a - conv_a) + (n_b - conv_b)) AS DOUBLE), 6)
+           END AS chi2
+         FROM t""",
+
+    // product-limit as exp(Σ round(ln(factor),6)) with an exact DECIMAL
+    // sum — the dsirWeights transcendental discipline; factor 0 floored
+    // at ln = −20 on both sides
+    "q_kaplan_meier" ->
+      """WITH pu AS (
+           SELECT user_id, CAST(min(ts) AS DATE) AS d0,
+                  CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS DATE) AS dp,
+                  CAST(max(ts) AS DATE) AS dl
+           FROM events GROUP BY user_id),
+         dur AS (
+           SELECT CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
+                       ELSE datediff('day', d0, dl) END AS t,
+                  CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS observed
+           FROM pu),
+         byt AS (
+           SELECT t, CAST(SUM(observed) AS BIGINT) AS d,
+                  CAST(SUM(1 - observed) AS BIGINT) AS c,
+                  count(*) AS ended
+           FROM dur GROUP BY t),
+         tot AS (SELECT CAST(SUM(ended) AS BIGINT) AS n_total FROM byt),
+         risk AS (
+           SELECT b.t, b.d, b.c,
+                  t2.n_total - COALESCE(CAST(SUM(b.ended) OVER (ORDER BY b.t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT), 0) AS n_risk
+           FROM byt b CROSS JOIN tot t2),
+         lf AS (
+           SELECT t, d, c, n_risk,
+                  CAST(CASE WHEN d > 0 AND n_risk > d
+                       THEN ROUND(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 6)
+                       WHEN d > 0 THEN CAST(-20 AS DOUBLE)
+                       ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,6)) AS ln_f
+           FROM risk)
+         SELECT t AS t_days, n_risk, d AS d_conv, c AS c_censored,
+                ROUND(exp(CAST(SUM(ln_f) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)), 4) AS survival
+         FROM lf QUALIFY d > 0 ORDER BY t""",
+
+    // rank-weighted DECIMAL sums stay exact; only the final fixed
+    // formula 2Σ(r·x)/(nΣx) − (n+1)/n runs in double
+    "q_gini" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(18,2)) AS x
+           FROM orders GROUP BY o_custkey),
+         ranked AS (
+           SELECT c.c_mktsegment, r.o_custkey, r.x,
+                  row_number() OVER (PARTITION BY c.c_mktsegment
+                                     ORDER BY r.x ASC, r.o_custkey ASC) AS rk
+           FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey)
+         SELECT c_mktsegment, count(*) AS n,
+                ROUND(CAST(SUM(x) AS DOUBLE), 2) AS total,
+                ROUND(2.0 * CAST(SUM(x * rk) AS DOUBLE)
+                      / (count(*) * CAST(SUM(x) AS DOUBLE))
+                    - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+         FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // s_t = 2^(−t)·(B_t + x_1): the only accumulation (B_t) is an exact
+    // int128/decimal running sum and every weight a dyadic rational, so
+    // the doubles agree bit-for-bit with no rounding rescue
+    "q_ewma" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         cut AS (SELECT max(day) - 99 AS min_day FROM daily),
+         idx AS (
+           SELECT d.event_type, d.day, d.n,
+                  row_number() OVER (PARTITION BY d.event_type
+                                     ORDER BY d.day) AS t
+           FROM daily d CROSS JOIN cut WHERE d.day >= cut.min_day),
+         acc AS (
+           SELECT event_type, day, n, t,
+                  SUM(CAST(power(2.0, t - 1) AS HUGEINT) * n)
+                    OVER (PARTITION BY event_type ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS b,
+                  first_value(n)
+                    OVER (PARTITION BY event_type ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS x1
+           FROM idx)
+         SELECT event_type, day, n,
+                power(2.0, -t) * CAST(b + x1 AS DOUBLE) AS ewma
+         FROM acc ORDER BY event_type, day""",
+
+    // normal equations over one-pass exact decimal moments; doubles
+    // enter only in the final fixed formulas (mirrored operand order)
+    "q_ols" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             SUM(CAST(ROUND(CAST(l_quantity AS DOUBLE), 2)
+                 AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 2)
+                 AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(CAST(ROUND(CAST(l_quantity AS DOUBLE), 2)
+                   AS DECIMAL(18,2))
+                 * CAST(ROUND(CAST(l_quantity AS DOUBLE), 2)
+                   AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+             SUM(CAST(CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 2)
+                   AS DECIMAL(18,2))
+                 * CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 2)
+                   AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy,
+             SUM(CAST(CAST(ROUND(CAST(l_quantity AS DOUBLE), 2)
+                   AS DECIMAL(18,2))
+                 * CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 2)
+                   AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+               - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS r2
+         FROM m ORDER BY l_returnflag""",
+
+    // all moments in ONE aggregate CTE; six pair rows replay the same
+    // cov/√(varx·vary) formula (sqrt is IEEE-exact on both engines)
+    "q_corr_matrix" ->
+      """WITH src AS (
+           SELECT CAST(ROUND(CAST(l_quantity AS DOUBLE), 2)
+                  AS DECIMAL(18,2)) AS a,
+                  CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 2)
+                  AS DECIMAL(18,2)) AS b,
+                  CAST(ROUND(CAST(l_discount AS DOUBLE), 2)
+                  AS DECIMAL(18,2)) AS c,
+                  CAST(ROUND(CAST(l_tax AS DOUBLE), 2)
+                  AS DECIMAL(18,2)) AS d
+           FROM lineitem),
+         m AS (
+           SELECT count(*) AS n,
+             SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd,
+             SUM(CAST(a * a AS DECIMAL(38,4))) AS saa,
+             SUM(CAST(b * b AS DECIMAL(38,4))) AS sbb,
+             SUM(CAST(c * c AS DECIMAL(38,4))) AS scc,
+             SUM(CAST(d * d AS DECIMAL(38,4))) AS sdd,
+             SUM(CAST(a * b AS DECIMAL(38,4))) AS sab,
+             SUM(CAST(a * c AS DECIMAL(38,4))) AS sac,
+             SUM(CAST(a * d AS DECIMAL(38,4))) AS sad,
+             SUM(CAST(b * c AS DECIMAL(38,4))) AS sbc,
+             SUM(CAST(b * d AS DECIMAL(38,4))) AS sbd,
+             SUM(CAST(c * d AS DECIMAL(38,4))) AS scd
+           FROM src)
+         SELECT * FROM (
+           SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col, n,
+             ROUND((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+               / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS corr
+           FROM m
+           UNION ALL
+           SELECT 'l_quantity', 'l_discount', n,
+             ROUND((n * CAST(sac AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE))
+               / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+           FROM m
+           UNION ALL
+           SELECT 'l_quantity', 'l_tax', n,
+             ROUND((n * CAST(sad AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sd AS DOUBLE))
+               / sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+           FROM m
+           UNION ALL
+           SELECT 'l_extendedprice', 'l_discount', n,
+             ROUND((n * CAST(sbc AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE))
+               / sqrt((n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                    * (n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+           FROM m
+           UNION ALL
+           SELECT 'l_extendedprice', 'l_tax', n,
+             ROUND((n * CAST(sbd AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sd AS DOUBLE))
+               / sqrt((n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                    * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+           FROM m
+           UNION ALL
+           SELECT 'l_discount', 'l_tax', n,
+             ROUND((n * CAST(scd AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sd AS DOUBLE))
+               / sqrt((n * CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+                    * (n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6)
+           FROM m)
+         ORDER BY x_col, y_col""",
+
+    // digit via exact DECIMAL(18,2) string render (both engines print
+    // plain form); the nine Benford masses are fixed 6-dp literals
+    "q_benford" ->
+      """WITH digits AS (
+           SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         AS VARCHAR), 1, 1) AS digit,
+                  count(*) AS n
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM digits),
+         e(digit, expected) AS (VALUES
+           ('1', CAST(0.30103  AS DOUBLE)), ('2', CAST(0.176091 AS DOUBLE)),
+           ('3', CAST(0.124939 AS DOUBLE)), ('4', CAST(0.09691  AS DOUBLE)),
+           ('5', CAST(0.079181 AS DOUBLE)), ('6', CAST(0.066947 AS DOUBLE)),
+           ('7', CAST(0.057992 AS DOUBLE)), ('8', CAST(0.051153 AS DOUBLE)),
+           ('9', CAST(0.045757 AS DOUBLE)))
+         SELECT d.digit, d.n,
+                ROUND(CAST(d.n AS DOUBLE) / t.n_total, 6) AS freq,
+                e.expected,
+                ROUND(ROUND(CAST(d.n AS DOUBLE) / t.n_total, 6)
+                      - e.expected, 6) AS deviation
+         FROM digits d CROSS JOIN tot t JOIN e ON e.digit = d.digit
+         ORDER BY d.digit""",
+
+    // one scan of orders folds every constraint metric; the RI probe is
+    // the same distinct-dim-keyset left join
+    "q_dq_suite" ->
+      """WITH j AS (
+           SELECT o.*, c.c_custkey AS dim_key
+           FROM orders o
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey),
+         m AS (
+           SELECT count(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_complete,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             min(CAST(o_totalprice AS DOUBLE)) AS min_bound,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('F','P','O')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_in_domain,
+             CAST(SUM(CASE WHEN dim_key IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ri_ok
+           FROM j)
+         SELECT * FROM (
+           SELECT 'row_count_nonempty' AS "constraint",
+                  CAST(n_rows AS DOUBLE) AS metric, n_rows > 0 AS passed
+           FROM m
+           UNION ALL SELECT 'completeness_o_custkey',
+             ROUND(CAST(n_complete AS DOUBLE) / n_rows, 6),
+             n_complete = n_rows FROM m
+           UNION ALL SELECT 'uniqueness_o_orderkey',
+             ROUND(CAST(n_distinct AS DOUBLE) / n_rows, 6),
+             n_distinct = n_rows FROM m
+           UNION ALL SELECT 'min_bound_o_totalprice',
+             ROUND(min_bound, 6), min_bound >= 0.0 FROM m
+           UNION ALL SELECT 'domain_o_orderstatus',
+             ROUND(CAST(n_in_domain AS DOUBLE) / n_rows, 6),
+             n_in_domain = n_rows FROM m
+           UNION ALL SELECT 'ri_o_custkey_c_custkey',
+             ROUND(CAST(n_ri_ok AS DOUBLE) / n_rows, 6),
+             n_ri_ok = n_rows FROM m)
+         ORDER BY "constraint"""",
+
+    // row_number difference anchor — pure integer date arithmetic
+    "q_gaps_islands" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         isl AS (
+           SELECT user_id, day,
+                  day - CAST(row_number() OVER (PARTITION BY user_id
+                                                ORDER BY day) AS INTEGER)
+                    AS anchor
+           FROM ud),
+         runs AS (
+           SELECT user_id, anchor, count(*) AS len, min(day) AS start_day
+           FROM isl GROUP BY user_id, anchor),
+         mx AS (
+           SELECT user_id, anchor, len, start_day,
+                  max(len) OVER (PARTITION BY user_id) AS max_len
+           FROM runs)
+         SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+                count(*) AS n_streaks,
+                CAST(max(len) AS BIGINT) AS longest_streak,
+                min(CASE WHEN len = max_len THEN start_day END)
+                  AS longest_start
+         FROM mx GROUP BY user_id ORDER BY user_id""",
+
+    // same distinct-basket pair counts as q_assoc_rules; cosine =
+    // sup_ab / √(n_a·n_b), ranked on the rounded value
+    "q_item_cf" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey,
+                            CAST(l_partkey AS VARCHAR) AS p
+                     FROM lineitem),
+         s AS (SELECT p, count(*) AS n_orders FROM li GROUP BY p),
+         pr AS (
+           SELECT a.p AS u, b.p AS v, count(*) AS sup_ab
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                              AND a.p < b.p
+           GROUP BY u, v HAVING count(*) >= 2)
+         SELECT pr.u, pr.v, pr.sup_ab,
+                ROUND(CAST(pr.sup_ab AS DOUBLE)
+                      / sqrt(CAST(su.n_orders * sv.n_orders AS DOUBLE)), 6)
+                  AS cosine
+         FROM pr JOIN s su ON su.p = pr.u JOIN s sv ON sv.p = pr.v
+         ORDER BY cosine DESC, pr.u, pr.v LIMIT 50""",
   )
 }

@@ -261,4 +261,37 @@ object EventOps {
       .select(col(keyCol), col("day"), col("n"), col("mean_w"), col("z"),
         col("is_anomaly"))
   }
+
+  /** Gaps-and-islands: per key, maximal runs of CONSECUTIVE active
+    * calendar days (the classic streak/uptime primitive — "longest
+    * usage streak", "continuous coverage windows"). Uses the standard
+    * row_number difference trick: over a key's distinct active days in
+    * order, `day − row_number · 1d` is constant exactly within a
+    * consecutive run, so grouping on that anchor date splits islands
+    * with no self-join and no iteration — pure integer date arithmetic,
+    * exact on any engine.
+    *
+    * Scale shape: raw events reduce to distinct (key, day) rows first;
+    * the window partitions by key (per-task state = one key's days,
+    * calendar-bounded); islands then aggregate twice (per-island, then
+    * per-key). Longest-streak ties break to the EARLIEST island. */
+  def gapsIslands(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("day")
+    val islands = events
+      .select(col(keyCol), to_date(col(tsCol)).as("day")).distinct()
+      .withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col(keyCol), col("anchor"))
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    islands
+      .withColumn("max_len",
+        max("len").over(Window.partitionBy(keyCol)))
+      .groupBy(keyCol).agg(
+        sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"),
+        min(when(col("len") === col("max_len"), col("start_day")))
+          .as("longest_start"))
+  }
 }

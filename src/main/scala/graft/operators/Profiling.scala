@@ -290,4 +290,62 @@ object Profiling {
         round(min(v), 4).as("bucket_min"),
         round(max(v), 4).as("bucket_max"))
   }
+
+  /** Declarative data-quality constraint suite (the Deequ-style gate a
+    * pipeline runs before publishing a table): one report row per
+    * constraint with its measured metric and pass/fail. Built-in
+    * constraint kinds: non-empty row count, column completeness
+    * (non-null fraction), key uniqueness (distinct/total), a numeric
+    * lower bound, domain membership (fraction of values in an allowed
+    * set), and referential integrity against a dimension keyset.
+    *
+    * Scale shape: every metric folds into ONE aggregate over a single
+    * scan of the fact table (conditional sums; distinct-key count rides
+    * the same pass as `count(DISTINCT …)`), with the RI probe attached
+    * as a broadcast left join of the dimension KEYSET (dim keys are
+    * assumed dimension-sized; for a fact-sized RI check use the
+    * left_semi count shape instead). The report unfolds from the
+    * single-row result — |constraints| rows, driver-free. All metrics
+    * are exact integer ratios rounded at 6 dp. */
+  def dqSuite(fact: DataFrame, dim: DataFrame, keyCol: String,
+      completenessCol: String, boundCol: String, lowerBound: Double,
+      domainCol: String, domain: Seq[String], fkCol: String,
+      dimKeyCol: String): DataFrame = {
+    val dimKeys = dim.select(col(dimKeyCol).as("__dim_key")).distinct()
+    val joined = fact.join(broadcast(dimKeys),
+      col(fkCol) === col("__dim_key"), "left")
+    val m = joined.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(completenessCol).isNotNull, 1L).otherwise(0L))
+        .as("n_complete"),
+      countDistinct(col(keyCol)).as("n_distinct"),
+      min(col(boundCol).cast("double")).as("min_bound"),
+      sum(when(col(domainCol).isin(domain: _*), 1L).otherwise(0L))
+        .as("n_in_domain"),
+      sum(when(col("__dim_key").isNotNull, 1L).otherwise(0L))
+        .as("n_ri_ok"))
+    val frac = (c: org.apache.spark.sql.Column) =>
+      round(c.cast("double") / col("n_rows"), 6)
+    val rows = array(
+      struct(lit("row_count_nonempty").as("constraint"),
+        col("n_rows").cast("double").as("metric"),
+        (col("n_rows") > 0).as("passed")),
+      struct(lit(s"completeness_$completenessCol").as("constraint"),
+        frac(col("n_complete")).as("metric"),
+        (col("n_complete") === col("n_rows")).as("passed")),
+      struct(lit(s"uniqueness_$keyCol").as("constraint"),
+        frac(col("n_distinct")).as("metric"),
+        (col("n_distinct") === col("n_rows")).as("passed")),
+      struct(lit(s"min_bound_$boundCol").as("constraint"),
+        round(col("min_bound"), 6).as("metric"),
+        (col("min_bound") >= lowerBound).as("passed")),
+      struct(lit(s"domain_$domainCol").as("constraint"),
+        frac(col("n_in_domain")).as("metric"),
+        (col("n_in_domain") === col("n_rows")).as("passed")),
+      struct(lit(s"ri_${fkCol}_$dimKeyCol").as("constraint"),
+        frac(col("n_ri_ok")).as("metric"),
+        (col("n_ri_ok") === col("n_rows")).as("passed")))
+    m.select(explode(rows).as("r"))
+      .select("r.constraint", "r.metric", "r.passed")
+  }
 }

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Closed-form statistical operators — the experimentation / econometrics
+  * layer a production analytics engine runs on top of the profiling
+  * family (no reference analogue; north-star brief "operations a
+  * large-scale training-data pipeline would need": experiment readouts,
+  * survival curves, concentration and trend statistics over the same
+  * event/order tables).
+  *
+  * Determinism contract (the repo rule, SURVEY.md §7.3): every statistic
+  * is a FIXED closed-form expression over exact integer/decimal
+  * aggregates — no iterative fitting, no float accumulation whose order
+  * an engine could choose. Where a transcendental is unavoidable
+  * (ln/exp in Kaplan–Meier), inputs are exact rationals, each ln is
+  * rounded to 6 dp before the (decimal, exact) summation, and the final
+  * exp is rounded — the dsirWeights precedent. sqrt is IEEE-754
+  * correctly rounded and therefore bit-identical across engines, so it
+  * needs no such guard.
+  */
+object Stats {
+
+  /** Two-sample experiment readout on a deterministic user split:
+    * arm = user id mod 2 (the replayable stand-in for a hash-bucket
+    * assignment), conversion = the user emitted `convType` at least
+    * once. Emits the 2×2 table plus the two-proportion pooled z
+    * statistic and the (uncorrected) chi-square — the standard A/B
+    * decision pair.
+    *
+    * Scale shape: one distinct-user aggregate (partial/final) → a
+    * 2-row arm aggregate → a single-row fold; nothing is ever wider
+    * than |users|. The determinant `a·d − b·c` is computed on longs —
+    * exact up to ~3e9 users per cell — then squared in double.
+    */
+  def abTest(events: DataFrame, userCol: String, typeCol: String,
+      convType: String): DataFrame = {
+    val users = events.groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L))
+        .as("converted"))
+    val arms = users.groupBy(pmod(col(userCol), lit(2)).as("arm"))
+      .agg(count(lit(1)).as("n"), sum("converted").as("conv"))
+    val r = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n_a"),
+      max(when(col("arm") === 0, col("conv"))).as("conv_a"),
+      max(when(col("arm") === 1, col("n"))).as("n_b"),
+      max(when(col("arm") === 1, col("conv"))).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pool = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val a = col("conv_a")
+    val b = col("n_a") - col("conv_a")
+    val c = col("conv_b")
+    val d = col("n_b") - col("conv_b")
+    val det = (a * d - b * c).cast("double")
+    val chi2 = (col("n_a") + col("n_b")).cast("double") * det * det /
+      ((a + b) * (c + d) * (a + c) * (b + d)).cast("double")
+    // a degenerate table (all users convert, or none do) makes both the
+    // pooled se and the chi-square denominator 0 — the statistics are
+    // undefined there, so emit NULL (ANSI division would throw)
+    val mixed = (col("conv_a") + col("conv_b")) > 0 &&
+      (col("n_a") + col("n_b")) > (col("conv_a") + col("conv_b"))
+    r.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(pb - pa, 6).as("lift"),
+      when(mixed, round((pb - pa) / se, 6)).as("z_stat"),
+      when(mixed, round(chi2, 6)).as("chi2"))
+  }
+
+  /** Kaplan–Meier survival estimate of days-to-conversion: duration =
+    * days from a user's first event to their first `convType` event
+    * (observed) or to their last event (right-censored). At each
+    * duration t with at least one observed conversion: the number at
+    * risk, conversions, censorings, and the product-limit survival
+    * S(t) = Π_{t'≤t} (n_{t'} − d_{t'})/n_{t'} — the standard convention
+    * that same-time censorings remain at risk (deaths-before-censoring).
+    *
+    * The product is computed as exp(Σ ln(factor)) with each ln rounded
+    * to 6 dp and summed in DECIMAL (exact, order-free); the final exp is
+    * rounded to 4 dp — transcendentals touch only exact rational inputs
+    * and rounded outputs, so the oracle replays it (dsirWeights
+    * precedent). The duration table is calendar-bounded (≤ days in the
+    * data); the `.limit` bound makes that provable to the plan so the
+    * cumulative-risk window is a sanctioned bounded-global shape.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, convType: String): DataFrame = {
+    val perUser = events.groupBy(col(userCol)).agg(
+      to_date(min(col(tsCol))).as("d0"),
+      to_date(min(when(col(typeCol) === convType, col(tsCol)))).as("dp"),
+      to_date(max(col(tsCol))).as("dl"))
+    val durations = perUser.select(
+      when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+        .otherwise(datediff(col("dl"), col("d0"))).as("t"),
+      when(col("dp").isNotNull, 1L).otherwise(0L).as("observed"))
+    val byT = durations.groupBy("t").agg(
+      sum("observed").as("d"),
+      sum(lit(1L) - col("observed")).as("c"),
+      count(lit(1)).as("ended"))
+      .limit(10000)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byT.agg(sum("ended").as("n_total"))
+    // factor 0 (everyone at risk converts at t) would be ln(0) = −∞,
+    // which a decimal cast nulls out; floor it at −20 (exp(−20) ≈ 2e−9,
+    // i.e. survival 0.0000 at 4 dp) — same fixed constant both engines
+    val factorLn = when(col("n_risk") > col("d"), round(
+        log((col("n_risk") - col("d")).cast("double") / col("n_risk")), 6))
+      .otherwise(lit(-20.0))
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("ended").over(wPrev), lit(0L)))
+      .withColumn("ln_f",
+        when(col("d") > 0, factorLn).otherwise(lit(0.0))
+          .cast("decimal(18,6)"))
+      .withColumn("survival",
+        round(exp(sum("ln_f").over(wCum).cast("double")), 4))
+      .filter(col("d") > 0)
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_conv"),
+        col("c").as("c_censored"), col("survival"))
+  }
+
+  /** Gini coefficient of a value's distribution per group — the
+    * inequality / revenue-concentration scalar complementing the Pareto
+    * top-share report. Over members sorted ascending by (value, id):
+    * G = 2·Σ(rank·x) / (n·Σx) − (n+1)/n. Values are exact DECIMAL(18,2)
+    * sums per member; the rank-weighted sum stays in decimal (exact,
+    * order-free); only the final fixed formula runs in double.
+    *
+    * Scale shape: member reduction is a plain agg; the rank is a window
+    * partitioned by group (state per task = one group's members). */
+  def giniByGroup(members: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("x").asc, col(idCol).asc)
+    val ranked = members
+      .select(col(groupCol), col(idCol),
+        col(valueCol).cast("decimal(18,2)").as("x"))
+      .withColumn("rk", row_number().over(w))
+    ranked.groupBy(groupCol).agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum(col("x") * col("rk")).as("srx"))
+      .select(col(groupCol), col("n"),
+        round(col("sx").cast("double"), 2).as("total"),
+        round(lit(2.0) * col("srx").cast("double") /
+            (col("n") * col("sx").cast("double")) -
+          (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+  }
+
+  /** EWMA (α = 1/2) of the daily count series per key, in closed form:
+    * s_1 = x_1, s_t = x_t/2 + s_{t−1}/2  ⟺  s_t = 2^{−t}·(B_t + x_1)
+    * with B_t = Σ_{j≤t} 2^{j−1}·x_j — so the ONLY accumulation is an
+    * exact integer-valued DECIMAL running sum and every weight is a
+    * dyadic rational: both engines produce bit-identical doubles, no
+    * rounding rescue needed (α = 1/2 is chosen precisely for this).
+    *
+    * B_t needs 2^{t−1} headroom, so the series is bounded to the
+    * trailing `maxHistoryDays` (≤ 100) days of the data — beyond ~100
+    * steps the discarded weights are < 2^−100, far below double
+    * precision, and the restart is deterministic on both engines.
+    * Day index is a per-key row_number over the bounded daily series
+    * (key-partitioned window; never raw events). */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+      maxHistoryDays: Int = 100): DataFrame = {
+    require(maxHistoryDays >= 1 && maxHistoryDays <= 100,
+      "decimal(38) headroom bounds the exact-dyadic form at 2^99")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cutoff = daily.agg(
+      date_sub(max("day"), maxHistoryDays - 1).as("min_day"))
+    val wT = Window.partitionBy(keyCol).orderBy("day")
+    val wCum = wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(cutoff))
+      .filter(col("day") >= col("min_day"))
+      .withColumn("t", row_number().over(wT))
+      .withColumn("b", sum(pow(lit(2.0), col("t") - 1)
+        .cast("decimal(38,0)") * col("n")).over(wCum))
+      .withColumn("x1", first("n").over(wCum))
+      .select(col(keyCol), col("day"), col("n"),
+        (pow(lit(2.0), -col("t")) *
+          (col("b") + col("x1")).cast("double")).as("ewma"))
+  }
+
+  /** Per-group simple OLS fit y = a + b·x with r², in the closed
+    * normal-equation form over five exact DECIMAL moment sums
+    * (Σx, Σy, Σx², Σy², Σxy — inputs rounded to 2 dp first so the
+    * products are exact): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    * intercept = (Σy − b·Σx)/n, r = cov/√(varx·vary). The moments are
+    * one partial/final aggregate — the single-pass shape that holds at
+    * any scale; only the final fixed formula (and IEEE sqrt) runs in
+    * double. */
+  def olsByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = round(col(xCol).cast("double"), 2).cast("decimal(18,2)")
+    val y = round(col(yCol).cast("double"), 2).cast("decimal(18,2)")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum((x * x).cast("decimal(38,4)")).as("sxx"),
+      sum((y * y).cast("decimal(38,4)")).as("syy"),
+      sum((x * y).cast("decimal(38,4)")).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double")
+    val sy = col("sy").cast("double")
+    val cov = n * col("sxy").cast("double") - sx * sy
+    val varx = n * col("sxx").cast("double") - sx * sx
+    val vary = n * col("syy").cast("double") - sy * sy
+    m.select(col(groupCol), col("n"),
+      round(cov / varx, 6).as("slope"),
+      round((sy - (cov / varx) * sx) / n, 6).as("intercept"),
+      round(cov * cov / (varx * vary), 6).as("r2"))
+  }
+
+  /** Pearson correlation for every pair of the given numeric columns in
+    * ONE pass: a single aggregate computes all per-column and per-pair
+    * exact DECIMAL moments (2-dp-rounded inputs, same contract as
+    * [[olsByGroup]]), then the pair rows unfold from that one-row
+    * result — the profile-matrix shape (never one scan per pair). */
+  def pearsonPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    def d(c: String): Column =
+      round(col(c).cast("double"), 2).cast("decimal(18,2)")
+    val moments =
+      Seq[Column](count(lit(1)).as("n")) ++
+        cols.flatMap(c => Seq(
+          sum(d(c)).as(s"s_$c"),
+          sum((d(c) * d(c)).cast("decimal(38,4)")).as(s"ss_$c"))) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum((d(a) * d(b)).cast("decimal(38,4)")).as(s"sp_${a}_$b")
+        }.toSeq
+    val m = df.agg(moments.head, moments.tail: _*)
+    val n = col("n").cast("double")
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val cov = n * col(s"sp_${a}_$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+      val va = n * col(s"ss_$a").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$a").cast("double")
+      val vb = n * col(s"ss_$b").cast("double") -
+        col(s"s_$b").cast("double") * col(s"s_$b").cast("double")
+      struct(lit(a).as("x_col"), lit(b).as("y_col"), col("n").as("n"),
+        round(cov / sqrt(va * vb), 6).as("corr"))
+    }
+    m.select(explode(array(pairs: _*)).as("p"))
+      .select("p.x_col", "p.y_col", "p.n", "p.corr")
+  }
+
+  /** First-significant-digit profile vs Benford's law for a positive
+    * value column (values ≥ 1): observed count and frequency per leading
+    * digit next to the expected log10(1 + 1/d) mass and the deviation —
+    * the classic fabricated-data / corruption screen. Digit extraction
+    * goes through an exact DECIMAL(18,2) string render (both engines
+    * print decimals in plain form), NOT floor(log10(x)) — transcendental
+    * log on data stays out of the compare path; the nine expected
+    * constants are fixed 6-dp literals. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val expected = map(
+      (1 to 9).flatMap { dd =>
+        Seq(lit(dd.toString),
+          lit(math.floor(math.log10(1.0 + 1.0 / dd) * 1e6 + 0.5) / 1e6))
+      }: _*)
+    val digits = df
+      .select(substring(col(valueCol).cast("decimal(18,2)")
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("freq", round(col("n").cast("double") / col("n_total"), 6))
+      .withColumn("expected", expected(col("digit")))
+      .select(col("digit"), col("n"), col("freq"), col("expected"),
+        round(col("freq") - col("expected"), 6).as("deviation"))
+  }
+}

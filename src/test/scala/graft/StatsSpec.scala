@@ -1,0 +1,184 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, Profiling, Stats}
+
+/** Closed-form statistics family pinned on hand-computed fixtures: the
+  * A/B 2×2 arithmetic (including the degenerate NULL guard), the
+  * Kaplan–Meier product limit against a by-hand survival table, Gini on
+  * known distributions, the EWMA dyadic closed form against a direct
+  * recursive fold, OLS/Pearson on a planted exact line, Benford mass
+  * totals, the DQ suite with planted violations, and gaps-islands with
+  * planted streaks. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  private def ev(rows: (Int, String, Int)*) =
+    rows.map { case (u, t, d) => (u.toLong, t, ts(d)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("abTest: hand-computed 2×2 z and chi-square") {
+    // arm0 (even ids): users 2,4 → 1 converts; arm1 (odd): 1,3,5 → 3 convert
+    val df = ev((2, "purchase", 1), (4, "view", 1), (1, "purchase", 1),
+      (3, "purchase", 2), (5, "purchase", 3), (2, "view", 4))
+    val r = Stats.abTest(df, "user_id", "event_type", "purchase").head()
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("conv_a") == 1)
+    assert(r.getAs[Long]("n_b") == 3 && r.getAs[Long]("conv_b") == 3)
+    assert(r.getAs[Double]("rate_a") == 0.5 && r.getAs[Double]("rate_b") == 1.0)
+    assert(r.getAs[Double]("lift") == 0.5)
+    // pool = 4/5 → se = sqrt(.8*.2*(1/2+1/3)); z = .5/se
+    val se = math.sqrt(0.8 * 0.2 * (1.0 / 2 + 1.0 / 3))
+    assert(r.getAs[Double]("z_stat") ==
+      math.floor(0.5 / se * 1e6 + 0.5) / 1e6)
+    // chi2 = 5*(1*0 - 1*3)^2 / (2*3*4*1) = 45/24
+    assert(r.getAs[Double]("chi2") == 1.875)
+  }
+
+  test("abTest: degenerate table (all convert) emits NULL z/chi2, not a throw") {
+    val df = ev((1, "purchase", 1), (2, "purchase", 1))
+    val r = Stats.abTest(df, "user_id", "event_type", "purchase").head()
+    assert(r.isNullAt(r.fieldIndex("z_stat")))
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+    assert(r.getAs[Double]("rate_a") == 1.0 && r.getAs[Double]("rate_b") == 1.0)
+  }
+
+  test("kaplanMeier: product limit matches the by-hand survival table") {
+    // u1: first day1, purchase day2 → t=1 observed
+    // u2: first day1, purchase day3 → t=2 observed
+    // u3: first day1, last day3, no purchase → t=2 censored
+    // u4: first day1, purchase day1 → t=0 observed
+    val df = ev((1, "view", 1), (1, "purchase", 2),
+      (2, "view", 1), (2, "purchase", 3),
+      (3, "view", 1), (3, "click", 3),
+      (4, "purchase", 1))
+    val rows = Stats.kaplanMeier(df, "user_id", "event_type", "ts", "purchase")
+      .orderBy("t_days").collect()
+    // t=0: n=4, d=1 → S=3/4; t=1: n=3, d=1 → S=3/4*2/3=1/2;
+    // t=2: n=2, d=1, c=1 → S=1/2*1/2=1/4
+    assert(rows.map(_.getAs[Int]("t_days")).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_.getAs[Long]("n_risk")).toSeq == Seq(4L, 3L, 2L))
+    assert(rows.map(_.getAs[Long]("d_conv")).toSeq == Seq(1L, 1L, 1L))
+    assert(rows.map(_.getAs[Long]("c_censored")).toSeq == Seq(0L, 0L, 1L))
+    val surv = rows.map(_.getAs[Double]("survival")).toSeq
+    assert(math.abs(surv(0) - 0.75) < 2e-4)
+    assert(math.abs(surv(1) - 0.5) < 2e-4)
+    assert(math.abs(surv(2) - 0.25) < 2e-4)
+  }
+
+  test("kaplanMeier: total conversion at the last time hits the ln floor → S=0") {
+    val df = ev((1, "purchase", 1), (2, "view", 1), (2, "purchase", 2))
+    val rows = Stats.kaplanMeier(df, "user_id", "event_type", "ts", "purchase")
+      .orderBy("t_days").collect()
+    assert(rows.last.getAs[Double]("survival") == 0.0)
+  }
+
+  test("giniByGroup: equal values → 0; planted skew matches hand formula") {
+    val members = Seq(("g", 1L, 10.0), ("g", 2L, 10.0), ("g", 3L, 10.0),
+      ("h", 1L, 0.0), ("h", 2L, 0.0), ("h", 3L, 30.0))
+      .toDF("seg", "id", "v")
+    val r = Stats.giniByGroup(members, "seg", "id", "v")
+      .orderBy("seg").collect()
+    // equal: 2*(1+2+3)*10/(3*30) - 4/3 = 4/3 - 4/3 = 0
+    assert(r(0).getAs[Double]("gini") == 0.0)
+    // h: ranks on (0,0,30) → srx = 0*1+0*2+30*3=90; 2*90/(3*30)-4/3 = 2/3
+    assert(r(1).getAs[Double]("gini") == 0.666667)
+  }
+
+  test("ewmaDaily: closed form equals the recursive definition exactly") {
+    val counts = Seq(3, 7, 1, 5, 2, 8, 4) // one event per (day, i) count
+    val df = counts.zipWithIndex.flatMap { case (n, i) =>
+      (0 until n).map(j => (1L, "e", ts(i + 1, j % 24)))
+    }.toDF("user_id", "event_type", "ts")
+    val got = Stats.ewmaDaily(df, "event_type", "ts")
+      .orderBy("day").select("ewma").as[Double].collect()
+    val want = counts.tail.scanLeft(counts.head.toDouble)(
+      (s, x) => 0.5 * x + 0.5 * s)
+    // α = 1/2 keeps every term a dyadic rational → EXACT equality
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("ewmaDaily: trailing-window restart keeps decimal headroom bounded") {
+    intercept[IllegalArgumentException] {
+      Stats.ewmaDaily(ev((1, "e", 1)), "event_type", "ts",
+        maxHistoryDays = 101)
+    }
+    // restart: only the trailing 2 days survive → ewma restarts at day 6
+    val df = ev((1, "e", 1), (1, "e", 6), (1, "e", 7), (1, "e", 7))
+    val got = Stats.ewmaDaily(df, "event_type", "ts", maxHistoryDays = 2)
+      .orderBy("day").select("ewma").as[Double].collect()
+    assert(got.toSeq == Seq(1.0, 1.5)) // day1 dropped; s=[1, .5*2+.5*1]
+  }
+
+  test("olsByGroup: planted exact line y = 2x + 1 → slope/intercept/r² exact") {
+    val df = Seq(("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),
+      ("g", 4.0, 9.0)).toDF("g", "x", "y")
+    val r = Stats.olsByGroup(df, "g", "x", "y").head()
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("pearsonPairs: one pass over all pairs; planted ±1 correlations") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("a", "b", "c")
+    val rows = Stats.pearsonPairs(df, Seq("a", "b", "c"))
+      .orderBy("x_col", "y_col").collect()
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Double]("corr")).toMap
+    assert(byPair(("a", "b")) == 1.0)
+    assert(byPair(("a", "c")) == -1.0)
+    assert(byPair(("b", "c")) == -1.0)
+    assert(rows.forall(_.getAs[Long]("n") == 3L))
+  }
+
+  test("benford: digit masses and frequencies account for every row") {
+    val df = Tables.load(spark, sf, "orders")
+    val rows = Stats.benford(df, "o_totalprice").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == df.count())
+    val expectedMass = rows.map(_.getAs[Double]("expected")).sum
+    assert(rows.length <= 9 && rows.forall(r =>
+      (1 to 9).map(_.toString).contains(r.getAs[String]("digit"))))
+    assert(expectedMass <= 1.0 + 1e-9)
+  }
+
+  test("dqSuite: planted violations flip exactly the right constraints") {
+    val fact = Seq(
+      (1L, Option(10L), 5.0, "F"),
+      (2L, Option(10L), -1.0, "X"), // bound + domain violations
+      (2L, Option.empty[Long], 3.0, "P") // dup key + null fk
+    ).toDF("k", "fk", "v", "st")
+    val dim = Seq(10L).toDF("dk")
+    val r = Profiling.dqSuite(fact, dim, "k", "fk", "v", 0.0, "st",
+        Seq("F", "P", "O"), "fk", "dk")
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getBoolean(2)))
+      .toMap
+    assert(r("row_count_nonempty") == ((3.0, true)))
+    assert(r("completeness_fk") == ((0.666667, false)))
+    assert(r("uniqueness_k") == ((0.666667, false)))
+    assert(r("min_bound_v") == ((-1.0, false)))
+    assert(r("domain_st") == ((0.666667, false)))
+    assert(r("ri_fk_dk") == ((0.666667, false)))
+  }
+
+  test("gapsIslands: planted streaks split and tie-break correctly") {
+    // u1: days 1,2,3 then 5,6 → streaks {3,2}; u2: 1 and 3 and 5 → {1,1,1}
+    val df = ev((1, "e", 1), (1, "e", 2), (1, "e", 3), (1, "e", 5),
+      (1, "e", 6), (2, "e", 1), (2, "e", 3), (2, "e", 5), (1, "e", 2))
+    val r = EventOps.gapsIslands(df, "user_id", "ts")
+      .orderBy("user_id").collect()
+    assert(r(0).getAs[Long]("n_active_days") == 5)
+    assert(r(0).getAs[Long]("n_streaks") == 2)
+    assert(r(0).getAs[Long]("longest_streak") == 3)
+    assert(r(0).getAs[java.sql.Date]("longest_start").toString == "2024-01-01")
+    assert(r(1).getAs[Long]("n_streaks") == 3)
+    assert(r(1).getAs[Long]("longest_streak") == 1)
+    // ties → earliest island start
+    assert(r(1).getAs[java.sql.Date]("longest_start").toString == "2024-01-01")
+  }
+}
