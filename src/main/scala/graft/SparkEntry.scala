@@ -3343,6 +3343,105 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("u"), col("v"))
         .limit(50)
     }),
+
+    // χ² independence of market segment × order priority over the
+    // customer⋈orders fact — the r×c generalization of q_ab_test's 2×2;
+    // empty cells folded in via Σ_all e = n (no grid materialization)
+    "q_chi2_indep" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      Stats.chi2Independence(
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+        "c_mktsegment", "o_orderpriority")
+    }),
+
+    // PSI drift of order totals, early era (< 1998) vs late era — the
+    // model-input stability gate; per-bucket table + exact-decimal total
+    "q_psi" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      Stats.psi(o.filter(col("o_orderdate") < lit("1998-01-01")),
+          o.filter(col("o_orderdate") >= lit("1998-01-01")),
+          "o_totalprice")
+        .orderBy("bucket")
+    }),
+
+    // growth accounting: daily active users, first-seen new users, and
+    // the running total of distinct users ever seen (first-day trick —
+    // no distinct-over-window, one bounded calendar-sized cumsum)
+    "q_cumulative_uniques" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val newPerDay = ev.groupBy("user_id")
+        .agg(to_date(min("ts")).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val dau = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      dau.join(newPerDay, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .limit(10000) // calendar-bounded; proves the global cumsum safe
+        .withColumn("cum_users", sum("new_users").over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
+    }),
+
+    // week-over-week growth per event type — the period-over-period
+    // report every ops dashboard runs; integer counts, lag window
+    "q_wow_growth" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      weekly.withColumn("prev_n", lag("n", 1).over(w))
+        .withColumn("wow_pct", when(col("prev_n") > 0,
+          round((col("n") - col("prev_n")).cast("double") /
+            col("prev_n") * 100, 4)))
+        .orderBy("event_type", "week")
+    }),
+
+    // 3-step behavioral patterns a→b→c (∃ ordered, not adjacent) —
+    // the PrefixSpan level the pair profile trick can't see
+    "q_seq3" -> ((s, dir) =>
+      EventOps.sequenceTripleSupport(events(s, dir), "user_id",
+        "event_type", "ts")
+        .orderBy(col("support").desc, col("a"), col("b"), col("c"))
+        .limit(50)),
+
+    // snapshot reconciliation across a REAL lake merge: full-outer diff
+    // of the time-travel version the upsert displaced vs current —
+    // added/changed/unchanged counts + exact net price delta (the
+    // audit report a nightly MERGE publishes)
+    "q_table_diff" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_table_diff", Seq("o_orderkey"))
+      t.create(target)
+      t.upsert(source)
+      val prevV = t.availableVersions.max
+      val prev = t.readVersion(prevV).select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("p_prev"))
+      val cur = t.read.select(col("o_orderkey").as("k"),
+        col("o_totalprice").cast("decimal(18,2)").as("p_cur"))
+      prev.join(cur, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("p_prev").isNull, "added")
+            .when(col("p_cur").isNull, "removed")
+            .when(col("p_cur") =!= col("p_prev"), "changed")
+            .otherwise("unchanged"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          round((sum(coalesce(col("p_cur"), lit(0))) -
+            sum(coalesce(col("p_prev"), lit(0)))).cast("double"), 2)
+            .as("net_price_delta"))
+        .orderBy("change_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7224,5 +7323,150 @@ object SparkEntry {
                   AS cosine
          FROM pr JOIN s su ON su.p = pr.u JOIN s sv ON sv.p = pr.v
          ORDER BY cosine DESC, pr.u, pr.v LIMIT 50""",
+
+    // observed-cells-only identity χ² = Σ_obs[(o−e)²/e − e] + n; terms
+    // rounded at 6 dp and summed in exact decimal
+    "q_chi2_indep" ->
+      """WITH f AS (
+           SELECT cu.c_mktsegment AS a, o.o_orderpriority AS b
+           FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey),
+         obs AS (SELECT a, b, count(*) AS o FROM f GROUP BY a, b),
+         rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+         ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY b),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                        count(DISTINCT a) AS r, count(DISTINCT b) AS c
+                 FROM obs),
+         terms AS (
+           SELECT tot.n, tot.r, tot.c,
+                  CAST(ROUND((obs.o - CAST(rt.ra AS DOUBLE) * ct.cb / tot.n)
+                           * (obs.o - CAST(rt.ra AS DOUBLE) * ct.cb / tot.n)
+                           / (CAST(rt.ra AS DOUBLE) * ct.cb / tot.n)
+                           - CAST(rt.ra AS DOUBLE) * ct.cb / tot.n, 6)
+                       AS DECIMAL(18,6)) AS term
+           FROM obs JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot)
+         SELECT max(n) AS n, max(r) AS r, max(c) AS c,
+                (max(r) - 1) * (max(c) - 1) AS dof,
+                ROUND(CAST(SUM(term) AS DOUBLE) + max(n), 6) AS chi2
+         FROM terms""",
+
+    // shared pooled-bounds buckets, +1-per-occupied-bucket smoothing,
+    // (p−q)·ln(p/q) terms rounded then decimal-summed
+    "q_psi" ->
+      """WITH allv AS (
+           SELECT CAST(o_totalprice AS DOUBLE) AS v,
+                  CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                       THEN 1 ELSE 0 END AS is_ref
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM allv),
+         bucketed AS (
+           SELECT CASE WHEN b.hi = b.lo THEN 0
+                       ELSE LEAST(9, CAST(FLOOR((v - b.lo)
+                         / ((b.hi - b.lo) / 10)) AS INTEGER)) END AS bucket,
+                  CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+                  CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+           FROM allv CROSS JOIN bounds b GROUP BY 1),
+         totals AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+                           CAST(SUM(n_cur) AS BIGINT) AS t_cur,
+                           count(*) AS nb
+                    FROM bucketed),
+         terms AS (
+           SELECT bucket, n_ref, n_cur,
+                  CAST(n_ref + 1 AS DOUBLE) / (t_ref + nb) AS p,
+                  CAST(n_cur + 1 AS DOUBLE) / (t_cur + nb) AS q,
+                  ROUND((CAST(n_ref + 1 AS DOUBLE) / (t_ref + nb)
+                       - CAST(n_cur + 1 AS DOUBLE) / (t_cur + nb))
+                      * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + nb))
+                         / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + nb))), 6)
+                    AS psi_term
+           FROM bucketed CROSS JOIN totals),
+         tot2 AS (SELECT ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(18,6)))
+                    AS DOUBLE), 6) AS psi_total FROM terms)
+         SELECT bucket, n_ref, n_cur, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+                psi_term, psi_total
+         FROM terms CROSS JOIN tot2 ORDER BY bucket""",
+
+    // first-day trick: running distinct = cumsum of first-seen counts
+    "q_cumulative_uniques" ->
+      """WITH fd AS (
+           SELECT user_id, CAST(min(ts) AS DATE) AS day
+           FROM events GROUP BY user_id),
+         npd AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day),
+         dau AS (SELECT CAST(ts AS DATE) AS day,
+                        count(DISTINCT user_id) AS dau
+                 FROM events GROUP BY 1),
+         j AS (
+           SELECT d.day, d.dau, COALESCE(n.new_users, 0) AS new_users
+           FROM dau d LEFT JOIN npd n USING (day))
+         SELECT day, dau, new_users,
+                CAST(SUM(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_users
+         FROM j ORDER BY day""",
+
+    // Monday-anchored weeks on both engines; growth on integer counts
+    "q_wow_growth" ->
+      """WITH w AS (
+           SELECT event_type, date_trunc('week', ts) AS week,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, week, n,
+                  lag(n, 1) OVER (PARTITION BY event_type
+                                  ORDER BY week) AS prev_n
+           FROM w)
+         SELECT event_type, week, n, prev_n,
+                CASE WHEN prev_n > 0 THEN
+                  ROUND(CAST(n - prev_n AS DOUBLE) / prev_n * 100, 4)
+                END AS wow_pct
+         FROM l ORDER BY event_type, week""",
+
+    // b-event anchored: profile joins give ∃a-before and ∃c-after
+    "q_seq3" ->
+      """WITH prof AS (
+           SELECT user_id AS u, event_type AS t, min(ts) AS f,
+                  max(ts) AS l
+           FROM events GROUP BY 1, 2),
+         tri AS (
+           SELECT DISTINCT e.user_id AS u, a.t AS a, e.event_type AS b,
+                  c.t AS c
+           FROM events e
+           JOIN prof a ON a.u = e.user_id AND a.f < e.ts
+           JOIN prof c ON c.u = e.user_id AND e.ts < c.l)
+         SELECT a, b, c, count(*) AS support
+         FROM tri GROUP BY a, b, c
+         ORDER BY support DESC, a, b, c LIMIT 50""",
+
+    // merge semantics replayed relationally: cur = source ∪ (target
+    // not overwritten); diff classes + exact decimal price delta
+    "q_table_diff" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 3 <> 0),
+         source AS (
+           SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 0),
+         cur AS (
+           SELECT * FROM source
+           UNION ALL
+           SELECT t.* FROM target t WHERE NOT EXISTS
+             (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)),
+         prev AS (SELECT o_orderkey AS k,
+                         CAST(o_totalprice AS DECIMAL(18,2)) AS p_prev
+                  FROM target),
+         c2 AS (SELECT o_orderkey AS k,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS p_cur
+                FROM cur),
+         d AS (
+           SELECT CASE WHEN p.p_prev IS NULL THEN 'added'
+                       WHEN c.p_cur IS NULL THEN 'removed'
+                       WHEN c.p_cur <> p.p_prev THEN 'changed'
+                       ELSE 'unchanged' END AS change_type,
+                  p.p_prev, c.p_cur
+           FROM prev p FULL OUTER JOIN c2 c ON p.k = c.k)
+         SELECT change_type, count(*) AS n_rows,
+                ROUND(CAST(SUM(COALESCE(p_cur, 0))
+                    - SUM(COALESCE(p_prev, 0)) AS DOUBLE), 2)
+                  AS net_price_delta
+         FROM d GROUP BY change_type ORDER BY change_type""",
   )
 }

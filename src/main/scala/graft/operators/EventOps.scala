@@ -159,6 +159,33 @@ object EventOps {
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
   }
 
+  /** Length-3 sequential-pattern support (the PrefixSpan level-3
+    * extension of [[sequencePairSupport]]): users with SOME a-event,
+    * then SOME b-event strictly after it, then SOME c-event strictly
+    * after that. The middle element breaks the pair trick's pure
+    * profile-join — "∃ b between" needs b's actual timestamps — so the
+    * reduction anchors on b: each b EVENT joins the per-user (type,
+    * first_ts) profile on `first_ts(a) < ts(b)` and the (type, last_ts)
+    * profile on `ts(b) < last_ts(c)`, then distinct (u,a,b,c) counts.
+    *
+    * Scale shape: both joins are user-equi-joins against the tiny
+    * per-user type profile (≤ |types| rows per user), so the frontier
+    * is events × |types|² — linear in the stream for a bounded type
+    * vocabulary, partitioned by user throughout; never events². */
+  def sequenceTripleSupport(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String): DataFrame = {
+    val prof = events.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+    val aP = prof.select(col("u"), col("t").as("a"), col("first_ts"))
+    val cP = prof.select(col("u"), col("t").as("c"), col("last_ts"))
+    val bEv = events.select(col(userCol).as("u"),
+      col(typeCol).as("b"), col(tsCol).as("ts"))
+    bEv.join(aP, Seq("u")).filter(col("first_ts") < col("ts"))
+      .join(cP, Seq("u")).filter(col("ts") < col("last_ts"))
+      .select("u", "a", "b", "c").distinct()
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+  }
+
   /** CUSUM drift statistic per key (Page 1954): over the day-ordered
     * daily counts, S_t = max(0, S_{t−1} + (x_t − μ)) with μ the key's
     * own mean daily volume; the reported maximum of S is the classic

@@ -252,6 +252,85 @@ object Stats {
       .select("p.x_col", "p.y_col", "p.n", "p.corr")
   }
 
+  /** Chi-square test of independence over an r×c contingency table of
+    * two categorical columns. Empty cells (possible pairs never
+    * observed) still contribute their expectation e to the statistic;
+    * rather than materializing the full grid (a rowTotals×colTotals
+    * cross join), the identity Σ_all e = n turns the statistic into a
+    * sum over OBSERVED cells only:
+    *   χ² = Σ_obs [(o−e)²/e − e] + n.
+    * Each observed-cell term is rounded to 6 dp and summed in exact
+    * DECIMAL (order-free), the repo's discipline for data-dependent
+    * float sums. Returns one row: n, r, c, dof, chi2.
+    *
+    * Scale shape: one (a,b) count agg, two marginal re-aggs of THAT
+    * (tiny) result attached by broadcast, one single-row fold. */
+  def chi2Independence(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("a").agg(sum("o").as("ra"))
+    val colT = obs.groupBy("b").agg(sum("o").as("cb"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct(col("a")).as("r"), countDistinct(col("b")).as("c"))
+    val e = col("ra").cast("double") * col("cb") / col("n")
+    val diff = col("o") - col("e")
+    obs.join(broadcast(rowT), Seq("a"))
+      .join(broadcast(colT), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", e)
+      .withColumn("term",
+        round(diff * diff / col("e") - col("e"), 6).cast("decimal(18,6)"))
+      .agg(max("n").as("n"), max("r").as("r"), max("c").as("c"),
+        ((max("r") - 1) * (max("c") - 1)).as("dof"),
+        round(sum("term").cast("double") + max("n"), 6).as("chi2"))
+  }
+
+  /** Population stability index between a reference and a current
+    * sample of a numeric column — THE production drift gate for model
+    * inputs (PSI < 0.1 stable, > 0.25 shifted). Shared equi-width
+    * buckets from the pooled min/max (the numericHistogram expression),
+    * Laplace-smoothed shares p, q (+1 per occupied bucket, so an
+    * empty-on-one-side bucket contributes a finite term), per-bucket
+    * term (p−q)·ln(p/q) rounded at 6 dp. Emits the per-bucket table;
+    * the headline PSI is the exact decimal sum of the rounded terms
+    * ([[chi2Independence]] discipline), attached to every row.
+    *
+    * Scale shape: one union scan bucketed row-locally against a
+    * broadcast bounds row, one (bucket, side) agg, tiny re-aggs. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets > 0, s"need nBuckets > 0, got $nBuckets")
+    val v = col(valueCol).cast("double")
+    val all = ref.select(v.as("v"), lit(1L).as("is_ref"))
+      .unionByName(cur.select(v.as("v"), lit(0L).as("is_ref")))
+      .filter(col("v").isNotNull)
+    val bounds = all.agg(min("v").as("lo"), max("v").as("hi"))
+    val bucketed = all.crossJoin(broadcast(bounds))
+      .withColumn("bucket", when(col("hi") === col("lo"), lit(0))
+        .otherwise(least(lit(nBuckets - 1),
+          floor((col("v") - col("lo")) /
+            ((col("hi") - col("lo")) / nBuckets)).cast("int"))))
+      .groupBy("bucket")
+      .agg(sum(col("is_ref")).as("n_ref"),
+        sum(lit(1L) - col("is_ref")).as("n_cur"))
+    val totals = bucketed.agg(sum("n_ref").as("t_ref"),
+      sum("n_cur").as("t_cur"), count(lit(1)).as("nb"))
+    val p = (col("n_ref") + 1).cast("double") / (col("t_ref") + col("nb"))
+    val q = (col("n_cur") + 1).cast("double") / (col("t_cur") + col("nb"))
+    val terms = bucketed.crossJoin(broadcast(totals))
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("psi_term",
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+    val total = terms
+      .agg(round(sum(col("psi_term").cast("decimal(18,6)"))
+        .cast("double"), 6).as("psi_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("p"), 6).as("p"), round(col("q"), 6).as("q"),
+        col("psi_term"), col("psi_total"))
+  }
+
   /** First-significant-digit profile vs Benford's law for a positive
     * value column (values ≥ 1): observed count and frequency per leading
     * digit next to the expected log10(1 + 1/d) mass and the deviation —

@@ -166,6 +166,49 @@ class StatsSpec extends SparkSpec {
     assert(r("ri_fk_dk") == ((0.666667, false)))
   }
 
+  test("chi2Independence: 2×2 equals abTest's chi-square; dof correct") {
+    // same 2×2 as the abTest fixture: arm (parity) × converted
+    val df = Seq(("a0", "y"), ("a0", "n"), ("a1", "y"), ("a1", "y"),
+      ("a1", "y")).toDF("arm", "conv")
+    val r = Stats.chi2Independence(df, "arm", "conv").head()
+    assert(r.getAs[Long]("n") == 5 && r.getAs[Long]("dof") == 1)
+    assert(r.getAs[Double]("chi2") == 1.875) // = abTest fixture's chi2
+  }
+
+  test("chi2Independence: empty cells contribute their expectation") {
+    // 2×2 with a structural zero: (x,q) never observed
+    // o: (x,p)=2, (y,p)=1, (y,q)=1; e(x,q)=2*1/4=0.5 must still count
+    val df = Seq(("x", "p"), ("x", "p"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r = Stats.chi2Independence(df, "a", "b").head()
+    // full-grid chi2: e = {x,p:1.5, x,q:.5, y,p:1.5, y,q:.5}
+    // Σ(o−e)²/e = .25/1.5 + .5 + .25/1.5 + .5 = 4/3; the two −4/3-ish
+    // observed terms each round at 6 dp to −1.333333, so the decimal
+    // sum lands at 1.333334 (the documented ±1e-6-per-term contract)
+    assert(r.getAs[Double]("chi2") == 1.333334)
+  }
+
+  test("psi: identical samples → 0; planted shift crosses the 0.25 gate") {
+    val ref = (1 to 100).map(i => i.toDouble).toDF("v")
+    val same = Stats.psi(ref, ref, "v")
+    assert(same.head().getAs[Double]("psi_total") == 0.0)
+    val shifted = (1 to 100).map(i => i.toDouble + 80).toDF("v")
+    val drift = Stats.psi(ref, shifted, "v").head().getAs[Double]("psi_total")
+    assert(drift > 0.25, s"planted shift should trip the PSI gate, got $drift")
+  }
+
+  test("sequenceTripleSupport: ordering is enforced, not just presence") {
+    // u1 has a<b<c (supports a→b→c); u2 has c<b<a only (must NOT)
+    val df = ev((1, "a", 1), (1, "b", 2), (1, "c", 3),
+      (2, "c", 1), (2, "b", 2), (2, "a", 3))
+    val sup = EventOps.sequenceTripleSupport(df, "user_id", "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getAs[Long]("support")).toMap
+    assert(sup(("a", "b", "c")) == 1L) // u1 only
+    assert(sup(("c", "b", "a")) == 1L) // u2 only
+    assert(!sup.contains(("b", "a", "c")))
+  }
+
   test("gapsIslands: planted streaks split and tie-break correctly") {
     // u1: days 1,2,3 then 5,6 → streaks {3,2}; u2: 1 and 3 and 5 → {1,1,1}
     val df = ev((1, "e", 1), (1, "e", 2), (1, "e", 3), (1, "e", 5),
