@@ -3442,6 +3442,32 @@ object SparkEntry {
             .as("net_price_delta"))
         .orderBy("change_type")
     }),
+
+    // reliability diagram + ECE of the quality-model score against the
+    // length proxy label — does a 0.8 score MEAN 80%? The calibration
+    // gate that decides whether the keep-threshold is trustworthy
+    "q_calibration" -> ((s, dir) =>
+      Stats.calibration(
+        docs(s, dir).select(qualityLogit(col("text")).as("score"),
+          (col("n_chars") >= 150).as("label")),
+        "score", "label", nBins = 100) // corpus scores cluster ~0.80–0.87
+        .orderBy("bin")),
+
+    // linear multi-touch attribution: each purchase splits one unit of
+    // credit across the user's touches in the trailing 3 days; 1/k
+    // credits rounded then decimal-summed (repeating rationals must
+    // not ride float accumulation order)
+    "q_attribution" -> ((s, dir) =>
+      EventOps.multiTouchAttribution(events(s, dir), "user_id",
+        "event_type", "ts", "event_id", "purchase", 3)
+        .orderBy("touch_type")),
+
+    // rolling z-scores on the seasonally-adjusted series: q_rolling_
+    // zscore ∘ q_seasonal_index — weekend dips stop tripping the
+    // detector, genuine same-weekday spikes still do
+    "q_deseasonal_z" -> ((s, dir) =>
+      EventOps.deseasonalizedZScore(events(s, dir), "event_type", "ts")
+        .orderBy("event_type", "day")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7468,5 +7494,131 @@ object SparkEntry {
                     - SUM(COALESCE(p_prev, 0)) AS DOUBLE), 2)
                   AS net_price_delta
          FROM d GROUP BY change_type ORDER BY change_type""",
+
+    // same per-doc score chain as q_quality_model; scores decimal-
+    // summed per bin, per-bin ECE terms rounded then decimal-summed
+    "q_calibration" ->
+      """WITH base AS (
+           SELECT n_chars, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  length(text) AS n_char
+           FROM documents),
+         m AS (
+           SELECT n_chars, len(toks) AS n_tok,
+                  len(list_filter(toks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it',
+                       'that','for','on','with','as','this','by'], t)))
+                    AS sw_hits,
+                  n_char - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                    AS n_punct,
+                  n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS n_alpha,
+                  n_char - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS n_digit,
+                  greatest(n_char, 1) AS len1
+           FROM base),
+         s AS (
+           SELECT ROUND(1.0 / (1.0 + exp(-(
+                    -1.0
+                    + 1.2 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                                  WHEN n_tok BETWEEN 3 AND 9 THEN 0.5
+                                  ELSE 0.0 END)
+                    - 2.0 * (n_punct * 1.0 / len1)
+                    + 1.5 * (n_alpha * 1.0 / len1)
+                    + 2.0 * (sw_hits * 1.0 / greatest(n_tok, 1))
+                    - 1.0 * (n_digit * 1.0 / len1)))), 6) AS score,
+                  CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS y
+           FROM m),
+         binned AS (
+           SELECT LEAST(99, CAST(FLOOR(score * 100) AS INTEGER)) AS bin,
+                  count(*) AS n,
+                  SUM(CAST(score AS DECIMAL(18,6))) AS ssum,
+                  CAST(SUM(y) AS BIGINT) AS npos
+           FROM s GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM binned),
+         terms AS (
+           SELECT bin, n,
+                  ROUND(CAST(ssum AS DOUBLE) / n, 6) AS conf,
+                  ROUND(CAST(npos AS DOUBLE) / n, 6) AS acc,
+                  ROUND(abs(ROUND(CAST(npos AS DOUBLE) / n, 6)
+                          - ROUND(CAST(ssum AS DOUBLE) / n, 6)), 6) AS gap,
+                  CAST(ROUND(CAST(n AS DOUBLE) / t.n_total
+                       * ROUND(abs(ROUND(CAST(npos AS DOUBLE) / n, 6)
+                               - ROUND(CAST(ssum AS DOUBLE) / n, 6)), 6), 6)
+                    AS DECIMAL(18,6)) AS ece_term
+           FROM binned CROSS JOIN tot t),
+         e AS (SELECT ROUND(CAST(SUM(ece_term) AS DOUBLE), 6) AS ece_total
+               FROM terms)
+         SELECT bin, n, conf, acc, gap, ece_total
+         FROM terms CROSS JOIN e ORDER BY bin""",
+
+    // per-conversion fan-out k via a conversion-id window; credit 1/k
+    // rounded at 6 dp, decimal-summed
+    "q_attribution" ->
+      """WITH conv AS (
+           SELECT user_id AS u, event_id AS conv_id, ts AS cts
+           FROM events WHERE event_type = 'purchase'),
+         touches AS (
+           SELECT user_id AS u, event_type AS touch_type, ts AS tts
+           FROM events WHERE event_type <> 'purchase'),
+         pairs AS (
+           SELECT t.touch_type, c.conv_id
+           FROM touches t JOIN conv c ON t.u = c.u
+           WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 3 DAY),
+         credits AS (
+           SELECT touch_type,
+                  CAST(ROUND(1.0 / (count(*) OVER (PARTITION BY conv_id)), 6)
+                       AS DECIMAL(18,6)) AS credit
+           FROM pairs)
+         SELECT touch_type, count(*) AS n_touches,
+                ROUND(CAST(SUM(credit) AS DOUBLE), 4) AS total_credit
+         FROM credits GROUP BY touch_type ORDER BY touch_type""",
+
+    // q_seasonal_index ∘ q_rolling_zscore: deseasonalized counts
+    // rounded to 4 dp → DECIMAL frame sums → ONE variance formula
+    "q_deseasonal_z" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         bydow AS (
+           SELECT event_type, isodow(day) AS dow,
+                  CAST(SUM(n) AS BIGINT) AS s_dow, count(*) AS d_dow
+           FROM daily GROUP BY 1, 2),
+         totals AS (
+           SELECT event_type, CAST(SUM(n) AS BIGINT) AS s_all,
+                  count(*) AS d_all
+           FROM daily GROUP BY event_type),
+         idx AS (
+           SELECT b.event_type, b.dow,
+                  ROUND((CAST(b.s_dow AS DOUBLE) / b.d_dow)
+                      / (CAST(t.s_all AS DOUBLE) / t.d_all), 4) AS sidx
+           FROM bydow b JOIN totals t USING (event_type)),
+         ds AS (
+           SELECT d.event_type, d.day, d.n,
+                  CAST(ROUND(CAST(d.n AS DOUBLE) / i.sidx, 4)
+                       AS DECIMAL(18,4)) AS nd
+           FROM daily d JOIN idx i
+             ON i.event_type = d.event_type AND i.dow = isodow(d.day)),
+         z AS (
+           SELECT event_type, day, n, CAST(nd AS DOUBLE) AS deseasonalized,
+                  count(*) OVER w AS cnt,
+                  CAST(SUM(nd) OVER w AS DOUBLE) / 7.0 AS mean_w,
+                  CAST(SUM(nd * nd) OVER w AS DOUBLE) / 7.0
+                    - (CAST(SUM(nd) OVER w AS DOUBLE) / 7.0)
+                    * (CAST(SUM(nd) OVER w AS DOUBLE) / 7.0) AS var_w,
+                  CAST(nd AS DOUBLE) AS ndd
+           FROM ds
+           WINDOW w AS (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT event_type, day, n, deseasonalized,
+                CASE WHEN cnt = 7 AND var_w > 0 THEN
+                  ROUND((ndd - mean_w) / sqrt(var_w), 4) END AS z,
+                CASE WHEN cnt = 7 THEN
+                  COALESCE(abs(CASE WHEN cnt = 7 AND var_w > 0 THEN
+                    ROUND((ndd - mean_w) / sqrt(var_w), 4) END) >= 2.0,
+                    false)
+                END AS is_anomaly
+         FROM z ORDER BY event_type, day""",
   )
 }

@@ -289,6 +289,87 @@ object EventOps {
         col("is_anomaly"))
   }
 
+  /** Linear multi-touch attribution: every conversion event splits one
+    * unit of credit equally across that user's non-conversion events
+    * inside the trailing `windowDays` window (strictly before the
+    * conversion) — the marketing-analytics primitive between
+    * last-touch (all credit to one event) and data-driven models.
+    * Reported per touch type: touch count and exact total credit.
+    *
+    * Scale shape: the touch×conversion pairing is a user-equi-join
+    * with an interval predicate (per-user frontier, bounded by the
+    * window — never a global range join); the per-conversion fan-out
+    * count is a window PARTITIONED by conversion id. Credit 1/k is
+    * rounded at 6 dp and summed as exact DECIMAL (1/3-style repeating
+    * rationals must not ride float accumulation order). */
+  def multiTouchAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, convType: String,
+      windowDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(idCol).as("conv_id"),
+        col(tsCol).as("cts"))
+    val touches = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("u"), col(typeCol).as("touch_type"),
+        col(tsCol).as("tts"))
+    val pairs = touches.join(conv, Seq("u"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= col("cts") - expr(s"INTERVAL $windowDays DAYS"))
+    val k = Window.partitionBy("conv_id")
+    pairs.withColumn("credit",
+        round(lit(1.0) / count(lit(1)).over(k), 6).cast("decimal(18,6)"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum("credit").cast("double"), 4).as("total_credit"))
+  }
+
+  /** Seasonally-adjusted rolling z-score: [[rollingZScore]] after
+    * dividing each (key, day) count by the key's [[seasonalIndex]] for
+    * that ISO weekday — so a weekday-heavy key's weekend dip stops
+    * reading as an anomaly and a genuinely anomalous Saturday spike
+    * still trips. The deseasonalized series is rounded to 4 dp and
+    * cast DECIMAL before the frame sums (the integer-count trick of
+    * rollingZScore generalized: variance comes from exact decimal
+    * Σx/Σx² in ONE fixed formula, never float accumulation).
+    * NULL stats on partial frames, same as the plain detector. */
+  def deseasonalizedZScore(events: DataFrame, keyCol: String,
+      tsCol: String, windowDays: Int = 7,
+      zThreshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byDow = daily
+      .groupBy(col(keyCol), (weekday(col("day")) + 1).as("dow"))
+      .agg(sum("n").as("s_dow"), count(lit(1)).as("d_dow"))
+    val totals = daily.groupBy(col(keyCol))
+      .agg(sum("n").as("s_all"), count(lit(1)).as("d_all"))
+    val idx = byDow.join(broadcast(totals), Seq(keyCol))
+      .select(col(keyCol), col("dow"),
+        round((col("s_dow").cast("double") / col("d_dow")) /
+          (col("s_all").cast("double") / col("d_all")), 4).as("sidx"))
+    val nd = round(col("n").cast("double") / col("sidx"), 4)
+      .cast("decimal(18,4)")
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val full = count(lit(1)).over(w) === windowDays
+    val wd = windowDays.toDouble
+    val mean = sum("nd").over(w).cast("double") / lit(wd)
+    val variance = sum(col("nd") * col("nd")).over(w).cast("double") /
+      lit(wd) - mean * mean
+    val z = round((col("nd").cast("double") - mean) / sqrt(variance), 4)
+    daily
+      .withColumn("dow", weekday(col("day")) + 1)
+      .join(broadcast(idx), Seq(keyCol, "dow"))
+      .withColumn("nd", nd)
+      .withColumn("deseasonalized", col("nd").cast("double"))
+      .withColumn("z", when(full && variance > 0, z))
+      .withColumn("is_anomaly",
+        when(full, coalesce(abs(col("z")) >= zThreshold, lit(false))))
+      .select(col(keyCol), col("day"), col("n"), col("deseasonalized"),
+        col("z"), col("is_anomaly"))
+  }
+
   /** Gaps-and-islands: per key, maximal runs of CONSECUTIVE active
     * calendar days (the classic streak/uptime primitive — "longest
     * usage streak", "continuous coverage windows"). Uses the standard

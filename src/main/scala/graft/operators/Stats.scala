@@ -331,6 +331,43 @@ object Stats {
         col("psi_term"), col("psi_total"))
   }
 
+  /** Reliability diagram + expected calibration error for a
+    * probabilistic score column against a boolean outcome — the
+    * model-ops gate that tells you whether a 0.8 score MEANS 80%
+    * (pairs with the quality-model scorer: a miscalibrated keep
+    * threshold silently shifts corpus composition). Equal-width score
+    * bins [0,1); per bin: n, mean score (confidence), observed
+    * positive rate (accuracy), |gap|; ECE = Σ (n_b/N)·gap_b.
+    *
+    * Determinism: scores are summed as exact DECIMAL (they arrive
+    * 6-dp-rounded from the scorer), conf/acc/gap round at 6 dp, and
+    * the ECE folds per-bin terms under the round-then-decimal-sum
+    * discipline. One groupBy + two broadcast attaches. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"need nBins > 0, got $nBins")
+    val binned = df.select(col(scoreCol).cast("double").as("score"),
+        col(labelCol).cast("long").as("y"))
+      .withColumn("bin", least(lit(nBins - 1),
+        floor(col("score") * nBins).cast("int")))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        sum(col("score").cast("decimal(18,6)")).as("ssum"),
+        sum("y").as("npos"))
+    val tot = binned.agg(sum("n").as("n_total"))
+    val terms = binned.crossJoin(broadcast(tot))
+      .withColumn("conf", round(col("ssum").cast("double") / col("n"), 6))
+      .withColumn("acc", round(col("npos").cast("double") / col("n"), 6))
+      .withColumn("gap", round(abs(col("acc") - col("conf")), 6))
+      .withColumn("ece_term",
+        round(col("n").cast("double") / col("n_total") * col("gap"), 6)
+          .cast("decimal(18,6)"))
+    val ece = terms.agg(
+      round(sum("ece_term").cast("double"), 6).as("ece_total"))
+    terms.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("conf"), col("acc"), col("gap"),
+        col("ece_total"))
+  }
+
   /** First-significant-digit profile vs Benford's law for a positive
     * value column (values ≥ 1): observed count and frequency per leading
     * digit next to the expected log10(1 + 1/d) mass and the deviation —

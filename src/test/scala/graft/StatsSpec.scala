@@ -209,6 +209,55 @@ class StatsSpec extends SparkSpec {
     assert(!sup.contains(("b", "a", "c")))
   }
 
+  test("calibration: per-bin reliability and ECE on a planted mix") {
+    val df = Seq((0.25, false), (0.25, true), (0.25, false), (0.25, false),
+      (0.75, true), (0.75, true)).toDF("score", "label")
+    val rows = Stats.calibration(df, "score", "label").orderBy("bin").collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == Seq(2, 7))
+    assert(rows(0).getAs[Double]("conf") == 0.25 &&
+      rows(0).getAs[Double]("acc") == 0.25 &&
+      rows(0).getAs[Double]("gap") == 0.0)
+    assert(rows(1).getAs[Double]("conf") == 0.75 &&
+      rows(1).getAs[Double]("acc") == 1.0 &&
+      rows(1).getAs[Double]("gap") == 0.25)
+    // ece = 4/6·0 + 2/6·0.25 = 0.083333 (rounded term)
+    assert(rows(0).getAs[Double]("ece_total") == 0.083333)
+  }
+
+  test("multiTouchAttribution: per-conversion splits and credit conservation") {
+    val df = Seq((1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+      (2, "view", 1), (2, "purchase", 10), // view outside the 3-day window
+      (2, "error", 9))
+      .zipWithIndex.map { case ((u, t, d), i) => (i.toLong, u.toLong, t, ts(d)) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = EventOps.multiTouchAttribution(df, "user_id", "event_type",
+        "ts", "event_id", "purchase", 3)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Long]("n_touches"), x.getAs[Double]("total_credit"))).toMap
+    assert(r("view") == ((1L, 0.5)))   // u1's view; u2's is out of window
+    assert(r("click") == ((1L, 0.5)))
+    assert(r("error") == ((1L, 1.0)))  // u2's only in-window touch
+    // conservation: 2 conversions with ≥1 touch → 2 units of credit
+    assert(r.values.map(_._2).sum == 2.0)
+  }
+
+  test("deseasonalizedZScore: weekly dip stops tripping; plain z-score would") {
+    // Jan 2024 starts on a Monday: 3 weeks, Sundays at 2 events, else 10
+    val rows = (1 to 21).flatMap { d =>
+      val n = if (d % 7 == 0) 2 else 10 // days 7,14,21 are Sundays
+      (0 until n).map(j => (1L, "e", ts(d, j % 24)))
+    }.toDF("user_id", "event_type", "ts")
+    val plain = EventOps.rollingZScore(rows, "event_type", "ts")
+      .filter(col("is_anomaly") === true).count()
+    assert(plain >= 1, "the raw detector should flag the Sunday dips")
+    val ds = EventOps.deseasonalizedZScore(rows, "event_type", "ts")
+      .collect()
+    assert(ds.forall(r => !r.getAs[Boolean]("is_anomaly")),
+      "deseasonalized series must be flat — no anomalies")
+    // flat at 4 dp: every day deseasonalizes to the same value
+    assert(ds.map(_.getAs[Double]("deseasonalized")).distinct.length == 1)
+  }
+
   test("gapsIslands: planted streaks split and tie-break correctly") {
     // u1: days 1,2,3 then 5,6 → streaks {3,2}; u2: 1 and 3 and 5 → {1,1,1}
     val df = ev((1, "e", 1), (1, "e", 2), (1, "e", 3), (1, "e", 5),
