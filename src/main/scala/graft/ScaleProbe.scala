@@ -84,6 +84,11 @@ object ScaleProbe {
 
     val factors = sys.env.get("SPARK_GRAFT_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8))
+    // SPARK_GRAFT_FAMILIES=dedup,profiling,behavioral,basket,ann
+    // restricts which probe families run (default: all)
+    val families = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -99,7 +104,7 @@ object ScaleProbe {
     val maxBucketSize =
       if (sys.env.get("SPARK_GRAFT_NOCAP").contains("1")) Int.MaxValue
       else 1000
-    factors.foreach { n =>
+    if (families("dedup")) factors.foreach { n =>
       // materialize the inflated corpus OUTSIDE the timed region (the
       // probe measures the operators, not the inflation regex)
       val base = inflate(docs, maxId, n)
@@ -150,7 +155,7 @@ object ScaleProbe {
       .select("event_id", "ts", "user_id", "event_type", "value")
     val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1
     val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
-    factors.foreach { n =>
+    if (families("profiling")) factors.foreach { n =>
       val d = inflateEvents(ev, maxEvent, maxUser, n).localCheckpoint(true)
       val rows = d.count()
       val (_, skewSec) = timed {
@@ -171,6 +176,52 @@ object ScaleProbe {
         s""""rolling_kmv_sec":${f"$rollSec%.2f"},"n_windows":$nWindows}""")
     }
 
+    // ---- Behavioral / basket family (round-8 waves 3–5): events
+    // inflation drives the 3-step sequence miner and multi-touch
+    // attribution (both frontiers are events × per-user profile —
+    // |types| fixed → expected ~linear slope); lineitem inflation with
+    // shifted order AND part keys drives the co-purchase pair base of
+    // item-item CF (per-replica basket structure identical on disjoint
+    // item spaces → candidate pairs exactly ×n, the ScaleProbeSpec pin).
+    if (families("behavioral")) factors.foreach { n =>
+      val d = inflateEvents(ev, maxEvent, maxUser, n).localCheckpoint(true)
+      val rows = d.count()
+      val (nTriples, seqSec) = timed {
+        graft.operators.EventOps.sequenceTripleSupport(
+          d, "user_id", "event_type", "ts").count()
+      }
+      val (nAttr, attrSec) = timed {
+        graft.operators.EventOps.multiTouchAttribution(
+          d, "user_id", "event_type", "ts", "event_id", "purchase", 3)
+          .count()
+      }
+      println(s"""{"family":"behavioral","factor":$n,"rows":$rows,""" +
+        s""""seq3_sec":${f"$seqSec%.2f"},"n_triples":$nTriples,""" +
+        s""""attribution_sec":${f"$attrSec%.2f"},"n_touch_types":$nAttr}""")
+    }
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    val maxOrd = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val maxPart = li.agg(max("l_partkey")).head().getLong(0) + 1
+    if (families("basket")) factors.foreach { n =>
+      val d = (0 until n).map { r =>
+        if (r == 0) li
+        else li.select(
+          (col("l_orderkey") + lit(r * maxOrd)).as("l_orderkey"),
+          (col("l_partkey") + lit(r * maxPart)).as("l_partkey"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val rows = d.count()
+      val sets = d.groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey").cast("string")))
+          .as("ps"))
+      val (nPairs2, cfSec) = timed {
+        SparkEntry.supportPrunedPairs(sets, 2).count()
+      }
+      println(s"""{"family":"basket","factor":$n,"rows":$rows,""" +
+        s""""copurchase_pairs_sec":${f"$cfSec%.2f"},"n_pairs":$nPairs2}""")
+    }
+
     // ---- ANN family (round-8): corpus inflation by id-shifted replicas
     // (identical vectors, distinct ids — each query's true top-k set is
     // invariant up to replica ids, and result size is always
@@ -180,7 +231,7 @@ object ScaleProbe {
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
-    factors.foreach { n =>
+    if (families("ann")) factors.foreach { n =>
       val corpus = (0 until n).map { r =>
         if (r == 0) emb
         else emb.select((col("vec_id") + lit(r * maxVec)).as("vec_id"),

@@ -129,4 +129,61 @@ class ScaleProbeSpec extends SparkSpec {
       }
     }
   }
+
+  // CI-light pin for the behavioral/basket ScaleProbe rows: user-shifted
+  // events replicas have identical per-user streams, so every 3-step
+  // pattern's support scales exactly ×n and attribution credit exactly
+  // ×n (modulo the documented 4-dp rounding of the ×1 total); part/order
+  // shifted lineitem replicas keep basket structure on disjoint item
+  // spaces, so support-pruned co-purchase pairs scale exactly ×n
+  test("×4 events/lineitem inflation: seq3 supports, attribution credit, and co-purchase pairs scale exactly") {
+    import graft.operators.EventOps
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxE = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxU = ev.agg(max("user_id")).head().getLong(0) + 1
+    val ev4 = ScaleProbe.inflateEvents(ev, maxE, maxU, 4).localCheckpoint(true)
+
+    def seq(d: org.apache.spark.sql.DataFrame) =
+      EventOps.sequenceTripleSupport(d, "user_id", "event_type", "ts")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))
+          -> r.getAs[Long]("support")).toMap
+    val s1 = seq(ev); val s4 = seq(ev4)
+    assert(s1.nonEmpty && s4.keySet == s1.keySet,
+      "inflation must not invent or lose patterns")
+    s1.foreach { case (k, v) => assert(s4(k) == 4 * v, s"support of $k") }
+
+    def attr(d: org.apache.spark.sql.DataFrame) =
+      EventOps.multiTouchAttribution(d, "user_id", "event_type", "ts",
+        "event_id", "purchase", 3)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_touches"), r.getAs[Double]("total_credit"))).toMap
+    val a1 = attr(ev); val a4 = attr(ev4)
+    assert(a4.keySet == a1.keySet)
+    a1.foreach { case (k, (n1, c1)) =>
+      assert(a4(k)._1 == 4 * n1, s"touches of $k")
+      // per-pair credits are identical across replicas; only the final
+      // 4-dp display round differs between round(4S) and 4·round(S)
+      assert(math.abs(a4(k)._2 - 4 * c1) < 2e-3, s"credit of $k")
+    }
+
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey")
+    val maxOrd = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val maxPart = li.agg(max("l_partkey")).head().getLong(0) + 1
+    def pairs(d: org.apache.spark.sql.DataFrame) = {
+      val sets = d.groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey").cast("string")))
+          .as("ps"))
+      SparkEntry.supportPrunedPairs(sets, 2).count()
+    }
+    val p1 = pairs(li)
+    val li4 = (0 until 4).map { r =>
+      if (r == 0) li
+      else li.select((col("l_orderkey") + lit(r * maxOrd)).as("l_orderkey"),
+        (col("l_partkey") + lit(r * maxPart)).as("l_partkey"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    assert(p1 > 0 && pairs(li4) == 4 * p1,
+      "co-purchase pair count must scale exactly ×4")
+  }
 }
