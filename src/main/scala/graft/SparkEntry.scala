@@ -3468,6 +3468,35 @@ object SparkEntry {
     "q_deseasonal_z" -> ((s, dir) =>
       EventOps.deseasonalizedZScore(events(s, dir), "event_type", "ts")
         .orderBy("event_type", "day")),
+
+    // Fisher-style class-separation profile of the labeled embeddings:
+    // intra = mean distance to the OWN-label centroid, inter = distance
+    // of that centroid to the GLOBAL centroid (between-class scatter) —
+    // deliberately centroid-vs-global rather than centroid-pairs, so
+    // every join is an equi-join on (label, pos)/(pos) and nothing
+    // cross-products, at any number of classes. The embedding-quality
+    // gate before training a classifier head on the corpus.
+    "q_class_separation" -> ((s, dir) => {
+      val d = emb(s, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("col").cast("double").as("v"))
+      val cl = d.groupBy("label", "pos").agg(avg("v").as("m"))
+      val cg = d.groupBy("pos").agg(avg("v").as("g"))
+      val dist = d.join(broadcast(cl), Seq("label", "pos"))
+        .withColumn("sq", (col("v") - col("m")) * (col("v") - col("m")))
+        .groupBy("vec_id", "label")
+        .agg(round(sqrt(sum("sq")), 4).cast("decimal(18,4)").as("dist"))
+      val intra = dist.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum("dist").cast("double") / count(lit(1)), 4).as("intra"))
+      val inter = cl.join(broadcast(cg), Seq("pos"))
+        .withColumn("sq", (col("m") - col("g")) * (col("m") - col("g")))
+        .groupBy("label").agg(round(sqrt(sum("sq")), 4).as("inter"))
+      intra.join(inter, Seq("label"))
+        .withColumn("separation", round(col("inter") / col("intra"), 4))
+        .orderBy("label")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7620,5 +7649,34 @@ object SparkEntry {
                     false)
                 END AS is_anomaly
          FROM z ORDER BY event_type, day""",
+
+    // same per-dim unnest as q_embed_centroids; per-vector distances
+    // rounded then decimal-summed, centroid-vs-global equi-join shape
+    "q_class_separation" ->
+      """WITH d AS (
+           SELECT vec_id, label, u.pos AS pos, u.v AS v
+           FROM (SELECT vec_id, label,
+                   unnest([{'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}
+                           for i in range(1, len(embedding) + 1)]) AS u
+                 FROM embeddings)),
+         cl AS (SELECT label, pos, AVG(v) AS m FROM d GROUP BY label, pos),
+         cg AS (SELECT pos, AVG(v) AS g FROM d GROUP BY pos),
+         dist AS (
+           SELECT d.vec_id, d.label,
+                  CAST(ROUND(sqrt(SUM((d.v - c.m) * (d.v - c.m))), 4)
+                       AS DECIMAL(18,4)) AS dist
+           FROM d JOIN cl c ON c.label = d.label AND c.pos = d.pos
+           GROUP BY d.vec_id, d.label),
+         w AS (SELECT label, count(*) AS n_vecs,
+                      ROUND(CAST(SUM(dist) AS DOUBLE) / count(*), 4)
+                        AS intra
+               FROM dist GROUP BY label),
+         btw AS (
+           SELECT c.label,
+                  ROUND(sqrt(SUM((c.m - g.g) * (c.m - g.g))), 4) AS inter
+           FROM cl c JOIN cg g USING (pos) GROUP BY c.label)
+         SELECT w.label, w.n_vecs, w.intra, b.inter,
+                ROUND(b.inter / w.intra, 4) AS separation
+         FROM w JOIN btw b ON b.label = w.label ORDER BY w.label""",
   )
 }
