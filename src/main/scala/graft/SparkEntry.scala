@@ -3497,6 +3497,57 @@ object SparkEntry {
         .withColumn("separation", round(col("inter") / col("intra"), 4))
         .orderBy("label")
     }),
+
+    // effective dimensionality of the embedding space: participation
+    // ratio PR = (Σ var_d)² / Σ var_d² over per-dimension variances —
+    // the eigen-free collapse detector (PR ≈ d for isotropic vectors,
+    // PR ≪ d when the space has collapsed onto a few directions).
+    // One unnest + one per-dim agg + one single-row fold; per-dim
+    // variances rounded at 6 dp before the decimal fold so the final
+    // ratio is order-free on both engines
+    "q_effective_dim" -> ((s, dir) => {
+      val d = emb(s, dir)
+        .select(posexplode(col("embedding")))
+        .select(col("pos"), col("col").cast("double").as("v"))
+      val perDim = d.groupBy("pos")
+        .agg(count(lit(1)).as("n"), avg("v").as("m"),
+          avg(col("v") * col("v")).as("m2"))
+        .select(col("pos"),
+          round(col("m2") - col("m") * col("m"), 6)
+            .cast("decimal(18,6)").as("variance"))
+      perDim.agg(
+        count(lit(1)).as("n_dims"),
+        round(sum("variance").cast("double"), 6).as("total_variance"),
+        round(
+          (sum("variance").cast("double") * sum("variance").cast("double")) /
+            sum((col("variance") * col("variance")).cast("decimal(38,12)"))
+              .cast("double"), 4).as("participation_ratio"))
+    }),
+
+    // per-dimension embedding drift between two corpus eras (vec_id
+    // parity as the deterministic era split): |Δmean| / pooled sd per
+    // dim, top-10 drifted dims — the vector-space PSI analog that
+    // catches an upstream encoder change before it poisons retrieval
+    "q_embed_drift" -> ((s, dir) => {
+      val d = emb(s, dir)
+        .select(pmod(col("vec_id"), lit(2)).as("era"),
+          posexplode(col("embedding")))
+        .select(col("era"), col("pos"), col("col").cast("double").as("v"))
+      val stats = d.groupBy("pos")
+        .agg(
+          avg(when(col("era") === 0, col("v"))).as("m0"),
+          avg(when(col("era") === 1, col("v"))).as("m1"),
+          avg(col("v") * col("v")).as("m2"),
+          avg("v").as("m"))
+      stats
+        .withColumn("pooled_sd", sqrt(col("m2") - col("m") * col("m")))
+        .withColumn("drift_z",
+          round(abs(col("m1") - col("m0")) / col("pooled_sd"), 4))
+        .select(col("pos"), round(col("m0"), 4).as("mean_a"),
+          round(col("m1"), 4).as("mean_b"), col("drift_z"))
+        .orderBy(col("drift_z").desc, col("pos"))
+        .limit(10)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7678,5 +7729,44 @@ object SparkEntry {
          SELECT w.label, w.n_vecs, w.intra, b.inter,
                 ROUND(b.inter / w.intra, 4) AS separation
          FROM w JOIN btw b ON b.label = w.label ORDER BY w.label""",
+
+    // per-dim variances rounded then decimal-folded; PR = (Σv)²/Σv²
+    "q_effective_dim" ->
+      """WITH d AS (
+           SELECT u.pos AS pos, u.v AS v
+           FROM (SELECT unnest([{'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}
+                                for i in range(1, len(embedding) + 1)]) AS u
+                 FROM embeddings)),
+         pd AS (
+           SELECT pos,
+                  CAST(ROUND(AVG(v * v) - AVG(v) * AVG(v), 6)
+                       AS DECIMAL(18,6)) AS variance
+           FROM d GROUP BY pos)
+         SELECT count(*) AS n_dims,
+                ROUND(CAST(SUM(variance) AS DOUBLE), 6) AS total_variance,
+                ROUND(CAST(SUM(variance) AS DOUBLE)
+                      * CAST(SUM(variance) AS DOUBLE)
+                      / CAST(SUM(CAST(variance * variance
+                                      AS DECIMAL(38,12))) AS DOUBLE), 4)
+                  AS participation_ratio
+         FROM pd""",
+
+    // vec_id parity era split; |Δmean|/pooled sd, rank on rounded z
+    "q_embed_drift" ->
+      """WITH d AS (
+           SELECT vec_id % 2 AS era, u.pos AS pos, u.v AS v
+           FROM (SELECT vec_id,
+                   unnest([{'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}
+                           for i in range(1, len(embedding) + 1)]) AS u
+                 FROM embeddings)),
+         st AS (
+           SELECT pos,
+                  AVG(CASE WHEN era = 0 THEN v END) AS m0,
+                  AVG(CASE WHEN era = 1 THEN v END) AS m1,
+                  AVG(v * v) AS m2, AVG(v) AS m
+           FROM d GROUP BY pos)
+         SELECT pos, ROUND(m0, 4) AS mean_a, ROUND(m1, 4) AS mean_b,
+                ROUND(abs(m1 - m0) / sqrt(m2 - m * m), 4) AS drift_z
+         FROM st ORDER BY drift_z DESC, pos LIMIT 10""",
   )
 }
