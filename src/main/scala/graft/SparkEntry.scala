@@ -3548,6 +3548,52 @@ object SparkEntry {
         .orderBy(col("drift_z").desc, col("pos"))
         .limit(10)
     }),
+
+    // classic Dn retention (D1/D7/D14) per signup-day cohort — the
+    // growth dashboard's standard curve; pure integer date arithmetic
+    // over the same first-day reduction as q_cumulative_uniques
+    "q_dn_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val fd = ev.groupBy("user_id").agg(to_date(min("ts")).as("cohort"))
+      val act = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohortSize = fd.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+      act.join(fd, Seq("user_id"))
+        .select(col("user_id"), col("cohort"),
+          datediff(col("day"), col("cohort")).as("k"))
+        .filter(col("k").isin(1, 7, 14))
+        .groupBy("cohort", "k")
+        .agg(count(lit(1)).as("n_active"))
+        .join(cohortSize, Seq("cohort"))
+        .select(col("cohort"), col("k"), col("n_active"), col("n_users"),
+          round(col("n_active").cast("double") / col("n_users"), 4)
+            .as("retention"))
+        .orderBy("cohort", "k")
+    }),
+
+    // experiment sample-size planning from the measured baseline rate:
+    // n/arm = ⌈(z_{α/2}+z_β)²·2p̄(1−p̄)/δ²⌉ at α=.05, power=.8 for three
+    // candidate absolute lifts — the "how long must this test run"
+    // readout next to q_ab_test; z constants are fixed 6-dp literals
+    "q_ab_power" -> ((s, dir) => {
+      val users = events(s, dir).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      val base = users.agg(count(lit(1)).as("n_users"),
+        sum("converted").as("n_conv"))
+      val p = col("n_conv").cast("double") / col("n_users")
+      val z = lit(1.959964) + lit(0.841621) // z_{.975} + z_{.80}
+      base.select(explode(array(
+          lit(0.02), lit(0.05), lit(0.10)).cast("array<double>"))
+          .as("delta"), col("n_users"), col("n_conv"))
+        .withColumn("base_rate", round(p, 6))
+        .withColumn("n_per_arm",
+          ceil(z * z * lit(2.0) * p * (lit(1.0) - p) /
+            (col("delta") * col("delta"))).cast("long"))
+        .select(col("delta"), col("n_users"), col("n_conv"),
+          col("base_rate"), col("n_per_arm"))
+        .orderBy("delta")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7768,5 +7814,45 @@ object SparkEntry {
          SELECT pos, ROUND(m0, 4) AS mean_a, ROUND(m1, 4) AS mean_b,
                 ROUND(abs(m1 - m0) / sqrt(m2 - m * m), 4) AS drift_z
          FROM st ORDER BY drift_z DESC, pos LIMIT 10""",
+
+    // first-day reduction + integer date arithmetic
+    "q_dn_retention" ->
+      """WITH fd AS (
+           SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+           FROM events GROUP BY 1),
+         act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+         cs AS (SELECT cohort, count(*) AS n_users FROM fd GROUP BY cohort),
+         r AS (
+           SELECT f.cohort, datediff('day', f.cohort, a.day) AS k,
+                  count(*) AS n_active
+           FROM act a JOIN fd f USING (user_id)
+           WHERE datediff('day', f.cohort, a.day) IN (1, 7, 14)
+           GROUP BY 1, 2)
+         SELECT r.cohort, r.k, r.n_active, c.n_users,
+                ROUND(CAST(r.n_active AS DOUBLE) / c.n_users, 4)
+                  AS retention
+         FROM r JOIN cs c USING (cohort) ORDER BY r.cohort, r.k""",
+
+    // the z-sum must be the SAME double addition as Spark's lit sum
+    "q_ab_power" ->
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS converted
+           FROM events GROUP BY 1),
+         b AS (SELECT count(*) AS n_users,
+                      CAST(SUM(converted) AS BIGINT) AS n_conv FROM u),
+         d(delta) AS (VALUES (CAST(0.02 AS DOUBLE)),
+                             (CAST(0.05 AS DOUBLE)),
+                             (CAST(0.10 AS DOUBLE)))
+         SELECT d.delta, b.n_users, b.n_conv,
+                ROUND(CAST(b.n_conv AS DOUBLE) / b.n_users, 6) AS base_rate,
+                CAST(CEIL((CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                        * (CAST(1.959964 AS DOUBLE) + CAST(0.841621 AS DOUBLE))
+                        * 2.0 * (CAST(b.n_conv AS DOUBLE) / b.n_users)
+                        * (1.0 - CAST(b.n_conv AS DOUBLE) / b.n_users)
+                        / (d.delta * d.delta)) AS BIGINT) AS n_per_arm
+         FROM b CROSS JOIN d ORDER BY d.delta""",
   )
 }
