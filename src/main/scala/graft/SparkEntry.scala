@@ -3594,6 +3594,48 @@ object SparkEntry {
           col("base_rate"), col("n_per_arm"))
         .orderBy("delta")
     }),
+
+    // Newman modularity of the label-propagation communities on the
+    // supplier–part graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the "are these
+    // communities real" quality score on top of q_label_prop, computed
+    // from three equi-join aggregates (within-community edges, degree
+    // sums, |E|); per-community terms rounded then decimal-summed
+    "q_modularity" -> ((s, dir) => {
+      val e0 = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      val labels = Graph.labelPropagation(e0, "src", "dst",
+        iterations = 2, dedupEdges = false)
+      val m = e0.agg(count(lit(1)).as("m_edges"))
+      val ec = e0
+        .join(labels.select(col("node").as("src"), col("label").as("ls")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("ld")),
+          Seq("dst"))
+        .filter(col("ls") === col("ld"))
+        .groupBy(col("ls").as("label")).agg(count(lit(1)).as("e_in"))
+      val deg = e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val dc = labels.join(deg, Seq("node"))
+        .groupBy("label")
+        .agg(sum("d").as("d_sum"), count(lit(1)).as("n_members"))
+      val halfD = col("d_sum").cast("double") / (lit(2) * col("m_edges"))
+      val terms = dc.join(ec, Seq("label"), "left")
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .withColumn("q_term", round(
+          col("e_in").cast("double") / col("m_edges") - halfD * halfD, 6))
+      val q = terms.agg(
+        round(sum(col("q_term").cast("decimal(18,6)")).cast("double"), 6)
+          .as("modularity"))
+      terms.crossJoin(broadcast(q))
+        .select(col("label"), col("n_members"), col("e_in"), col("d_sum"),
+          col("q_term"), col("modularity"))
+        .orderBy(col("n_members").desc, col("label"))
+        .limit(20)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7854,5 +7896,56 @@ object SparkEntry {
                         * (1.0 - CAST(b.n_conv AS DOUBLE) / b.n_users)
                         / (d.delta * d.delta)) AS BIGINT) AS n_per_arm
          FROM b CROSS JOIN d ORDER BY d.delta""",
+
+    // same unrolled 2-iteration propagation as q_label_prop, then the
+    // three modularity aggregates over the ONE-direction edge list
+    "q_modularity" ->
+      """WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                            'p' || l_partkey AS dst FROM lineitem),
+         e AS (SELECT src, dst FROM e0
+               UNION SELECT dst AS src, src AS dst FROM e0),
+         r0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         n1 AS (SELECT e.src AS node, r.label, count(*) AS cnt
+                FROM e JOIN r0 r ON e.dst = r.node GROUP BY e.src, r.label),
+         r1 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                  FROM n1) WHERE rn = 1),
+         n2 AS (SELECT e.src AS node, r.label, count(*) AS cnt
+                FROM e JOIN r1 r ON e.dst = r.node GROUP BY e.src, r.label),
+         r2 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                  FROM n2) WHERE rn = 1),
+         mm AS (SELECT count(*) AS m_edges FROM e0),
+         ec AS (
+           SELECT ls.label, count(*) AS e_in
+           FROM e0 JOIN r2 ls ON ls.node = e0.src
+                   JOIN r2 ld ON ld.node = e0.dst
+           WHERE ls.label = ld.label
+           GROUP BY ls.label),
+         deg AS (
+           SELECT node, count(*) AS d FROM (
+             SELECT src AS node FROM e0
+             UNION ALL SELECT dst AS node FROM e0)
+           GROUP BY node),
+         dc AS (
+           SELECT r.label, CAST(SUM(d.d) AS BIGINT) AS d_sum,
+                  count(*) AS n_members
+           FROM r2 r JOIN deg d USING (node) GROUP BY r.label),
+         terms AS (
+           SELECT dc.label, dc.n_members,
+                  COALESCE(ec.e_in, 0) AS e_in, dc.d_sum,
+                  ROUND(CAST(COALESCE(ec.e_in, 0) AS DOUBLE) / mm.m_edges
+                      - (CAST(dc.d_sum AS DOUBLE) / (2 * mm.m_edges))
+                      * (CAST(dc.d_sum AS DOUBLE) / (2 * mm.m_edges)), 6)
+                    AS q_term
+           FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm),
+         q AS (SELECT ROUND(CAST(SUM(CAST(q_term AS DECIMAL(18,6)))
+                    AS DOUBLE), 6) AS modularity FROM terms)
+         SELECT t.label, t.n_members, t.e_in, t.d_sum, t.q_term,
+                q.modularity
+         FROM terms t CROSS JOIN q
+         ORDER BY t.n_members DESC, t.label LIMIT 20""",
   )
 }
