@@ -3636,6 +3636,90 @@ object SparkEntry {
         .orderBy(col("n_members").desc, col("label"))
         .limit(20)
     }),
+
+    // ——— ML feature-engineering family ———
+
+    // time-series lag/rolling features per (type, day): lag-1, lag-7,
+    // trailing-7 mean — the standard forecasting feature block; counts
+    // are integers so every feature is exact (mean = int sum / 7.0)
+    "q_lag_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val w7 = w.rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("lag_1", lag("n", 1).over(w))
+        .withColumn("lag_7", lag("n", 7).over(w))
+        .withColumn("roll7_mean",
+          when(count(lit(1)).over(w7) === 7,
+            round(sum("n").over(w7).cast("double") / lit(7.0), 4)))
+        .orderBy("event_type", "day")
+    }),
+
+    // leave-one-out target encoding of market segment by order total —
+    // the leakage-safe categorical encoder: each row's code excludes
+    // its own target, (Σ_seg − x)/(n_seg − 1), all in exact decimal
+    "q_target_encoding" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("y"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val seg = joined.groupBy("c_mktsegment")
+        .agg(sum("y").as("sy"), count(lit(1)).as("ny"))
+      joined.join(broadcast(seg), Seq("c_mktsegment"))
+        .filter(col("o_orderkey") % 100 === 0) // bounded output slice
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          round(col("y").cast("double"), 2).as("y"),
+          // divide in DOUBLE: decimal division scale/rounding rules are
+          // engine-specific, double division is IEEE on both
+          round((col("sy").cast("double") - col("y").cast("double")) /
+            (col("ny") - 1), 4).as("loo_encoding"))
+        .orderBy("o_orderkey")
+    }),
+
+    // seasonal-naive forecast with backtest: forecast(d) = seasonal
+    // index(dow) × trailing-7 deseasonalized mean, scored by MAE over
+    // the fully-framed days — the closed-form baseline every real
+    // forecaster must beat; absolute errors rounded then decimal-summed
+    "q_seasonal_forecast" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val byDow = daily
+        .groupBy(col("event_type"), (weekday(col("day")) + 1).as("dow"))
+        .agg(sum("n").as("s_dow"), count(lit(1)).as("d_dow"))
+      val totals = daily.groupBy(col("event_type"))
+        .agg(sum("n").as("s_all"), count(lit(1)).as("d_all"))
+      val idx = byDow.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("dow"),
+          round((col("s_dow").cast("double") / col("d_dow")) /
+            (col("s_all").cast("double") / col("d_all")), 4).as("sidx"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wPrev7 = w.rowsBetween(-7, -1)
+      val withNd = daily
+        .withColumn("dow", weekday(col("day")) + 1)
+        .join(broadcast(idx), Seq("event_type", "dow"))
+        .withColumn("nd", round(col("n").cast("double") / col("sidx"), 4)
+          .cast("decimal(18,4)"))
+      val scored = withNd
+        .withColumn("base",
+          when(count(lit(1)).over(wPrev7) === 7,
+            round(sum("nd").over(wPrev7).cast("double") / lit(7.0), 4)))
+        .withColumn("forecast", round(col("base") * col("sidx"), 2))
+        .withColumn("abs_err",
+          round(abs(col("n").cast("double") - col("forecast")), 2)
+            .cast("decimal(18,2)"))
+      scored.filter(col("forecast").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(sum("abs_err").cast("double") / count(lit(1)), 4).as("mae"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7947,5 +8031,84 @@ object SparkEntry {
                 q.modularity
          FROM terms t CROSS JOIN q
          ORDER BY t.n_members DESC, t.label LIMIT 20""",
+
+    // lag() ignores frames; the rolling mean guards partial frames
+    "q_lag_features" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, n,
+                lag(n, 1) OVER w AS lag_1,
+                lag(n, 7) OVER w AS lag_7,
+                CASE WHEN count(*) OVER w7 = 7 THEN
+                  ROUND(CAST(SUM(n) OVER w7 AS DOUBLE) / 7.0, 4)
+                END AS roll7_mean
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day),
+                w7 AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""",
+
+    // LOO in double: (Σ_seg − x)/(n_seg − 1); decimal only for the sums
+    "q_target_encoding" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS y
+           FROM orders),
+         j AS (SELECT o.*, c.c_mktsegment
+               FROM o JOIN customer c ON o.o_custkey = c.c_custkey),
+         seg AS (SELECT c_mktsegment, SUM(y) AS sy, count(*) AS ny
+                 FROM j GROUP BY 1)
+         SELECT j.o_orderkey, j.c_mktsegment,
+                ROUND(CAST(j.y AS DOUBLE), 2) AS y,
+                ROUND((CAST(s.sy AS DOUBLE) - CAST(j.y AS DOUBLE))
+                      / (s.ny - 1), 4) AS loo_encoding
+         FROM j JOIN seg s USING (c_mktsegment)
+         WHERE j.o_orderkey % 100 = 0
+         ORDER BY j.o_orderkey""",
+
+    // forecast = trailing-7 deseasonalized mean × index; MAE from
+    // rounded absolute errors decimal-summed
+    "q_seasonal_forecast" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         bydow AS (
+           SELECT event_type, isodow(day) AS dow,
+                  CAST(SUM(n) AS BIGINT) AS s_dow, count(*) AS d_dow
+           FROM daily GROUP BY 1, 2),
+         totals AS (
+           SELECT event_type, CAST(SUM(n) AS BIGINT) AS s_all,
+                  count(*) AS d_all
+           FROM daily GROUP BY event_type),
+         idx AS (
+           SELECT b.event_type, b.dow,
+                  ROUND((CAST(b.s_dow AS DOUBLE) / b.d_dow)
+                      / (CAST(t.s_all AS DOUBLE) / t.d_all), 4) AS sidx
+           FROM bydow b JOIN totals t USING (event_type)),
+         nd AS (
+           SELECT d.event_type, d.day, d.n, i.sidx,
+                  CAST(ROUND(CAST(d.n AS DOUBLE) / i.sidx, 4)
+                       AS DECIMAL(18,4)) AS ndv
+           FROM daily d JOIN idx i
+             ON i.event_type = d.event_type AND i.dow = isodow(d.day)),
+         sc AS (
+           SELECT event_type, day, n, sidx,
+                  CASE WHEN count(*) OVER wp = 7 THEN
+                    ROUND(CAST(SUM(ndv) OVER wp AS DOUBLE) / 7.0, 4)
+                  END AS base
+           FROM nd
+           WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         f AS (SELECT event_type, day, n,
+                      ROUND(base * sidx, 2) AS forecast
+               FROM sc),
+         e AS (SELECT event_type,
+                      CAST(ROUND(abs(CAST(n AS DOUBLE) - forecast), 2)
+                           AS DECIMAL(18,2)) AS abs_err
+               FROM f WHERE forecast IS NOT NULL)
+         SELECT event_type, count(*) AS n_days,
+                ROUND(CAST(SUM(abs_err) AS DOUBLE) / count(*), 4) AS mae
+         FROM e GROUP BY event_type ORDER BY event_type""",
   )
 }
