@@ -3720,7 +3720,62 @@ object SparkEntry {
           round(sum("abs_err").cast("double") / count(lit(1)), 4).as("mae"))
         .orderBy("event_type")
     }),
+
+    // language-ID confusion matrix + accuracy against the stored lang
+    // labels — the classifier-eval readout over the SAME langId scorer
+    // q_lang_id exposes (shared oracle body, so they can never drift)
+    "q_lang_confusion" -> ((s, dir) => {
+      val p = docs(s, dir)
+        .select(langId(col("text")).as("pred_lang"), col("lang"))
+      val cm = p.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val acc = p.agg(round(
+        sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 4).as("accuracy"))
+      cm.crossJoin(broadcast(acc)).orderBy("lang", "pred_lang")
+    }),
   )
+
+  /** q_lang_id oracle body (no ORDER BY) — shared verbatim with
+    * q_lang_confusion so the two can never drift. */
+  private val langIdOracleSql: String =
+    """WITH base AS (
+           SELECT doc_id, text, lang,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  greatest(length(text), 1) AS n_char
+           FROM documents),
+         scored AS (
+           SELECT doc_id, lang, text, n_char,
+                  greatest(len(toks), 1) AS n_tok,
+                  len(list_filter(toks, t -> list_contains(
+                    ['der','die','das','und','ist','von','mit','den','nicht','ein'], t))) AS h_de,
+                  len(list_filter(toks, t -> list_contains(
+                    ['the','and','of','to','in','is','that','it','for','with'], t))) AS h_en,
+                  len(list_filter(toks, t -> list_contains(
+                    ['el','la','los','las','y','de','que','es','un','por'], t))) AS h_es,
+                  len(list_filter(toks, t -> list_contains(
+                    ['le','la','les','et','de','un','une','est','que','pour'], t))) AS h_fr,
+                  (length(text) - length(regexp_replace(text,
+                    '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]', '', 'g'))) * 1.0
+                    / greatest(length(text), 1) AS cjk
+           FROM base),
+         m AS (
+           SELECT doc_id, lang, cjk,
+                  h_de * 1.0 / n_tok AS s_de, h_en * 1.0 / n_tok AS s_en,
+                  h_es * 1.0 / n_tok AS s_es, h_fr * 1.0 / n_tok AS s_fr,
+                  greatest(h_de * 1.0 / n_tok, h_en * 1.0 / n_tok,
+                           h_es * 1.0 / n_tok, h_fr * 1.0 / n_tok) AS best
+           FROM scored)
+         SELECT doc_id,
+                CASE WHEN cjk > 0.2 THEN 'zh'
+                     WHEN best > 0 THEN
+                       CASE WHEN s_de = best THEN 'de'
+                            WHEN s_en = best THEN 'en'
+                            WHEN s_es = best THEN 'es'
+                            ELSE 'fr' END
+                     ELSE 'und' END AS pred_lang,
+                lang
+         FROM m"""
 
   def oracleSql: Map[String, String] = Map(
     "q_items_pipeline" ->
@@ -4193,44 +4248,7 @@ object SparkEntry {
          FROM t ORDER BY doc_id""",
 
     "q_lang_id" ->
-      """WITH base AS (
-           SELECT doc_id, text, lang,
-                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                              x -> len(x) > 0) AS toks,
-                  greatest(length(text), 1) AS n_char
-           FROM documents),
-         scored AS (
-           SELECT doc_id, lang, text, n_char,
-                  greatest(len(toks), 1) AS n_tok,
-                  len(list_filter(toks, t -> list_contains(
-                    ['der','die','das','und','ist','von','mit','den','nicht','ein'], t))) AS h_de,
-                  len(list_filter(toks, t -> list_contains(
-                    ['the','and','of','to','in','is','that','it','for','with'], t))) AS h_en,
-                  len(list_filter(toks, t -> list_contains(
-                    ['el','la','los','las','y','de','que','es','un','por'], t))) AS h_es,
-                  len(list_filter(toks, t -> list_contains(
-                    ['le','la','les','et','de','un','une','est','que','pour'], t))) AS h_fr,
-                  (length(text) - length(regexp_replace(text,
-                    '[\x{4e00}-\x{9fff}\x{3040}-\x{30ff}]', '', 'g'))) * 1.0
-                    / greatest(length(text), 1) AS cjk
-           FROM base),
-         m AS (
-           SELECT doc_id, lang, cjk,
-                  h_de * 1.0 / n_tok AS s_de, h_en * 1.0 / n_tok AS s_en,
-                  h_es * 1.0 / n_tok AS s_es, h_fr * 1.0 / n_tok AS s_fr,
-                  greatest(h_de * 1.0 / n_tok, h_en * 1.0 / n_tok,
-                           h_es * 1.0 / n_tok, h_fr * 1.0 / n_tok) AS best
-           FROM scored)
-         SELECT doc_id,
-                CASE WHEN cjk > 0.2 THEN 'zh'
-                     WHEN best > 0 THEN
-                       CASE WHEN s_de = best THEN 'de'
-                            WHEN s_en = best THEN 'en'
-                            WHEN s_es = best THEN 'es'
-                            ELSE 'fr' END
-                     ELSE 'und' END AS pred_lang,
-                lang
-         FROM m ORDER BY doc_id""",
+      s"""$langIdOracleSql ORDER BY doc_id""",
 
     "q_heavy_hitters" ->
       """WITH t AS (
@@ -8110,5 +8128,17 @@ object SparkEntry {
          SELECT event_type, count(*) AS n_days,
                 ROUND(CAST(SUM(abs_err) AS DOUBLE) / count(*), 4) AS mae
          FROM e GROUP BY event_type ORDER BY event_type""",
+
+    // verbatim langIdOracleSql as the prediction CTE
+    "q_lang_confusion" ->
+      s"""WITH pred AS ($langIdOracleSql),
+         cm AS (SELECT lang, pred_lang, count(*) AS n
+                FROM pred GROUP BY 1, 2),
+         acc AS (SELECT ROUND(CAST(SUM(CASE WHEN lang = pred_lang
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+                   AS accuracy
+                 FROM pred)
+         SELECT cm.lang, cm.pred_lang, cm.n, acc.accuracy
+         FROM cm CROSS JOIN acc ORDER BY cm.lang, cm.pred_lang""",
   )
 }

@@ -277,4 +277,36 @@ class GraphSpec extends SparkSpec {
     assert(r3 == run(6), "q_kcore's fixed 3 rounds stopped short of the fixpoint")
     assert(r3.nonEmpty) // the oracle comparison must not be vacuous
   }
+
+  test("modularity: two planted cliques joined by one bridge score high Q") {
+    import spark.implicits._
+    // K4 ∪ K4 + a single bridge (m = 13): label propagation finds the
+    // cliques; hand-computed Newman Q for that partition is
+    // 2·(6/13 − (13/26)²) = 12/13 − 1/2 ≈ 0.423077 — strong communities
+    val cliqueA = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"a$i", s"a$j")
+    val cliqueB = for (i <- 1 to 4; j <- (i + 1) to 4) yield (s"b$i", s"b$j")
+    val edges = (cliqueA ++ cliqueB :+ ("a1", "b1")).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, "src", "dst", iterations = 3)
+    val byLabel = labels.groupBy("label").count().collect()
+    assert(byLabel.length == 2, s"expected 2 communities, got ${byLabel.toSeq}")
+    // modularity of that partition, replicated with the q_modularity
+    // aggregates: e_in per community / m, degree sums
+    val m = 13.0
+    val l = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val withinEdges = (cliqueA ++ cliqueB :+ (("a1", "b1")))
+      .count { case (u, v) => l(u) == l(v) }
+    assert(withinEdges == 12, "only the bridge may cross communities")
+    // per-community degree sums: clique 6·2+... compute directly
+    val deg = (cliqueA ++ cliqueB :+ (("a1", "b1")))
+      .flatMap { case (u, v) => Seq(u, v) }.groupBy(identity)
+      .map { case (n, xs) => n -> xs.size }
+    val q = l.values.toSet.toSeq.map { c: String =>
+      val eIn = (cliqueA ++ cliqueB).count {
+        case (u, v) => l(u) == c && l(v) == c }
+      val dSum = deg.collect { case (n, d) if l(n) == c => d }.sum
+      eIn / m - math.pow(dSum / (2 * m), 2)
+    }.sum
+    assert(math.abs(q - (12.0 / 13 - 0.5)) < 1e-9,
+      s"hand Q for the clique partition: $q")
+  }
 }
