@@ -3717,9 +3717,22 @@ object SparkEntry {
       scored.filter(col("forecast").isNotNull)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_days"),
-          round(sum("abs_err").cast("double") / count(lit(1)), 4).as("mae"))
+          round(sum("abs_err").cast("double") / count(lit(1)), 4).as("mae"),
+          // split-conformal 90% interval half-width: the empirical p90
+          // of backtest |errors| (exact interpolated percentile over
+          // the calendar-bounded error set)
+          round(expr("percentile(cast(abs_err as double), 0.9)"), 4)
+            .as("pi90_halfwidth"))
         .orderBy("event_type")
     }),
+
+    // Laplace-mechanism noisy counts over (lang, source) — the DP
+    // release plumbing next to q_k_anonymity (hash-seeded u-draws make
+    // the mechanism gate-replayable; production swaps in a CSPRNG)
+    "q_dp_counts" -> ((s, dir) =>
+      Stats.dpNoisyCounts(docs(s, dir), Seq("lang", "source"),
+        epsilon = 1.0)
+        .orderBy("lang", "source")),
 
     // language-ID confusion matrix + accuracy against the stored lang
     // labels — the classifier-eval readout over the SAME langId scorer
@@ -8126,7 +8139,9 @@ object SparkEntry {
                            AS DECIMAL(18,2)) AS abs_err
                FROM f WHERE forecast IS NOT NULL)
          SELECT event_type, count(*) AS n_days,
-                ROUND(CAST(SUM(abs_err) AS DOUBLE) / count(*), 4) AS mae
+                ROUND(CAST(SUM(abs_err) AS DOUBLE) / count(*), 4) AS mae,
+                ROUND(quantile_cont(CAST(abs_err AS DOUBLE), 0.9), 4)
+                  AS pi90_halfwidth
          FROM e GROUP BY event_type ORDER BY event_type""",
 
     // verbatim langIdOracleSql as the prediction CTE
@@ -8140,5 +8155,24 @@ object SparkEntry {
                  FROM pred)
          SELECT cm.lang, cm.pred_lang, cm.n, acc.accuracy
          FROM cm CROSS JOIN acc ORDER BY cm.lang, cm.pred_lang""",
+
+    // same md5→60-bit uniform chain as q_weighted_sample; Laplace noise
+    // as b·(ln u1 − ln u2), b = 1/ε = 1
+    "q_dp_counts" ->
+      """WITH c AS (
+           SELECT lang, source, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+         u AS (
+           SELECT lang, source, n,
+                  ((('0x' || substr(md5('42|1|' || lang || '|' || source),
+                      1, 15))::BIGINT + 1.0) / 1.152921504606846976e18)
+                    AS u1,
+                  ((('0x' || substr(md5('42|2|' || lang || '|' || source),
+                      1, 15))::BIGINT + 1.0) / 1.152921504606846976e18)
+                    AS u2
+           FROM c)
+         SELECT lang, source, n,
+                ROUND(n + (ln(u1) - ln(u2)) / 1.0, 4) AS noisy_n
+         FROM u ORDER BY lang, source""",
   )
 }

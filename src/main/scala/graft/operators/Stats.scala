@@ -368,6 +368,33 @@ object Stats {
         col("ece_total"))
   }
 
+  /** Laplace-mechanism noisy group counts — the differential-privacy
+    * release SHAPE (sensitivity-1 count + Laplace(1/ε) noise), with the
+    * noise derived as b·(ln u₁ − ln u₂) (difference-of-exponentials
+    * form — no inverse-CDF singularity at u = 1) from the repo-standard
+    * replayable md5→60-bit uniforms over (seed, tag, group key).
+    *
+    * THE SEEDED HASH IS FOR THE CORRECTNESS GATE ONLY: deterministic
+    * "noise" is replayable by construction and therefore provides no
+    * privacy — a production release swaps the two u-draws for a CSPRNG
+    * and keeps everything else (this is the mechanism/plumbing test
+    * harness, like the multimodal codec stubs). Scale shape: one count
+    * agg + row-local noise. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, seed: Long = 42L): DataFrame = {
+    require(epsilon > 0, s"need epsilon > 0, got $epsilon")
+    require(groupCols.nonEmpty)
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val keyStr = concat_ws("|", groupCols.map(col): _*)
+    def u(tag: String) =
+      (conv(substring(md5(concat_ws("|", lit(seed.toString), lit(tag),
+        keyStr).cast("binary")), 1, 15), 16, 10).cast("long")
+        .cast("double") + 1.0d) / lit(1.152921504606846976e18)
+    counts.withColumn("noisy_n",
+      round(col("n") + (log(u("1")) - log(u("2"))) / lit(epsilon), 4))
+  }
+
   /** First-significant-digit profile vs Benford's law for a positive
     * value column (values ≥ 1): observed count and frequency per leading
     * digit next to the expected log10(1 + 1/d) mass and the deviation —
