@@ -3734,6 +3734,21 @@ object SparkEntry {
         epsilon = 1.0)
         .orderBy("lang", "source")),
 
+    // STREAMING daily anomaly detection: each completed day z-scored
+    // against the expanding stats of all prior completed days, emitted
+    // the moment the watermark strictly passes the day boundary —
+    // O(1) state per key (Σn, Σn², #days + open-day counts), never a
+    // history replay; the monitoring detector as a live stream
+    "q_stream_anomaly" -> ((s, dir) => {
+      val name = s"stream_anom_${System.nanoTime()}"
+      val stream = graft.streaming.Streams.readTableStream(s, dir, "events")
+      val drained = withSQLConf(s, "spark.sql.shuffle.partitions", "8") {
+        graft.streaming.Streams.drainAppend(
+          graft.streaming.Streams.anomalyDetect(stream), name)
+      }
+      drained.orderBy("event_type", "day")
+    }),
+
     // language-ID confusion matrix + accuracy against the stored lang
     // labels — the classifier-eval readout over the SAME langId scorer
     // q_lang_id exposes (shared oracle body, so they can never drift)
@@ -8174,5 +8189,49 @@ object SparkEntry {
          SELECT lang, source, n,
                 ROUND(n + (ln(u1) - ln(u2)) / 1.0, 4) AS noisy_n
          FROM u ORDER BY lang, source""",
+
+    // a day is emitted once the final watermark (max ts, ms-truncated,
+    // delay 0) is STRICTLY past its end; z vs expanding PRIOR-day
+    // stats via the same Q/k − (P/k)² integer-prefix formula
+    "q_stream_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         wm AS (SELECT date_trunc('milliseconds', max(ts)) AS w
+                FROM events),
+         ready AS (
+           SELECT d.* FROM daily d CROSS JOIN wm
+           WHERE CAST(d.day AS TIMESTAMP) + INTERVAL 1 DAY < wm.w),
+         pre AS (
+           SELECT event_type, day, n,
+                  CAST(SUM(n) OVER wp AS BIGINT) AS p,
+                  CAST(SUM(n * n) OVER wp AS BIGINT) AS q,
+                  count(*) OVER wp AS k
+           FROM ready
+           WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING))
+         SELECT event_type, day, n,
+                CASE WHEN k >= 7
+                      AND (CAST(q AS DOUBLE) / k
+                           - (CAST(p AS DOUBLE) / k)
+                           * (CAST(p AS DOUBLE) / k)) > 0 THEN
+                  ROUND((n - CAST(p AS DOUBLE) / k)
+                        / sqrt(CAST(q AS DOUBLE) / k
+                               - (CAST(p AS DOUBLE) / k)
+                               * (CAST(p AS DOUBLE) / k)), 4)
+                END AS z,
+                CASE WHEN k >= 7 THEN
+                  COALESCE(abs(CASE WHEN k >= 7
+                        AND (CAST(q AS DOUBLE) / k
+                             - (CAST(p AS DOUBLE) / k)
+                             * (CAST(p AS DOUBLE) / k)) > 0 THEN
+                      ROUND((n - CAST(p AS DOUBLE) / k)
+                            / sqrt(CAST(q AS DOUBLE) / k
+                                   - (CAST(p AS DOUBLE) / k)
+                                   * (CAST(p AS DOUBLE) / k)), 4)
+                    END) >= 2.0, false)
+                END AS is_anomaly
+         FROM pre ORDER BY event_type, day""",
   )
 }

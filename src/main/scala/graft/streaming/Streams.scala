@@ -291,6 +291,84 @@ object Streams {
       }.toDF()
   }
 
+  case class AnomEv(event_type: String, ts: java.sql.Timestamp)
+  case class AnomState(pending: Map[Long, Long], sumN: Long, sumSq: Long,
+      kDays: Long)
+  case class AnomOut(event_type: String, day: java.sql.Date, n: Long,
+      z: Option[Double], is_anomaly: Option[Boolean])
+
+  /** Streaming daily anomaly detection per key: each COMPLETED day's
+    * event count is z-scored against the expanding mean/variance of all
+    * PRIOR completed days (≥ `minPriorDays` of history, else NULL) —
+    * the ops-monitoring detector as a stream, emitting the verdict the
+    * moment the watermark strictly passes a day's end (no late event
+    * can change the count; exactly-once across micro-batches, the
+    * [[patternDetect]] contract).
+    *
+    * State per key: the open days' partial counts (calendar-bounded by
+    * the watermark) + three integers (Σn, Σn², #days) — the expanding
+    * statistics NEVER replay history, which is what makes this runnable
+    * forever: day t costs O(1) regardless of t. Determinism: the
+    * variance comes from the integer prefix sums via the ONE formula
+    * `Q/k − (P/k)²` and z is rounded HALF_UP at 4 dp — the identical
+    * arithmetic the relational oracle replays. */
+  def anomalyDetect(events: DataFrame, minPriorDays: Int = 7,
+      zThreshold: Double = 2.0,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    val typed = events.withWatermark("ts", watermarkDelay)
+      .select(col("event_type"), col("ts")).as[AnomEv]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[AnomEv], state: GroupState[AnomState]) =>
+          val st0 = state.getOption.getOrElse(AnomState(Map.empty, 0L, 0L, 0L))
+          val newCounts =
+            if (state.hasTimedOut) st0.pending
+            else rows.foldLeft(st0.pending) { (m, e) =>
+              val d = Math.floorDiv(tsMicros(e.ts), usPerDay)
+              m.updated(d, m.getOrElse(d, 0L) + 1L)
+            }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // a day is decidable once the watermark is STRICTLY past its
+          // end — ts == wm stays pending (the patternDetect boundary)
+          val (ready, open) = newCounts.partition {
+            case (d, _) => (d + 1) * usPerDay < wmUs
+          }
+          var (p, q, k) = (st0.sumN, st0.sumSq, st0.kDays)
+          val out = ready.toSeq.sortBy(_._1).map { case (d, n) =>
+            val z =
+              if (k >= minPriorDays) {
+                val mean = p.toDouble / k
+                val variance = q.toDouble / k - mean * mean
+                if (variance > 0)
+                  Some(BigDecimal((n - mean) / math.sqrt(variance))
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                else None
+              } else None
+            val flag =
+              if (k >= minPriorDays)
+                Some(z.exists(v => math.abs(v) >= zThreshold))
+              else None
+            p += n; q += n * n; k += 1
+            AnomOut(key, java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay(d)), n, z, flag)
+          }
+          if (open.isEmpty && out.isEmpty && st0.pending.isEmpty)
+            state.remove()
+          else {
+            state.update(AnomState(open, p, q, k))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                (open.keys.min + 1) * 86400000L,
+                state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+      }.toDF()
+  }
+
   case class AbandonOut(user_id: Long, view_id: Long,
       view_ts: java.sql.Timestamp)
 

@@ -360,4 +360,50 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("t_pat_mb").count() == 1)
     q.stop()
   }
+
+  test("streaming anomaly detector: split feed == single feed, exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def day(d: Int, h: Int) = Streams.AnomEv("e",
+      java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00"))
+    // 10 alternating days (2/4 events — nonzero variance so z is
+    // defined), then a 10-event spike on day 11: prior stats at day 11
+    // are mean 3, var 1 → z = (10−3)/1 = 7
+    val evs = (1 to 10).flatMap(d =>
+      (1 to (if (d % 2 == 1) 2 else 4)).map(h => day(d, h))) ++
+      (1 to 10).map(h => day(11, h))
+    def run(name: String)(feed: MemoryStream[Streams.AnomEv] => Unit) = {
+      val input = MemoryStream[Streams.AnomEv]
+      val q = Streams.anomalyDetect(input.toDF())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      feed(input)
+      // sentinel advances the watermark past day 11's end twice so the
+      // event-time timeout flushes the final decidable day
+      input.addData(day(13, 1)); q.processAllAvailable()
+      input.addData(day(14, 1)); q.processAllAvailable()
+      q.stop()
+      spark.table(name).filter(col("day") <= "2024-01-11")
+        .select("event_type", "day", "n", "z", "is_anomaly")
+        .orderBy("day").collect().toSeq
+    }
+    val single = run("t_anom_a") { in =>
+      in.addData(evs: _*)
+    }
+    val split = run("t_anom_b") { in =>
+      // split mid-day-5: day 5's count must not be emitted partially
+      val (a, b) = evs.splitAt(13)
+      in.addData(a: _*); in.addData(b: _*)
+    }
+    assert(single == split, "micro-batch split changed the output")
+    assert(single.size == 11)
+    val spike = single.last
+    assert(spike.getAs[Long]("n") == 10 &&
+      spike.getAs[Double]("z") == 7.0 &&
+      spike.getAs[Boolean]("is_anomaly"), s"day-11 spike must flag: $spike")
+    // steady days with ≥7 days of history score but must NOT flag
+    assert(single.drop(7).dropRight(1).forall(r =>
+      !r.isNullAt(3) && !r.getAs[Boolean]("is_anomaly")))
+  }
 }
