@@ -3749,6 +3749,57 @@ object SparkEntry {
       drained.orderBy("event_type", "day")
     }),
 
+    // Zipf rank-frequency fit over the top-100 corpus terms: OLS of
+    // ln f on ln rank (6-dp-rounded lns → exact decimal moments) —
+    // natural text sits near slope −1; a synthetic or deduplicate-
+    // starved corpus shows up immediately in the slope and r²
+    "q_zipf_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = docs(s, dir)
+        .select(explode(
+          graft.functions.TextExpressions.wordTokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w")).limit(100)
+      val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))))
+      val x = round(log(col("rank").cast("double")), 6)
+        .cast("decimal(18,6)")
+      val y = round(log(col("f").cast("double")), 6).cast("decimal(18,6)")
+      val m = ranked.agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(38,12)")).as("sxx"),
+        sum((y * y).cast("decimal(38,12)")).as("syy"),
+        sum((x * y).cast("decimal(38,12)")).as("sxy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double")
+      val cov = n * col("sxy").cast("double") - sx * sy
+      val vx = n * col("sxx").cast("double") - sx * sx
+      val vy = n * col("syy").cast("double") - sy * sy
+      m.select(col("n").as("n_terms"),
+        round(cov / vx, 4).as("zipf_slope"),
+        round(cov * cov / (vx * vy), 4).as("r2"))
+    }),
+
+    // burstiness profile per event type: Fano factor (variance/mean of
+    // daily counts — 1 ≈ Poisson, ≫1 bursty) from exact integer sums
+    "q_burstiness" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mean = col("total").cast("double") / col("n_days")
+      val variance = col("sumsq").cast("double") / col("n_days") -
+        mean * mean
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("n").as("total"),
+          sum(col("n") * col("n")).as("sumsq"))
+        .select(col("event_type"), col("n_days"), col("total"),
+          round(mean, 4).as("mean_daily"),
+          round(variance, 4).as("var_daily"),
+          round(variance / mean, 4).as("fano"))
+        .orderBy("event_type")
+    }),
+
     // language-ID confusion matrix + accuracy against the stored lang
     // labels — the classifier-eval readout over the SAME langId scorer
     // q_lang_id exposes (shared oracle body, so they can never drift)
@@ -8233,5 +8284,58 @@ object SparkEntry {
                     END) >= 2.0, false)
                 END AS is_anomaly
          FROM pre ORDER BY event_type, day""",
+
+    // same tokenize as the LM oracles; 6-dp lns → decimal moments
+    "q_zipf_fit" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                    '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         cnt AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+         top AS (SELECT w, f FROM cnt ORDER BY f DESC, w LIMIT 100),
+         ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, w)
+                      AS rank FROM top),
+         xy AS (
+           SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS x,
+                  CAST(ROUND(ln(CAST(f AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS y
+           FROM ranked),
+         m AS (SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+                 SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+               FROM xy)
+         SELECT n AS n_terms,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS zipf_slope,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             AS r2
+         FROM m""",
+
+    // Fano = var/mean of daily counts from exact integer sums
+    "q_burstiness" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, count(*) AS n_days,
+                  CAST(SUM(n) AS BIGINT) AS total,
+                  CAST(SUM(n * n) AS BIGINT) AS sumsq
+           FROM daily GROUP BY event_type)
+         SELECT event_type, n_days, total,
+                ROUND(CAST(total AS DOUBLE) / n_days, 4) AS mean_daily,
+                ROUND(CAST(sumsq AS DOUBLE) / n_days
+                    - (CAST(total AS DOUBLE) / n_days)
+                    * (CAST(total AS DOUBLE) / n_days), 4) AS var_daily,
+                ROUND((CAST(sumsq AS DOUBLE) / n_days
+                     - (CAST(total AS DOUBLE) / n_days)
+                     * (CAST(total AS DOUBLE) / n_days))
+                    / (CAST(total AS DOUBLE) / n_days), 4) AS fano
+         FROM m ORDER BY event_type""",
   )
 }
