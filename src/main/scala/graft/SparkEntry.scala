@@ -3781,6 +3781,67 @@ object SparkEntry {
         round(cov * cov / (vx * vy), 4).as("r2"))
     }),
 
+    // feature scaling (min-max + z-score) per group from ONE stats pass
+    // attached by broadcast — the ML-preprocessing primitive; mean/sd
+    // from exact decimal Σx/Σx², output bounded to a keyed slice
+    "q_feature_scaling" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("x"))
+      val stats = li.groupBy("l_returnflag").agg(
+        min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"),
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,4)")).as("sxx"))
+      val mean = col("sx").cast("double") / col("n")
+      val variance = col("sxx").cast("double") / col("n") - mean * mean
+      li.join(broadcast(stats), Seq("l_returnflag"))
+        .filter(col("l_orderkey") % 500 === 0) // bounded output slice
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(col("x").cast("double"), 2).as("x"),
+          round((col("x").cast("double") - col("mn")) /
+            (col("mx") - col("mn")), 6).as("minmax"),
+          round((col("x").cast("double") - mean) / sqrt(variance), 4)
+            .as("zscore"))
+        // (orderkey, linenumber) is NOT unique in this synthetic data —
+        // total tiebreak through flag and value
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "x")
+    }),
+
+    // weight-of-evidence / information value of market segment vs the
+    // has-urgent-order target — the credit-scoring feature screen;
+    // +0.5 Laplace smoothing, ln rounded at 4 dp, IV terms rounded
+    // then decimal-summed
+    "q_woe_iv" -> ((s, dir) => {
+      val tgt = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L)
+          .otherwise(0L)).as("y"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bins = c.join(tgt, c("c_custkey") === tgt("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum("y").as("g"), sum(lit(1L) - col("y")).as("b"))
+      val tot = bins.agg(sum("g").as("gt"), sum("b").as("bt"),
+        count(lit(1)).as("k"))
+      val pg = (col("g").cast("double") + 0.5) /
+        (col("gt") + lit(0.5) * col("k"))
+      val pb = (col("b").cast("double") + 0.5) /
+        (col("bt") + lit(0.5) * col("k"))
+      val woe = round(log(pg / pb), 4)
+      val terms = bins.crossJoin(broadcast(tot))
+        .withColumn("woe", woe)
+        .withColumn("iv_term", round((pg - pb) * col("woe"), 6)
+          .cast("decimal(18,6)"))
+      val iv = terms.agg(
+        round(sum("iv_term").cast("double"), 6).as("iv_total"))
+      terms.crossJoin(broadcast(iv))
+        .select(col("c_mktsegment"), col("g"), col("b"), col("woe"),
+          col("iv_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // burstiness profile per event type: Fano factor (variance/mean of
     // daily counts — 1 ≈ Poisson, ≫1 bursty) from exact integer sums
     "q_burstiness" -> ((s, dir) => {
@@ -8316,6 +8377,68 @@ object SparkEntry {
                 * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
              AS r2
          FROM m""",
+
+    // one stats pass per group; scaling replayed row-locally
+    "q_feature_scaling" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_linenumber, l_returnflag,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+           FROM lineitem),
+         st AS (
+           SELECT l_returnflag,
+                  min(CAST(x AS DOUBLE)) AS mn,
+                  max(CAST(x AS DOUBLE)) AS mx,
+                  count(*) AS n, SUM(x) AS sx,
+                  SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx
+           FROM li GROUP BY 1)
+         SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
+                ROUND(CAST(li.x AS DOUBLE), 2) AS x,
+                ROUND((CAST(li.x AS DOUBLE) - st.mn) / (st.mx - st.mn), 6)
+                  AS minmax,
+                ROUND((CAST(li.x AS DOUBLE) - CAST(st.sx AS DOUBLE) / st.n)
+                      / sqrt(CAST(st.sxx AS DOUBLE) / st.n
+                             - (CAST(st.sx AS DOUBLE) / st.n)
+                             * (CAST(st.sx AS DOUBLE) / st.n)), 4) AS zscore
+         FROM li JOIN st USING (l_returnflag)
+         WHERE li.l_orderkey % 500 = 0
+         ORDER BY li.l_orderkey, li.l_linenumber, li.l_returnflag,
+                  ROUND(CAST(li.x AS DOUBLE), 2)""",
+
+    // +0.5 smoothing; 4-dp WoE; IV terms rounded then decimal-summed
+    "q_woe_iv" ->
+      """WITH tgt AS (
+           SELECT o_custkey,
+                  max(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 1 ELSE 0 END) AS y
+           FROM orders GROUP BY 1),
+         bins AS (
+           SELECT c.c_mktsegment, CAST(SUM(y) AS BIGINT) AS g,
+                  CAST(SUM(1 - y) AS BIGINT) AS b
+           FROM customer c JOIN tgt t ON c.c_custkey = t.o_custkey
+           GROUP BY 1),
+         tot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt,
+                        CAST(SUM(b) AS BIGINT) AS bt, count(*) AS k
+                 FROM bins),
+         terms AS (
+           SELECT bins.c_mktsegment, bins.g, bins.b,
+                  ROUND(ln(((CAST(bins.g AS DOUBLE) + 0.5)
+                            / (tot.gt + 0.5 * tot.k))
+                         / ((CAST(bins.b AS DOUBLE) + 0.5)
+                            / (tot.bt + 0.5 * tot.k))), 4) AS woe,
+                  CAST(ROUND(((CAST(bins.g AS DOUBLE) + 0.5)
+                              / (tot.gt + 0.5 * tot.k)
+                            - (CAST(bins.b AS DOUBLE) + 0.5)
+                              / (tot.bt + 0.5 * tot.k))
+                           * ROUND(ln(((CAST(bins.g AS DOUBLE) + 0.5)
+                                       / (tot.gt + 0.5 * tot.k))
+                                    / ((CAST(bins.b AS DOUBLE) + 0.5)
+                                       / (tot.bt + 0.5 * tot.k))), 4), 6)
+                       AS DECIMAL(18,6)) AS iv_term
+           FROM bins CROSS JOIN tot),
+         iv AS (SELECT ROUND(CAST(SUM(iv_term) AS DOUBLE), 6) AS iv_total
+                FROM terms)
+         SELECT t.c_mktsegment, t.g, t.b, t.woe, iv.iv_total
+         FROM terms t CROSS JOIN iv ORDER BY t.c_mktsegment""",
 
     // Fano = var/mean of daily counts from exact integer sums
     "q_burstiness" ->
