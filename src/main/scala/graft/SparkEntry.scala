@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -3781,6 +3781,59 @@ object SparkEntry {
         round(cov * cov / (vx * vy), 4).as("r2"))
     }),
 
+    // ROC AUC of the quality score vs the length label — the
+    // Mann-Whitney form over per-DISTINCT-SCORE aggregates (tie-aware:
+    // each positive credits negatives-below + half the same-score
+    // negatives), all integer arithmetic until one final division; the
+    // third leg of the classifier-eval family (confusion, calibration)
+    "q_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, dir).select(
+        qualityLogit(col("text")).as("score"),
+        when(col("n_chars") >= 150, 1L).otherwise(0L).as("y"))
+      val byScore = scored.groupBy("score").agg(
+        sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      val tot = byScore.agg(sum("pos").as("p_tot"), sum("neg").as("n_tot"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byScore.limit(10000) // 6-dp scores: bounded distinct domain
+        .withColumn("cum_neg", coalesce(sum("neg").over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .agg(max("p_tot").as("n_pos"), max("n_tot").as("n_neg"),
+          round(sum(col("pos").cast("double") *
+              (col("cum_neg") + lit(0.5) * col("neg"))) /
+            (max("p_tot").cast("double") * max("n_tot")), 6).as("auc"))
+    }),
+
+    // NDCG@10 of the BM25 ranking with graded relevance (capped query-
+    // term frequency): DCG/IDCG over the bounded top-k frame, gains
+    // rounded then decimal-summed — completes the retrieval-eval family
+    // (MRR/precision/recall) with the graded metric
+    "q_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "hash", "window")
+      val d = docs(s, dir)
+      val top = Retrieval.bm25TopK(d, "doc_id", "text", terms, 10)
+      val rel = d.select(col("doc_id"), explode(
+          graft.functions.TextExpressions.wordTokens(col("text"))).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id").agg(least(lit(7L), count(lit(1))).as("rel"))
+      val ranked = top.join(broadcast(rel), Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .withColumn("irank", row_number().over(
+          Window.orderBy(col("rel").desc, col("doc_id"))))
+      def gain(rankCol: Column) = round(
+        (pow(lit(2.0), col("rel")) - 1.0) /
+          (log(rankCol + 1.0) / log(lit(2.0))), 6).cast("decimal(18,6)")
+      ranked.agg(
+          round(sum(gain(col("rank"))).cast("double"), 4).as("dcg"),
+          round(sum(gain(col("irank"))).cast("double"), 4).as("idcg"))
+        .select(col("dcg"), col("idcg"),
+          round(col("dcg") / col("idcg"), 4).as("ndcg"))
+    }),
+
     // feature scaling (min-max + z-score) per group from ONE stats pass
     // attached by broadcast — the ML-preprocessing primitive; mean/sd
     // from exact decimal Σx/Σx², output bounded to a keyed slice
@@ -3874,6 +3927,42 @@ object SparkEntry {
       cm.crossJoin(broadcast(acc)).orderBy("lang", "pred_lang")
     }),
   )
+
+  /** Per-doc quality-score oracle chain (source, n_chars, score) —
+    * shared verbatim by q_quality_model / q_calibration / q_auc so the
+    * scorer replay can never drift between its consumers. */
+  private val qualityScoreOracleSql: String =
+    """WITH base AS (
+           SELECT source, n_chars, text,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS toks,
+                  length(text) AS n_char
+           FROM documents),
+         m AS (
+           SELECT source, n_chars, len(toks) AS n_tok,
+                  len(list_filter(toks, t -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it',
+                       'that','for','on','with','as','this','by'], t)))
+                    AS sw_hits,
+                  n_char - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                    AS n_punct,
+                  n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS n_alpha,
+                  n_char - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS n_digit,
+                  greatest(n_char, 1) AS len1
+           FROM base)
+         SELECT source, n_chars,
+                ROUND(1.0 / (1.0 + exp(-(
+                  -1.0
+                  + 1.2 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
+                                WHEN n_tok BETWEEN 3 AND 9 THEN 0.5
+                                ELSE 0.0 END)
+                  - 2.0 * (n_punct * 1.0 / len1)
+                  + 1.5 * (n_alpha * 1.0 / len1)
+                  + 2.0 * (sw_hits * 1.0 / greatest(n_tok, 1))
+                  - 1.0 * (n_digit * 1.0 / len1)))), 6) AS score
+         FROM m"""
 
   /** q_lang_id oracle body (no ORDER BY) — shared verbatim with
     * q_lang_confusion so the two can never drift. */
@@ -6416,42 +6505,11 @@ object SparkEntry {
     // frozen logistic quality model: identical feature arithmetic to the
     // q_text_quality twins plus the digit class, squashed by exp()
     "q_quality_model" ->
-      """WITH base AS (
-           SELECT source, text,
-                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                              x -> len(x) > 0) AS toks,
-                  length(text) AS n_char
-           FROM documents),
-         m AS (
-           SELECT source, len(toks) AS n_tok,
-                  len(list_filter(toks, t -> list_contains(
-                      ['the','a','an','and','or','of','to','in','is','it',
-                       'that','for','on','with','as','this','by'], t)))
-                    AS sw_hits,
-                  n_char - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
-                    AS n_punct,
-                  n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
-                    AS n_alpha,
-                  n_char - length(regexp_replace(text, '[0-9]', '', 'g'))
-                    AS n_digit,
-                  greatest(n_char, 1) AS len1
-           FROM base),
-         s AS (
-           SELECT source,
-                  ROUND(1.0 / (1.0 + exp(-(
-                    -1.0
-                    + 1.2 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
-                                  WHEN n_tok BETWEEN 3 AND 9 THEN 0.5
-                                  ELSE 0.0 END)
-                    - 2.0 * (n_punct * 1.0 / len1)
-                    + 1.5 * (n_alpha * 1.0 / len1)
-                    + 2.0 * (sw_hits * 1.0 / greatest(n_tok, 1))
-                    - 1.0 * (n_digit * 1.0 / len1)))), 6) AS score
-           FROM m)
+      s"""WITH sc AS ($qualityScoreOracleSql)
          SELECT source, count(*) AS n_docs,
                 count(CASE WHEN score >= 0.6 THEN 1 END) AS n_keep,
                 ROUND(AVG(score), 4) AS avg_score
-         FROM s GROUP BY source ORDER BY source""",
+         FROM sc GROUP BY source ORDER BY source""",
 
     // identical tokenize, start offsets every 48, 1-based inclusive list
     // slice == Spark's slice(toks, start+1, 64)
@@ -7908,38 +7966,10 @@ object SparkEntry {
     // same per-doc score chain as q_quality_model; scores decimal-
     // summed per bin, per-bin ECE terms rounded then decimal-summed
     "q_calibration" ->
-      """WITH base AS (
-           SELECT n_chars, text,
-                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                              x -> len(x) > 0) AS toks,
-                  length(text) AS n_char
-           FROM documents),
-         m AS (
-           SELECT n_chars, len(toks) AS n_tok,
-                  len(list_filter(toks, t -> list_contains(
-                      ['the','a','an','and','or','of','to','in','is','it',
-                       'that','for','on','with','as','this','by'], t)))
-                    AS sw_hits,
-                  n_char - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
-                    AS n_punct,
-                  n_char - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
-                    AS n_alpha,
-                  n_char - length(regexp_replace(text, '[0-9]', '', 'g'))
-                    AS n_digit,
-                  greatest(n_char, 1) AS len1
-           FROM base),
-         s AS (
-           SELECT ROUND(1.0 / (1.0 + exp(-(
-                    -1.0
-                    + 1.2 * (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0
-                                  WHEN n_tok BETWEEN 3 AND 9 THEN 0.5
-                                  ELSE 0.0 END)
-                    - 2.0 * (n_punct * 1.0 / len1)
-                    + 1.5 * (n_alpha * 1.0 / len1)
-                    + 2.0 * (sw_hits * 1.0 / greatest(n_tok, 1))
-                    - 1.0 * (n_digit * 1.0 / len1)))), 6) AS score,
-                  CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS y
-           FROM m),
+      s"""WITH sc AS ($qualityScoreOracleSql),
+         s AS (SELECT score,
+                      CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS y
+               FROM sc),
          binned AS (
            SELECT LEAST(99, CAST(FLOOR(score * 100) AS INTEGER)) AS bin,
                   count(*) AS n,
@@ -8377,6 +8407,81 @@ object SparkEntry {
                 * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
              AS r2
          FROM m""",
+
+    // Mann-Whitney over per-distinct-score aggregates; halves are exact
+    "q_auc" ->
+      s"""WITH sc AS ($qualityScoreOracleSql),
+         s AS (SELECT score,
+                      CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS y
+               FROM sc),
+         bs AS (SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+                       CAST(SUM(1 - y) AS BIGINT) AS neg
+                FROM s GROUP BY score),
+         tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p_tot,
+                        CAST(SUM(neg) AS BIGINT) AS n_tot FROM bs),
+         cum AS (SELECT score, pos, neg,
+                   COALESCE(CAST(SUM(neg) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS cum_neg
+                 FROM bs)
+         SELECT max(tot.p_tot) AS n_pos, max(tot.n_tot) AS n_neg,
+                ROUND(SUM(CAST(pos AS DOUBLE) * (cum_neg + 0.5 * neg))
+                      / (CAST(max(tot.p_tot) AS DOUBLE)
+                         * max(tot.n_tot)), 6) AS auc
+         FROM cum CROSS JOIN tot""",
+
+    // same BM25 chain as q_bm25; graded rel = capped term frequency;
+    // gains rounded then decimal-summed; ndcg on the rounded pair
+    "q_ndcg" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         base AS (SELECT doc_id, len(t) AS dl FROM toks),
+         stats AS (SELECT count(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+           WHERE term IN ('spark', 'hash', 'window')
+           GROUP BY doc_id, term),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         parts AS (
+           SELECT tf.doc_id AS doc_id,
+                  ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * tf.tf
+                    / (tf.tf + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * b.dl / s.avgdl)) AS part
+           FROM tf JOIN df USING (term)
+                JOIN base b ON tf.doc_id = b.doc_id
+                CROSS JOIN stats s),
+         top AS (
+           SELECT doc_id, ROUND(SUM(part), 4) AS score
+           FROM parts GROUP BY doc_id
+           ORDER BY ROUND(SUM(part), 4) DESC, doc_id LIMIT 10),
+         rel AS (
+           SELECT doc_id, LEAST(7, count(*)) AS rel
+           FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+           WHERE term IN ('spark', 'hash', 'window')
+           GROUP BY doc_id),
+         r AS (SELECT t.doc_id, t.score, COALESCE(rel.rel, 0) AS rel
+               FROM top t LEFT JOIN rel USING (doc_id)),
+         rk AS (SELECT doc_id, rel,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+                  row_number() OVER (ORDER BY rel DESC, doc_id) AS irank
+                FROM r),
+         g AS (SELECT
+                 CAST(ROUND((power(2.0, rel) - 1.0)
+                      / (ln(rank + 1.0) / ln(2.0)), 6)
+                   AS DECIMAL(18,6)) AS gain,
+                 CAST(ROUND((power(2.0, rel) - 1.0)
+                      / (ln(irank + 1.0) / ln(2.0)), 6)
+                   AS DECIMAL(18,6)) AS igain
+               FROM rk),
+         a AS (SELECT ROUND(CAST(SUM(gain) AS DOUBLE), 4) AS dcg,
+                      ROUND(CAST(SUM(igain) AS DOUBLE), 4) AS idcg
+               FROM g)
+         SELECT dcg, idcg, ROUND(dcg / idcg, 4) AS ndcg FROM a""",
 
     // one stats pass per group; scaling replayed row-locally
     "q_feature_scaling" ->
