@@ -3749,6 +3749,86 @@ object SparkEntry {
       drained.orderBy("event_type", "day")
     }),
 
+    // degree assortativity of the supplier–part graph: Pearson
+    // correlation of endpoint degrees over the symmetrized edge list
+    // (negative = hubs attach to leaves, the usual bipartite signature)
+    // — exact decimal moments of integer degrees, one edges⋈degrees
+    // equi-join per side
+    "q_assortativity" -> ((s, dir) => {
+      val e0 = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+      val sym = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val pairs = sym
+        .join(deg.select(col("node").as("src"), col("d").as("dx")),
+          Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("d").as("dy")),
+          Seq("dst"))
+        .select(col("dx").cast("decimal(18,0)").as("x"),
+          col("dy").cast("decimal(18,0)").as("y"))
+      val m = pairs.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double")
+      val cov = n * col("sxy").cast("double") - sx * sy
+      val vx = n * col("sxx").cast("double") - sx * sx
+      val vy = n * col("syy").cast("double") - sy * sy
+      m.select(col("n").as("n_directed_edges"),
+        round(cov / sqrt(vx * vy), 6).as("assortativity"))
+    }),
+
+    // Heaps'-law vocabulary growth: V(n) ≈ K·n^β measured at 10
+    // doc-id-decile checkpoints from token FIRST-OCCURRENCE docs (no
+    // per-prefix rescan — one min-agg per token, one prefix fold),
+    // β from the ln-ln OLS — the corpus-growth twin of q_zipf_fit
+    "q_heaps_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, dir).select(col("doc_id"), explode(
+        graft.functions.TextExpressions.wordTokens(col("text"))).as("w"))
+      val maxId = docs(s, dir).agg(max("doc_id").as("max_id"))
+      val firstDoc = toks.groupBy("w").agg(min("doc_id").as("fd"))
+      // decile bucket of a doc id — tokens/vocab fold into 10 buckets
+      // by AGGREGATION (never a cutoff theta-join), cumulated by a
+      // bounded 10-row prefix window
+      def decile(c: Column) = (floor(c.cast("double") * 10 /
+        (col("max_id") + 1)) + 1).cast("int")
+      val vNew = firstDoc.crossJoin(broadcast(maxId))
+        .groupBy(decile(col("fd")).as("dec")).agg(count(lit(1)).as("dv"))
+      val tNew = toks.crossJoin(broadcast(maxId))
+        .groupBy(decile(col("doc_id")).as("dec"))
+        .agg(count(lit(1)).as("dt"))
+      val wc = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = vNew.join(tNew, Seq("dec"), "full_outer")
+        .select(col("dec"), coalesce(col("dv"), lit(0L)).as("dv"),
+          coalesce(col("dt"), lit(0L)).as("dt"))
+        .limit(10000)
+        .withColumn("v", sum("dv").over(wc))
+        .withColumn("n_toks", sum("dt").over(wc))
+        .filter(col("v") > 0 && col("n_toks") > 0)
+      val x = round(log(col("n_toks").cast("double")), 6)
+        .cast("decimal(18,6)")
+      val y = round(log(col("v").cast("double")), 6).cast("decimal(18,6)")
+      val m = pts.agg(count(lit(1)).as("k"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(38,12)")).as("sxx"),
+        sum((x * y).cast("decimal(38,12)")).as("sxy"))
+      val k = col("k").cast("double")
+      val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double")
+      m.select(col("k").as("n_checkpoints"),
+        round((k * col("sxy").cast("double") - sx * sy) /
+          (k * col("sxx").cast("double") - sx * sx), 4).as("heaps_beta"))
+    }),
+
     // Zipf rank-frequency fit over the top-100 corpus terms: OLS of
     // ln f on ln rank (6-dp-rounded lns → exact decimal moments) —
     // natural text sits near slope −1; a synthetic or deduplicate-
@@ -8375,6 +8455,76 @@ object SparkEntry {
                     END) >= 2.0, false)
                 END AS is_anomaly
          FROM pre ORDER BY event_type, day""",
+
+    // symmetrized edges ⋈ integer degrees; Pearson from decimal moments
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+                            'p' || l_partkey AS dst FROM lineitem),
+         sym AS (SELECT src, dst FROM e0
+                 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY src),
+         pairs AS (
+           SELECT CAST(dx.d AS DECIMAL(18,0)) AS x,
+                  CAST(dy.d AS DECIMAL(18,0)) AS y
+           FROM sym JOIN deg dx ON dx.node = sym.src
+                    JOIN deg dy ON dy.node = sym.dst),
+         m AS (SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy
+               FROM pairs)
+         SELECT n AS n_directed_edges,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+         FROM m""",
+
+    // first-occurrence decile buckets + 10-row prefix fold; ln-ln OLS
+    "q_heaps_fit" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(
+                    lower(trim(text)), '\s+'), x -> len(x) > 0)) AS w
+           FROM documents),
+         mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         fd AS (SELECT w, min(doc_id) AS fdoc FROM toks GROUP BY w),
+         vnew AS (
+           SELECT CAST(FLOOR(CAST(f.fdoc AS DOUBLE) * 10
+                    / (mx.max_id + 1)) + 1 AS INTEGER) AS dec,
+                  count(*) AS dv
+           FROM fd f CROSS JOIN mx GROUP BY 1),
+         tnew AS (
+           SELECT CAST(FLOOR(CAST(t.doc_id AS DOUBLE) * 10
+                    / (mx.max_id + 1)) + 1 AS INTEGER) AS dec,
+                  count(*) AS dt
+           FROM toks t CROSS JOIN mx GROUP BY 1),
+         j AS (
+           SELECT COALESCE(v.dec, t.dec) AS dec, COALESCE(dv, 0) AS dv,
+                  COALESCE(dt, 0) AS dt
+           FROM vnew v FULL OUTER JOIN tnew t ON v.dec = t.dec),
+         pts AS (
+           SELECT dec,
+                  CAST(SUM(dv) OVER wc AS BIGINT) AS v,
+                  CAST(SUM(dt) OVER wc AS BIGINT) AS n_toks
+           FROM j
+           WINDOW wc AS (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+         f2 AS (SELECT * FROM pts WHERE v > 0 AND n_toks > 0),
+         xy AS (SELECT
+                  CAST(ROUND(ln(CAST(n_toks AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS x,
+                  CAST(ROUND(ln(CAST(v AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS y
+                FROM f2),
+         m AS (SELECT count(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+                 SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+               FROM xy)
+         SELECT k AS n_checkpoints,
+           ROUND((k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS heaps_beta
+         FROM m""",
 
     // same tokenize as the LM oracles; 6-dp lns → decimal moments
     "q_zipf_fit" ->
