@@ -3866,24 +3866,11 @@ object SparkEntry {
     // each positive credits negatives-below + half the same-score
     // negatives), all integer arithmetic until one final division; the
     // third leg of the classifier-eval family (confusion, calibration)
-    "q_auc" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val scored = docs(s, dir).select(
-        qualityLogit(col("text")).as("score"),
-        when(col("n_chars") >= 150, 1L).otherwise(0L).as("y"))
-      val byScore = scored.groupBy("score").agg(
-        sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
-      val tot = byScore.agg(sum("pos").as("p_tot"), sum("neg").as("n_tot"))
-      val w = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      byScore.limit(10000) // 6-dp scores: bounded distinct domain
-        .withColumn("cum_neg", coalesce(sum("neg").over(w), lit(0L)))
-        .crossJoin(broadcast(tot))
-        .agg(max("p_tot").as("n_pos"), max("n_tot").as("n_neg"),
-          round(sum(col("pos").cast("double") *
-              (col("cum_neg") + lit(0.5) * col("neg"))) /
-            (max("p_tot").cast("double") * max("n_tot")), 6).as("auc"))
-    }),
+    "q_auc" -> ((s, dir) =>
+      Stats.rocAuc(
+        docs(s, dir).select(qualityLogit(col("text")).as("score"),
+          (col("n_chars") >= 150).as("label")),
+        "score", "label")),
 
     // NDCG@10 of the BM25 ranking with graded relevance (capped query-
     // term frequency): DCG/IDCG over the bounded top-k frame, gains

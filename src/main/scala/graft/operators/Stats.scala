@@ -368,6 +368,34 @@ object Stats {
         col("ece_total"))
   }
 
+  /** Tie-aware ROC AUC (Mann-Whitney form) of a score column against a
+    * boolean outcome, over per-DISTINCT-SCORE aggregates: each positive
+    * credits the negatives strictly below its score plus HALF the
+    * negatives sharing it — so a constant scorer lands exactly at 0.5
+    * and a perfectly separating one at 1.0, with no rank window over
+    * raw rows. Everything is integer arithmetic (the ties contribute
+    * exact halves) until one final division, rounded at 6 dp.
+    *
+    * Scale shape: one (score) count agg — the distinct domain of a
+    * 6-dp-rounded score is ≤ 10⁶ — then a bounded prefix window and a
+    * single-row fold. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val scored = df.select(col(scoreCol).cast("double").as("score"),
+      col(labelCol).cast("long").as("y"))
+    val byScore = scored.groupBy("score").agg(
+      sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    val tot = byScore.agg(sum("pos").as("p_tot"), sum("neg").as("n_tot"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore.limit(10000) // 6-dp scores: bounded distinct domain
+      .withColumn("cum_neg", coalesce(sum("neg").over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max("p_tot").as("n_pos"), max("n_tot").as("n_neg"),
+        round(sum(col("pos").cast("double") *
+            (col("cum_neg") + lit(0.5) * col("neg"))) /
+          (max("p_tot").cast("double") * max("n_tot")), 6).as("auc"))
+  }
+
   /** Laplace-mechanism noisy group counts — the differential-privacy
     * release SHAPE (sensitivity-1 count + Laplace(1/ε) noise), with the
     * noise derived as b·(ln u₁ − ln u₂) (difference-of-exponentials

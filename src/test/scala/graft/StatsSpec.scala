@@ -258,6 +258,24 @@ class StatsSpec extends SparkSpec {
     assert(ds.map(_.getAs[Double]("deseasonalized")).distinct.length == 1)
   }
 
+  test("rocAuc: perfect separation → 1, constant scorer → exactly 0.5, reversal → 0") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("s", "l")
+    assert(Stats.rocAuc(perfect, "s", "l").head().getAs[Double]("auc") == 1.0)
+    val constant = Seq((0.5, true), (0.5, false), (0.5, true), (0.5, false))
+      .toDF("s", "l")
+    val c = Stats.rocAuc(constant, "s", "l").head()
+    assert(c.getAs[Double]("auc") == 0.5) // all ties → exact half credit
+    assert(c.getAs[Long]("n_pos") == 2 && c.getAs[Long]("n_neg") == 2)
+    val reversed = Seq((0.1, true), (0.9, false)).toDF("s", "l")
+    assert(Stats.rocAuc(reversed, "s", "l").head().getAs[Double]("auc") == 0.0)
+    // hand case with one tie: pos at .8,.5; neg at .5,.2 — pair credit
+    // (.8>.5)+(.8>.2)+(.5=.5)/2+(.5>.2) = 3.5 of 4 pairs
+    val mixed = Seq((0.8, true), (0.5, true), (0.5, false), (0.2, false))
+      .toDF("s", "l")
+    assert(Stats.rocAuc(mixed, "s", "l").head().getAs[Double]("auc") == 0.875)
+  }
+
   test("gapsIslands: planted streaks split and tie-break correctly") {
     // u1: days 1,2,3 then 5,6 → streaks {3,2}; u2: 1 and 3 and 5 → {1,1,1}
     val df = ev((1, "e", 1), (1, "e", 2), (1, "e", 3), (1, "e", 5),
