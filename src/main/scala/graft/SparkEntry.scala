@@ -3595,6 +3595,71 @@ object SparkEntry {
         .orderBy("delta")
     }),
 
+    // CUPED variance reduction (Deng et al. 2013): per-user pre-period
+    // activity x (days 1–15) as the covariate for the post-period
+    // metric y (days 16+); θ = cov/var(x) from ONE pass of exact
+    // decimal moments, reported with the achieved variance reduction —
+    // the experimentation-platform readout that shrinks required
+    // sample sizes without touching the treatment effect
+    "q_cuped" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val anchor = ev.agg(date_add(to_date(min("ts")), 15).as("cut"))
+      val xy = ev.crossJoin(broadcast(anchor))
+        .groupBy("user_id")
+        .agg(sum(when(to_date(col("ts")) < col("cut"), 1L).otherwise(0L))
+          .as("x"),
+          sum(when(to_date(col("ts")) >= col("cut"), 1L).otherwise(0L))
+            .as("y"))
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val n = col("n").cast("double")
+      val mx = col("sx").cast("double") / n
+      val my = col("sy").cast("double") / n
+      val varX = col("sxx").cast("double") / n - mx * mx
+      val varY = col("syy").cast("double") / n - my * my
+      val covXY = col("sxy").cast("double") / n - mx * my
+      m.select(col("n").as("n_users"),
+        round(covXY / varX, 6).as("theta"),
+        round(varY, 4).as("var_y"),
+        round(varY - covXY * covXY / varX, 4).as("var_adjusted"),
+        round((covXY * covXY / varX) / varY * 100, 2)
+          .as("reduction_pct"))
+    }),
+
+    // share-of-parent rollup: nation revenue as a share of its region,
+    // region as a share of the total — the hierarchical BI report;
+    // exact decimal sums at every level, shares as rounded doubles
+    "q_share_of_parent" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("rev"))
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = Tables.load(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val byNation = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(sum("rev").as("nrev"))
+      val byRegion = byNation.groupBy("r_name")
+        .agg(sum("nrev").as("rrev"))
+      val total = byRegion.agg(sum("rrev").as("trev"))
+      byNation.join(broadcast(byRegion), Seq("r_name"))
+        .crossJoin(broadcast(total))
+        .select(col("r_name"), col("n_name"),
+          round(col("nrev").cast("double"), 2).as("revenue"),
+          round(col("nrev").cast("double") / col("rrev").cast("double"), 6)
+            .as("share_of_region"),
+          round(col("rrev").cast("double") / col("trev").cast("double"), 6)
+            .as("region_share_of_total"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // Newman modularity of the label-propagation communities on the
     // supplier–part graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the "are these
     // communities real" quality score on top of q_label_prop, computed
@@ -8442,6 +8507,75 @@ object SparkEntry {
                     END) >= 2.0, false)
                 END AS is_anomaly
          FROM pre ORDER BY event_type, day""",
+
+    // θ = cov/var(x) from one exact-moment pass; var formulas mirrored
+    "q_cuped" ->
+      """WITH anchor AS (
+           SELECT CAST(min(ts) AS DATE) + 15 AS cut FROM events),
+         xy AS (
+           SELECT user_id,
+                  CAST(SUM(CASE WHEN CAST(ts AS DATE) < a.cut
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN CAST(ts AS DATE) >= a.cut
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM events CROSS JOIN anchor a GROUP BY user_id, a.cut),
+         m AS (
+           SELECT count(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(y) AS BIGINT) AS sy,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx,
+                  CAST(SUM(y * y) AS BIGINT) AS syy,
+                  CAST(SUM(x * y) AS BIGINT) AS sxy
+           FROM xy)
+         SELECT n AS n_users,
+           ROUND((CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               / (CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 6)
+             AS theta,
+           ROUND(CAST(syy AS DOUBLE) / n
+                 - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 4)
+             AS var_y,
+           ROUND((CAST(syy AS DOUBLE) / n
+                  - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               - (CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               * (CAST(sxy AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               / (CAST(sxx AS DOUBLE) / n
+                  - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)), 4)
+             AS var_adjusted,
+           ROUND(((CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                * (CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                / (CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)))
+               / (CAST(syy AS DOUBLE) / n
+                  - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+               * 100, 2) AS reduction_pct
+         FROM m""",
+
+    // exact decimal sums at each rollup level; shares as doubles
+    "q_share_of_parent" ->
+      """WITH bn AS (
+           SELECT r.r_name, n.n_name,
+                  SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nrev
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r.r_name, n.n_name),
+         br AS (SELECT r_name, SUM(nrev) AS rrev FROM bn GROUP BY r_name),
+         t AS (SELECT SUM(rrev) AS trev FROM br)
+         SELECT bn.r_name, bn.n_name,
+                ROUND(CAST(bn.nrev AS DOUBLE), 2) AS revenue,
+                ROUND(CAST(bn.nrev AS DOUBLE) / CAST(br.rrev AS DOUBLE), 6)
+                  AS share_of_region,
+                ROUND(CAST(br.rrev AS DOUBLE) / CAST(t.trev AS DOUBLE), 6)
+                  AS region_share_of_total
+         FROM bn JOIN br USING (r_name) CROSS JOIN t
+         ORDER BY bn.r_name, bn.n_name""",
 
     // symmetrized edges ⋈ integer degrees; Pearson from decimal moments
     "q_assortativity" ->
