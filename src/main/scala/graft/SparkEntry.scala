@@ -3595,6 +3595,64 @@ object SparkEntry {
         .orderBy("delta")
     }),
 
+    // RFM customer scoring WITHOUT a global ranking window: quintile
+    // cutoffs come from one exact-percentile aggregate broadcast back,
+    // each score = 1 + Σ(x > cutoff) — the q_pareto threshold
+    // discipline applied to the classic segmentation report
+    "q_rfm" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val today = o.agg(to_date(max("o_orderdate")).as("today"))
+      val rfm = o.crossJoin(broadcast(today))
+        .groupBy("o_custkey")
+        .agg(min(datediff(col("today"), to_date(col("o_orderdate"))))
+          .as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      def cuts(c: String) = Seq(0.2, 0.4, 0.6, 0.8).map(p =>
+        expr(s"percentile(cast($c as double), $p)").as(s"${c}_q${(p * 100).toInt}"))
+      val th = rfm.agg((cuts("recency") ++ cuts("frequency") ++
+        cuts("monetary")).head,
+        (cuts("recency") ++ cuts("frequency") ++ cuts("monetary")).tail: _*)
+      def score(c: String, reversed: Boolean) = {
+        val s0 = Seq(20, 40, 60, 80).map(q =>
+          when(col(c).cast("double") > col(s"${c}_q$q"), 1).otherwise(0))
+          .reduce(_ + _) + 1
+        if (reversed) lit(6) - s0 else s0 // low recency = good
+      }
+      rfm.crossJoin(broadcast(th))
+        .filter(col("o_custkey") % 50 === 0) // bounded output slice
+        .select(col("o_custkey"), col("recency"), col("frequency"),
+          round(col("monetary").cast("double"), 2).as("monetary"),
+          score("recency", reversed = true).as("r_score"),
+          score("frequency", reversed = false).as("f_score"),
+          score("monetary", reversed = false).as("m_score"))
+        .orderBy("o_custkey")
+    }),
+
+    // cohort LTV curve: cumulative revenue per customer by order-age
+    // year within each first-order-year cohort — the growth-finance
+    // payback view; exact decimal sums, cohort-partitioned prefix
+    "q_ltv_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          col("o_totalprice").cast("decimal(18,2)").as("rev"))
+      val cohort = o.groupBy("o_custkey").agg(min("yr").as("cohort"))
+      val byAge = o.join(cohort, Seq("o_custkey"))
+        .groupBy(col("cohort"), (col("yr") - col("cohort")).as("age"))
+        .agg(sum("rev").as("arev"))
+      val size = cohort.groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+      val w = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byAge
+        .withColumn("cum_rev", sum("arev").over(w))
+        .join(broadcast(size), Seq("cohort"))
+        .select(col("cohort"), col("age"), col("n_customers"),
+          round(col("cum_rev").cast("double") / col("n_customers"), 2)
+            .as("cum_ltv_per_customer"))
+        .orderBy("cohort", "age")
+    }),
+
     // CUPED variance reduction (Deng et al. 2013): per-user pre-period
     // activity x (days 1–15) as the covariate for the post-period
     // metric y (days 16+); θ = cov/var(x) from ONE pass of exact
@@ -8507,6 +8565,72 @@ object SparkEntry {
                     END) >= 2.0, false)
                 END AS is_anomaly
          FROM pre ORDER BY event_type, day""",
+
+    // quintile cutoffs from exact percentiles; score = 1 + Σ(x > cut)
+    "q_rfm" ->
+      """WITH today AS (
+           SELECT CAST(max(o_orderdate) AS DATE) AS today FROM orders),
+         rfm AS (
+           SELECT o_custkey,
+                  min(datediff('day', CAST(o_orderdate AS DATE), t.today))
+                    AS recency,
+                  count(*) AS frequency,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+           FROM orders CROSS JOIN today t GROUP BY o_custkey),
+         th AS (SELECT
+             quantile_cont(CAST(recency AS DOUBLE), 0.2) AS r20,
+             quantile_cont(CAST(recency AS DOUBLE), 0.4) AS r40,
+             quantile_cont(CAST(recency AS DOUBLE), 0.6) AS r60,
+             quantile_cont(CAST(recency AS DOUBLE), 0.8) AS r80,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.2) AS f20,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.4) AS f40,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.6) AS f60,
+             quantile_cont(CAST(frequency AS DOUBLE), 0.8) AS f80,
+             quantile_cont(CAST(monetary AS DOUBLE), 0.2) AS m20,
+             quantile_cont(CAST(monetary AS DOUBLE), 0.4) AS m40,
+             quantile_cont(CAST(monetary AS DOUBLE), 0.6) AS m60,
+             quantile_cont(CAST(monetary AS DOUBLE), 0.8) AS m80
+           FROM rfm)
+         SELECT r.o_custkey, r.recency, r.frequency,
+           ROUND(CAST(r.monetary AS DOUBLE), 2) AS monetary,
+           6 - (1 + (CASE WHEN CAST(r.recency AS DOUBLE) > t.r20 THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(r.recency AS DOUBLE) > t.r40 THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(r.recency AS DOUBLE) > t.r60 THEN 1 ELSE 0 END)
+                  + (CASE WHEN CAST(r.recency AS DOUBLE) > t.r80 THEN 1 ELSE 0 END))
+             AS r_score,
+           1 + (CASE WHEN CAST(r.frequency AS DOUBLE) > t.f20 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(r.frequency AS DOUBLE) > t.f40 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(r.frequency AS DOUBLE) > t.f60 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(r.frequency AS DOUBLE) > t.f80 THEN 1 ELSE 0 END)
+             AS f_score,
+           1 + (CASE WHEN CAST(r.monetary AS DOUBLE) > t.m20 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(r.monetary AS DOUBLE) > t.m40 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(r.monetary AS DOUBLE) > t.m60 THEN 1 ELSE 0 END)
+             + (CASE WHEN CAST(r.monetary AS DOUBLE) > t.m80 THEN 1 ELSE 0 END)
+             AS m_score
+         FROM rfm r CROSS JOIN th t
+         WHERE r.o_custkey % 50 = 0 ORDER BY r.o_custkey""",
+
+    // cohort-partitioned prefix of exact decimal sums
+    "q_ltv_curve" ->
+      """WITH o AS (
+           SELECT o_custkey, year(o_orderdate) AS yr,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+           FROM orders),
+         ch AS (SELECT o_custkey, min(yr) AS cohort FROM o
+                GROUP BY o_custkey),
+         ba AS (SELECT c.cohort, o.yr - c.cohort AS age,
+                       SUM(o.rev) AS arev
+                FROM o JOIN ch c USING (o_custkey) GROUP BY 1, 2),
+         sz AS (SELECT cohort, count(*) AS n_customers FROM ch
+                GROUP BY cohort)
+         SELECT ba.cohort, ba.age, sz.n_customers,
+           ROUND(CAST(SUM(ba.arev) OVER (PARTITION BY ba.cohort
+               ORDER BY ba.age ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS DOUBLE) / sz.n_customers, 2)
+             AS cum_ltv_per_customer
+         FROM ba JOIN sz USING (cohort)
+         ORDER BY ba.cohort, ba.age""",
 
     // θ = cov/var(x) from one exact-moment pass; var formulas mirrored
     "q_cuped" ->
