@@ -3595,6 +3595,37 @@ object SparkEntry {
         .orderBy("delta")
     }),
 
+    // anomaly ENSEMBLE: the plain rolling z-score, the seasonally-
+    // adjusted z-score, and a same-weekday spike rule vote per
+    // (type, day) — consensus ≥ 2 is the page-worthy alert, a single
+    // vote is triage noise; the production pattern that keeps one
+    // detector's blind spot from paging (or silencing) on its own
+    "q_anomaly_consensus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val plain = EventOps.rollingZScore(ev, "event_type", "ts")
+        .select(col("event_type"), col("day"), col("n"),
+          coalesce(col("is_anomaly"), lit(false)).cast("int").as("v_plain"))
+      val deseason = EventOps.deseasonalizedZScore(ev, "event_type", "ts")
+        .select(col("event_type"), col("day"),
+          coalesce(col("is_anomaly"), lit(false)).cast("int")
+            .as("v_deseason"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val wow = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lag7", lag("n", 7).over(w))
+        .select(col("event_type"), col("day"),
+          coalesce(col("n") > lit(2) * col("lag7"), lit(false))
+            .cast("int").as("v_wow"))
+      plain.join(deseason, Seq("event_type", "day"))
+        .join(wow, Seq("event_type", "day"))
+        .withColumn("votes",
+          col("v_plain") + col("v_deseason") + col("v_wow"))
+        .select(col("event_type"), col("day"), col("n"), col("v_plain"),
+          col("v_deseason"), col("v_wow"), col("votes"))
+        .orderBy("event_type", "day")
+    }),
+
     // RFM customer scoring WITHOUT a global ranking window: quintile
     // cutoffs come from one exact-percentile aggregate broadcast back,
     // each score = 1 + Σ(x > cutoff) — the q_pareto threshold
@@ -8565,6 +8596,86 @@ object SparkEntry {
                     END) >= 2.0, false)
                 END AS is_anomaly
          FROM pre ORDER BY event_type, day""",
+
+    // the three detector chains replayed verbatim, then a vote join
+    "q_anomaly_consensus" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         zw AS (
+           SELECT event_type, day, n,
+                  count(*) OVER fr AS cnt_w,
+                  SUM(n) OVER fr AS sum_w,
+                  SUM(n * n) OVER fr AS sumsq_w
+           FROM daily
+           WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         zz AS (
+           SELECT event_type, day, n, cnt_w,
+                  CAST(sum_w AS DOUBLE) / 7.0 AS mean_r,
+                  CAST(sumsq_w AS DOUBLE) / 7.0
+                    - (CAST(sum_w AS DOUBLE) / 7.0)
+                    * (CAST(sum_w AS DOUBLE) / 7.0) AS var_r
+           FROM zw),
+         plain AS (
+           SELECT event_type, day, n,
+                  CAST(COALESCE(CASE WHEN cnt_w = 7 THEN
+                    COALESCE(abs(CASE WHEN cnt_w = 7 AND var_r > 0
+                      THEN ROUND((CAST(n AS DOUBLE) - mean_r)
+                                 / sqrt(var_r), 4) END) >= 2.0, FALSE)
+                  END, FALSE) AS INTEGER) AS v_plain
+           FROM zz),
+         bydow AS (
+           SELECT event_type, isodow(day) AS dow,
+                  CAST(SUM(n) AS BIGINT) AS s_dow, count(*) AS d_dow
+           FROM daily GROUP BY 1, 2),
+         totals AS (
+           SELECT event_type, CAST(SUM(n) AS BIGINT) AS s_all,
+                  count(*) AS d_all
+           FROM daily GROUP BY event_type),
+         idx AS (
+           SELECT b.event_type, b.dow,
+                  ROUND((CAST(b.s_dow AS DOUBLE) / b.d_dow)
+                      / (CAST(t.s_all AS DOUBLE) / t.d_all), 4) AS sidx
+           FROM bydow b JOIN totals t USING (event_type)),
+         ds AS (
+           SELECT d.event_type, d.day, d.n,
+                  CAST(ROUND(CAST(d.n AS DOUBLE) / i.sidx, 4)
+                       AS DECIMAL(18,4)) AS nd
+           FROM daily d JOIN idx i
+             ON i.event_type = d.event_type AND i.dow = isodow(d.day)),
+         dz AS (
+           SELECT event_type, day,
+                  count(*) OVER w2 AS cnt,
+                  CAST(SUM(nd) OVER w2 AS DOUBLE) / 7.0 AS mean_w,
+                  CAST(SUM(nd * nd) OVER w2 AS DOUBLE) / 7.0
+                    - (CAST(SUM(nd) OVER w2 AS DOUBLE) / 7.0)
+                    * (CAST(SUM(nd) OVER w2 AS DOUBLE) / 7.0) AS var_w,
+                  CAST(nd AS DOUBLE) AS ndd
+           FROM ds
+           WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         deseason AS (
+           SELECT event_type, day,
+                  CAST(COALESCE(CASE WHEN cnt = 7 THEN
+                    COALESCE(abs(CASE WHEN cnt = 7 AND var_w > 0 THEN
+                      ROUND((ndd - mean_w) / sqrt(var_w), 4) END) >= 2.0,
+                      false)
+                  END, false) AS INTEGER) AS v_deseason
+           FROM dz),
+         wow AS (
+           SELECT event_type, day,
+                  CAST(COALESCE(n > 2 * lag(n, 7) OVER
+                    (PARTITION BY event_type ORDER BY day), false)
+                    AS INTEGER) AS v_wow
+           FROM daily)
+         SELECT p.event_type, p.day, p.n, p.v_plain, d2.v_deseason,
+                w3.v_wow, p.v_plain + d2.v_deseason + w3.v_wow AS votes
+         FROM plain p
+         JOIN deseason d2 ON d2.event_type = p.event_type
+                         AND d2.day = p.day
+         JOIN wow w3 ON w3.event_type = p.event_type AND w3.day = p.day
+         ORDER BY p.event_type, p.day""",
 
     // quintile cutoffs from exact percentiles; score = 1 + Σ(x > cut)
     "q_rfm" ->
