@@ -3595,6 +3595,64 @@ object SparkEntry {
         .orderBy("delta")
     }),
 
+    // cross-sell sequences at the ITEM level: customer bought part X
+    // in an earlier order, then part Y in a LATER order — the retail
+    // twin of q_seq_patterns, bounded to the top-20 parts by order
+    // count (the fixed-vocabulary discipline that keeps the per-
+    // customer pair profile ≤ 20 rows at any scale); first-purchase
+    // profile join, X.first < Y.first, support = customers
+    "q_cross_sell" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val topParts = li.select(col("l_orderkey"), col("l_partkey"))
+        .distinct()
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("l_partkey")).limit(20)
+        .select("l_partkey")
+      val firstBuy = li
+        .join(broadcast(topParts), Seq("l_partkey"), "left_semi")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .agg(min("o_orderdate").as("first_dt"))
+      val a = firstBuy.select(col("cust"), col("part").as("x"),
+        col("first_dt").as("xd"))
+      val b = firstBuy.select(col("cust"), col("part").as("y"),
+        col("first_dt").as("yd"))
+      a.join(b, Seq("cust")).filter(col("xd") < col("yd"))
+        .groupBy("x", "y").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("x"), col("y"))
+        .limit(30)
+    }),
+
+    // log-log price elasticity per return flag: OLS of ln(quantity) on
+    // ln(unit price) — the econometrics readout on the star schema;
+    // 6-dp lns into exact decimal moments (the zipf/heaps discipline)
+    "q_price_elasticity" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      val x = round(log(round(col("l_extendedprice").cast("double") /
+          col("l_quantity").cast("double"), 2)), 6).cast("decimal(18,6)")
+      val y = round(log(col("l_quantity").cast("double")), 6)
+        .cast("decimal(18,6)")
+      val m = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast("decimal(38,12)")).as("sxx"),
+        sum((y * y).cast("decimal(38,12)")).as("syy"),
+        sum((x * y).cast("decimal(38,12)")).as("sxy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double")
+      val cov = n * col("sxy").cast("double") - sx * sy
+      val vx = n * col("sxx").cast("double") - sx * sx
+      val vy = n * col("syy").cast("double") - sy * sy
+      m.select(col("l_returnflag"), col("n"),
+        round(cov / vx, 4).as("elasticity"),
+        round(cov * cov / (vx * vy), 4).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+
     // anomaly ENSEMBLE: the plain rolling z-score, the seasonally-
     // adjusted z-score, and a same-weekday spike rule vote per
     // (type, day) — consensus ≥ 2 is the page-worthy alert, a single
@@ -8596,6 +8654,57 @@ object SparkEntry {
                     END) >= 2.0, false)
                 END AS is_anomaly
          FROM pre ORDER BY event_type, day""",
+
+    // top-20 parts by distinct-order count; X-before-Y on first buys
+    "q_cross_sell" ->
+      """WITH tp AS (
+           SELECT l_partkey FROM (
+             SELECT l_partkey, count(*) AS n_orders
+             FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             GROUP BY l_partkey)
+           ORDER BY n_orders DESC, l_partkey LIMIT 20),
+         fb AS (
+           SELECT o.o_custkey AS cust, li.l_partkey AS part,
+                  min(o.o_orderdate) AS first_dt
+           FROM lineitem li
+           JOIN tp ON tp.l_partkey = li.l_partkey
+           JOIN orders o ON o.o_orderkey = li.l_orderkey
+           GROUP BY 1, 2)
+         SELECT a.part AS x, b.part AS y, count(*) AS support
+         FROM fb a JOIN fb b ON a.cust = b.cust
+                            AND a.first_dt < b.first_dt
+         GROUP BY 1, 2
+         ORDER BY support DESC, x, y LIMIT 30""",
+
+    // ln(unit price) rounded at 2 dp first (the exact ratio both
+    // engines compute), then 6-dp lns into decimal moments
+    "q_price_elasticity" ->
+      """WITH src AS (
+           SELECT l_returnflag,
+                  CAST(ROUND(ln(ROUND(CAST(l_extendedprice AS DOUBLE)
+                    / CAST(l_quantity AS DOUBLE), 2)), 6)
+                    AS DECIMAL(18,6)) AS x,
+                  CAST(ROUND(ln(CAST(l_quantity AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS y
+           FROM lineitem
+           WHERE l_quantity > 0 AND l_extendedprice > 0),
+         m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+                  SUM(CAST(y * y AS DECIMAL(38,12))) AS syy,
+                  SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy
+           FROM src GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4)
+             AS elasticity,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             AS r2
+         FROM m ORDER BY l_returnflag""",
 
     // the three detector chains replayed verbatim, then a vote join
     "q_anomaly_consensus" ->
