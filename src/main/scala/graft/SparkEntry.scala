@@ -4099,6 +4099,10 @@ object SparkEntry {
         .groupBy("doc_id").agg(least(lit(7L), count(lit(1))).as("rel"))
       val ranked = top.join(broadcast(rel), Seq("doc_id"), "left")
         .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        // re-assert the top-k bound ABOVE the join: a left join's
+        // maxRows is unknowable to the planner, and the global ranking
+        // windows below are only sanctioned over a provably tiny frame
+        .limit(10000)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
         .withColumn("irank", row_number().over(
