@@ -3595,6 +3595,79 @@ object SparkEntry {
         .orderBy("delta")
     }),
 
+    // changepoint LOCATION by binary segmentation: the split day that
+    // minimizes SSE_left + SSE_right of each type's daily series —
+    // where q_cusum says "a level shift exists", this says WHERE.
+    // All candidate costs come from integer prefix sums (one window),
+    // selection by (rounded cost, day) so the argmin is cross-engine
+    "q_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.groupBy("event_type")
+        .agg(sum("n").as("tn"), sum(col("n") * col("n")).as("tq"),
+          count(lit(1)).as("td"))
+      val pre = daily
+        .withColumn("p", sum("n").over(w))
+        .withColumn("q", sum(col("n") * col("n")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .join(broadcast(tot), Seq("event_type"))
+        .filter(col("k") < col("td")) // a split needs a non-empty right
+      val sseL = col("q").cast("double") -
+        col("p").cast("double") * col("p") / col("k")
+      val sseR = (col("tq") - col("q")).cast("double") -
+        (col("tn") - col("p")).cast("double") * (col("tn") - col("p")) /
+          (col("td") - col("k"))
+      val scored = pre.withColumn("cost", round(sseL + sseR, 4))
+      val best = scored.groupBy("event_type")
+        .agg(min(struct(col("cost"), col("day"))).as("b"))
+      best.select(col("event_type"), col("b.day").as("split_day"),
+          col("b.cost").as("sse_split"))
+        .join(broadcast(tot.select(col("event_type"),
+          round(col("tq").cast("double") -
+            col("tn").cast("double") * col("tn") / col("td"), 4)
+            .as("sse_nosplit"))), Seq("event_type"))
+        .withColumn("sse_drop_pct", round((col("sse_nosplit") -
+          col("sse_split")) / col("sse_nosplit") * 100, 2))
+        .orderBy("event_type")
+    }),
+
+    // median with a resampling CI — 20 DETERMINISTIC half-samples by
+    // the md5 parity of (replicate, custkey), each half's exact median
+    // in one pass of conditional percentiles, spread reported as the
+    // half-sample standard error (rounded medians → exact moments)
+    "q_median_ci" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("rev"))
+      // 4-dp round: midpoints of 2-dp values are exact at 3 dp, so no
+      // boundary digit exists and interpolation ulp cannot flip it
+      val halves = (0 until 20).map { b =>
+        round(expr(
+          s"""percentile(case when
+              conv(substring(md5(concat('$b|', cast(o_custkey as string))), 1, 15), 16, 10) % 2 = 0
+              then rev end, 0.5)"""), 4).cast("decimal(18,4)").as(s"m$b")
+      }
+      val aggCols = round(expr("percentile(rev, 0.5)"), 2).as("median") +:
+        halves
+      val ms = rev.agg(aggCols.head, aggCols.tail: _*)
+      val cols = (0 until 20).map(b => col(s"m$b"))
+      val k = lit(20.0)
+      val mean = cols.reduce(_ + _).cast("double") / k
+      // squares in DOUBLE over a fixed left-associated single-row
+      // chain — deterministic on both engines (and DuckDB's int64
+      // decimal(18) multiply would overflow on million-scale medians)
+      val sumsq = cols.map(c => c.cast("double") * c.cast("double"))
+        .reduce(_ + _)
+      ms.select(col("median"),
+        round(mean, 2).as("half_sample_mean"),
+        round(sqrt(sumsq / k - mean * mean), 4).as("half_sample_se"))
+    }),
+
     // cross-sell sequences at the ITEM level: customer bought part X
     // in an earlier order, then part Y in a LATER order — the retail
     // twin of q_seq_patterns, bounded to the top-20 parts by order
@@ -8658,6 +8731,86 @@ object SparkEntry {
                     END) >= 2.0, false)
                 END AS is_anomaly
          FROM pre ORDER BY event_type, day""",
+
+    // integer prefix sums → per-candidate SSE costs; argmin on the
+    // rounded cost with day tiebreak
+    "q_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn,
+                  CAST(SUM(n * n) AS BIGINT) AS tq, count(*) AS td
+           FROM daily GROUP BY event_type),
+         pre AS (
+           SELECT d.event_type, d.day,
+                  CAST(SUM(n) OVER w AS BIGINT) AS p,
+                  CAST(SUM(n * n) OVER w AS BIGINT) AS q,
+                  count(*) OVER w AS k,
+                  t.tn, t.tq, t.td
+           FROM daily d JOIN tot t USING (event_type)
+           WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)),
+         scored AS (
+           SELECT event_type, day,
+                  ROUND((CAST(q AS DOUBLE)
+                         - CAST(p AS DOUBLE) * p / k)
+                      + (CAST(tq - q AS DOUBLE)
+                         - CAST(tn - p AS DOUBLE) * (tn - p)
+                           / (td - k)), 4) AS cost
+           FROM pre WHERE k < td),
+         best AS (SELECT event_type, min(cost) AS mc FROM scored
+                  GROUP BY event_type),
+         pick AS (
+           SELECT s.event_type, min(s.day) AS split_day,
+                  b.mc AS sse_split
+           FROM scored s JOIN best b ON s.event_type = b.event_type
+                                    AND s.cost = b.mc
+           GROUP BY s.event_type, b.mc),
+         ns AS (
+           SELECT event_type,
+                  ROUND(CAST(tq AS DOUBLE)
+                        - CAST(tn AS DOUBLE) * tn / td, 4) AS sse_nosplit
+           FROM tot)
+         SELECT p.event_type, p.split_day, p.sse_split, ns.sse_nosplit,
+                ROUND((ns.sse_nosplit - p.sse_split)
+                      / ns.sse_nosplit * 100, 2) AS sse_drop_pct
+         FROM pick p JOIN ns USING (event_type)
+         ORDER BY p.event_type""",
+
+    // 20 deterministic half-samples via md5 parity; exact medians
+    "q_median_ci" -> {
+      val halves = (0 until 20).map { b =>
+        s"""quantile_cont(CASE WHEN (('0x' || substr(md5('$b|' ||
+            CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0
+            THEN rev END, 0.5)"""
+      }
+      val mcols = (0 until 20).map(b =>
+        s"CAST(ROUND(${halves(b)}, 4) AS DECIMAL(18,4)) AS m$b")
+        .mkString(",\n                  ")
+      val sumM = (0 until 20).map(b => s"m$b").mkString(" + ")
+      val sumSq = (0 until 20)
+        .map(b => s"CAST(m$b AS DOUBLE) * CAST(m$b AS DOUBLE)")
+        .mkString(" + ")
+      s"""WITH rev AS (
+           SELECT o_custkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS rev
+           FROM orders GROUP BY o_custkey),
+         ms AS (
+           SELECT ROUND(quantile_cont(rev, 0.5), 2) AS median,
+                  $mcols
+           FROM rev)
+         SELECT median,
+                ROUND(CAST($sumM AS DOUBLE) / 20.0, 2)
+                  AS half_sample_mean,
+                ROUND(sqrt(CAST($sumSq AS DOUBLE) / 20.0
+                      - (CAST($sumM AS DOUBLE) / 20.0)
+                      * (CAST($sumM AS DOUBLE) / 20.0)), 4)
+                  AS half_sample_se
+         FROM ms"""
+    },
 
     // top-20 parts by distinct-order count; X-before-Y on first buys
     "q_cross_sell" ->
