@@ -3600,40 +3600,9 @@ object SparkEntry {
     // where q_cusum says "a level shift exists", this says WHERE.
     // All candidate costs come from integer prefix sums (one window),
     // selection by (rounded cost, day) so the argmin is cross-engine
-    "q_changepoint" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = events(s, dir)
-        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = daily.groupBy("event_type")
-        .agg(sum("n").as("tn"), sum(col("n") * col("n")).as("tq"),
-          count(lit(1)).as("td"))
-      val pre = daily
-        .withColumn("p", sum("n").over(w))
-        .withColumn("q", sum(col("n") * col("n")).over(w))
-        .withColumn("k", count(lit(1)).over(w))
-        .join(broadcast(tot), Seq("event_type"))
-        .filter(col("k") < col("td")) // a split needs a non-empty right
-      val sseL = col("q").cast("double") -
-        col("p").cast("double") * col("p") / col("k")
-      val sseR = (col("tq") - col("q")).cast("double") -
-        (col("tn") - col("p")).cast("double") * (col("tn") - col("p")) /
-          (col("td") - col("k"))
-      val scored = pre.withColumn("cost", round(sseL + sseR, 4))
-      val best = scored.groupBy("event_type")
-        .agg(min(struct(col("cost"), col("day"))).as("b"))
-      best.select(col("event_type"), col("b.day").as("split_day"),
-          col("b.cost").as("sse_split"))
-        .join(broadcast(tot.select(col("event_type"),
-          round(col("tq").cast("double") -
-            col("tn").cast("double") * col("tn") / col("td"), 4)
-            .as("sse_nosplit"))), Seq("event_type"))
-        .withColumn("sse_drop_pct", round((col("sse_nosplit") -
-          col("sse_split")) / col("sse_nosplit") * 100, 2))
-        .orderBy("event_type")
-    }),
+    "q_changepoint" -> ((s, dir) =>
+      EventOps.binaryChangepoint(events(s, dir), "event_type", "ts")
+        .orderBy("event_type")),
 
     // median with a resampling CI — 20 DETERMINISTIC half-samples by
     // the md5 parity of (replicate, custkey), each half's exact median
@@ -8774,8 +8743,10 @@ object SparkEntry {
                         - CAST(tn AS DOUBLE) * tn / td, 4) AS sse_nosplit
            FROM tot)
          SELECT p.event_type, p.split_day, p.sse_split, ns.sse_nosplit,
-                ROUND((ns.sse_nosplit - p.sse_split)
-                      / ns.sse_nosplit * 100, 2) AS sse_drop_pct
+                CASE WHEN ns.sse_nosplit > 0 THEN
+                  ROUND((ns.sse_nosplit - p.sse_split)
+                        / ns.sse_nosplit * 100, 2)
+                END AS sse_drop_pct
          FROM pick p JOIN ns USING (event_type)
          ORDER BY p.event_type""",
 

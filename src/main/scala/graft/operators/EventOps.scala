@@ -370,6 +370,52 @@ object EventOps {
         col("z"), col("is_anomaly"))
   }
 
+  /** Binary-segmentation changepoint per key: the split day minimizing
+    * SSE_left + SSE_right of the daily count series — where
+    * [[cusumDrift]] says a level shift EXISTS, this says WHERE, plus
+    * the variance-reduction percentage as the shift's effect size.
+    *
+    * Every candidate's cost comes from integer prefix sums (ONE
+    * key-partitioned window over calendar-bounded daily rows); the
+    * argmin selects on the ROUNDED cost with a day tiebreak, so the
+    * chosen split is cross-engine stable. O(days) per key, no
+    * per-candidate rescans. */
+  def binaryChangepoint(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.groupBy(col(keyCol))
+      .agg(sum("n").as("tn"), sum(col("n") * col("n")).as("tq"),
+        count(lit(1)).as("td"))
+    val pre = daily
+      .withColumn("p", sum("n").over(w))
+      .withColumn("q", sum(col("n") * col("n")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .join(broadcast(tot), Seq(keyCol))
+      .filter(col("k") < col("td")) // a split needs a non-empty right
+    val sseL = col("q").cast("double") -
+      col("p").cast("double") * col("p") / col("k")
+    val sseR = (col("tq") - col("q")).cast("double") -
+      (col("tn") - col("p")).cast("double") * (col("tn") - col("p")) /
+        (col("td") - col("k"))
+    val best = pre.withColumn("cost", round(sseL + sseR, 4))
+      .groupBy(col(keyCol))
+      .agg(min(struct(col("cost"), col("day"))).as("b"))
+    best.select(col(keyCol), col("b.day").as("split_day"),
+        col("b.cost").as("sse_split"))
+      .join(broadcast(tot.select(col(keyCol),
+        round(col("tq").cast("double") -
+          col("tn").cast("double") * col("tn") / col("td"), 4)
+          .as("sse_nosplit"))), Seq(keyCol))
+      .withColumn("sse_drop_pct", when(col("sse_nosplit") > 0,
+        round((col("sse_nosplit") - col("sse_split")) /
+          col("sse_nosplit") * 100, 2))) // NULL for a flat series
+  }
+
   /** Gaps-and-islands: per key, maximal runs of CONSECUTIVE active
     * calendar days (the classic streak/uptime primitive — "longest
     * usage streak", "continuous coverage windows"). Uses the standard

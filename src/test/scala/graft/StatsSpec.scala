@@ -276,6 +276,28 @@ class StatsSpec extends SparkSpec {
     assert(Stats.rocAuc(mixed, "s", "l").head().getAs[Double]("auc") == 0.875)
   }
 
+  test("binaryChangepoint: a planted level shift is located exactly") {
+    // 10 days at 2 events, then 10 days at 8 — the optimal binary
+    // split is after day 10 (split_day = day 10), dropping SSE to 0
+    val df = (1 to 20).flatMap { d =>
+      (1 to (if (d <= 10) 2 else 8)).map(h => (1, "e", (d, h % 24)))
+    }.map { case (u, t, (d, h)) => (u.toLong, t, ts(d, h)) }
+      .toDF("user_id", "event_type", "ts")
+    val r = EventOps.binaryChangepoint(df, "event_type", "ts").head()
+    assert(r.getAs[java.sql.Date]("split_day").toString == "2024-01-10")
+    assert(r.getAs[Double]("sse_split") == 0.0)
+    // effect size: two flat segments → 100% of the variance explained
+    assert(r.getAs[Double]("sse_drop_pct") == 100.0)
+    // a FLAT series must report zero possible reduction, not crash
+    val flat = (1 to 10).flatMap(d => Seq((1L, "e", ts(d))))
+      .toDF("user_id", "event_type", "ts")
+    val fr = EventOps.binaryChangepoint(flat, "event_type", "ts").head()
+    assert(fr.getAs[Double]("sse_split") == 0.0 &&
+      fr.getAs[Double]("sse_nosplit") == 0.0)
+    assert(fr.isNullAt(fr.fieldIndex("sse_drop_pct")),
+      "a flat series has no variance to explain — NULL, not 0/0")
+  }
+
   test("gapsIslands: planted streaks split and tie-break correctly") {
     // u1: days 1,2,3 then 5,6 → streaks {3,2}; u2: 1 and 3 and 5 → {1,1,1}
     val df = ev((1, "e", 1), (1, "e", 2), (1, "e", 3), (1, "e", 5),
