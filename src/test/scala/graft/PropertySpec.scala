@@ -294,4 +294,39 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  // cross-query structural invariants on the real sf0.001 contract —
+  // cheap sanity the per-query oracles can't express (they compare
+  // values, not algebraic relationships across rows)
+  test("contract invariants: shares sum to 1, votes bounded, AUC/NDCG in range") {
+    import org.apache.spark.sql.functions._
+    def run(name: String) = SparkEntry.queries(name)(spark, sf)
+    // share_of_parent: nation shares within each region sum to 1
+    val shares = run("q_share_of_parent")
+      .groupBy("r_name")
+      .agg(round(sum("share_of_region"), 4).as("s")).collect()
+    shares.foreach(r => assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-3,
+      s"region ${r.getString(0)} shares sum to ${r.getAs[Double]("s")}"))
+    // anomaly consensus: votes are the sum of its three 0/1 components
+    assert(run("q_anomaly_consensus").filter(
+      col("votes") =!= col("v_plain") + col("v_deseason") + col("v_wow") ||
+        col("votes") < 0 || col("votes") > 3).isEmpty)
+    // AUC and NDCG live in their defining ranges
+    val auc = run("q_auc").head().getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0, s"auc=$auc")
+    val ndcg = run("q_ndcg").head()
+    assert(ndcg.getAs[Double]("ndcg") > 0.0 &&
+      ndcg.getAs[Double]("ndcg") <= 1.0)
+    assert(ndcg.getAs[Double]("dcg") <= ndcg.getAs[Double]("idcg"),
+      "ideal ordering can only raise DCG")
+    // RFM scores are quintile-bounded
+    assert(run("q_rfm").filter(
+      col("r_score") < 1 || col("r_score") > 5 ||
+        col("f_score") < 1 || col("f_score") > 5 ||
+        col("m_score") < 1 || col("m_score") > 5).isEmpty)
+    // CUPED cannot increase variance
+    val cuped = run("q_cuped").head()
+    assert(cuped.getAs[Double]("var_adjusted") <=
+      cuped.getAs[Double]("var_y") + 1e-9)
+  }
 }
