@@ -3307,6 +3307,75 @@ object SparkEntry {
       Stats.benford(Tables.load(s, dir, "orders"), "o_totalprice")
         .orderBy("digit")),
 
+    // Poisson-bootstrap 90% CI for the mean event value per type — B=40
+    // one-pass weighted sums (shuffle = types x 40 rows, never events);
+    // weights replay from knuthHash + fixed integer CDF thresholds, so
+    // the whole interval is oracle-exact
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Stats.poissonBootstrap(events(s, dir), Seq("event_type"), "event_id",
+        "value", replicates = 40)
+        .orderBy("event_type")),
+
+    // 2-D skyline (Pareto frontier): parts no other part beats on both
+    // size and price; staircase from a 50-row per-size aggregate, no
+    // all-pairs dominance join
+    "q_skyline" -> ((s, dir) =>
+      Stats.skyline2d(
+        Tables.load(s, dir, "part").select("p_partkey", "p_size", "p_retailprice"),
+        "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+        .orderBy("p_size", "p_partkey")),
+
+    // difference-in-differences: even user_ids "treated", cutover = the
+    // integer midpoint of the observed time range, outcome = mean event
+    // value per cell; all four cells + the estimate from ONE aggregate
+    "q_did" -> ((s, dir) =>
+      Stats.diffInDiff(events(s, dir), "ts", "value",
+        treated = col("user_id") % 2 === 0)),
+
+    // Neyman-optimal allocation of a 1000-row sample budget across
+    // market segments (n_h ∝ N_h·σ_h from one exact-moment aggregate) —
+    // the profiling step before hashStratifiedSample draws
+    "q_neyman" -> ((s, dir) =>
+      Stats.neymanAllocation(Tables.load(s, dir, "customer"),
+        "c_mktsegment", "c_acctbal", totalN = 1000)
+        .orderBy("c_mktsegment")),
+
+    // perceptual-hash image near-dup: 4x4 PNGs built from key
+    // arithmetic (1-in-5 keys a one-unit perturbation of the previous
+    // key's raster), decoded by the REAL ImageIO codec, aHash'd in
+    // exact integer space (bit i: 16·s_i > Σs), paired by the banded
+    // Hamming join — bands=4 > maxHamming=3, so pigeonhole makes the
+    // candidate set EXACTLY the true pair set and the brute-force
+    // DuckDB replay is a full oracle, not a recall bound
+    "q_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 600).as[Long].map { k =>
+          val base = if (k % 5 == 4) k - 1 else k
+          val delta = if (k % 5 == 4) 1 else 0
+          // multiplicative mixing so hashes spread (a linear gradient
+          // gives every image the same above-average bit pattern and
+          // the pair set degenerates to all-pairs)
+          val payload = graft.operators.Codecs.encodeImage("png", 4, 4, (x, y) => {
+            val i = y * 4 + x
+            val d = if (i == 0) delta else 0
+            val r = ((base * 31 + i * 97 + d) % 256).toInt
+            val g = ((base * 53 + i * 193) % 256).toInt
+            val b = ((base * 71 + i * 41) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          graft.operators.Multimodal.MediaRow(k, "image", payload)
+        }
+      val hashed = graft.operators.Multimodal.perceptualHash(rows, 4, 4)
+        .toDF().filter(col("decoded"))
+      graft.operators.Dedup.hammingPairs(hashed, "media_id", "phash",
+          bits = 16, bands = 4, maxHamming = 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // declarative data-quality gate: completeness / uniqueness / bound /
     // domain / referential-integrity constraints in one scan of orders
     "q_dq_suite" -> ((s, dir) =>
@@ -8060,6 +8129,122 @@ object SparkEntry {
                       - e.expected, 6) AS deviation
          FROM digits d CROSS JOIN tot t JOIN e ON e.digit = d.digit
          ORDER BY d.digit""",
+
+    // Poisson-bootstrap replay: same knuthHash(id*40+rep) uniform (the
+    // HUGEINT twin), same integer CDF thresholds, exact decimal sums,
+    // double division, order-stat endpoints rms[2]/rms[38]
+    "q_bootstrap_ci" ->
+      """WITH w AS (
+           SELECT e.event_type, CAST(e.value AS DECIMAL(20,4)) AS v, r.rep,
+                  (CAST(e.event_id * 40 + r.rep AS HUGEINT) * 2654435761)
+                    % 4294967296 AS u
+           FROM events e
+           CROSS JOIN (SELECT unnest(range(40)) AS rep) r),
+         ww AS (SELECT event_type, v, rep,
+                  CASE WHEN u < 1580030168 THEN 0
+                       WHEN u < 3160060337 THEN 1
+                       WHEN u < 3950075421 THEN 2
+                       WHEN u < 4213413783 THEN 3
+                       WHEN u < 4279248373 THEN 4
+                       WHEN u < 4292415291 THEN 5
+                       ELSE 6 END AS w
+                FROM w),
+         rm AS (SELECT event_type, rep,
+                  ROUND(CAST(SUM(v * w) AS DOUBLE) / SUM(w), 6) AS rmean
+                FROM ww GROUP BY event_type, rep HAVING SUM(w) > 0),
+         b AS (SELECT event_type, list_sort(list(rmean)) AS rms
+               FROM rm GROUP BY event_type),
+         o AS (SELECT event_type, count(*) AS n,
+                  ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                        / count(*), 6) AS observed_mean
+               FROM events GROUP BY event_type)
+         SELECT o.event_type, o.n, o.observed_mean,
+                b.rms[2] AS boot_lo, b.rms[38] AS boot_hi
+         FROM o JOIN b USING (event_type)
+         ORDER BY o.event_type""",
+
+    // skyline by definition: NOT EXISTS a componentwise-dominating part
+    "q_skyline" ->
+      """SELECT b.p_partkey, b.p_size,
+                ROUND(b.p_retailprice, 2) AS p_retailprice
+         FROM part b
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part a
+           WHERE a.p_size <= b.p_size
+             AND a.p_retailprice <= b.p_retailprice
+             AND (a.p_size < b.p_size OR a.p_retailprice < b.p_retailprice))
+         ORDER BY b.p_size, b.p_partkey""",
+
+    // DiD cells from exact decimal sums; cutover = floor-midpoint of
+    // epoch-us range (Spark's double-divide-then-truncate equals // here
+    // because the operands are positive and < 2^53)
+    "q_did" ->
+      """WITH x AS (SELECT epoch_us(ts) AS t,
+                           CAST(value AS DECIMAL(20,4)) AS v,
+                           (user_id % 2 = 0) AS treated
+                    FROM events),
+         c AS (SELECT (MIN(t) + MAX(t)) // 2 AS cut FROM x),
+         m AS (SELECT
+            CAST(SUM(CASE WHEN NOT treated AND t <  cut THEN v END) AS DOUBLE)
+              / SUM(CASE WHEN NOT treated AND t <  cut THEN 1 END) AS m_c_pre,
+            CAST(SUM(CASE WHEN NOT treated AND t >= cut THEN v END) AS DOUBLE)
+              / SUM(CASE WHEN NOT treated AND t >= cut THEN 1 END) AS m_c_post,
+            CAST(SUM(CASE WHEN treated AND t <  cut THEN v END) AS DOUBLE)
+              / SUM(CASE WHEN treated AND t <  cut THEN 1 END) AS m_t_pre,
+            CAST(SUM(CASE WHEN treated AND t >= cut THEN v END) AS DOUBLE)
+              / SUM(CASE WHEN treated AND t >= cut THEN 1 END) AS m_t_post
+           FROM x CROSS JOIN c)
+         SELECT ROUND(m_c_pre, 6) AS mean_c_pre,
+                ROUND(m_c_post, 6) AS mean_c_post,
+                ROUND(m_t_pre, 6) AS mean_t_pre,
+                ROUND(m_t_post, 6) AS mean_t_post,
+                ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
+         FROM m""",
+
+    // Neyman allocation from one exact-moment aggregate; floor(x+0.5)
+    // rounding so neither engine's round-half mode matters
+    "q_neyman" ->
+      """WITH s AS (SELECT c_mktsegment, count(*) AS n_pop,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))
+                           * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s2
+                FROM customer GROUP BY c_mktsegment),
+         t AS (SELECT c_mktsegment, n_pop,
+                 sqrt(greatest(0.0, s2 / n_pop - (s1 / n_pop) * (s1 / n_pop)))
+                   AS sd
+               FROM s),
+         w AS (SELECT SUM(n_pop * sd) AS wtot FROM t)
+         SELECT t.c_mktsegment, t.n_pop, ROUND(t.sd, 6) AS sd,
+                CAST(floor(1000 * (t.n_pop * t.sd) / w.wtot + 0.5) AS BIGINT)
+                  AS n_alloc
+         FROM t CROSS JOIN w ORDER BY t.c_mktsegment""",
+
+    // brute-force aHash replay: the PNG round-trip is lossless, so the
+    // raster IS the key arithmetic; bits compare 16*s_i > total in pure
+    // integers, pairs are all-pairs Hamming <= 3 (the Spark side's
+    // banded join is provably equal by pigeonhole: 4 bands > 3 flips)
+    "q_phash_pairs" ->
+      """WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 600),
+         px AS (SELECT k,
+                  CASE WHEN k % 5 = 4 THEN k - 1 ELSE k END AS base,
+                  CASE WHEN k % 5 = 4 THEN 1 ELSE 0 END AS delta,
+                  unnest(range(16)) AS i
+                FROM k),
+         s AS (SELECT k, i,
+                 ((base * 31 + i * 97
+                   + CASE WHEN i = 0 THEN delta ELSE 0 END) % 256)
+                 + ((base * 53 + i * 193) % 256)
+                 + ((base * 71 + i * 41) % 256) AS s
+               FROM px),
+         t AS (SELECT k, SUM(s) AS tot FROM s GROUP BY k),
+         h AS (SELECT s.k,
+                 SUM(CASE WHEN 16 * s.s > t.tot THEN 1 << s.i ELSE 0 END) AS ph
+               FROM s JOIN t USING (k) GROUP BY s.k)
+         SELECT a.k AS a_id, b.k AS b_id,
+                CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         FROM h a JOIN h b ON a.k < b.k
+         WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         ORDER BY a_id, b_id""",
 
     // one scan of orders folds every constraint metric; the RI probe is
     // the same distinct-dim-keyset left join

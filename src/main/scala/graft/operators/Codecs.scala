@@ -356,4 +356,36 @@ object Codecs {
         if (n == 0) None else Some((r / n, g / n, bl / n))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Integer gray raster of an ImageIO payload: (width, height,
+    * row-major per-pixel r+g+b sums). The channel SUM (not /3) keeps the
+    * value in exact integer space — downstream perceptual hashing
+    * compares `n·sᵢ > Σs` so no division ever happens, and for lossless
+    * formats (PNG/BMP/GIF) the raster replays exactly from the encoded
+    * pixels. None on undecodable/empty payloads; never throws. */
+  def grayRaster(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w.toLong * h == 0 || w.toLong * h > Int.MaxValue / 4) None
+        else {
+          val px = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              px(y * w + x) =
+                ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, px))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -637,4 +637,48 @@ object Dedup {
       verified(cand)
     }
   }
+
+  /** Generic banded Hamming self-join over a precomputed fingerprint
+    * column (SimHash, perceptual image hash, any ≤64-bit signature):
+    * all pairs with `popcount(a ⊕ b) ≤ maxHamming`, WITHOUT the all-pairs
+    * product.
+    *
+    * The `bits`-wide hash splits into `bands` equal chunks; pigeonhole
+    * guarantees two hashes within Hamming `bands−1` share at least one
+    * exact chunk, so for `maxHamming ≤ bands−1` the banded candidate set
+    * is EXACTLY the true pair set (no recall loss — the operator is
+    * oracle-checkable against brute force) and cost is Σ bucket², not
+    * n². `maxBucketSize` caps degenerate buckets (e.g. all-black
+    * thumbnails hashing to 0): candidate generation skips over-cap
+    * (band, chunk) buckets — the same boilerplate guard as every other
+    * dedup path here; pass Int.MaxValue for the exact contract.
+    *
+    * Output: (a_id, b_id, hamming), a_id < b_id. */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 64, bands: Int = 8, maxHamming: Int = 7,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bits > 0 && bits <= 64 && bands > 0 && bits % bands == 0,
+      s"bits=$bits must be a positive multiple of bands=$bands, <= 64")
+    val chunk = bits / bands
+    val mask = if (chunk == 64) -1L else (1L << chunk) - 1
+    val withHash = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("hh"))
+    val banded = withHash.select(col("id"), col("hh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("hh"), b * chunk).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val capped =
+      if (maxBucketSize == Int.MaxValue) banded
+      else banded.withColumn("bsize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")))
+        .filter(col("bsize") <= maxBucketSize).drop("bsize")
+    val a = capped.select(col("band"), col("chunk"), col("id").as("a_id"),
+      col("hh").as("a_h"))
+    val b = capped.select(col("band"), col("chunk"), col("id").as("b_id"),
+      col("hh").as("b_h"))
+    a.join(b, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

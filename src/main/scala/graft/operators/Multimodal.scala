@@ -163,4 +163,58 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("media_id", "frame_idx")
+
+  case class PHashRow(media_id: Long, decoded: Boolean, phash: Long,
+      width: Int, height: Int)
+
+  /** Perceptual average-hash (aHash) over decoded rasters — the image
+    * analogue of SimHash for near-duplicate detection in a multimodal
+    * corpus (re-encoded/resampled copies keep their hash; unrelated
+    * images don't collide).
+    *
+    * Per image: gray raster ([[Codecs.grayRaster]], integer r+g+b
+    * sums), nearest-neighbor sample down to a `gridW`×`gridH` grid
+    * (same `src = floor(dst·srcDim/outDim)` mapping as the resize
+    * codec), then bit i = 1 iff `n·sᵢ > Σs` (n = grid cells) — the
+    * classic above-average-brightness test kept in EXACT integer
+    * arithmetic (no division, no doubles), so for lossless formats the
+    * hash replays bit-for-bit from the source pixels and an external
+    * engine can oracle it. Bits are row-major, bit i of the result
+    * long. `gridW·gridH` ≤ 64. Pair search over the hashes is
+    * [[Dedup.hammingPairs]] — banded, never all-pairs. */
+  def perceptualHash(media: Dataset[MediaRow], gridW: Int = 8,
+      gridH: Int = 8): Dataset[PHashRow] = {
+    require(gridW > 0 && gridH > 0 && gridW * gridH <= 64,
+      s"grid must fit a 64-bit hash, got ${gridW}x$gridH")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      Codecs.grayRaster(r.payload) match {
+        case Some((w, h, px)) =>
+          val n = gridW * gridH
+          val cells = new Array[Long](n)
+          var gy = 0
+          while (gy < gridH) {
+            val sy = (gy.toLong * h / gridH).toInt
+            var gx = 0
+            while (gx < gridW) {
+              val sx = (gx.toLong * w / gridW).toInt
+              cells(gy * gridW + gx) = px(sy * w + sx).toLong
+              gx += 1
+            }
+            gy += 1
+          }
+          var total = 0L
+          var i = 0
+          while (i < n) { total += cells(i); i += 1 }
+          var hash = 0L
+          i = 0
+          while (i < n) {
+            if (n * cells(i) > total) hash |= 1L << i
+            i += 1
+          }
+          PHashRow(r.media_id, decoded = true, hash, w, h)
+        case None => PHashRow(r.media_id, decoded = false, 0L, 0, 0)
+      }
+    })
+  }
 }

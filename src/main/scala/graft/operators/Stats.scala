@@ -448,4 +448,159 @@ object Stats {
       .select(col("digit"), col("n"), col("freq"), col("expected"),
         round(col("freq") - col("expected"), 6).as("deviation"))
   }
+
+  /** Poisson(1) CDF thresholds scaled to 2³² — `u < thresholds(k)` ⇔
+    * "inverse-CDF of u/2³² is ≤ k", kept as integer literals so the
+    * bootstrap weight is a pure integer decision replayable on any
+    * engine (same contract as [[graft.ops.ScaleOps.knuthHash]]'s
+    * threshold compares). Weights cap at 6 (P(X>6) ≈ 8e-5). */
+  val poissonCdfThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L, 4292415291L)
+
+  /** Deterministic Poisson(1) draw from a uniform 32-bit hash value. */
+  def poissonWeight(u: Column): Column =
+    poissonCdfThresholds.zipWithIndex.foldRight(
+      lit(poissonCdfThresholds.size): Column) {
+      case ((t, k), rest) => when(u < t, k).otherwise(rest)
+    }
+
+  /** Poisson bootstrap confidence intervals for per-group means — THE
+    * scale-correct bootstrap: classic resampling needs n draws per
+    * replicate from a global index (impossible on a distributed corpus);
+    * the Poisson bootstrap instead gives every row an independent
+    * Poisson(1) weight per replicate, turning B resamples into ONE pass
+    * of B weighted sums with map-side partial aggregation. Shuffle
+    * volume is groups × B, never rows.
+    *
+    * Weights are a pure function of (id, replicate) via the replayable
+    * [[graft.ops.ScaleOps.knuthHash]] + [[poissonCdfThresholds]], so the
+    * whole procedure — weights, replicate means, interval endpoints — is
+    * deterministic and oracle-checkable cross-engine. Replicate means
+    * divide an exact decimal sum by an integer weight total (identical
+    * IEEE operands on any engine), are rounded to 6 dp, and the interval
+    * is exact order statistics over the B rounded means (index
+    * `max(1,⌊lo·B⌋)` / `min(B,⌈hi·B⌉)`, 1-based).
+    *
+    * Output: group cols, n, observed_mean, boot_lo, boot_hi. */
+  def poissonBootstrap(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, replicates: Int = 40, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(replicates > 1, s"need at least 2 replicates, got $replicates")
+    val gcols = groupCols.map(col)
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val withW = df
+      .select(gcols :+ vDec.as("__v") :+ col(idCol).as("__id"): _*)
+      .select(col("*"), explode(sequence(lit(0), lit(replicates - 1))).as("__rep"))
+      .withColumn("__w", poissonWeight(graft.ops.ScaleOps.knuthHash(
+        col("__id") * lit(replicates.toLong) + col("__rep"))))
+    val repMeans = withW
+      .groupBy(gcols :+ col("__rep"): _*)
+      .agg(sum(col("__v") * col("__w")).as("__swx"), sum("__w").as("__sw"))
+      .filter(col("__sw") > 0)
+      .withColumn("__rm",
+        round(col("__swx").cast("double") / col("__sw"), 6))
+    val loIdx = math.max(1, (lo * replicates).toInt)
+    val hiIdx = math.min(replicates, math.ceil(hi * replicates).toInt)
+    val boot = repMeans.groupBy(gcols: _*)
+      .agg(sort_array(collect_list(col("__rm"))).as("__rms"))
+      .select(gcols :+ element_at(col("__rms"), loIdx).as("boot_lo") :+
+        element_at(col("__rms"), hiIdx).as("boot_hi"): _*)
+    val observed = df.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(vDec).cast("double") / count(lit(1)), 6).as("observed_mean"))
+    val joined =
+      if (groupCols.isEmpty) observed.crossJoin(boot) // 1×1: global CI
+      else observed.join(boot, groupCols)
+    joined.select(gcols ++ Seq(col("n"), col("observed_mean"),
+      col("boot_lo"), col("boot_hi")): _*)
+  }
+
+  /** 2-D skyline (Pareto frontier, minimize both axes): the rows no
+    * other row beats on BOTH `xCol` and `yCol` (≤ on both, < on at
+    * least one — componentwise dominance; exact duplicates are mutually
+    * non-dominating and all kept).
+    *
+    * Shape: reduce to the per-distinct-x minimum y (an ordinary
+    * aggregate — the staircase depends only on that frame), prefix-min
+    * over the distinct-x frame ordered by x, then one broadcast join
+    * back: a row is on the skyline iff it achieves its x's minimum AND
+    * strictly beats every smaller-x minimum. The only global window
+    * rides on the aggregated frame, bounded by `maxDistinctX` (use on
+    * bounded-cardinality dimensions — size, category, bucketed
+    * measures; a continuous x should be quantized first, which is also
+    * what makes the answer meaningful). */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+      maxDistinctX: Int = 10000): DataFrame = {
+    val g = df.groupBy(xCol).agg(min(col(yCol)).as("__miny"))
+      .limit(maxDistinctX) // proves the window input bounded (PlanLint)
+    val w = Window.orderBy(col(xCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val st = g.withColumn("__strict", min("__miny").over(w))
+    df.join(broadcast(st), Seq(xCol))
+      .filter(col(yCol) === col("__miny") &&
+        (col("__strict").isNull || col("__strict") > col(yCol)))
+      .drop("__miny", "__strict")
+  }
+
+  /** Neyman-optimal stratified-sample allocation: given a total budget
+    * `totalN`, allocate n_h ∝ N_h·σ_h (stratum size × population
+    * std-dev) — the design that minimizes the variance of the stratified
+    * mean estimator. The profiling step a sampling pipeline runs BEFORE
+    * drawing (the draw itself is [[graft.ops.ScaleOps.hashStratifiedSample]]).
+    *
+    * One aggregate over the table: N_h and exact decimal Σx, Σx² per
+    * stratum; σ_h = √(E[x²]−E[x]²) in double from those exact sums
+    * (identical operands cross-engine), allocations floor(x+0.5)-rounded
+    * so no engine's round-half mode matters. */
+  def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
+      totalN: Int): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val s = df.groupBy(strataCol).agg(
+      count(lit(1)).as("n_pop"),
+      sum(vDec).as("__s1"), sum(vDec * vDec).as("__s2"))
+      .withColumn("__mean", col("__s1").cast("double") / col("n_pop"))
+      .withColumn("sd", sqrt(greatest(lit(0.0),
+        col("__s2").cast("double") / col("n_pop") - col("__mean") * col("__mean"))))
+      .withColumn("__w", col("n_pop") * col("sd"))
+    val tot = s.agg(sum("__w").as("__wtot"))
+    s.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_pop"), round(col("sd"), 6).as("sd"),
+        floor(lit(totalN) * col("__w") / col("__wtot") + lit(0.5))
+          .cast("long").as("n_alloc"))
+  }
+
+  /** Difference-in-differences estimator over an event stream: treated
+    * vs control units, before vs after a cutover instant, outcome =
+    * mean event value per cell. DiD = (T,post − T,pre) − (C,post −
+    * C,pre) — the parallel-trends-adjusted treatment effect, the
+    * standard readout for a staged rollout where randomization isn't
+    * available (complements the randomized-experiment CUPED/abTest
+    * operators).
+    *
+    * The cutover defaults to the integer midpoint of the observed
+    * [min,max] event time (epoch-microsecond `div 2` — deterministic,
+    * replayable); pass `cutoverUs` ≥ 0 to pin an explicit instant. One
+    * aggregate computes all four cells (exact decimal sums); means and
+    * the estimate are double arithmetic on those exact sums, rounded. */
+  def diffInDiff(events: DataFrame, tsCol: String, valueCol: String,
+      treated: Column, cutoverUs: Long = -1L): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val ts = unix_micros(col(tsCol))
+    val base =
+      if (cutoverUs >= 0) events.withColumn("__cut", lit(cutoverUs))
+      else events.crossJoin(broadcast(
+        events.agg(((min(ts) + max(ts)) / 2).cast("long").as("__cut"))))
+    def cell(t: Boolean, p: Boolean): Column = {
+      val m = (treated === t) && ((ts >= col("__cut")) === p)
+      sum(when(m, vDec).otherwise(lit(null))).cast("double") /
+        sum(when(m, 1L).otherwise(0L))
+    }
+    base.groupBy()
+      .agg(round(cell(t = false, p = false), 6).as("mean_c_pre"),
+        round(cell(t = false, p = true), 6).as("mean_c_post"),
+        round(cell(t = true, p = false), 6).as("mean_t_pre"),
+        round(cell(t = true, p = true), 6).as("mean_t_post"),
+        round((cell(t = true, p = true) - cell(t = true, p = false)) -
+          (cell(t = false, p = true) - cell(t = false, p = false)), 6).as("did"))
+  }
 }

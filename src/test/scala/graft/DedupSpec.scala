@@ -340,4 +340,39 @@ class DedupSpec extends SparkSpec {
       .select(VectorFunctions.cosine(col("a"), col("b")).as("c")).as[Double].head()
     assert(math.abs(d) < 1e-12)
   }
+
+  test("hammingPairs equals brute force when maxHamming <= bands-1 (pigeonhole)") {
+    val rnd = new scala.util.Random(7)
+    val hashes = (1L to 150L).map(id => (id, rnd.nextLong()))
+    val df = hashes.toDF("id", "h")
+    val got = Dedup.hammingPairs(df, "id", "h", bits = 64, bands = 8,
+        maxHamming = 7)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield (a, b, d)).toSet
+    assert(got == brute)
+    // random 64-bit hashes are ~32 bits apart; make sure the planted
+    // case actually exercises the pair path too
+    val planted = (hashes :+ (999L, hashes.head._2 ^ 3L)).toDF("id", "h")
+    val p = Dedup.hammingPairs(planted, "id", "h", bits = 64, bands = 8,
+      maxHamming = 7).filter(col("b_id") === 999L).head()
+    assert(p.getAs[Long]("a_id") == 1L && p.getAs[Int]("hamming") == 2)
+  }
+
+  test("hammingPairs: sub-64-bit hashes and the degenerate-bucket cap") {
+    // 16-bit hashes, bands=4: exact for maxHamming<=3
+    val hs = Seq((1L, 0x0f0fL), (2L, 0x0f0eL), (3L, 0xf0f0L), (4L, 0x0f1eL))
+    val df = hs.toDF("id", "h")
+    val got = Dedup.hammingPairs(df, "id", "h", bits = 16, bands = 4,
+      maxHamming = 3).select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1), (1L, 4L, 2), (2L, 4L, 1)))
+    // all-identical hashes with a tiny bucket cap → candidates dropped
+    val degen = (1L to 50L).map((_, 42L)).toDF("id", "h")
+    assert(Dedup.hammingPairs(degen, "id", "h", bits = 16, bands = 4,
+      maxHamming = 3, maxBucketSize = 10).count() == 0L)
+  }
 }

@@ -275,4 +275,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).decoded && out(2).format == "png" &&
       out(2).width == 3 && out(2).height == 2)
   }
+
+  test("perceptualHash: exact hand-computed bits, corrupt bytes flagged") {
+    // 2x2 raster, r+g+b sums: (0,0)->30, (1,0)->300, (0,1)->60, (1,1)->90
+    // total=480; bit_i = 4*s_i > 480 → only pixel (1,0) = cell index 1
+    val px = Map((0, 0) -> (10, 10, 10), (1, 0) -> (100, 100, 100),
+      (0, 1) -> (20, 20, 20), (1, 1) -> (30, 30, 30))
+    val png = graft.operators.Codecs.encodeImage("png", 2, 2, (x, y) => {
+      val (r, g, b) = px((x, y)); (r << 16) | (g << 8) | b
+    })
+    val rows = Seq(Multimodal.MediaRow(1L, "image", png),
+      Multimodal.MediaRow(2L, "image", Array[Byte](9, 9, 9)))
+    val out = Multimodal.perceptualHash(rows.toDS(), 2, 2)
+      .collect().sortBy(_.media_id)
+    assert(out(0).decoded && out(0).phash == 2L &&
+      out(0).width == 2 && out(0).height == 2)
+    assert(!out(1).decoded && out(1).phash == 0L)
+  }
+
+  test("perceptualHash: NN downsample floor-maps grid cells to source pixels") {
+    // 4x4 image, bright only at the floor-mapped positions of a 2x2 grid:
+    // grid (gx,gy) samples source (gx*4/2, gy*4/2) = (0,0),(2,0),(0,2),(2,2).
+    // Make (2,0) and (2,2) bright → hash bits 1 and 3 → 0b1010 = 10
+    val png = graft.operators.Codecs.encodeImage("png", 4, 4, (x, y) =>
+      if ((x, y) == (2, 0) || (x, y) == (2, 2)) 0xffffff else 0)
+    val out = Multimodal.perceptualHash(
+      Seq(Multimodal.MediaRow(7L, "image", png)).toDS(), 2, 2).head()
+    assert(out.decoded && out.phash == 10L)
+  }
 }

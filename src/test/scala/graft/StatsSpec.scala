@@ -313,4 +313,95 @@ class StatsSpec extends SparkSpec {
     // ties → earliest island start
     assert(r(1).getAs[java.sql.Date]("longest_start").toString == "2024-01-01")
   }
+
+  test("poissonBootstrap: exact replay of weights, replicate means, and endpoints") {
+    val B = 8
+    val rows = (1L to 200L).map(id => (id, (id % 7).toDouble))
+    val df = rows.toDF("id", "v")
+    val got = Stats.poissonBootstrap(df, Seq.empty, "id", "v",
+      replicates = B, lo = 0.125, hi = 0.875).head()
+    // independent replay: BigInt knuth hash → thresholds → weighted means
+    def weight(id: Long, rep: Int): Int = {
+      val u = (BigInt(id * B + rep).mod(BigInt(2).pow(32)) *
+        BigInt(2654435761L)).mod(BigInt(2).pow(32)).toLong
+      val k = Stats.poissonCdfThresholds.indexWhere(u < _)
+      if (k < 0) Stats.poissonCdfThresholds.size else k
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val repMeans = (0 until B).flatMap { rep =>
+      val ws = rows.map { case (id, v) => (weight(id, rep), v) }
+      val sw = ws.map(_._1).sum
+      if (sw == 0) None
+      else Some(r6(ws.map { case (w, v) => w * v }.sum / sw))
+    }.sorted
+    val loIdx = math.max(1, (0.125 * B).toInt)           // 1
+    val hiIdx = math.min(B, math.ceil(0.875 * B).toInt)  // 7
+    assert(got.getAs[Long]("n") == 200L)
+    assert(got.getAs[Double]("observed_mean") ==
+      r6(rows.map(_._2).sum / 200.0))
+    assert(got.getAs[Double]("boot_lo") == repMeans(loIdx - 1))
+    assert(got.getAs[Double]("boot_hi") == repMeans(hiIdx - 1))
+    // Poisson(1) weights average ~1: each replicate's total weight is
+    // within 3σ (σ = √n) of n, so resamples genuinely resample
+    val totals = (0 until B).map(rep => rows.map(r => weight(r._1, rep)).sum)
+    totals.foreach(t => assert(math.abs(t - 200) <= 3 * math.sqrt(200.0),
+      s"replicate total weight $t implausible for n=200"))
+  }
+
+  test("skyline2d equals the naive dominance filter") {
+    val rnd = new scala.util.Random(42)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(20), rnd.nextInt(100)))
+    val df = pts.toDF("id", "x", "y")
+    val got = Stats.skyline2d(df, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val naive = pts.filter { case (_, bx, by) =>
+      !pts.exists { case (_, ax, ay) =>
+        ax <= bx && ay <= by && (ax < bx || ay < by) }
+    }.map(_._1).toSet
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("skyline2d keeps mutually-equal duplicate points") {
+    val df = Seq((1L, 5, 5), (2L, 5, 5), (3L, 6, 6)).toDF("id", "x", "y")
+    val got = Stats.skyline2d(df, "x", "y").select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L), "duplicates don't dominate each other; (6,6) is dominated")
+  }
+
+  test("neymanAllocation: zero-variance stratum gets nothing, allocations ∝ N·σ") {
+    val df = (Seq.fill(4)(("b", 4.0)) ++ Seq(("a", 0.0), ("a", 10.0)))
+      .toDF("stratum", "v")
+    val r = Stats.neymanAllocation(df, "stratum", "v", totalN = 1000)
+      .orderBy("stratum").collect()
+    assert(r(0).getAs[Double]("sd") == 5.0 && r(0).getAs[Long]("n_alloc") == 1000L)
+    assert(r(1).getAs[Double]("sd") == 0.0 && r(1).getAs[Long]("n_alloc") == 0L)
+    assert(r(0).getAs[Long]("n_pop") == 2L && r(1).getAs[Long]("n_pop") == 4L)
+  }
+
+  test("diffInDiff recovers a planted treatment effect") {
+    // treated (even ids) gain +4 post-cutover; control flat at 10.
+    // span days 1..4 → integer midpoint falls mid-range; plant pre on
+    // days 1-2, post on days 3-4 (both strictly inside their half)
+    val rows = for {
+      u <- 1L to 20L; d <- Seq(1, 2, 3, 4)
+    } yield {
+      val post = d >= 3
+      val v = if (u % 2 == 0 && post) 14.0 else 10.0
+      (u, ts(d), v)
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val r = Stats.diffInDiff(df, "ts", "value",
+      treated = col("user_id") % 2 === 0).head()
+    assert(r.getAs[Double]("mean_c_pre") == 10.0)
+    assert(r.getAs[Double]("mean_c_post") == 10.0)
+    assert(r.getAs[Double]("mean_t_pre") == 10.0)
+    assert(r.getAs[Double]("mean_t_post") == 14.0)
+    assert(r.getAs[Double]("did") == 4.0)
+    // explicit cutover pins the same cells
+    val cutUs = ts(3).getTime * 1000L
+    val r2 = Stats.diffInDiff(df, "ts", "value",
+      treated = col("user_id") % 2 === 0, cutoverUs = cutUs).head()
+    assert(r2.getAs[Double]("did") == 4.0)
+  }
 }
