@@ -3287,6 +3287,25 @@ object SparkEntry {
       Stats.ewmaDaily(events(s, dir), "event_type", "ts")
         .orderBy("event_type", "day")),
 
+    // Holt linear-trend 7-day forecast per event type (α=β=½, l₁=y₁,
+    // b₁=0); the fold's fixed-order IEEE arithmetic replays in the
+    // oracle's recursive CTE step for step
+    "q_holt_forecast" -> ((s, dir) =>
+      Stats.holtLinearDaily(events(s, dir), "event_type", "ts", horizon = 7)
+        .orderBy("event_type", "h")),
+
+    // daily-count autocorrelation at lags 1..7 (seasonality diagnostic:
+    // a weekly cycle peaks at lag 7); exact decimal moments per lag
+    "q_acf" -> ((s, dir) =>
+      Stats.acfDaily(events(s, dir), "ts", maxLag = 7)
+        .orderBy("lag")),
+
+    // "Fightin' Words" distinctive terms per source: Dirichlet-smoothed
+    // z-scored log-odds vs the rest of the corpus, top-5 per source
+    "q_log_odds" -> ((s, dir) =>
+      graft.operators.Retrieval.logOddsTerms(docs(s, dir), "text", "source")
+        .orderBy("source", "term")),
+
     // per-returnflag OLS of extendedprice on quantity (+ r²): the
     // normal equations over ONE pass of exact decimal moments
     "q_ols" -> ((s, dir) =>
@@ -8004,6 +8023,108 @@ object SparkEntry {
          SELECT event_type, day, n,
                 power(2.0, -t) * CAST(b + x1 AS DOUBLE) AS ewma
          FROM acc ORDER BY event_type, day""",
+
+    // Holt recursion replayed step for step in a recursive CTE — the
+    // level/trend updates mirror the Spark fold's exact operation order
+    "q_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         d AS (SELECT event_type, day, n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS t
+               FROM daily),
+         rec AS (
+           -- b must anchor as DOUBLE: a bare 0.0 is DECIMAL(1,1) in
+           -- DuckDB and would quantize the trend every iteration
+           SELECT event_type, t, CAST(n AS DOUBLE) AS l,
+                  CAST(0.0 AS DOUBLE) AS b
+           FROM d WHERE t = 1
+           UNION ALL
+           SELECT d.event_type, d.t,
+                  0.5 * d.n + 0.5 * (rec.l + rec.b),
+                  0.5 * ((0.5 * d.n + 0.5 * (rec.l + rec.b)) - rec.l)
+                    + 0.5 * rec.b
+           FROM rec JOIN d ON d.event_type = rec.event_type
+                          AND d.t = rec.t + 1),
+         fin AS (
+           SELECT r.event_type, r.l, r.b, lst.last_day
+           FROM rec r
+           JOIN (SELECT event_type, max(t) AS mt, max(day) AS last_day
+                 FROM d GROUP BY event_type) lst
+             ON r.event_type = lst.event_type AND r.t = lst.mt)
+         SELECT f.event_type, f.last_day, hs.h,
+                ROUND(f.l + hs.h * f.b, 6) AS forecast
+         FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) hs
+         ORDER BY f.event_type, hs.h""",
+
+    // per-lag Pearson from exact decimal moments over the day-lag join
+    "q_acf" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         pairs AS (
+           SELECT ls.lag, a.n AS x, b.n AS y
+           FROM daily a
+           CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) ls
+           JOIN daily b ON b.day = a.day - CAST(ls.lag AS INT)),
+         m AS (SELECT lag, count(*) AS n_pairs,
+                 SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+                 SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+               FROM pairs GROUP BY lag)
+         SELECT lag, n_pairs,
+                ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                            AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                      THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      END, 6) AS acf
+         FROM m ORDER BY lag""",
+
+    // Monroe et al. log-odds with Dirichlet prior: vocab filtered to
+    // global count >= 20 BEFORE totals, alpha=0.5, top-5 per source by
+    // rounded z with term tiebreak
+    "q_log_odds" ->
+      """WITH toks AS (
+           SELECT source,
+                  unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                     x -> len(x) > 0)) AS term
+           FROM documents),
+         c AS (SELECT source, term, count(*) AS c_sw
+               FROM toks GROUP BY 1, 2),
+         g AS (SELECT term, SUM(c_sw) AS c_w FROM c
+               GROUP BY term HAVING SUM(c_sw) >= 20),
+         kept AS (SELECT c.source, c.term, c.c_sw, g.c_w
+                  FROM c JOIN g USING (term)),
+         ns AS (SELECT source, SUM(c_sw) AS n_s FROM kept GROUP BY source),
+         tot AS (SELECT SUM(c_sw) AS n_tot, count(DISTINCT term) AS v
+                 FROM kept),
+         sc AS (
+           SELECT k.source, k.term, k.c_sw,
+                  CAST(k.c_sw AS DOUBLE) + 0.5 AS cs,
+                  CAST(k.c_w - k.c_sw AS DOUBLE) + 0.5 AS cr,
+                  CAST(ns.n_s AS DOUBLE) AS n_s,
+                  CAST(t.n_tot - ns.n_s AS DOUBLE) AS n_r,
+                  0.5 * t.v AS a0
+           FROM kept k JOIN ns USING (source) CROSS JOIN tot t),
+         z AS (
+           SELECT source, term, c_sw,
+                  ROUND((ln(cs / (n_s + a0 - cs)) - ln(cr / (n_r + a0 - cr)))
+                        / sqrt(1.0 / cs + 1.0 / cr), 6) AS z
+           FROM sc),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                           ORDER BY z DESC, term ASC) AS rn
+                FROM z)
+         SELECT source, term, c_sw, z FROM rk WHERE rn <= 5
+         ORDER BY source, term""",
 
     // normal equations over one-pass exact decimal moments; doubles
     // enter only in the final fixed formulas (mirrored operand order)

@@ -417,4 +417,49 @@ object Retrieval {
       .filter(col("rn") <= k)
       .select("doc_id", "term", "tf", "df", "score")
   }
+
+  /** Distinctive terms per source via log-odds with a Dirichlet prior
+    * (Monroe, Colaresi & Quinn 2008, "Fightin' Words"): for each
+    * retained term, the z-scored log-odds of its rate in source s vs
+    * the rest of the corpus, δ = ln((c_sw+α)/(n_s+α₀−c_sw−α)) −
+    * ln((c_rw+α)/(n_r+α₀−c_rw−α)), σ² = 1/(c_sw+α) + 1/(c_rw+α) —
+    * the principled replacement for raw tf-idf contrast when comparing
+    * corpora of very different sizes (rare-word variance is shrunk by
+    * the prior instead of dominating the ranking).
+    *
+    * Vocabulary is restricted to terms with global count ≥ `minCount`
+    * BEFORE totals are taken, so every quantity (c, n, V, α₀ = α·V) is
+    * an integer-or-fixed-literal function of the filtered counts and
+    * the score replays exactly. Shape: one token-count aggregate, a
+    * term-frequency filter, two broadcast totals, a source-partitioned
+    * top-k window. Output: top `k` terms per source by z (term
+    * tiebreak). */
+  def logOddsTerms(docs: DataFrame, textCol: String, sourceCol: String,
+      alpha: Double = 0.5, minCount: Int = 20, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(col(sourceCol).as("source"),
+        explode(TextExpressions.wordTokens(col(textCol))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_sw"))
+    val global = counts.groupBy("term").agg(sum("c_sw").as("c_w"))
+      .filter(col("c_w") >= minCount)
+    val kept = counts.join(global, Seq("term"))
+    val bySource = kept.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val totals = kept.agg(sum("c_sw").as("n_tot"),
+      countDistinct("term").as("v"))
+    val a0 = lit(alpha) * col("v")
+    val cs = col("c_sw").cast("double") + lit(alpha)
+    val cr = (col("c_w") - col("c_sw")).cast("double") + lit(alpha)
+    val delta =
+      log(cs / (col("n_s").cast("double") + a0 - cs)) -
+        log(cr / ((col("n_tot") - col("n_s")).cast("double") + a0 - cr))
+    val z = delta / sqrt(lit(1.0) / cs + lit(1.0) / cr)
+    val w = Window.partitionBy("source")
+      .orderBy(col("z").desc, col("term").asc)
+    kept.join(bySource, Seq("source"))
+      .crossJoin(broadcast(totals))
+      .withColumn("z", round(z, 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("source", "term", "c_sw", "z")
+  }
 }

@@ -189,6 +189,87 @@ object Stats {
           (col("b") + col("x1")).cast("double")).as("ewma"))
   }
 
+  /** Holt linear-trend (double-exponential) forecast of daily event
+    * counts per key, α = β = ½: level and trend track the series with a
+    * one-day-ahead recursion, then `horizon` days are projected as
+    * l_T + h·b_T. Initialization l₁ = y₁, b₁ = 0 — documented so the
+    * recursion (and its oracle) is fully pinned.
+    *
+    * Shape: one daily pre-aggregate (the only shuffle touching raw
+    * events), then the recursion folds per key over the collected daily
+    * series — per-key state is O(observed days), calendar-bounded like
+    * [[ewmaDaily]], and every arithmetic step is fixed-order IEEE
+    * double, so an external engine replays it exactly with a recursive
+    * CTE. Output: (key, last_day, h, forecast), h = 1..horizon. */
+  def holtLinearDaily(events: DataFrame, keyCol: String, tsCol: String,
+      horizon: Int = 7): DataFrame = {
+    require(horizon >= 1, s"need horizon >= 1, got $horizon")
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy(keyCol)
+      .agg(max("day").as("last_day"),
+        sort_array(collect_list(struct(col("day"), col("n")))).as("s"))
+    val folded = series.withColumn("st", aggregate(col("s"),
+      struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0).as("t")),
+      (acc, x) => {
+        val y = x.getField("n").cast("double")
+        val l = acc.getField("l")
+        val b = acc.getField("b")
+        val t = acc.getField("t")
+        // l' = ½y + ½(l+b); b' = ½(l'−l) + ½b — written once so the
+        // oracle mirrors the exact operation order
+        val l2 = lit(0.5) * y + lit(0.5) * (l + b)
+        struct(
+          when(t === 0, y).otherwise(l2).as("l"),
+          when(t === 0, lit(0.0))
+            .otherwise(lit(0.5) * (l2 - l) + lit(0.5) * b).as("b"),
+          (t + lit(1)).as("t"))
+      }))
+    folded.select(col(keyCol), col("last_day"),
+        col("st.l").as("l"), col("st.b").as("b"),
+        explode(sequence(lit(1), lit(horizon))).as("h"))
+      .select(col(keyCol), col("last_day"), col("h").cast("long").as("h"),
+        round(col("l") + col("h") * col("b"), 6).as("forecast"))
+  }
+
+  /** Autocorrelation of the daily event-count series at lags 1..maxLag:
+    * Pearson r between c(day) and c(day−L) over the overlapping days.
+    * The series diagnostic behind seasonality detection (a weekly cycle
+    * shows as a peak at L=7) and forecast-model choice.
+    *
+    * One daily aggregate, an explode to (day, lag) pairs joined back on
+    * day−L (days × maxLag rows — calendar-bounded), then per-lag exact
+    * decimal moment sums with the closed Pearson form in double; NULL
+    * acf when a lag's series is constant (zero variance). */
+  def acfDaily(events: DataFrame, tsCol: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val withLag = daily
+      .select(col("day"), col("n").as("x"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("pday", date_sub(col("day"), col("lag")))
+    val pairs = withLag.join(
+      daily.select(col("day").as("pday"), col("n").as("y")), Seq("pday"))
+    def d(c: Column): Column = c.cast("decimal(19,0)")
+    val m = pairs.groupBy("lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+      sum(d(col("x")) * d(col("x"))).as("sxx"),
+      sum(d(col("y")) * d(col("y"))).as("syy"),
+      sum(d(col("x")) * d(col("y"))).as("sxy"))
+    val np = col("n_pairs").cast("double")
+    val cov = np * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = np * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = np * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("lag").cast("long").as("lag"), col("n_pairs"),
+      round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).as("acf"))
+  }
+
   /** Per-group simple OLS fit y = a + b·x with r², in the closed
     * normal-equation form over five exact DECIMAL moment sums
     * (Σx, Σy, Σx², Σy², Σxy — inputs rounded to 2 dp first so the

@@ -230,4 +230,26 @@ class RetrievalSpec extends SparkSpec {
       Seq("training"), fbDocs = 1, fbTerms = 2, beta = 0.5, k = 12)
     assert(prf.collect().toSeq == again.collect().toSeq)
   }
+
+  test("logOddsTerms: source-exclusive term tops its source, z replays by hand") {
+    import spark.implicits._
+    // source a: 'alpha' x6 + 'the' x4; source b: 'beta' x6 + 'the' x4
+    val docs = Seq(
+      ("a", "alpha alpha alpha the the"), ("a", "alpha alpha alpha the the"),
+      ("b", "beta beta beta the the"), ("b", "beta beta beta the the"))
+      .toDF("source", "text")
+    val r = Retrieval.logOddsTerms(docs, "text", "source",
+      alpha = 0.5, minCount = 1, k = 1).orderBy("source").collect()
+    assert(r.map(_.getAs[String]("term")).toSeq == Seq("alpha", "beta"))
+    assert(r.forall(_.getAs[Long]("c_sw") == 6L))
+    // hand replay for 'alpha' in a: c_sw=6, c_rest=0, n_s=10, n_r=10,
+    // V=3, a0=1.5
+    val cs = 6.5; val cr = 0.5
+    val d = math.log(cs / (10.0 + 1.5 - cs)) - math.log(cr / (10.0 + 1.5 - cr))
+    val z = d / math.sqrt(1.0 / cs + 1.0 / cr)
+    val r6 = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getAs[Double]("z") == r6)
+    // symmetric corpus → symmetric scores
+    assert(r(0).getAs[Double]("z") == r(1).getAs[Double]("z"))
+  }
 }

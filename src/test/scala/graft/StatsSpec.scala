@@ -314,6 +314,44 @@ class StatsSpec extends SparkSpec {
     assert(r(1).getAs[java.sql.Date]("longest_start").toString == "2024-01-01")
   }
 
+  test("holtLinearDaily: constant series forecasts the constant; replay matches fold") {
+    // constant series: level locks to the constant, trend stays 0
+    val const = (1 to 3).flatMap(d => Seq.fill(5)((1, "e", d)))
+    val rc = Stats.holtLinearDaily(ev(const: _*), "event_type", "ts", horizon = 3)
+      .orderBy("h").collect()
+    assert(rc.map(_.getAs[Double]("forecast")).toSeq == Seq(5.0, 5.0, 5.0))
+    assert(rc.head.getAs[java.sql.Date]("last_day").toString == "2024-01-03")
+    // ramp series 2,4,6,8: replay the α=β=½ recursion in plain Scala
+    val ramp = (1 to 4).flatMap(d => Seq.fill(2 * d)((1, "r", d)))
+    val got = Stats.holtLinearDaily(ev(ramp: _*), "event_type", "ts", horizon = 2)
+      .orderBy("h").collect()
+    var l = 2.0; var b = 0.0
+    for (y <- Seq(4.0, 6.0, 8.0)) {
+      val l2 = 0.5 * y + 0.5 * (l + b)
+      b = 0.5 * (l2 - l) + 0.5 * b
+      l = l2
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_.getAs[Double]("forecast")).toSeq ==
+      Seq(r6(l + 1 * b), r6(l + 2 * b)))
+  }
+
+  test("acfDaily: alternating series has acf(1) = -1, acf(2) = +1") {
+    // counts 10,20,10,20,... over 10 days
+    val rows = (1 to 10).flatMap(d =>
+      Seq.fill(if (d % 2 == 0) 20 else 10)((1, "e", d)))
+    val r = Stats.acfDaily(ev(rows: _*), "ts", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(r(0).getAs[Long]("n_pairs") == 9 && r(0).getAs[Double]("acf") == -1.0)
+    assert(r(1).getAs[Long]("n_pairs") == 8 && r(1).getAs[Double]("acf") == 1.0)
+    assert(r(2).getAs[Long]("n_pairs") == 7 && r(2).getAs[Double]("acf") == -1.0)
+    // constant series → zero variance → NULL, not a divide-by-zero
+    val flat = (1 to 5).flatMap(d => Seq.fill(3)((1, "e", d)))
+    val fr = Stats.acfDaily(ev(flat: _*), "ts", maxLag = 1).head()
+    assert(fr.isNullAt(fr.fieldIndex("acf")))
+  }
+
   test("poissonBootstrap: exact replay of weights, replicate means, and endpoints") {
     val B = 8
     val rows = (1L to 200L).map(id => (id, (id % 7).toDouble))
