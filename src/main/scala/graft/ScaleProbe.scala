@@ -88,7 +88,8 @@ object ScaleProbe {
     // restricts which probe families run (default: all)
     val families = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann"))
+      .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
+        "stats", "hamming"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -220,6 +221,56 @@ object ScaleProbe {
       }
       println(s"""{"family":"basket","factor":$n,"rows":$rows,""" +
         s""""copurchase_pairs_sec":${f"$cfSec%.2f"},"n_pairs":$nPairs2}""")
+    }
+
+    // ---- Stats family (round-8 late wave): Poisson bootstrap is ONE
+    // explode×B pass with map-side partial aggregation (shuffle rows =
+    // |types|·B, invariant in n — expected ~linear wall); Holt folds a
+    // calendar-bounded daily series (the daily agg dominates).
+    if (families("stats")) factors.foreach { n =>
+      val d = inflateEvents(ev, maxEvent, maxUser, n).localCheckpoint(true)
+      val rows = d.count()
+      val (nCi, bootSec) = timed {
+        graft.operators.Stats.poissonBootstrap(d, Seq("event_type"),
+          "event_id", "value", replicates = 40).count()
+      }
+      val (nFc, holtSec) = timed {
+        graft.operators.Stats.holtLinearDaily(d, "event_type", "ts").count()
+      }
+      println(s"""{"family":"stats","factor":$n,"rows":$rows,""" +
+        s""""bootstrap_sec":${f"$bootSec%.2f"},"n_ci_rows":$nCi,""" +
+        s""""holt_sec":${f"$holtSec%.2f"},"n_forecast_rows":$nFc}""")
+    }
+
+    // ---- Hamming-fingerprint family (round-8 late wave): synthetic
+    // 64-bit fingerprints (xxhash64 of event ids) with a planted twin at
+    // Hamming 2 for 1-in-100 ids; each replica id-shifts AND XORs a
+    // seeded random mask — XOR by a constant preserves all WITHIN-replica
+    // distances (pair set replicates exactly ×n) while cross-replica
+    // distances sit near 32 bits (no cross pairs at maxHamming=7), so
+    // constant pair density is provable and the banded join's slope is
+    // the operator's, not the data's.
+    if (families("hamming")) factors.foreach { n =>
+      val idsBase = ev.select(col("event_id").as("id"))
+        .withColumn("h", xxhash64(col("id")))
+      val twins = idsBase.filter(col("id") % 100 === 0)
+        .select((col("id") + lit(1000000000L)).as("id"),
+          col("h").bitwiseXOR(lit(3L)).as("h"))
+      val f0 = idsBase.unionByName(twins)
+      val rnd = new scala.util.Random(42)
+      val masks = (0 until n).map(_ => rnd.nextLong())
+      val d = (0 until n).map { r =>
+        if (r == 0) f0
+        else f0.select((col("id") + lit(r * 4000000000L)).as("id"),
+          col("h").bitwiseXOR(lit(masks(r))).as("h"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val rows = d.count()
+      val (nPairs, hamSec) = timed {
+        graft.operators.Dedup.hammingPairs(d, "id", "h",
+          bits = 64, bands = 8, maxHamming = 7).count()
+      }
+      println(s"""{"family":"hamming","factor":$n,"rows":$rows,""" +
+        s""""hamming_sec":${f"$hamSec%.2f"},"n_pairs":$nPairs}""")
     }
 
     // ---- ANN family (round-8): corpus inflation by id-shifted replicas

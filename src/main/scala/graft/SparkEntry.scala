@@ -3300,6 +3300,11 @@ object SparkEntry {
       Stats.acfDaily(events(s, dir), "ts", maxLag = 7)
         .orderBy("lag")),
 
+    // Spearman rank correlation of daily volume vs daily user breadth —
+    // integer series, average ranks in exact 2·avgrank integer space
+    "q_spearman" -> ((s, dir) =>
+      Stats.spearmanDaily(events(s, dir), "ts", "user_id")),
+
     // "Fightin' Words" distinctive terms per source: Dirichlet-smoothed
     // z-scored log-odds vs the rest of the corpus, top-5 per source
     "q_log_odds" -> ((s, dir) =>
@@ -8088,6 +8093,40 @@ object SparkEntry {
                                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                       END, 6) AS acf
          FROM m ORDER BY lag""",
+
+    // Pearson over doubled average ranks (exact integers); same moment
+    // formula as q_acf
+    "q_spearman" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+                  count(DISTINCT user_id) AS y
+           FROM events GROUP BY 1),
+         rk AS (
+           SELECT CAST(2 * rank() OVER (ORDER BY x)
+                       + count(*) OVER (PARTITION BY x) - 1
+                    AS DECIMAL(19,0)) AS rx,
+                  CAST(2 * rank() OVER (ORDER BY y)
+                       + count(*) OVER (PARTITION BY y) - 1
+                    AS DECIMAL(19,0)) AS ry
+           FROM daily),
+         m AS (SELECT count(*) AS n_days,
+                 SUM(rx) AS sx, SUM(ry) AS sy,
+                 SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+                 SUM(rx * ry) AS sxy
+               FROM rk)
+         SELECT n_days,
+                ROUND(CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                            AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                      THEN (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      END, 6) AS spearman
+         FROM m""",
 
     // Monroe et al. log-odds with Dirichlet prior: vocab filtered to
     // global count >= 20 BEFORE totals, alpha=0.5, top-5 per source by

@@ -270,6 +270,46 @@ object Stats {
       round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).as("acf"))
   }
 
+  /** Spearman rank correlation between two integer daily series —
+    * events per day (volume) vs distinct users per day (breadth): the
+    * robust, monotone-association complement to [[pearsonPairs]]
+    * (outlier days bend Pearson, not ranks).
+    *
+    * Ties get average ranks, held in exact integer space as
+    * 2·avgrank = 2·minrank + ties − 1; Pearson of the doubled ranks
+    * equals Pearson of the ranks (affine invariance, and the doubling
+    * is a power of two so even the IEEE steps scale exactly). Both
+    * series are integer counts, so ranks — and therefore the whole
+    * statistic — replay exactly cross-engine. The ranking windows ride
+    * the daily aggregate, calendar-bounded via the same limit proof as
+    * every other daily-frame window here. */
+  def spearmanDaily(events: DataFrame, tsCol: String,
+      userCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"), countDistinct(col(userCol)).as("y"))
+      .limit(10000) // calendar-bounded; proves the rank windows safe
+    def ranks2(c: String): Column =
+      lit(2) * rank().over(Window.orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col(c))) - lit(1)
+    val ranked = daily
+      .withColumn("rx", ranks2("x").cast("decimal(19,0)"))
+      .withColumn("ry", ranks2("y").cast("decimal(19,0)"))
+    val m = ranked.agg(count(lit(1)).as("n_days"),
+      sum("rx").as("sx"), sum("ry").as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    val np = col("n_days").cast("double")
+    val cov = np * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = np * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = np * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n_days"),
+      round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).as("spearman"))
+  }
+
   /** Per-group simple OLS fit y = a + b·x with r², in the closed
     * normal-equation form over five exact DECIMAL moment sums
     * (Σx, Σy, Σx², Σy², Σxy — inputs rounded to 2 dp first so the

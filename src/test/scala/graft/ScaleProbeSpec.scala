@@ -186,4 +186,44 @@ class ScaleProbeSpec extends SparkSpec {
     assert(p1 > 0 && pairs(li4) == 4 * p1,
       "co-purchase pair count must scale exactly ×4")
   }
+
+  // CI-light pin for the stats/hamming ScaleProbe families: bootstrap
+  // output stays |types| rows under any inflation (the shuffle-volume
+  // claim), and XOR-masked fingerprint replicas reproduce the pair set
+  // exactly ×4 (XOR by a constant preserves within-replica distances;
+  // seeded masks keep cross-replica distances far above maxHamming)
+  test("×4 inflation: bootstrap CI rows invariant, hamming pairs scale exactly") {
+    import graft.operators.{Dedup, Stats}
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxE = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxU = ev.agg(max("user_id")).head().getLong(0) + 1
+    val types = ev.select("event_type").distinct().count()
+    def ciRows(d: org.apache.spark.sql.DataFrame) =
+      Stats.poissonBootstrap(d, Seq("event_type"), "event_id", "value",
+        replicates = 8).count()
+    assert(ciRows(ev) == types)
+    assert(ciRows(ScaleProbe.inflateEvents(ev, maxE, maxU, 4)
+      .localCheckpoint(true)) == types)
+
+    val base = ev.select(col("event_id").as("id"))
+      .withColumn("h", xxhash64(col("id")))
+    val twins = base.filter(col("id") % 100 === 0)
+      .select((col("id") + lit(1000000000L)).as("id"),
+        col("h").bitwiseXOR(lit(3L)).as("h"))
+    val f0 = base.unionByName(twins)
+    def ham(d: org.apache.spark.sql.DataFrame) =
+      Dedup.hammingPairs(d, "id", "h", bits = 64, bands = 8,
+        maxHamming = 7).count()
+    val h1 = ham(f0.localCheckpoint(true))
+    assert(h1 > 0, "no planted twins found — premise broken")
+    val rnd = new scala.util.Random(42)
+    val masks = (0 until 4).map(_ => rnd.nextLong())
+    val f4 = (0 until 4).map { r =>
+      if (r == 0) f0
+      else f0.select((col("id") + lit(r * 4000000000L)).as("id"),
+        col("h").bitwiseXOR(lit(masks(r))).as("h"))
+    }.reduce(_ unionByName _).localCheckpoint(true)
+    assert(ham(f4) == 4 * h1, "hamming pair count must scale exactly ×4")
+  }
 }

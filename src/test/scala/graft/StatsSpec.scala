@@ -352,6 +352,29 @@ class StatsSpec extends SparkSpec {
     assert(fr.isNullAt(fr.fieldIndex("acf")))
   }
 
+  test("spearmanDaily: planted monotone series hit ±1; ties use average ranks") {
+    // day d: 10d events total, users 1..(7-d) each once and the rest
+    // from user 1 → volume strictly up, breadth strictly down
+    val rows = (1 to 6).flatMap { d =>
+      (1 to (7 - d)).map((_, "e", d)) ++
+        Seq.fill(10 * d - (7 - d))((1, "e", d))
+    }
+    val r = Stats.spearmanDaily(ev(rows: _*), "ts", "user_id").head()
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Double]("spearman") == -1.0)
+    // perfectly aligned series → +1
+    val up = for { d <- 1 to 5; i <- 1 to 3 * d } yield (i, "e", d)
+    assert(Stats.spearmanDaily(ev(up: _*), "ts", "user_id").head()
+      .getAs[Double]("spearman") == 1.0)
+    // tie path: day1 x=1 y=1; day2 x=1 y=1; day3 x=2 y=2 → both rank
+    // vectors (1.5, 1.5, 3) → rho exactly 1 through the average-rank
+    // arithmetic (min-rank would still give 1 here, but a wrong ties
+    // count breaks the exactness vs the all-distinct ramp above)
+    val tied = Seq((1, "e", 1), (1, "e", 2), (1, "e", 3), (2, "e", 3))
+    assert(Stats.spearmanDaily(ev(tied: _*), "ts", "user_id").head()
+      .getAs[Double]("spearman") == 1.0)
+  }
+
   test("poissonBootstrap: exact replay of weights, replicate means, and endpoints") {
     val B = 8
     val rows = (1L to 200L).map(id => (id, (id % 7).toDouble))
