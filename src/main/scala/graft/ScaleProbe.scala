@@ -247,9 +247,17 @@ object ScaleProbe {
     // Hamming 2 for 1-in-100 ids; each replica id-shifts AND XORs a
     // seeded random mask — XOR by a constant preserves all WITHIN-replica
     // distances (pair set replicates exactly ×n) while cross-replica
-    // distances sit near 32 bits (no cross pairs at maxHamming=7), so
+    // distances sit near 32 bits (no cross pairs at the threshold), so
     // constant pair density is provable and the banded join's slope is
     // the operator's, not the data's.
+    //
+    // Band width is the scale knob: expected RANDOM bucket collisions are
+    // bands·n²/2^(bits/bands+1), so 8-bit chunks (bands=8) melt down past
+    // ~10⁵ uniform fingerprints (measured: the ×64 run at bands=8 would
+    // generate ~10¹¹ candidates). The probe runs the corpus-sized config
+    // — bands=4 → 16-bit chunks, maxHamming=3 — the same width/threshold
+    // trade a production pHash dedup makes; a 10⁸+ corpus moves to
+    // 32-bit chunks (bands=2, maxHamming=1) or a multi-index scheme.
     if (families("hamming")) factors.foreach { n =>
       val idsBase = ev.select(col("event_id").as("id"))
         .withColumn("h", xxhash64(col("id")))
@@ -267,7 +275,7 @@ object ScaleProbe {
       val rows = d.count()
       val (nPairs, hamSec) = timed {
         graft.operators.Dedup.hammingPairs(d, "id", "h",
-          bits = 64, bands = 8, maxHamming = 7).count()
+          bits = 64, bands = 4, maxHamming = 3).count()
       }
       println(s"""{"family":"hamming","factor":$n,"rows":$rows,""" +
         s""""hamming_sec":${f"$hamSec%.2f"},"n_pairs":$nPairs}""")

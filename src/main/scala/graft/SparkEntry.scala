@@ -3305,6 +3305,20 @@ object SparkEntry {
     "q_spearman" -> ((s, dir) =>
       Stats.spearmanDaily(events(s, dir), "ts", "user_id")),
 
+    // lead-lag cross-correlation signup → purchase at lags −7..7 (a
+    // positive-lag peak = signups lead purchases by that many days)
+    "q_ccf" -> ((s, dir) =>
+      Stats.ccfDaily(events(s, dir), "event_type", "ts",
+        "signup", "purchase", maxLag = 7)
+        .orderBy("lag")),
+
+    // Mantel–Cox log-rank test: treated (even user_ids) vs control
+    // time-to-purchase curves; O/E/V from the shared risk-set table,
+    // per-t terms quantized to 10 dp then exact-decimal-summed
+    "q_logrank" -> ((s, dir) =>
+      Stats.logRank(events(s, dir), "user_id", "event_type", "ts",
+        "purchase", treated = col("user_id") % 2 === 0)),
+
     // "Fightin' Words" distinctive terms per source: Dirichlet-smoothed
     // z-scored log-odds vs the rest of the corpus, top-5 per source
     "q_log_odds" -> ((s, dir) =>
@@ -8127,6 +8141,101 @@ object SparkEntry {
                                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                       END, 6) AS spearman
          FROM m""",
+
+    // same day-lag join + moment kernel as q_acf, between two filtered
+    // series over lags -7..7
+    "q_ccf" ->
+      """WITH a AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS x
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+         b AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         pairs AS (
+           SELECT ls.lag, a.x, b.y
+           FROM a
+           CROSS JOIN (SELECT unnest(range(-7, 8)) AS lag) ls
+           JOIN b ON b.day = a.day + CAST(ls.lag AS INT)),
+         m AS (SELECT lag, count(*) AS n_pairs,
+                 SUM(CAST(x AS DECIMAL(19,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(19,0))) AS sy,
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+                 SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+                 SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+               FROM pairs GROUP BY lag)
+         SELECT lag, n_pairs,
+                ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                            AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                      THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      END, 6) AS ccf
+         FROM m ORDER BY lag""",
+
+    // O/E/V over the risk-set table; per-t terms ROUND(...,10) then
+    // decimal-summed exactly as the Spark side pins
+    "q_logrank" ->
+      """WITH pu AS (
+           SELECT user_id, CAST(min(ts) AS DATE) AS d0,
+                  CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS DATE) AS dp,
+                  CAST(max(ts) AS DATE) AS dl,
+                  max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS grp
+           FROM events GROUP BY user_id),
+         dur AS (
+           SELECT CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
+                       ELSE datediff('day', d0, dl) END AS t,
+                  CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS observed,
+                  grp
+           FROM pu),
+         byt AS (
+           SELECT t, CAST(SUM(observed) AS BIGINT) AS d,
+                  CAST(SUM(observed * grp) AS BIGINT) AS da,
+                  count(*) AS ended,
+                  CAST(SUM(grp) AS BIGINT) AS endeda
+           FROM dur GROUP BY t),
+         tot AS (SELECT CAST(SUM(ended) AS BIGINT) AS n_total,
+                        CAST(SUM(endeda) AS BIGINT) AS n_total_a
+                 FROM byt),
+         risk AS (
+           SELECT byt.*, tot.n_total, tot.n_total_a,
+                  tot.n_total - COALESCE(SUM(ended) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n,
+                  tot.n_total_a - COALESCE(SUM(endeda) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS na
+           FROM byt CROSS JOIN tot),
+         terms AS (
+           SELECT n_total, n_total_a, da,
+                  CAST(ROUND(CAST(na AS DOUBLE) * CAST(d AS DOUBLE)
+                             / CAST(n AS DOUBLE), 10) AS DECIMAL(28,10)) AS e,
+                  CAST(CASE WHEN n > 1 THEN ROUND(
+                         CAST(na AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(na AS DOUBLE))
+                         * CAST(d AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)), 10)
+                       ELSE 0.0 END AS DECIMAL(28,10)) AS v
+           FROM risk WHERE d > 0),
+         agg AS (
+           SELECT max(n_total) AS n_users, max(n_total_a) AS n_users_a,
+                  CAST(SUM(da) AS BIGINT) AS oa, SUM(e) AS ea, SUM(v) AS v
+           FROM terms)
+         SELECT n_users, n_users_a, oa,
+                ROUND(CAST(ea AS DOUBLE), 6) AS ea,
+                ROUND(CAST(v AS DOUBLE), 6) AS v,
+                ROUND(CASE WHEN CAST(v AS DOUBLE) > 0
+                      THEN (CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+                           / sqrt(CAST(v AS DOUBLE)) END, 6) AS z,
+                ROUND(CASE WHEN CAST(v AS DOUBLE) > 0
+                      THEN ((CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+                            / sqrt(CAST(v AS DOUBLE)))
+                           * ((CAST(oa AS DOUBLE) - CAST(ea AS DOUBLE))
+                              / sqrt(CAST(v AS DOUBLE))) END, 6) AS chi2
+         FROM agg""",
 
     // Monroe et al. log-odds with Dirichlet prior: vocab filtered to
     // global count >= 20 BEFORE totals, alpha=0.5, top-5 per source by

@@ -653,6 +653,15 @@ object Dedup {
     * (band, chunk) buckets — the same boilerplate guard as every other
     * dedup path here; pass Int.MaxValue for the exact contract.
     *
+    * Sizing: even on UNIFORM fingerprints, expected random bucket
+    * collisions are ~bands·n²/2^(chunk+1), so the chunk width must grow
+    * with the corpus — bands=8 (8-bit chunks) is for ≲10⁵ rows; a 10⁶–
+    * 10⁸ corpus wants bands=4 (16-bit chunks, maxHamming ≤ 3); beyond
+    * that, bands=2 (32-bit chunks, maxHamming ≤ 1) or a multi-index
+    * scheme. Trading maxHamming down with width is exactly the
+    * production pHash/SimHash dedup trade (measured in ScaleProbe's
+    * hamming family).
+    *
     * Output: (a_id, b_id, hamming), a_id < b_id. */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
       bits: Int = 64, bands: Int = 8, maxHamming: Int = 7,

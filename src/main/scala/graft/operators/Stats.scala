@@ -252,8 +252,18 @@ object Stats {
       .withColumn("pday", date_sub(col("day"), col("lag")))
     val pairs = withLag.join(
       daily.select(col("day").as("pday"), col("n").as("y")), Seq("pday"))
+    corrOverPairs(pairs, Seq("lag"), "acf")
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"), col("acf"))
+  }
+
+  /** Pearson r per group over integer (x, y) pair columns, the shared
+    * exact-moment kernel behind [[acfDaily]] / [[ccfDaily]]: decimal
+    * moment sums (exact, order-free), closed formula in double with a
+    * fixed operand order, NULL on zero variance, rounded to 6 dp. */
+  private def corrOverPairs(pairs: DataFrame, byCols: Seq[String],
+      outCol: String): DataFrame = {
     def d(c: Column): Column = c.cast("decimal(19,0)")
-    val m = pairs.groupBy("lag").agg(
+    val m = pairs.groupBy(byCols.map(col): _*).agg(
       count(lit(1)).as("n_pairs"),
       sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
       sum(d(col("x")) * d(col("x"))).as("sxx"),
@@ -266,8 +276,92 @@ object Stats {
       col("sx").cast("double") * col("sx").cast("double")
     val vy = np * col("syy").cast("double") -
       col("sy").cast("double") * col("sy").cast("double")
-    m.select(col("lag").cast("long").as("lag"), col("n_pairs"),
-      round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).as("acf"))
+    m.select(byCols.map(col) ++ Seq(col("n_pairs"),
+      round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).as(outCol)): _*)
+  }
+
+  /** Lead–lag cross-correlation between two event types' daily series:
+    * corr(countA(day), countB(day + lag)) for lag in −maxLag..maxLag —
+    * a peak at positive lag means `typeA` LEADS `typeB` by that many
+    * days (the signup→purchase pipeline delay readout). Lag 0 is plain
+    * same-day correlation; the negative side is the reverse direction,
+    * so the full curve diagnoses which series drives which. Same
+    * calendar-bounded join + exact-moment kernel as [[acfDaily]]. */
+  def ccfDaily(events: DataFrame, typeCol: String, tsCol: String,
+      typeA: String, typeB: String, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    def series(t: String) = events.filter(col(typeCol) === t)
+      .groupBy(to_date(col(tsCol)).as("day")).agg(count(lit(1)).as("n"))
+    val a = series(typeA)
+    val b = series(typeB)
+    val withLag = a.select(col("day"), col("n").as("x"),
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+      .withColumn("bday", date_add(col("day"), col("lag")))
+    val pairs = withLag.join(
+      b.select(col("day").as("bday"), col("n").as("y")), Seq("bday"))
+    corrOverPairs(pairs, Seq("lag"), "ccf")
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"), col("ccf"))
+  }
+
+  /** Two-sample log-rank test (Mantel–Cox): does the treated cohort
+    * convert on a different time-to-event curve than control? The
+    * hypothesis test that pairs with [[kaplanMeier]]'s descriptive
+    * curve. Per distinct event time t: observed group-A conversions
+    * d_A(t) vs expected n_A(t)·d(t)/n(t) under H₀, hypergeometric
+    * variance n_A·n_B·d·(n−d) / (n²·(n−1)); z = (O−E)/√V,
+    * χ² = z². Same per-user duration reduction as kaplanMeier
+    * (first event → first conversion, censored at last activity).
+    *
+    * Per-t expectation/variance terms are rational numbers; each is
+    * rounded to 10 dp and summed in exact decimal so the test statistic
+    * is order-free and replayable (the 1e-10 term quantization is part
+    * of the operator's pinned definition). Event-time frame is
+    * calendar-bounded (limit proof, as in kaplanMeier). */
+  def logRank(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, convType: String, treated: Column): DataFrame = {
+    val perUser = events.groupBy(col(userCol)).agg(
+      to_date(min(col(tsCol))).as("d0"),
+      to_date(min(when(col(typeCol) === convType, col(tsCol)))).as("dp"),
+      to_date(max(col(tsCol))).as("dl"),
+      max(when(treated, 1L).otherwise(0L)).as("grp"))
+    val durations = perUser.select(
+      when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+        .otherwise(datediff(col("dl"), col("d0"))).as("t"),
+      when(col("dp").isNotNull, 1L).otherwise(0L).as("observed"),
+      col("grp"))
+    val byT = durations.groupBy("t").agg(
+      sum("observed").as("d"),
+      sum(col("observed") * col("grp")).as("da"),
+      count(lit(1)).as("ended"),
+      sum("grp").as("endeda"))
+      .limit(10000)
+    val totals = byT.agg(sum("ended").as("n_total"),
+      sum("endeda").as("n_total_a"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(totals))
+      .withColumn("n", col("n_total") -
+        coalesce(sum("ended").over(wPrev), lit(0L)))
+      .withColumn("na", col("n_total_a") -
+        coalesce(sum("endeda").over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+    val nD = col("n").cast("double")
+    val naD = col("na").cast("double")
+    val dD = col("d").cast("double")
+    val eTerm = round(naD * dD / nD, 10).cast("decimal(28,10)")
+    val vTerm = when(col("n") > 1, round(
+        naD * (nD - naD) * dD * (nD - dD) / (nD * nD * (nD - lit(1.0))), 10))
+      .otherwise(lit(0.0)).cast("decimal(28,10)")
+    val agg = risk.agg(
+      max("n_total").as("n_users"), max("n_total_a").as("n_users_a"),
+      sum("da").as("oa"), sum(eTerm).as("ea"), sum(vTerm).as("v"))
+    val z = (col("oa").cast("double") - col("ea").cast("double")) /
+      sqrt(col("v").cast("double"))
+    agg.select(col("n_users"), col("n_users_a"), col("oa"),
+      round(col("ea").cast("double"), 6).as("ea"),
+      round(col("v").cast("double"), 6).as("v"),
+      round(when(col("v").cast("double") > 0, z), 6).as("z"),
+      round(when(col("v").cast("double") > 0, z * z), 6).as("chi2"))
   }
 
   /** Spearman rank correlation between two integer daily series —

@@ -375,6 +375,46 @@ class StatsSpec extends SparkSpec {
       .getAs[Double]("spearman") == 1.0)
   }
 
+  test("ccfDaily: planted 2-day lead shows a perfect peak at lag +2") {
+    // a spikes day 3, b spikes day 5 → corr(a_t, b_{t+2}) = 1 over the
+    // 4 overlapping days
+    val rows =
+      (1 to 6).flatMap(d => Seq.fill(if (d == 3) 5 else 1)((1, "a", d))) ++
+        (1 to 6).flatMap(d => Seq.fill(if (d == 5) 5 else 1)((1, "b", d)))
+    val r = Stats.ccfDaily(ev(rows: _*), "event_type", "ts", "a", "b",
+        maxLag = 3)
+      .collect().map(x => x.getAs[Long]("lag") ->
+        (x.getAs[Long]("n_pairs"), x.getAs[Double]("ccf"))).toMap
+    assert(r(2L) == ((4L, 1.0)))
+    assert(r(0L)._1 == 6L && r(0L)._2 < 1.0)
+    assert(r.contains(-2L), "negative lags must be present")
+  }
+
+  test("logRank: hand-computed O/E/V on a four-user fixture") {
+    // A (even ids): u2 converts t=0, u4 at t=1; B (odd): u1,u3 censored
+    // at t=2. Risk table: t=0 n=4 na=2 d=1 da=1 → e=.5, v=.25;
+    // t=1 n=3 na=1 d=1 da=1 → e=1/3, v=4/18; t=2 d=0 dropped.
+    val df = ev((2, "view", 1), (2, "purchase", 1),
+      (4, "view", 1), (4, "purchase", 2),
+      (1, "view", 1), (1, "click", 3),
+      (3, "view", 1), (3, "click", 3))
+    val r = Stats.logRank(df, "user_id", "event_type", "ts", "purchase",
+      treated = col("user_id") % 2 === 0).head()
+    assert(r.getAs[Long]("n_users") == 4L && r.getAs[Long]("n_users_a") == 2L)
+    assert(r.getAs[Long]("oa") == 2L)
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ea = BigDecimal(r10(0.5)) + BigDecimal(r10(1.0 * 1 / 3))
+    val v = BigDecimal(r10(0.25)) + BigDecimal(r10(1.0 * 2 * 1 * 2 / (9.0 * 2)))
+    assert(r.getAs[Double]("ea") == r6(ea.toDouble))
+    assert(r.getAs[Double]("v") == r6(v.toDouble))
+    val z = (2.0 - ea.toDouble) / math.sqrt(v.toDouble)
+    assert(r.getAs[Double]("z") == r6(z))
+    assert(r.getAs[Double]("chi2") == r6(z * z))
+  }
+
   test("poissonBootstrap: exact replay of weights, replicate means, and endpoints") {
     val B = 8
     val rows = (1L to 200L).map(id => (id, (id % 7).toDouble))
