@@ -4233,6 +4233,16 @@ object SparkEntry {
           (col("n_chars") >= 150).as("label")),
         "score", "label")),
 
+    // decile gains/lift table for the same score/label pair q_auc
+    // compresses to one number: exact percentile thresholds (no global
+    // sort), map-side band assignment, 10-row cumulative frame
+    "q_gains" -> ((s, dir) =>
+      Stats.gainsTable(
+        docs(s, dir).select(qualityLogit(col("text")).as("score"),
+          (col("n_chars") >= 150).as("label")),
+        "score", "label", buckets = 10)
+        .orderBy("band")),
+
     // NDCG@10 of the BM25 ranking with graded relevance (capped query-
     // term frequency): DCG/IDCG over the bounded top-k frame, gains
     // rounded then decimal-summed — completes the retrieval-eval family
@@ -9626,6 +9636,41 @@ object SparkEntry {
                       / (CAST(max(tot.p_tot) AS DOUBLE)
                          * max(tot.n_tot)), 6) AS auc
          FROM cum CROSS JOIN tot""",
+
+    // same score CTE as q_auc; quantile_cont mirrors Spark's exact
+    // interpolated percentile (parity precedent: q_percentile), band =
+    // count of thresholds strictly below the 6-dp score
+    "q_gains" ->
+      s"""WITH sc AS ($qualityScoreOracleSql),
+         s AS (SELECT score,
+                      CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS y
+               FROM sc),
+         thr AS (SELECT quantile_cont(score,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t
+                 FROM s),
+         b AS (SELECT CAST(11 - (1 + list_sum(list_transform(thr.t,
+                        x -> CASE WHEN s.score > x THEN 1 ELSE 0 END)))
+                        AS BIGINT) AS band,
+                      s.y
+               FROM s CROSS JOIN thr),
+         g AS (SELECT band, count(*) AS n, CAST(SUM(y) AS BIGINT) AS conv
+               FROM b GROUP BY band),
+         w AS (SELECT band, n, conv,
+                 SUM(n) OVER () AS tot_n,
+                 SUM(conv) OVER () AS tot_conv,
+                 SUM(conv) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum_conv
+               FROM g)
+         SELECT band, n, conv,
+                ROUND(CAST(conv AS DOUBLE) / n, 6) AS conv_rate,
+                ROUND(CASE WHEN tot_conv > 0
+                      THEN CAST(cum_conv AS DOUBLE) / tot_conv END, 6)
+                  AS cum_capture,
+                ROUND(CASE WHEN tot_conv > 0
+                      THEN (CAST(conv AS DOUBLE) / n)
+                           / (CAST(tot_conv AS DOUBLE) / tot_n) END, 6)
+                  AS lift
+         FROM w ORDER BY band""",
 
     // same BM25 chain as q_bm25; graded rel = capped term frequency;
     // gains rounded then decimal-summed; ndcg on the rounded pair

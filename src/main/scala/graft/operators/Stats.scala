@@ -364,6 +364,55 @@ object Stats {
       round(when(col("v").cast("double") > 0, z * z), 6).as("chi2"))
   }
 
+  /** Decile gains/lift table for a model score — the standard targeting
+    * readout ("the top 2 deciles capture X% of conversions, lift Y")
+    * that [[rocAuc]] compresses into one number and [[calibration]]
+    * reads per-bin: rank rows into `buckets` score bands via EXACT
+    * interpolated percentile thresholds of the 6-dp-rounded score (no
+    * global sort — one percentile aggregate, then a map-side threshold
+    * compare), then cumulative conversion capture and lift from the
+    * best band down.
+    *
+    * Thresholds, band assignment (count of thresholds strictly below
+    * the score), and all rates are deterministic functions of the
+    * rounded score, so the whole table replays cross-engine. The only
+    * windows ride the `buckets`-row band frame (limit-proof bounded).
+    * Output per band (1 = best scores): n, conv, conv_rate,
+    * cum_capture (share of all conversions in bands ≤ this one),
+    * lift (band-to-population conversion ratio). */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val scored = df.select(round(col(scoreCol), 6).as("score"),
+      col(labelCol).cast("long").as("y"))
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val thr = scored.agg(
+      expr(s"percentile(score, array(${probs.mkString(",")}))").as("t"))
+    val asc = lit(1) + aggregate(
+      transform(col("t"), x => when(col("score") > x, 1).otherwise(0)),
+      lit(0), (a, b) => a + b)
+    val bands = scored.crossJoin(broadcast(thr))
+      .withColumn("band", (lit(buckets + 1) - asc).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum("y").as("conv"))
+      .limit(buckets) // band domain is 1..buckets; proves windows safe
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("tot_n", sum("n").over(wAll))
+      .withColumn("tot_conv", sum("conv").over(wAll))
+      .withColumn("cum_conv", sum("conv").over(wCum))
+      .select(col("band"), col("n"), col("conv"),
+        round(col("conv").cast("double") / col("n"), 6).as("conv_rate"),
+        round(when(col("tot_conv") > 0,
+          col("cum_conv").cast("double") / col("tot_conv")), 6).as("cum_capture"),
+        round(when(col("tot_conv") > 0,
+          (col("conv").cast("double") / col("n")) /
+            (col("tot_conv").cast("double") / col("tot_n"))), 6).as("lift"))
+  }
+
   /** Spearman rank correlation between two integer daily series —
     * events per day (volume) vs distinct users per day (breadth): the
     * robust, monotone-association complement to [[pearsonPairs]]

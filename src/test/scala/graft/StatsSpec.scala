@@ -415,6 +415,24 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("chi2") == r6(z * z))
   }
 
+  test("gainsTable: even 100-point score grid gives exact decile capture and lift") {
+    // scores 0.01..1.00, converters = top 20 scores → bands 1-2 capture
+    // everything at lift 5, bands 3-10 at 0
+    val df = (1 to 100).map(i => (i / 100.0, i >= 81)).toDF("score", "label")
+    val r = Stats.gainsTable(df, "score", "label", buckets = 10)
+      .orderBy("band").collect()
+    assert(r.length == 10)
+    assert(r.forall(_.getAs[Long]("n") == 10L), "even grid → 10 per band")
+    assert(r.map(_.getAs[Long]("conv")).toSeq ==
+      Seq(10L, 10L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(r(0).getAs[Double]("conv_rate") == 1.0 &&
+      r(0).getAs[Double]("lift") == 5.0)
+    assert(r(0).getAs[Double]("cum_capture") == 0.5)
+    assert(r(1).getAs[Double]("cum_capture") == 1.0)
+    assert(r.last.getAs[Double]("cum_capture") == 1.0)
+    assert(r.last.getAs[Double]("lift") == 0.0)
+  }
+
   test("poissonBootstrap: exact replay of weights, replicate means, and endpoints") {
     val B = 8
     val rows = (1L to 200L).map(id => (id, (id % 7).toDouble))
