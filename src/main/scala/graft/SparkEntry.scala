@@ -1010,6 +1010,31 @@ object SparkEntry {
     // CDC change feed between table versions (Delta CDF analogue):
     // create target, merge source, read inserts/updates/deletes vs the
     // retained snapshot
+    // incremental view maintenance: a per-customer (count, sum) view
+    // kept fresh from the base table's CDC feed across an upsert AND a
+    // delete batch — O(changes), never a base rescan; the oracle is the
+    // full recompute the delta rule must equal
+    "q_ivm" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_ivm", Seq("o_orderkey"))
+      val v = LakeTable(s, root, "orders_ivm_view", Seq("o_custkey"))
+      t.drop(); v.drop() // fresh history per run (rerun stability)
+      t.create(target)
+      v.create(graft.table.IncrementalView.sumView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(source)
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainSumView(t, v, Seq("o_custkey"),
+        "o_totalprice", sinceVersion = t.availableVersions.min)
+      v.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("double").as("sum_total"))
+        .orderBy("o_custkey")
+    }),
+
     "q_cdc" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
       val target = orders.filter(col("o_orderkey") % 3 =!= 0)
@@ -4620,6 +4645,25 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                            WHERE l.l_quantity >= 49 AND l.l_partkey = p.p_partkey)
          ORDER BY p_partkey""",
+
+    // full recompute of the final base state (merge then delete) — the
+    // delta-maintained view must equal it exactly
+    "q_ivm" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
 
     "q_merge_upsert" ->
       """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
