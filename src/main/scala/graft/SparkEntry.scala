@@ -2910,6 +2910,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // REAL multi-frame video-analogue sampling: per key a 6-frame 2x2
+    // animated GIF (shared gray palette, interlace disabled — the two
+    // conditions under which the JDK GIF roundtrip is pixel-exact),
+    // strided frame decode (stride 2 → frames 0,2,4) with per-frame
+    // mean luma replaying as pure key arithmetic
+    "q_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 300).as[Long].map { k =>
+          val payload = graft.operators.Codecs.encodeGifFrames(2, 2, 6,
+            palette = i => i * 0x010101,
+            pixelIdx = (f, x, y) =>
+              ((k * 13 + f * 97 + y * 31 + x * 53) % 256).toInt)
+          graft.operators.Multimodal.MediaRow(k, "video", payload)
+        }
+      graft.operators.Multimodal.sampleFramesReal(rows, stride = 2).toDF()
+        .filter(col("decoded"))
+        .select(col("media_id").as("o_orderkey"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("mean_level"), 4).as("luma"))
+        .orderBy("o_orderkey", "frame_idx")
+    }),
+
     // SCD Type 2 MERGE: two history-preserving upserts (initial load,
     // then a batch where 1-in-3 keys changed and 1-in-3 is a no-op);
     // fixed asOf timestamps keep reruns + oracle deterministic
@@ -7437,6 +7461,32 @@ object SparkEntry {
                     0.114 * ((o_orderkey // 7 + 3) % 256))) / 4, 4)
                 END AS luma
          FROM orders WHERE o_orderkey < 600 ORDER BY o_orderkey""",
+
+    // gray palette (r=g=b=v) and a lossless GIF roundtrip make each
+    // sampled frame's luma pure key arithmetic: per pixel the same
+    // three-term 601 form the decoder accumulates, row-major order
+    "q_gif_frames" ->
+      """WITH k AS (SELECT o_orderkey AS k FROM orders
+                    WHERE o_orderkey < 300),
+         fr AS (SELECT unnest([0, 2, 4]) AS f)
+         SELECT k.k AS o_orderkey, CAST(fr.f AS BIGINT) AS frame_idx,
+                CAST(6 AS BIGINT) AS n_frames,
+                ROUND((
+                  (0.299 * ((k.k * 13 + fr.f * 97) % 256) +
+                   0.587 * ((k.k * 13 + fr.f * 97) % 256) +
+                   0.114 * ((k.k * 13 + fr.f * 97) % 256)) +
+                  (0.299 * ((k.k * 13 + fr.f * 97 + 53) % 256) +
+                   0.587 * ((k.k * 13 + fr.f * 97 + 53) % 256) +
+                   0.114 * ((k.k * 13 + fr.f * 97 + 53) % 256)) +
+                  (0.299 * ((k.k * 13 + fr.f * 97 + 31) % 256) +
+                   0.587 * ((k.k * 13 + fr.f * 97 + 31) % 256) +
+                   0.114 * ((k.k * 13 + fr.f * 97 + 31) % 256)) +
+                  (0.299 * ((k.k * 13 + fr.f * 97 + 84) % 256) +
+                   0.587 * ((k.k * 13 + fr.f * 97 + 84) % 256) +
+                   0.114 * ((k.k * 13 + fr.f * 97 + 84) % 256))
+                ) / 4, 4) AS luma
+         FROM k CROSS JOIN fr
+         ORDER BY o_orderkey, frame_idx""",
 
     // NN 2x2 -> 1x1 through PNG re-encode keeps exactly the top-left
     // pixel (i=0), whose channels replay as pure arithmetic on the key

@@ -357,6 +357,104 @@ object Codecs {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Deterministic multi-frame (animated) GIF builder: `frames` frames
+    * of w×h pixels, each pixel the PALETTE INDEX `pixelIdx(f, x, y)`
+    * (0..255), with `palette(i)` giving index i's 24-bit RGB. Two
+    * choices make the roundtrip pixel-exact (probed, and pinned in
+    * MultimodalSpec): frames are TYPE_BYTE_INDEXED on one shared
+    * IndexColorModel (the default RGB path re-quantizes per frame —
+    * lossy), and interlace is explicitly DISABLED (the JDK writer
+    * defaults to interlaced output whose row order the JDK reader then
+    * scrambles on small rasters — rows came back permuted with one row
+    * dropped until `setProgressiveMode(MODE_DISABLED)`). */
+  def encodeGifFrames(w: Int, h: Int, frames: Int, palette: Int => Int,
+      pixelIdx: (Int, Int, Int) => Int): Array[Byte] = {
+    val rr = new Array[Byte](256); val gg = new Array[Byte](256)
+    val bb = new Array[Byte](256)
+    var i = 0
+    while (i < 256) {
+      val p = palette(i) & 0xffffff
+      rr(i) = ((p >> 16) & 0xff).toByte
+      gg(i) = ((p >> 8) & 0xff).toByte
+      bb(i) = (p & 0xff).toByte
+      i += 1
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 256, rr, gg, bb)
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, pixelIdx(f, x, y) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    baos.toByteArray
+  }
+
+  case class GifFrame(index: Int, width: Int, height: Int, meanLevel: Double)
+
+  /** REAL multi-frame GIF decode: per frame, dims and the same ITU-R
+    * 601 mean luma as [[decodeImage]] (row-major accumulation —
+    * arithmetic-replayable for palettes the writer preserves exactly).
+    * None for non-GIF or malformed payloads; never throws. The frame
+    * WORK-LIST stage of a video pipeline, with the per-frame decode
+    * real instead of stubbed. */
+  def gifFrameFeatures(bytes: Array[Byte]): Option[Seq[GifFrame]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            if (!reader.getFormatName.equalsIgnoreCase("gif")) None
+            else {
+              reader.setInput(iis, false, true)
+              val n = reader.getNumImages(true)
+              if (n <= 0) None
+              else Some((0 until n).map { f =>
+                val img = reader.read(f)
+                val w = img.getWidth; val h = img.getHeight
+                var luma = 0.0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    luma += 0.299 * ((rgb >> 16) & 0xff) +
+                      0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                GifFrame(f, w, h, luma / (w.toLong * h))
+              })
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Integer gray raster of an ImageIO payload: (width, height,
     * row-major per-pixel r+g+b sums). The channel SUM (not /3) keeps the
     * value in exact integer space — downstream perceptual hashing

@@ -164,6 +164,37 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("media_id", "frame_idx")
 
+  case class FrameFeatureRow(media_id: Long, decoded: Boolean,
+      frame_idx: Int, n_frames: Int, width: Int, height: Int,
+      mean_level: Double)
+
+  /** REAL strided frame sampling over multi-frame GIF payloads — the
+    * video-pipeline stage [[sampleFrames]] plans by metadata, with the
+    * per-frame decode actually performed ([[Codecs.gifFrameFeatures]]):
+    * every `stride`-th frame comes back with dims + mean luma. Payloads
+    * no pure-JVM codec can frame-split (H.264 etc.) yield one
+    * `decoded = false` row — route those to the metadata-only plan or
+    * an external decode service. Same mapPartitions batch shape as the
+    * other codec stages; output size is frames/stride per row, bounded
+    * by the payload itself. */
+  def sampleFramesReal(media: Dataset[MediaRow],
+      stride: Int): Dataset[FrameFeatureRow] = {
+    require(stride >= 1, s"need stride >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Codecs.gifFrameFeatures(r.payload) match {
+        case Some(frames) =>
+          frames.indices.by(stride).map { i =>
+            val f = frames(i)
+            FrameFeatureRow(r.media_id, decoded = true, f.index,
+              frames.size, f.width, f.height, f.meanLevel)
+          }
+        case None =>
+          Seq(FrameFeatureRow(r.media_id, decoded = false, -1, 0, 0, 0, 0.0))
+      }
+    })
+  }
+
   case class PHashRow(media_id: Long, decoded: Boolean, phash: Long,
       width: Int, height: Int)
 

@@ -276,6 +276,37 @@ class MultimodalSpec extends SparkSpec {
       out(2).width == 3 && out(2).height == 2)
   }
 
+  test("multi-frame GIF roundtrip is pixel-exact; strided sampling and totality") {
+    import graft.operators.Codecs
+    // 4 frames of 3x2; palette index = gray level; frame f pixel (x,y)
+    // carries index (f*50 + y*10 + x) — all distinct, all recoverable
+    val gif = Codecs.encodeGifFrames(3, 2, 4, i => i * 0x010101,
+      (f, x, y) => f * 50 + y * 10 + x)
+    val frames = Codecs.gifFrameFeatures(gif).get
+    assert(frames.size == 4)
+    assert(frames.forall(f => f.width == 3 && f.height == 2))
+    // mean luma of frame f replays: pixels f*50 + {0,1,2,10,11,12}
+    for (f <- 0 until 4) {
+      val want = (Seq(0, 1, 2, 10, 11, 12).map(d => f * 50 + d)
+        .map(v => 0.299 * v + 0.587 * v + 0.114 * v)).sum / 6
+      assert(frames(f).meanLevel == want, s"frame $f")
+    }
+    // strided sampling keeps frames 0 and 2 of 4
+    val rows = Seq(Multimodal.MediaRow(1L, "video", gif),
+      Multimodal.MediaRow(2L, "video", Array[Byte](1, 2, 3)),
+      Multimodal.MediaRow(3L, "video",
+        graft.operators.Codecs.encodeImage("png", 2, 2, (_, _) => 0)))
+    val out = Multimodal.sampleFramesReal(rows.toDS(), stride = 2)
+      .collect().sortBy(r => (r.media_id, r.frame_idx))
+    val ours = out.filter(_.media_id == 1L)
+    assert(ours.map(_.frame_idx).toSeq == Seq(0, 2) &&
+      ours.forall(_.n_frames == 4))
+    // junk and non-GIF (PNG is single-frame ImageIO but not a frame
+    // stream) come back as clean undecoded rows, never a throw
+    assert(out.filter(_.media_id == 2L).map(_.decoded).toSeq == Seq(false))
+    assert(out.filter(_.media_id == 3L).map(_.decoded).toSeq == Seq(false))
+  }
+
   test("perceptualHash: exact hand-computed bits, corrupt bytes flagged") {
     // 2x2 raster, r+g+b sums: (0,0)->30, (1,0)->300, (0,1)->60, (1,1)->90
     // total=480; bit_i = 4*s_i > 480 → only pixel (1,0) = cell index 1
