@@ -379,15 +379,28 @@ object Stats {
     * windows ride the `buckets`-row band frame (limit-proof bounded).
     * Output per band (1 = best scores): n, conv, conv_rate,
     * cum_capture (share of all conversions in bands ≤ this one),
-    * lift (band-to-population conversion ratio). */
+    * lift (band-to-population conversion ratio).
+    *
+    * Cardinality guard (same rule as
+    * [[graft.operators.Profiling.keySkewProfile]]): exact `percentile`
+    * buffers every score in ONE aggregation buffer, so thresholds stay
+    * exact only up to `exactThresholdsUpTo` rows and switch to
+    * `approx_percentile` (10⁴ accuracy) above it — at corpus scale the
+    * decile boundaries are statistics, not contracts, and the rest of
+    * the pipeline (band compare, rates) is unchanged. The row-count
+    * probe is a count over the pruned scan (parquet answers it from
+    * footer metadata). */
   def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
-      buckets: Int = 10): DataFrame = {
+      buckets: Int = 10, exactThresholdsUpTo: Long = 4194304L): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
     val scored = df.select(round(col(scoreCol), 6).as("score"),
       col(labelCol).cast("long").as("y"))
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
-    val thr = scored.agg(
-      expr(s"percentile(score, array(${probs.mkString(",")}))").as("t"))
+    val pctExpr =
+      if (df.count() <= exactThresholdsUpTo)
+        s"percentile(score, array(${probs.mkString(",")}))"
+      else s"approx_percentile(score, array(${probs.mkString(",")}), 10000)"
+    val thr = scored.agg(expr(pctExpr).as("t"))
     val asc = lit(1) + aggregate(
       transform(col("t"), x => when(col("score") > x, 1).otherwise(0)),
       lit(0), (a, b) => a + b)

@@ -433,6 +433,20 @@ class StatsSpec extends SparkSpec {
     assert(r.last.getAs[Double]("lift") == 0.0)
   }
 
+  test("gainsTable: past the cardinality bound the approx-threshold path holds the contract") {
+    val df = (1 to 100).map(i => (i / 100.0, i >= 81)).toDF("score", "label")
+    val r = Stats.gainsTable(df, "score", "label", buckets = 10,
+      exactThresholdsUpTo = 10L) // force approx_percentile
+      .orderBy("band").collect()
+    // boundaries are now statistics, but the table contract holds:
+    // every row banded, capture monotone to 1, top band still lift > 1
+    assert(r.map(_.getAs[Long]("n")).sum == 100L)
+    val caps = r.map(_.getAs[Double]("cum_capture"))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b } &&
+      caps.last == 1.0)
+    assert(r.head.getAs[Double]("lift") > 1.0)
+  }
+
   test("poissonBootstrap: exact replay of weights, replicate means, and endpoints") {
     val B = 8
     val rows = (1L to 200L).map(id => (id, (id % 7).toDouble))
