@@ -808,8 +808,16 @@ object Stats {
     * what makes the answer meaningful). */
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
       maxDistinctX: Int = 10000): DataFrame = {
-    val g = df.groupBy(xCol).agg(min(col(yCol)).as("__miny"))
-      .limit(maxDistinctX) // proves the window input bounded (PlanLint)
+    val g0 = df.groupBy(xCol).agg(min(col(yCol)).as("__miny"))
+    // fail LOUDLY past the bound — a silent limit-truncation would drop
+    // staircase segments and return a wrong (too large) skyline; the
+    // probe is one count over the already-aggregated frame
+    val nx = g0.count()
+    require(nx <= maxDistinctX,
+      s"skyline2d: $nx distinct $xCol values exceed maxDistinctX=" +
+        s"$maxDistinctX - quantize x first (the answer is only " +
+        "meaningful on a bounded dimension) or raise the bound")
+    val g = g0.limit(maxDistinctX) // proves the window input bounded (PlanLint)
     val w = Window.orderBy(col(xCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val st = g.withColumn("__strict", min("__miny").over(w))

@@ -52,9 +52,13 @@ object IncrementalView {
         (coalesce(col("v_n"), lit(0L)) + col("d_n")).as("n"),
         (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) + col("d_sum"))
           .cast("decimal(30,4)").as("sum_value")): _*)
+      .localCheckpoint(true) // computed once: probed below AND merged
     view.upsert(changed)
     // groups whose last member was deleted: a table-level condition
-    // delete (no driver-side key list), linear in the VIEW, not the base
-    view.delete(col("n") <= 0L)
+    // delete (no driver-side key list). The probe on the SMALL changed
+    // frame skips the view rewrite entirely in the common no-extinction
+    // batch, keeping maintenance O(changes).
+    if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
+      view.delete(col("n") <= 0L)
   }
 }
