@@ -1024,14 +1024,48 @@ object SparkEntry {
       val v = LakeTable(s, root, "orders_ivm_view", Seq("o_custkey"))
       t.drop(); v.drop() // fresh history per run (rerun stability)
       t.create(target)
+      // record the snapshot the view is built from — NOT
+      // availableVersions.min, which only coincides with it while
+      // retention happens to keep the create version around
+      val v0 = t.version
       v.create(graft.table.IncrementalView.sumView(
         t.read, Seq("o_custkey"), "o_totalprice"))
       t.upsert(source)
       t.delete(col("o_orderkey") % 5 === 0)
       graft.table.IncrementalView.maintainSumView(t, v, Seq("o_custkey"),
-        "o_totalprice", sinceVersion = t.availableVersions.min)
+        "o_totalprice", sinceVersion = v0)
       v.read.select(col("o_custkey"), col("n"),
           col("sum_value").cast("double").as("sum_total"))
+        .orderBy("o_custkey")
+    }),
+
+    // min/max incremental view maintenance: same CDC batches as q_ivm,
+    // but the view also carries per-group extrema — maintained from the
+    // insert-side delta when safe and by a per-group base rescan only
+    // where a delete removed the current extremum (the textbook IVM
+    // caveat, implemented instead of documented). Oracle = the full
+    // recompute the maintained view must equal exactly.
+    "q_ivm_minmax" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_ivmmm", Seq("o_orderkey"))
+      val v = LakeTable(s, root, "orders_ivmmm_view", Seq("o_custkey"))
+      t.drop(); v.drop()
+      t.create(target)
+      val v0 = t.version
+      v.create(graft.table.IncrementalView.minMaxView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(source) // doubles even-key prices: moves many group maxima
+      t.delete(col("o_orderkey") % 5 === 0) // deletes extrema + whole groups
+      graft.table.IncrementalView.maintainMinMaxView(t, v, Seq("o_custkey"),
+        "o_totalprice", sinceVersion = v0)
+      v.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("double").as("sum_total"),
+          col("min_value").cast("double").as("min_total"),
+          col("max_value").cast("double").as("max_total"))
         .orderBy("o_custkey")
     }),
 
@@ -4687,6 +4721,29 @@ object SparkEntry {
          SELECT o_custkey, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
                   AS sum_total
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // same replay as q_ivm plus exact min/max — the maintained extrema
+    // (delta rule + threatened-group rescan) must equal the recompute
+    "q_ivm_minmax" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS max_total
          FROM final GROUP BY o_custkey ORDER BY o_custkey""",
 
     "q_merge_upsert" ->
@@ -8575,7 +8632,9 @@ object SparkEntry {
          FROM m""",
 
     // Neyman allocation from one exact-moment aggregate; floor(x+0.5)
-    // rounding so neither engine's round-half mode matters
+    // rounding so neither engine's round-half mode matters, and the
+    // N_h*sd weights rounded to 10dp + decimal-summed so wtot (and
+    // hence every allocation) is order-free cross-engine
     "q_neyman" ->
       """WITH s AS (SELECT c_mktsegment, count(*) AS n_pop,
                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s1,
@@ -8586,11 +8645,14 @@ object SparkEntry {
                  sqrt(greatest(0.0, s2 / n_pop - (s1 / n_pop) * (s1 / n_pop)))
                    AS sd
                FROM s),
-         w AS (SELECT SUM(n_pop * sd) AS wtot FROM t)
-         SELECT t.c_mktsegment, t.n_pop, ROUND(t.sd, 6) AS sd,
-                CAST(floor(1000 * (t.n_pop * t.sd) / w.wtot + 0.5) AS BIGINT)
-                  AS n_alloc
-         FROM t CROSS JOIN w ORDER BY t.c_mktsegment""",
+         t2 AS (SELECT c_mktsegment, n_pop, sd,
+                  CAST(round(n_pop * sd, 10) AS DECIMAL(28,10)) AS w
+                FROM t),
+         w AS (SELECT CAST(SUM(w) AS DOUBLE) AS wtot FROM t2)
+         SELECT t2.c_mktsegment, t2.n_pop, ROUND(t2.sd, 6) AS sd,
+                CAST(floor(CAST(1000 AS DOUBLE) * CAST(t2.w AS DOUBLE)
+                           / w.wtot + 0.5) AS BIGINT) AS n_alloc
+         FROM t2 CROSS JOIN w ORDER BY t2.c_mktsegment""",
 
     // brute-force aHash replay: the PNG round-trip is lossless, so the
     // raster IS the key arithmetic; bits compare 16*s_i > total in pure

@@ -684,10 +684,13 @@ object Dedup {
       col("hh").as("a_h"))
     val b = capped.select(col("band"), col("chunk"), col("id").as("b_id"),
       col("hh").as("b_h"))
+    // hamming is a pure function of the pair, so filtering BEFORE the
+    // cross-band distinct is result-identical and keeps the ~all
+    // candidates that fail the threshold out of the dedup shuffle
     a.join(b, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

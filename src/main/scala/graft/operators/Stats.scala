@@ -388,16 +388,20 @@ object Stats {
     * `approx_percentile` (10⁴ accuracy) above it — at corpus scale the
     * decile boundaries are statistics, not contracts, and the rest of
     * the pipeline (band compare, rates) is unchanged. The row-count
-    * probe is a count over the pruned scan (parquet answers it from
-    * footer metadata). */
+    * probe counts the PROJECTED two-column frame (so a bare parquet
+    * input answers from footer metadata and a derived input at least
+    * rides the pruned scan); callers that already know the cardinality
+    * pass `rowCountHint >= 0` and skip the probe job entirely. */
   def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
-      buckets: Int = 10, exactThresholdsUpTo: Long = 4194304L): DataFrame = {
+      buckets: Int = 10, exactThresholdsUpTo: Long = 4194304L,
+      rowCountHint: Long = -1L): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
     val scored = df.select(round(col(scoreCol), 6).as("score"),
       col(labelCol).cast("long").as("y"))
     val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val nRows = if (rowCountHint >= 0) rowCountHint else scored.count()
     val pctExpr =
-      if (df.count() <= exactThresholdsUpTo)
+      if (nRows <= exactThresholdsUpTo)
         s"percentile(score, array(${probs.mkString(",")}))"
       else s"approx_percentile(score, array(${probs.mkString(",")}), 10000)"
     val thr = scored.agg(expr(pctExpr).as("t"))
@@ -836,7 +840,12 @@ object Stats {
     * One aggregate over the table: N_h and exact decimal Σx, Σx² per
     * stratum; σ_h = √(E[x²]−E[x]²) in double from those exact sums
     * (identical operands cross-engine), allocations floor(x+0.5)-rounded
-    * so no engine's round-half mode matters. */
+    * so no engine's round-half mode matters. The per-stratum weight
+    * N_h·σ_h is rounded to 10 dp and summed in exact DECIMAL (the same
+    * round-then-decimal-sum discipline as [[logRank]]) so the total
+    * weight — and therefore every allocation — is order-free: a plain
+    * double sum's partition-dependent order could flip a floor(x+0.5)
+    * that lands within an ulp of a .5 boundary across reruns/engines. */
   def neymanAllocation(df: DataFrame, strataCol: String, valueCol: String,
       totalN: Int): DataFrame = {
     val vDec = col(valueCol).cast("decimal(20,4)")
@@ -846,11 +855,13 @@ object Stats {
       .withColumn("__mean", col("__s1").cast("double") / col("n_pop"))
       .withColumn("sd", sqrt(greatest(lit(0.0),
         col("__s2").cast("double") / col("n_pop") - col("__mean") * col("__mean"))))
-      .withColumn("__w", col("n_pop") * col("sd"))
+      .withColumn("__w",
+        round(col("n_pop") * col("sd"), 10).cast("decimal(28,10)"))
     val tot = s.agg(sum("__w").as("__wtot"))
     s.crossJoin(broadcast(tot))
       .select(col(strataCol), col("n_pop"), round(col("sd"), 6).as("sd"),
-        floor(lit(totalN) * col("__w") / col("__wtot") + lit(0.5))
+        floor(lit(totalN).cast("double") * col("__w").cast("double") /
+            col("__wtot").cast("double") + lit(0.5))
           .cast("long").as("n_alloc"))
   }
 

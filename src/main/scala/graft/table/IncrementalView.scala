@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance over [[LakeTable]] CDC feeds — the
@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   * IncrementalViewSpec pins delta-maintained ≡ full recompute through
   * insert+update+delete batches, and the q_ivm oracle replays the
   * final state relationally.
+  *
+  * MIN/MAX views ([[minMaxView]] / [[maintainMinMaxView]]) are NOT
+  * self-maintainable under deletes — the textbook IVM caveat: an
+  * inserted value can only tighten an extremum
+  * (new_min = least(old, inserted)), but deleting the current extremum
+  * reveals the runner-up, which only the base knows. The standard
+  * resolution implemented here: maintain insert-side extrema purely
+  * from the delta, and rescan ONLY the groups whose current extremum
+  * was deleted (one semi-join of the base against that — usually
+  * empty — key set). The common batch touches no base data at all;
+  * the worst case scans just the threatened groups' partitions, never
+  * the table.
+  *
+  * Sync bookkeeping: both maintainers RETURN the base version they
+  * synced the view to — record it and pass it as the next call's
+  * `sinceVersion`. Re-deriving it from `availableVersions.min` is a
+  * silent-wrong-answer trap: the oldest retained version shifts
+  * forward as writes prune history, so after enough base writes it
+  * stops being "the version the view last saw" while `changesSince`
+  * still succeeds — with an incomplete delta.
   */
 object IncrementalView {
 
@@ -33,11 +53,26 @@ object IncrementalView {
       sum(col(valueCol).cast("decimal(20,4)"))
         .cast("decimal(30,4)").as("sum_value"))
 
+  /** [[sumView]] extended with per-group min/max (same exact
+    * DECIMAL(20,4) value space, so maintained extrema compare
+    * bit-for-bit against recomputed ones). */
+  def minMaxView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(vDec).cast("decimal(30,4)").as("sum_value"),
+      min(vDec).as("min_value"),
+      max(vDec).as("max_value"))
+  }
+
   /** Apply the base table's changes since `sinceVersion` to the stored
     * view: signed per-key deltas → left join against current view rows
-    * → MERGE the changed keys → drop zero-count groups. */
+    * → MERGE the changed keys → drop zero-count groups. Returns the
+    * base version the view is now synced to (pass it as the next
+    * `sinceVersion`). */
   def maintainSumView(base: LakeTable, view: LakeTable, keyCols: Seq[String],
-      valueCol: String, sinceVersion: Int): Unit = {
+      valueCol: String, sinceVersion: Int): Int = {
+    val syncedTo = base.version
     val ch = base.changesSince(sinceVersion)
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
@@ -60,5 +95,69 @@ object IncrementalView {
     // batch, keeping maintenance O(changes).
     if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
       view.delete(col("n") <= 0L)
+    syncedTo
+  }
+
+  /** [[maintainSumView]] for a [[minMaxView]]: count/sum by the exact
+    * delta rule; min/max from insert-side extrema when safe, and a
+    * per-group base rescan ONLY where a delete (or update pre-image)
+    * removed a value tied with the group's current extremum — the one
+    * case the delta cannot answer. Returns the synced base version. */
+  def maintainMinMaxView(base: LakeTable, view: LakeTable,
+      keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
+    val syncedTo = base.version
+    val keys = keyCols.map(col)
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val ch = base.changesSince(sinceVersion)
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val delta = ch.groupBy(keys: _*).agg(
+      sum(when(isIns, 1L).otherwise(-1L)).as("d_n"),
+      sum(when(isIns, vDec).otherwise(-vDec)).as("d_sum"),
+      min(when(isIns, vDec)).as("ins_min"),
+      max(when(isIns, vDec)).as("ins_max"),
+      min(when(!isIns, vDec)).as("del_min"),
+      max(when(!isIns, vDec)).as("del_max"))
+    val cur = view.read.select(
+      keys :+ col("n").as("v_n") :+ col("sum_value").as("v_sum") :+
+        col("min_value").as("v_min") :+ col("max_value").as("v_max"): _*)
+    val newN = coalesce(col("v_n"), lit(0L)) + col("d_n")
+    // an extremum is threatened only for a PRE-EXISTING, SURVIVING group
+    // where some deleted value ties the stored extremum (a consistent
+    // view can't have deletes beyond it; <=/>= also self-heals drift).
+    // NULL values never participate in min/max, so null-row deletes
+    // threaten nothing and the null-vs-null comparison correctly
+    // evaluates to false here.
+    val threatened: Column = col("v_n").isNotNull && newN > 0 &&
+      ((col("del_min") <= col("v_min")) || (col("del_max") >= col("v_max")))
+    val joined = delta.join(cur, keyCols, "left")
+      .withColumn("n", newN)
+      .withColumn("sum_value",
+        (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) + col("d_sum"))
+          .cast("decimal(30,4)"))
+      .withColumn("__rescan", threatened)
+      .localCheckpoint(true) // computed once: rescan-key probe AND merge
+    // base rescan for threatened groups only — broadcast the (usually
+    // empty) key set so the scan side never shuffles, and mark rescanned
+    // rows so a legitimately-NULL recomputed extremum (all remaining
+    // values null) isn't mistaken for "not rescanned"
+    val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
+    val rescanned = base.read
+      .join(broadcast(rescanKeys), keyCols, "left_semi")
+      .groupBy(keys: _*)
+      .agg(min(vDec).as("r_min"), max(vDec).as("r_max"))
+      .withColumn("__rescanned", lit(true))
+    // least/greatest skip NULLs (Spark semantics), which is exactly the
+    // delta rule: no inserts => keep the stored extremum; new group =>
+    // insert-side extremum alone
+    val changed = joined.join(broadcast(rescanned), keyCols, "left")
+      .select(keys ++ Seq(col("n"), col("sum_value"),
+        when(coalesce(col("__rescanned"), lit(false)), col("r_min"))
+          .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),
+        when(coalesce(col("__rescanned"), lit(false)), col("r_max"))
+          .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value")): _*)
+    view.upsert(changed)
+    if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
+      view.delete(col("n") <= 0L)
+    syncedTo
   }
 }

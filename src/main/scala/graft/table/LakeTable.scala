@@ -54,6 +54,17 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   /** K3 — exists probe (filesystem analogue of DeltaTable.isDeltaTable). */
   def exists: Boolean = currentVersion.exists(v => Files.isDirectory(versionDir(v)))
 
+  /** Currently-published version number — the snapshot id a consumer
+    * should RECORD when it syncs to this table (and later pass to
+    * [[changesSince]]), instead of re-deriving it from
+    * [[availableVersions]] after the fact: the oldest RETAINED version
+    * shifts forward as writes prune history, so `availableVersions.min`
+    * silently stops being "the version I synced at" after enough
+    * writes, while the recorded number either still works or fails
+    * loudly in [[readVersion]]'s retention check. */
+  def version: Int = currentVersion.getOrElse(
+    throw new IllegalStateException(s"table $name has no published version"))
+
   /** Directory holding the currently-published version's data files. */
   def currentDir: Path = versionDir(currentVersion.getOrElse(
     throw new IllegalStateException(s"table $name has no published version")))
