@@ -55,4 +55,85 @@ class IncrementalViewSpec extends SparkSpec {
     assert(rows.map(_._1) == Set(20L), s"group 10 must vanish, got $rows")
     assert(rows.head._2 == 1L)
   }
+
+  // ---- min/max maintenance (round 9) ----
+
+  private def mmSnapshot(t: LakeTable): Set[(Long, Long, String, String, String)] =
+    t.read.select(col("k"), col("n"), col("sum_value").cast("string"),
+        col("min_value").cast("string"), col("max_value").cast("string"))
+      .as[(Long, Long, String, String, String)].collect().toSet
+
+  test("min/max maintained == full recompute incl. extremum deletion") {
+    val root = "/tmp/graft_tables/ivm_mm1"
+    val base = LakeTable(spark, root, "mm_base", Seq("id"))
+    val view = LakeTable(spark, root, "mm_view", Seq("k"))
+    base.drop(); view.drop()
+    base.create((1L to 12L).map(i => (i, i % 3, i * 1.0)).toDF("id", "k", "v"))
+    val v0 = base.version
+    view.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+    // doubles make id 10 (k=1, v=20) group 1's max; insert 13..16; then
+    // the delete removes id 10 — the CURRENT max — so the maintainer's
+    // rescan path must reveal the runner-up (16.0), not keep 20.0
+    base.upsert(((1L to 12L).filter(_ % 4 == 0).map(i => (i, i % 3, i * 2.0)) ++
+      (13L to 16L).map(i => (i, i % 3, i * 1.0))).toDF("id", "k", "v"))
+    base.delete(col("id") % 5 === 0)
+    IncrementalView.maintainMinMaxView(base, view, Seq("k"), "v",
+      sinceVersion = v0)
+    val recomputed = LakeTable(spark, root, "mm_recomp", Seq("k"))
+    recomputed.drop()
+    recomputed.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+    assert(mmSnapshot(view) == mmSnapshot(recomputed))
+    // the extremum-deletion really happened: group 1's max is 16, not 20
+    val g1 = mmSnapshot(view).find(_._1 == 1L).get
+    assert(g1._5.startsWith("16."), s"expected rescanned max 16.0, got $g1")
+  }
+
+  test("chained maintenance via the RETURNED synced version " +
+      "(availableVersions.min is the documented trap)") {
+    val root = "/tmp/graft_tables/ivm_mm2"
+    val base = LakeTable(spark, root, "mm_base2", Seq("id"))
+    val view = LakeTable(spark, root, "mm_view2", Seq("k"))
+    base.drop(); view.drop()
+    base.create((1L to 9L).map(i => (i, i % 2, i * 1.0)).toDF("id", "k", "v"))
+    val v0 = base.version
+    view.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+    // batch 1: insert + delete (two base writes)
+    base.upsert((10L to 12L).map(i => (i, i % 2, i * 1.0)).toDF("id", "k", "v"))
+    base.delete(col("id") === 9L) // group 1's max → rescan reveals 11
+    val s1 = IncrementalView.maintainMinMaxView(base, view, Seq("k"), "v", v0)
+    // batch 2: two more writes — by now the CREATE version is pruned
+    // (keepVersions=2), so only the recorded s1 keeps the chain honest
+    base.upsert(Seq((13L, 0L, 0.5)).toDF("id", "k", "v")) // new group-0 min
+    base.delete(col("id") === 12L) // group 0's max 12 → rescan reveals 10
+    IncrementalView.maintainMinMaxView(base, view, Seq("k"), "v", s1)
+    assert(!base.availableVersions.contains(v0),
+      "fixture must prune the create version or the trap isn't exercised")
+    val recomputed = LakeTable(spark, root, "mm_recomp2", Seq("k"))
+    recomputed.drop()
+    recomputed.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+    assert(mmSnapshot(view) == mmSnapshot(recomputed))
+    val g0 = mmSnapshot(view).find(_._1 == 0L).get
+    assert(g0._4.startsWith("0.5") && g0._5.startsWith("10."),
+      s"expected min 0.5 / rescanned max 10.0, got $g0")
+  }
+
+  test("min/max extinction + null values never join the extrema") {
+    val root = "/tmp/graft_tables/ivm_mm3"
+    val base = LakeTable(spark, root, "mm_base3", Seq("id"))
+    val view = LakeTable(spark, root, "mm_view3", Seq("k"))
+    base.drop(); view.drop()
+    base.create(Seq((1L, 10L, Some(5.0)), (2L, 10L, Some(7.0)),
+        (3L, 20L, Some(1.0)), (4L, 20L, None))
+      .toDF("id", "k", "v"))
+    val v0 = base.version
+    view.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+    base.delete(col("k") === 10L) // extinction
+    IncrementalView.maintainMinMaxView(base, view, Seq("k"), "v", v0)
+    val rows = mmSnapshot(view)
+    assert(rows.map(_._1) == Set(20L), s"group 10 must vanish, got $rows")
+    val g20 = rows.head
+    // null row counts in n but not in min/max
+    assert(g20._2 == 2L && g20._4.startsWith("1.") && g20._5.startsWith("1."),
+      s"got $g20")
+  }
 }
