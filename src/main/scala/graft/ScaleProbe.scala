@@ -277,8 +277,35 @@ object ScaleProbe {
         graft.operators.Dedup.hammingPairs(d, "id", "h",
           bits = 64, bands = 4, maxHamming = 3).count()
       }
+      // multi-index variant at the same corpus: 6 tables keyed on
+      // 32-bit chunk pairs (t = blocks - maxHamming = 2) — the >1e8
+      // scale path; planted twins are Hamming-2 so the true pair set
+      // matches the single-chunk run's
+      val (nPairsM, hamMSec) = timed {
+        graft.operators.Dedup.hammingPairsMultiIndex(d, "id", "h",
+          bits = 64, blocks = 4, maxHamming = 2).count()
+      }
+      // candidate-volume accounting, derived INDEPENDENTLY of the
+      // operator internals: Σ_buckets C(size,2) per indexing scheme —
+      // the shuffle the verify stage actually pays. This is the number
+      // the bands·n²/2^(width+1) sizing rule predicts; the probe
+      // measures it instead of trusting the formula.
+      val chunk = 16
+      def chunkCol(b: Int) =
+        shiftrightunsigned(col("h"), b * chunk).bitwiseAND(lit(0xffffL))
+      def cands(keys: Seq[org.apache.spark.sql.Column]): Long =
+        d.select(explode(array(keys.zipWithIndex.map { case (k, i) =>
+            struct(lit(i).as("band"), k.as("k")) }: _*)).as("bk"))
+          .groupBy("bk").count()
+          .agg(sum(col("count") * (col("count") - 1) / 2)).head().getLong(0)
+      val candSingle = cands((0 until 4).map(chunkCol))
+      val candMulti = cands((0 until 4).combinations(2).toSeq.map(idxs =>
+        idxs.map(chunkCol).reduceLeft((a, c) =>
+          shiftleft(a, chunk).bitwiseOR(c))))
       println(s"""{"family":"hamming","factor":$n,"rows":$rows,""" +
-        s""""hamming_sec":${f"$hamSec%.2f"},"n_pairs":$nPairs}""")
+        s""""hamming_sec":${f"$hamSec%.2f"},"n_pairs":$nPairs,""" +
+        s""""hamming_multi_sec":${f"$hamMSec%.2f"},"n_pairs_multi":$nPairsM,""" +
+        s""""cand_single":$candSingle,"cand_multi":$candMulti}""")
     }
 
     // ---- ANN family (round-8): corpus inflation by id-shifted replicas

@@ -3497,6 +3497,36 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // same real-raster aHash fixture through the MULTI-INDEX Hamming
+    // join (the >1e8-fingerprint scale path): blocks=4, maxHamming=2 →
+    // C(4,2)=6 tables keyed on concatenated chunk PAIRS — double-width
+    // keys, so ~2^chunk× fewer random candidates than the single-chunk
+    // bands while pigeonhole still guarantees the EXACT pair set; the
+    // brute-force DuckDB replay is again a full oracle
+    "q_phash_multiindex" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Tables.load(s, dir, "orders").select("o_orderkey")
+        .filter(col("o_orderkey") < 600).as[Long].map { k =>
+          val base = if (k % 5 == 4) k - 1 else k
+          val delta = if (k % 5 == 4) 1 else 0
+          val payload = graft.operators.Codecs.encodeImage("png", 4, 4, (x, y) => {
+            val i = y * 4 + x
+            val d = if (i == 0) delta else 0
+            val r = ((base * 31 + i * 97 + d) % 256).toInt
+            val g = ((base * 53 + i * 193) % 256).toInt
+            val b = ((base * 71 + i * 41) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+          graft.operators.Multimodal.MediaRow(k, "image", payload)
+        }
+      val hashed = graft.operators.Multimodal.perceptualHash(rows, 4, 4)
+        .toDF().filter(col("decoded"))
+      graft.operators.Dedup.hammingPairsMultiIndex(hashed, "media_id", "phash",
+          bits = 16, blocks = 4, maxHamming = 2)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // declarative data-quality gate: completeness / uniqueness / bound /
     // domain / referential-integrity constraints in one scan of orders
     "q_dq_suite" -> ((s, dir) =>
@@ -8679,6 +8709,31 @@ object SparkEntry {
                 CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
          FROM h a JOIN h b ON a.k < b.k
          WHERE bit_count(xor(a.ph, b.ph)) <= 3
+         ORDER BY a_id, b_id""",
+
+    // identical replay, threshold 2 — the multi-index join is exact by
+    // the same pigeonhole argument (>= blocks-maxHamming chunks agree)
+    "q_phash_multiindex" ->
+      """WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 600),
+         px AS (SELECT k,
+                  CASE WHEN k % 5 = 4 THEN k - 1 ELSE k END AS base,
+                  CASE WHEN k % 5 = 4 THEN 1 ELSE 0 END AS delta,
+                  unnest(range(16)) AS i
+                FROM k),
+         s AS (SELECT k, i,
+                 ((base * 31 + i * 97
+                   + CASE WHEN i = 0 THEN delta ELSE 0 END) % 256)
+                 + ((base * 53 + i * 193) % 256)
+                 + ((base * 71 + i * 41) % 256) AS s
+               FROM px),
+         t AS (SELECT k, SUM(s) AS tot FROM s GROUP BY k),
+         h AS (SELECT s.k,
+                 SUM(CASE WHEN 16 * s.s > t.tot THEN 1 << s.i ELSE 0 END) AS ph
+               FROM s JOIN t USING (k) GROUP BY s.k)
+         SELECT a.k AS a_id, b.k AS b_id,
+                CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+         FROM h a JOIN h b ON a.k < b.k
+         WHERE bit_count(xor(a.ph, b.ph)) <= 2
          ORDER BY a_id, b_id""",
 
     // one scan of orders folds every constraint metric; the RI probe is

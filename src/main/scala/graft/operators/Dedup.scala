@@ -657,10 +657,11 @@ object Dedup {
     * collisions are ~bands·n²/2^(chunk+1), so the chunk width must grow
     * with the corpus — bands=8 (8-bit chunks) is for ≲10⁵ rows; a 10⁶–
     * 10⁸ corpus wants bands=4 (16-bit chunks, maxHamming ≤ 3); beyond
-    * that, bands=2 (32-bit chunks, maxHamming ≤ 1) or a multi-index
-    * scheme. Trading maxHamming down with width is exactly the
-    * production pHash/SimHash dedup trade (measured in ScaleProbe's
-    * hamming family).
+    * that, bands=2 (32-bit chunks, maxHamming ≤ 1) or
+    * [[hammingPairsMultiIndex]], whose concatenated-subset keys keep
+    * maxHamming > 1 affordable at 10⁸+ rows. Trading maxHamming down
+    * with width is exactly the production pHash/SimHash dedup trade
+    * (measured in ScaleProbe's hamming family).
     *
     * Output: (a_id, b_id, hamming), a_id < b_id. */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
@@ -670,24 +671,78 @@ object Dedup {
       s"bits=$bits must be a positive multiple of bands=$bands, <= 64")
     val chunk = bits / bands
     val mask = if (chunk == 64) -1L else (1L << chunk) - 1
+    val keys = (0 until bands).map(b =>
+      shiftrightunsigned(col("hh"), b * chunk).bitwiseAND(lit(mask)))
+    bandedHammingJoin(df, idCol, hashCol, keys, maxHamming, maxBucketSize)
+  }
+
+  /** Multi-index banded Hamming self-join — the >10⁸-fingerprint scale
+    * path (the pHash/SimHash-at-scale design of Manku et al.'s simhash
+    * dedup, WWW'07): split the `bits`-wide hash into `blocks` chunks;
+    * two hashes within Hamming `maxHamming` differ in at most
+    * `maxHamming` chunks, so they AGREE on at least
+    * t = blocks − maxHamming chunks — hence on at least one specific
+    * t-subset. One index per t-subset (C(blocks, t) of them), keyed on
+    * the CONCATENATION of that subset's chunks: the key is t·chunk bits
+    * wide instead of chunk bits, so expected random collisions drop
+    * from bands·n²/2^(chunk+1) to C(blocks,t)·n²/2^(t·chunk+1) —
+    * bands=4/maxHamming=2 moves the key from 16 to 32 bits, i.e. ~2¹⁶×
+    * fewer random candidates at the cost of 6 tables instead of 4. Same
+    * pigeonhole exactness as [[hammingPairs]] (no recall loss; the two
+    * operators return IDENTICAL pair sets wherever both are exact), and
+    * the same degenerate-bucket cap.
+    *
+    * Output: (a_id, b_id, hamming), a_id < b_id. */
+  def hammingPairsMultiIndex(df: DataFrame, idCol: String, hashCol: String,
+      bits: Int = 64, blocks: Int = 4, maxHamming: Int = 2,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bits > 0 && bits <= 64 && blocks > 0 && bits % blocks == 0,
+      s"bits=$bits must be a positive multiple of blocks=$blocks, <= 64")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"need 0 <= maxHamming < blocks for the pigeonhole guarantee " +
+        s"(got maxHamming=$maxHamming, blocks=$blocks)")
+    val chunk = bits / blocks
+    val t = blocks - maxHamming
+    val combos = (0 until blocks).combinations(t).toSeq
+    require(combos.size <= 256,
+      s"C($blocks, $t) = ${combos.size} index tables is past the useful " +
+        "range - use fewer blocks (the table count is a real write cost)")
+    val mask = if (chunk == 64) -1L else (1L << chunk) - 1
+    def chunkCol(b: Int) =
+      shiftrightunsigned(col("hh"), b * chunk).bitwiseAND(lit(mask))
+    // concatenated-subset key: injective for t*chunk <= 64 (each shift
+    // is by chunk < 64 and the accumulated width never exceeds 64)
+    val keys = combos.map(idxs =>
+      idxs.map(chunkCol).reduceLeft((acc, c) =>
+        shiftleft(acc, chunk).bitwiseOR(c)))
+    bandedHammingJoin(df, idCol, hashCol, keys, maxHamming, maxBucketSize)
+  }
+
+  /** Shared candidate stage for the banded Hamming joins: explode each
+    * row into (band, key) postings, cap degenerate buckets, self-join
+    * within buckets, verify exact Hamming, and dedup pairs found in
+    * multiple bands. `keys(i)` is band i's bucket key over the `hh`
+    * column. */
+  private def bandedHammingJoin(df: DataFrame, idCol: String,
+      hashCol: String, keys: Seq[Column], maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
     val withHash = df.select(col(idCol).as("id"), col(hashCol).cast("long").as("hh"))
     val banded = withHash.select(col("id"), col("hh"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("hh"), b * chunk).bitwiseAND(lit(mask))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+        posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val capped =
       if (maxBucketSize == Int.MaxValue) banded
       else banded.withColumn("bsize", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")))
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
         .filter(col("bsize") <= maxBucketSize).drop("bsize")
-    val a = capped.select(col("band"), col("chunk"), col("id").as("a_id"),
+    val a = capped.select(col("band"), col("bkey"), col("id").as("a_id"),
       col("hh").as("a_h"))
-    val b = capped.select(col("band"), col("chunk"), col("id").as("b_id"),
+    val b = capped.select(col("band"), col("bkey"), col("id").as("b_id"),
       col("hh").as("b_h"))
     // hamming is a pure function of the pair, so filtering BEFORE the
     // cross-band distinct is result-identical and keeps the ~all
     // candidates that fail the threshold out of the dedup shuffle
-    a.join(b, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("band", "bkey")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_h").bitwiseXOR(col("b_h"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

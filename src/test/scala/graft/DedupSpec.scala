@@ -362,6 +362,51 @@ class DedupSpec extends SparkSpec {
     assert(p.getAs[Long]("a_id") == 1L && p.getAs[Int]("hamming") == 2)
   }
 
+  test("hammingPairsMultiIndex equals brute force AND the single-chunk " +
+      "banded join wherever both are exact") {
+    val rnd = new scala.util.Random(11)
+    val hashes = (1L to 150L).map(id => (id, rnd.nextLong())) ++
+      Seq((991L, 0x0L), (992L, 0x3L), (993L, 0x8001L), // planted close pairs
+        (994L, 0x8000000000000001L))
+    val df = hashes.toDF("id", "h")
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (a, b, d)).toSet
+    assert(brute.nonEmpty, "fixture must contain close pairs")
+    val multi = Dedup.hammingPairsMultiIndex(df, "id", "h", bits = 64,
+        blocks = 4, maxHamming = 2)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(multi == brute)
+    val single = Dedup.hammingPairs(df, "id", "h", bits = 64, bands = 4,
+        maxHamming = 2)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(multi == single)
+  }
+
+  test("hammingPairsMultiIndex: cross-block flips, the bucket cap, and " +
+      "the blocks<=maxHamming guard") {
+    // two flips in DIFFERENT blocks: caught because t=2 of 4 blocks
+    // still agree (the case a naive 2-wide-band split would need
+    // per-half recursion for)
+    val base = 0x123456789abcdefL
+    val flipped = base ^ (1L << 3) ^ (1L << 60) // blocks 0 and 3
+    val df = Seq((1L, base), (2L, flipped)).toDF("id", "h")
+    val got = Dedup.hammingPairsMultiIndex(df, "id", "h", bits = 64,
+      blocks = 4, maxHamming = 2).select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 2)))
+    // degenerate bucket cap drops all-identical hashes
+    val degen = (1L to 50L).map((_, 42L)).toDF("id", "h")
+    assert(Dedup.hammingPairsMultiIndex(degen, "id", "h", bits = 64,
+      blocks = 4, maxHamming = 2, maxBucketSize = 10).count() == 0L)
+    // pigeonhole precondition enforced loudly
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairsMultiIndex(df, "id", "h", bits = 64, blocks = 4,
+        maxHamming = 4)
+    }
+  }
+
   test("hammingPairs: sub-64-bit hashes and the degenerate-bucket cap") {
     // 16-bit hashes, bands=4: exact for maxHamming<=3
     val hs = Seq((1L, 0x0f0fL), (2L, 0x0f0eL), (3L, 0xf0f0L), (4L, 0x0f1eL))

@@ -225,5 +225,19 @@ class ScaleProbeSpec extends SparkSpec {
         col("h").bitwiseXOR(lit(masks(r))).as("h"))
     }.reduce(_ unionByName _).localCheckpoint(true)
     assert(ham(f4) == 4 * h1, "hamming pair count must scale exactly ×4")
+
+    // multi-index variant: same planted Hamming-2 twins, so its pair
+    // set must (a) scale exactly ×4 and (b) equal the single-chunk
+    // banded join's at the same threshold — both are pigeonhole-exact
+    def hamMulti(d: org.apache.spark.sql.DataFrame) =
+      Dedup.hammingPairsMultiIndex(d, "id", "h", bits = 64, blocks = 4,
+        maxHamming = 2).count()
+    val m1 = hamMulti(f0.localCheckpoint(true))
+    assert(m1 > 0)
+    assert(hamMulti(f4) == 4 * m1,
+      "multi-index hamming pair count must scale exactly ×4")
+    assert(m1 == Dedup.hammingPairs(f0, "id", "h", bits = 64, bands = 4,
+      maxHamming = 2).count(),
+      "multi-index and single-chunk joins must agree where both exact")
   }
 }
