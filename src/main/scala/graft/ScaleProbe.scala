@@ -297,7 +297,8 @@ object ScaleProbe {
         d.select(explode(array(keys.zipWithIndex.map { case (k, i) =>
             struct(lit(i).as("band"), k.as("k")) }: _*)).as("bk"))
           .groupBy("bk").count()
-          .agg(sum(col("count") * (col("count") - 1) / 2)).head().getLong(0)
+          .agg(sum(shiftright(col("count") * (col("count") - 1), 1)))
+          .head().getLong(0)
       val candSingle = cands((0 until 4).map(chunkCol))
       val candMulti = cands((0 until 4).combinations(2).toSeq.map(idxs =>
         idxs.map(chunkCol).reduceLeft((a, c) =>

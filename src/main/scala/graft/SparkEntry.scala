@@ -3388,6 +3388,13 @@ object SparkEntry {
     "q_spearman" -> ((s, dir) =>
       Stats.spearmanDaily(events(s, dir), "ts", "user_id")),
 
+    // Mann–Whitney U on daily mean event values, even-user cohort vs
+    // odd (same treated split as q_did): nonparametric shift test in
+    // the doubled-rank integer space; tie-corrected normal z
+    "q_mann_whitney" -> ((s, dir) =>
+      Stats.mannWhitneyDaily(events(s, dir), "ts", "value",
+        treated = col("user_id") % 2 === 0)),
+
     // lead-lag cross-correlation signup → purchase at lags −7..7 (a
     // positive-lag peak = signups lead purchases by that many days)
     "q_ccf" -> ((s, dir) =>
@@ -8332,6 +8339,42 @@ object SparkEntry {
                                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                       END, 6) AS spearman
          FROM m""",
+
+    // Mann–Whitney replay: pooled doubled average ranks of the 6dp
+    // daily means, exact-long doubled U, tie-corrected variance; all
+    // double arithmetic in the same operand order as the Spark side
+    "q_mann_whitney" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS grp,
+                  ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                        / COUNT(*), 6) AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         rk AS (SELECT grp,
+                  2 * rank() OVER (ORDER BY m)
+                    + COUNT(*) OVER (PARTITION BY m) - 1 AS r2
+                FROM daily),
+         tie AS (SELECT COALESCE(SUM(t * t * t - t), 0) AS tie3
+                 FROM (SELECT COUNT(*) AS t FROM daily GROUP BY m)),
+         agg AS (SELECT SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_a,
+                        SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_b,
+                        SUM(CASE WHEN grp = 1 THEN r2 ELSE 0 END) AS ra2
+                 FROM rk),
+         fin AS (SELECT n_a, n_b,
+                   CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) AS u2,
+                   CAST(n_a AS DOUBLE) AS n1, CAST(n_b AS DOUBLE) AS n2,
+                   CAST(n_a + n_b AS DOUBLE) AS n,
+                   CAST(tie3 AS DOUBLE) AS t3
+                 FROM agg CROSS JOIN tie)
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                ROUND(u2 / 2.0, 1) AS u_a,
+                ROUND(CASE WHEN n1 * n2 / 12.0 * ((n + 1.0)
+                                - t3 / (n * (n - 1.0))) > 0
+                      THEN (u2 / 2.0 - n1 * n2 / 2.0)
+                           / sqrt(n1 * n2 / 12.0 * ((n + 1.0)
+                                  - t3 / (n * (n - 1.0))))
+                      END, 6) AS z
+         FROM fin""",
 
     // same day-lag join + moment kernel as q_acf, between two filtered
     // series over lags -7..7

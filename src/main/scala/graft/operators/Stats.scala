@@ -470,6 +470,56 @@ object Stats {
       round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).as("spearman"))
   }
 
+  /** Two-sample Mann–Whitney U over bounded daily means: do the
+    * treated cohort's daily mean values come from a shifted
+    * distribution vs control? The standard nonparametric complement
+    * to the parametric [[abTest]] z-test (no normality assumption;
+    * robust to outlier days) and to [[logRank]]'s time-to-event test.
+    *
+    * Sample unit = (day, group) mean of `valueCol` (6-dp rounded so
+    * pooled ranks replay cross-engine; null values excluded up front —
+    * a null day-mean has no rank order both engines agree on). Ties
+    * get average ranks held in the same exact doubled-rank integer
+    * space as [[spearmanDaily]] (2·avgrank = 2·minrank + ties − 1),
+    * so U is an exact half-integer. z uses the normal approximation
+    * with the standard tie-corrected variance
+    * n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))); degenerate all-tied samples
+    * have zero variance and report a NULL z rather than ±∞. The
+    * ranking windows ride the (days × 2)-bounded daily aggregate —
+    * the same calendar-bounded limit proof as every daily frame here. */
+  def mannWhitneyDaily(events: DataFrame, tsCol: String, valueCol: String,
+      treated: Column): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val daily = events.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"),
+        when(treated, lit(1L)).otherwise(lit(0L)).as("grp"))
+      .agg(round(sum(vDec).cast("double") / count(lit(1)), 6).as("m"))
+      .limit(20000) // calendar-bounded ×2 groups; proves windows safe
+    val r2 = (lit(2) * rank().over(Window.orderBy(col("m"))) +
+      count(lit(1)).over(Window.partitionBy(col("m"))) - lit(1)).cast("long")
+    val ranked = daily.withColumn("r2", r2)
+    val ties = ranked.groupBy("m").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tie3"))
+    val agg = ranked.agg(
+      sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("grp") === 1L, col("r2")).otherwise(0L)).as("ra2"))
+    val n1d = col("n_a").cast("double")
+    val n2d = col("n_b").cast("double")
+    val nd = (col("n_a") + col("n_b")).cast("double")
+    // doubled U_a = doubled rank sum − n_a(n_a+1): exact long
+    val u2 = col("ra2") - col("n_a") * (col("n_a") + lit(1L))
+    val varU = n1d * n2d / lit(12.0) *
+      ((nd + lit(1.0)) - col("tie3").cast("double") / (nd * (nd - lit(1.0))))
+    agg.crossJoin(broadcast(ties))
+      .select(col("n_a"), col("n_b"),
+        round(u2.cast("double") / lit(2.0), 1).as("u_a"),
+        round(when(varU > 0,
+          (u2.cast("double") / lit(2.0) - n1d * n2d / lit(2.0)) / sqrt(varU)),
+          6).as("z"))
+  }
+
   /** Per-group simple OLS fit y = a + b·x with r², in the closed
     * normal-equation form over five exact DECIMAL moment sums
     * (Σx, Σy, Σx², Σy², Σxy — inputs rounded to 2 dp first so the

@@ -375,6 +375,32 @@ class StatsSpec extends SparkSpec {
       .getAs[Double]("spearman") == 1.0)
   }
 
+  test("mannWhitneyDaily: hand-computed U and z; degenerate ties → NULL z") {
+    // one row per (day, group): group A (even users) daily means 1,2;
+    // group B (odd) daily means 3,4. Pooled ranks 1..4, R_A = 3,
+    // U_A = 3 − 2·3/2 = 0, z = (0 − 2)/√(2·2·5/12) = −1.549193
+    def mw(rows: (Int, Int, Double)*) =
+      Stats.mannWhitneyDaily(
+        rows.map { case (u, d, v) => (u.toLong, ts(d), v) }
+          .toDF("user_id", "ts", "value"),
+        "ts", "value", treated = col("user_id") % 2 === 0)
+    val r = mw((2, 1, 1.0), (2, 2, 2.0), (1, 1, 3.0), (1, 2, 4.0)).head()
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_a") == 0.0)
+    assert(math.abs(r.getAs[Double]("z") - (-1.549193)) < 1e-6, r)
+    // all four day-means identical: every rank is the average 2.5
+    // (doubled 5), U_A = n1·n2/2 = 2, tie-corrected variance is
+    // exactly zero → z must be NULL, not ±Inf/NaN
+    val t = mw((2, 1, 5.0), (2, 2, 5.0), (1, 1, 5.0), (1, 2, 5.0)).head()
+    assert(t.getAs[Double]("u_a") == 2.0)
+    assert(t.isNullAt(t.fieldIndex("z")))
+    // a clean shift is detected with the right sign: A ≫ B → positive z
+    val s = mw((2, 1, 10.0), (2, 2, 11.0), (2, 3, 12.0),
+      (1, 1, 1.0), (1, 2, 2.0), (1, 3, 3.0)).head()
+    assert(s.getAs[Double]("u_a") == 9.0) // A wins all 9 comparisons
+    assert(s.getAs[Double]("z") > 1.9, s) // (9−4.5)/√(9·7/12) ≈ 1.964
+  }
+
   test("ccfDaily: planted 2-day lead shows a perfect peak at lag +2") {
     // a spikes day 3, b spikes day 5 → corr(a_t, b_{t+2}) = 1 over the
     // 4 overlapping days
