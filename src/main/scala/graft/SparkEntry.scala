@@ -1020,7 +1020,8 @@ object SparkEntry {
       val source = orders.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val t = LakeTable(s, root, "orders_ivm", Seq("o_orderkey"))
+      val t = LakeTable(s, root, "orders_ivm", Seq("o_orderkey"),
+        changeFeed = true) // write-time CDF: maintenance never diffs snapshots
       val v = LakeTable(s, root, "orders_ivm_view", Seq("o_custkey"))
       t.drop(); v.drop() // fresh history per run (rerun stability)
       t.create(target)
@@ -1051,7 +1052,8 @@ object SparkEntry {
       val source = orders.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val t = LakeTable(s, root, "orders_ivmmm", Seq("o_orderkey"))
+      val t = LakeTable(s, root, "orders_ivmmm", Seq("o_orderkey"),
+        changeFeed = true)
       val v = LakeTable(s, root, "orders_ivmmm_view", Seq("o_custkey"))
       t.drop(); v.drop()
       t.create(target)

@@ -37,14 +37,17 @@ import graft.ops.CoreOps
   */
 final class LakeTable(spark: SparkSession, root: String, name: String,
     mergeKeys: Seq[String], partitionCols: Seq[String] = Nil,
-    keepVersions: Int = 2) {
+    keepVersions: Int = 2, changeFeed: Boolean = false) {
 
   private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
 
   private def tableDir: Path = Paths.get(root, name)
   private def pointerFile: Path = tableDir.resolve("CURRENT")
   private def stagingDir: Path = Paths.get(root, s".staging_$name")
+  private def feedStagingDir: Path = Paths.get(root, s".staging_changes_$name")
   private def versionDir(v: Int): Path = tableDir.resolve(s"v$v")
+  private def feedDir(v: Int): Path =
+    tableDir.resolve("changes").resolve(s"v$v")
 
   private def currentVersion: Option[Int] =
     if (!Files.exists(pointerFile)) None
@@ -64,6 +67,68 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * loudly in [[readVersion]]'s retention check. */
   def version: Int = currentVersion.getOrElse(
     throw new IllegalStateException(s"table $name has no published version"))
+
+  // ---- write-time Change Data Feed (Delta CDF analogue) ----
+  //
+  // With `changeFeed` on, every row-level DML write stages the rows it
+  // changes — typed insert / update_preimage / update_postimage /
+  // delete, the SAME types and change-detection hash as the snapshot
+  // diff below — and publish() moves them to `changes/v{N}` for the
+  // version the write produced. changesSince() then answers from the
+  // recorded feeds in O(changes) instead of key-shuffling two full
+  // snapshots, and KEEPS answering after retention has pruned the old
+  // snapshot — the two properties that make incremental consumers
+  // viable on a 100 TB base, where a snapshot diff is a full-table job
+  // and retention is aggressive. Layout-only writes (compact, Z-order)
+  // record an EMPTY feed so coverage stays contiguous; upsertScd2
+  // records none (its bookkeeping rewrites aren't row-level change
+  // events), which just falls changesSince back to the snapshot diff
+  // across that span. Feed dirs survive version pruning deliberately:
+  // they ARE the CDC log.
+  //
+  // Semantics note (matches Delta CDF): the feed is a PER-VERSION
+  // event log, the snapshot diff a NET endpoint comparison. Over a
+  // single write they are identical; over multiple writes the feed may
+  // contain canceling events (insert then delete of the same key)
+  // whose signed composition nets to exactly the snapshot diff — which
+  // is what delta-rule consumers (IncrementalView) apply anyway.
+
+  private def stageFeed(feed: DataFrame): Unit = {
+    deleteRecursively(feedStagingDir)
+    feed.write.mode("overwrite").parquet(feedStagingDir.toString)
+  }
+
+  /** Stage the insert/update feed for an upsert of `source` against the
+    * CURRENT snapshot (call before publish; reads resolve the old
+    * pointer). Schema-evolving sources align both sides with typed
+    * nulls, mirroring changesSince's additive-evolution rule. */
+  private def stageUpsertFeed(source: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val target = read
+    val allCols = (target.columns ++
+      source.columns.filterNot(target.columns.contains)).toIndexedSeq
+    val dtypes = (target.schema ++ source.schema)
+      .map(f => f.name -> f.dataType).toMap
+    def align(df: DataFrame) = df.select(allCols.map { c =>
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(dtypes(c)).as(c)
+    }: _*)
+    val t = align(target)
+    val s = align(source)
+    val nonKey = allCols.filterNot(mergeKeys.contains)
+    def hashed = xxhash64(nonKey.map(col): _*)
+    val inserts = CoreOps.antiJoin(mergeKeys, t)(s)
+      .withColumn("_change_type", lit("insert"))
+    val changedKeys = s.withColumn("__h", hashed)
+      .join(t.select(mergeKeys.map(col) :+ hashed.as("__h_old"): _*), mergeKeys)
+      .filter(col("__h") =!= col("__h_old"))
+      .select(mergeKeys.map(col): _*)
+    val pre = t.join(changedKeys, mergeKeys, "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
+    val post = s.join(changedKeys, mergeKeys, "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+    stageFeed(inserts.unionByName(post).unionByName(pre))
+  }
 
   /** Directory holding the currently-published version's data files. */
   def currentDir: Path = versionDir(currentVersion.getOrElse(
@@ -99,6 +164,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       val merged = CoreOps.antiJoin(mergeKeys, df)(read)
         .unionByName(df, allowMissingColumns = true)
       writeTo(merged, stagingDir)
+      if (changeFeed) stageUpsertFeed(df) // reads still resolve old pointer
       publish()
     }
   }
@@ -149,6 +215,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val merged = CoreOps.antiJoin(mergeKeys, source)(touchedTarget)
       .unionByName(source, allowMissingColumns = true)
     writeTo(merged, stagingDir)
+    if (changeFeed) stageUpsertFeed(source)
     // Hard-link untouched leaf partition dirs from the donor version into
     // staging: metadata-only (no bytes copied), and because hard links
     // survive unlinking of the original path, the donor stays a complete
@@ -196,6 +263,9 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
   private def writeTo(df: DataFrame, dir: Path): Unit = {
     deleteRecursively(dir)
+    // a write path that doesn't stage its own feed (create, scd2) must
+    // not publish a STALE one from an aborted earlier operation
+    deleteRecursively(feedStagingDir)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
@@ -209,6 +279,11 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     Files.createDirectories(tableDir)
     val v = allVersions.lastOption.getOrElse(0) + 1
     Files.move(stagingDir, versionDir(v), StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(feedStagingDir)) {
+      Files.createDirectories(tableDir.resolve("changes"))
+      deleteRecursively(feedDir(v)) // orphan from a crashed publish
+      Files.move(feedStagingDir, feedDir(v), StandardCopyOption.ATOMIC_MOVE)
+    }
     val tmp = tableDir.resolve(".CURRENT.tmp")
     Files.writeString(tmp, s"v$v")
     Files.move(tmp, pointerFile, StandardCopyOption.REPLACE_EXISTING,
@@ -249,7 +324,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def delete(condition: org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.functions.coalesce
     import org.apache.spark.sql.functions.lit
-    writeTo(read.filter(!coalesce(condition, lit(false))), stagingDir)
+    val cond = coalesce(condition, lit(false))
+    writeTo(read.filter(!cond), stagingDir)
+    if (changeFeed)
+      stageFeed(read.filter(cond).withColumn("_change_type", lit("delete")))
     publish()
   }
 
@@ -257,7 +335,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * condition, leave others untouched. */
   def update(condition: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, lit, when, xxhash64}
     val cur = read
     val cond = coalesce(condition, lit(false))
     val updated = cur.select(cur.columns.toIndexedSeq.map { c =>
@@ -266,13 +344,38 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
         .getOrElse(col(c))
     }: _*)
     writeTo(updated, stagingDir)
+    if (changeFeed) {
+      // pre/post images of MATCHED rows whose non-key values actually
+      // changed (no-op assignments produce no events, matching the
+      // snapshot diff)
+      val before = cur.filter(cond)
+      val after = before.select(cur.columns.toIndexedSeq.map { c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))
+      }: _*)
+      val nonKey = cur.columns.filterNot(mergeKeys.contains).toSeq
+      def hashed = xxhash64(nonKey.map(col): _*)
+      val changedKeys = after.withColumn("__h", hashed)
+        .join(before.select(mergeKeys.map(col) :+ hashed.as("__h_old"): _*),
+          mergeKeys)
+        .filter(col("__h") =!= col("__h_old"))
+        .select(mergeKeys.map(col): _*)
+      val pre = before.join(changedKeys, mergeKeys, "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      val post = after.join(changedKeys, mergeKeys, "left_semi")
+        .withColumn("_change_type", lit("update_postimage"))
+      stageFeed(post.unionByName(pre))
+    }
     publish()
   }
 
   /** Small-file compaction (OPTIMIZE without reordering): rewrite the
     * current version into `numFiles` files. Content unchanged. */
   def compact(numFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
     writeTo(read.repartition(numFiles), stagingDir)
+    // layout-only: empty feed keeps changesSince's feed coverage contiguous
+    if (changeFeed)
+      stageFeed(read.limit(0).withColumn("_change_type", lit("insert")))
     publish()
   }
 
@@ -302,6 +405,9 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       .sortWithinPartitions("__z")
       .drop("__z" +: statCols: _*)
     writeTo(clustered, stagingDir)
+    if (changeFeed)
+      stageFeed(read.limit(0).withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("insert")))
     publish()
   }
 
@@ -321,10 +427,32 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * maintain aggregates: new_agg = agg − preimage + postimage + inserts
     * − deletes), `delete` (key gone from current). Key-shuffles over the
     * two snapshots only; at scale this is how consumers sync without
-    * re-reading the full table. */
+    * re-reading the full table.
+    *
+    * With `changeFeed` on (and feeds recorded for every version in the
+    * span) this never touches the snapshots at all: it unions the
+    * recorded per-version feeds — O(changes) — and works even after
+    * retention pruned snapshot `v`. The feed is an event log rather
+    * than a net diff: over multi-write spans it may contain canceling
+    * events whose signed composition equals the snapshot diff (see the
+    * CDF section above). */
   def changesSince(v: Int): DataFrame = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val cur = read
+    // Feed fast path: when every version in (v, current] recorded a
+    // write-time feed, answer from the log — O(changes), no snapshot
+    // reads, and independent of whether snapshot v is still retained.
+    // Old feeds align to the CURRENT schema with typed nulls (additive
+    // evolution, same rule as the snapshot path below).
+    val wanted = (v + 1) to version
+    if (wanted.nonEmpty && wanted.forall(i => Files.isDirectory(feedDir(i))))
+      return wanted.map { i =>
+        val df = spark.read.parquet(feedDir(i).toString)
+        df.select(cur.columns.toIndexedSeq.map { c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).cast(cur.schema(c).dataType).as(c)
+        } :+ col("_change_type"): _*)
+      }.reduce(_ unionByName _)
     // Align the old snapshot to the CURRENT schema: columns added since
     // `v` (schema-evolving upsert) project as typed nulls on the old
     // side, so an update whose ONLY change is setting a new column
@@ -430,10 +558,12 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     rows.toDF("version", "n_files", "bytes", "is_current")
   }
 
-  /** DROP TABLE analogue: remove the table (all versions + pointer). */
+  /** DROP TABLE analogue: remove the table (all versions + pointer +
+    * change feed). */
   def drop(): Unit = {
     deleteRecursively(tableDir)
     deleteRecursively(stagingDir)
+    deleteRecursively(feedStagingDir)
   }
 
   /** VACUUM analogue: drop every retained PRIOR snapshot now (time travel
@@ -468,8 +598,9 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
 object LakeTable {
   def apply(spark: SparkSession, root: String, name: String, mergeKeys: Seq[String],
-      partitionCols: Seq[String] = Nil): LakeTable =
-    new LakeTable(spark, root, name, mergeKeys, partitionCols)
+      partitionCols: Seq[String] = Nil, changeFeed: Boolean = false): LakeTable =
+    new LakeTable(spark, root, name, mergeKeys, partitionCols,
+      changeFeed = changeFeed)
 
   /** Effective-dated lookup against an SCD2 snapshot (as written by
     * `upsertScd2`): each fact row joins the ONE dimension version whose

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 import graft.table.LakeTable
 
@@ -457,5 +458,78 @@ class LakeTableSpec extends SparkSpec {
     assert(t.availableVersions.isEmpty)
     assert(rows(t) == Set((1L, "a", "x"), (2L, "b", "y")))
     intercept[IllegalArgumentException](t.readVersion(1))
+  }
+
+  // ---- write-time change feed (round 9) ----
+
+  private def changeSet(t: LakeTable, since: Int) =
+    t.changesSince(since).select("id", "_change_type", "v")
+      .as[(Long, String, String)].collect().toSet
+
+  test("change feed over a single write equals the snapshot diff exactly") {
+    val root = freshRoot
+    val feed = LakeTable(spark, root, "f", Seq("id"), changeFeed = true)
+    val diff = LakeTable(spark, root, "d", Seq("id"))
+    for (t <- Seq(feed, diff)) {
+      t.create(df((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
+      t.upsert(df((2L, "B2", "y"), (2L, "B2", "y").copy(_1 = 4L))) // upd + ins
+    }
+    val s = diff.availableVersions.last
+    assert(changeSet(feed, feed.availableVersions.last) == changeSet(diff, s))
+    for (t <- Seq(feed, diff)) t.delete($"id" === 1L)
+    // spans (delete only): both classify the same delete
+    val fd = feed.changesSince(feed.version - 1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    val dd = diff.changesSince(diff.version - 1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(fd == dd && fd == Set((1L, "delete")))
+  }
+
+  test("feed answers changesSince AFTER the base snapshot is pruned " +
+      "(the snapshot diff throws) — the CDC-log retention win") {
+    val root = freshRoot
+    val feed = LakeTable(spark, root, "f", Seq("id"), changeFeed = true)
+    val diff = LakeTable(spark, root, "d", Seq("id"))
+    for (t <- Seq(feed, diff)) t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    val v0 = feed.version
+    // three writes: keepVersions=2 prunes the create snapshot
+    for (t <- Seq(feed, diff)) {
+      t.upsert(df((3L, "c", "z")))
+      t.upsert(df((1L, "A2", "x")))
+      t.delete($"id" === 2L)
+    }
+    assert(!feed.availableVersions.contains(v0))
+    intercept[IllegalArgumentException](diff.changesSince(v0))
+    val got = changeSet(feed, v0)
+    assert(got == Set((3L, "insert", "c"), (1L, "update_preimage", "a"),
+      (1L, "update_postimage", "A2"), (2L, "delete", "b")))
+  }
+
+  test("feed survives schema evolution and layout-only writes keep " +
+      "coverage contiguous") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    val v0 = t.version
+    t.upsert(df((3L, "c", "z"))) // pre-evolution feed lacks the new column
+    t.compact(1)                 // layout-only: empty feed, not a gap
+    t.upsert(Seq((2L, "b", "y", 9L)).toDF("id", "v", "p", "extra"))
+    val got = t.changesSince(v0)
+      .select("id", "_change_type", "extra").as[(Long, String, Option[Long])]
+      .collect().toSet
+    // the old feed's rows align to the evolved schema with null extra;
+    // update 2's only change IS the new column (null -> 9)
+    assert(got == Set((3L, "insert", None), (2L, "update_preimage", None),
+      (2L, "update_postimage", Some(9L))))
+  }
+
+  test("feed UPDATE records only genuinely changed rows; no-op " +
+      "assignments produce no events") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    val v0 = t.version
+    t.update($"id" === 1L, Map("v" -> lit("a"))) // no-op: same value
+    t.update($"id" === 2L, Map("v" -> lit("B")))
+    assert(changeSet(t, v0) == Set((2L, "update_preimage", "b"),
+      (2L, "update_postimage", "B")))
   }
 }
