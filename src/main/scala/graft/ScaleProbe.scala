@@ -89,7 +89,7 @@ object ScaleProbe {
     val families = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
-        "stats", "hamming"))
+        "stats", "hamming", "ivm", "skyline", "gains"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -337,6 +337,114 @@ object ScaleProbe {
       println(s"""{"family":"ann","factor":$n,"rows":$rows,""" +
         s""""brute_sec":${f"$bruteSec%.2f"},"n_brute":$nBrute,""" +
         s""""int8_sec":${f"$int8Sec%.2f"},"n_int8":$nInt8}""")
+    }
+
+    // ---- IVM family (round-9): the O(changes) claim, measured. The
+    // BASE inflates ×N (orderkey+custkey shifted per replica) while the
+    // CHANGE BATCH stays FIXED (replica-0 keys only), so feed_rows must
+    // be INVARIANT across factors — the data volume maintenance
+    // actually consumes. maintain_sec = feed-driven delta maintenance
+    // (write-time CDF: no snapshot diff); recompute_sec = the full
+    // re-aggregation the reference pays per run, growing linearly with
+    // the base. The remaining growth in maintain_sec is the view
+    // rewrite (O(|view|) at lab scale — bounded by group count, not
+    // base rows).
+    if (families("ivm")) {
+      val orders = Tables.load(spark, sfDir, "orders")
+      val maxOk = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+      val maxCk = orders.agg(max("o_custkey")).head().getLong(0) + 1
+      factors.foreach { n =>
+        val base = (0 until n).map { r =>
+          if (r == 0) orders
+          else orders.select(
+            (col("o_orderkey") + lit(r * maxOk)).as("o_orderkey"),
+            (col("o_custkey") + lit(r * maxCk)).as("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority"))
+        }.reduce(_ unionByName _)
+        val root = "/tmp/graft_tables/scaleprobe_ivm"
+        val t = graft.table.LakeTable(spark, root, s"ivm_base_$n", Seq("o_orderkey"),
+          changeFeed = true)
+        val v = graft.table.LakeTable(spark, root, s"ivm_view_$n", Seq("o_custkey"))
+        t.drop(); v.drop()
+        t.create(base)
+        val v0 = t.version
+        v.create(graft.table.IncrementalView.sumView(
+          t.read, Seq("o_custkey"), "o_totalprice"))
+        // FIXED batch on replica-0 keys: updates + inserts, then deletes
+        val updates = orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val inserts = orders.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(64L * maxOk))
+        t.upsert(updates.unionByName(inserts))
+        t.delete(col("o_orderkey") % 101 === 0 &&
+          col("o_orderkey") < maxOk)
+        val feedRows = t.changesSince(v0).count()
+        val (_, maintainSec) = timed {
+          graft.table.IncrementalView.maintainSumView(
+            t, v, Seq("o_custkey"), "o_totalprice", v0)
+        }
+        val recomp = graft.table.LakeTable(spark, root, s"ivm_recomp_$n", Seq("o_custkey"))
+        recomp.drop()
+        val (_, recomputeSec) = timed {
+          recomp.create(graft.table.IncrementalView.sumView(
+            t.read, Seq("o_custkey"), "o_totalprice"))
+        }
+        val baseRows = t.read.count()
+        println(s"""{"family":"ivm","factor":$n,"rows":$baseRows,""" +
+          s""""feed_rows":$feedRows,"maintain_sec":${f"$maintainSec%.2f"},""" +
+          s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
+      }
+    }
+
+    // ---- skyline family (round-9): part ×N by shifted keys with
+    // (size, price) untouched — exact duplicates are mutually
+    // non-dominating, so the global staircase is unchanged and the
+    // skyline row count must scale EXACTLY ×N; the staircase frame
+    // stays |distinct p_size|, so wall should be ~flat + scan.
+    if (families("skyline")) {
+      val part = Tables.load(spark, sfDir, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+      val maxPk = part.agg(max("p_partkey")).head().getLong(0) + 1
+      factors.foreach { n =>
+        val d = (0 until n).map { r =>
+          if (r == 0) part
+          else part.select((col("p_partkey") + lit(r * maxPk)).as("p_partkey"),
+            col("p_size"), col("p_retailprice"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val rows = d.count()
+        val (nSky, skySec) = timed {
+          graft.operators.Stats.skyline2d(d, "p_size", "p_retailprice").count()
+        }
+        println(s"""{"family":"skyline","factor":$n,"rows":$rows,""" +
+          s""""skyline_sec":${f"$skySec%.2f"},"n_skyline":$nSky}""")
+      }
+    }
+
+    // ---- gains family (round-9): events ×N (value distribution
+    // preserved per replica), score = the row's value, label a pure
+    // function of value — so total conversions scale EXACTLY ×N and
+    // the table stays 10 bands; wall is one percentile aggregate + one
+    // banding pass (the no-global-sort claim).
+    if (families("gains")) {
+      val ev2 = Tables.load(spark, sfDir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val maxE2 = ev2.agg(max("event_id")).head().getLong(0) + 1
+      val maxU2 = ev2.agg(max("user_id")).head().getLong(0) + 1
+      factors.foreach { n =>
+        val d = inflateEvents(ev2, maxE2, maxU2, n).localCheckpoint(true)
+        val rows = d.count()
+        val scored = d.select(col("value").as("score"),
+          (floor(col("value") * 100) % 2 === 0).cast("long").as("label"))
+        val (res, gainsSec) = timed {
+          graft.operators.Stats.gainsTable(scored, "score", "label")
+            .agg(sum("n").as("tn"), sum("conv").as("tc"),
+              count(lit(1)).as("bands")).head()
+        }
+        println(s"""{"family":"gains","factor":$n,"rows":$rows,""" +
+          s""""gains_sec":${f"$gainsSec%.2f"},"total_n":${res.getLong(0)},""" +
+          s""""total_conv":${res.getLong(1)},"bands":${res.getLong(2)}}""")
+      }
     }
     spark.stop()
   }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * budget. Uses the identical `ScaleProbe.inflate` the manual probe runs.
   */
 class ScaleProbeSpec extends SparkSpec {
+  import spark.implicits._
 
   test("×8 shingle-disjoint inflation: pairs scale exactly ×8, sub-quadratic time") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "text", "lang")
@@ -239,5 +240,88 @@ class ScaleProbeSpec extends SparkSpec {
     assert(m1 == Dedup.hammingPairs(f0, "id", "h", bits = 64, bands = 4,
       maxHamming = 2).count(),
       "multi-index and single-chunk joins must agree where both exact")
+  }
+
+  // CI pins for the round-9 probe families: skyline rows scale exactly
+  // ×N (duplicate (x,y) points are mutually non-dominating), gains
+  // conversion totals scale exactly ×N under events inflation, and the
+  // IVM change feed is INVARIANT under base inflation with a fixed
+  // change batch — the O(changes) data-volume claim.
+  test("×4 inflation: skyline rows and gains totals scale exactly") {
+    import graft.operators.Stats
+    val part = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_size", "p_retailprice")
+    val maxPk = part.agg(max("p_partkey")).head().getLong(0) + 1
+    def sky(n: Int) = Stats.skyline2d(
+      (0 until n).map { r =>
+        if (r == 0) part
+        else part.select((col("p_partkey") + lit(r * maxPk)).as("p_partkey"),
+          col("p_size"), col("p_retailprice"))
+      }.reduce(_ unionByName _), "p_size", "p_retailprice").count()
+    val s1 = sky(1)
+    assert(s1 > 0 && sky(4) == 4 * s1, "skyline must scale exactly ×4")
+
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxE = ev.agg(max("event_id")).head().getLong(0) + 1
+    val maxU = ev.agg(max("user_id")).head().getLong(0) + 1
+    def gains(n: Int) = Stats.gainsTable(
+      ScaleProbe.inflateEvents(ev, maxE, maxU, n).select(
+        col("value").as("score"),
+        (floor(col("value") * 100) % 2 === 0).cast("long").as("label")),
+      "score", "label")
+      .agg(sum("n"), sum("conv"), count(lit(1))).head()
+    val g1 = gains(1)
+    val g4 = gains(4)
+    assert(g1.getLong(2) == 10 && g4.getLong(2) == 10)
+    assert(g4.getLong(0) == 4 * g1.getLong(0), "total n must scale ×4")
+    assert(g1.getLong(1) > 0 && g4.getLong(1) == 4 * g1.getLong(1),
+      "total conversions must scale ×4")
+  }
+
+  test("IVM: fixed change batch → feed volume invariant under ×4 base " +
+      "inflation, and the maintained view still equals the recompute") {
+    import graft.table.{IncrementalView, LakeTable}
+    val orders = Tables.load(spark, sf, "orders")
+    val maxOk = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    val maxCk = orders.agg(max("o_custkey")).head().getLong(0) + 1
+    def run(n: Int): (Long, Set[(Long, Long, String)]) = {
+      val base = (0 until n).map { r =>
+        if (r == 0) orders
+        else orders.select(
+          (col("o_orderkey") + lit(r * maxOk)).as("o_orderkey"),
+          (col("o_custkey") + lit(r * maxCk)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+      val root = "/tmp/graft_tables/probe_spec_ivm"
+      val t = LakeTable(spark, root, s"b$n", Seq("o_orderkey"),
+        changeFeed = true)
+      val v = LakeTable(spark, root, s"v$n", Seq("o_custkey"))
+      t.drop(); v.drop()
+      t.create(base)
+      val v0 = t.version
+      v.create(IncrementalView.sumView(t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(col("o_orderkey") % 101 === 0 && col("o_orderkey") < maxOk)
+      val feedRows = t.changesSince(v0).count()
+      IncrementalView.maintainSumView(t, v, Seq("o_custkey"),
+        "o_totalprice", v0)
+      val snap = v.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("string"))
+        .as[(Long, Long, String)].collect().toSet
+      val recomp = IncrementalView.sumView(t.read, Seq("o_custkey"),
+          "o_totalprice")
+        .select(col("o_custkey"), col("n"), col("sum_value").cast("string"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(snap == recomp, s"maintained != recomputed at ×$n")
+      (feedRows, snap)
+    }
+    val (f1, _) = run(1)
+    val (f4, _) = run(4)
+    assert(f1 > 0, "fixture batch must produce changes")
+    assert(f4 == f1,
+      s"feed volume must be invariant under base inflation ($f1 vs $f4)")
   }
 }
