@@ -494,7 +494,7 @@ object Stats {
       .groupBy(to_date(col(tsCol)).as("day"),
         when(treated, lit(1L)).otherwise(lit(0L)).as("grp"))
       .agg(round(sum(vDec).cast("double") / count(lit(1)), 6).as("m"))
-      .limit(20000) // calendar-bounded ×2 groups; proves windows safe
+      .limit(10000) // calendar-bounded ×2 groups; proves windows safe
     val r2 = (lit(2) * rank().over(Window.orderBy(col("m"))) +
       count(lit(1)).over(Window.partitionBy(col("m"))) - lit(1)).cast("long")
     val ranked = daily.withColumn("r2", r2)
