@@ -2057,6 +2057,28 @@ object SparkEntry {
         .orderBy("user_id", "event_type")
     }),
 
+    // streaming incremental view maintenance: the view starts from the
+    // even-event half (batch sumView), then the ODD half arrives as an
+    // append-only stream whose micro-batch deltas MERGE additively into
+    // the stored view (foreachBatch IVM) — the final view must equal
+    // the full recompute over ALL events, which is the oracle
+    "q_stream_ivm" -> ((s, dir) => {
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val v = graft.table.LakeTable(s, root, "events_stream_ivm_view",
+        Seq("user_id"))
+      v.drop()
+      v.create(graft.table.IncrementalView.sumView(
+        Tables.load(s, dir, "events").filter(col("event_id") % 2 === 0),
+        Seq("user_id"), "value"))
+      graft.streaming.Streams.maintainSumViewStream(
+        graft.streaming.Streams.readTableStream(s, dir, "events")
+          .filter(col("event_id") % 2 =!= 0),
+        v, Seq("user_id"), "value")
+      v.read.select(col("user_id"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // streaming sessionization (flatMapGroupsWithState, event-time
     // timeouts) drained AvailableNow: a session is emitted once the
     // watermark passes its end + gap, and the final no-data micro-batch
@@ -5713,6 +5735,15 @@ object SparkEntry {
                  ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    // initial view (even events) + streamed odd-half deltas must equal
+    // the one-shot aggregate over ALL events — exact decimal sums, so
+    // no batch-boundary arithmetic can hide in rounding
+    "q_stream_ivm" ->
+      """SELECT user_id, count(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     // the batch sessionization restricted to sessions the stream's final
     // watermark (= global max ts, delay 0) has closed: end + gap <= max(ts)

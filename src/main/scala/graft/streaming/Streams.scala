@@ -537,6 +537,45 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_scd2" -> e))
   }
 
+  /** Streaming incremental view maintenance: every micro-batch of an
+    * APPEND-ONLY stream contributes a pure-insert delta, so the
+    * [[graft.table.IncrementalView]] rule collapses to
+    * (count, exact-decimal sum) per key MERGEd additively into the
+    * stored view — a dashboard aggregate kept fresh per batch without
+    * re-aggregating history, and without the unbounded operator state a
+    * native streaming aggregation would carry on an open key domain
+    * (the view table IS the state, and it's spillable/queryable).
+    * Caveat (same as Delta's foreachBatch guidance): additive deltas
+    * are not idempotent under batch REPLAY — a production retry story
+    * records the last-applied batchId in the view table; AvailableNow
+    * drains used here process each batch exactly once. */
+  def maintainSumViewStream(streamDf: DataFrame, view: graft.table.LakeTable,
+      keyCols: Seq[String], valueCol: String): Unit = {
+    val q = streamDf.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = batch.groupBy(keyCols.map(col): _*).agg(
+            count(lit(1)).as("d_n"),
+            sum(col(valueCol).cast("decimal(20,4)")).as("d_sum"))
+          val cur = view.read.select(
+            keyCols.map(col) :+ col("n").as("v_n") :+
+              col("sum_value").as("v_sum"): _*)
+          val changed = delta.join(cur, keyCols, "left")
+            .select(keyCols.map(col) ++ Seq(
+              (coalesce(col("v_n"), lit(0L)) + col("d_n")).as("n"),
+              (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) +
+                coalesce(col("d_sum"), lit(0).cast("decimal(20,4)")))
+                .cast("decimal(30,4)").as("sum_value")): _*)
+          view.upsert(changed)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_ivm" -> e))
+  }
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result — AvailableNow processes existing files as micro-batches then
     * stops (the reference's file-drop batch model). */

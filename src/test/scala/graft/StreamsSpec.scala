@@ -9,6 +9,7 @@ import graft.streaming.Streams
   * events table (drained with Trigger.AvailableNow) must equal the batch
   * EventOps result — same plan semantics, different execution mode. */
 class StreamsSpec extends SparkSpec {
+  import spark.implicits._
 
   test("streaming windowed counts == batch tumbling aggregation") {
     val batch = EventOps.tumbling(Tables.load(spark, sf, "events"), "1 hour")
@@ -77,6 +78,30 @@ class StreamsSpec extends SparkSpec {
       .select("event_id", "user_id", "ts", "event_type", "value"),
       table, Seq("event_id"), "ts")
     assert(table.read.count() == batch.count())
+  }
+
+  test("streaming IVM sink across micro-batches == full recompute") {
+    import graft.table.{IncrementalView, LakeTable}
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("sivm").toString
+    val v = LakeTable(spark, root, "view", Seq("user_id"))
+    v.create(IncrementalView.sumView(
+      ev.filter(col("event_id") % 2 === 0), Seq("user_id"), "value"))
+    // the odd half as THREE files + maxFilesPerTrigger=1 → the additive
+    // delta rule must survive genuine micro-batch boundaries
+    val srcDir = java.nio.file.Files.createTempDirectory("sivm_src").toString
+    val odd = ev.filter(col("event_id") % 2 =!= 0)
+    odd.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(odd.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    Streams.maintainSumViewStream(stream, v, Seq("user_id"), "value")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("n"), col("sum_value").cast("string"))
+        .as[(Long, Long, String)].collect().toSet
+    assert(snap(v.read) == snap(
+      IncrementalView.sumView(ev, Seq("user_id"), "value")))
+    assert(snap(v.read).nonEmpty)
   }
 
   test("streaming SCD2 sink == batch SCD2 of the same deduped batch") {
