@@ -522,6 +522,29 @@ class LakeTableSpec extends SparkSpec {
       (2L, "update_postimage", Some(9L))))
   }
 
+  test("feed on a PARTITIONED table: pruned upsert records the same " +
+      "events as the unpartitioned snapshot diff") {
+    val root = freshRoot
+    val feed = LakeTable(spark, root, "fp", Seq("id"), Seq("p"),
+      changeFeed = true)
+    val diff = LakeTable(spark, root, "dp", Seq("id"))
+    for (t <- Seq(feed, diff)) {
+      t.create(df((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "x")))
+      // update 1 in place, MOVE 2 across partitions, insert 4
+      t.upsert(df((1L, "A2", "x"), (2L, "b", "z"), (4L, "d", "w")))
+    }
+    val got = changeSet(feed, feed.availableVersions.last)
+    assert(got == changeSet(diff, diff.availableVersions.last))
+    assert(got == Set((1L, "update_preimage", "a"),
+      (1L, "update_postimage", "A2"), (2L, "update_preimage", "b"),
+      (2L, "update_postimage", "b"), (4L, "insert", "d")))
+    // the feed rows carry the moved partition value on the postimage
+    val moved = feed.changesSince(feed.availableVersions.last)
+      .filter($"id" === 2L).select("_change_type", "p")
+      .as[(String, String)].collect().toMap
+    assert(moved == Map("update_preimage" -> "y", "update_postimage" -> "z"))
+  }
+
   test("feed UPDATE records only genuinely changed rows; no-op " +
       "assignments produce no events") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
