@@ -545,15 +545,25 @@ object Streams {
     * re-aggregating history, and without the unbounded operator state a
     * native streaming aggregation would carry on an open key domain
     * (the view table IS the state, and it's spillable/queryable).
-    * Caveat (same as Delta's foreachBatch guidance): additive deltas
-    * are not idempotent under batch REPLAY — a production retry story
-    * records the last-applied batchId in the view table; AvailableNow
-    * drains used here process each batch exactly once. */
+    * Exactly-once under batch REPLAY (Delta's txnAppId/txnVersion
+    * pattern): the last-applied batch id is committed in the view
+    * table's transactional `_meta.json` IN THE SAME atomic publish as
+    * the delta it covers, and already-applied batch ids are skipped —
+    * so at-least-once delivery (a retried/restarted drain) cannot
+    * double-count, and there is no crash window between "apply" and
+    * "remember". `appId` scopes the marker when several streams
+    * maintain one view. As with Delta's pattern, batch ids are only
+    * meaningful within one checkpoint lineage: a production deployment
+    * sets `checkpointLocation` so restarts resume the same numbering;
+    * re-draining the same source state without one is also safe (same
+    * ids, all skipped). */
   def maintainSumViewStream(streamDf: DataFrame, view: graft.table.LakeTable,
-      keyCols: Seq[String], valueCol: String): Unit = {
+      keyCols: Seq[String], valueCol: String, appId: String = "ivm"): Unit = {
+    val metaKey = s"ivm_last_batch_$appId"
     val q = streamDf.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = view.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty) {
           val delta = batch.groupBy(keyCols.map(col): _*).agg(
             count(lit(1)).as("d_n"),
             sum(col(valueCol).cast("decimal(20,4)")).as("d_sum"))
@@ -566,7 +576,7 @@ object Streams {
               (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) +
                 coalesce(col("d_sum"), lit(0).cast("decimal(20,4)")))
                 .cast("decimal(30,4)").as("sum_value")): _*)
-          view.upsert(changed)
+          view.upsert(changed, meta = Map(metaKey -> batchId.toString))
         }
       }
       .trigger(Trigger.AvailableNow()).start()

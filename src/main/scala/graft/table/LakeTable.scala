@@ -93,6 +93,48 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   // whose signed composition nets to exactly the snapshot diff — which
   // is what delta-rule consumers (IncrementalView) apply anyway.
 
+  // ---- transactional per-version metadata ----
+  //
+  // A tiny `_meta.json` (flat string map) lives INSIDE each version
+  // dir — invisible to parquet readers (underscore prefix), carried
+  // forward by every write, and swapped atomically WITH the data it
+  // was committed alongside. This is the hook for Delta's
+  // txnAppId/txnVersion pattern: a foreachBatch consumer records its
+  // last-applied batch id in the SAME commit as the rows it applied,
+  // so a crash between "apply" and "remember" is impossible and
+  // at-least-once delivery yields exactly-once table state
+  // (Streams.maintainSumViewStream uses it).
+
+  /** The current version's committed metadata (empty before any
+    * meta-carrying write). */
+  def meta: Map[String, String] =
+    if (!exists) Map.empty else readMeta(currentDir)
+
+  private def readMeta(dir: Path): Map[String, String] = {
+    val f = dir.resolve("_meta.json")
+    if (!Files.exists(f)) Map.empty
+    else {
+      val txt = Files.readString(f)
+      val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      pair.findAllMatchIn(txt)
+        .map(m => unescapeJson(m.group(1)) -> unescapeJson(m.group(2)))
+        .toMap
+    }
+  }
+
+  private def writeMeta(dir: Path, m: Map[String, String]): Unit =
+    if (m.nonEmpty) {
+      val body = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${escapeJson(k)}":"${escapeJson(v)}"""" }
+        .mkString("{", ",", "}")
+      Files.writeString(dir.resolve("_meta.json"), body)
+    }
+
+  private def escapeJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unescapeJson(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
   private def stageFeed(feed: DataFrame): Unit = {
     deleteRecursively(feedStagingDir)
     feed.write.mode("overwrite").parquet(feedStagingDir.toString)
@@ -157,13 +199,19 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * sub-linear in table size and every prior version stays a complete,
     * readable snapshot.
     */
-  def upsert(df: DataFrame, prunePartitions: Boolean = true): Unit = {
+  /** `meta` entries are merged into the table's committed metadata in
+    * the SAME atomic publish as the merged rows (see the metadata
+    * section above) — the transactional hook for exactly-once
+    * incremental consumers. */
+  def upsert(df: DataFrame, prunePartitions: Boolean = true,
+      meta: Map[String, String] = Map.empty): Unit = {
     if (!exists) { create(df); return }
-    if (prunePartitions && partitionCols.nonEmpty) upsertPruned(df)
+    if (prunePartitions && partitionCols.nonEmpty) upsertPruned(df, meta)
     else {
       val merged = CoreOps.antiJoin(mergeKeys, df)(read)
         .unionByName(df, allowMissingColumns = true)
       writeTo(merged, stagingDir)
+      if (meta.nonEmpty) writeMeta(stagingDir, readMeta(currentDir) ++ meta)
       if (changeFeed) stageUpsertFeed(df) // reads still resolve old pointer
       publish()
     }
@@ -182,7 +230,8 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * sub-linear in table bytes, the analogue of Delta's touched-file
     * discovery join.
     */
-  private def upsertPruned(source: DataFrame): Unit = {
+  private def upsertPruned(source: DataFrame,
+      meta: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, concat_ws, length, lit, url_encode, when}
     val donor = currentDir
     val target = read
@@ -215,6 +264,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val merged = CoreOps.antiJoin(mergeKeys, source)(touchedTarget)
       .unionByName(source, allowMissingColumns = true)
     writeTo(merged, stagingDir)
+    if (meta.nonEmpty) writeMeta(stagingDir, readMeta(currentDir) ++ meta)
     if (changeFeed) stageUpsertFeed(source)
     // Hard-link untouched leaf partition dirs from the donor version into
     // staging: metadata-only (no bytes copied), and because hard links
@@ -269,6 +319,9 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
+    // committed metadata survives every write; a meta-carrying upsert
+    // overwrites this file with the merged map before publish
+    if (exists) writeMeta(dir, readMeta(currentDir))
   }
 
   /** Pointer-publish: move the staged write to the next version directory,

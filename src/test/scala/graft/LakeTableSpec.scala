@@ -545,6 +545,27 @@ class LakeTableSpec extends SparkSpec {
     assert(moved == Map("update_preimage" -> "y", "update_postimage" -> "z"))
   }
 
+  test("transactional _meta.json: committed with the upsert, carried " +
+      "forward by every other write, merged not replaced") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    assert(t.meta.isEmpty)
+    t.upsert(df((2L, "b", "y")), meta = Map("app1" -> "7"))
+    assert(t.meta == Map("app1" -> "7"))
+    // non-meta writes carry it forward
+    t.delete($"id" === 99L) // no-op delete, still a new version
+    t.compact(1)
+    assert(t.meta == Map("app1" -> "7"))
+    // a later meta upsert MERGES (other apps' markers survive)
+    t.upsert(df((3L, "c", "z")), meta = Map("app2" -> "1"))
+    assert(t.meta == Map("app1" -> "7", "app2" -> "1"))
+    t.upsert(df((4L, "d", "w")), meta = Map("app1" -> "8"))
+    assert(t.meta == Map("app1" -> "8", "app2" -> "1"))
+    // time travel still reads the data rows fine (the underscore file
+    // is invisible to the parquet reader)
+    assert(rows(t).size == 4)
+  }
+
   test("feed UPDATE records only genuinely changed rows; no-op " +
       "assignments produce no events") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)

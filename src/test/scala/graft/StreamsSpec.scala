@@ -102,6 +102,16 @@ class StreamsSpec extends SparkSpec {
     assert(snap(v.read) == snap(
       IncrementalView.sumView(ev, Seq("user_id"), "value")))
     assert(snap(v.read).nonEmpty)
+    // REPLAY: a second drain of the same source re-delivers the same
+    // batch ids — the transactional last-batch marker (committed with
+    // the data) must make the additive deltas exactly-once, not
+    // double-counted
+    val replay = spark.readStream.schema(odd.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    Streams.maintainSumViewStream(replay, v, Seq("user_id"), "value")
+    assert(snap(v.read) == snap(
+      IncrementalView.sumView(ev, Seq("user_id"), "value")),
+      "replayed batches must be skipped, not re-applied")
   }
 
   test("streaming SCD2 sink == batch SCD2 of the same deduped batch") {
