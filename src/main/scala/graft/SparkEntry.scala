@@ -1071,6 +1071,39 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // COUNT DISTINCT incremental view maintenance (two-level /
+    // support-relation IVM): per-customer distinct order priorities,
+    // kept fresh through the same upsert+delete CDC batches via a
+    // per-(customer, priority) multiplicity table whose 0↔positive
+    // transitions roll up into the distinct count — O(changes) at
+    // both levels. Oracle = the full count(DISTINCT) recompute.
+    "q_ivm_distinct" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "orders_ivmd", Seq("o_orderkey"),
+        changeFeed = true)
+      val aux = graft.table.LakeTable(s, root, "orders_ivmd_aux",
+        Seq("o_custkey", "__v"))
+      val vw = graft.table.LakeTable(s, root, "orders_ivmd_view",
+        Seq("o_custkey"))
+      t.drop(); aux.drop(); vw.drop()
+      t.create(target)
+      val v0 = t.version
+      aux.create(graft.table.IncrementalView.supportView(
+        t.read, Seq("o_custkey"), "o_orderpriority"))
+      vw.create(graft.table.IncrementalView.distinctView(
+        t.read, Seq("o_custkey"), "o_orderpriority"))
+      t.upsert(source)
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainDistinctView(t, aux, vw,
+        Seq("o_custkey"), "o_orderpriority", sinceVersion = v0)
+      vw.read.select(col("o_custkey"), col("n_distinct"))
+        .orderBy("o_custkey")
+    }),
+
     "q_cdc" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
       val target = orders.filter(col("o_orderkey") % 3 =!= 0)
@@ -4806,6 +4839,25 @@ object SparkEntry {
                 CAST(MAX(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
                   AS max_total
          FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // count(DISTINCT) full recompute — the two-level maintained view
+    // must equal it exactly; null priorities (none in this data, but
+    // the operator's pinned semantics) are skipped on both sides
+    "q_ivm_distinct" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_distinct
+         FROM final WHERE o_orderpriority IS NOT NULL
+         GROUP BY o_custkey ORDER BY o_custkey""",
 
     "q_merge_upsert" ->
       """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),

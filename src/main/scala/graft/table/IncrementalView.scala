@@ -160,4 +160,68 @@ object IncrementalView {
       view.delete(col("n") <= 0L)
     syncedTo
   }
+
+  // ---- COUNT DISTINCT views (two-level / support-relation IVM) ----
+  //
+  // An exact distinct count is not self-maintainable from the top view
+  // alone (deleting a value only changes the count if it was the LAST
+  // instance — which only per-value multiplicities know). The classic
+  // resolution, as in production IVM engines: maintain an auxiliary
+  // SUPPORT relation of per-(group, value) row counts — itself an
+  // ordinary self-maintainable count view — and derive the top view's
+  // delta from its 0↔positive transitions. Both levels stay O(changes);
+  // nothing ever rescans the base. Groups tracked are those with at
+  // least one NON-NULL value (count-distinct semantics skip nulls, and
+  // an all-null group has no support rows to witness its existence).
+
+  /** Initial top view: per-group exact distinct count of `valueCol`
+    * (null values skipped; all-null groups absent). */
+  def distinctView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(col(valueCol)).as("n_distinct"))
+
+  /** Initial support relation: per-(group, value) multiplicities. Store
+    * in a LakeTable whose mergeKeys are `keyCols :+ "__v"`. */
+  def supportView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keyCols.map(col) :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Maintain BOTH levels from the base's changes since `sinceVersion`:
+    * value-level count deltas update the support relation; its
+    * 0↔positive transitions (±1 per (group, value)) roll up into the
+    * top view's distinct-count delta. Returns the synced base version. */
+  def maintainDistinctView(base: LakeTable, aux: LakeTable, view: LakeTable,
+      keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
+    val syncedTo = base.version
+    val keys = keyCols.map(col)
+    val ch = base.changesSince(sinceVersion).filter(col(valueCol).isNotNull)
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val delta = ch.groupBy(keys :+ col(valueCol).as("__v"): _*)
+      .agg(sum(when(isIns, 1L).otherwise(-1L)).as("d_n"))
+    val curAux = aux.read.select(keys :+ col("__v") :+ col("cnt").as("v_cnt"): _*)
+    def alive(c: Column): Column = when(c > 0, 1L).otherwise(0L)
+    val newCnt = coalesce(col("v_cnt"), lit(0L)) + col("d_n")
+    val changedAux = delta.join(curAux, keyCols :+ "__v", "left")
+      .select(keys ++ Seq(col("__v"), newCnt.as("cnt"),
+        (alive(newCnt) - alive(coalesce(col("v_cnt"), lit(0L)))).as("__tr")): _*)
+      .localCheckpoint(true) // one computation: aux merge + probe + rollup
+    aux.upsert(changedAux.drop("__tr"))
+    if (changedAux.filter(col("cnt") <= 0L).limit(1).count() > 0)
+      aux.delete(col("cnt") <= 0L)
+    // top-view delta = sum of transitions per group; untouched groups
+    // (d_d = 0) never enter the merge
+    val dDist = changedAux.groupBy(keys: _*).agg(sum("__tr").as("d_d"))
+      .filter(col("d_d") =!= 0L)
+    val curView = view.read.select(keys :+ col("n_distinct").as("v_d"): _*)
+    val changedView = dDist.join(curView, keyCols, "left")
+      .select(keys :+
+        (coalesce(col("v_d"), lit(0L)) + col("d_d")).as("n_distinct"): _*)
+      .localCheckpoint(true)
+    view.upsert(changedView)
+    if (changedView.filter(col("n_distinct") <= 0L).limit(1).count() > 0)
+      view.delete(col("n_distinct") <= 0L)
+    syncedTo
+  }
 }

@@ -626,6 +626,24 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def vacuum(): Unit =
     availableVersions.foreach(v => deleteRecursively(versionDir(v)))
 
+  /** Bound the CDC log: drop recorded change feeds for versions
+    * STRICTLY BEFORE `keepSince` (feeds are otherwise kept forever —
+    * they are what lets consumers sync past snapshot retention). Pick
+    * `keepSince` = the oldest version any consumer is still synced at
+    * (the value the maintainers return); a consumer further behind
+    * then gets the correct LOUD failure from the snapshot-diff
+    * fallback's retention check instead of a silently incomplete
+    * delta. The Delta analogue is CDF files aging out with VACUUM. */
+  def pruneChangeFeed(keepSince: Int): Unit = {
+    val changes = tableDir.resolve("changes")
+    if (Files.isDirectory(changes))
+      scala.util.Using.resource(Files.list(changes))(_.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.matches("v\\d+") && n.stripPrefix("v").toInt < keepSince)
+          deleteRecursively(p)
+      })
+  }
+
   /** SHALLOW CLONE analogue: a new independent table whose v1 hard-links
     * the current snapshot's files — metadata-only (no data copied), the
     * object-store manifest-copy pattern on POSIX. Divergence is free in

@@ -117,6 +117,46 @@ class IncrementalViewSpec extends SparkSpec {
       s"expected min 0.5 / rescanned max 10.0, got $g0")
   }
 
+  test("distinct-count view: transitions only when the LAST instance " +
+      "of a value goes (or the first arrives), chained via returned " +
+      "versions, group extinction") {
+    val root = "/tmp/graft_tables/ivm_dist"
+    val base = LakeTable(spark, root, "d_base", Seq("id"))
+    val aux = LakeTable(spark, root, "d_aux", Seq("k", "__v"))
+    val view = LakeTable(spark, root, "d_view", Seq("k"))
+    base.drop(); aux.drop(); view.drop()
+    // k=1: values a,a,b ; k=2: values c
+    base.create(Seq((1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "b"),
+      (4L, 2L, "c")).toDF("id", "k", "v"))
+    val v0 = base.version
+    aux.create(IncrementalView.supportView(base.read, Seq("k"), "v"))
+    view.create(IncrementalView.distinctView(base.read, Seq("k"), "v"))
+    def dist: Map[Long, Long] = view.read.select("k", "n_distinct")
+      .as[(Long, Long)].collect().toMap
+    assert(dist == Map(1L -> 2L, 2L -> 1L))
+    // batch 1: delete ONE of the two 'a' rows → no transition; insert a
+    // NEW value d for k=2 → +1
+    base.delete(col("id") === 1L)
+    base.upsert(Seq((5L, 2L, "d")).toDF("id", "k", "v"))
+    val s1 = IncrementalView.maintainDistinctView(base, aux, view,
+      Seq("k"), "v", v0)
+    assert(dist == Map(1L -> 2L, 2L -> 2L),
+      "surviving duplicate must keep the distinct count")
+    // batch 2: delete the LAST 'a' → k=1 drops to 1; delete ALL of
+    // k=2 → group extinct
+    base.delete(col("id") === 2L)
+    base.delete(col("k") === 2L)
+    IncrementalView.maintainDistinctView(base, aux, view, Seq("k"), "v", s1)
+    assert(dist == Map(1L -> 1L), "last-instance delete + extinction")
+    // invariant vs full recompute at the end
+    val recomp = IncrementalView.distinctView(base.read, Seq("k"), "v")
+      .select(col("k"), col("n_distinct"))
+      .as[(Long, Long)].collect().toMap
+    assert(dist == recomp)
+    // the support relation converged too (no zombie zero-count rows)
+    assert(aux.read.filter(col("cnt") <= 0L).count() == 0L)
+  }
+
   test("min/max extinction + null values never join the extrema") {
     val root = "/tmp/graft_tables/ivm_mm3"
     val base = LakeTable(spark, root, "mm_base3", Seq("id"))

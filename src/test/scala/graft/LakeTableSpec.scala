@@ -545,6 +545,29 @@ class LakeTableSpec extends SparkSpec {
     assert(moved == Map("update_preimage" -> "y", "update_postimage" -> "z"))
   }
 
+  test("pruneChangeFeed bounds the CDC log: uncovered spans fall back " +
+      "to the snapshot diff (loud when that's also pruned)") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x")))
+    val v0 = t.version
+    t.upsert(df((2L, "b", "y")))
+    t.upsert(df((3L, "c", "z")))
+    val v2 = t.version
+    t.upsert(df((4L, "d", "w")))
+    // full feed coverage first
+    assert(changeSet(t, v0).map(_._1) == Set(2L, 3L, 4L))
+    t.pruneChangeFeed(keepSince = v2 + 1)
+    // span needing pruned feeds AND a pruned snapshot → loud failure
+    assert(!t.availableVersions.contains(v0))
+    intercept[IllegalArgumentException](t.changesSince(v0))
+    // span fully covered by surviving feeds still answers from the log
+    assert(changeSet(t, v2).map(_._1) == Set(4L))
+    // span whose snapshot IS retained answers via the diff fallback
+    val retained = t.availableVersions.min
+    assert(changeSet(t, retained).nonEmpty ||
+      t.changesSince(retained).isEmpty)
+  }
+
   test("transactional _meta.json: committed with the upsert, carried " +
       "forward by every other write, merged not replaced") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"))
