@@ -390,9 +390,27 @@ object ScaleProbe {
           recomp.create(graft.table.IncrementalView.sumView(
             t.read, Seq("o_custkey"), "o_totalprice"))
         }
+        // two-level distinct maintenance over the same recorded feed:
+        // aux/view are built from `base` — the exact pre-batch state
+        // the table was created from — so maintaining from v0 applies
+        // the same fixed batch at every factor
+        val auxT = graft.table.LakeTable(spark, root, s"ivm_aux_$n",
+          Seq("o_custkey", "__v"))
+        val viewD = graft.table.LakeTable(spark, root, s"ivm_viewd_$n",
+          Seq("o_custkey"))
+        auxT.drop(); viewD.drop()
+        auxT.create(graft.table.IncrementalView.supportView(
+          base, Seq("o_custkey"), "o_orderpriority"))
+        viewD.create(graft.table.IncrementalView.distinctView(
+          base, Seq("o_custkey"), "o_orderpriority"))
+        val (_, distinctSec) = timed {
+          graft.table.IncrementalView.maintainDistinctView(
+            t, auxT, viewD, Seq("o_custkey"), "o_orderpriority", v0)
+        }
         val baseRows = t.read.count()
         println(s"""{"family":"ivm","factor":$n,"rows":$baseRows,""" +
           s""""feed_rows":$feedRows,"maintain_sec":${f"$maintainSec%.2f"},""" +
+          s""""distinct_maintain_sec":${f"$distinctSec%.2f"},""" +
           s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
       }
     }

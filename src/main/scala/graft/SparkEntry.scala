@@ -1104,6 +1104,30 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // streaming CDC subscription: the change feed's append-only
+    // parquet log consumed as a file stream (Delta readChangeFeed
+    // streaming analogue) — per-change-type event counts after the
+    // standard upsert+delete batches; oracle replays the counts
+    // relationally
+    "q_stream_cdc" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "orders_stream_cdc",
+        Seq("o_orderkey"), changeFeed = true)
+      t.drop()
+      t.create(target)
+      t.upsert(source)
+      t.delete(col("o_orderkey") % 5 === 0)
+      val drained = graft.streaming.Streams.drainAppend(
+        t.readChangeFeedStream, s"stream_cdc_${System.nanoTime()}")
+      drained.groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("change_type")
+    }),
+
     "q_cdc" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
       val target = orders.filter(col("o_orderkey") % 3 =!= 0)
@@ -4858,6 +4882,37 @@ object SparkEntry {
          SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_distinct
          FROM final WHERE o_orderpriority IS NOT NULL
          GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // change-stream event counts replayed relationally: inserts =
+    // source keys absent from target; updates = matched keys whose row
+    // changed (only o_totalprice differs by construction, and it
+    // always does since prices are positive — spelled out anyway);
+    // deletes = post-merge rows hit by the delete predicate
+    "q_stream_cdc" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            ins AS (SELECT count(*) AS c FROM source s
+                    WHERE NOT EXISTS (SELECT 1 FROM target t
+                                      WHERE t.o_orderkey = s.o_orderkey)),
+            upd AS (SELECT count(*) AS c FROM source s
+                    JOIN target t USING (o_orderkey)
+                    WHERE t.o_totalprice <> s.o_totalprice),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            del AS (SELECT count(*) AS c FROM merged
+                    WHERE o_orderkey % 5 = 0)
+         SELECT change_type, n FROM (
+           SELECT 'delete' AS change_type, del.c AS n FROM del
+           UNION ALL SELECT 'insert', ins.c FROM ins
+           UNION ALL SELECT 'update_postimage', upd.c FROM upd
+           UNION ALL SELECT 'update_preimage', upd.c FROM upd)
+         ORDER BY change_type""",
 
     "q_merge_upsert" ->
       """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),

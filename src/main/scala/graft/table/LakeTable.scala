@@ -626,6 +626,26 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def vacuum(): Unit =
     availableVersions.foreach(v => deleteRecursively(versionDir(v)))
 
+  /** Streaming CDC source (Delta's `readChangeFeed` in streaming mode):
+    * the `changes/` directory is an APPEND-ONLY log of parquet files —
+    * each publish lands a whole version dir atomically before the
+    * pointer swap — so a file stream over it is a continuous change
+    * stream a downstream consumer can subscribe to (enrich, route,
+    * maintain views) without ever polling snapshots. Schema = the
+    * CURRENT table schema + `_change_type`; feeds recorded before an
+    * additive schema evolution surface the new columns as nulls (the
+    * same alignment rule as batch [[changesSince]]). */
+  def readChangeFeedStream: DataFrame = {
+    val changes = tableDir.resolve("changes")
+    require(Files.isDirectory(changes),
+      s"table $name has no recorded change feed (changeFeed off, or no " +
+        "row-level writes yet)")
+    val schema = org.apache.spark.sql.types.StructType(
+      read.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType))
+    spark.readStream.schema(schema).parquet(s"$changes/v*")
+  }
+
   /** Bound the CDC log: drop recorded change feeds for versions
     * STRICTLY BEFORE `keepSince` (feeds are otherwise kept forever —
     * they are what lets consumers sync past snapshot retention). Pick

@@ -316,6 +316,22 @@ class ScaleProbeSpec extends SparkSpec {
         .select(col("o_custkey"), col("n"), col("sum_value").cast("string"))
         .as[(Long, Long, String)].collect().toSet
       assert(snap == recomp, s"maintained != recomputed at ×$n")
+      // two-level distinct maintenance over the same feed span
+      val aux = LakeTable(spark, root, s"a$n", Seq("o_custkey", "__v"))
+      val vd = LakeTable(spark, root, s"d$n", Seq("o_custkey"))
+      aux.drop(); vd.drop()
+      aux.create(IncrementalView.supportView(base, Seq("o_custkey"),
+        "o_orderpriority"))
+      vd.create(IncrementalView.distinctView(base, Seq("o_custkey"),
+        "o_orderpriority"))
+      IncrementalView.maintainDistinctView(t, aux, vd, Seq("o_custkey"),
+        "o_orderpriority", v0)
+      val dSnap = vd.read.select("o_custkey", "n_distinct")
+        .as[(Long, Long)].collect().toSet
+      val dRecomp = IncrementalView.distinctView(t.read, Seq("o_custkey"),
+          "o_orderpriority").select("o_custkey", "n_distinct")
+        .as[(Long, Long)].collect().toSet
+      assert(dSnap == dRecomp, s"distinct maintained != recomputed at ×$n")
       (feedRows, snap)
     }
     val (f1, _) = run(1)
