@@ -1128,6 +1128,34 @@ object SparkEntry {
         .orderBy("change_type")
     }),
 
+    // the FULL continuous-IVM loop: writer → change log → streaming
+    // subscriber → view. The base takes the standard upsert+delete
+    // batches; the view is then brought up to date purely by consuming
+    // the CDC stream's signed deltas (inserts/post +, deletes/pre −) —
+    // no snapshot read anywhere. Oracle = the q_ivm full recompute.
+    "q_stream_ivm_cdc" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "orders_sivmc",
+        Seq("o_orderkey"), changeFeed = true)
+      val v = graft.table.LakeTable(s, root, "orders_sivmc_view",
+        Seq("o_custkey"))
+      t.drop(); v.drop()
+      t.create(target)
+      v.create(graft.table.IncrementalView.sumView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(source)
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.streaming.Streams.maintainSumViewFromChangeFeed(
+        t.readChangeFeedStream, v, Seq("o_custkey"), "o_totalprice")
+      v.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("double").as("sum_total"))
+        .orderBy("o_custkey")
+    }),
+
     "q_cdc" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
       val target = orders.filter(col("o_orderkey") % 3 =!= 0)
@@ -4913,6 +4941,25 @@ object SparkEntry {
            UNION ALL SELECT 'update_postimage', upd.c FROM upd
            UNION ALL SELECT 'update_preimage', upd.c FROM upd)
          ORDER BY change_type""",
+
+    // identical replay to q_ivm: the stream-maintained view must land
+    // on the same full-recompute state
+    "q_stream_ivm_cdc" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
 
     "q_merge_upsert" ->
       """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),

@@ -586,6 +586,53 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_ivm" -> e))
   }
 
+  /** The full continuous-IVM loop: subscribe to a base table's CDC
+    * stream ([[graft.table.LakeTable.readChangeFeedStream]]) and apply
+    * each micro-batch's SIGNED deltas to the stored view — inserts and
+    * update post-images count +1/+value, deletes and pre-images
+    * −1/−value, exactly the batch
+    * [[graft.table.IncrementalView.maintainSumView]] rule, so the view
+    * tracks the base through arbitrary DML (not just appends) with no
+    * snapshot reads anywhere: writer → change log → subscriber →
+    * view. Groups whose count reaches zero are deleted. Same
+    * transactional batch-id idempotence as [[maintainSumViewStream]]
+    * (the marker commits WITH the delta), same checkpoint-lineage
+    * scope. */
+  def maintainSumViewFromChangeFeed(feedStream: DataFrame,
+      view: graft.table.LakeTable, keyCols: Seq[String], valueCol: String,
+      appId: String = "cdc"): Unit = {
+    val metaKey = s"ivm_last_batch_$appId"
+    val q = feedStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = view.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty) {
+          val sign = when(col("_change_type")
+            .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+          val delta = batch.groupBy(keyCols.map(col): _*).agg(
+            sum(sign).as("d_n"),
+            sum(col(valueCol).cast("decimal(20,4)") * sign).as("d_sum"))
+          val cur = view.read.select(
+            keyCols.map(col) :+ col("n").as("v_n") :+
+              col("sum_value").as("v_sum"): _*)
+          val changed = delta.join(cur, keyCols, "left")
+            .select(keyCols.map(col) ++ Seq(
+              (coalesce(col("v_n"), lit(0L)) + col("d_n")).as("n"),
+              (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) +
+                coalesce(col("d_sum"), lit(0).cast("decimal(20,4)")))
+                .cast("decimal(30,4)").as("sum_value")): _*)
+            .localCheckpoint(true) // merged AND probed for extinction
+          view.upsert(changed, meta = Map(metaKey -> batchId.toString))
+          if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
+            view.delete(col("n") <= 0L)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_ivm_cdc" -> e))
+  }
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result — AvailableNow processes existing files as micro-batches then
     * stops (the reference's file-drop batch model). */

@@ -114,6 +114,39 @@ class StreamsSpec extends SparkSpec {
       "replayed batches must be skipped, not re-applied")
   }
 
+  test("continuous IVM from the CDC stream: signed deltas through " +
+      "upsert+delete+extinction == recompute; replay is a no-op") {
+    import graft.table.{IncrementalView, LakeTable}
+    val root = java.nio.file.Files.createTempDirectory("civm").toString
+    val t = LakeTable(spark, root, "base", Seq("id"), changeFeed = true)
+    val v = LakeTable(spark, root, "view", Seq("k"))
+    t.create(Seq((1L, 1L, 2.0), (2L, 1L, 3.0), (3L, 2L, 5.0))
+      .toDF("id", "k", "v"))
+    v.create(IncrementalView.sumView(t.read, Seq("k"), "v"))
+    t.upsert(Seq((2L, 1L, 30.0), (4L, 3L, 7.0)).toDF("id", "k", "v"))
+    t.delete(col("k") === 2L) // group 2 extinct
+    // per-FILE micro-batches may even split one version's feed — the
+    // signed deltas must compose across any batching
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        t.read.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/base/changes/v*")
+    Streams.maintainSumViewFromChangeFeed(feed, v, Seq("k"), "v")
+    def snap = v.read.select(col("k"), col("n"), col("sum_value").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    val recomp = IncrementalView.sumView(t.read, Seq("k"), "v")
+      .select(col("k"), col("n"), col("sum_value").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(snap == recomp)
+    assert(snap.map(_._1) == Set(1L, 3L), "group 2 must be extinct")
+    // replay the whole feed: batch-id marker makes it a no-op
+    Streams.maintainSumViewFromChangeFeed(
+      t.readChangeFeedStream, v, Seq("k"), "v")
+    assert(snap == recomp, "replay must not double-apply")
+  }
+
   test("streaming SCD2 sink == batch SCD2 of the same deduped batch") {
     import graft.table.LakeTable
     val root = java.nio.file.Files.createTempDirectory("scd2s").toString
