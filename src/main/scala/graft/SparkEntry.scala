@@ -692,6 +692,32 @@ object SparkEntry {
         .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")),
 
+    // Exact substring-level dedup (Lee et al. 2022): maximal character
+    // spans covered by a 30-gram occurring in >= 2 distinct docs. The
+    // rolling-hash anchor stage is seeded, but every candidate is
+    // re-verified against the real gram text, so the output is the
+    // exact definition — the oracle recomputes it from substrings
+    // directly, no hashes involved.
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", minLen = 30)
+        .orderBy("doc_id", "span_start")),
+
+    // Per-doc duplicated-character budget from the spans: the readout
+    // that drives span-level filtering thresholds.
+    "q_dup_coverage" -> ((s, dir) =>
+      Dedup.duplicateSpanCoverage(docs(s, dir), "doc_id", "text", minLen = 30)
+        .orderBy("doc_id")),
+
+    // Span-level decontamination: corpus spans verbatim-shared (>= 30
+    // chars) with a held-out "benchmark" slice (doc_id % 17 == 0).
+    "q_contam_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminatedSpans(
+        d.filter(col("doc_id") % 17 =!= 0), d.filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", minLen = 30)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // connected components over the near-dup pair graph: each doc labeled
     // with the min id reachable through pairs (dedup families — pairwise
     // similarity is not transitive, dedup decisions must be). Pairs come
@@ -5350,6 +5376,104 @@ object SparkEntry {
          WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
+
+    // exact recompute of the substring-dedup definition: every 30-gram
+    // by real substring (no hashes), dup = seen in >= 2 docs, island
+    // merge of covered positions per doc
+    "q_dup_spans" ->
+      """WITH d AS (
+           SELECT doc_id, text, greatest(length(text) - 29, 0) AS np
+           FROM documents),
+         grams AS (
+           SELECT doc_id, u.p AS pos, substr(text, u.p::int, 30) AS g
+           FROM d, LATERAL unnest(range(1, np + 1)) AS u(p)),
+         dup AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         anch AS (
+           SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + 29) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(-1 AS BIGINT)) + 1
+                       THEN 1 ELSE 0 END AS brk
+           FROM anch),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+                max(pos) + 29 - min(pos) + 1 AS span_len
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+
+    "q_dup_coverage" ->
+      """WITH d AS (
+           SELECT doc_id, text, greatest(length(text) - 29, 0) AS np
+           FROM documents),
+         grams AS (
+           SELECT doc_id, u.p AS pos, substr(text, u.p::int, 30) AS g
+           FROM d, LATERAL unnest(range(1, np + 1)) AS u(p)),
+         dup AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         anch AS (
+           SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + 29) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(-1 AS BIGINT)) + 1
+                       THEN 1 ELSE 0 END AS brk
+           FROM anch),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, max(pos) + 29 - min(pos) + 1 AS span_len
+           FROM isl2 GROUP BY doc_id, island),
+         tot AS (
+           SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
+           FROM spans GROUP BY doc_id)
+         SELECT d2.doc_id, length(d2.text) AS n_chars,
+                coalesce(t.dup_chars, 0) AS dup_chars,
+                round(CAST(coalesce(t.dup_chars, 0) AS DOUBLE)
+                      / length(d2.text), 6) AS dup_ratio
+         FROM documents d2 LEFT JOIN tot t USING (doc_id)
+         ORDER BY doc_id""",
+
+    "q_contam_spans" ->
+      """WITH d AS (
+           SELECT doc_id, text, greatest(length(text) - 29, 0) AS np
+           FROM documents),
+         grams AS (
+           SELECT doc_id, u.p AS pos, substr(text, u.p::int, 30) AS g
+           FROM d, LATERAL unnest(range(1, np + 1)) AS u(p)),
+         tg AS (
+           SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+         anch AS (
+           SELECT doc_id, pos FROM grams
+           WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM tg)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + 29) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(-1 AS BIGINT)) + 1
+                       THEN 1 ELSE 0 END AS brk
+           FROM anch),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end,
+                max(pos) + 29 - min(pos) + 1 AS span_len
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
 
     "q_dedup_families" ->
       """WITH RECURSIVE toks AS (

@@ -34,6 +34,8 @@ object Registry {
       exprs => MultiPatternMatch(exprs(0), evalStringArray(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("deletion_neighborhood",
       exprs => DeletionNeighborhood(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("gram_hashes",
+      exprs => GramRollingHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler",
       exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     // merges as a literal array of 2-element arrays: array(array('a','b'), ...)

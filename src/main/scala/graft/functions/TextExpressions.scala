@@ -480,6 +480,57 @@ case class DeletionNeighborhood(child: Expression, tau: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Rolling polynomial hash of every `n`-codepoint character gram of a
+  * string — the anchor stage of exact substring-level dedup (Lee et al.
+  * 2022, "Deduplicating Training Data Makes Language Models Better"):
+  * any duplicated substring of length >= n contains a duplicated
+  * n-gram, so colliding these 8-byte window hashes finds every
+  * candidate anchor in ONE O(len) pass (vs the O(len·n)
+  * substring-per-position HOF chain, which would also shuffle n chars
+  * per position instead of one long). Callers re-verify candidates
+  * against the real substrings, so a hash collision costs work, never
+  * correctness. Array index i is the hash of the gram at 1-based
+  * codepoint position i+1 — matching `substring(text, i+1, n)`
+  * semantics on both Spark and DuckDB (both index by codepoint). */
+case class GramRollingHashes(child: Expression, n: Int)
+    extends UnaryExpression with RefEvalCodegen {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"gram_hashes needs string, got ${t.simpleString}")
+  }
+
+  private val B = 1000003L
+  private val Bpow: Long = { // B^(n-1) mod 2^64, the outgoing-char weight
+    var p = 1L; var i = 1
+    while (i < n) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val len = cps.length
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var h = 0L
+    var i = 0
+    while (i < n) { h = h * B + cps(i); i += 1 }
+    out(0) = h
+    i = n
+    while (i < len) {
+      h = (h - cps(i - n) * Bpow) * B + cps(i)
+      out(i - n + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   private[functions] val SPACE = UTF8String.fromString(" ")
   private[functions] val ZH = UTF8String.fromString("zh")
@@ -561,4 +612,7 @@ object TextExpressions {
 
   def deletionNeighborhood(c: Column, tau: Int): Column =
     GraftColumnBridge.column(DeletionNeighborhood(GraftColumnBridge.expression(c), tau))
+
+  def gramHashes(c: Column, n: Int): Column =
+    GraftColumnBridge.column(GramRollingHashes(GraftColumnBridge.expression(c), n))
 }

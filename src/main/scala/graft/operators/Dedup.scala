@@ -748,4 +748,123 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ---- Exact substring-level dedup: duplicated spans (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better") ----
+  //
+  // Doc-level dedup (everything above) misses the dominant duplication
+  // mode in web corpora: long passages repeated inside otherwise-distinct
+  // documents. The exact-substring definition: a character range is
+  // duplicated iff it lies inside some substring of length >= minLen that
+  // occurs in >= minDocs distinct documents. Since any such substring
+  // contains a duplicated EXACTLY-minLen gram, anchoring on fixed-length
+  // grams is complete, and merging overlapping/adjacent anchors
+  // reconstructs the maximal duplicated spans.
+  //
+  // Scale shape (the suffix-array build in the paper is replaced by a
+  // shuffle-friendly anchor join): one O(len) rolling-hash pass per doc
+  // (native GramRollingHashes — 8 bytes per position, never minLen chars)
+  // → groupBy hash keeping hashes seen in >= minDocs docs → extract the
+  // REAL minLen-char grams for surviving candidates only (each doc's text
+  // shuffled once, not once per candidate) → exact groupBy on gram text
+  // (hash collisions die here, so exactness never depends on the hash) →
+  // per-doc island merge under a doc-partitioned window. Candidate volume
+  // is the true duplicate density plus ~n²/2⁶⁴ random collisions.
+
+  /** (doc, 1-based pos, rolling hash) of every `minLen`-codepoint gram. */
+  private def gramAnchors(docs: DataFrame, minLen: Int): DataFrame =
+    docs.select(col("__id"),
+        posexplode(graft.functions.TextExpressions.gramHashes(col("__t"), minLen)))
+      .select(col("__id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("__h"))
+
+  /** Real gram text for candidate (doc, pos) anchors — aggregates each
+    * doc's candidate positions first so its text joins ONCE. */
+  private def candidateGrams(docs: DataFrame, cand: DataFrame, minLen: Int): DataFrame = {
+    val candPos = cand.groupBy("__id").agg(collect_list(col("pos")).as("__ps"))
+    docs.join(candPos, "__id")
+      .select(col("__id"), col("__t"), explode(col("__ps")).as("pos"))
+      .select(col("__id"), col("pos"),
+        substring(col("__t"), col("pos").cast("int"), lit(minLen)).as("__g"))
+  }
+
+  /** Merge verified anchors (each covering [pos, pos+minLen-1]) into
+    * maximal contiguous covered spans per doc: an anchor starts a new
+    * island iff it begins past the running max end of all earlier
+    * anchors + 1 (adjacency merges — the covered character set is what
+    * is contiguous). Windows are doc-partitioned. */
+  private def mergeAnchorSpans(anchors: DataFrame, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__id").orderBy("pos")
+    val prevEnd = max(col("pos") + lit(minLen - 1).cast("long"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    anchors
+      .withColumn("__brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1L, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(w))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(minLen - 1).cast("long")).as("span_end"))
+      .select(col("__id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** Maximal per-document character spans (1-based, inclusive, codepoint
+    * units) covered by some `minLen`-gram occurring in >= `minDocs`
+    * distinct documents. Output: (idCol, span_start, span_end, span_len). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 1 && minDocs >= 2)
+    val docs = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val anchors = gramAnchors(docs, minLen)
+    val candH = anchors.groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("__h")
+    val cand = anchors.join(candH, Seq("__h"), "left_semi")
+    val grams = candidateGrams(docs, cand, minLen)
+    val dupG = grams.groupBy("__g")
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("__g")
+    val verified = grams.join(dupG, Seq("__g"), "left_semi").select("__id", "pos")
+    mergeAnchorSpans(verified, minLen).withColumnRenamed("__id", idCol)
+  }
+
+  /** Per-document duplicated-character budget from [[duplicateSpans]]:
+    * total covered chars and their fraction of the doc (0 for clean
+    * docs) — the "how much of my corpus is boilerplate" readout that
+    * drives span-level filtering thresholds. */
+  def duplicateSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, minLen, minDocs)
+    val tot = spans.groupBy(idCol).agg(sum("span_len").as("__dc"))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(tot, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("__dc"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("__dc"), lit(0L)).cast("double") / col("n_chars"), 6)
+          .as("dup_ratio"))
+  }
+
+  /** Span-level decontamination: maximal spans of corpus documents whose
+    * `minLen`-grams also occur in the test set — the exact-substring
+    * counterpart of the doc-level [[contaminated]] (overlap with a
+    * benchmark is a span property; whole-doc n-gram overlap both
+    * under-reports long verbatim quotes inside big docs and over-reports
+    * docs sharing only stock phrases). Output: (idCol, span_start,
+    * span_end, span_len) over corpus docs. */
+  def contaminatedSpans(corpus: DataFrame, testSet: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 1)
+    val cDocs = corpus.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val tDocs = testSet.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val cAnch = gramAnchors(cDocs, minLen)
+    val tAnch = gramAnchors(tDocs, minLen)
+    // hashes present on both sides gate BOTH extraction passes
+    val sharedH = cAnch.select("__h").distinct()
+      .join(tAnch.select("__h").distinct(), Seq("__h"), "left_semi")
+    val cGrams = candidateGrams(cDocs, cAnch.join(sharedH, Seq("__h"), "left_semi"), minLen)
+    val tGrams = candidateGrams(tDocs, tAnch.join(sharedH, Seq("__h"), "left_semi"), minLen)
+      .select("__g").distinct()
+    val verified = cGrams.join(tGrams, Seq("__g"), "left_semi").select("__id", "pos")
+    mergeAnchorSpans(verified, minLen).withColumnRenamed("__id", idCol)
+  }
 }
