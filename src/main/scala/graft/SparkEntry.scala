@@ -1130,6 +1130,41 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // JOIN-view IVM: revenue by customer market segment, maintained
+    // through one window of simultaneous fact churn (upsert + delete)
+    // AND dim churn (segment moves + customer deletes) via the
+    // two-table delta rule dF⋈D1 + F1⋈dD − dF⋈dD. Oracle replays the
+    // final state of BOTH tables relationally and recomputes the join
+    // aggregate from scratch — maintained must equal recomputed.
+    "q_ivm_join" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val f = graft.table.LakeTable(s, root, "ivmj_fact", Seq("o_orderkey"),
+        changeFeed = true)
+      val d = graft.table.LakeTable(s, root, "ivmj_dim", Seq("o_custkey"),
+        changeFeed = true)
+      val vw = graft.table.LakeTable(s, root, "ivmj_view", Seq("c_mktsegment"))
+      f.drop(); d.drop(); vw.drop()
+      f.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      d.create(customer)
+      val (f0, d0) = (f.version, d.version)
+      vw.create(graft.table.IncrementalView.joinSumView(f.read, d.read,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice"))
+      f.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      f.delete(col("o_orderkey") % 5 === 0)
+      d.update(col("o_custkey") % 7 === 0,
+        Map("c_mktsegment" -> lit("MOVED")))
+      d.delete(col("o_custkey") % 11 === 0)
+      graft.table.IncrementalView.maintainJoinSumView(f, d, vw,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice", f0, d0)
+      vw.read.select(col("c_mktsegment"), col("n"),
+          col("sum_value").cast("double").as("sum_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // streaming CDC subscription: the change feed's append-only
     // parquet log consumed as a file stream (Delta readChangeFeed
     // streaming analogue) — per-change-type event counts after the
@@ -4936,6 +4971,32 @@ object SparkEntry {
          SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_distinct
          FROM final WHERE o_orderpriority IS NOT NULL
          GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // JOIN-view replay: final fact state (upsert + delete) joined to
+    // final dim state (segment moves + deletes), re-aggregated from
+    // scratch — the maintained view must equal this exactly
+    "q_ivm_join" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            ffinal AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0),
+            dfinal AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                          ELSE c_mktsegment END AS c_mktsegment
+              FROM customer WHERE c_custkey % 11 <> 0)
+         SELECT c_mktsegment, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total
+         FROM ffinal JOIN dfinal ON ffinal.o_custkey = dfinal.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // change-stream event counts replayed relationally: inserts =
     // source keys absent from target; updates = matched keys whose row

@@ -79,6 +79,19 @@ object IncrementalView {
     val delta = ch.groupBy(keyCols.map(col): _*).agg(
       sum(sign).as("d_n"),
       sum(col(valueCol).cast("decimal(20,4)") * sign).as("d_sum"))
+    mergeSumDelta(view, keyCols, delta)
+    syncedTo
+  }
+
+  /** Apply a (d_n, d_sum) per-group delta frame to a stored sum view:
+    * left join against current rows → MERGE only the changed keys →
+    * drop zero-count groups. Groups whose last member was deleted go
+    * through a table-level condition delete (no driver-side key list);
+    * the probe on the SMALL changed frame skips the view rewrite
+    * entirely in the common no-extinction batch, keeping maintenance
+    * O(changes). */
+  private def mergeSumDelta(view: LakeTable, keyCols: Seq[String],
+      delta: DataFrame): Unit = {
     val cur = view.read.select(
       keyCols.map(col) :+ col("n").as("v_n") :+
         col("sum_value").as("v_sum"): _*)
@@ -89,13 +102,8 @@ object IncrementalView {
           .cast("decimal(30,4)").as("sum_value")): _*)
       .localCheckpoint(true) // computed once: probed below AND merged
     view.upsert(changed)
-    // groups whose last member was deleted: a table-level condition
-    // delete (no driver-side key list). The probe on the SMALL changed
-    // frame skips the view rewrite entirely in the common no-extinction
-    // batch, keeping maintenance O(changes).
     if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
       view.delete(col("n") <= 0L)
-    syncedTo
   }
 
   /** [[maintainSumView]] for a [[minMaxView]]: count/sum by the exact
@@ -222,6 +230,94 @@ object IncrementalView {
     view.upsert(changedView)
     if (changedView.filter(col("n_distinct") <= 0L).limit(1).count() > 0)
       view.delete(col("n_distinct") <= 0L)
+    syncedTo
+  }
+
+  // ---- JOIN views (two-table delta rule) ----
+  //
+  // V = γ_groupKeys(count, sum(value)) over fact ⋈_joinKeys dim — the
+  // enriched-aggregate every dashboard actually wants ("revenue by
+  // customer segment"), where the group attribute lives on the
+  // dimension. With F1 = F0 + dF and D1 = D0 + dD as signed bags, the
+  // exact identity
+  //
+  //   Δ(F ⋈ D) = dF ⋈ D1  +  F1 ⋈ dD  −  dF ⋈ dD
+  //
+  // uses only the CURRENT snapshots plus the two change feeds — no
+  // time travel, so maintenance keeps working after retention has
+  // pruned the pre-batch snapshots (the trap a readVersion-based
+  // formulation walks into). Cost shape: dF⋈D1 is a delta-sized probe
+  // of the dim; F1⋈dD is the honest price of dimension churn — a fact
+  // scan RESTRICTED to the changed join keys (broadcast semi-join
+  // first, so partition/zone-map pruning applies and only matching
+  // rows ever shuffle); dF⋈dD is delta×delta. A quiet dim — the
+  // common case — costs O(|dF|) total. The identity also nets out the
+  // subtle same-window interactions (fact insert + dim delete of its
+  // key, dim attribute move re-homing freshly inserted facts), which
+  // IncrementalViewSpec pins case by case.
+
+  /** Full enriched aggregate — the join view's initial state and the
+    * recomputation maintenance must stay equal to. `groupKeys` may
+    * come from either side; `valueCol` lives on the fact. */
+  def joinSumView(fact: DataFrame, dim: DataFrame, joinKeys: Seq[String],
+      groupKeys: Seq[String], valueCol: String): DataFrame =
+    fact.join(dim, joinKeys).groupBy(groupKeys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("decimal(20,4)"))
+        .cast("decimal(30,4)").as("sum_value"))
+
+  /** Maintain a [[joinSumView]] from BOTH base tables' changes since
+    * their respective synced versions. Returns the (fact, dim) versions
+    * the view is now synced to — record and pass them next time. */
+  def maintainJoinSumView(factT: LakeTable, dimT: LakeTable, view: LakeTable,
+      joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
+      factSince: Int, dimSince: Int): (Int, Int) = {
+    val syncedTo = (factT.version, dimT.version)
+    val factNow = factT.read
+    val dimNow = dimT.read
+    // each group key must be resolvable from exactly one side post-join;
+    // keys present on both sides (e.g. a join key) resolve via the fact
+    val factSide = factNow.columns.toSet
+    val dGroup = groupKeys.filterNot(factSide)
+    require(dGroup.forall(dimNow.columns.contains),
+      s"group keys ${dGroup.filterNot(dimNow.columns.contains)} in neither table")
+    val fGroup = groupKeys.filter(factSide)
+    val w = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val out = groupKeys.map(col) :+ vDec.as("__v") :+ col("__w")
+    // pre-projections keep non-key columns from colliding across sides
+    val dimProj = (joinKeys ++ dGroup).distinct
+    val factProj = (joinKeys ++ fGroup :+ valueCol).distinct
+    // a quiet side is ROUTINE in the two-table case (most windows touch
+    // only the fact): its delta is the empty change set, not an error
+    def changes(t: LakeTable, since: Int): DataFrame =
+      if (since >= t.version)
+        t.read.limit(0).withColumn("_change_type", lit("insert"))
+      else t.changesSince(since)
+    val dF = changes(factT, factSince).withColumn("__w", w)
+    val dD = changes(dimT, dimSince)
+      .select((dimProj.map(col) :+ w.as("__w")): _*)
+    val p1 = dF.join(dimNow.select(dimProj.map(col): _*), joinKeys)
+      .select(out: _*)
+    val dDKeys = dD.select(joinKeys.map(col): _*).distinct()
+    val p2 = factNow.select(factProj.map(col): _*)
+      .join(broadcast(dDKeys), joinKeys, "left_semi")
+      .join(dD, joinKeys)
+      .select(out: _*)
+    val p3 = dF.select((factProj.map(col) :+ col("__w").as("__wf")): _*)
+      .join(dD.withColumnRenamed("__w", "__wd"), joinKeys)
+      .select(groupKeys.map(col) :+ vDec.as("__v") :+
+        (-col("__wf") * col("__wd")).as("__w"): _*)
+    val delta = p1.unionByName(p2).unionByName(p3)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(sum(col("__w")).as("d_n"),
+        sum(col("__v") * col("__w")).as("d_sum"))
+      // net-zero groups (e.g. an update that changed nothing the view
+      // sees) never enter the merge
+      .filter(col("d_n") =!= 0L ||
+        coalesce(col("d_sum"), lit(0).cast("decimal(30,4)")) =!= lit(0).cast("decimal(30,4)"))
+    mergeSumDelta(view, groupKeys, delta)
     syncedTo
   }
 }

@@ -157,6 +157,81 @@ class IncrementalViewSpec extends SparkSpec {
     assert(aux.read.filter(col("cnt") <= 0L).count() == 0L)
   }
 
+  // ---- JOIN views (two-table delta rule) ----
+
+  private def jvSnapshot(t: LakeTable): Set[(String, Long, String)] =
+    t.read.select(col("seg"), col("n"), col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+
+  private def jvRecomp(f: LakeTable, d: LakeTable): Set[(String, Long, String)] =
+    IncrementalView.joinSumView(f.read, d.read, Seq("ck"), Seq("seg"), "v")
+      .select(col("seg"), col("n"), col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+
+  test("join view: maintained == recompute through fact churn, then " +
+      "simultaneous fact+dim churn, chained via returned versions") {
+    val root = "/tmp/graft_tables/ivm_jv1"
+    val f = LakeTable(spark, root, "jv_fact", Seq("id"), changeFeed = true)
+    val d = LakeTable(spark, root, "jv_dim", Seq("ck"), changeFeed = true)
+    val v = LakeTable(spark, root, "jv_view", Seq("seg"))
+    f.drop(); d.drop(); v.drop()
+    f.create((1L to 20L).map(i => (i, i % 5, i * 1.0)).toDF("id", "ck", "v"))
+    d.create(Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B"), (4L, "C"))
+      .toDF("ck", "seg"))
+    val (f0, d0) = (f.version, d.version)
+    v.create(IncrementalView.joinSumView(f.read, d.read, Seq("ck"),
+      Seq("seg"), "v"))
+    // batch 1: fact churn only — the quiet-dim fast path (dD empty)
+    f.upsert(((4L to 20L by 4).map(i => (i, i % 5, i * 2.0)) ++
+      Seq((21L, 1L, 3.0))).toDF("id", "ck", "v"))
+    f.delete(col("id") % 7 === 0)
+    val (f1, d1) = IncrementalView.maintainJoinSumView(f, d, v,
+      Seq("ck"), Seq("seg"), "v", f0, d0)
+    assert(jvSnapshot(v) == jvRecomp(f, d))
+    assert(jvSnapshot(v).nonEmpty)
+    // batch 2: dim churn (segment move + customer delete) AND fact
+    // churn in the SAME window — exercises all three delta terms,
+    // including the fact-insert-joins-deleted-dim interaction (id 22,
+    // ck 4) that only the −dF⋈dD term nets out, and a fresh fact
+    // insert (id 23) that must land in the dim row's NEW segment
+    d.update(col("ck") === 1L, Map("seg" -> lit("MOVED")))
+    d.delete(col("ck") === 4L)
+    f.upsert(Seq((22L, 4L, 9.0), (23L, 1L, 1.5)).toDF("id", "ck", "v"))
+    IncrementalView.maintainJoinSumView(f, d, v,
+      Seq("ck"), Seq("seg"), "v", f1, d1)
+    val snap = jvSnapshot(v)
+    assert(snap == jvRecomp(f, d))
+    assert(snap.exists(_._1 == "MOVED"), "moved segment must appear")
+    assert(!snap.exists(_._1 == "C"),
+      s"segment C lost its only customer — extinction, got $snap")
+  }
+
+  test("join view grouped by a fact-side key (dim as filter)") {
+    val root = "/tmp/graft_tables/ivm_jv2"
+    val f = LakeTable(spark, root, "jv_fact2", Seq("id"), changeFeed = true)
+    val d = LakeTable(spark, root, "jv_dim2", Seq("ck"), changeFeed = true)
+    val v = LakeTable(spark, root, "jv_view2", Seq("ck"))
+    f.drop(); d.drop(); v.drop()
+    f.create((1L to 12L).map(i => (i, i % 4, i * 1.0)).toDF("id", "ck", "v"))
+    d.create(Seq((0L, "A"), (1L, "A"), (2L, "B")).toDF("ck", "seg")) // no ck=3
+    val (f0, d0) = (f.version, d.version)
+    v.create(IncrementalView.joinSumView(f.read, d.read, Seq("ck"),
+      Seq("ck"), "v"))
+    // unmatched fact rows (ck=3) are invisible to the view on BOTH sides
+    f.upsert(Seq((13L, 3L, 5.0), (14L, 2L, 6.0)).toDF("id", "ck", "v"))
+    d.delete(col("ck") === 0L) // group 0 extinct via the dim side
+    IncrementalView.maintainJoinSumView(f, d, v,
+      Seq("ck"), Seq("ck"), "v", f0, d0)
+    val got = v.read.select(col("ck"), col("n"), col("sum_value").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    val want = IncrementalView.joinSumView(f.read, d.read, Seq("ck"),
+        Seq("ck"), "v")
+      .select(col("ck"), col("n"), col("sum_value").cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want)
+    assert(!got.exists(_._1 == 0L) && !got.exists(_._1 == 3L))
+  }
+
   test("min/max extinction + null values never join the extrema") {
     val root = "/tmp/graft_tables/ivm_mm3"
     val base = LakeTable(spark, root, "mm_base3", Seq("id"))
