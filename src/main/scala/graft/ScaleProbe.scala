@@ -89,7 +89,7 @@ object ScaleProbe {
     val families = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
-        "stats", "hamming", "ivm", "skyline", "gains"))
+        "stats", "hamming", "ivm", "skyline", "gains", "spans"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -463,6 +463,29 @@ object ScaleProbe {
           s""""gains_sec":${f"$gainsSec%.2f"},"total_n":${res.getLong(0)},""" +
           s""""total_conv":${res.getLong(1)},"bands":${res.getLong(2)}}""")
       }
+    }
+
+    // ---- spans family (round-9): exact substring-level dedup. The
+    // token-prefix inflation keeps replicas char-gram-disjoint (docs
+    // are word soup with tokens far shorter than minLen, so every
+    // minLen-char window crosses a token boundary and carries a
+    // replica prefix) while each replica reproduces the original's
+    // duplicated-passage structure over longer tokens — span counts
+    // are replica-stable, anchor volume stays linear in corpus chars,
+    // and the candidate/verify stages only ever carry true dup
+    // anchors plus ~n²/2⁶⁴ random hash collisions.
+    if (families("spans")) factors.foreach { n =>
+      val d = inflate(docs, maxId, n).localCheckpoint(true)
+      val chars = d.agg(sum(length(col("text")))).head().getLong(0)
+      val (res, sec) = timed {
+        val sp = graft.operators.Dedup
+          .duplicateSpans(d, "doc_id", "text", minLen = 30)
+          .agg(count(lit(1)), coalesce(sum("span_len"), lit(0L))).head()
+        (sp.getLong(0), sp.getLong(1))
+      }
+      println(s"""{"family":"spans","factor":$n,"chars":$chars,""" +
+        s""""spans_sec":${f"$sec%.2f"},"n_spans":${res._1},""" +
+        s""""dup_chars":${res._2}}""")
     }
     spark.stop()
   }

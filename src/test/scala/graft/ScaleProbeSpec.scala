@@ -279,6 +279,36 @@ class ScaleProbeSpec extends SparkSpec {
       "total conversions must scale ×4")
   }
 
+  test("×4 inflation: duplicated spans replica-stable and cross-replica disjoint") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    def spansAt(n: Int): Long = {
+      val d = ScaleProbe.inflate(docs, maxId, n).localCheckpoint(true)
+      graft.operators.Dedup.duplicateSpans(d, "doc_id", "text", minLen = 30).count()
+    }
+    val base = spansAt(1)
+    assert(base > 0, "corpus has no duplicated spans — the pin is vacuous")
+    // token prefixes lengthen tokens, so a replica's OWN span count can
+    // legitimately differ from the original's; what must hold exactly is
+    // per-replica stability: replicas r>=1 are copies of each other
+    val r1 = spansAt(2) - base
+    assert(r1 > 0)
+    assert(spansAt(4) == base + 3 * r1,
+      s"spans must grow by exactly one replica's count per factor")
+    // and the replica span SETS are identical up to the id shift
+    val d4 = ScaleProbe.inflate(docs, maxId, 4).localCheckpoint(true)
+    val byRep = graft.operators.Dedup
+      .duplicateSpans(d4, "doc_id", "text", minLen = 30)
+      .withColumn("rep", floor(col("doc_id") / maxId).cast("long"))
+      .select(col("rep"), (col("doc_id") % maxId).as("d"),
+        col("span_start"), col("span_end"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (r, xs) => r -> xs.map(x => (x._2, x._3, x._4)).toSet }
+    assert(byRep.keySet == Set(0L, 1L, 2L, 3L))
+    assert(byRep(1L) == byRep(2L) && byRep(2L) == byRep(3L),
+      "prefixed replicas must produce identical span structure")
+  }
+
   test("IVM: fixed change batch → feed volume invariant under ×4 base " +
       "inflation, and the maintained view still equals the recompute") {
     import graft.table.{IncrementalView, LakeTable}
