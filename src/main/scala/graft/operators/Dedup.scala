@@ -787,6 +787,19 @@ object Dedup {
         substring(col("__t"), col("pos").cast("int"), lit(minLen)).as("__g"))
   }
 
+  /** Keys (hashes or gram texts) carried by >= minDocs DISTINCT docs.
+    * For the common minDocs=2, "in two distinct docs" is exactly
+    * min(doc) != max(doc) — a single-phase agg with map-side combine
+    * instead of countDistinct's two-level expansion (the dominant cost
+    * of the anchor stage, measured in the ScaleProbe spans family). */
+  private def multiDocKeys(df: DataFrame, keyCol: String, minDocs: Int): DataFrame =
+    if (minDocs == 2)
+      df.groupBy(keyCol).agg(min(col("__id")).as("__mn"), max(col("__id")).as("__mx"))
+        .filter(col("__mn") =!= col("__mx")).select(keyCol)
+    else
+      df.groupBy(keyCol).agg(countDistinct(col("__id")).as("__nd"))
+        .filter(col("__nd") >= minDocs).select(keyCol)
+
   /** Merge verified anchors (each covering [pos, pos+minLen-1]) into
     * maximal contiguous covered spans per doc: an anchor starts a new
     * island iff it begins past the running max end of all earlier
@@ -816,14 +829,10 @@ object Dedup {
     require(minLen >= 1 && minDocs >= 2)
     val docs = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
     val anchors = gramAnchors(docs, minLen)
-    val candH = anchors.groupBy("__h")
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= minDocs).select("__h")
+    val candH = multiDocKeys(anchors, "__h", minDocs)
     val cand = anchors.join(candH, Seq("__h"), "left_semi")
     val grams = candidateGrams(docs, cand, minLen)
-    val dupG = grams.groupBy("__g")
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= minDocs).select("__g")
+    val dupG = multiDocKeys(grams, "__g", minDocs)
     val verified = grams.join(dupG, Seq("__g"), "left_semi").select("__id", "pos")
     mergeAnchorSpans(verified, minLen).withColumnRenamed("__id", idCol)
   }
