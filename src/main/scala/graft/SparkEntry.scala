@@ -718,6 +718,25 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // Intra-doc repetition spans: regions covered by a 15-gram occurring
+    // at least twice within the SAME doc — the looping/degenerate-text
+    // detector.
+    "q_self_repeat" -> ((s, dir) =>
+      Dedup.selfRepetitionSpans(docs(s, dir), "doc_id", "text", minLen = 15)
+        .orderBy("doc_id", "span_start")),
+
+    // The ACTION step: boilerplate strip — every duplicated span cut
+    // from every doc (content appearing in >= 2 docs is template
+    // residue under this policy). Oracle reconstructs each cleaned text
+    // from the gap segments.
+    "q_excise_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exciseSpans(d,
+        Dedup.duplicateSpans(d, "doc_id", "text", minLen = 30),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // connected components over the near-dup pair graph: each doc labeled
     // with the min id reachable through pairs (dedup families — pairwise
     // similarity is not transitive, dedup decisions must be). Pairs come
@@ -5535,6 +5554,90 @@ object SparkEntry {
                 max(pos) + 29 - min(pos) + 1 AS span_len
          FROM isl2 GROUP BY doc_id, island
          ORDER BY doc_id, span_start""",
+
+    // intra-doc repetition: same island merge, candidate rule is
+    // per-(doc, gram) multiplicity >= 2 at L=15
+    "q_self_repeat" ->
+      """WITH d AS (
+           SELECT doc_id, text, greatest(length(text) - 14, 0) AS np
+           FROM documents),
+         grams AS (
+           SELECT doc_id, u.p AS pos, substr(text, u.p::int, 15) AS g
+           FROM d, LATERAL unnest(range(1, np + 1)) AS u(p)),
+         dup AS (
+           SELECT doc_id, g FROM grams GROUP BY doc_id, g
+           HAVING count(*) >= 2),
+         anch AS (
+           SELECT g2.doc_id, g2.pos FROM grams g2
+           JOIN dup USING (doc_id, g)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + 14) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(-1 AS BIGINT)) + 1
+                       THEN 1 ELSE 0 END AS brk
+           FROM anch),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 14 AS span_end,
+                max(pos) + 14 - min(pos) + 1 AS span_len
+         FROM isl2 GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
+
+    // excise replay: recompute the duplicated spans, then stitch each
+    // cleaned text from the gap segments (lag boundary + tail piece)
+    "q_excise_spans" ->
+      """WITH d AS (
+           SELECT doc_id, text, greatest(length(text) - 29, 0) AS np
+           FROM documents),
+         grams AS (
+           SELECT doc_id, u.p AS pos, substr(text, u.p::int, 30) AS g
+           FROM d, LATERAL unnest(range(1, np + 1)) AS u(p)),
+         dup AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         anch AS (
+           SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + 29) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(-1 AS BIGINT)) + 1
+                       THEN 1 ELSE 0 END AS brk
+           FROM anch),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end
+           FROM isl2 GROUP BY doc_id, island),
+         segs AS (
+           SELECT doc_id, span_start, span_end,
+                  lag(span_end, 1, 0) OVER (
+                    PARTITION BY doc_id ORDER BY span_start) AS prev_end
+           FROM spans),
+         pieces AS (
+           SELECT s.doc_id, s.span_start AS ord,
+                  substr(d2.text, (s.prev_end + 1)::int,
+                         greatest(s.span_start - s.prev_end - 1, 0)::int) AS piece
+           FROM segs s JOIN documents d2 USING (doc_id)
+           UNION ALL
+           SELECT t.doc_id, t.m + 1 AS ord,
+                  substr(d2.text, (t.m + 1)::int) AS piece
+           FROM (SELECT doc_id, max(span_end) AS m
+                 FROM spans GROUP BY doc_id) t
+           JOIN documents d2 USING (doc_id)),
+         agged AS (
+           SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+           FROM pieces GROUP BY doc_id)
+         SELECT d3.doc_id, coalesce(a.clean_text, d3.text) AS clean_text
+         FROM documents d3 LEFT JOIN agged a USING (doc_id)
+         ORDER BY doc_id""",
 
     "q_dedup_families" ->
       """WITH RECURSIVE toks AS (

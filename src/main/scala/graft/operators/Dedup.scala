@@ -853,6 +853,61 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Intra-document repetition spans: maximal character regions covered
+    * by a `minLen`-gram occurring at least twice WITHIN the same doc —
+    * the degenerate/looping-text detector (periodic output covers
+    * itself: "ababab…" is fully spanned). Same anchor→verify→merge
+    * shape as [[duplicateSpans]], with per-(doc, gram) multiplicity as
+    * the candidate rule; everything stays keyed by doc, so no
+    * cross-doc shuffle at all. */
+  def selfRepetitionSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1)
+    val docs = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val anchors = gramAnchors(docs, minLen)
+    val candH = anchors.groupBy("__id", "__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__id", "__h")
+    val cand = anchors.join(candH, Seq("__id", "__h"), "left_semi")
+    val grams = candidateGrams(docs, cand, minLen)
+    val dupG = grams.groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__id", "__g")
+    val verified = grams.join(dupG, Seq("__id", "__g"), "left_semi")
+      .select("__id", "pos")
+    mergeAnchorSpans(verified, minLen).withColumnRenamed("__id", idCol)
+  }
+
+  /** Cut spans out of each document's text — the ACTION step after
+    * detection ([[duplicateSpans]] boilerplate strip, or a caller's
+    * keep-one policy applied to the span frame first). `spans` must be
+    * per-doc non-overlapping with >= 1 char between them, which every
+    * span producer here guarantees (island merge). Docs without spans
+    * pass through; output is (idCol, clean_text). Row-local after one
+    * per-doc span aggregation: the sorted span list folds over the
+    * text in a single codegen'd HOF — no per-span joins, no window. */
+  def exciseSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sp = spans.groupBy(idCol).agg(
+      sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("__sp"))
+    val t = col(textCol)
+    val stitched = aggregate(
+      col("__sp"),
+      struct(lit("").cast("string").as("c"), lit(0L).as("p")),
+      (a, s) => struct(
+        concat(a.getField("c"),
+          substring(t, (a.getField("p") + 1L).cast("int"),
+            greatest(s.getField("span_start") - a.getField("p") - 1L, lit(0L))
+              .cast("int"))).as("c"),
+        s.getField("span_end").as("p")),
+      a => concat(a.getField("c"),
+        substring(t, (a.getField("p") + 1L).cast("int"),
+          greatest(length(t).cast("long") - a.getField("p"), lit(0L))
+            .cast("int"))))
+    df.join(sp, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__sp").isNull, t).otherwise(stitched).as("clean_text"))
+  }
+
   /** Span-level decontamination: maximal spans of corpus documents whose
     * `minLen`-grams also occur in the test set — the exact-substring
     * counterpart of the doc-level [[contaminated]] (overlap with a

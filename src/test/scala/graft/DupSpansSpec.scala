@@ -143,6 +143,45 @@ class DupSpansSpec extends SparkSpec {
       (3L, 17L, 0L, 0.0)))
   }
 
+  test("selfRepetitionSpans covers periodic regions, ignores cross-doc-only dups") {
+    val docs = Seq(
+      (1L, "XX" + "LOOP" * 3 + "ZZ"),        // periodic region at 3..14
+      (2L, "abcdefghij once only here"),
+      (3L, "abcdefghij also once here")      // cross-doc dup, NOT intra-doc
+    ).toDF("doc_id", "text")
+    val spans = Dedup.selfRepetitionSpans(docs, "doc_id", "text", 4)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 3L, 14L, 12L)))
+  }
+
+  test("exciseSpans stitches gap segments; head/tail/multi-span edges") {
+    val docs = Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "abcdefghij"),
+      (4L, "abcdefghij"), (5L, "untouched")).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 3L, 5L), (2L, 1L, 4L), (3L, 8L, 10L), (4L, 1L, 2L), (4L, 9L, 10L)
+    ).toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.exciseSpans(docs, spans, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "abfghij", 2L -> "efghij", 3L -> "abcdefg",
+      4L -> "cdefgh", 5L -> "untouched"))
+  }
+
+  test("excise after duplicateSpans strips exactly the shared passage") {
+    val shared = "SHAREDPASSAGE!"
+    val docs = Seq(
+      (1L, "aaaaa" + shared + "bbbbbbb"),
+      (2L, "cc" + shared + "dddddddddd"),
+      (3L, "totally unrelated filler xyz")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(docs,
+        Dedup.duplicateSpans(docs, "doc_id", "text", L), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "aaaaabbbbbbb", 2L -> "ccdddddddddd",
+      3L -> "totally unrelated filler xyz"))
+  }
+
   test("contaminatedSpans flags only corpus spans present in the test set") {
     val leak = "LEAKEDBENCHMARKTEXT" // 19 chars
     val corpus = Seq(
