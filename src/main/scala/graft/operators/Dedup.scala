@@ -831,7 +831,12 @@ object Dedup {
     val anchors = gramAnchors(docs, minLen)
     val candH = multiDocKeys(anchors, "__h", minDocs)
     val cand = anchors.join(candH, Seq("__h"), "left_semi")
-    val grams = candidateGrams(docs, cand, minLen)
+    // the candidate-gram frame feeds BOTH the verify aggregate and the
+    // probe side of the semi join below; without pinning it, the whole
+    // anchor lineage (two corpus scans + the per-doc extraction join)
+    // executes twice (seen in the physical plan). It is candidate-sized
+    // — true dup anchors plus ~n²/2⁶⁴ collisions — so pinning is cheap
+    val grams = candidateGrams(docs, cand, minLen).localCheckpoint(true)
     val dupG = multiDocKeys(grams, "__g", minDocs)
     val verified = grams.join(dupG, Seq("__g"), "left_semi").select("__id", "pos")
     mergeAnchorSpans(verified, minLen).withColumnRenamed("__id", idCol)
@@ -868,7 +873,9 @@ object Dedup {
     val candH = anchors.groupBy("__id", "__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("__id", "__h")
     val cand = anchors.join(candH, Seq("__id", "__h"), "left_semi")
-    val grams = candidateGrams(docs, cand, minLen)
+    // candidate-sized; pinned for the same double-execution reason as
+    // in duplicateSpans
+    val grams = candidateGrams(docs, cand, minLen).localCheckpoint(true)
     val dupG = grams.groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("__id", "__g")
     val verified = grams.join(dupG, Seq("__id", "__g"), "left_semi")
@@ -922,9 +929,11 @@ object Dedup {
     val tDocs = testSet.select(col(idCol).as("__id"), col(textCol).as("__t"))
     val cAnch = gramAnchors(cDocs, minLen)
     val tAnch = gramAnchors(tDocs, minLen)
-    // hashes present on both sides gate BOTH extraction passes
+    // hashes present on both sides gate BOTH extraction passes; pinned
+    // (small) so the two gate probes don't each recompute both scans
     val sharedH = cAnch.select("__h").distinct()
       .join(tAnch.select("__h").distinct(), Seq("__h"), "left_semi")
+      .localCheckpoint(true)
     val cGrams = candidateGrams(cDocs, cAnch.join(sharedH, Seq("__h"), "left_semi"), minLen)
     val tGrams = candidateGrams(tDocs, tAnch.join(sharedH, Seq("__h"), "left_semi"), minLen)
       .select("__g").distinct()
