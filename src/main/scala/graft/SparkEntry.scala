@@ -3584,6 +3584,12 @@ object SparkEntry {
       Stats.mannWhitneyDaily(events(s, dir), "ts", "value",
         treated = col("user_id") % 2 === 0)),
 
+    // Mann–Kendall monotone-trend test + Sen's slope over the daily
+    // mean event value — S, tie-corrected z, and the exact median of
+    // pairwise slopes, all from one calendar-bounded daily frame.
+    "q_mann_kendall" -> ((s, dir) =>
+      Stats.mannKendallDaily(events(s, dir), "ts", "value")),
+
     // lead-lag cross-correlation signup → purchase at lags −7..7 (a
     // positive-lag peak = signups lead purchases by that many days)
     "q_ccf" -> ((s, dir) =>
@@ -8849,6 +8855,44 @@ object SparkEntry {
                            / sqrt(n1 * n2 / 12.0 * ((n + 1.0)
                                   - t3 / (n * (n - 1.0))))
                       END, 6) AS z
+         FROM fin""",
+
+    // Mann–Kendall replay: pairwise S over the same rounded daily
+    // means, tie-corrected variance, continuity-corrected z, Sen's
+    // slope as the exact median of pairwise slopes (the oracle may
+    // self-join freely; the engine enumerates the bounded pairs
+    // row-locally)
+    "q_mann_kendall" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE)
+                        / COUNT(*), 6) AS m
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         idx AS (SELECT m,
+                   CAST(datediff('day', (SELECT MIN(day) FROM daily), day)
+                        AS DOUBLE) AS t
+                 FROM daily),
+         pairs AS (SELECT a.m AS ma, b.m AS mb, a.t AS ta, b.t AS tb
+                   FROM idx a JOIN idx b ON a.t < b.t),
+         sagg AS (SELECT COALESCE(CAST(SUM(CASE WHEN mb > ma THEN 1
+                                 WHEN mb < ma THEN -1 ELSE 0 END) AS BIGINT),
+                          0) AS s,
+                         median((mb - ma) / (tb - ta)) AS sen
+                  FROM pairs),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+         tie AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie3
+                 FROM (SELECT COUNT(*) AS t FROM daily GROUP BY m)),
+         fin AS (SELECT n_days, s, sen,
+                   (CAST(n_days AS DOUBLE) * (n_days - 1) * (2.0 * n_days + 5)
+                    - CAST(tie3 AS DOUBLE)) / 18.0 AS vars
+                 FROM nn CROSS JOIN sagg CROSS JOIN tie)
+         SELECT n_days, s,
+                ROUND(CASE WHEN vars > 0 AND s > 0
+                             THEN (CAST(s AS DOUBLE) - 1) / sqrt(vars)
+                           WHEN vars > 0 AND s < 0
+                             THEN (CAST(s AS DOUBLE) + 1) / sqrt(vars)
+                           WHEN vars > 0 THEN 0.0 END, 6) AS z,
+                ROUND(sen, 6) AS sen_slope
          FROM fin""",
 
     // same day-lag join + moment kernel as q_acf, between two filtered

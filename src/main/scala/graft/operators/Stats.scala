@@ -520,6 +520,62 @@ object Stats {
           6).as("z"))
   }
 
+  /** Mann–Kendall trend test + Sen's slope over bounded daily means —
+    * the standard nonparametric "is this metric drifting" readout
+    * (monotone-trend analogue of [[mannWhitneyDaily]]'s two-sample
+    * test). S = Σ_{i<j} sign(x_j − x_i) with the tie-corrected normal
+    * approximation Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 and
+    * the ±1 continuity correction; Sen's slope is the exact median of
+    * all pairwise slopes (x_j − x_i)/(t_j − t_i).
+    *
+    * Scale shape: the daily frame is calendar-bounded, so the O(n²)
+    * pair enumeration runs as array HOFs on ONE collected-to-a-row
+    * frame (≤ 10000² pairs by the lint bound) — no self-join, no
+    * window, and the unbounded event scan only ever feeds the one-pass
+    * daily aggregate. Integer S and tie sums are exact; the only
+    * doubles are the rounded daily means, the pairwise slopes (same
+    * fixed operand order as the DuckDB oracle), and the final z. */
+  def mannKendallDaily(events: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val daily = events.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(round(sum(vDec).cast("double") / count(lit(1)), 6).as("m"))
+      .limit(10000) // calendar-bounded; proves the single-row collect safe
+    // tie spectrum over the mean values (exact integers)
+    val ties = daily.groupBy("m").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+        lit(0L)).as("tie3"))
+    val arr = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("m")))).as("a0"),
+        min(col("day")).as("d0"))
+      .select(expr(
+        "transform(a0, x -> struct(cast(datediff(x.day, d0) AS double) AS t," +
+          " x.m AS m))").as("a"))
+      .select(col("a"), size(col("a")).cast("long").as("n_days"),
+        expr("aggregate(flatten(transform(a, (x, i) ->" +
+          " transform(slice(a, i + 2, size(a)), y ->" +
+          " cast(sign(y.m - x.m) AS long)))), 0L, (acc, v) -> acc + v)")
+          .as("s"),
+        expr("array_sort(flatten(transform(a, (x, i) ->" +
+          " transform(slice(a, i + 2, size(a)), y ->" +
+          " (y.m - x.m) / (y.t - x.t)))))").as("sl"))
+    val k = size(col("sl"))
+    val sen = when(k === 0, lit(null).cast("double"))
+      .when(k % 2 === 1, element_at(col("sl"), ((k + 1) / 2).cast("int")))
+      .otherwise((element_at(col("sl"), (k / 2).cast("int")) +
+        element_at(col("sl"), (k / 2).cast("int") + 1)) / lit(2.0))
+    val nD = col("n_days").cast("double")
+    val varS = (nD * (nD - 1) * (lit(2.0) * nD + 5) -
+      col("tie3").cast("double")) / lit(18.0)
+    val sD = col("s").cast("double")
+    arr.crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s"),
+        round(when(varS > 0 && col("s") > 0, (sD - 1) / sqrt(varS))
+          .when(varS > 0 && col("s") < 0, (sD + 1) / sqrt(varS))
+          .when(varS > 0, lit(0.0)), 6).as("z"),
+        round(sen, 6).as("sen_slope"))
+  }
+
   /** Per-group simple OLS fit y = a + b·x with r², in the closed
     * normal-equation form over five exact DECIMAL moment sums
     * (Σx, Σy, Σx², Σy², Σxy — inputs rounded to 2 dp first so the

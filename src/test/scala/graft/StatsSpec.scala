@@ -375,6 +375,31 @@ class StatsSpec extends SparkSpec {
       .getAs[Double]("spearman") == 1.0)
   }
 
+  test("mannKendallDaily: planted monotone trend; all-tied series → NULL z") {
+    def mk(rows: (String, Double)*) =
+      Stats.mannKendallDaily(
+        rows.toSeq.toDF("ts", "value")
+          .withColumn("ts", to_timestamp(col("ts"))), "ts", "value")
+        .select("n_days", "s", "z", "sen_slope").head()
+    // strictly increasing daily means 1..5 → S = C(5,2) = 10, tie3 = 0,
+    // Var(S) = 5·4·15/18, z = (10−1)/√VarS, Sen's slope = 1.0 exactly
+    val up = mk(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0),
+      ("2024-01-04", 4.0), ("2024-01-05", 5.0))
+    assert(up.getLong(0) == 5L && up.getLong(1) == 10L)
+    assert(math.abs(up.getDouble(2) - 9.0 / math.sqrt(5.0 * 4 * 15 / 18)) < 1e-6)
+    assert(up.getDouble(3) == 1.0)
+    // all-tied means: S = 0 and the tie term cancels Var(S) entirely →
+    // z must be NULL (not 0/0), Sen's slope 0
+    val flat = mk(("2024-01-01", 2.0), ("2024-01-02", 2.0),
+      ("2024-01-03", 2.0), ("2024-01-04", 2.0))
+    assert(flat.getLong(1) == 0L && flat.isNullAt(2) && flat.getDouble(3) == 0.0)
+    // decreasing → negative S, continuity correction flips to +1
+    val down = mk(("2024-01-01", 3.0), ("2024-01-02", 2.0), ("2024-01-03", 1.0))
+    assert(down.getLong(1) == -3L)
+    assert(math.abs(down.getDouble(2) - (-2.0 / math.sqrt(3.0 * 2 * 11 / 18))) < 1e-6)
+    assert(down.getDouble(3) == -1.0)
+  }
+
   test("mannWhitneyDaily: hand-computed U and z; degenerate ties → NULL z") {
     // one row per (day, group): group A (even users) daily means 1,2;
     // group B (odd) daily means 3,4. Pooled ranks 1..4, R_A = 3,
