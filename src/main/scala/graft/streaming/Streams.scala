@@ -633,6 +633,58 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_ivm_cdc" -> e))
   }
 
+  /** Continuous JOIN-view maintenance, fact side: subscribe to the fact
+    * table's CDC stream and enrich each SIGNED micro-batch against the
+    * current dim snapshot (stream-static equi-join) before merging the
+    * aggregated deltas — the dF ⋈ D term of
+    * [[graft.table.IncrementalView.maintainJoinSumView]]'s identity,
+    * which is the whole delta while the dim is quiet. Dim churn is the
+    * batch maintainer's job between drains — the standard production
+    * split: stream the high-rate fact, treat the dimension as slowly
+    * changing. Same transactional batch-id idempotence as
+    * [[maintainSumViewFromChangeFeed]] (marker commits WITH the delta;
+    * replayed batches are skipped). */
+  def maintainJoinSumViewFromChangeFeed(factFeedStream: DataFrame,
+      dim: DataFrame, view: graft.table.LakeTable, joinKeys: Seq[String],
+      groupKeys: Seq[String], valueCol: String,
+      appId: String = "jvcdc"): Unit = {
+    val metaKey = s"ivm_last_batch_$appId"
+    val q = factFeedStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = view.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty) {
+          val factSide = batch.columns.toSet
+          val dGroup = (joinKeys ++ groupKeys.filterNot(factSide)).distinct
+          val sign = when(col("_change_type")
+            .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+          val delta = batch.withColumn("__w", sign)
+            .join(dim.select(dGroup.map(col): _*), joinKeys)
+            .groupBy(groupKeys.map(col): _*).agg(
+              sum(col("__w")).as("d_n"),
+              sum(col(valueCol).cast("decimal(20,4)") * col("__w"))
+                .as("d_sum"))
+          val cur = view.read.select(
+            groupKeys.map(col) :+ col("n").as("v_n") :+
+              col("sum_value").as("v_sum"): _*)
+          val changed = delta.join(cur, groupKeys, "left")
+            .select(groupKeys.map(col) ++ Seq(
+              (coalesce(col("v_n"), lit(0L)) + col("d_n")).as("n"),
+              (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) +
+                coalesce(col("d_sum"), lit(0).cast("decimal(20,4)")))
+                .cast("decimal(30,4)").as("sum_value")): _*)
+            .localCheckpoint(true) // merged AND probed for extinction
+          view.upsert(changed, meta = Map(metaKey -> batchId.toString))
+          if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
+            view.delete(col("n") <= 0L)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_ivm_join" -> e))
+  }
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result — AvailableNow processes existing files as micro-batches then
     * stops (the reference's file-drop batch model). */

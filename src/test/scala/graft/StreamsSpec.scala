@@ -474,4 +474,34 @@ class StreamsSpec extends SparkSpec {
     assert(single.drop(7).dropRight(1).forall(r =>
       !r.isNullAt(3) && !r.getAs[Boolean]("is_anomaly")))
   }
+
+  test("streaming JOIN-view maintenance: fact CDC drain == recompute, replay no-op") {
+    import graft.table.{IncrementalView, LakeTable}
+    val root = java.nio.file.Files.createTempDirectory("sjv").toString
+    val f = LakeTable(spark, root, "fact", Seq("id"), changeFeed = true)
+    val d = LakeTable(spark, root, "dim", Seq("ck"))
+    val v = LakeTable(spark, root, "view", Seq("seg"))
+    f.create((1L to 20L).map(i => (i, i % 4, i * 1.0)).toDF("id", "ck", "v"))
+    d.create(Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B")).toDF("ck", "seg"))
+    v.create(IncrementalView.joinSumView(f.read, d.read, Seq("ck"),
+      Seq("seg"), "v"))
+    // fact churn through the CDC stream, enriched in-stream: update
+    // (net value change), insert (new + unmatched-dim), delete
+    f.upsert(Seq((4L, 0L, 40.0), (21L, 2L, 5.0), (22L, 9L, 99.0))
+      .toDF("id", "ck", "v")) // ck=9 has no dim row — invisible
+    f.delete(col("id") % 5 === 0)
+    Streams.maintainJoinSumViewFromChangeFeed(f.readChangeFeedStream,
+      d.read, v, Seq("ck"), Seq("seg"), "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("seg"), col("n"), col("sum_value").cast("string"))
+        .as[(String, Long, String)].collect().toSet
+    val want = snap(IncrementalView.joinSumView(f.read, d.read, Seq("ck"),
+      Seq("seg"), "v"))
+    assert(snap(v.read) == want && want.nonEmpty)
+    // REPLAY: a fresh drain re-delivers the same batch ids — the
+    // transactional marker must make it a no-op, not a double count
+    Streams.maintainJoinSumViewFromChangeFeed(f.readChangeFeedStream,
+      d.read, v, Seq("ck"), Seq("seg"), "v")
+    assert(snap(v.read) == want)
+  }
 }
