@@ -1184,6 +1184,31 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT parity): a
+    // positive-price constraint admits the good upsert, rejects the
+    // poisoned one LOUDLY before staging, and the final state equals
+    // the good-writes-only replay (the rejected write left no trace).
+    "q_check_constraint" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "orders_chk", Seq("o_orderkey"))
+      t.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      t.addCheckConstraint("pos_price", "o_totalprice > 0")
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      val vBefore = t.version
+      val rejected =
+        try {
+          t.upsert(orders.limit(10).withColumn("o_totalprice", lit(-1.0)))
+          false
+        } catch { case _: IllegalStateException => true }
+      t.read.agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double").as("sum_total"))
+        .withColumn("write_rejected", lit(rejected && t.version == vBefore))
+    }),
+
     // streaming CDC subscription: the change feed's append-only
     // parquet log consumed as a file stream (Delta readChangeFeed
     // streaming analogue) — per-change-type event counts after the
@@ -5060,6 +5085,25 @@ object SparkEntry {
                   AS sum_total
          FROM ffinal JOIN dfinal ON ffinal.o_custkey = dfinal.c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // good-writes-only replay; the rejected write must have left no
+    // trace (write_rejected also pins that the version didn't advance)
+    "q_check_constraint" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source)
+         SELECT count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total,
+                true AS write_rejected
+         FROM merged""",
 
     // identical final state to q_ivm_join — the dim window (batch) and
     // the fact window (streamed CDC) compose to the same replay

@@ -216,6 +216,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def upsert(df: DataFrame, prunePartitions: Boolean = true,
       meta: Map[String, String] = Map.empty): Unit = {
     if (!exists) { create(df); return }
+    enforceConstraints(df, "upsert")
     if (prunePartitions && partitionCols.nonEmpty) upsertPruned(df, meta)
     else {
       val merged = CoreOps.antiJoin(mergeKeys, df)(read)
@@ -406,6 +407,12 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
         .map(expr => when(cond, expr).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }: _*)
+    if (checkConstraints.nonEmpty)
+      // only the post-images of MATCHED rows can newly violate
+      enforceConstraints(cur.filter(cond).select(
+        cur.columns.toIndexedSeq.map { c =>
+          assignments.get(c).map(_.as(c)).getOrElse(col(c))
+        }: _*), "update")
     writeTo(updated, stagingDir)
     if (changeFeed) {
       // pre/post images of MATCHED rows whose non-key values actually
@@ -601,6 +608,66 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     writeTo(untouched.unionByName(closing).unionByName(inserts), stagingDir)
     publish()
   }
+
+  // ---- CHECK constraints (ALTER TABLE ADD CONSTRAINT analogue) ----
+  //
+  // Delta's CHECK-constraint semantics: named SQL predicates live in
+  // the committed table metadata; the add validates EXISTING rows, and
+  // every subsequent DML write (upsert, update) validates the INCOMING
+  // rows and fails LOUDLY before anything stages — bad data never
+  // reaches the table, and the violation names the constraint instead
+  // of surfacing as silent drift downstream. NULL predicates pass
+  // (SQL CHECK semantics). `create` is DDL-replace here (first-load
+  // semantics throughout this class) and resets metadata, constraints
+  // included. Probe cost: one filter+limit(1) job per constraint per
+  // write over the incoming frame only — never the table — and zero
+  // when the table has no constraints.
+
+  /** The stored CHECK constraints, by name. */
+  def checkConstraints: Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith("check_") =>
+      k.stripPrefix("check_") -> v }
+
+  /** ALTER TABLE ADD CONSTRAINT … CHECK: validates existing rows, then
+    * publishes a metadata-only new version (hard links, no data). */
+  def addCheckConstraint(cname: String, predicate: String): Unit = {
+    require(exists, s"table $name must exist before adding a constraint")
+    if (read.filter(!passes(predicate)).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"existing rows of $name violate CHECK $cname: $predicate")
+    publishMetaOnly(readMeta(currentDir) + (s"check_$cname" -> predicate))
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT (metadata-only publish). */
+  def dropCheckConstraint(cname: String): Unit = {
+    require(exists, s"table $name has no published version")
+    publishMetaOnly(readMeta(currentDir) - s"check_$cname")
+  }
+
+  // SQL CHECK semantics: only a FALSE predicate violates; NULL passes
+  private def passes(predicate: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    coalesce(expr(predicate).cast("boolean"), lit(true))
+  }
+
+  /** Metadata-only new version: hard-link the current snapshot and swap
+    * the meta file. The staged `_meta.json` LINK must be unlinked before
+    * the rewrite — writing through it would corrupt the published prior
+    * version's metadata via the shared inode. */
+  private def publishMetaOnly(m: Map[String, String]): Unit = {
+    deleteRecursively(stagingDir)
+    linkTree(currentDir, stagingDir)
+    Files.deleteIfExists(stagingDir.resolve("_meta.json"))
+    writeMeta(stagingDir, m)
+    publish()
+  }
+
+  private def enforceConstraints(source: DataFrame, op: String): Unit =
+    checkConstraints.foreach { case (n, p) =>
+      if (source.filter(!passes(p)).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"CHECK constraint $n ($p) violated by $op into table $name")
+    }
 
   /** DESCRIBE DETAIL analogue: one row per retained snapshot (current
     * included) with data-file count and total bytes — pure filesystem

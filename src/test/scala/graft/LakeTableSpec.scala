@@ -589,6 +589,41 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(t).size == 4)
   }
 
+  test("CHECK constraints: add validates existing rows, DML fails " +
+      "loudly leaving no trace, NULLs pass, drop re-admits, meta survives") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    t.upsert(df((3L, "c", "z")), meta = Map("app1" -> "7"))
+    // the add itself validates EXISTING rows
+    intercept[IllegalStateException] { t.addCheckConstraint("bad", "id > 10") }
+    assert(t.checkConstraints.isEmpty)
+    t.addCheckConstraint("small_id", "id < 100")
+    t.addCheckConstraint("no_xx", "v <> 'XX'")
+    assert(t.checkConstraints ==
+      Map("small_id" -> "id < 100", "no_xx" -> "v <> 'XX'"))
+    // the metadata-only publish carried other apps' markers forward
+    assert(t.meta("app1") == "7")
+    // good write passes; violating upsert fails and leaves NO trace
+    t.upsert(df((4L, "d", "w")))
+    val v = t.version
+    intercept[IllegalStateException] { t.upsert(df((200L, "e", "q"))) }
+    assert(t.version == v && rows(t).size == 4)
+    // update post-images are checked (only matched rows can violate)
+    intercept[IllegalStateException] {
+      t.update($"id" === 4L, Map("v" -> lit("XX")))
+    }
+    assert(rows(t).contains((4L, "d", "w")))
+    // SQL CHECK semantics: a NULL predicate passes
+    t.upsert(Seq((5L, Option.empty[String], Option("pp")))
+      .toDF("id", "v", "p"))
+    assert(rows(t).contains((5L, null, "pp")))
+    // drop re-admits
+    t.dropCheckConstraint("no_xx")
+    t.update($"id" === 4L, Map("v" -> lit("XX")))
+    assert(t.checkConstraints.keySet == Set("small_id"))
+    assert(rows(t).contains((4L, "XX", "w")))
+  }
+
   test("feed UPDATE records only genuinely changed rows; no-op " +
       "assignments produce no events") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
