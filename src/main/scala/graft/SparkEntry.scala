@@ -737,6 +737,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Lee et al.'s actual dedup action — KEEP ONE: each duplicated
+    // gram survives in its owner (min doc id) and is cut everywhere
+    // else, so the corpus keeps exactly one copy of each passage.
+    "q_excise_keep_one" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.exciseSpans(d,
+        Dedup.keepOneSpans(d, "doc_id", "text", minLen = 30),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // connected components over the near-dup pair graph: each doc labeled
     // with the min id reachable through pairs (dedup families — pairwise
     // similarity is not transitive, dedup decisions must be). Pairs come
@@ -5722,6 +5733,64 @@ object SparkEntry {
                        CAST(-1 AS BIGINT)) + 1
                        THEN 1 ELSE 0 END AS brk
            FROM anch),
+         isl2 AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           FROM isl),
+         spans AS (
+           SELECT doc_id, min(pos) AS span_start, max(pos) + 29 AS span_end
+           FROM isl2 GROUP BY doc_id, island),
+         segs AS (
+           SELECT doc_id, span_start, span_end,
+                  lag(span_end, 1, 0) OVER (
+                    PARTITION BY doc_id ORDER BY span_start) AS prev_end
+           FROM spans),
+         pieces AS (
+           SELECT s.doc_id, s.span_start AS ord,
+                  substr(d2.text, (s.prev_end + 1)::int,
+                         greatest(s.span_start - s.prev_end - 1, 0)::int) AS piece
+           FROM segs s JOIN documents d2 USING (doc_id)
+           UNION ALL
+           SELECT t.doc_id, t.m + 1 AS ord,
+                  substr(d2.text, (t.m + 1)::int) AS piece
+           FROM (SELECT doc_id, max(span_end) AS m
+                 FROM spans GROUP BY doc_id) t
+           JOIN documents d2 USING (doc_id)),
+         agged AS (
+           SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+           FROM pieces GROUP BY doc_id)
+         SELECT d3.doc_id, coalesce(a.clean_text, d3.text) AS clean_text
+         FROM documents d3 LEFT JOIN agged a USING (doc_id)
+         ORDER BY doc_id""",
+
+    // keep-one replay: anchors restricted to NON-OWNER docs (owner =
+    // min doc id containing the gram), then the same stitch
+    "q_excise_keep_one" ->
+      """WITH d AS (
+           SELECT doc_id, text, greatest(length(text) - 29, 0) AS np
+           FROM documents),
+         grams AS (
+           SELECT doc_id, u.p AS pos, substr(text, u.p::int, 30) AS g
+           FROM d, LATERAL unnest(range(1, np + 1)) AS u(p)),
+         dup AS (
+           SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         anch AS (
+           SELECT doc_id, pos, g FROM grams
+           WHERE g IN (SELECT g FROM dup)),
+         owners AS (
+           SELECT g, min(doc_id) AS own FROM anch GROUP BY g),
+         lose AS (
+           SELECT a.doc_id, a.pos FROM anch a JOIN owners o USING (g)
+           WHERE a.doc_id <> o.own),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos > coalesce(max(pos + 29) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       CAST(-1 AS BIGINT)) + 1
+                       THEN 1 ELSE 0 END AS brk
+           FROM lose),
          isl2 AS (
            SELECT doc_id, pos,
                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island

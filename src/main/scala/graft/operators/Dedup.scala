@@ -821,12 +821,12 @@ object Dedup {
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 
-  /** Maximal per-document character spans (1-based, inclusive, codepoint
-    * units) covered by some `minLen`-gram occurring in >= `minDocs`
-    * distinct documents. Output: (idCol, span_start, span_end, span_len). */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int, minDocs: Int = 2): DataFrame = {
-    require(minLen >= 1 && minDocs >= 2)
+  /** Exact-verified duplicated-gram anchors WITH their gram text:
+    * (__id, pos, __g) for every position whose gram occurs in >=
+    * minDocs distinct docs. The shared core of [[duplicateSpans]] and
+    * [[keepOneSpans]]. */
+  private def verifiedGrams(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int): DataFrame = {
     val docs = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
     val anchors = gramAnchors(docs, minLen)
     val candH = multiDocKeys(anchors, "__h", minDocs)
@@ -838,8 +838,39 @@ object Dedup {
     // — true dup anchors plus ~n²/2⁶⁴ collisions — so pinning is cheap
     val grams = candidateGrams(docs, cand, minLen).localCheckpoint(true)
     val dupG = multiDocKeys(grams, "__g", minDocs)
-    val verified = grams.join(dupG, Seq("__g"), "left_semi").select("__id", "pos")
+    grams.join(dupG, Seq("__g"), "left_semi")
+  }
+
+  /** Maximal per-document character spans (1-based, inclusive, codepoint
+    * units) covered by some `minLen`-gram occurring in >= `minDocs`
+    * distinct documents. Output: (idCol, span_start, span_end, span_len). */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 1 && minDocs >= 2)
+    val verified = verifiedGrams(df, idCol, textCol, minLen, minDocs)
+      .select("__id", "pos")
     mergeAnchorSpans(verified, minLen).withColumnRenamed("__id", idCol)
+  }
+
+  /** The KEEP-ONE dedup policy (Lee et al.'s actual action: remove all
+    * but one occurrence of each duplicated passage): every duplicated
+    * gram is OWNED by the minimum doc id containing it and keeps all
+    * its occurrences there; every other doc's occurrence is marked for
+    * excision. Returns the non-owner span frame — feed it to
+    * [[exciseSpans]]. A doc can own some grams and lose others; where
+    * overlapping grams have different owners, any non-owned anchor
+    * marks its whole window (deterministic; the union-of-windows
+    * semantics spans share). The owner aggregate is one hash groupBy
+    * on the (candidate-sized) verified-gram frame. */
+  def keepOneSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minDocs: Int = 2): DataFrame = {
+    require(minLen >= 1 && minDocs >= 2)
+    val vg = verifiedGrams(df, idCol, textCol, minLen, minDocs)
+      .localCheckpoint(true) // feeds the owner aggregate AND the probe
+    val owners = vg.groupBy("__g").agg(min(col("__id")).as("__own"))
+    val losing = vg.join(owners, "__g")
+      .filter(col("__id") =!= col("__own")).select("__id", "pos")
+    mergeAnchorSpans(losing, minLen).withColumnRenamed("__id", idCol)
   }
 
   /** Per-document duplicated-character budget from [[duplicateSpans]]:

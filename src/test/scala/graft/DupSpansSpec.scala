@@ -182,6 +182,27 @@ class DupSpansSpec extends SparkSpec {
       3L -> "totally unrelated filler xyz"))
   }
 
+  test("keepOneSpans: owner doc keeps the passage, all others lose it") {
+    val shared = "SHAREDPASSAGE!"
+    val docs = Seq(
+      (5L, "aaaaa" + shared + "bbbbbbb"),
+      (2L, "cc" + shared + "dddddddddd"), // min id → owner
+      (9L, shared + "qqq"),
+      (3L, "totally unrelated filler xyz")
+    ).toDF("doc_id", "text")
+    val spans = collected(Dedup.keepOneSpans(docs, "doc_id", "text", L))
+    // doc 2 owns every gram of the shared block; docs 5 and 9 lose it
+    assert(spans == Set((5L, 6L, 19L, 14L), (9L, 1L, 14L, 14L)))
+    val out = Dedup.exciseSpans(docs,
+        Dedup.keepOneSpans(docs, "doc_id", "text", L), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      5L -> "aaaaabbbbbbb",
+      2L -> ("cc" + shared + "dddddddddd"), // owner untouched
+      9L -> "qqq",
+      3L -> "totally unrelated filler xyz"))
+  }
+
   test("contaminatedSpans flags only corpus spans present in the test set") {
     val leak = "LEAKEDBENCHMARKTEXT" // 19 chars
     val corpus = Seq(
