@@ -266,31 +266,36 @@ object IncrementalView {
       sum(col(valueCol).cast("decimal(20,4)"))
         .cast("decimal(30,4)").as("sum_value"))
 
-  /** Maintain a [[joinSumView]] from BOTH base tables' changes since
-    * their respective synced versions. Returns the (fact, dim) versions
-    * the view is now synced to — record and pass them next time. */
-  def maintainJoinSumView(factT: LakeTable, dimT: LakeTable, view: LakeTable,
-      joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
-      factSince: Int, dimSince: Int): (Int, Int) = {
-    val syncedTo = (factT.version, dimT.version)
-    val factNow = factT.read
-    val dimNow = dimT.read
-    // each group key must be resolvable from exactly one side post-join;
-    // keys present on both sides (e.g. a join key) resolve via the fact
+  /** Per-side projections for a join view: each group key must be
+    * resolvable from exactly one side post-join; keys present on both
+    * sides (e.g. a join key) resolve via the fact. */
+  private def joinSides(factNow: DataFrame, dimNow: DataFrame,
+      joinKeys: Seq[String], groupKeys: Seq[String],
+      valueCol: String): (Seq[String], Seq[String]) = {
     val factSide = factNow.columns.toSet
     val dGroup = groupKeys.filterNot(factSide)
     require(dGroup.forall(dimNow.columns.contains),
       s"group keys ${dGroup.filterNot(dimNow.columns.contains)} in neither table")
     val fGroup = groupKeys.filter(factSide)
+    ((joinKeys ++ fGroup :+ valueCol).distinct, (joinKeys ++ dGroup).distinct)
+  }
+
+  /** The three delta terms of Δ(F⋈D) = dF⋈D₁ + F₁⋈dD − dF⋈dD as one
+    * signed row frame (groupKeys…, __v, __w) — shared by the sum and
+    * min/max join maintainers. A quiet side is ROUTINE in the
+    * two-table case (most windows touch only the fact): its delta is
+    * the empty change set, not an error. */
+  private def joinDeltaRows(factT: LakeTable, dimT: LakeTable,
+      joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
+      factSince: Int, dimSince: Int): DataFrame = {
+    val factNow = factT.read
+    val dimNow = dimT.read
+    val (factProj, dimProj) =
+      joinSides(factNow, dimNow, joinKeys, groupKeys, valueCol)
     val w = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val vDec = col(valueCol).cast("decimal(20,4)")
     val out = groupKeys.map(col) :+ vDec.as("__v") :+ col("__w")
-    // pre-projections keep non-key columns from colliding across sides
-    val dimProj = (joinKeys ++ dGroup).distinct
-    val factProj = (joinKeys ++ fGroup :+ valueCol).distinct
-    // a quiet side is ROUTINE in the two-table case (most windows touch
-    // only the fact): its delta is the empty change set, not an error
     def changes(t: LakeTable, since: Int): DataFrame =
       if (since >= t.version)
         t.read.limit(0).withColumn("_change_type", lit("insert"))
@@ -309,7 +314,18 @@ object IncrementalView {
       .join(dD.withColumnRenamed("__w", "__wd"), joinKeys)
       .select(groupKeys.map(col) :+ vDec.as("__v") :+
         (-col("__wf") * col("__wd")).as("__w"): _*)
-    val delta = p1.unionByName(p2).unionByName(p3)
+    p1.unionByName(p2).unionByName(p3)
+  }
+
+  /** Maintain a [[joinSumView]] from BOTH base tables' changes since
+    * their respective synced versions. Returns the (fact, dim) versions
+    * the view is now synced to — record and pass them next time. */
+  def maintainJoinSumView(factT: LakeTable, dimT: LakeTable, view: LakeTable,
+      joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
+      factSince: Int, dimSince: Int): (Int, Int) = {
+    val syncedTo = (factT.version, dimT.version)
+    val delta = joinDeltaRows(factT, dimT, joinKeys, groupKeys, valueCol,
+        factSince, dimSince)
       .groupBy(groupKeys.map(col): _*)
       .agg(sum(col("__w")).as("d_n"),
         sum(col("__v") * col("__w")).as("d_sum"))
@@ -318,6 +334,92 @@ object IncrementalView {
       .filter(col("d_n") =!= 0L ||
         coalesce(col("d_sum"), lit(0).cast("decimal(30,4)")) =!= lit(0).cast("decimal(30,4)"))
     mergeSumDelta(view, groupKeys, delta)
+    syncedTo
+  }
+
+  /** [[joinSumView]] extended with per-group min/max of the fact value
+    * (same exact DECIMAL(20,4) space as [[minMaxView]]). */
+  def joinMinMaxView(fact: DataFrame, dim: DataFrame, joinKeys: Seq[String],
+      groupKeys: Seq[String], valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    fact.join(dim, joinKeys).groupBy(groupKeys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(vDec).cast("decimal(30,4)").as("sum_value"),
+      min(vDec).as("min_value"),
+      max(vDec).as("max_value"))
+  }
+
+  /** Maintain a [[joinMinMaxView]]. Count/sum by the join delta rule;
+    * min/max need one extra step the sum view doesn't: the signed
+    * terms can CANCEL within a window (fact insert + dim delete of its
+    * key nets to zero), so extrema must read the NET per-(group,
+    * value) weights — a raw positive term is not proof the value
+    * exists afterward. Net w>0 values tighten extrema (the group's
+    * count of that value strictly increased, so it exists); net w<0
+    * values tying the stored extremum threaten it, and ONLY those
+    * groups rescan — THROUGH the join, with the dim first reduced to
+    * the threatened group slice (broadcast) so the fact side joins a
+    * shrunken build. Same caveat class as [[maintainMinMaxView]]'s
+    * rescan: the common batch touches no base data. */
+  def maintainJoinMinMaxView(factT: LakeTable, dimT: LakeTable,
+      view: LakeTable, joinKeys: Seq[String], groupKeys: Seq[String],
+      valueCol: String, factSince: Int, dimSince: Int): (Int, Int) = {
+    val syncedTo = (factT.version, dimT.version)
+    val keys = groupKeys.map(col)
+    val net = joinDeltaRows(factT, dimT, joinKeys, groupKeys, valueCol,
+        factSince, dimSince)
+      .groupBy(keys :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("w"))
+      .filter(col("w") =!= 0L)
+    val delta = net.groupBy(keys: _*).agg(
+      sum(col("w")).as("d_n"),
+      sum(col("__v") * col("w")).as("d_sum"),
+      min(when(col("w") > 0, col("__v"))).as("ins_min"),
+      max(when(col("w") > 0, col("__v"))).as("ins_max"),
+      min(when(col("w") < 0, col("__v"))).as("del_min"),
+      max(when(col("w") < 0, col("__v"))).as("del_max"))
+    val cur = view.read.select(
+      keys :+ col("n").as("v_n") :+ col("sum_value").as("v_sum") :+
+        col("min_value").as("v_min") :+ col("max_value").as("v_max"): _*)
+    val newN = coalesce(col("v_n"), lit(0L)) + col("d_n")
+    val threatened: Column = col("v_n").isNotNull && newN > 0 &&
+      ((col("del_min") <= col("v_min")) || (col("del_max") >= col("v_max")))
+    val joined = delta.join(cur, groupKeys, "left")
+      .withColumn("n", newN)
+      .withColumn("sum_value",
+        (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) + col("d_sum"))
+          .cast("decimal(30,4)"))
+      .withColumn("__rescan", threatened)
+      .localCheckpoint(true) // rescan-key probe AND merge
+    val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
+    val factNow = factT.read
+    val dimNow = dimT.read
+    val (factProj, dimProj) =
+      joinSides(factNow, dimNow, joinKeys, groupKeys, valueCol)
+    // dim reduced to the threatened groups' slice where group keys live
+    // on the dim; the (usually empty) key set broadcasts either way
+    val dimSideKeys = groupKeys.filter(dimProj.contains)
+    val dimR =
+      if (dimSideKeys.isEmpty) dimNow.select(dimProj.map(col): _*)
+      else dimNow.select(dimProj.map(col): _*).join(
+        broadcast(rescanKeys.select(dimSideKeys.map(col): _*).distinct()),
+        dimSideKeys, "left_semi")
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val rescanned = factNow.select(factProj.map(col): _*)
+      .join(broadcast(dimR), joinKeys)
+      .join(broadcast(rescanKeys), groupKeys, "left_semi")
+      .groupBy(keys: _*)
+      .agg(min(vDec).as("r_min"), max(vDec).as("r_max"))
+      .withColumn("__rescanned", lit(true))
+    val changed = joined.join(broadcast(rescanned), groupKeys, "left")
+      .select(keys ++ Seq(col("n"), col("sum_value"),
+        when(coalesce(col("__rescanned"), lit(false)), col("r_min"))
+          .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),
+        when(coalesce(col("__rescanned"), lit(false)), col("r_max"))
+          .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value")): _*)
+    view.upsert(changed)
+    if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
+      view.delete(col("n") <= 0L)
     syncedTo
   }
 }

@@ -232,6 +232,40 @@ class IncrementalViewSpec extends SparkSpec {
     assert(!got.exists(_._1 == 0L) && !got.exists(_._1 == 3L))
   }
 
+  test("join min/max view: extremum deletes rescan through the join; " +
+      "same-window cancelled values never tighten") {
+    val root = "/tmp/graft_tables/ivm_jv3"
+    val f = LakeTable(spark, root, "jm_fact", Seq("id"), changeFeed = true)
+    val d = LakeTable(spark, root, "jm_dim", Seq("ck"), changeFeed = true)
+    val v = LakeTable(spark, root, "jm_view", Seq("seg"))
+    f.drop(); d.drop(); v.drop()
+    f.create((1L to 12L).map(i => (i, i % 3, i * 1.0)).toDF("id", "ck", "v"))
+    d.create(Seq((0L, "A"), (1L, "A"), (2L, "B")).toDF("ck", "seg"))
+    val (f0, d0) = (f.version, d.version)
+    v.create(IncrementalView.joinMinMaxView(f.read, d.read, Seq("ck"),
+      Seq("seg"), "v"))
+    // one window: delete A's max (id 12, v=12 — rescan must reveal 10);
+    // delete B's only customer (extinction through the dim); AND insert
+    // a huge fact (v=500) for that same deleted customer — the net
+    // per-(group, value) rule must treat it as a phantom, not a new max
+    f.delete(col("id") === 12L)
+    d.delete(col("ck") === 2L)
+    f.upsert(Seq((14L, 2L, 500.0)).toDF("id", "ck", "v"))
+    IncrementalView.maintainJoinMinMaxView(f, d, v,
+      Seq("ck"), Seq("seg"), "v", f0, d0)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("seg"), col("n"), col("sum_value").cast("string"),
+          col("min_value").cast("string"), col("max_value").cast("string"))
+        .as[(String, Long, String, String, String)].collect().toSet
+    val got = snap(v.read)
+    assert(got == snap(IncrementalView.joinMinMaxView(f.read, d.read,
+      Seq("ck"), Seq("seg"), "v")))
+    assert(!got.exists(_._1 == "B"), s"B extinct through the dim, got $got")
+    val a = got.find(_._1 == "A").get
+    assert(a._5.startsWith("10."), s"rescan must reveal A's runner-up: $a")
+    assert(a._4.startsWith("1."), s"min untouched: $a")
+  }
+
   test("min/max extinction + null values never join the extrema") {
     val root = "/tmp/graft_tables/ivm_mm3"
     val base = LakeTable(spark, root, "mm_base3", Seq("id"))
