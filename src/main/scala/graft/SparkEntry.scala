@@ -3490,6 +3490,17 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // metadata-only COUNT(*) over a multi-file layout: parquet footer
+    // record counts, zero data pages — must equal the real count
+    "q_fast_count" -> ((s, dir) => {
+      import s.implicits._
+      val dst = s"/tmp/graft_skip/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_fc"
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") % 3 =!= 0)
+        .repartition(8)
+        .write.mode("overwrite").parquet(dst)
+      Seq(graft.table.FileSkipping.fastCount(s, dst)).toDF("n_rows")
+    }),
+
     // RM3-lite pseudo-relevance feedback: BM25 pass 1 → top-5 docs'
     // frequent long terms expand the query at half weight → re-scored
     // top-10 (both rankings on rounded scores, integer-count term ties)
@@ -8638,6 +8649,10 @@ object SparkEntry {
          FROM orders
          WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // footer-only count must equal the real count of the written slice
+    "q_fast_count" ->
+      """SELECT count(*) AS n_rows FROM orders WHERE o_orderkey % 3 <> 0""",
 
     // two chained BM25 replays: pass-1 top-5 feedback docs, expansion =
     // top-5 (count desc, term asc) length-≥4 non-query terms at weight

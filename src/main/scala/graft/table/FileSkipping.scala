@@ -148,4 +148,31 @@ object FileSkipping {
       else spark.read.parquet(files.toIndexedSeq: _*)
     base.filter(col(valueCol) === lit(value))
   }
+
+  /** Metadata-only COUNT(*): sum the row counts recorded in each parquet
+    * FOOTER — ~8 KB read per file, zero data pages — the lakehouse fast
+    * path (Delta answers unfiltered counts from its log; DuckDB/
+    * DataFusion from footers; Spark's own scan would read and count
+    * rows). Same |files|-bounded contract as the rest of this module:
+    * at 100 TB the loop is thousands of footer reads over the layout
+    * listing, not a data scan (and a real deployment caches the counts
+    * in the table log, as [[LakeTable.describeDetail]] does for sizes). */
+  def fastCount(spark: SparkSession, path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        scala.util.Using.resource(
+          ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))) {
+          r => total += r.getRecordCount
+        }
+    }
+    total
+  }
 }

@@ -145,4 +145,15 @@ class FileSkippingSpec extends SparkSpec {
       .agg(count(lit(1)), sum("o_orderkey")).head()
     assert(got == want && want.getLong(0) > 0)
   }
+
+  test("fastCount: footer-only count equals the real count, multi-file and single-file") {
+    val dst = layout()
+    val real = Tables.load(spark, sf, "orders").count()
+    assert(FileSkipping.fastCount(spark, dst) == real)
+    // single-file raw table too
+    assert(FileSkipping.fastCount(spark, s"$sf/orders.parquet") == real)
+    // empty layout counts zero
+    val empty = java.nio.file.Files.createTempDirectory("skip_empty").toString
+    assert(FileSkipping.fastCount(spark, empty) == 0L)
+  }
 }
