@@ -89,7 +89,7 @@ object ScaleProbe {
     val families = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
-        "stats", "hamming", "ivm", "skyline", "gains", "spans"))
+        "stats", "hamming", "ivm", "skyline", "gains", "spans", "joinivm"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -411,6 +411,76 @@ object ScaleProbe {
         println(s"""{"family":"ivm","factor":$n,"rows":$baseRows,""" +
           s""""feed_rows":$feedRows,"maintain_sec":${f"$maintainSec%.2f"},""" +
           s""""distinct_maintain_sec":${f"$distinctSec%.2f"},""" +
+          s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
+      }
+    }
+
+    // ---- joinivm family (round-9, late wave): fact orders ×N (order
+    // AND cust keys shifted per replica) joined to a MATCHING inflated
+    // customer dim; the churn window is FIXED on replica-0 keys — fact
+    // updates + deletes AND dim segment-moves + deletes. Claim
+    // measured: maintenance wall tracks the CHANGE window, not the
+    // base (dF and dD fixed; the F₁⋈dD term scans the fact restricted
+    // to the FIXED changed-key set), while the full recompute scales
+    // with the base.
+    if (families("joinivm")) {
+      val orders = Tables.load(spark, sfDir, "orders")
+      val customer = Tables.load(spark, sfDir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val maxOk = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+      val maxCk = customer.agg(max("o_custkey")).head().getLong(0) + 1
+      factors.foreach { n =>
+        val factBase = (0 until n).map { r =>
+          if (r == 0) orders
+          else orders.select(
+            (col("o_orderkey") + lit(r * maxOk)).as("o_orderkey"),
+            (col("o_custkey") + lit(r * maxCk)).as("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority"))
+        }.reduce(_ unionByName _)
+        val dimBase = (0 until n).map { r =>
+          if (r == 0) customer
+          else customer.select(
+            (col("o_custkey") + lit(r * maxCk)).as("o_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"))
+        }.reduce(_ unionByName _)
+        val root = "/tmp/graft_tables/scaleprobe_jivm"
+        val f = graft.table.LakeTable(spark, root, s"jivm_fact_$n",
+          Seq("o_orderkey"), changeFeed = true)
+        val d = graft.table.LakeTable(spark, root, s"jivm_dim_$n",
+          Seq("o_custkey"), changeFeed = true)
+        val v = graft.table.LakeTable(spark, root, s"jivm_view_$n",
+          Seq("c_mktsegment"))
+        f.drop(); d.drop(); v.drop()
+        f.create(factBase); d.create(dimBase)
+        val (f0, d0) = (f.version, d.version)
+        v.create(graft.table.IncrementalView.joinSumView(f.read, d.read,
+          Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice"))
+        f.upsert(orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+        f.delete(col("o_orderkey") % 101 === 0 && col("o_orderkey") < maxOk)
+        d.update(col("o_custkey") % 13 === 0 && col("o_custkey") < maxCk,
+          Map("c_mktsegment" -> lit("MOVED")))
+        d.delete(col("o_custkey") % 17 === 0 && col("o_custkey") < maxCk)
+        val factFeed = f.changesSince(f0).count()
+        val dimFeed = d.changesSince(d0).count()
+        val (_, maintainSec) = timed {
+          graft.table.IncrementalView.maintainJoinSumView(f, d, v,
+            Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice", f0, d0)
+        }
+        val recomp = graft.table.LakeTable(spark, root, s"jivm_recomp_$n",
+          Seq("c_mktsegment"))
+        recomp.drop()
+        val (_, recomputeSec) = timed {
+          recomp.create(graft.table.IncrementalView.joinSumView(
+            f.read, d.read, Seq("o_custkey"), Seq("c_mktsegment"),
+            "o_totalprice"))
+        }
+        val baseRows = f.read.count()
+        println(s"""{"family":"joinivm","factor":$n,"fact_rows":$baseRows,""" +
+          s""""fact_feed":$factFeed,"dim_feed":$dimFeed,""" +
+          s""""maintain_sec":${f"$maintainSec%.2f"},""" +
           s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
       }
     }

@@ -309,6 +309,68 @@ class ScaleProbeSpec extends SparkSpec {
       "prefixed replicas must produce identical span structure")
   }
 
+  test("join IVM: fixed two-table churn → both feeds invariant under ×4 " +
+      "base inflation, maintained == recomputed at both factors") {
+    import graft.table.{IncrementalView, LakeTable}
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val maxOk = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    val maxCk = customer.agg(max("o_custkey")).head().getLong(0) + 1
+    def run(n: Int): (Long, Long, Set[(String, Long, String)]) = {
+      val factBase = (0 until n).map { r =>
+        if (r == 0) orders
+        else orders.select(
+          (col("o_orderkey") + lit(r * maxOk)).as("o_orderkey"),
+          (col("o_custkey") + lit(r * maxCk)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+      val dimBase = (0 until n).map { r =>
+        if (r == 0) customer
+        else customer.select(
+          (col("o_custkey") + lit(r * maxCk)).as("o_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+      }.reduce(_ unionByName _)
+      val root = java.nio.file.Files.createTempDirectory("jivm_pin").toString
+      val f = LakeTable(spark, root, "f", Seq("o_orderkey"), changeFeed = true)
+      val d = LakeTable(spark, root, "d", Seq("o_custkey"), changeFeed = true)
+      val v = LakeTable(spark, root, "v", Seq("c_mktsegment"))
+      f.create(factBase); d.create(dimBase)
+      val (f0, d0) = (f.version, d.version)
+      v.create(IncrementalView.joinSumView(f.read, d.read,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice"))
+      f.upsert(orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      f.delete(col("o_orderkey") % 101 === 0 && col("o_orderkey") < maxOk)
+      d.update(col("o_custkey") % 13 === 0 && col("o_custkey") < maxCk,
+        Map("c_mktsegment" -> lit("MOVED")))
+      d.delete(col("o_custkey") % 17 === 0 && col("o_custkey") < maxCk)
+      val feeds = (f.changesSince(f0).count(), d.changesSince(d0).count())
+      IncrementalView.maintainJoinSumView(f, d, v,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice", f0, d0)
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("c_mktsegment"), col("n"),
+            col("sum_value").cast("string"))
+          .as[(String, Long, String)].collect().toSet
+      val got = snap(v.read)
+      assert(got == snap(IncrementalView.joinSumView(f.read, d.read,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice")),
+        s"maintained != recomputed at x$n")
+      (feeds._1, feeds._2, got)
+    }
+    val (ff1, df1, s1) = run(1)
+    val (ff4, df4, s4) = run(4)
+    assert(ff1 > 0 && df1 > 0, "fixture churn must be non-trivial")
+    // the change window is fixed on replica-0 keys: both feeds invariant
+    assert(ff4 == ff1, s"fact feed grew with the base: $ff1 -> $ff4")
+    assert(df4 == df1, s"dim feed grew with the base: $df1 -> $df4")
+    // replica segments never churn, so the churned groups' rows differ
+    // between factors only by the untouched replica contributions
+    assert(s4.map(_._1) == s1.map(_._1) && s1.exists(_._1 == "MOVED"))
+  }
+
   test("IVM: fixed change batch → feed volume invariant under ×4 base " +
       "inflation, and the maintained view still equals the recompute") {
     import graft.table.{IncrementalView, LakeTable}
