@@ -232,6 +232,52 @@ class IncrementalViewSpec extends SparkSpec {
     assert(!got.exists(_._1 == 0L) && !got.exists(_._1 == 3L))
   }
 
+  test("quiet-dim join maintenance never reads the fact table " +
+      "(bytes-read pin on the O(changes) claim)") {
+    val root = "/tmp/graft_tables/ivm_jv4"
+    val f = LakeTable(spark, root, "nb_fact", Seq("id"), changeFeed = true)
+    val d = LakeTable(spark, root, "nb_dim", Seq("ck"))
+    val v = LakeTable(spark, root, "nb_view", Seq("seg"))
+    f.drop(); d.drop(); v.drop()
+    // fact made deliberately LARGE relative to dim/feed/view so a scan
+    // of it would dominate the byte counter
+    f.create((1L to 60000L).map(i => (i, i % 4, i * 1.0)).toDF("id", "ck", "v"))
+    d.create(Seq((0L, "A"), (1L, "A"), (2L, "B"), (3L, "B")).toDF("ck", "seg"))
+    val (f0, d0) = (f.version, d.version)
+    v.create(IncrementalView.joinSumView(f.read, d.read, Seq("ck"),
+      Seq("seg"), "v"))
+    // fact-only churn — the quiet-dim window where the F1⋈dD and dF⋈dD
+    // terms are provably empty and AQE must propagate that emptiness
+    // instead of scanning the fact
+    f.upsert(Seq((60001L, 1L, 7.0), (4L, 0L, 99.0)).toDF("id", "ck", "v"))
+    f.delete(col("id") === 8L)
+    val factBytes = f.describeDetail.filter(col("is_current"))
+      .select("bytes").as[Long].head()
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          { bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead); () }
+    }
+    org.apache.spark.GraftListenerBridge.drainListenerBus(
+      spark.sparkContext, 30000)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IncrementalView.maintainJoinSumView(f, d, v,
+        Seq("ck"), Seq("seg"), "v", f0, d0)
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // correctness first, then the cost-shape pin
+    val got = jvSnapshot(v)
+    assert(got == jvRecomp(f, d))
+    assert(factBytes > 200000, s"fixture fact too small to discriminate: $factBytes")
+    assert(bytes.get < factBytes / 2,
+      s"quiet-dim maintenance read ${bytes.get} bytes against a " +
+        s"$factBytes-byte fact — the fact was scanned")
+  }
+
   test("join min/max view: extremum deletes rescan through the join; " +
       "same-window cancelled values never tighten") {
     val root = "/tmp/graft_tables/ivm_jv3"
