@@ -3653,6 +3653,18 @@ object SparkEntry {
     "q_ab_test" -> ((s, dir) =>
       Stats.abTest(events(s, dir), "user_id", "event_type", "purchase")),
 
+    // stratified A/B: CMH over 3 user strata (decorrelated from the
+    // arm hash), uncorrected chi2 + Mantel-Haenszel common odds ratio
+    "q_cmh" -> ((s, dir) =>
+      Stats.cmhTest(events(s, dir), "user_id", "event_type", "purchase",
+        strata = pmod(floor(col("user_id") / 2).cast("long"), lit(3)))),
+
+    // robust location estimates: 10% two-sided trimmed and winsorized
+    // means of the order totals per priority
+    "q_robust_mean" -> ((s, dir) =>
+      Stats.robustMeans(Tables.load(s, dir, "orders"), "o_orderpriority",
+        "o_totalprice").orderBy("o_orderpriority")),
+
     // Kaplan–Meier days-to-purchase survival (right-censored at the
     // user's last event); product-limit via 6-dp-ln exact-decimal sums
     "q_kaplan_meier" -> ((s, dir) =>
@@ -8849,6 +8861,83 @@ object SparkEntry {
 
     // every statistic is integer-count arithmetic + one fixed double
     // formula; the 2×2 determinant replayed in the same a·d − b·c form
+    // CMH replay: same user-level conversion aggregate, 2x2 per
+    // stratum, per-stratum terms rounded to 10 dp then decimal-summed
+    // (order-free) exactly as the engine does
+    "q_cmh" ->
+      """WITH u AS (
+           SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS cv,
+                  user_id % 2 AS arm,
+                  (user_id // 2) % 3 AS st
+           FROM events GROUP BY user_id),
+         tab AS (
+           SELECT st,
+                  SUM(CASE WHEN arm = 1 AND cv = 1 THEN 1 ELSE 0 END) AS a,
+                  SUM(CASE WHEN arm = 1 AND cv = 0 THEN 1 ELSE 0 END) AS b,
+                  SUM(CASE WHEN arm = 0 AND cv = 1 THEN 1 ELSE 0 END) AS c,
+                  SUM(CASE WHEN arm = 0 AND cv = 0 THEN 1 ELSE 0 END) AS d
+           FROM u GROUP BY st),
+         terms AS (
+           SELECT a, b, c, d,
+                  CAST(a + b + c + d AS DOUBLE) AS t
+           FROM tab WHERE a + b + c + d > 1),
+         r AS (
+           SELECT a,
+                  CAST(round(CAST((a + b) AS DOUBLE) * CAST((a + c) AS DOUBLE)
+                       / t, 10) AS DECIMAL(28,10)) AS e,
+                  CAST(round(CAST((a + b) * (c + d) AS DOUBLE)
+                       * CAST((a + c) * (b + d) AS DOUBLE)
+                       / (t * t * (t - 1)), 10) AS DECIMAL(28,10)) AS v,
+                  CAST(round(CAST(a * d AS DOUBLE) / t, 10)
+                       AS DECIMAL(28,10)) AS num,
+                  CAST(round(CAST(b * c AS DOUBLE) / t, 10)
+                       AS DECIMAL(28,10)) AS den
+           FROM terms),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                  CAST(SUM(a) AS BIGINT) AS sum_a,
+                  CAST(SUM(e) AS DOUBLE) AS se,
+                  CAST(SUM(v) AS DOUBLE) AS sv,
+                  CAST(SUM(num) AS DOUBLE) AS sn,
+                  CAST(SUM(den) AS DOUBLE) AS sd
+           FROM r)
+         SELECT n_strata, sum_a,
+                round(se, 6) AS expected_a,
+                round(CASE WHEN sv > 0 THEN
+                  (CAST(sum_a AS DOUBLE) - se) * (CAST(sum_a AS DOUBLE) - se)
+                    / sv END, 6) AS chi2_cmh,
+                round(CASE WHEN sd > 0 THEN sn / sd END, 6) AS or_mh
+         FROM agg""",
+
+    // trimmed/winsorized replay on the same engine-compatible
+    // interpolated percentiles; winsorized values rounded to 4 dp then
+    // decimal-summed, matching the engine's order-free discipline
+    "q_robust_mean" ->
+      """WITH th AS (
+           SELECT o_orderpriority,
+                  quantile_cont(o_totalprice, 0.1) AS lo,
+                  quantile_cont(o_totalprice, 0.9) AS hi
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o.o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN o.o_totalprice >= t.lo
+                               AND o.o_totalprice <= t.hi
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                round(CAST(SUM(CASE WHEN o.o_totalprice >= t.lo
+                                     AND o.o_totalprice <= t.hi
+                               THEN CAST(o.o_totalprice AS DECIMAL(20,4))
+                               END) AS DOUBLE)
+                      / SUM(CASE WHEN o.o_totalprice >= t.lo
+                                  AND o.o_totalprice <= t.hi
+                                 THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+                round(CAST(SUM(CAST(round(least(greatest(o.o_totalprice, t.lo),
+                                           t.hi), 4) AS DECIMAL(20,4)))
+                           AS DOUBLE) / count(*), 6) AS winsorized_mean
+         FROM orders o JOIN th t USING (o_orderpriority)
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+
     "q_ab_test" ->
       """WITH u AS (
            SELECT user_id,

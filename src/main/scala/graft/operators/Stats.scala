@@ -72,6 +72,81 @@ object Stats {
       when(mixed, round(chi2, 6)).as("chi2"))
   }
 
+  /** Cochran–Mantel–Haenszel test over K strata of 2×2 conversion
+    * tables — the stratified A/B readout ([[abTest]] pools everything;
+    * CMH controls for a confounding stratum). Uncorrected statistic
+    * (Σaₖ − ΣEₖ)²/ΣVₖ with Eₖ = n₁ₖm₁ₖ/Tₖ,
+    * Vₖ = n₁ₖn₂ₖm₁ₖ(Tₖ−m₁ₖ)/(Tₖ²(Tₖ−1)), plus the Mantel–Haenszel
+    * common odds ratio Σ(aₖdₖ/Tₖ)/Σ(bₖcₖ/Tₖ). Per-stratum doubles are
+    * rounded to 10 dp and decimal-summed (the logRank discipline) so
+    * the stratum sums are order-free; everything upstream is exact
+    * integer counts from one user-level aggregate. */
+  def cmhTest(events: DataFrame, userCol: String, typeCol: String,
+      convType: String, strata: Column): DataFrame = {
+    val users = events.groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === convType, 1L).otherwise(0L)).as("cv"))
+      .withColumn("arm", pmod(col(userCol), lit(2)))
+      .withColumn("st", strata)
+    val tab = users.groupBy("st").agg(
+      sum(when(col("arm") === 1 && col("cv") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("arm") === 1 && col("cv") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("arm") === 0 && col("cv") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("arm") === 0 && col("cv") === 0, 1L).otherwise(0L)).as("d"))
+    val t = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val e = round((col("a") + col("b")).cast("double") *
+      (col("a") + col("c")).cast("double") / t, 10)
+    val v = round(((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
+      ((col("a") + col("c")) * (col("b") + col("d"))).cast("double") /
+      (t * t * (t - 1)), 10)
+    val num = round((col("a") * col("d")).cast("double") / t, 10)
+    val den = round((col("b") * col("c")).cast("double") / t, 10)
+    val agg = tab.filter(t > 1).agg(
+      count(lit(1)).as("n_strata"), sum(col("a")).as("sum_a"),
+      sum(e.cast("decimal(28,10)")).as("__e"),
+      sum(v.cast("decimal(28,10)")).as("__v"),
+      sum(num.cast("decimal(28,10)")).as("__num"),
+      sum(den.cast("decimal(28,10)")).as("__den"))
+    val dA = col("sum_a").cast("double")
+    val dE = col("__e").cast("double")
+    val dV = col("__v").cast("double")
+    agg.select(col("n_strata"), col("sum_a"),
+      round(dE, 6).as("expected_a"),
+      round(when(dV > 0, (dA - dE) * (dA - dE) / dV), 6).as("chi2_cmh"),
+      round(when(col("__den").cast("double") > 0,
+        col("__num").cast("double") / col("__den").cast("double")), 6)
+        .as("or_mh"))
+  }
+
+  /** Per-group trimmed and winsorized means — the robust location
+    * estimates next to the plain mean: thresholds are the exact
+    * interpolated `trim`/`1−trim` percentiles (the engine-compatible
+    * `percentile` ↔ `quantile_cont` pair this repo's oracle discipline
+    * pins); the trimmed mean averages rows inside [lo, hi] as an exact
+    * decimal sum, the winsorized mean clamps to the thresholds first
+    * (clamped doubles rounded to 4 dp before the decimal sum so the
+    * total is order-free). One pass for thresholds, one for the means,
+    * broadcast attach — holds at any group cardinality. */
+  def robustMeans(df: DataFrame, groupCol: String, valueCol: String,
+      trim: Double = 0.1): DataFrame = {
+    require(trim > 0 && trim < 0.5)
+    val th = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, array($trim, ${1 - trim}))").as("__th"))
+      .select(col(groupCol), element_at(col("__th"), 1).as("__lo"),
+        element_at(col("__th"), 2).as("__hi"))
+    val vDec = col(valueCol).cast("decimal(20,4)")
+    val clamped = round(least(greatest(col(valueCol), col("__lo")), col("__hi")), 4)
+      .cast("decimal(20,4)")
+    val inRange = col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi")
+    df.join(broadcast(th), groupCol)
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(when(inRange, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(inRange, vDec)).cast("double") /
+          sum(when(inRange, 1L).otherwise(0L)), 6).as("trimmed_mean"),
+        round(sum(clamped).cast("double") / count(lit(1)), 6)
+          .as("winsorized_mean"))
+  }
+
   /** Kaplan–Meier survival estimate of days-to-conversion: duration =
     * days from a user's first event to their first `convType` event
     * (observed) or to their last event (right-censored). At each

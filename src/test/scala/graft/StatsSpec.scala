@@ -375,6 +375,37 @@ class StatsSpec extends SparkSpec {
       .getAs[Double]("spearman") == 1.0)
   }
 
+  test("cmhTest: hand-computed two-stratum design (null + strong strata)") {
+    // stratum 0 (users 1..4): treated a=1 b=1, control c=1 d=1 → no
+    // effect; stratum 1 (users 5..8): treated both convert, control
+    // none → E_k = 1, V_k = 1/3 each; sum_a=3, E=2, chi2 = 1/(2/3) =
+    // 1.5, OR_MH = (0.25+1)/(0.25+0) = 5
+    val ev = Seq(
+      (1L, "purchase"), (3L, "view"), (2L, "purchase"), (4L, "view"),
+      (5L, "purchase"), (7L, "purchase"), (6L, "view"), (8L, "view")
+    ).toDF("user_id", "event_type")
+    val r = Stats.cmhTest(ev, "user_id", "event_type", "purchase",
+        strata = when(col("user_id") <= 4, 0L).otherwise(1L))
+      .select("n_strata", "sum_a", "expected_a", "chi2_cmh", "or_mh").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0)
+    assert(math.abs(r.getDouble(3) - 1.5) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 5.0) < 1e-6)
+  }
+
+  test("robustMeans: planted outlier is trimmed out and winsorized in") {
+    // values 1..9 + 1000: p10 = 1.9, p90 = 108.1 (interpolated);
+    // trimmed keeps 2..9 (mean 5.5); winsorized clamps 1→1.9 and
+    // 1000→108.1 (mean 15.4)
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _))
+      .toDF("grp", "v")
+    val r = Stats.robustMeans(df, "grp", "v")
+      .select("n", "n_kept", "trimmed_mean", "winsorized_mean").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 5.5)
+    assert(r.getDouble(3) == 15.4)
+  }
+
   test("mannKendallDaily: planted monotone trend; all-tied series → NULL z") {
     def mk(rows: (String, Double)*) =
       Stats.mannKendallDaily(
