@@ -3710,6 +3710,11 @@ object SparkEntry {
     "q_spearman" -> ((s, dir) =>
       Stats.spearmanDaily(events(s, dir), "ts", "user_id")),
 
+    // Kendall's tau-b on the same two daily series — the other standard
+    // rank correlation, with exact tie-corrected pair counting
+    "q_kendall_tau" -> ((s, dir) =>
+      Stats.kendallTauDaily(events(s, dir), "ts", "user_id")),
+
     // Mann–Whitney U on daily mean event values, even-user cohort vs
     // odd (same treated split as q_did): nonparametric shift test in
     // the doubled-rank integer space; tie-corrected normal z
@@ -9133,6 +9138,31 @@ object SparkEntry {
 
     // Pearson over doubled average ranks (exact integers); same moment
     // formula as q_acf
+    // tau-b replay: pairwise sign products via a day<day self-join,
+    // tie sums per series, same fixed final formula
+    "q_kendall_tau" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, count(*) AS x,
+                  count(DISTINCT user_id) AS y
+           FROM events GROUP BY 1),
+         pairs AS (
+           SELECT COALESCE(CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)
+                           * CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT), 0) AS s
+           FROM daily a JOIN daily b ON a.day < b.day),
+         tx AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS tx2
+                FROM (SELECT count(*) AS t FROM daily GROUP BY x)),
+         ty AS (SELECT COALESCE(SUM(t * (t - 1)), 0) AS ty2
+                FROM (SELECT count(*) AS t FROM daily GROUP BY y)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+         SELECT n_days, s,
+                round(CASE WHEN (CAST(n_days AS DOUBLE) * (n_days - 1) - tx2) > 0
+                            AND (CAST(n_days AS DOUBLE) * (n_days - 1) - ty2) > 0
+                      THEN CAST(2 AS DOUBLE) * s
+                           / sqrt((CAST(n_days AS DOUBLE) * (n_days - 1) - tx2)
+                                  * (CAST(n_days AS DOUBLE) * (n_days - 1) - ty2))
+                      END, 6) AS tau_b
+         FROM nn CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty""",
+
     "q_spearman" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS day, count(*) AS x,

@@ -545,6 +545,40 @@ object Stats {
       round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).as("spearman"))
   }
 
+  /** Kendall's τ-b between the same two daily series [[spearmanDaily]]
+    * correlates — concordant-minus-discordant sign pairs with the
+    * standard tie corrections, τ_b = (C−D)/√((T₀−T₁)(T₀−T₂)). The
+    * O(n²) pair enumeration rides array HOFs on the ONE lint-bounded
+    * daily row (the [[mannKendallDaily]] shape — no self-join, no
+    * window); C−D and both tie sums are exact longs, the only doubles
+    * are the final fixed formula. */
+  def kendallTauDaily(events: DataFrame, tsCol: String,
+      userCol: String): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"), countDistinct(col(userCol)).as("y"))
+      .limit(10000) // calendar-bounded; proves the single-row collect safe
+    val tx = daily.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("tx2"))
+    val ty = daily.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("ty2"))
+    val arr = daily
+      .agg(array_sort(collect_list(struct(col("day"), col("x"), col("y"))))
+        .as("a"))
+      .select(size(col("a")).cast("long").as("n_days"),
+        expr("aggregate(flatten(transform(a, (p, i) ->" +
+          " transform(slice(a, i + 2, size(a)), q ->" +
+          " cast(sign(q.x - p.x) * sign(q.y - p.y) AS long)))), 0L," +
+          " (acc, v) -> acc + v)").as("s"))
+    val n = col("n_days").cast("double")
+    val t0x2 = n * (n - 1) - col("tx2").cast("double") // 2·(T₀−T₁)
+    val t0y2 = n * (n - 1) - col("ty2").cast("double")
+    arr.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n_days"), col("s"),
+        round(when(t0x2 > 0 && t0y2 > 0,
+          lit(2.0) * col("s").cast("double") / sqrt(t0x2 * t0y2)), 6)
+          .as("tau_b"))
+  }
+
   /** Two-sample Mann–Whitney U over bounded daily means: do the
     * treated cohort's daily mean values come from a shifted
     * distribution vs control? The standard nonparametric complement

@@ -375,6 +375,31 @@ class StatsSpec extends SparkSpec {
       .getAs[Double]("spearman") == 1.0)
   }
 
+  test("kendallTauDaily: perfect concordance/discordance and a hand-" +
+      "computed tie case") {
+    def tau(rows: (String, Long, Long)*): (Long, Long, Double) = {
+      // one event per (day, user) pair count: synthesize events so the
+      // daily frame has x = rows per day, y = distinct users per day
+      val ev = rows.toSeq.flatMap { case (d, x, y) =>
+        (1L to x).map(i => (d, if (i <= y) i else 1L))
+      }.toDF("ts", "user_id").withColumn("ts", to_timestamp(col("ts")))
+      val r = Stats.kendallTauDaily(ev, "ts", "user_id")
+        .select("n_days", "s", "tau_b").head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // x strictly up, y strictly up → every pair concordant, tau = 1
+    assert(tau(("2024-01-01", 1L, 1L), ("2024-01-02", 2L, 2L),
+      ("2024-01-03", 3L, 3L), ("2024-01-04", 4L, 4L)) == (4L, 6L, 1.0))
+    // x up, y strictly down → tau = -1
+    assert(tau(("2024-01-01", 4L, 4L), ("2024-01-02", 5L, 3L),
+      ("2024-01-03", 6L, 2L), ("2024-01-04", 7L, 1L)) == (4L, -6L, -1.0))
+    // ties on both sides: x = [2,2,3], y = [1,2,2] → C−D = 1,
+    // tie-corrected denominators 4 and 4 → tau = 2/sqrt(16) = 0.5
+    val t = tau(("2024-01-01", 2L, 1L), ("2024-01-02", 2L, 2L),
+      ("2024-01-03", 3L, 2L))
+    assert(t._1 == 3L && t._2 == 1L && t._3 == 0.5)
+  }
+
   test("cmhTest: hand-computed two-stratum design (null + strong strata)") {
     // stratum 0 (users 1..4): treated a=1 b=1, control c=1 d=1 → no
     // effect; stratum 1 (users 5..8): treated both convert, control
