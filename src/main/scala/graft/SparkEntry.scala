@@ -3715,6 +3715,16 @@ object SparkEntry {
     "q_kendall_tau" -> ((s, dir) =>
       Stats.kendallTauDaily(events(s, dir), "ts", "user_id")),
 
+    // design-based causal estimate: 1:1 nearest-neighbor matching on
+    // price within returnflag strata, matched-pairs ATT of quantity
+    "q_nn_match" -> ((s, dir) =>
+      Stats.nnMatchATT(
+        Tables.load(s, dir, "lineitem")
+          .withColumn("li_id", col("l_orderkey") * 10 + col("l_linenumber")),
+        "li_id", Seq("l_returnflag"), "l_extendedprice", "l_quantity",
+        treated = col("l_orderkey") % 2 === 0)
+        .orderBy("l_returnflag")),
+
     // Mann–Whitney U on daily mean event values, even-user cohort vs
     // odd (same treated split as q_did): nonparametric shift test in
     // the doubled-rank integer space; tie-corrected normal z
@@ -9138,6 +9148,49 @@ object SparkEntry {
 
     // Pearson over doubled average ranks (exact integers); same moment
     // formula as q_acf
+    // matching replay: identical window mechanics (stratum-partitioned
+    // covariate sort, IGNORE NULLS carries, same tie rules)
+    "q_nn_match" ->
+      """WITH base AS (
+           SELECT l_returnflag AS st,
+                  l_orderkey * 10 + l_linenumber AS id,
+                  CAST(l_extendedprice AS DOUBLE) AS cov,
+                  CAST(l_quantity AS DECIMAL(20,4)) AS y,
+                  CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS side
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+         car AS (
+           SELECT st, cov, y, side,
+                  last_value(CASE WHEN side = 0 THEN cov END IGNORE NULLS)
+                    OVER w1 AS pc,
+                  last_value(CASE WHEN side = 0 THEN y END IGNORE NULLS)
+                    OVER w1 AS py,
+                  first_value(CASE WHEN side = 0 THEN cov END IGNORE NULLS)
+                    OVER w2 AS nc,
+                  first_value(CASE WHEN side = 0 THEN y END IGNORE NULLS)
+                    OVER w2 AS ny
+           FROM base
+           WINDOW
+             w1 AS (PARTITION BY st ORDER BY cov ASC, side ASC, id DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY st ORDER BY cov ASC, side ASC, id DESC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         m AS (
+           SELECT st, y,
+                  CASE WHEN pc IS NOT NULL
+                        AND (nc IS NULL OR cov - pc <= nc - cov) THEN py
+                       WHEN nc IS NOT NULL THEN ny END AS my
+           FROM car WHERE side = 1)
+         SELECT st AS l_returnflag,
+                CAST(count(*) AS BIGINT) AS n_treated,
+                CAST(SUM(CASE WHEN my IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_matched,
+                round(CAST(SUM(CASE WHEN my IS NOT NULL THEN y - my END)
+                           AS DOUBLE)
+                      / SUM(CASE WHEN my IS NOT NULL THEN 1 ELSE 0 END), 6)
+                  AS att
+         FROM m GROUP BY st ORDER BY st""",
+
     // tau-b replay: pairwise sign products via a day<day self-join,
     // tie sums per series, same fixed final formula
     "q_kendall_tau" ->

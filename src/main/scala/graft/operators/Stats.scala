@@ -545,6 +545,59 @@ object Stats {
       round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6).as("spearman"))
   }
 
+  /** 1:1 nearest-neighbor covariate matching within exact strata + the
+    * matched-pairs ATT — the design-based causal estimate next to
+    * CUPED/DiD (match each treated unit to the control with the
+    * nearest continuous covariate among units sharing the exact
+    * stratum, with replacement; ATT = mean treated−matched outcome).
+    *
+    * Scale shape: NO pairwise distance join — both cohorts ride one
+    * stratum-partitioned sort of the covariate axis, and each treated
+    * row reads its nearest control at-or-below / above via
+    * last/first(ignoreNulls) carries (the as-of trick on the covariate
+    * axis). Determinism: at equal distance the LOWER-covariate control
+    * wins; an equal-covariate control sorts before the treated row
+    * (distance-0 prev match); among equal-covariate controls the
+    * window order (cov, side, id DESC) makes the carry pick the
+    * minimum id. The three carried control fields are null/non-null
+    * together (nulls filtered up front), so the parallel carries
+    * always read one single control row. Unmatched treated units
+    * (stratum with no controls) are counted but excluded from ATT. */
+  def nnMatchATT(df: DataFrame, idCol: String, strataCols: Seq[String],
+      covCol: String, outcomeCol: String, treated: Column): DataFrame = {
+    val base = df.filter(col(covCol).isNotNull && col(outcomeCol).isNotNull)
+      .select(strataCols.map(col) :+ col(idCol).as("__id") :+
+        col(covCol).cast("double").as("__cov") :+
+        col(outcomeCol).cast("decimal(20,4)").as("__y") :+
+        when(treated, 1).otherwise(0).as("__side"): _*)
+    val ord = Seq(col("__cov").asc, col("__side").asc, col("__id").desc)
+    val wPrev = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def ctrl(c: Column): Column = when(col("__side") === 0, c)
+    val carried = base
+      .withColumn("__pc", last(ctrl(col("__cov")), ignoreNulls = true).over(wPrev))
+      .withColumn("__py", last(ctrl(col("__y")), ignoreNulls = true).over(wPrev))
+      .withColumn("__nc", first(ctrl(col("__cov")), ignoreNulls = true).over(wNext))
+      .withColumn("__ny", first(ctrl(col("__y")), ignoreNulls = true).over(wNext))
+    val dPrev = col("__cov") - col("__pc")
+    val dNext = col("__nc") - col("__cov")
+    val usePrev = col("__pc").isNotNull &&
+      (col("__nc").isNull || dPrev <= dNext)
+    val my = when(usePrev, col("__py"))
+      .when(col("__nc").isNotNull, col("__ny"))
+    carried.filter(col("__side") === 1).withColumn("__my", my)
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("n_treated"),
+        sum(when(col("__my").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        round(sum(when(col("__my").isNotNull, col("__y") - col("__my")))
+            .cast("double") /
+          sum(when(col("__my").isNotNull, 1L).otherwise(0L)), 6).as("att"))
+  }
+
   /** Kendall's τ-b between the same two daily series [[spearmanDaily]]
     * correlates — concordant-minus-discordant sign pairs with the
     * standard tie corrections, τ_b = (C−D)/√((T₀−T₁)(T₀−T₂)). The

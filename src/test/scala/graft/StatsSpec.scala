@@ -375,6 +375,45 @@ class StatsSpec extends SparkSpec {
       .getAs[Double]("spearman") == 1.0)
   }
 
+  test("nnMatchATT: hand-computed matches, distance-tie toward lower " +
+      "covariate, unmatched stratum counted but excluded") {
+    val df = Seq(
+      // stratum s: treated 1 (cov 10) → prev ctrl 2 (d=2) beats next 3
+      // (d=3) → diff 100-50; treated 4 (cov 12.5) → next ctrl 3 (d=0.5)
+      // → diff 80-70
+      ("s", 1L, 10.0, 100.0, true), ("s", 2L, 8.0, 50.0, false),
+      ("s", 3L, 13.0, 70.0, false), ("s", 4L, 12.5, 80.0, true),
+      // stratum t: exact distance tie (9 vs 11) → LOWER covariate wins
+      ("t", 5L, 10.0, 9.0, true), ("t", 6L, 9.0, 4.0, false),
+      ("t", 7L, 11.0, 8.0, false),
+      // stratum u: no controls → counted, excluded from ATT
+      ("u", 8L, 1.0, 1.0, true)
+    ).toDF("st", "id", "cov", "y", "tr")
+    val r = Stats.nnMatchATT(df, "id", Seq("st"), "cov", "y", col("tr"))
+      .select("st", "n_treated", "n_matched", "att")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r("s") == (2L, 2L, Some(30.0)))   // (50 + 10) / 2
+    assert(r("t") == (1L, 1L, Some(5.0)))    // 9 - 4 (lower-cov control)
+    assert(r("u") == (1L, 0L, None))
+  }
+
+  test("nnMatchATT: equal-covariate control is a distance-0 match; " +
+      "equal-covariate control ties pick the minimum id") {
+    val df = Seq(
+      ("s", 1L, 10.0, 100.0, true),
+      ("s", 2L, 10.0, 60.0, false),  // same covariate as the treated row
+      ("s", 9L, 12.0, 1.0, false),
+      // two controls at the same covariate: min id (3) must win
+      ("t", 5L, 7.0, 50.0, true),
+      ("t", 3L, 6.0, 20.0, false), ("t", 4L, 6.0, 30.0, false)
+    ).toDF("st", "id", "cov", "y", "tr")
+    val r = Stats.nnMatchATT(df, "id", Seq("st"), "cov", "y", col("tr"))
+      .select("st", "att").as[(String, Double)].collect().toMap
+    assert(r("s") == 40.0) // 100 - 60, the distance-0 control
+    assert(r("t") == 30.0) // 50 - 20: control id 3, not id 4
+  }
+
   test("kendallTauDaily: perfect concordance/discordance and a hand-" +
       "computed tie case") {
     def tau(rows: (String, Long, Long)*): (Long, Long, Double) = {
