@@ -1160,6 +1160,40 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // MOMENTS IVM: (n, sum, sum of squares) maintained through the
+    // same churn as q_ivm — variance derives in closed form at read
+    // time with NO rescan ever (the second moment is self-maintainable,
+    // unlike min/max). Oracle recomputes var_pop from the same exact
+    // decimal sums.
+    "q_ivm_moments" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "orders_ivmm", Seq("o_orderkey"),
+        changeFeed = true)
+      val v = graft.table.LakeTable(s, root, "orders_ivmm_view",
+        Seq("o_custkey"))
+      t.drop(); v.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      val v0 = t.version
+      v.create(graft.table.IncrementalView.momentsView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainMomentsView(t, v,
+        Seq("o_custkey"), "o_totalprice", sinceVersion = v0)
+      // the maintained MOMENT STATE is the pinned output: exact decimals
+      // compare with no doubles at all (a var derivation in doubles
+      // would ride the >17-digit decimal->double conversion, whose
+      // last-ulp rounding differs across engines); the mean's sum is
+      // well inside double precision
+      v.read.select(col("o_custkey"), col("n"),
+          round(col("sum_value").cast("double") / col("n"), 6)
+            .as("mean_total"),
+          col("sum_sq"))
+        .orderBy("o_custkey")
+    }),
+
     // JOIN-view IVM: revenue by customer market segment, maintained
     // through one window of simultaneous fact churn (upsert + delete)
     // AND dim churn (segment moves + customer deletes) via the
@@ -5144,6 +5178,33 @@ object SparkEntry {
          SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_distinct
          FROM final WHERE o_orderpriority IS NOT NULL
          GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // moments replay: same final state, var_pop from the same exact
+    // decimal sums with the same fixed double formula
+    "q_ivm_moments" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0),
+            agg AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE) AS ds,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                              * CAST(o_totalprice AS DECIMAL(19,4)))
+                          AS DECIMAL(38,8)) AS sum_sq
+              FROM final GROUP BY o_custkey)
+         SELECT o_custkey, n,
+                round(ds / n, 6) AS mean_total,
+                sum_sq
+         FROM agg ORDER BY o_custkey""",
 
     // JOIN-view replay: final fact state (upsert + delete) joined to
     // final dim state (segment moves + deletes), re-aggregated from

@@ -169,6 +169,57 @@ object IncrementalView {
     syncedTo
   }
 
+  // ---- MOMENTS views (self-maintainable variance) ----
+  //
+  // Unlike min/max, the second moment IS self-maintainable: Σv² obeys
+  // the same signed delta rule as Σv, so (n, Σv, Σv²) maintains in one
+  // pass with no rescan ever, and population variance/stddev derive in
+  // closed form at read time: var = (Σv² − (Σv)²/n)/n. Both sums are
+  // exact decimals, so the derived doubles are identical across
+  // engines (the textbook cancellation caveat of the two-sums formula
+  // affects accuracy, not determinism — and the oracle recomputes with
+  // the SAME formula over the same exact sums).
+
+  /** (count, Σv, Σv²) per group — the self-maintainable moment state
+    * behind mean/variance/stddev. */
+  def momentsView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(18,4)")
+    df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(vDec).cast("decimal(30,4)").as("sum_value"),
+      sum(vDec * vDec).cast("decimal(38,8)").as("sum_sq"))
+  }
+
+  /** Maintain a [[momentsView]] — the [[maintainSumView]] delta rule
+    * extended with the Σv² column. Returns the synced base version. */
+  def maintainMomentsView(base: LakeTable, view: LakeTable,
+      keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
+    val syncedTo = base.version
+    val ch = base.changesSince(sinceVersion)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    val vDec = col(valueCol).cast("decimal(18,4)")
+    val delta = ch.groupBy(keyCols.map(col): _*).agg(
+      sum(sign).as("d_n"),
+      sum(vDec * sign).as("d_sum"),
+      sum(vDec * vDec * sign).as("d_sq"))
+    val cur = view.read.select(
+      keyCols.map(col) :+ col("n").as("v_n") :+
+        col("sum_value").as("v_sum") :+ col("sum_sq").as("v_sq"): _*)
+    val changed = delta.join(cur, keyCols, "left")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("v_n"), lit(0L)) + col("d_n")).as("n"),
+        (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) + col("d_sum"))
+          .cast("decimal(30,4)").as("sum_value"),
+        (coalesce(col("v_sq"), lit(0).cast("decimal(38,8)")) + col("d_sq"))
+          .cast("decimal(38,8)").as("sum_sq")): _*)
+      .localCheckpoint(true)
+    view.upsert(changed)
+    if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
+      view.delete(col("n") <= 0L)
+    syncedTo
+  }
+
   // ---- COUNT DISTINCT views (two-level / support-relation IVM) ----
   //
   // An exact distinct count is not self-maintainable from the top view

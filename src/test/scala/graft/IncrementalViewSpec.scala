@@ -157,6 +157,30 @@ class IncrementalViewSpec extends SparkSpec {
     assert(aux.read.filter(col("cnt") <= 0L).count() == 0L)
   }
 
+  test("moments view: maintained == recompute through churn and " +
+      "extinction; second moment needs no rescan") {
+    val root = "/tmp/graft_tables/ivm_mom"
+    val base = LakeTable(spark, root, "mom_base", Seq("id"), changeFeed = true)
+    val view = LakeTable(spark, root, "mom_view", Seq("k"))
+    base.drop(); view.drop()
+    base.create((1L to 30L).map(i => (i, i % 3, i * 1.0)).toDF("id", "k", "v"))
+    val v0 = base.version
+    view.create(IncrementalView.momentsView(base.read, Seq("k"), "v"))
+    base.upsert(((1L to 30L).filter(_ % 4 == 0).map(i => (i, i % 3, i * 2.0)) ++
+      (31L to 35L).map(i => (i, i % 3, i * 1.0))).toDF("id", "k", "v"))
+    base.delete(col("id") % 7 === 0)
+    base.delete(col("k") === 0L) // extinction: group 0 fully gone
+    IncrementalView.maintainMomentsView(base, view, Seq("k"), "v", v0)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("sum_value").cast("string"),
+          col("sum_sq").cast("string"))
+        .as[(Long, Long, String, String)].collect().toSet
+    val got = snap(view.read)
+    assert(got == snap(IncrementalView.momentsView(base.read, Seq("k"), "v")))
+    assert(!got.exists(_._1 == 0L), "extinct group must vanish")
+    assert(got.nonEmpty)
+  }
+
   // ---- JOIN views (two-table delta rule) ----
 
   private def jvSnapshot(t: LakeTable): Set[(String, Long, String)] =
