@@ -574,15 +574,21 @@ object Stats {
     val wPrev = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the "nearest control at-or-above" is the same carry over the
+    // REVERSED ordering — a `currentRow..unboundedFollowing` frame
+    // would instead re-aggregate the whole tail PER ROW (Spark's
+    // UnboundedFollowing frames are quadratic per partition: measured
+    // as a multi-hour stall on 200k-row strata at sf0.1), while both
+    // running frames here are incremental O(n)
     val wNext = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(ord: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__cov").desc, col("__side").desc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def ctrl(c: Column): Column = when(col("__side") === 0, c)
     val carried = base
       .withColumn("__pc", last(ctrl(col("__cov")), ignoreNulls = true).over(wPrev))
       .withColumn("__py", last(ctrl(col("__y")), ignoreNulls = true).over(wPrev))
-      .withColumn("__nc", first(ctrl(col("__cov")), ignoreNulls = true).over(wNext))
-      .withColumn("__ny", first(ctrl(col("__y")), ignoreNulls = true).over(wNext))
+      .withColumn("__nc", last(ctrl(col("__cov")), ignoreNulls = true).over(wNext))
+      .withColumn("__ny", last(ctrl(col("__y")), ignoreNulls = true).over(wNext))
     val dPrev = col("__cov") - col("__pc")
     val dNext = col("__nc") - col("__cov")
     val usePrev = col("__pc").isNotNull &&
