@@ -407,10 +407,23 @@ object ScaleProbe {
           graft.table.IncrementalView.maintainDistinctView(
             t, auxT, viewD, Seq("o_custkey"), "o_orderpriority", v0)
         }
+        // moments maintenance over the same fixed feed span — like the
+        // sum view it is one delta pass + a changed-keys merge, so its
+        // wall must track the (invariant) feed, not the base
+        val viewM = graft.table.LakeTable(spark, root, s"ivm_viewm_$n",
+          Seq("o_custkey"))
+        viewM.drop()
+        viewM.create(graft.table.IncrementalView.momentsView(
+          base, Seq("o_custkey"), "o_totalprice"))
+        val (_, momentsSec) = timed {
+          graft.table.IncrementalView.maintainMomentsView(
+            t, viewM, Seq("o_custkey"), "o_totalprice", v0)
+        }
         val baseRows = t.read.count()
         println(s"""{"family":"ivm","factor":$n,"rows":$baseRows,""" +
           s""""feed_rows":$feedRows,"maintain_sec":${f"$maintainSec%.2f"},""" +
           s""""distinct_maintain_sec":${f"$distinctSec%.2f"},""" +
+          s""""moments_maintain_sec":${f"$momentsSec%.2f"},""" +
           s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
       }
     }

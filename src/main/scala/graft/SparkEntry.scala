@@ -1186,11 +1186,17 @@ object SparkEntry {
       // compare with no doubles at all (a var derivation in doubles
       // would ride the >17-digit decimal->double conversion, whose
       // last-ulp rounding differs across engines); the mean's sum is
-      // well inside double precision
+      // well inside double precision. sum_sq is emitted as its exact
+      // STRING rendering — a raw DecimalType output column is the one
+      // representation the driver's hasher normalizes differently
+      // between a Spark parquet decimal and a DuckDB decimal (round-9's
+      // only red row: values bit-exact, hash mismatched), and both
+      // engines render a scale-8 decimal ≥ 1 as the identical plain
+      // "123.45600000" form
       v.read.select(col("o_custkey"), col("n"),
           round(col("sum_value").cast("double") / col("n"), 6)
             .as("mean_total"),
-          col("sum_sq"))
+          col("sum_sq").cast("string").as("sum_sq"))
         .orderBy("o_custkey")
     }),
 
@@ -5179,8 +5185,10 @@ object SparkEntry {
          FROM final WHERE o_orderpriority IS NOT NULL
          GROUP BY o_custkey ORDER BY o_custkey""",
 
-    // moments replay: same final state, var_pop from the same exact
-    // decimal sums with the same fixed double formula
+    // moments replay: same final state, exact decimal moment state with
+    // sum_sq rendered as its plain string form (both engines render a
+    // scale-8 decimal >= 1 identically; a raw decimal output column is
+    // the one representation the compare hashes differently)
     "q_ivm_moments" ->
       """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
             source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -5203,7 +5211,7 @@ object SparkEntry {
               FROM final GROUP BY o_custkey)
          SELECT o_custkey, n,
                 round(ds / n, 6) AS mean_total,
-                sum_sq
+                CAST(sum_sq AS VARCHAR) AS sum_sq
          FROM agg ORDER BY o_custkey""",
 
     // JOIN-view replay: final fact state (upsert + delete) joined to

@@ -620,10 +620,14 @@ object Streams {
               (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) +
                 coalesce(col("d_sum"), lit(0).cast("decimal(20,4)")))
                 .cast("decimal(30,4)").as("sum_value")): _*)
-            .localCheckpoint(true) // merged AND probed for extinction
-          view.upsert(changed, meta = Map(metaKey -> batchId.toString))
-          if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
-            view.delete(col("n") <= 0L)
+            .localCheckpoint(true) // referenced twice in the merge plan
+          // extinct groups (n<=0) are removed in the SAME atomic commit
+          // that merges the survivors and records the batch marker — a
+          // separate delete commit would leave a crash window where the
+          // zombie rows persist forever (the replayed batch is skipped
+          // by its marker, so the delete never re-runs)
+          view.upsertWithDelete(changed, col("n") <= 0L,
+            meta = Map(metaKey -> batchId.toString))
         }
       }
       .trigger(Trigger.AvailableNow()).start()
@@ -672,10 +676,12 @@ object Streams {
               (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) +
                 coalesce(col("d_sum"), lit(0).cast("decimal(20,4)")))
                 .cast("decimal(30,4)").as("sum_value")): _*)
-            .localCheckpoint(true) // merged AND probed for extinction
-          view.upsert(changed, meta = Map(metaKey -> batchId.toString))
-          if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
-            view.delete(col("n") <= 0L)
+            .localCheckpoint(true) // referenced twice in the merge plan
+          // same atomic extinction contract as
+          // maintainSumViewFromChangeFeed: removals ride the marker-
+          // carrying commit, so no crash window can strand n<=0 rows
+          view.upsertWithDelete(changed, col("n") <= 0L,
+            meta = Map(metaKey -> batchId.toString))
         }
       }
       .trigger(Trigger.AvailableNow()).start()

@@ -45,6 +45,36 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalView {
 
+  /** Broadcast a (usually tiny) key/build frame only while its MEASURED
+    * row count stays under `limit`; past it, return the frame unhinted
+    * so it shuffles as an ordinary join build instead of OOMing the
+    * driver. The designed case for every call site here is a small set
+    * (changed dim keys, threatened groups), but a pathological window —
+    * a full-dim re-homing, a delete storm touching every extremum —
+    * must DEGRADE, not fail (the `dedupFamilies` measured-|V| policy,
+    * operators/Dedup.scala). The probe is a bounded limit+1 count over
+    * an already-checkpointed or delta-sized frame, never a full scan. */
+  /** Broadcast-gate row limit. Test-tunable (IncrementalViewSpec drops
+    * it to force the shuffle fallback on small fixtures); production
+    * default keeps builds comfortably under driver memory. */
+  private[graft] var broadcastLimit: Int = 1000000
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame =
+    if (df.limit(broadcastLimit + 1).count() <= broadcastLimit)
+      broadcast(df)
+    else df
+
+  /** The decision form of [[broadcastIfSmall]]: measure `probe` once,
+    * return the hint to apply to it AND to frames whose cardinality it
+    * bounds (so one probe covers several join sides, and frames whose
+    * own evaluation is expensive are never executed just to be sized). */
+  private def sizeHint(probe: DataFrame): DataFrame => DataFrame =
+    if (probe.limit(broadcastLimit + 1).count() <= broadcastLimit)
+      broadcast _
+    else identity _
+
+  private val zero30_4: Column = lit(0).cast("decimal(30,4)")
+
   /** Full (count, exact-decimal-sum) aggregate of `df` — the view's
     * initial state, and the recomputation IVM must stay equal to. */
   def sumView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
@@ -84,12 +114,12 @@ object IncrementalView {
   }
 
   /** Apply a (d_n, d_sum) per-group delta frame to a stored sum view:
-    * left join against current rows → MERGE only the changed keys →
-    * drop zero-count groups. Groups whose last member was deleted go
-    * through a table-level condition delete (no driver-side key list);
-    * the probe on the SMALL changed frame skips the view rewrite
-    * entirely in the common no-extinction batch, keeping maintenance
-    * O(changes). */
+    * left join against current rows → ONE atomic MERGE-with-DELETE of
+    * the changed keys (groups whose count reached zero are removed in
+    * the SAME commit as the surviving merges — no second publish, no
+    * window where a zero-count zombie row is the durable state). A
+    * delta group whose changed rows all carry NULL values has d_sum
+    * NULL; coalesce so it can't null out the stored sum. */
   private def mergeSumDelta(view: LakeTable, keyCols: Seq[String],
       delta: DataFrame): Unit = {
     val cur = view.read.select(
@@ -98,19 +128,28 @@ object IncrementalView {
     val changed = delta.join(cur, keyCols, "left")
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col("v_n"), lit(0L)) + col("d_n")).as("n"),
-        (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) + col("d_sum"))
+        (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)").as("sum_value")): _*)
-      .localCheckpoint(true) // computed once: probed below AND merged
-    view.upsert(changed)
-    if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
-      view.delete(col("n") <= 0L)
+      .localCheckpoint(true) // referenced twice inside the merge plan
+    view.upsertWithDelete(changed, col("n") <= 0L)
   }
 
   /** [[maintainSumView]] for a [[minMaxView]]: count/sum by the exact
     * delta rule; min/max from insert-side extrema when safe, and a
     * per-group base rescan ONLY where a delete (or update pre-image)
     * removed a value tied with the group's current extremum — the one
-    * case the delta cannot answer. Returns the synced base version. */
+    * case the delta cannot answer. Returns the synced base version.
+    *
+    * The change feed is a per-version EVENT LOG, not a net diff: over
+    * a multi-write span with `changeFeed` on, a value inserted then
+    * deleted (or updated away) appears on BOTH sides. Extrema must
+    * therefore read the NET per-(group, value) signed weights — same
+    * rule as [[maintainJoinMinMaxView]] — so a cancelled value can
+    * never tighten an extremum (insert 200 @v2, delete it @v3 must NOT
+    * report max 200) and only values whose multiplicity strictly
+    * decreased threaten one. Signed count/sum need no netting (the
+    * canceling events cancel arithmetically), but they ride the netted
+    * frame anyway: one pass either way. */
   def maintainMinMaxView(base: LakeTable, view: LakeTable,
       keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
     val syncedTo = base.version
@@ -118,54 +157,65 @@ object IncrementalView {
     val vDec = col(valueCol).cast("decimal(20,4)")
     val ch = base.changesSince(sinceVersion)
     val isIns = col("_change_type").isin("insert", "update_postimage")
-    val delta = ch.groupBy(keys: _*).agg(
-      sum(when(isIns, 1L).otherwise(-1L)).as("d_n"),
-      sum(when(isIns, vDec).otherwise(-vDec)).as("d_sum"),
-      min(when(isIns, vDec)).as("ins_min"),
-      max(when(isIns, vDec)).as("ins_max"),
-      min(when(!isIns, vDec)).as("del_min"),
-      max(when(!isIns, vDec)).as("del_max"))
+    // net per (group, value) first; all-cancelled values (w=0) drop out
+    // entirely. NULL values collapse into one group per key — they carry
+    // the count/sum contribution but never enter min/max (Spark min/max
+    // and least/greatest skip nulls).
+    val net = ch.groupBy(keys :+ vDec.as("__v"): _*)
+      .agg(sum(when(isIns, 1L).otherwise(-1L)).as("w"))
+      .filter(col("w") =!= 0L)
+    val delta = net.groupBy(keys: _*).agg(
+      sum(col("w")).as("d_n"),
+      sum(col("__v") * col("w")).as("d_sum"),
+      min(when(col("w") > 0, col("__v"))).as("ins_min"),
+      max(when(col("w") > 0, col("__v"))).as("ins_max"),
+      min(when(col("w") < 0, col("__v"))).as("del_min"),
+      max(when(col("w") < 0, col("__v"))).as("del_max"))
     val cur = view.read.select(
       keys :+ col("n").as("v_n") :+ col("sum_value").as("v_sum") :+
         col("min_value").as("v_min") :+ col("max_value").as("v_max"): _*)
     val newN = coalesce(col("v_n"), lit(0L)) + col("d_n")
     // an extremum is threatened only for a PRE-EXISTING, SURVIVING group
-    // where some deleted value ties the stored extremum (a consistent
-    // view can't have deletes beyond it; <=/>= also self-heals drift).
-    // NULL values never participate in min/max, so null-row deletes
-    // threaten nothing and the null-vs-null comparison correctly
-    // evaluates to false here.
+    // where some net-removed value ties the stored extremum (a
+    // consistent view can't have net deletes beyond it; <=/>= also
+    // self-heals drift). NULL values never participate in min/max, so
+    // null-row deletes threaten nothing and the null-vs-null comparison
+    // correctly evaluates to false here.
     val threatened: Column = col("v_n").isNotNull && newN > 0 &&
       ((col("del_min") <= col("v_min")) || (col("del_max") >= col("v_max")))
     val joined = delta.join(cur, keyCols, "left")
       .withColumn("n", newN)
       .withColumn("sum_value",
-        (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) + col("d_sum"))
+        (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)"))
       .withColumn("__rescan", threatened)
       .localCheckpoint(true) // computed once: rescan-key probe AND merge
     // base rescan for threatened groups only — broadcast the (usually
-    // empty) key set so the scan side never shuffles, and mark rescanned
-    // rows so a legitimately-NULL recomputed extremum (all remaining
-    // values null) isn't mistaken for "not rescanned"
+    // empty) key set while it measures small so the scan side never
+    // shuffles (degrading to a shuffle semi-join under a delete storm
+    // touching every extremum), and mark rescanned rows so a
+    // legitimately-NULL recomputed extremum (all remaining values null)
+    // isn't mistaken for "not rescanned"
     val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
+    // ONE bounded count over the checkpointed frame decides the hint for
+    // both the key set and the (≤ one row per key) rescan result —
+    // probing `rescanned` itself would execute the rescan join twice
+    val hint = sizeHint(rescanKeys)
     val rescanned = base.read
-      .join(broadcast(rescanKeys), keyCols, "left_semi")
+      .join(hint(rescanKeys), keyCols, "left_semi")
       .groupBy(keys: _*)
       .agg(min(vDec).as("r_min"), max(vDec).as("r_max"))
       .withColumn("__rescanned", lit(true))
     // least/greatest skip NULLs (Spark semantics), which is exactly the
     // delta rule: no inserts => keep the stored extremum; new group =>
     // insert-side extremum alone
-    val changed = joined.join(broadcast(rescanned), keyCols, "left")
+    val changed = joined.join(hint(rescanned), keyCols, "left")
       .select(keys ++ Seq(col("n"), col("sum_value"),
         when(coalesce(col("__rescanned"), lit(false)), col("r_min"))
           .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),
         when(coalesce(col("__rescanned"), lit(false)), col("r_max"))
           .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value")): _*)
-    view.upsert(changed)
-    if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
-      view.delete(col("n") <= 0L)
+    view.upsertWithDelete(changed, col("n") <= 0L)
     syncedTo
   }
 
@@ -196,27 +246,41 @@ object IncrementalView {
       keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
     val syncedTo = base.version
     val ch = base.changesSince(sinceVersion)
-    val sign = when(col("_change_type").isin("insert", "update_postimage"),
-      lit(1L)).otherwise(lit(-1L))
+    val isIns = col("_change_type").isin("insert", "update_postimage")
     val vDec = col(valueCol).cast("decimal(18,4)")
+    // sign the SQUARED term by negation, never multiplication: vDec*vDec
+    // is decimal(37,8), and multiplying THAT by a LONG sign overflows
+    // precision past 38, where Spark's precision-loss rule truncates to
+    // decimal(38,6) — silently destroying sub-1e-6 squares (0.0003² →
+    // 0.000000). Negation preserves decimal(37,8) exactly, matching the
+    // create path's sum(vDec*vDec). Masked for 2-dp money; fatal for any
+    // value column with >3 decimal digits (round-9 audit, confirmed
+    // empirically on Spark 4.1.2; pinned by IncrementalViewSpec's 4-dp
+    // fixture).
     val delta = ch.groupBy(keyCols.map(col): _*).agg(
-      sum(sign).as("d_n"),
-      sum(vDec * sign).as("d_sum"),
-      sum(vDec * vDec * sign).as("d_sq"))
+      sum(when(isIns, 1L).otherwise(-1L)).as("d_n"),
+      sum(when(isIns, vDec).otherwise(-vDec)).as("d_sum"),
+      sum(when(isIns, vDec * vDec).otherwise(-(vDec * vDec))).as("d_sq"))
     val cur = view.read.select(
       keyCols.map(col) :+ col("n").as("v_n") :+
         col("sum_value").as("v_sum") :+ col("sum_sq").as("v_sq"): _*)
+    // merge addition at (37,8): a (38,8)+(38,8) add types as precision
+    // 39, which Spark resolves by REDUCING the result scale to 7 —
+    // rounding the 8th digit on every merge (caught by the 4-dp spec
+    // fixture). Pre-narrowing both addends one precision digit keeps
+    // the sum an EXACT decimal(38,8); 29 integer digits still hold any
+    // realistic Σv² (10^10 rows × 10^11 per square ≈ 10^21).
+    val zero37_8 = lit(0).cast("decimal(37,8)")
     val changed = delta.join(cur, keyCols, "left")
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col("v_n"), lit(0L)) + col("d_n")).as("n"),
-        (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) + col("d_sum"))
+        (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)").as("sum_value"),
-        (coalesce(col("v_sq"), lit(0).cast("decimal(38,8)")) + col("d_sq"))
+        (coalesce(col("v_sq").cast("decimal(37,8)"), zero37_8) +
+          coalesce(col("d_sq").cast("decimal(37,8)"), zero37_8))
           .cast("decimal(38,8)").as("sum_sq")): _*)
       .localCheckpoint(true)
-    view.upsert(changed)
-    if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
-      view.delete(col("n") <= 0L)
+    view.upsertWithDelete(changed, col("n") <= 0L)
     syncedTo
   }
 
@@ -265,10 +329,8 @@ object IncrementalView {
     val changedAux = delta.join(curAux, keyCols :+ "__v", "left")
       .select(keys ++ Seq(col("__v"), newCnt.as("cnt"),
         (alive(newCnt) - alive(coalesce(col("v_cnt"), lit(0L)))).as("__tr")): _*)
-      .localCheckpoint(true) // one computation: aux merge + probe + rollup
-    aux.upsert(changedAux.drop("__tr"))
-    if (changedAux.filter(col("cnt") <= 0L).limit(1).count() > 0)
-      aux.delete(col("cnt") <= 0L)
+      .localCheckpoint(true) // one computation: aux merge + rollup
+    aux.upsertWithDelete(changedAux.drop("__tr"), col("cnt") <= 0L)
     // top-view delta = sum of transitions per group; untouched groups
     // (d_d = 0) never enter the merge
     val dDist = changedAux.groupBy(keys: _*).agg(sum("__tr").as("d_d"))
@@ -278,9 +340,7 @@ object IncrementalView {
       .select(keys :+
         (coalesce(col("v_d"), lit(0L)) + col("d_d")).as("n_distinct"): _*)
       .localCheckpoint(true)
-    view.upsert(changedView)
-    if (changedView.filter(col("n_distinct") <= 0L).limit(1).count() > 0)
-      view.delete(col("n_distinct") <= 0L)
+    view.upsertWithDelete(changedView, col("n_distinct") <= 0L)
     syncedTo
   }
 
@@ -356,9 +416,13 @@ object IncrementalView {
       .select((dimProj.map(col) :+ w.as("__w")): _*)
     val p1 = dF.join(dimNow.select(dimProj.map(col): _*), joinKeys)
       .select(out: _*)
+    // changed-dim keys: broadcast while measured-small (the designed,
+    // bounded-churn case — the fact scan then prunes before any
+    // shuffle); a pathological full-dim re-homing degrades to a shuffle
+    // semi-join instead of OOMing the driver
     val dDKeys = dD.select(joinKeys.map(col): _*).distinct()
     val p2 = factNow.select(factProj.map(col): _*)
-      .join(broadcast(dDKeys), joinKeys, "left_semi")
+      .join(broadcastIfSmall(dDKeys), joinKeys, "left_semi")
       .join(dD, joinKeys)
       .select(out: _*)
     val p3 = dF.select((factProj.map(col) :+ col("__w").as("__wf")): _*)
@@ -438,7 +502,7 @@ object IncrementalView {
     val joined = delta.join(cur, groupKeys, "left")
       .withColumn("n", newN)
       .withColumn("sum_value",
-        (coalesce(col("v_sum"), lit(0).cast("decimal(30,4)")) + col("d_sum"))
+        (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)"))
       .withColumn("__rescan", threatened)
       .localCheckpoint(true) // rescan-key probe AND merge
@@ -447,30 +511,35 @@ object IncrementalView {
     val dimNow = dimT.read
     val (factProj, dimProj) =
       joinSides(factNow, dimNow, joinKeys, groupKeys, valueCol)
-    // dim reduced to the threatened groups' slice where group keys live
-    // on the dim; the (usually empty) key set broadcasts either way
+    // ONE bounded count over the checkpointed frame decides the hint for
+    // the key set and the (≤ one row per key) rescan result; the dim
+    // build — full dim when group keys live on the fact, threatened-
+    // groups slice otherwise (whose cardinality is NOT bounded by the
+    // key count: one threatened segment can hold millions of dim rows)
+    // — gets its own measured gate. A delete storm touching every
+    // extremum degrades every side to a shuffle semi-join instead of
+    // OOMing the driver.
+    val hint = sizeHint(rescanKeys)
     val dimSideKeys = groupKeys.filter(dimProj.contains)
-    val dimR =
+    val dimR = broadcastIfSmall(
       if (dimSideKeys.isEmpty) dimNow.select(dimProj.map(col): _*)
       else dimNow.select(dimProj.map(col): _*).join(
-        broadcast(rescanKeys.select(dimSideKeys.map(col): _*).distinct()),
-        dimSideKeys, "left_semi")
+        hint(rescanKeys.select(dimSideKeys.map(col): _*).distinct()),
+        dimSideKeys, "left_semi"))
     val vDec = col(valueCol).cast("decimal(20,4)")
     val rescanned = factNow.select(factProj.map(col): _*)
-      .join(broadcast(dimR), joinKeys)
-      .join(broadcast(rescanKeys), groupKeys, "left_semi")
+      .join(dimR, joinKeys)
+      .join(hint(rescanKeys), groupKeys, "left_semi")
       .groupBy(keys: _*)
       .agg(min(vDec).as("r_min"), max(vDec).as("r_max"))
       .withColumn("__rescanned", lit(true))
-    val changed = joined.join(broadcast(rescanned), groupKeys, "left")
+    val changed = joined.join(hint(rescanned), groupKeys, "left")
       .select(keys ++ Seq(col("n"), col("sum_value"),
         when(coalesce(col("__rescanned"), lit(false)), col("r_min"))
           .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),
         when(coalesce(col("__rescanned"), lit(false)), col("r_max"))
           .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value")): _*)
-    view.upsert(changed)
-    if (changed.filter(col("n") <= 0L).limit(1).count() > 0)
-      view.delete(col("n") <= 0L)
+    view.upsertWithDelete(changed, col("n") <= 0L)
     syncedTo
   }
 }

@@ -151,7 +151,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * unchanged rows to nothing. A single key-shuffle of the target
     * instead of the naive anti-join + change-join + two semi-joins
     * (the CDF write amplification recorded in BASELINE round 9). */
-  private def stageUpsertFeed(source: DataFrame): Unit = {
+  private def stageUpsertFeed(source: DataFrame): Unit =
+    stageFeed(upsertFeedEvents(source))
+
+  private def upsertFeedEvents(source: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{array, explode, lit, struct, when, xxhash64}
     val target = read
     val allCols = (target.columns ++
@@ -179,7 +182,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
           struct(col("__t").as("r"), lit("update_preimage").as("ct")))))
         .as("__e"))
       .selectExpr("__e.r.*", "__e.ct AS _change_type")
-    stageFeed(events)
+    events
   }
 
   /** Directory holding the currently-published version's data files. */
@@ -188,9 +191,13 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
   def read: DataFrame = spark.read.parquet(currentDir.toString)
 
-  /** K1 — first-load create: partitioned overwrite. */
+  /** K1 — first-load create: partitioned overwrite. On an existing
+    * table this is DDL-replace: data AND committed metadata reset
+    * (constraints included, matching the CHECK-constraints doc below)
+    * — the one write path that deliberately does NOT carry `_meta.json`
+    * forward. */
   def create(df: DataFrame): Unit = {
-    writeTo(df, stagingDir)
+    writeTo(df, stagingDir, carryMeta = false)
     publish()
   }
 
@@ -226,6 +233,52 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       if (changeFeed) stageUpsertFeed(df) // reads still resolve old pointer
       publish()
     }
+  }
+
+  /** MERGE with `WHEN MATCHED AND <deleteWhen> THEN DELETE` semantics
+    * (Delta's three-clause MERGE) in ONE atomic publish: rows of `df`
+    * satisfying `deleteWhen` REMOVE their matching target rows; all
+    * other rows UPDATE/INSERT exactly like [[upsert]]. A NULL
+    * `deleteWhen` row upserts (SQL condition semantics).
+    *
+    * This is the commit shape an exactly-once incremental consumer
+    * needs when one batch both changes groups and extinguishes them:
+    * the surviving rows, the removals, and the `meta` marker land in
+    * the SAME pointer swap. The upsert-then-delete alternative has a
+    * crash window — the marker commits with the upsert, the delete is
+    * a second commit, and a crash between them strands the zero-count
+    * rows forever because the replayed batch is skipped by its marker
+    * (found by the round-9 audit of the streaming IVM maintainers).
+    *
+    * Cost: identical to the unpruned [[upsert]] — one anti-join of the
+    * target against `df`'s keys plus the survivors' union; deletions
+    * ride the SAME anti-join (a deleted key is simply not re-inserted),
+    * so extinction adds no extra pass. Partitioned tables take the
+    * full-rewrite path (no partition pruning here; the IVM views this
+    * serves are unpartitioned group tables). */
+  def upsertWithDelete(df: DataFrame,
+      deleteWhen: org.apache.spark.sql.Column,
+      meta: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val del = coalesce(deleteWhen, lit(false))
+    if (!exists) { create(df.filter(!del)); return }
+    val survivors = df.filter(!del)
+    enforceConstraints(survivors, "upsertWithDelete")
+    val merged = CoreOps.antiJoin(mergeKeys, df)(read)
+      .unionByName(survivors, allowMissingColumns = true)
+    writeTo(merged, stagingDir)
+    if (meta.nonEmpty) writeMeta(stagingDir, readMeta(currentDir) ++ meta)
+    if (changeFeed) {
+      // survivors produce the usual typed upsert events; deletions emit
+      // the matched TARGET rows (pre-delete images) as delete events —
+      // keys in `df` with no target match are no-ops, like SQL DELETE
+      val deletedKeys = df.filter(del).select(mergeKeys.map(col): _*).distinct()
+      val delEvents = read.join(deletedKeys, mergeKeys, "left_semi")
+        .withColumn("_change_type", lit("delete"))
+      stageFeed(upsertFeedEvents(survivors)
+        .unionByName(delEvents, allowMissingColumns = true))
+    }
+    publish()
   }
 
   /** Safe partition-pruned MERGE over the full partition tuple.
@@ -322,7 +375,8 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     }
   }
 
-  private def writeTo(df: DataFrame, dir: Path): Unit = {
+  private def writeTo(df: DataFrame, dir: Path,
+      carryMeta: Boolean = true): Unit = {
     deleteRecursively(dir)
     // a write path that doesn't stage its own feed (create, scd2) must
     // not publish a STALE one from an aborted earlier operation
@@ -330,9 +384,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
-    // committed metadata survives every write; a meta-carrying upsert
-    // overwrites this file with the merged map before publish
-    if (exists) writeMeta(dir, readMeta(currentDir))
+    // committed metadata survives every write EXCEPT create (DDL-replace
+    // resets it); a meta-carrying upsert overwrites this file with the
+    // merged map before publish
+    if (carryMeta && exists) writeMeta(dir, readMeta(currentDir))
   }
 
   /** Pointer-publish: move the staged write to the next version directory,

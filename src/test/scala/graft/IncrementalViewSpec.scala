@@ -336,6 +336,128 @@ class IncrementalViewSpec extends SparkSpec {
     assert(a._4.startsWith("1."), s"min untouched: $a")
   }
 
+  test("moments maintenance preserves >=4-dp precision (sub-1e-6 " +
+      "squares survive the signed delta)") {
+    // the round-9 latent bug: sum(vDec*vDec*sign) overflowed past
+    // precision 38 and Spark's precision-loss rule truncated the scale
+    // to 6, so 0.0003² (9.0E-8) maintained as 0.000000 — masked by 2-dp
+    // money fixtures. 4-dp values with sub-1e-6 squares pin maintained
+    // ≡ recomputed bit-for-bit through insert/update/delete batches.
+    val root = "/tmp/graft_tables/ivm_mom4dp"
+    val base = LakeTable(spark, root, "m4_base", Seq("id"), changeFeed = true)
+    val view = LakeTable(spark, root, "m4_view", Seq("k"))
+    base.drop(); view.drop()
+    val vals = Seq(0.0003, 0.0007, 1.0001, 2.5009, 0.0001, 3.1415)
+    base.create(vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong % 2, v) }.toDF("id", "k", "v"))
+    val v0 = base.version
+    view.create(IncrementalView.momentsView(base.read, Seq("k"), "v"))
+    // update id 0 (0.0003 -> 0.0005: both squares sub-1e-6), insert a
+    // fresh 4-dp row, delete id 1 (removes 0.0007² = 4.9E-7)
+    base.upsert(Seq((0L, 0L, 0.0005), (6L, 0L, 0.0009)).toDF("id", "k", "v"))
+    base.delete(col("id") === 1L)
+    IncrementalView.maintainMomentsView(base, view, Seq("k"), "v", v0)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("sum_value").cast("string"),
+          col("sum_sq").cast("string"))
+        .as[(Long, Long, String, String)].collect().toSet
+    val got = snap(view.read)
+    assert(got == snap(IncrementalView.momentsView(base.read, Seq("k"), "v")))
+    // the discriminating digits really are there: group 0 now holds
+    // {0.0005, 1.0001, 0.0001, 0.0009} -> Σv² = 0.00000025 +
+    // 1.00020001 + 0.00000001 + 0.00000081 = 1.00020108 — every digit
+    // past the 6th decimal place is exactly what the old truncating
+    // delta destroyed
+    val g0 = got.find(_._1 == 0L).get
+    assert(g0._4 == "1.00020108", s"sub-1e-6 squares destroyed: $g0")
+  }
+
+  test("min/max over a CHANGE FEED: a value inserted then deleted in " +
+      "the same span is a phantom — netting keeps it out of the extrema") {
+    // with changeFeed on, changesSince is an un-netted per-version
+    // EVENT LOG: insert v=200 @v2 then delete it @v3 lands 200 in the
+    // insert-side extrema unless the maintainer nets per (group, value)
+    // first (the round-9 high-severity ADVICE case; the older specs
+    // only exercised snapshot-diff tables, which arrive pre-netted)
+    val root = "/tmp/graft_tables/ivm_mmfeed"
+    val base = LakeTable(spark, root, "mmf_base", Seq("id"), changeFeed = true)
+    val view = LakeTable(spark, root, "mmf_view", Seq("k"))
+    base.drop(); view.drop()
+    base.create(Seq((1L, 0L, 100.0), (2L, 0L, 50.0), (3L, 1L, 7.0))
+      .toDF("id", "k", "v"))
+    val v0 = base.version
+    view.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+    // span: insert 200 (new group-0 max), then delete that same row;
+    // also update id 3 to 9 then back to 7 (pre/post pairs must cancel)
+    base.upsert(Seq((10L, 0L, 200.0)).toDF("id", "k", "v"))
+    base.delete(col("id") === 10L)
+    base.upsert(Seq((3L, 1L, 9.0)).toDF("id", "k", "v"))
+    base.upsert(Seq((3L, 1L, 7.0)).toDF("id", "k", "v"))
+    IncrementalView.maintainMinMaxView(base, view, Seq("k"), "v", v0)
+    val got = mmSnapshot(view)
+    val want = {
+      val recomputed = LakeTable(spark, root, "mmf_recomp", Seq("k"))
+      recomputed.drop()
+      recomputed.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+      mmSnapshot(recomputed)
+    }
+    assert(got == want, s"got $got, want $want")
+    val g0 = got.find(_._1 == 0L).get
+    assert(g0._5.startsWith("100."),
+      s"phantom insert-then-delete value leaked into max: $g0")
+  }
+
+  test("broadcast gates degrade to shuffle semi-joins past the limit " +
+      "with identical results (min/max, join sum, join min/max)") {
+    val root = "/tmp/graft_tables/ivm_gate"
+    val prev = IncrementalView.broadcastLimit
+    IncrementalView.broadcastLimit = 1 // every gate takes the fallback
+    try {
+      // single-table min/max with a forced rescan (extremum deleted)
+      val base = LakeTable(spark, root, "g_base", Seq("id"), changeFeed = true)
+      val view = LakeTable(spark, root, "g_view", Seq("k"))
+      base.drop(); view.drop()
+      base.create((1L to 12L).map(i => (i, i % 3, i * 1.0)).toDF("id", "k", "v"))
+      val v0 = base.version
+      view.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+      base.delete(col("id") >= 10L) // deletes every group's max
+      IncrementalView.maintainMinMaxView(base, view, Seq("k"), "v", v0)
+      assert(mmSnapshot(view) == {
+        val r = LakeTable(spark, root, "g_recomp", Seq("k"))
+        r.drop()
+        r.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+        mmSnapshot(r)
+      })
+      // join views with dim churn (dDKeys gate) + extremum rescan
+      // through the join (rescanKeys/dimR/rescanned gates)
+      val f = LakeTable(spark, root, "g_fact", Seq("id"), changeFeed = true)
+      val d = LakeTable(spark, root, "g_dim", Seq("ck"), changeFeed = true)
+      val vs = LakeTable(spark, root, "g_vsum", Seq("seg"))
+      val vm = LakeTable(spark, root, "g_vmm", Seq("seg"))
+      f.drop(); d.drop(); vs.drop(); vm.drop()
+      f.create((1L to 12L).map(i => (i, i % 3, i * 1.0)).toDF("id", "ck", "v"))
+      d.create(Seq((0L, "A"), (1L, "A"), (2L, "B")).toDF("ck", "seg"))
+      val (f0, d0) = (f.version, d.version)
+      vs.create(IncrementalView.joinSumView(f.read, d.read, Seq("ck"),
+        Seq("seg"), "v"))
+      vm.create(IncrementalView.joinMinMaxView(f.read, d.read, Seq("ck"),
+        Seq("seg"), "v"))
+      d.update(col("ck") === 1L, Map("seg" -> lit("MOVED")))
+      f.delete(col("id") === 12L) // an extremum through the join
+      IncrementalView.maintainJoinSumView(f, d, vs,
+        Seq("ck"), Seq("seg"), "v", f0, d0)
+      IncrementalView.maintainJoinMinMaxView(f, d, vm,
+        Seq("ck"), Seq("seg"), "v", f0, d0)
+      assert(jvSnapshot(vs) == jvRecomp(f, d))
+      def mmJ(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("seg"), col("n"), col("sum_value").cast("string"),
+            col("min_value").cast("string"), col("max_value").cast("string"))
+          .as[(String, Long, String, String, String)].collect().toSet
+      assert(mmJ(vm.read) == mmJ(IncrementalView.joinMinMaxView(
+        f.read, d.read, Seq("ck"), Seq("seg"), "v")))
+    } finally IncrementalView.broadcastLimit = prev
+  }
+
   test("min/max extinction + null values never join the extrema") {
     val root = "/tmp/graft_tables/ivm_mm3"
     val base = LakeTable(spark, root, "mm_base3", Seq("id"))

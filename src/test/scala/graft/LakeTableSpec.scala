@@ -624,6 +624,57 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(t).contains((4L, "XX", "w")))
   }
 
+  test("upsertWithDelete: update + insert + matched-delete in ONE " +
+      "atomic version, meta rides the same commit, feed typed correctly") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
+    val v0 = t.version
+    // one batch: update id 1, insert id 4, DELETE id 2, and a delete
+    // for a key with no target match (no-op, like SQL DELETE). The
+    // condition rides a regular data column — the documented IVM usage
+    // (n <= 0 over the merged view rows).
+    val batch = df((1L, "A2", "x"), (4L, "d", "w"),
+      (2L, "DEAD", "y"), (99L, "DEAD", "g"))
+    t.upsertWithDelete(batch, $"v" === "DEAD", meta = Map("batch" -> "7"))
+    assert(t.version == v0 + 1, "everything must land in ONE commit")
+    assert(t.meta == Map("batch" -> "7"))
+    val got = t.read.select("id", "v", "p")
+      .as[(Long, String, String)].collect().toSet
+    assert(got.map(_._1) == Set(1L, 3L, 4L))
+    assert(got.contains((1L, "A2", "x")) && got.contains((4L, "d", "w")))
+    // feed: typed upsert events for survivors + a delete event carrying
+    // the PRE-delete target image for id 2; the ghost key emits nothing
+    val ev = t.changesSince(v0).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(ev == Set((1L, "update_preimage"), (1L, "update_postimage"),
+      (4L, "insert"), (2L, "delete")), s"got $ev")
+  }
+
+  test("upsertWithDelete on a missing table creates it from survivors; " +
+      "NULL delete conditions upsert (SQL semantics)") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    val batch = Seq((1L, "a", "x", Some(false)), (2L, "b", "y", Some(true)),
+      (3L, "c", "z", Option.empty[Boolean])).toDF("id", "v", "p", "__kill")
+    t.upsertWithDelete(batch, $"__kill")
+    assert(t.read.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("create is DDL-replace: metadata AND constraints reset, and the " +
+      "replacing data is not gated by the dropped constraints") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((2L, "b", "y")), meta = Map("app1" -> "7"))
+    t.addCheckConstraint("small_id", "id < 100")
+    // rows violating the (about-to-be-reset) constraint replace freely
+    t.create(df((500L, "big", "q")))
+    assert(t.meta.isEmpty, "create must reset committed metadata")
+    assert(t.checkConstraints.isEmpty, "create must reset constraints")
+    assert(rows(t) == Set((500L, "big", "q")))
+    // and a fresh constraint regime starts clean on the new data
+    t.addCheckConstraint("big_id", "id > 100")
+    intercept[IllegalStateException] { t.upsert(df((5L, "small", "s"))) }
+  }
+
   test("feed UPDATE records only genuinely changed rows; no-op " +
       "assignments produce no events") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)

@@ -9,11 +9,31 @@ class PipelinesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every declared query runs and returns a schema at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
+  test("every declared query runs and returns a schema at sf0.001; " +
+      "no oracle-compared output carries a raw DECIMAL column (the " +
+      "type the driver's hasher normalizes differently between a " +
+      "Spark parquet and a DuckDB result)") {
+    import org.apache.spark.sql.types.DecimalType
+    // round-9's only red row was q_ivm_moments: values bit-exact, hash
+    // mismatched, solely because its output schema held the suite's one
+    // raw DecimalType output column. Compared outputs must emit exact
+    // decimal state as STRING (both engines render plain scale-N forms
+    // identically) or as a bounded-magnitude DOUBLE. TimestampType is
+    // deliberately NOT in this guard: 16 compared queries emit it and
+    // have hashed green since round 2 (both engines normalize UTC
+    // timestamps identically under the session timezone).
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val df = withClue(s"query $name: ")(fn(spark, sf))
       assert(df.columns.nonEmpty, s"$name has no columns")
+      if (!SparkEntry.oracleSql.contains(name)) Nil
+      else df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
     }
+    assert(offenders.isEmpty,
+      s"oracle-compared outputs with hash-unstable column types:\n  " +
+        offenders.mkString("\n  "))
   }
 
   test("every oracle key has a matching query") {

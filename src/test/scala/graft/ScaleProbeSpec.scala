@@ -424,6 +424,21 @@ class ScaleProbeSpec extends SparkSpec {
           "o_orderpriority").select("o_custkey", "n_distinct")
         .as[(Long, Long)].collect().toSet
       assert(dSnap == dRecomp, s"distinct maintained != recomputed at ×$n")
+      // moments maintenance over the same feed span: exact decimal
+      // moment state must equal the recompute at every factor
+      val vm = LakeTable(spark, root, s"m$n", Seq("o_custkey"))
+      vm.drop()
+      vm.create(IncrementalView.momentsView(base, Seq("o_custkey"),
+        "o_totalprice"))
+      IncrementalView.maintainMomentsView(t, vm, Seq("o_custkey"),
+        "o_totalprice", v0)
+      def mSnap(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_custkey"), col("n"),
+            col("sum_value").cast("string"), col("sum_sq").cast("string"))
+          .as[(Long, Long, String, String)].collect().toSet
+      assert(mSnap(vm.read) == mSnap(IncrementalView.momentsView(
+        t.read, Seq("o_custkey"), "o_totalprice")),
+        s"moments maintained != recomputed at ×$n")
       (feedRows, snap)
     }
     val (f1, _) = run(1)
