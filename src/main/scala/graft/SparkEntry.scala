@@ -236,6 +236,29 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // K2 three-clause MERGE (Delta's WHEN MATCHED [AND cond] THEN
+    // DELETE / UPDATE ALL / WHEN NOT MATCHED INSERT ALL): ONE atomic
+    // commit applies updates, inserts, AND matched deletions — batch
+    // rows with key ≡0 mod 7 remove their target rows, the rest
+    // upsert; delete markers for absent keys are no-ops (SQL DELETE
+    // semantics). This is the commit shape the IVM maintainers use for
+    // group extinction (no upsert-then-delete crash window). Oracle
+    // replays the same three-way merge relationally.
+    "q_merge_delete" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val batch = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_merge_del", Seq("o_orderkey"))
+      t.create(target)
+      t.upsertWithDelete(batch, col("o_orderkey") % 7 === 0)
+      t.read.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("sum_total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // K2 time travel through the version-retaining atomic swap: create
     // (vN) → MERGE (vN+1) → read BOTH the current table and the retained
     // pre-merge snapshot via readVersion, contrasted per status. The
@@ -5373,6 +5396,23 @@ object SparkEntry {
               WHERE NOT EXISTS (SELECT 1 FROM source s
                                 WHERE s.o_orderkey = t.o_orderkey)
               UNION ALL SELECT * FROM source)
+         SELECT o_orderstatus, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
+         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // three-clause MERGE replay: all batch keys leave the target, only
+    // non-delete batch rows come back
+    "q_merge_delete" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            batch AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             o_totalprice * 2 AS o_totalprice, o_orderdate,
+                             o_orderpriority
+                      FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM batch b
+                                WHERE b.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM batch WHERE o_orderkey % 7 <> 0)
          SELECT o_orderstatus, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total
          FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""",

@@ -101,7 +101,8 @@ class PlanLintSpec extends SparkSpec {
   // instead; stream drains are gated by the last-execution test (their
   // micro-batch plans bypass QueryExecutionListener)
   private val eagerQueries = Set(
-    "q_merge_upsert", "q_merge_upsert_pruned", "q_delete_update",
+    "q_merge_upsert", "q_merge_upsert_pruned", "q_merge_delete",
+    "q_delete_update",
     "q_time_travel",
     "q_zorder", "q_cdc", "q_cdc_delete", "q_schema_evolution",
     "q_orchestrator", "q_csv_pipeline", "q_csv_declared", "q_json_source",
