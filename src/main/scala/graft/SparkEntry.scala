@@ -1223,6 +1223,38 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // FUSED stats IVM: (n, Σv, min, max, Σv²) maintained from ONE read
+    // of the change feed — raw signed events feed the moments, netted
+    // per-(group, value) weights feed the extrema, threatened groups
+    // rescan, one atomic merge (vs three separate maintainer passes).
+    // Oracle = the full statsView recompute over the replayed state.
+    "q_ivm_stats" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "orders_ivmst", Seq("o_orderkey"),
+        changeFeed = true)
+      val v = graft.table.LakeTable(s, root, "orders_ivmst_view",
+        Seq("o_custkey"))
+      t.drop(); v.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      val v0 = t.version
+      v.create(graft.table.IncrementalView.statsView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainStatsView(t, v,
+        Seq("o_custkey"), "o_totalprice", sinceVersion = v0)
+      // sums/extrema are well inside double precision; sum_sq compares
+      // as its exact string rendering (the decimal-output contract)
+      v.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("double").as("sum_total"),
+          col("min_value").cast("double").as("min_total"),
+          col("max_value").cast("double").as("max_total"),
+          col("sum_sq").cast("string").as("sum_sq"))
+        .orderBy("o_custkey")
+    }),
+
     // JOIN-view IVM: revenue by customer market segment, maintained
     // through one window of simultaneous fact churn (upsert + delete)
     // AND dim churn (segment moves + customer deletes) via the
@@ -5236,6 +5268,32 @@ object SparkEntry {
                 round(ds / n, 6) AS mean_total,
                 CAST(sum_sq AS VARCHAR) AS sum_sq
          FROM agg ORDER BY o_custkey""",
+
+    // fused-stats replay: same final state, every aggregate from the
+    // same exact decimal value space ((18,4) to match statsView)
+    "q_ivm_stats" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS max_total,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                              * CAST(o_totalprice AS DECIMAL(19,4)))
+                          AS DECIMAL(38,8)) AS VARCHAR) AS sum_sq
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
 
     // JOIN-view replay: final fact state (upsert + delete) joined to
     // final dim state (segment moves + deletes), re-aggregated from

@@ -284,6 +284,108 @@ object IncrementalView {
     syncedTo
   }
 
+  // ---- FUSED STATS views (one feed pass, every aggregate) ----
+  //
+  // A dashboard view usually wants ALL of (count, sum, min, max,
+  // variance) per group. Running the sum, min/max, and moments
+  // maintainers separately costs three reads of the change feed and
+  // three view merges; the fused maintainer reads the feed ONCE
+  // (checkpointed, shared by both delta aggregations) and publishes
+  // ONE merge. The two aggregations cannot fuse further because they
+  // need different event treatments, both round-10 lessons:
+  //  - extrema must read the NETTED per-(group, value) weights (the
+  //    feed is an event log; a value inserted then deleted in the span
+  //    is a phantom that must not tighten an extremum);
+  //  - Σv² must come from RAW events signed by NEGATION — any Σ(v²·w)
+  //    formulation multiplies decimal(37,8) by a LONG, overflows to
+  //    precision 58, and Spark truncates the scale to 6, destroying
+  //    sub-1e-6 squares. Netting cannot serve the moments.
+  // Both delta frames are feed-sized; the worst-case base touch is the
+  // min/max maintainers' threatened-group rescan, unchanged.
+
+  /** Full per-group stats state — (count, Σv, min, max, Σv²) — the
+    * union of [[minMaxView]] and [[momentsView]] in one aggregate;
+    * mean/variance/stddev derive in closed form at read time from the
+    * exact decimal state. */
+  def statsView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(18,4)")
+    df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(vDec).cast("decimal(30,4)").as("sum_value"),
+      min(vDec).as("min_value"),
+      max(vDec).as("max_value"),
+      sum(vDec * vDec).cast("decimal(38,8)").as("sum_sq"))
+  }
+
+  /** Maintain a [[statsView]] from ONE read of the change feed: the
+    * raw signed events feed the moment deltas, the netted weights feed
+    * the extrema, threatened groups rescan exactly as in
+    * [[maintainMinMaxView]], and everything lands in one atomic
+    * MERGE-with-DELETE. Returns the synced base version. */
+  def maintainStatsView(base: LakeTable, view: LakeTable,
+      keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
+    val syncedTo = base.version
+    val keys = keyCols.map(col)
+    val vDec = col(valueCol).cast("decimal(18,4)")
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    // one feed read, checkpointed, shared by both delta aggregations
+    val ch = base.changesSince(sinceVersion)
+      .select(keys :+ vDec.as("__v") :+ isIns.as("__ins"): _*)
+      .localCheckpoint(true)
+    val mom = ch.groupBy(keys: _*).agg(
+      sum(when(col("__ins"), 1L).otherwise(-1L)).as("d_n"),
+      sum(when(col("__ins"), col("__v")).otherwise(-col("__v"))).as("d_sum"),
+      sum(when(col("__ins"), col("__v") * col("__v"))
+        .otherwise(-(col("__v") * col("__v")))).as("d_sq"))
+    val net = ch.groupBy(keys :+ col("__v"): _*)
+      .agg(sum(when(col("__ins"), 1L).otherwise(-1L)).as("w"))
+      .filter(col("w") =!= 0L)
+    val ext = net.groupBy(keys: _*).agg(
+      min(when(col("w") > 0, col("__v"))).as("ins_min"),
+      max(when(col("w") > 0, col("__v"))).as("ins_max"),
+      min(when(col("w") < 0, col("__v"))).as("del_min"),
+      max(when(col("w") < 0, col("__v"))).as("del_max"))
+    // all-cancelled groups are absent from ext (w=0 everywhere): the
+    // left join leaves their ins_*/del_* null — no tighten, no threat
+    val delta = mom.join(ext, keyCols, "left")
+    val cur = view.read.select(
+      keys :+ col("n").as("v_n") :+ col("sum_value").as("v_sum") :+
+        col("min_value").as("v_min") :+ col("max_value").as("v_max") :+
+        col("sum_sq").as("v_sq"): _*)
+    val newN = coalesce(col("v_n"), lit(0L)) + col("d_n")
+    val threatened: Column = col("v_n").isNotNull && newN > 0 &&
+      ((col("del_min") <= col("v_min")) || (col("del_max") >= col("v_max")))
+    // (37,8) addition discipline — see maintainMomentsView
+    val zero37_8 = lit(0).cast("decimal(37,8)")
+    val joined = delta.join(cur, keyCols, "left")
+      .withColumn("n", newN)
+      .withColumn("sum_value",
+        (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
+          .cast("decimal(30,4)"))
+      .withColumn("sum_sq",
+        (coalesce(col("v_sq").cast("decimal(37,8)"), zero37_8) +
+          coalesce(col("d_sq").cast("decimal(37,8)"), zero37_8))
+          .cast("decimal(38,8)"))
+      .withColumn("__rescan", threatened)
+      .localCheckpoint(true) // rescan-key probe AND merge
+    val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
+    val hint = sizeHint(rescanKeys)
+    val rescanned = base.read
+      .join(hint(rescanKeys), keyCols, "left_semi")
+      .groupBy(keys: _*)
+      .agg(min(vDec).as("r_min"), max(vDec).as("r_max"))
+      .withColumn("__rescanned", lit(true))
+    val changed = joined.join(hint(rescanned), keyCols, "left")
+      .select(keys ++ Seq(col("n"), col("sum_value"),
+        when(coalesce(col("__rescanned"), lit(false)), col("r_min"))
+          .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),
+        when(coalesce(col("__rescanned"), lit(false)), col("r_max"))
+          .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value"),
+        col("sum_sq")): _*)
+    view.upsertWithDelete(changed, col("n") <= 0L)
+    syncedTo
+  }
+
   // ---- COUNT DISTINCT views (two-level / support-relation IVM) ----
   //
   // An exact distinct count is not self-maintainable from the top view

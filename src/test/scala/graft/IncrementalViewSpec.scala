@@ -458,6 +458,44 @@ class IncrementalViewSpec extends SparkSpec {
     } finally IncrementalView.broadcastLimit = prev
   }
 
+  test("fused stats view: one-pass maintenance == recompute through " +
+      "4-dp churn, phantom events, extremum deletion, and extinction") {
+    val root = "/tmp/graft_tables/ivm_stats"
+    val base = LakeTable(spark, root, "st_base", Seq("id"), changeFeed = true)
+    val view = LakeTable(spark, root, "st_view", Seq("k"))
+    base.drop(); view.drop()
+    // 4-dp values so the moments half exercises the sub-1e-6 digits;
+    // group structure so the min/max half exercises the rescan
+    base.create(Seq((1L, 0L, 0.0003), (2L, 0L, 1.0001), (3L, 0L, 9.5),
+        (4L, 1L, 0.0007), (5L, 1L, 2.5009), (6L, 2L, 4.0))
+      .toDF("id", "k", "v"))
+    val v0 = base.version
+    view.create(IncrementalView.statsView(base.read, Seq("k"), "v"))
+    // churn in one span: phantom (insert 99 then delete it — must not
+    // become group 0's max), delete group 0's current max 9.5 (rescan
+    // reveals 1.0001), update a 4-dp value, extinguish group 2
+    base.upsert(Seq((10L, 0L, 99.0)).toDF("id", "k", "v"))
+    base.delete(col("id") === 10L)
+    base.delete(col("id") === 3L)
+    base.upsert(Seq((4L, 1L, 0.0005)).toDF("id", "k", "v"))
+    base.delete(col("k") === 2L)
+    IncrementalView.maintainStatsView(base, view, Seq("k"), "v", v0)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("sum_value").cast("string"),
+          col("min_value").cast("string"), col("max_value").cast("string"),
+          col("sum_sq").cast("string"))
+        .as[(Long, Long, String, String, String, String)].collect().toSet
+    val got = snap(view.read)
+    assert(got == snap(IncrementalView.statsView(base.read, Seq("k"), "v")))
+    assert(!got.exists(_._1 == 2L), s"group 2 extinct, got $got")
+    val g0 = got.find(_._1 == 0L).get
+    assert(g0._5.startsWith("1.0001"),
+      s"rescan must reveal the runner-up max, not 99 or 9.5: $g0")
+    val g1 = got.find(_._1 == 1L).get
+    // Σv² for group 1 = 0.0005² + 2.5009² = 0.00000025 + 6.25450081
+    assert(g1._6 == "6.25450106", s"4-dp moment digits destroyed: $g1")
+  }
+
   test("min/max extinction + null values never join the extrema") {
     val root = "/tmp/graft_tables/ivm_mm3"
     val base = LakeTable(spark, root, "mm_base3", Seq("id"))
