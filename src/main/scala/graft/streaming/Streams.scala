@@ -637,6 +637,43 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_ivm_cdc" -> e))
   }
 
+  /** Continuous MIN/MAX (+count/sum) view maintenance from the base
+    * table's CDC stream: each micro-batch applies the FULL batch
+    * min/max rule — per-(group, value) netting, insert-side extrema,
+    * threatened-group rescan against the current base snapshot, atomic
+    * merge-with-extinction — via the shared
+    * [[graft.table.IncrementalView.applyMinMaxDelta]] core, with the
+    * same transactional batch-id idempotence as
+    * [[maintainSumViewFromChangeFeed]] (marker commits WITH the delta
+    * and the extinction deletes; replayed batches are skipped).
+    *
+    * Rescan consistency: the rescan reads the base's CURRENT snapshot,
+    * which under the AvailableNow drain contract (writes complete, then
+    * the drain runs) is the final state — so the drained view equals
+    * the recompute exactly. A live continuous deployment may briefly
+    * surface a rescan-ahead extremum mid-stream (the snapshot is ahead
+    * of the batch being applied); later batches self-heal it, because
+    * any event that invalidates the value re-threatens the group. */
+  def maintainMinMaxViewFromChangeFeed(feedStream: DataFrame,
+      base: graft.table.LakeTable, view: graft.table.LakeTable,
+      keyCols: Seq[String], valueCol: String,
+      appId: String = "mmcdc"): Unit = {
+    val metaKey = s"ivm_last_batch_$appId"
+    val q = feedStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = view.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty)
+          graft.table.IncrementalView.applyMinMaxDelta(
+            batch, base.read, view, keyCols, valueCol,
+            meta = Map(metaKey -> batchId.toString))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_ivm_minmax" -> e))
+  }
+
   /** Continuous JOIN-view maintenance, fact side: subscribe to the fact
     * table's CDC stream and enrich each SIGNED micro-batch against the
     * current dim snapshot (stream-static equi-join) before merging the

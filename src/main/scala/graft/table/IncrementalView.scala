@@ -153,9 +153,23 @@ object IncrementalView {
   def maintainMinMaxView(base: LakeTable, view: LakeTable,
       keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
     val syncedTo = base.version
+    applyMinMaxDelta(base.changesSince(sinceVersion), base.read, view,
+      keyCols, valueCol)
+    syncedTo
+  }
+
+  /** Apply ONE change-event frame to a stored min/max view against the
+    * current base snapshot — the whole [[maintainMinMaxView]] rule
+    * (netting, insert-side extrema, threatened-group rescan, atomic
+    * merge-with-extinction), factored out so the streaming foreachBatch
+    * subscriber ([[graft.streaming.Streams.maintainMinMaxViewFromChangeFeed]])
+    * applies the IDENTICAL semantics per micro-batch with its
+    * exactly-once `meta` marker riding the same commit. */
+  private[graft] def applyMinMaxDelta(ch: DataFrame, baseNow: DataFrame,
+      view: LakeTable, keyCols: Seq[String], valueCol: String,
+      meta: Map[String, String] = Map.empty): Unit = {
     val keys = keyCols.map(col)
     val vDec = col(valueCol).cast("decimal(20,4)")
-    val ch = base.changesSince(sinceVersion)
     val isIns = col("_change_type").isin("insert", "update_postimage")
     // net per (group, value) first; all-cancelled values (w=0) drop out
     // entirely. NULL values collapse into one group per key — they carry
@@ -201,7 +215,7 @@ object IncrementalView {
     // both the key set and the (≤ one row per key) rescan result —
     // probing `rescanned` itself would execute the rescan join twice
     val hint = sizeHint(rescanKeys)
-    val rescanned = base.read
+    val rescanned = baseNow
       .join(hint(rescanKeys), keyCols, "left_semi")
       .groupBy(keys: _*)
       .agg(min(vDec).as("r_min"), max(vDec).as("r_max"))
@@ -215,8 +229,7 @@ object IncrementalView {
           .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),
         when(coalesce(col("__rescanned"), lit(false)), col("r_max"))
           .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value")): _*)
-    view.upsertWithDelete(changed, col("n") <= 0L)
-    syncedTo
+    view.upsertWithDelete(changed, col("n") <= 0L, meta = meta)
   }
 
   // ---- MOMENTS views (self-maintainable variance) ----

@@ -147,6 +147,52 @@ class StreamsSpec extends SparkSpec {
     assert(snap == recomp, "replay must not double-apply")
   }
 
+  test("continuous MIN/MAX IVM from the CDC stream: netting, rescan, " +
+      "extinction across arbitrary micro-batching == recompute; " +
+      "replay is a no-op") {
+    import graft.table.{IncrementalView, LakeTable}
+    val root = java.nio.file.Files.createTempDirectory("cmm").toString
+    val t = LakeTable(spark, root, "base", Seq("id"), changeFeed = true)
+    val v = LakeTable(spark, root, "view", Seq("k"))
+    t.create(Seq((1L, 1L, 2.0), (2L, 1L, 3.0), (3L, 2L, 5.0))
+      .toDF("id", "k", "v"))
+    v.create(IncrementalView.minMaxView(t.read, Seq("k"), "v"))
+    // churn: insert a new group-1 max (99), then delete it (phantom
+    // across the span); delete the original max 3.0 (rescan reveals
+    // 2.0); extinguish group 2. With maxFilesPerTrigger=1 the phantom's
+    // insert and delete land in DIFFERENT micro-batches — batch A
+    // tightens max to 99, batch B's delete ties it, threatens the
+    // group, and the rescan self-heals. The final state must equal the
+    // recompute under ANY batching.
+    t.upsert(Seq((9L, 1L, 99.0)).toDF("id", "k", "v"))
+    t.delete(col("id") === 9L)
+    t.delete(col("id") === 2L)
+    t.delete(col("k") === 2L)
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        t.read.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/base/changes/v*")
+    Streams.maintainMinMaxViewFromChangeFeed(feed, t, v, Seq("k"), "v")
+    def snap = v.read.select(col("k"), col("n"),
+        col("sum_value").cast("string"), col("min_value").cast("string"),
+        col("max_value").cast("string"))
+      .as[(Long, Long, String, String, String)].collect().toSet
+    val recomp = IncrementalView.minMaxView(t.read, Seq("k"), "v")
+      .select(col("k"), col("n"), col("sum_value").cast("string"),
+        col("min_value").cast("string"), col("max_value").cast("string"))
+      .as[(Long, Long, String, String, String)].collect().toSet
+    assert(snap == recomp)
+    val g1 = snap.find(_._1 == 1L).get
+    assert(g1._5.startsWith("2."), s"max must rescan down to 2.0: $g1")
+    assert(!snap.exists(_._1 == 2L), "group 2 must be extinct")
+    // replay the whole feed: batch-id marker makes it a no-op
+    Streams.maintainMinMaxViewFromChangeFeed(
+      t.readChangeFeedStream, t, v, Seq("k"), "v")
+    assert(snap == recomp, "replay must not double-apply")
+  }
+
   test("streaming SCD2 sink == batch SCD2 of the same deduped batch") {
     import graft.table.LakeTable
     val root = java.nio.file.Files.createTempDirectory("scd2s").toString
