@@ -396,7 +396,19 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * resolve the old version; after, the new one. */
   private def publish(): Unit = {
     Files.createDirectories(tableDir)
-    val v = allVersions.lastOption.getOrElse(0) + 1
+    // a crash AFTER the staging→version move but BEFORE the pointer
+    // swap leaves an orphan version dir that was never published.
+    // Version dirs beyond the current pointer are provably exactly
+    // those orphans (the pointer only ever advances to a fully-landed
+    // dir) — reclaim them FIRST, or they surface in availableVersions
+    // as time travel to a never-committed state AND shift the next
+    // version number past a gap. Single-writer discipline is assumed
+    // throughout this class (as in the reference's one-job-per-table
+    // orchestration); a concurrent writer would race the pointer swap
+    // itself, not just this cleanup.
+    val cur = currentVersion.getOrElse(0)
+    allVersions.filter(_ > cur).foreach(o => deleteRecursively(versionDir(o)))
+    val v = cur + 1
     Files.move(stagingDir, versionDir(v), StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(feedStagingDir)) {
       Files.createDirectories(tableDir.resolve("changes"))
@@ -418,10 +430,13 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       .map(_.stripPrefix("v").toInt)
       .sorted
 
-  /** Retained PRIOR snapshots (excludes the current version). */
+  /** Retained PRIOR snapshots — strictly BELOW the current version.
+    * A dir beyond the pointer can only be the residue of a crashed
+    * publish (landed but never committed); it is not a snapshot any
+    * reader ever saw and must not become a time-travel target. */
   def availableVersions: Seq[Int] = {
     val cur = currentVersion
-    allVersions.filterNot(cur.contains)
+    allVersions.filter(v => cur.exists(v < _))
   }
 
   private def pruneVersions(current: Int): Unit =

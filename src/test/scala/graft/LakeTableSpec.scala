@@ -675,6 +675,31 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalStateException] { t.upsert(df((5L, "small", "s"))) }
   }
 
+  test("a crashed publish (orphan version dir beyond the pointer) " +
+      "never surfaces in availableVersions and is reclaimed by the " +
+      "next write") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((2L, "b", "y")))
+    val cur = t.version
+    // simulate a crash AFTER the staging→version move, BEFORE the
+    // pointer swap: a fully-written version dir beyond the pointer
+    val orphan = t.currentDir.resolveSibling(s"v${cur + 1}")
+    df((99L, "GARBAGE", "g")).write.parquet(orphan.toString)
+    // readers are unaffected and the orphan is not a time-travel target
+    assert(t.version == cur)
+    assert(rows(t) == Set((1L, "a", "x"), (2L, "b", "y")))
+    assert(!t.availableVersions.contains(cur + 1),
+      s"orphan surfaced as a retained snapshot: ${t.availableVersions}")
+    // the next write reclaims the orphan slot cleanly
+    t.upsert(df((3L, "c", "z")))
+    assert(t.version == cur + 1)
+    assert(rows(t) == Set((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
+    assert(!rows(t).exists(_._2 == "GARBAGE"))
+    // and the displaced real snapshot is still readable time travel
+    assert(t.readVersion(cur).count() == 2)
+  }
+
   test("feed UPDATE records only genuinely changed rows; no-op " +
       "assignments produce no events") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
