@@ -419,11 +419,23 @@ object ScaleProbe {
           graft.table.IncrementalView.maintainMomentsView(
             t, viewM, Seq("o_custkey"), "o_totalprice", v0)
         }
+        // fused stats maintenance (one feed pass, all aggregates incl.
+        // the threatened-extremum rescan) over the same fixed span
+        val viewS = graft.table.LakeTable(spark, root, s"ivm_views_$n",
+          Seq("o_custkey"))
+        viewS.drop()
+        viewS.create(graft.table.IncrementalView.statsView(
+          base, Seq("o_custkey"), "o_totalprice"))
+        val (_, statsSec) = timed {
+          graft.table.IncrementalView.maintainStatsView(
+            t, viewS, Seq("o_custkey"), "o_totalprice", v0)
+        }
         val baseRows = t.read.count()
         println(s"""{"family":"ivm","factor":$n,"rows":$baseRows,""" +
           s""""feed_rows":$feedRows,"maintain_sec":${f"$maintainSec%.2f"},""" +
           s""""distinct_maintain_sec":${f"$distinctSec%.2f"},""" +
           s""""moments_maintain_sec":${f"$momentsSec%.2f"},""" +
+          s""""stats_maintain_sec":${f"$statsSec%.2f"},""" +
           s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
       }
     }

@@ -1432,6 +1432,34 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // Streaming FUSED-STATS maintenance: the one-pass (n, Σv, min,
+    // max, Σv²) rule applied per micro-batch from the CDC stream —
+    // the streaming twin of q_ivm_stats, against the identical
+    // recompute oracle.
+    "q_stream_ivm_stats" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "orders_sivst",
+        Seq("o_orderkey"), changeFeed = true)
+      val v = graft.table.LakeTable(s, root, "orders_sivst_view",
+        Seq("o_custkey"))
+      t.drop(); v.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      v.create(graft.table.IncrementalView.statsView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.streaming.Streams.maintainStatsViewFromChangeFeed(
+        t.readChangeFeedStream, t, v, Seq("o_custkey"), "o_totalprice")
+      v.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("double").as("sum_total"),
+          col("min_value").cast("double").as("min_total"),
+          col("max_value").cast("double").as("max_total"),
+          col("sum_sq").cast("string").as("sum_sq"))
+        .orderBy("o_custkey")
+    }),
+
     // Streaming JOIN-view maintenance: dim churn (segment moves +
     // deletes) absorbed by the BATCH maintainer while the fact is
     // quiet, then fact churn (upsert + delete) streamed from the fact
@@ -5470,6 +5498,32 @@ object SparkEntry {
          SELECT o_custkey, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
                   AS sum_total
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // streaming fused-stats replay: same final state as q_ivm_stats,
+    // reached through the CDC-stream subscriber
+    "q_stream_ivm_stats" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS max_total,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                              * CAST(o_totalprice AS DECIMAL(19,4)))
+                          AS DECIMAL(38,8)) AS VARCHAR) AS sum_sq
          FROM final GROUP BY o_custkey ORDER BY o_custkey""",
 
     // streaming min/max replay: same final state as q_ivm_minmax,

@@ -674,6 +674,34 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_ivm_minmax" -> e))
   }
 
+  /** Continuous FUSED-STATS view maintenance from the base table's CDC
+    * stream: each micro-batch applies the full one-pass stats rule —
+    * raw signed events for the moment deltas, netted per-(group,
+    * value) weights for the extrema, threatened-group rescan, one
+    * atomic merge — via the shared
+    * [[graft.table.IncrementalView.applyStatsDelta]] core. Same
+    * batch-id idempotence and rescan-consistency contract as
+    * [[maintainMinMaxViewFromChangeFeed]]. */
+  def maintainStatsViewFromChangeFeed(feedStream: DataFrame,
+      base: graft.table.LakeTable, view: graft.table.LakeTable,
+      keyCols: Seq[String], valueCol: String,
+      appId: String = "stcdc"): Unit = {
+    val metaKey = s"ivm_last_batch_$appId"
+    val q = feedStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = view.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty)
+          graft.table.IncrementalView.applyStatsDelta(
+            batch, base.read, view, keyCols, valueCol,
+            meta = Map(metaKey -> batchId.toString))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_ivm_stats" -> e))
+  }
+
   /** Continuous JOIN-view maintenance, fact side: subscribe to the fact
     * table's CDC stream and enrich each SIGNED micro-batch against the
     * current dim snapshot (stream-static equi-join) before merging the

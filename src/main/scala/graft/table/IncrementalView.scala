@@ -338,11 +338,24 @@ object IncrementalView {
   def maintainStatsView(base: LakeTable, view: LakeTable,
       keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
     val syncedTo = base.version
+    applyStatsDelta(base.changesSince(sinceVersion), base.read, view,
+      keyCols, valueCol)
+    syncedTo
+  }
+
+  /** Apply ONE change-event frame to a stored stats view against the
+    * current base snapshot — the whole [[maintainStatsView]] rule,
+    * factored out (like [[applyMinMaxDelta]]) so the streaming
+    * subscriber applies identical semantics per micro-batch with its
+    * exactly-once `meta` marker riding the same commit. */
+  private[graft] def applyStatsDelta(events: DataFrame, baseNow: DataFrame,
+      view: LakeTable, keyCols: Seq[String], valueCol: String,
+      meta: Map[String, String] = Map.empty): Unit = {
     val keys = keyCols.map(col)
     val vDec = col(valueCol).cast("decimal(18,4)")
     val isIns = col("_change_type").isin("insert", "update_postimage")
     // one feed read, checkpointed, shared by both delta aggregations
-    val ch = base.changesSince(sinceVersion)
+    val ch = events
       .select(keys :+ vDec.as("__v") :+ isIns.as("__ins"): _*)
       .localCheckpoint(true)
     val mom = ch.groupBy(keys: _*).agg(
@@ -383,7 +396,7 @@ object IncrementalView {
       .localCheckpoint(true) // rescan-key probe AND merge
     val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
     val hint = sizeHint(rescanKeys)
-    val rescanned = base.read
+    val rescanned = baseNow
       .join(hint(rescanKeys), keyCols, "left_semi")
       .groupBy(keys: _*)
       .agg(min(vDec).as("r_min"), max(vDec).as("r_max"))
@@ -395,8 +408,7 @@ object IncrementalView {
         when(coalesce(col("__rescanned"), lit(false)), col("r_max"))
           .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value"),
         col("sum_sq")): _*)
-    view.upsertWithDelete(changed, col("n") <= 0L)
-    syncedTo
+    view.upsertWithDelete(changed, col("n") <= 0L, meta = meta)
   }
 
   // ---- COUNT DISTINCT views (two-level / support-relation IVM) ----

@@ -439,6 +439,21 @@ class ScaleProbeSpec extends SparkSpec {
       assert(mSnap(vm.read) == mSnap(IncrementalView.momentsView(
         t.read, Seq("o_custkey"), "o_totalprice")),
         s"moments maintained != recomputed at ×$n")
+      // fused stats maintenance (one feed pass, rescan included)
+      val vst = LakeTable(spark, root, s"s$n", Seq("o_custkey"))
+      vst.drop()
+      vst.create(IncrementalView.statsView(base, Seq("o_custkey"),
+        "o_totalprice"))
+      IncrementalView.maintainStatsView(t, vst, Seq("o_custkey"),
+        "o_totalprice", v0)
+      def stSnap(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_custkey"), col("n"),
+            col("sum_value").cast("string"), col("min_value").cast("string"),
+            col("max_value").cast("string"), col("sum_sq").cast("string"))
+          .as[(Long, Long, String, String, String, String)].collect().toSet
+      assert(stSnap(vst.read) == stSnap(IncrementalView.statsView(
+        t.read, Seq("o_custkey"), "o_totalprice")),
+        s"fused stats maintained != recomputed at ×$n")
       (feedRows, snap)
     }
     val (f1, _) = run(1)

@@ -193,6 +193,46 @@ class StreamsSpec extends SparkSpec {
     assert(snap == recomp, "replay must not double-apply")
   }
 
+  test("continuous fused-stats IVM from the CDC stream == recompute " +
+      "across per-file micro-batching; replay is a no-op") {
+    import graft.table.{IncrementalView, LakeTable}
+    val root = java.nio.file.Files.createTempDirectory("cst").toString
+    val t = LakeTable(spark, root, "base", Seq("id"), changeFeed = true)
+    val v = LakeTable(spark, root, "view", Seq("k"))
+    // 4-dp values so the moment digits discriminate
+    t.create(Seq((1L, 1L, 0.0003), (2L, 1L, 3.0), (3L, 2L, 5.0))
+      .toDF("id", "k", "v"))
+    v.create(IncrementalView.statsView(t.read, Seq("k"), "v"))
+    t.upsert(Seq((9L, 1L, 99.0)).toDF("id", "k", "v"))
+    t.delete(col("id") === 9L) // phantom max, possibly split across batches
+    t.delete(col("id") === 2L) // current max: rescan reveals 0.0003
+    t.delete(col("k") === 2L) // extinction
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        t.read.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/base/changes/v*")
+    Streams.maintainStatsViewFromChangeFeed(feed, t, v, Seq("k"), "v")
+    def snap = v.read.select(col("k"), col("n"),
+        col("sum_value").cast("string"), col("min_value").cast("string"),
+        col("max_value").cast("string"), col("sum_sq").cast("string"))
+      .as[(Long, Long, String, String, String, String)].collect().toSet
+    val recomp = IncrementalView.statsView(t.read, Seq("k"), "v")
+      .select(col("k"), col("n"), col("sum_value").cast("string"),
+        col("min_value").cast("string"), col("max_value").cast("string"),
+        col("sum_sq").cast("string"))
+      .as[(Long, Long, String, String, String, String)].collect().toSet
+    assert(snap == recomp)
+    val g1 = snap.find(_._1 == 1L).get
+    assert(g1._2 == 1L && g1._6 == "0.00000009",
+      s"4-dp moment digits must survive the stream: $g1")
+    assert(!snap.exists(_._1 == 2L), "group 2 must be extinct")
+    Streams.maintainStatsViewFromChangeFeed(
+      t.readChangeFeedStream, t, v, Seq("k"), "v")
+    assert(snap == recomp, "replay must not double-apply")
+  }
+
   test("streaming SCD2 sink == batch SCD2 of the same deduped batch") {
     import graft.table.LakeTable
     val root = java.nio.file.Files.createTempDirectory("scd2s").toString
