@@ -119,7 +119,15 @@ object IncrementalView {
     * the SAME commit as the surviving merges — no second publish, no
     * window where a zero-count zombie row is the durable state). A
     * delta group whose changed rows all carry NULL values has d_sum
-    * NULL; coalesce so it can't null out the stored sum. */
+    * NULL; coalesce so it can't null out the stored sum.
+    *
+    * Known SQL-semantics corner (all single-column sum/moments/minmax
+    * maintainers): a surviving group whose non-null values are ALL
+    * deleted while null-valued rows remain keeps sum 0 rather than
+    * SQL's NULL — the view state can't distinguish "sums to zero"
+    * from "no values" without a non-null count. [[fullStatsView]]
+    * carries that signal (n_distinct) and reports the corner
+    * correctly; use it where the distinction matters. */
   private def mergeSumDelta(view: LakeTable, keyCols: Seq[String],
       delta: DataFrame): Unit = {
     val cur = view.read.select(
@@ -468,6 +476,140 @@ object IncrementalView {
         (coalesce(col("v_d"), lit(0L)) + col("d_d")).as("n_distinct"): _*)
       .localCheckpoint(true)
     view.upsertWithDelete(changedView, col("n_distinct") <= 0L)
+    syncedTo
+  }
+
+  // ---- FULL stats views (aux-backed: no base rescan, ever) ----
+  //
+  // The support relation that makes COUNT DISTINCT maintainable also
+  // solves min/max's one weakness: it IS the group's surviving value
+  // multiset, so when a delete threatens a stored extremum the
+  // runner-up comes from the AUX SLICE of the threatened groups — a
+  // semi-join against a table of per-(group, value) multiplicities —
+  // and the BASE IS NEVER TOUCHED. At 100 TB that upgrades the worst
+  // case from "rescan the threatened groups' base partitions" to
+  // "read a few aux rows": maintenance cost is O(changes) + O(aux
+  // slice) unconditionally. The price is keeping the aux (size =
+  // distinct (group, value) pairs, typically orders of magnitude
+  // below the base; co-partitioned by its merge keys) in every write
+  // window. One feed read maintains aux and view; extrema, distinct
+  // count, and moments all ride the same two merges.
+
+  /** Top view: (n, Σv, Σv², min, max, n_distinct) per group. `n`/Σ
+    * count every row; extrema and the distinct count skip null values
+    * (SQL semantics); an all-null group shows n>0, n_distinct=0, null
+    * extrema. */
+  def fullStatsView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(18,4)")
+    df.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(vDec).cast("decimal(30,4)").as("sum_value"),
+      min(vDec).as("min_value"),
+      max(vDec).as("max_value"),
+      sum(vDec * vDec).cast("decimal(38,8)").as("sum_sq"),
+      countDistinct(vDec).as("n_distinct"))
+  }
+
+  /** Support relation for a [[fullStatsView]]: per-(group, DECIMAL
+    * value) multiplicities — [[supportView]] over the same (18,4)
+    * value space the view aggregates in, so aux-derived extrema
+    * compare bit-for-bit. Store with mergeKeys `keyCols :+ "__v"`. */
+  def fullStatsSupportView(df: DataFrame, keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val vDec = col(valueCol).cast("decimal(18,4)")
+    df.filter(vDec.isNotNull)
+      .groupBy(keyCols.map(col) :+ vDec.as("__v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Maintain aux AND view from one read of the change feed. Returns
+    * the synced base version. Never reads the base: threatened extrema
+    * re-derive from the post-merge aux slice, and because the aux is a
+    * COMPLETE multiset, a threatened group with no surviving non-null
+    * values correctly lands null extrema (no "rescanned?" marker
+    * needed, unlike the base-rescan maintainers). */
+  def maintainFullStatsView(base: LakeTable, aux: LakeTable,
+      view: LakeTable, keyCols: Seq[String], valueCol: String,
+      sinceVersion: Int): Int = {
+    val syncedTo = base.version
+    val keys = keyCols.map(col)
+    val vDec = col(valueCol).cast("decimal(18,4)")
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val ch = base.changesSince(sinceVersion)
+      .select(keys :+ vDec.as("__v") :+ isIns.as("__ins"): _*)
+      .localCheckpoint(true) // one feed read feeds both aggregations
+    // top-level moment deltas over ALL rows (null values count in n)
+    val mom = ch.groupBy(keys: _*).agg(
+      sum(when(col("__ins"), 1L).otherwise(-1L)).as("d_n"),
+      sum(when(col("__ins"), col("__v")).otherwise(-col("__v"))).as("d_sum"),
+      sum(when(col("__ins"), col("__v") * col("__v"))
+        .otherwise(-(col("__v") * col("__v")))).as("d_sq"))
+    // netted non-null multiplicity deltas → aux merge + transitions
+    val net = ch.filter(col("__v").isNotNull)
+      .groupBy(keys :+ col("__v"): _*)
+      .agg(sum(when(col("__ins"), 1L).otherwise(-1L)).as("w"))
+      .filter(col("w") =!= 0L)
+    val curAux = aux.read.select(keys :+ col("__v") :+ col("cnt").as("v_cnt"): _*)
+    def alive(c: Column): Column = when(c > 0, 1L).otherwise(0L)
+    val newCnt = coalesce(col("v_cnt"), lit(0L)) + col("w")
+    val changedAux = net.join(curAux, keyCols :+ "__v", "left")
+      .select(keys ++ Seq(col("__v"), col("w"), newCnt.as("cnt"),
+        (alive(newCnt) - alive(coalesce(col("v_cnt"), lit(0L)))).as("__tr")): _*)
+      .localCheckpoint(true) // aux merge + extrema deltas + rollup
+    aux.upsertWithDelete(changedAux.select(keys :+ col("__v") :+ col("cnt"): _*),
+      col("cnt") <= 0L)
+    val ext = changedAux.groupBy(keys: _*).agg(
+      min(when(col("w") > 0, col("__v"))).as("ins_min"),
+      max(when(col("w") > 0, col("__v"))).as("ins_max"),
+      min(when(col("w") < 0, col("__v"))).as("del_min"),
+      max(when(col("w") < 0, col("__v"))).as("del_max"),
+      sum(col("__tr")).as("d_d"))
+    val delta = mom.join(ext, keyCols, "left")
+    val cur = view.read.select(
+      keys :+ col("n").as("v_n") :+ col("sum_value").as("v_sum") :+
+        col("min_value").as("v_min") :+ col("max_value").as("v_max") :+
+        col("sum_sq").as("v_sq") :+ col("n_distinct").as("v_d"): _*)
+    val newN = coalesce(col("v_n"), lit(0L)) + col("d_n")
+    val threatened: Column = col("v_n").isNotNull && newN > 0 &&
+      ((col("del_min") <= col("v_min")) || (col("del_max") >= col("v_max")))
+    val zero37_8 = lit(0).cast("decimal(37,8)")
+    val joined = delta.join(cur, keyCols, "left")
+      .withColumn("n", newN)
+      .withColumn("sum_value",
+        (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
+          .cast("decimal(30,4)"))
+      .withColumn("sum_sq",
+        (coalesce(col("v_sq").cast("decimal(37,8)"), zero37_8) +
+          coalesce(col("d_sq").cast("decimal(37,8)"), zero37_8))
+          .cast("decimal(38,8)"))
+      .withColumn("n_distinct",
+        coalesce(col("v_d"), lit(0L)) + coalesce(col("d_d"), lit(0L)))
+      .withColumn("__rescan", threatened)
+      .localCheckpoint(true) // rescan-key probe AND merge
+    val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
+    val hint = sizeHint(rescanKeys)
+    // the aux-answered "rescan": post-merge aux slice, never the base
+    val rescanned = aux.read
+      .join(hint(rescanKeys), keyCols, "left_semi")
+      .groupBy(keys: _*)
+      .agg(min(col("__v")).as("r_min"), max(col("__v")).as("r_max"))
+    // SQL SUM/aggregate-over-no-rows semantics: a surviving group whose
+    // non-null values are ALL deleted (only null-valued rows remain)
+    // must report NULL sums, not the delta rule's arithmetic 0 — and
+    // n_distinct = 0 is exactly that signal, for free from the aux.
+    // (The single-column sum/moments maintainers lack the signal and
+    // keep 0 in this corner; documented there.)
+    val hasVals = col("n_distinct") > 0L
+    val changed = joined.join(hint(rescanned), keyCols, "left")
+      .select(keys ++ Seq(col("n"),
+        when(hasVals, col("sum_value")).as("sum_value"),
+        when(col("__rescan"), col("r_min"))
+          .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),
+        when(col("__rescan"), col("r_max"))
+          .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value"),
+        when(hasVals, col("sum_sq")).as("sum_sq"),
+        col("n_distinct")): _*)
+    view.upsertWithDelete(changed, col("n") <= 0L)
     syncedTo
   }
 

@@ -496,6 +496,109 @@ class IncrementalViewSpec extends SparkSpec {
     assert(g1._6 == "6.25450106", s"4-dp moment digits destroyed: $g1")
   }
 
+  test("full stats view (aux-backed): maintained == recompute through " +
+      "churn, phantom, extremum deletion, all-non-null-deleted, " +
+      "distinct transitions, extinction") {
+    val root = "/tmp/graft_tables/ivm_full"
+    val base = LakeTable(spark, root, "fs_base", Seq("id"), changeFeed = true)
+    val aux = LakeTable(spark, root, "fs_aux", Seq("k", "__v"))
+    val view = LakeTable(spark, root, "fs_view", Seq("k"))
+    base.drop(); aux.drop(); view.drop()
+    // k=0: duplicate value 2.5 (distinct-count stability under single
+    // delete), a 4-dp value, and a max to delete; k=1: a value AND a
+    // null row (all-non-null-deleted case); k=2: extinction fodder
+    base.create(Seq((1L, 0L, Some(2.5)), (2L, 0L, Some(2.5)),
+        (3L, 0L, Some(0.0003)), (4L, 0L, Some(9.5)),
+        (5L, 1L, Some(7.0)), (6L, 1L, None),
+        (7L, 2L, Some(4.0))).toDF("id", "k", "v"))
+    val v0 = base.version
+    aux.create(IncrementalView.fullStatsSupportView(base.read, Seq("k"), "v"))
+    view.create(IncrementalView.fullStatsView(base.read, Seq("k"), "v"))
+    // churn: phantom 99 (insert then delete), delete k=0's max 9.5
+    // (aux answers 2.5), delete ONE of the 2.5 twins (n_distinct must
+    // NOT move), delete k=1's only non-null value (extrema go null,
+    // n_distinct 0, n stays 1), extinguish k=2
+    base.upsert(Seq((10L, 0L, Some(99.0))).toDF("id", "k", "v"))
+    base.delete(col("id") === 10L)
+    base.delete(col("id") === 4L)
+    base.delete(col("id") === 1L)
+    base.delete(col("id") === 5L)
+    base.delete(col("k") === 2L)
+    IncrementalView.maintainFullStatsView(base, aux, view, Seq("k"), "v", v0)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("sum_value").cast("string"),
+          col("min_value").cast("string"), col("max_value").cast("string"),
+          col("sum_sq").cast("string"), col("n_distinct"))
+        .as[(Long, Long, String, String, String, String, Long)]
+        .collect().toSet
+    val got = snap(view.read)
+    assert(got == snap(IncrementalView.fullStatsView(base.read, Seq("k"), "v")))
+    val g0 = got.find(_._1 == 0L).get
+    assert(g0._5.startsWith("2.5"), s"aux must answer the runner-up max: $g0")
+    assert(g0._7 == 2L, s"twin delete must not move n_distinct: $g0")
+    val g1 = got.find(_._1 == 1L).get
+    assert(g1._2 == 1L && g1._4 == null && g1._5 == null && g1._7 == 0L,
+      s"all-non-null-deleted group must null its extrema: $g1")
+    assert(!got.exists(_._1 == 2L), "k=2 extinct")
+    // aux converged: no zombie rows, and it equals its own recompute
+    assert(aux.read.filter(col("cnt") <= 0L).isEmpty)
+  }
+
+  test("full stats maintenance NEVER reads the base (bytes-read pin " +
+      "on the aux-answered extremum deletion)") {
+    val root = "/tmp/graft_tables/ivm_full_nb"
+    val base = LakeTable(spark, root, "fnb_base", Seq("id"), changeFeed = true)
+    val aux = LakeTable(spark, root, "fnb_aux", Seq("k", "__v"))
+    val view = LakeTable(spark, root, "fnb_view", Seq("k"))
+    base.drop(); aux.drop(); view.drop()
+    // base deliberately LARGE with heavily-duplicated values (i%100 ≡ i
+    // mod 4, so group k holds the 25 values ≡ k mod 4 and the aux is
+    // ~100 rows against 300k base rows — the realistic aux-much-
+    // smaller-than-base shape) plus ONE planted singleton: group 3's
+    // max 999. Deleting it is a one-row feed whose extremum deletion
+    // forces what the min/max maintainers answer with a base rescan —
+    // answered here from the aux alone.
+    base.create(((1L to 300000L).map(i => (i, i % 4, (i % 100) * 1.0)) :+
+      ((300001L, 3L, 999.0))).toDF("id", "k", "v"))
+    val v0 = base.version
+    aux.create(IncrementalView.fullStatsSupportView(base.read, Seq("k"), "v"))
+    view.create(IncrementalView.fullStatsView(base.read, Seq("k"), "v"))
+    base.delete(col("id") === 300001L) // the planted max, fully gone
+    val baseBytes = base.describeDetail.filter(col("is_current"))
+      .select("bytes").as[Long].head()
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          { bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead); () }
+    }
+    org.apache.spark.GraftListenerBridge.drainListenerBus(
+      spark.sparkContext, 30000)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      IncrementalView.maintainFullStatsView(base, aux, view,
+        Seq("k"), "v", v0)
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("sum_value").cast("string"),
+          col("min_value").cast("string"), col("max_value").cast("string"),
+          col("sum_sq").cast("string"), col("n_distinct"))
+        .as[(Long, Long, String, String, String, String, Long)]
+        .collect().toSet
+    val got = snap(view.read)
+    assert(got == snap(IncrementalView.fullStatsView(base.read, Seq("k"), "v")))
+    // the aux really answered the deletion: group 3's max fell 999 → 99
+    assert(got.find(_._1 == 3L).get._5.startsWith("99."))
+    assert(baseBytes > 200000, s"fixture too small to discriminate: $baseBytes")
+    // the budget covers feed + (tiny) aux + view reads only
+    assert(bytes.get < baseBytes / 2,
+      s"maintenance read ${bytes.get} bytes against a $baseBytes-byte " +
+        "base — the base was scanned")
+  }
+
   test("min/max extinction + null values never join the extrema") {
     val root = "/tmp/graft_tables/ivm_mm3"
     val base = LakeTable(spark, root, "mm_base3", Seq("id"))
