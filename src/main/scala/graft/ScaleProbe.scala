@@ -430,12 +430,29 @@ object ScaleProbe {
           graft.table.IncrementalView.maintainStatsView(
             t, viewS, Seq("o_custkey"), "o_totalprice", v0)
         }
+        // aux-backed full-stats maintenance: one feed pass, aux merge,
+        // view merge, ZERO base reads — wall must track the feed and
+        // the aux slice, not the base
+        val auxF = graft.table.LakeTable(spark, root, s"ivm_auxf_$n",
+          Seq("o_custkey", "__v"))
+        val viewF = graft.table.LakeTable(spark, root, s"ivm_viewf_$n",
+          Seq("o_custkey"))
+        auxF.drop(); viewF.drop()
+        auxF.create(graft.table.IncrementalView.fullStatsSupportView(
+          base, Seq("o_custkey"), "o_totalprice"))
+        viewF.create(graft.table.IncrementalView.fullStatsView(
+          base, Seq("o_custkey"), "o_totalprice"))
+        val (_, fullSec) = timed {
+          graft.table.IncrementalView.maintainFullStatsView(
+            t, auxF, viewF, Seq("o_custkey"), "o_totalprice", v0)
+        }
         val baseRows = t.read.count()
         println(s"""{"family":"ivm","factor":$n,"rows":$baseRows,""" +
           s""""feed_rows":$feedRows,"maintain_sec":${f"$maintainSec%.2f"},""" +
           s""""distinct_maintain_sec":${f"$distinctSec%.2f"},""" +
           s""""moments_maintain_sec":${f"$momentsSec%.2f"},""" +
           s""""stats_maintain_sec":${f"$statsSec%.2f"},""" +
+          s""""full_maintain_sec":${f"$fullSec%.2f"},""" +
           s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
       }
     }

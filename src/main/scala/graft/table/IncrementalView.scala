@@ -513,28 +513,55 @@ object IncrementalView {
   /** Support relation for a [[fullStatsView]]: per-(group, DECIMAL
     * value) multiplicities — [[supportView]] over the same (18,4)
     * value space the view aggregates in, so aux-derived extrema
-    * compare bit-for-bit. Store with mergeKeys `keyCols :+ "__v"`. */
+    * compare bit-for-bit. Store with mergeKeys `keyCols :+ "__v"`.
+    *
+    * `buckets > 0` adds a `__b` hash-bucket column over the GROUP keys
+    * — create the aux LakeTable with `partitionCols = Seq("__b")` and
+    * pass the same count to [[maintainFullStatsView]]. The aux is the
+    * one IVM structure whose size tracks the base (distinct (group,
+    * value) pairs), so at scale its per-batch merge must not be a
+    * full rewrite: bucketing turns every aux read AND the pruned
+    * merge into O(touched buckets), and a batch touching k groups
+    * touches ≤ k buckets. Unbucketed (the default) is fine while the
+    * aux comfortably fits a single rewrite. */
   def fullStatsSupportView(df: DataFrame, keyCols: Seq[String],
-      valueCol: String): DataFrame = {
+      valueCol: String, buckets: Int = 0): DataFrame = {
     val vDec = col(valueCol).cast("decimal(18,4)")
-    df.filter(vDec.isNotNull)
+    val grouped = df.filter(vDec.isNotNull)
       .groupBy(keyCols.map(col) :+ vDec.as("__v"): _*)
       .agg(count(lit(1)).as("cnt"))
+    if (buckets <= 0) grouped
+    else grouped.withColumn("__b", bucketOf(keyCols, buckets))
   }
+
+  /** Deterministic group-key hash bucket (aux partitioning). */
+  private def bucketOf(keyCols: Seq[String], buckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong))
 
   /** Maintain aux AND view from one read of the change feed. Returns
     * the synced base version. Never reads the base: threatened extrema
     * re-derive from the post-merge aux slice, and because the aux is a
     * COMPLETE multiset, a threatened group with no surviving non-null
     * values correctly lands null extrema (no "rescanned?" marker
-    * needed, unlike the base-rescan maintainers). */
+    * needed, unlike the base-rescan maintainers).
+    *
+    * `auxBuckets` MUST match the count the aux was created with
+    * ([[fullStatsSupportView]]'s `buckets`; 0 = unbucketed). With a
+    * bucketed aux, every aux read carries an IN-list over the delta's
+    * (bounded, collected) bucket set — partition-pruned at the scan —
+    * and the aux merge rewrites only touched bucket partitions, so
+    * maintenance cost is O(changes + touched aux buckets) even when
+    * the aux itself tracks the base's size. */
   def maintainFullStatsView(base: LakeTable, aux: LakeTable,
       view: LakeTable, keyCols: Seq[String], valueCol: String,
-      sinceVersion: Int): Int = {
+      sinceVersion: Int, auxBuckets: Int = 0): Int = {
     val syncedTo = base.version
     val keys = keyCols.map(col)
     val vDec = col(valueCol).cast("decimal(18,4)")
     val isIns = col("_change_type").isin("insert", "update_postimage")
+    require((auxBuckets > 0) == aux.read.columns.contains("__b"),
+      s"auxBuckets=$auxBuckets disagrees with the aux table's layout " +
+        "(created with a different fullStatsSupportView buckets value?)")
     val ch = base.changesSince(sinceVersion)
       .select(keys :+ vDec.as("__v") :+ isIns.as("__ins"): _*)
       .localCheckpoint(true) // one feed read feeds both aggregations
@@ -549,14 +576,28 @@ object IncrementalView {
       .groupBy(keys :+ col("__v"): _*)
       .agg(sum(when(col("__ins"), 1L).otherwise(-1L)).as("w"))
       .filter(col("w") =!= 0L)
-    val curAux = aux.read.select(keys :+ col("__v") :+ col("cnt").as("v_cnt"): _*)
+    // bucketed aux: restrict every aux read to the delta's bucket set
+    // (collected once, ≤ auxBuckets values) so partition pruning
+    // reaches the scan
+    def auxSlice(of: DataFrame): DataFrame =
+      if (auxBuckets <= 0) aux.read
+      else {
+        val bs = of.select(bucketOf(keyCols, auxBuckets).as("__b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        aux.read.filter(col("__b").isin(bs: _*))
+      }
+    val curAux = auxSlice(net)
+      .select(keys :+ col("__v") :+ col("cnt").as("v_cnt"): _*)
     def alive(c: Column): Column = when(c > 0, 1L).otherwise(0L)
     val newCnt = coalesce(col("v_cnt"), lit(0L)) + col("w")
     val changedAux = net.join(curAux, keyCols :+ "__v", "left")
       .select(keys ++ Seq(col("__v"), col("w"), newCnt.as("cnt"),
         (alive(newCnt) - alive(coalesce(col("v_cnt"), lit(0L)))).as("__tr")): _*)
       .localCheckpoint(true) // aux merge + extrema deltas + rollup
-    aux.upsertWithDelete(changedAux.select(keys :+ col("__v") :+ col("cnt"): _*),
+    val auxMerge = changedAux.select(keys :+ col("__v") :+ col("cnt"): _*)
+    aux.upsertWithDelete(
+      if (auxBuckets <= 0) auxMerge
+      else auxMerge.withColumn("__b", bucketOf(keyCols, auxBuckets)),
       col("cnt") <= 0L)
     val ext = changedAux.groupBy(keys: _*).agg(
       min(when(col("w") > 0, col("__v"))).as("ins_min"),
@@ -588,8 +629,9 @@ object IncrementalView {
       .localCheckpoint(true) // rescan-key probe AND merge
     val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
     val hint = sizeHint(rescanKeys)
-    // the aux-answered "rescan": post-merge aux slice, never the base
-    val rescanned = aux.read
+    // the aux-answered "rescan": post-merge aux slice (bucket-pruned
+    // when the aux is bucketed), never the base
+    val rescanned = auxSlice(rescanKeys)
       .join(hint(rescanKeys), keyCols, "left_semi")
       .groupBy(keys: _*)
       .agg(min(col("__v")).as("r_min"), max(col("__v")).as("r_max"))

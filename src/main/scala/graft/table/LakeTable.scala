@@ -222,9 +222,11 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * incremental consumers. */
   def upsert(df: DataFrame, prunePartitions: Boolean = true,
       meta: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.functions.lit
     if (!exists) { create(df); return }
     enforceConstraints(df, "upsert")
-    if (prunePartitions && partitionCols.nonEmpty) upsertPruned(df, meta)
+    if (prunePartitions && partitionCols.nonEmpty)
+      upsertPruned(df, lit(false), meta)
     else {
       val merged = CoreOps.antiJoin(mergeKeys, df)(read)
         .unionByName(df, allowMissingColumns = true)
@@ -250,35 +252,46 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * rows forever because the replayed batch is skipped by its marker
     * (found by the round-9 audit of the streaming IVM maintainers).
     *
-    * Cost: identical to the unpruned [[upsert]] — one anti-join of the
-    * target against `df`'s keys plus the survivors' union; deletions
-    * ride the SAME anti-join (a deleted key is simply not re-inserted),
-    * so extinction adds no extra pass. Partitioned tables take the
-    * full-rewrite path (no partition pruning here; the IVM views this
-    * serves are unpartitioned group tables). */
+    * Cost: identical to [[upsert]] — one anti-join of the target
+    * against `df`'s keys plus the survivors' union; deletions ride the
+    * SAME anti-join (a deleted key is simply not re-inserted), so
+    * extinction adds no extra pass. Partitioned tables prune exactly
+    * like [[upsert]] (only partitions holding `df` keys — deletions
+    * included — are rewritten; the rest hard-link), which is what lets
+    * a bucket-partitioned IVM auxiliary table absorb per-batch merges
+    * at O(touched buckets) instead of a full rewrite. */
   def upsertWithDelete(df: DataFrame,
       deleteWhen: org.apache.spark.sql.Column,
-      meta: Map[String, String] = Map.empty): Unit = {
+      meta: Map[String, String] = Map.empty,
+      prunePartitions: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val del = coalesce(deleteWhen, lit(false))
     if (!exists) { create(df.filter(!del)); return }
     val survivors = df.filter(!del)
     enforceConstraints(survivors, "upsertWithDelete")
+    if (prunePartitions && partitionCols.nonEmpty) {
+      upsertPruned(df, del, meta); return
+    }
     val merged = CoreOps.antiJoin(mergeKeys, df)(read)
       .unionByName(survivors, allowMissingColumns = true)
     writeTo(merged, stagingDir)
     if (meta.nonEmpty) writeMeta(stagingDir, readMeta(currentDir) ++ meta)
-    if (changeFeed) {
-      // survivors produce the usual typed upsert events; deletions emit
-      // the matched TARGET rows (pre-delete images) as delete events —
-      // keys in `df` with no target match are no-ops, like SQL DELETE
-      val deletedKeys = df.filter(del).select(mergeKeys.map(col): _*).distinct()
-      val delEvents = read.join(deletedKeys, mergeKeys, "left_semi")
-        .withColumn("_change_type", lit("delete"))
-      stageFeed(upsertFeedEvents(survivors)
-        .unionByName(delEvents, allowMissingColumns = true))
-    }
+    if (changeFeed) stageFeedWithDeletes(df, del)
     publish()
+  }
+
+  /** Feed for a merge-with-delete batch: survivors produce the usual
+    * typed upsert events; deletions emit the matched TARGET rows
+    * (pre-delete images) as delete events — keys in `df` with no
+    * target match are no-ops, like SQL DELETE. */
+  private def stageFeedWithDeletes(df: DataFrame,
+      del: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val deletedKeys = df.filter(del).select(mergeKeys.map(col): _*).distinct()
+    val delEvents = read.join(deletedKeys, mergeKeys, "left_semi")
+      .withColumn("_change_type", lit("delete"))
+    stageFeed(upsertFeedEvents(df.filter(!del))
+      .unionByName(delEvents, allowMissingColumns = true))
   }
 
   /** Safe partition-pruned MERGE over the full partition tuple.
@@ -294,7 +307,14 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * sub-linear in table bytes, the analogue of Delta's touched-file
     * discovery join.
     */
+  /** `deleteWhen` extends this to the three-clause MERGE: `source` rows
+    * satisfying it remove their target matches instead of upserting.
+    * The touched-set rule is unchanged and remains safe — a deleted
+    * key's target partitions are exactly clause (b)'s matched-key
+    * partitions, so they rewrite (without the deleted row) while
+    * untouched partitions hard-link. */
   private def upsertPruned(source: DataFrame,
+      deleteWhen: org.apache.spark.sql.Column,
       meta: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.{coalesce, concat_ws, length, lit, url_encode, when}
     val donor = currentDir
@@ -326,10 +346,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
     val touchedTarget = target.filter(encTuple(target).isin(touched.toSeq: _*))
     val merged = CoreOps.antiJoin(mergeKeys, source)(touchedTarget)
-      .unionByName(source, allowMissingColumns = true)
+      .unionByName(source.filter(!deleteWhen), allowMissingColumns = true)
     writeTo(merged, stagingDir)
     if (meta.nonEmpty) writeMeta(stagingDir, readMeta(currentDir) ++ meta)
-    if (changeFeed) stageUpsertFeed(source)
+    if (changeFeed) stageFeedWithDeletes(source, deleteWhen)
     // Hard-link untouched leaf partition dirs from the donor version into
     // staging: metadata-only (no bytes copied), and because hard links
     // survive unlinking of the original path, the donor stays a complete

@@ -544,6 +544,59 @@ class IncrementalViewSpec extends SparkSpec {
     assert(aux.read.filter(col("cnt") <= 0L).isEmpty)
   }
 
+  test("full stats view with a BUCKETED aux: identical results, " +
+      "Hive-partitioned aux layout, pruned per-batch merge") {
+    val root = "/tmp/graft_tables/ivm_fullb"
+    val base = LakeTable(spark, root, "fb_base", Seq("id"), changeFeed = true)
+    val aux = LakeTable(spark, root, "fb_aux", Seq("k", "__v"),
+      partitionCols = Seq("__b"))
+    val view = LakeTable(spark, root, "fb_view", Seq("k"))
+    base.drop(); aux.drop(); view.drop()
+    base.create((1L to 200L).map(i => (i, i % 8, (i % 20) * 1.0))
+      .toDF("id", "k", "v"))
+    val v0 = base.version
+    aux.create(IncrementalView.fullStatsSupportView(
+      base.read, Seq("k"), "v", buckets = 4))
+    view.create(IncrementalView.fullStatsView(base.read, Seq("k"), "v"))
+    // the aux landed as a Hive-partitioned table over the bucket col
+    assert(java.nio.file.Files.list(aux.currentDir).toArray.map(_.toString)
+      .count(_.contains("__b=")) > 1, "aux must be bucket-partitioned")
+    // churn touching a FEW groups (few buckets): kill EVERY copy of
+    // value 19 in group 3 (ids ≡19 mod 20 ∧ ≡3 mod 8 — its max; group
+    // 7 keeps its own copies), insert a 4-dp-ish value, extinguish k=5
+    base.delete(col("id") % 20 === 19L && col("id") % 8 === 3L)
+    base.upsert(Seq((201L, 3L, 2.5)).toDF("id", "k", "v"))
+    base.delete(col("k") === 5L)
+    // a mismatched bucket count fails loudly instead of corrupting
+    intercept[IllegalArgumentException] {
+      IncrementalView.maintainFullStatsView(base, aux, view,
+        Seq("k"), "v", v0, auxBuckets = 0)
+    }
+    IncrementalView.maintainFullStatsView(base, aux, view,
+      Seq("k"), "v", v0, auxBuckets = 4)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("sum_value").cast("string"),
+          col("min_value").cast("string"), col("max_value").cast("string"),
+          col("sum_sq").cast("string"), col("n_distinct"))
+        .as[(Long, Long, String, String, String, String, Long)]
+        .collect().toSet
+    val got = snap(view.read)
+    assert(got == snap(IncrementalView.fullStatsView(base.read, Seq("k"), "v")))
+    val g3 = got.find(_._1 == 3L).get
+    assert(g3._5.startsWith("15."),
+      s"aux must answer k=3's runner-up max 15 after value 19 died: $g3")
+    assert(!got.exists(_._1 == 5L), "k=5 extinct")
+    // aux content equals its own recompute (bucket col included)
+    val auxGot = aux.read.select(col("k"), col("__v").cast("string"),
+        col("cnt"), col("__b"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val auxWant = IncrementalView.fullStatsSupportView(
+        base.read, Seq("k"), "v", buckets = 4)
+      .select(col("k"), col("__v").cast("string"), col("cnt"), col("__b"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(auxGot == auxWant)
+  }
+
   test("full stats maintenance NEVER reads the base (bytes-read pin " +
       "on the aux-answered extremum deletion)") {
     val root = "/tmp/graft_tables/ivm_full_nb"
