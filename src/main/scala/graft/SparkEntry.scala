@@ -1534,6 +1534,49 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // streaming JOIN-view min/max: dim churn lands first through the
+    // batch maintainer, then the fact window (upsert that doubles half
+    // the prices + a delete that removes current group maxima) streams
+    // through the CDC subscriber — per micro-batch the fact events are
+    // enriched against the dim snapshot and run the full netted
+    // min/max rule, with the threatened-group rescan going THROUGH the
+    // join in-stream. Oracle = the full join recompute replay
+    // (identical to q_ivm_join_minmax's final state).
+    "q_stream_ivm_join_minmax" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val f = graft.table.LakeTable(s, root, "sivmjm_fact", Seq("o_orderkey"),
+        changeFeed = true)
+      val d = graft.table.LakeTable(s, root, "sivmjm_dim", Seq("o_custkey"),
+        changeFeed = true)
+      val vw = graft.table.LakeTable(s, root, "sivmjm_view",
+        Seq("c_mktsegment"))
+      f.drop(); d.drop(); vw.drop()
+      f.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      d.create(customer)
+      val (f0, d0) = (f.version, d.version)
+      vw.create(graft.table.IncrementalView.joinMinMaxView(f.read, d.read,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice"))
+      d.update(col("o_custkey") % 7 === 0,
+        Map("c_mktsegment" -> lit("MOVED")))
+      d.delete(col("o_custkey") % 11 === 0)
+      graft.table.IncrementalView.maintainJoinMinMaxView(f, d, vw,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice", f0, d0)
+      f.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      f.delete(col("o_orderkey") % 5 === 0)
+      graft.streaming.Streams.maintainJoinMinMaxViewFromChangeFeed(
+        f.readChangeFeedStream, f, d.read, vw,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice")
+      vw.read.select(col("c_mktsegment"), col("n"),
+          col("sum_value").cast("double").as("sum_total"),
+          col("min_value").cast("double").as("min_total"),
+          col("max_value").cast("double").as("max_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_cdc" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
       val target = orders.filter(col("o_orderkey") % 3 =!= 0)
@@ -5511,6 +5554,36 @@ object SparkEntry {
          SELECT c_mktsegment, count(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
                   AS sum_total
+         FROM ffinal JOIN dfinal ON ffinal.o_custkey = dfinal.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // identical final state to q_ivm_join_minmax — the dim window
+    // (batch) and the fact window (streamed CDC, rescan through the
+    // join) compose to the same full-recompute replay
+    "q_stream_ivm_join_minmax" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            ffinal AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0),
+            dfinal AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                          ELSE c_mktsegment END AS c_mktsegment
+              FROM customer WHERE c_custkey % 11 <> 0)
+         SELECT c_mktsegment, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS max_total
          FROM ffinal JOIN dfinal ON ffinal.o_custkey = dfinal.c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 

@@ -756,6 +756,52 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_ivm_join" -> e))
   }
 
+  /** Continuous JOIN-view MIN/MAX maintenance, fact side: each signed
+    * fact micro-batch is enriched against the current dim snapshot
+    * (stream-static equi-join, the dF ⋈ D term) and then runs the FULL
+    * batch join-min/max rule — per-(group, value) netting, insert-side
+    * extrema, threatened-group rescan THROUGH the join (fact snapshot ⋈
+    * dim restricted to the threatened groups' slice, every side under
+    * the measured broadcast gate), atomic merge-with-extinction — via
+    * the shared [[graft.table.IncrementalView.applyJoinMinMaxRows]]
+    * core. Dim churn is the batch maintainer's job between drains (the
+    * standard split, as in [[maintainJoinSumViewFromChangeFeed]]). Same
+    * batch-id idempotence (marker rides the merge commit) and the same
+    * rescan-consistency contract as [[maintainMinMaxViewFromChangeFeed]]:
+    * AvailableNow drains read the final fact snapshot so the drained
+    * view equals the recompute; a live stream may briefly surface a
+    * rescan-ahead extremum that later batches re-threaten and heal. */
+  def maintainJoinMinMaxViewFromChangeFeed(factFeedStream: DataFrame,
+      fact: graft.table.LakeTable, dim: DataFrame,
+      view: graft.table.LakeTable, joinKeys: Seq[String],
+      groupKeys: Seq[String], valueCol: String,
+      appId: String = "jmmcdc"): Unit = {
+    val metaKey = s"ivm_last_batch_$appId"
+    val q = factFeedStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = view.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty) {
+          val factSide = batch.columns.toSet
+          val dGroup = (joinKeys ++ groupKeys.filterNot(factSide)).distinct
+          val sign = when(col("_change_type")
+            .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+          val rows = batch.withColumn("__w", sign)
+            .join(dim.select(dGroup.map(col): _*), joinKeys)
+            .select(groupKeys.map(col) :+
+              col(valueCol).cast("decimal(20,4)").as("__v") :+
+              col("__w"): _*)
+          graft.table.IncrementalView.applyJoinMinMaxRows(
+            rows, fact.read, dim, view, joinKeys, groupKeys, valueCol,
+            meta = Map(metaKey -> batchId.toString))
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_ivm_join_minmax" -> e))
+  }
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result — AvailableNow processes existing files as micro-batches then
     * stops (the reference's file-drop batch model). */

@@ -791,9 +791,26 @@ object IncrementalView {
       view: LakeTable, joinKeys: Seq[String], groupKeys: Seq[String],
       valueCol: String, factSince: Int, dimSince: Int): (Int, Int) = {
     val syncedTo = (factT.version, dimT.version)
+    applyJoinMinMaxRows(
+      joinDeltaRows(factT, dimT, joinKeys, groupKeys, valueCol,
+        factSince, dimSince),
+      factT.read, dimT.read, view, joinKeys, groupKeys, valueCol)
+    syncedTo
+  }
+
+  /** Apply ONE signed delta-row frame (groupKeys…, `__v` decimal(20,4),
+    * `__w` ±long) to a stored join min/max view against the CURRENT
+    * fact/dim snapshots — the whole [[maintainJoinMinMaxView]] rule
+    * factored out (the [[applyStatsDelta]] pattern) so the streaming
+    * CDC subscriber applies identical semantics per micro-batch, with
+    * its exactly-once `meta` marker riding the same atomic
+    * merge-with-extinction commit. */
+  private[graft] def applyJoinMinMaxRows(rows: DataFrame,
+      factNow: DataFrame, dimNow: DataFrame, view: LakeTable,
+      joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
+      meta: Map[String, String] = Map.empty): Unit = {
     val keys = groupKeys.map(col)
-    val net = joinDeltaRows(factT, dimT, joinKeys, groupKeys, valueCol,
-        factSince, dimSince)
+    val net = rows
       .groupBy(keys :+ col("__v"): _*)
       .agg(sum(col("__w")).as("w"))
       .filter(col("w") =!= 0L)
@@ -818,8 +835,6 @@ object IncrementalView {
       .withColumn("__rescan", threatened)
       .localCheckpoint(true) // rescan-key probe AND merge
     val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
-    val factNow = factT.read
-    val dimNow = dimT.read
     val (factProj, dimProj) =
       joinSides(factNow, dimNow, joinKeys, groupKeys, valueCol)
     // ONE bounded count over the checkpointed frame decides the hint for
@@ -850,7 +865,6 @@ object IncrementalView {
           .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),
         when(coalesce(col("__rescanned"), lit(false)), col("r_max"))
           .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value")): _*)
-    view.upsertWithDelete(changed, col("n") <= 0L)
-    syncedTo
+    view.upsertWithDelete(changed, col("n") <= 0L, meta = meta)
   }
 }

@@ -590,4 +590,50 @@ class StreamsSpec extends SparkSpec {
       d.read, v, Seq("ck"), Seq("seg"), "v")
     assert(snap(v.read) == want)
   }
+
+  test("streaming JOIN-view MIN/MAX: netting, rescan THROUGH the join, " +
+      "extinction across per-file micro-batching == recompute; replay no-op") {
+    import graft.table.{IncrementalView, LakeTable}
+    val root = java.nio.file.Files.createTempDirectory("sjmm").toString
+    val f = LakeTable(spark, root, "fact", Seq("id"), changeFeed = true)
+    val d = LakeTable(spark, root, "dim", Seq("ck"))
+    val v = LakeTable(spark, root, "view", Seq("seg"))
+    f.create(Seq((1L, 0L, 2.0), (2L, 1L, 3.0), (3L, 2L, 5.0))
+      .toDF("id", "ck", "v"))
+    d.create(Seq((0L, "A"), (1L, "A"), (2L, "B"), (9L, "C")).toDF("ck", "seg"))
+    v.create(IncrementalView.joinMinMaxView(f.read, d.read, Seq("ck"),
+      Seq("seg"), "v"))
+    // churn, forced into per-file micro-batches: a phantom segment-A max
+    // (insert 99 then delete it — with maxFilesPerTrigger=1 the insert
+    // batch tightens, the delete batch threatens, and the rescan goes
+    // THROUGH the join to heal); delete A's true max 3.0 (rescan reveals
+    // 2.0); extinguish segment B; an unmatched-dim insert stays invisible
+    f.upsert(Seq((9L, 1L, 99.0), (22L, 7L, 999.0)).toDF("id", "ck", "v"))
+    f.delete(col("id") === 9L)
+    f.delete(col("id") === 2L)
+    f.delete(col("ck") === 2L)
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        f.read.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/fact/changes/v*")
+    Streams.maintainJoinMinMaxViewFromChangeFeed(feed, f, d.read, v,
+      Seq("ck"), Seq("seg"), "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("seg"), col("n"), col("sum_value").cast("string"),
+          col("min_value").cast("string"), col("max_value").cast("string"))
+        .as[(String, Long, String, String, String)].collect().toSet
+    val want = snap(IncrementalView.joinMinMaxView(f.read, d.read,
+      Seq("ck"), Seq("seg"), "v"))
+    assert(snap(v.read) == want && want.nonEmpty)
+    val a = snap(v.read).find(_._1 == "A").get
+    assert(a._5.startsWith("2."),
+      s"segment A's max must rescan down to 2.0 through the join: $a")
+    assert(!snap(v.read).exists(_._1 == "B"), "segment B must be extinct")
+    // replay the whole feed: the batch-id marker makes it a no-op
+    Streams.maintainJoinMinMaxViewFromChangeFeed(f.readChangeFeedStream,
+      f, d.read, v, Seq("ck"), Seq("seg"), "v")
+    assert(snap(v.read) == want, "replay must not double-apply")
+  }
 }
