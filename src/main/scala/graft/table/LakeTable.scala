@@ -428,11 +428,19 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     // itself, not just this cleanup.
     val cur = currentVersion.getOrElse(0)
     allVersions.filter(_ > cur).foreach(o => deleteRecursively(versionDir(o)))
+    // Feed orphans obey the same beyond-pointer rule — and MUST be
+    // swept unconditionally, not only when this write stages a feed of
+    // its own: a crash between the feed move and the pointer swap
+    // leaves changes/v{N} for a never-committed N, and the next
+    // FEED-LESS write (create, upsertScd2) lands its data at that same
+    // N — changesSince would then answer from the stale feed, silently
+    // attributing the crashed operation's events to the new write,
+    // instead of falling back to the snapshot diff.
+    allFeedVersions.filter(_ > cur).foreach(o => deleteRecursively(feedDir(o)))
     val v = cur + 1
     Files.move(stagingDir, versionDir(v), StandardCopyOption.ATOMIC_MOVE)
     if (Files.exists(feedStagingDir)) {
       Files.createDirectories(tableDir.resolve("changes"))
-      deleteRecursively(feedDir(v)) // orphan from a crashed publish
       Files.move(feedStagingDir, feedDir(v), StandardCopyOption.ATOMIC_MOVE)
     }
     val tmp = tableDir.resolve(".CURRENT.tmp")
@@ -449,6 +457,17 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       .filter(_.matches("v\\d+"))
       .map(_.stripPrefix("v").toInt)
       .sorted
+
+  /** Versions with a recorded change feed (committed or orphaned). */
+  private def allFeedVersions: Seq[Int] = {
+    val changes = tableDir.resolve("changes")
+    if (!Files.isDirectory(changes)) Nil
+    else Files.list(changes).toArray.toSeq.map(_.asInstanceOf[Path])
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+"))
+      .map(_.stripPrefix("v").toInt)
+      .sorted
+  }
 
   /** Retained PRIOR snapshots — strictly BELOW the current version.
     * A dir beyond the pointer can only be the residue of a crashed
@@ -801,12 +820,21 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * maintain views) without ever polling snapshots. Schema = the
     * CURRENT table schema + `_change_type`; feeds recorded before an
     * additive schema evolution surface the new columns as nulls (the
-    * same alignment rule as batch [[changesSince]]). */
+    * same alignment rule as batch [[changesSince]]).
+    *
+    * Subscription first reclaims BEYOND-POINTER feed orphans (residue
+    * of a publish that crashed between the feed move and the pointer
+    * swap): the `changes/v*` glob cannot be pointer-bounded, so without
+    * the sweep a drain would deliver a never-committed write's events.
+    * Safe under the class's single-writer discipline (batch
+    * [[changesSince]] needs no sweep — it is pointer-bounded). */
   def readChangeFeedStream: DataFrame = {
     val changes = tableDir.resolve("changes")
     require(Files.isDirectory(changes),
       s"table $name has no recorded change feed (changeFeed off, or no " +
         "row-level writes yet)")
+    val cur = currentVersion.getOrElse(0)
+    allFeedVersions.filter(_ > cur).foreach(o => deleteRecursively(feedDir(o)))
     val schema = org.apache.spark.sql.types.StructType(
       read.schema.fields :+ org.apache.spark.sql.types.StructField(
         "_change_type", org.apache.spark.sql.types.StringType))

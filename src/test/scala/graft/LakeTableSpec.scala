@@ -700,6 +700,43 @@ class LakeTableSpec extends SparkSpec {
     assert(t.readVersion(cur).count() == 2)
   }
 
+  test("a crashed publish's FEED orphan (changes/v beyond the pointer) " +
+      "is reclaimed: never streamed, never attributed to a later " +
+      "feed-less write") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    t.upsert(df((3L, "c", "z"))) // records feed v2
+    val cur = t.version
+    // simulate a crash AFTER the feed move, BEFORE the pointer swap: a
+    // fully-written changes/v{cur+1} for a never-committed version
+    val orphanFeed = t.currentDir.getParent
+      .resolve("changes").resolve(s"v${cur + 1}")
+    def plantOrphan(): Unit =
+      df((99L, "GARBAGE", "g")).withColumn("_change_type", lit("delete"))
+        .write.parquet(orphanFeed.toString)
+    plantOrphan()
+    // (a) a streaming subscription must deliver the COMMITTED feed but
+    // not the orphan's events — the v* glob can't be pointer-bounded,
+    // so subscription itself reclaims the residue
+    val drained = graft.streaming.Streams.drainAppend(
+      t.readChangeFeedStream, s"feed_orphan_${System.nanoTime()}")
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(drained.contains((3L, "insert")), s"committed feed lost: $drained")
+    assert(!drained.exists(_._1 == 99L),
+      s"never-committed events streamed: $drained")
+    assert(Files.notExists(orphanFeed), "subscription must reclaim the orphan")
+    // (b) re-plant; the next write is FEED-LESS (create = DDL-replace)
+    // and lands its data at the orphan's version number — the stale
+    // feed must not be attributed to it: changesSince falls back to
+    // the honest snapshot diff instead of replaying the crashed op
+    plantOrphan()
+    t.create(df((5L, "e", "w")))
+    assert(t.version == cur + 1)
+    assert(Files.notExists(orphanFeed), "publish must sweep the feed orphan")
+    assert(changeSet(t, cur) == Set((1L, "delete", "a"), (2L, "delete", "b"),
+      (3L, "delete", "c"), (5L, "insert", "e")))
+  }
+
   test("feed UPDATE records only genuinely changed rows; no-op " +
       "assignments produce no events") {
     val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
