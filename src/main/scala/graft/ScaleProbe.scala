@@ -446,6 +446,32 @@ object ScaleProbe {
           graft.table.IncrementalView.maintainFullStatsView(
             t, auxF, viewF, Seq("o_custkey"), "o_totalprice", v0)
         }
+        // STREAMING drains over the SAME recorded feed: each subscribes
+        // a fresh AvailableNow file stream over changes/v* (implicit
+        // fresh checkpoint → replays the whole fixed feed), so the wall
+        // must track feed volume exactly like the batch maintainers —
+        // invariant under base inflation, plus the constant
+        // stream-machinery overhead (query start/stop)
+        val viewSS = graft.table.LakeTable(spark, root, s"ivm_viewss_$n",
+          Seq("o_custkey"))
+        viewSS.drop()
+        viewSS.create(graft.table.IncrementalView.sumView(
+          base, Seq("o_custkey"), "o_totalprice"))
+        val (_, streamSumSec) = timed {
+          graft.streaming.Streams.maintainSumViewFromChangeFeed(
+            t.readChangeFeedStream, viewSS, Seq("o_custkey"),
+            "o_totalprice", appId = s"probe_ss_$n")
+        }
+        val viewSTS = graft.table.LakeTable(spark, root, s"ivm_viewsts_$n",
+          Seq("o_custkey"))
+        viewSTS.drop()
+        viewSTS.create(graft.table.IncrementalView.statsView(
+          base, Seq("o_custkey"), "o_totalprice"))
+        val (_, streamStatsSec) = timed {
+          graft.streaming.Streams.maintainStatsViewFromChangeFeed(
+            t.readChangeFeedStream, t, viewSTS, Seq("o_custkey"),
+            "o_totalprice", appId = s"probe_sst_$n")
+        }
         val baseRows = t.read.count()
         println(s"""{"family":"ivm","factor":$n,"rows":$baseRows,""" +
           s""""feed_rows":$feedRows,"maintain_sec":${f"$maintainSec%.2f"},""" +
@@ -453,6 +479,8 @@ object ScaleProbe {
           s""""moments_maintain_sec":${f"$momentsSec%.2f"},""" +
           s""""stats_maintain_sec":${f"$statsSec%.2f"},""" +
           s""""full_maintain_sec":${f"$fullSec%.2f"},""" +
+          s""""stream_sum_maintain_sec":${f"$streamSumSec%.2f"},""" +
+          s""""stream_stats_maintain_sec":${f"$streamStatsSec%.2f"},""" +
           s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
       }
     }

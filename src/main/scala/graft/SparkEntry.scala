@@ -1577,6 +1577,78 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // two-feed streaming join-view maintenance: SAME final state as
+    // q_stream_ivm_join_minmax, but dim churn arrives THROUGH the
+    // stream too — the drain subscribes to BOTH tables' CDC feeds and
+    // consumes each from the view's recorded sync versions via the
+    // exact three-term batch identity (no batch path anywhere after
+    // view creation)
+    "q_stream_ivm_join_dim" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val f = graft.table.LakeTable(s, root, "sivmjd_fact", Seq("o_orderkey"),
+        changeFeed = true)
+      val d = graft.table.LakeTable(s, root, "sivmjd_dim", Seq("o_custkey"),
+        changeFeed = true)
+      val vw = graft.table.LakeTable(s, root, "sivmjd_view",
+        Seq("c_mktsegment"))
+      f.drop(); d.drop(); vw.drop()
+      f.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      d.create(customer)
+      val (f0, d0) = (f.version, d.version)
+      vw.create(graft.table.IncrementalView.joinMinMaxView(f.read, d.read,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice"))
+      // dim churn: segment re-homing + member deletion — NOT routed
+      // through the batch maintainer this time
+      d.update(col("o_custkey") % 7 === 0,
+        Map("c_mktsegment" -> lit("MOVED")))
+      d.delete(col("o_custkey") % 11 === 0)
+      // fact churn in the same window
+      f.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      f.delete(col("o_orderkey") % 5 === 0)
+      graft.streaming.Streams.maintainJoinMinMaxViewFromBothFeeds(
+        f, d, vw, Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice",
+        f0, d0)
+      vw.read.select(col("c_mktsegment"), col("n"),
+          col("sum_value").cast("double").as("sum_total"),
+          col("min_value").cast("double").as("min_total"),
+          col("max_value").cast("double").as("max_total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // change-feed compaction: three churn versions net into ONE
+    // synthetic feed dir (canceling chains — doubled-then-reverted,
+    // deleted-then-reinserted — vanish entirely), then the sum view is
+    // maintained ACROSS the compacted span; the oracle replays the
+    // same three merges relationally
+    "q_feed_compact" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "fc_base", Seq("o_orderkey"),
+        changeFeed = true)
+      val vw = LakeTable(s, root, "fc_view", Seq("o_custkey"))
+      t.drop(); vw.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      val v0 = t.version
+      vw.create(graft.table.IncrementalView.sumView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(col("o_orderkey") % 5 === 0)
+      // reverts every surviving %14 key to its original price and
+      // re-inserts deleted/absent %7 keys — rich canceling structure
+      t.upsert(orders.filter(col("o_orderkey") % 7 === 0))
+      t.compactChangeFeed(v0, t.version)
+      graft.table.IncrementalView.maintainSumView(t, vw, Seq("o_custkey"),
+        "o_totalprice", sinceVersion = v0)
+      vw.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("double").as("sum_total"))
+        .orderBy("o_custkey")
+    }),
+
     "q_cdc" -> ((s, dir) => {
       val orders = Tables.load(s, dir, "orders")
       val target = orders.filter(col("o_orderkey") % 3 =!= 0)
@@ -5586,6 +5658,61 @@ object SparkEntry {
                   AS max_total
          FROM ffinal JOIN dfinal ON ffinal.o_custkey = dfinal.c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // same final state as q_stream_ivm_join_minmax — the dim churn
+    // merely arrives through the two-feed streaming drain instead of
+    // the batch maintainer
+    "q_stream_ivm_join_dim" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            ffinal AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0),
+            dfinal AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                          ELSE c_mktsegment END AS c_mktsegment
+              FROM customer WHERE c_custkey % 11 <> 0)
+         SELECT c_mktsegment, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS max_total
+         FROM ffinal JOIN dfinal ON ffinal.o_custkey = dfinal.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // the view state after maintenance across the COMPACTED feed span
+    // == the plain relational replay of the three merges
+    "q_feed_compact" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            src2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                            o_totalprice * 2 AS o_totalprice, o_orderdate,
+                            o_orderpriority
+                     FROM orders WHERE o_orderkey % 2 = 0),
+            m1 AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM src2 s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM src2),
+            m2 AS (SELECT * FROM m1 WHERE o_orderkey % 5 <> 0),
+            src7 AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+            final AS (
+              SELECT * FROM m2 t
+              WHERE NOT EXISTS (SELECT 1 FROM src7 s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM src7)
+         SELECT o_custkey, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
 
     // change-stream event counts replayed relationally: inserts =
     // source keys absent from target; updates = matched keys whose row

@@ -802,6 +802,95 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_ivm_join_minmax" -> e))
   }
 
+  /** Two-feed continuous JOIN-view maintenance (sum): subscribe to
+    * BOTH tables' CDC streams — so churn on EITHER side wakes the
+    * maintainer, closing the fact-feed-only drains' gap where a
+    * continuously-churning dimension had no streaming path — and per
+    * micro-cycle consume each table's change feed from the view's
+    * RECORDED sync versions via the exact batch identity
+    * Δ(F⋈D) = dF⋈D₁ + F₁⋈dD − dF⋈dD
+    * ([[graft.table.IncrementalView.maintainJoinSumView]], reused
+    * verbatim — batch ≡ streaming semantics by construction).
+    *
+    * Why version markers, not batch rows: a per-micro-batch
+    * application of the identity against the CURRENT snapshots is only
+    * exact if each batch carries the WHOLE outstanding delta — the
+    * cross term dF_i⋈dD_j for fact events in batch i and dim events in
+    * batch j≠i cancels nowhere, so arbitrary file-level batching of a
+    * merged event stream would over-count. Consuming both feeds
+    * through `changesSince(recorded sync version)` instead makes every
+    * cycle carry exactly the outstanding delta regardless of how the
+    * source batched files; the stream is the WAKE-UP, the feed log is
+    * the data. Apply order is deterministic by construction (one
+    * atomic application per cycle, keyed by the version pair).
+    *
+    * Exactly-once: the synced (fact, dim) versions commit in the SAME
+    * atomic merge as the delta they cover ([[graft.table.LakeTable]]
+    * `_meta.json`), so a replayed cycle reads markers == current
+    * versions and no-ops — no separate batch-id bookkeeping needed.
+    * `factSince`/`dimSince` seed the markers on the first cycle (the
+    * versions the view was initialized from). */
+  def maintainJoinSumViewFromBothFeeds(factT: graft.table.LakeTable,
+      dimT: graft.table.LakeTable, view: graft.table.LakeTable,
+      joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
+      factSince: Int, dimSince: Int, appId: String = "jv2cdc"): Unit =
+    maintainJoinFromBothFeeds(factT, dimT, view, factSince, dimSince,
+      appId, "foreachbatch_ivm_join2") { (fs, ds, meta) =>
+      graft.table.IncrementalView.maintainJoinSumView(factT, dimT, view,
+        joinKeys, groupKeys, valueCol, fs, ds, meta)
+      ()
+    }
+
+  /** Two-feed continuous JOIN-view MIN/MAX maintenance: the
+    * [[maintainJoinSumViewFromBothFeeds]] drain contract over the full
+    * batch join-min/max rule (netting, insert-side extrema,
+    * threatened-group rescan THROUGH the join, atomic
+    * merge-with-extinction) — dim churn included, through the stream.
+    * Same rescan-consistency contract as
+    * [[maintainJoinMinMaxViewFromChangeFeed]]: AvailableNow drains
+    * read the final snapshots, so the drained view equals the
+    * recompute; a live stream may briefly surface a rescan-ahead
+    * extremum that later cycles re-threaten and heal. */
+  def maintainJoinMinMaxViewFromBothFeeds(factT: graft.table.LakeTable,
+      dimT: graft.table.LakeTable, view: graft.table.LakeTable,
+      joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
+      factSince: Int, dimSince: Int, appId: String = "jmm2cdc"): Unit =
+    maintainJoinFromBothFeeds(factT, dimT, view, factSince, dimSince,
+      appId, "foreachbatch_ivm_join2_minmax") { (fs, ds, meta) =>
+      graft.table.IncrementalView.maintainJoinMinMaxView(factT, dimT, view,
+        joinKeys, groupKeys, valueCol, fs, ds, meta)
+      ()
+    }
+
+  /** Shared two-feed drain: both tables' CDC streams merged into one
+    * TICK source (1-column projections — column pruning keeps the
+    * wake-up scan trivial), one maintenance application per cycle with
+    * anything-outstanding guard. Multiple ticks per drain (forced
+    * per-file batching, or both feeds landing files) mean the first
+    * tick does the work and the rest no-op on the markers. */
+  private def maintainJoinFromBothFeeds(factT: graft.table.LakeTable,
+      dimT: graft.table.LakeTable, view: graft.table.LakeTable,
+      factSince: Int, dimSince: Int, appId: String, capture: String)(
+      applyOnce: (Int, Int, Map[String, String]) => Unit): Unit = {
+    val fKey = s"ivm_fact_synced_$appId"
+    val dKey = s"ivm_dim_synced_$appId"
+    val ticks = factT.readChangeFeedStream.select(lit(1).as("__tick"))
+      .unionByName(dimT.readChangeFeedStream.select(lit(1).as("__tick")))
+    val q = ticks.writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val m = view.meta
+        val fs = m.get(fKey).map(_.toInt).getOrElse(factSince)
+        val ds = m.get(dKey).map(_.toInt).getOrElse(dimSince)
+        if (fs < factT.version || ds < dimT.version)
+          applyOnce(fs, ds, Map(fKey -> factT.version.toString,
+            dKey -> dimT.version.toString))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf => qe.foreach(e => buf += capture -> e))
+  }
+
   /** Drain a streaming DataFrame into an in-memory table and return the
     * result — AvailableNow processes existing files as micro-batches then
     * stops (the reference's file-drop batch model). */

@@ -75,6 +75,46 @@ object IncrementalView {
 
   private val zero30_4: Column = lit(0).cast("decimal(30,4)")
 
+  // ---- shared Σv² decimal discipline (all moment-carrying maintainers) ----
+  //
+  // Stored Σv² is decimal(38,8); the merge ADD must happen at (37,8)
+  // because a (38,8)+(38,8) add types as precision 39, which Spark
+  // resolves by REDUCING the result scale to 7 — rounding the 8th
+  // digit on every merge. And the delta terms must be SIGNED BY
+  // NEGATION, never by multiplying a sign column: decimal(37,8) × LONG
+  // types precision 58, truncated to scale 6, silently destroying
+  // sub-1e-6 squares (both found empirically on Spark 4.1.2; pinned by
+  // IncrementalViewSpec's 4-dp fixtures). The (38,8)→(37,8) narrowing
+  // below is the one remaining hazard: a stored value past 29 integer
+  // digits casts to NULL (non-ANSI), which a bare coalesce would
+  // silently reset to 0 — so the helper distinguishes "group absent"
+  // (NULL input → zero) from "cast overflow" (non-null input, null
+  // cast → loud failure). Headroom: 29 integer digits hold any
+  // realistic Σv² (10^10 rows × 10^11 per square ≈ 10^21).
+  private val zero37_8: Column = lit(0).cast("decimal(37,8)")
+
+  /** Narrow a Σv² term to the exact (37,8) addition space: NULL → 0
+    * (group absent from view / no values in delta); a non-null value
+    * that no longer fits 29 integer digits fails LOUDLY instead of
+    * silently resetting the maintained Σv² to 0. */
+  private def narrow37_8(c: Column): Column = {
+    // try_cast, not cast: under ANSI the plain cast throws its own
+    // (correctly loud, but formula-anonymous) error; under non-ANSI it
+    // nulls silently. try_cast nulls in BOTH modes, so the guard below
+    // is the single, mode-independent failure path.
+    val narrowed = c.try_cast("decimal(37,8)")
+    when(c.isNotNull && narrowed.isNull,
+      raise_error(concat(lit("IVM sum_sq overflow: "), c.cast("string"),
+        lit(" exceeds decimal(37,8) — recompute the view at a wider type")))
+        .cast("decimal(37,8)"))
+      .otherwise(coalesce(narrowed, zero37_8))
+  }
+
+  /** The guarded (37,8)-space add of two Σv² terms, cast back to the
+    * stored decimal(38,8) — exact by construction (see above). */
+  private def addSumSq(v: Column, d: Column): Column =
+    (narrow37_8(v) + narrow37_8(d)).cast("decimal(38,8)")
+
   /** Full (count, exact-decimal-sum) aggregate of `df` — the view's
     * initial state, and the recomputation IVM must stay equal to. */
   def sumView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
@@ -129,7 +169,7 @@ object IncrementalView {
     * carries that signal (n_distinct) and reports the corner
     * correctly; use it where the distinction matters. */
   private def mergeSumDelta(view: LakeTable, keyCols: Seq[String],
-      delta: DataFrame): Unit = {
+      delta: DataFrame, meta: Map[String, String] = Map.empty): Unit = {
     val cur = view.read.select(
       keyCols.map(col) :+ col("n").as("v_n") :+
         col("sum_value").as("v_sum"): _*)
@@ -139,7 +179,7 @@ object IncrementalView {
         (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)").as("sum_value")): _*)
       .localCheckpoint(true) // referenced twice inside the merge plan
-    view.upsertWithDelete(changed, col("n") <= 0L)
+    view.upsertWithDelete(changed, col("n") <= 0L, meta = meta)
   }
 
   /** [[maintainSumView]] for a [[minMaxView]]: count/sum by the exact
@@ -262,7 +302,18 @@ object IncrementalView {
   }
 
   /** Maintain a [[momentsView]] — the [[maintainSumView]] delta rule
-    * extended with the Σv² column. Returns the synced base version. */
+    * extended with the Σv² column. Returns the synced base version.
+    *
+    * Prefer [[maintainStatsView]] for new views: it strictly subsumes
+    * this maintainer (same one-feed-pass cost — its extra netting
+    * aggregation reads the CHECKPOINTED feed, not the log again) and
+    * adds min/max. This one stays for views that genuinely never want
+    * extrema: it is the only moment maintainer with NO rescan path at
+    * all — a hard O(changes) ceiling with zero base-read risk, where
+    * the stats maintainer's threatened-extremum rescan can touch the
+    * base under a delete storm. Kept, documented, not deprecated: the
+    * no-rescan guarantee is a real contract, not redundancy
+    * (ARCHITECTURE.md "choosing a maintainer" table). */
   def maintainMomentsView(base: LakeTable, view: LakeTable,
       keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
     val syncedTo = base.version
@@ -285,21 +336,14 @@ object IncrementalView {
     val cur = view.read.select(
       keyCols.map(col) :+ col("n").as("v_n") :+
         col("sum_value").as("v_sum") :+ col("sum_sq").as("v_sq"): _*)
-    // merge addition at (37,8): a (38,8)+(38,8) add types as precision
-    // 39, which Spark resolves by REDUCING the result scale to 7 —
-    // rounding the 8th digit on every merge (caught by the 4-dp spec
-    // fixture). Pre-narrowing both addends one precision digit keeps
-    // the sum an EXACT decimal(38,8); 29 integer digits still hold any
-    // realistic Σv² (10^10 rows × 10^11 per square ≈ 10^21).
-    val zero37_8 = lit(0).cast("decimal(37,8)")
+    // merge addition via the shared guarded (37,8) discipline — see
+    // narrow37_8/addSumSq at the top of this object
     val changed = delta.join(cur, keyCols, "left")
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col("v_n"), lit(0L)) + col("d_n")).as("n"),
         (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)").as("sum_value"),
-        (coalesce(col("v_sq").cast("decimal(37,8)"), zero37_8) +
-          coalesce(col("d_sq").cast("decimal(37,8)"), zero37_8))
-          .cast("decimal(38,8)").as("sum_sq")): _*)
+        addSumSq(col("v_sq"), col("d_sq")).as("sum_sq")): _*)
       .localCheckpoint(true)
     view.upsertWithDelete(changed, col("n") <= 0L)
     syncedTo
@@ -389,17 +433,12 @@ object IncrementalView {
     val newN = coalesce(col("v_n"), lit(0L)) + col("d_n")
     val threatened: Column = col("v_n").isNotNull && newN > 0 &&
       ((col("del_min") <= col("v_min")) || (col("del_max") >= col("v_max")))
-    // (37,8) addition discipline — see maintainMomentsView
-    val zero37_8 = lit(0).cast("decimal(37,8)")
     val joined = delta.join(cur, keyCols, "left")
       .withColumn("n", newN)
       .withColumn("sum_value",
         (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)"))
-      .withColumn("sum_sq",
-        (coalesce(col("v_sq").cast("decimal(37,8)"), zero37_8) +
-          coalesce(col("d_sq").cast("decimal(37,8)"), zero37_8))
-          .cast("decimal(38,8)"))
+      .withColumn("sum_sq", addSumSq(col("v_sq"), col("d_sq")))
       .withColumn("__rescan", threatened)
       .localCheckpoint(true) // rescan-key probe AND merge
     val rescanKeys = joined.filter(col("__rescan")).select(keys: _*)
@@ -613,16 +652,12 @@ object IncrementalView {
     val newN = coalesce(col("v_n"), lit(0L)) + col("d_n")
     val threatened: Column = col("v_n").isNotNull && newN > 0 &&
       ((col("del_min") <= col("v_min")) || (col("del_max") >= col("v_max")))
-    val zero37_8 = lit(0).cast("decimal(37,8)")
     val joined = delta.join(cur, keyCols, "left")
       .withColumn("n", newN)
       .withColumn("sum_value",
         (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)"))
-      .withColumn("sum_sq",
-        (coalesce(col("v_sq").cast("decimal(37,8)"), zero37_8) +
-          coalesce(col("d_sq").cast("decimal(37,8)"), zero37_8))
-          .cast("decimal(38,8)"))
+      .withColumn("sum_sq", addSumSq(col("v_sq"), col("d_sq")))
       .withColumn("n_distinct",
         coalesce(col("v_d"), lit(0L)) + coalesce(col("d_d"), lit(0L)))
       .withColumn("__rescan", threatened)
@@ -746,9 +781,13 @@ object IncrementalView {
   /** Maintain a [[joinSumView]] from BOTH base tables' changes since
     * their respective synced versions. Returns the (fact, dim) versions
     * the view is now synced to — record and pass them next time. */
+  /** `meta` entries commit atomically WITH the view merge (the
+    * exactly-once hook the two-feed streaming drain records its synced
+    * versions through). */
   def maintainJoinSumView(factT: LakeTable, dimT: LakeTable, view: LakeTable,
       joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
-      factSince: Int, dimSince: Int): (Int, Int) = {
+      factSince: Int, dimSince: Int,
+      meta: Map[String, String] = Map.empty): (Int, Int) = {
     val syncedTo = (factT.version, dimT.version)
     val delta = joinDeltaRows(factT, dimT, joinKeys, groupKeys, valueCol,
         factSince, dimSince)
@@ -759,7 +798,7 @@ object IncrementalView {
       // sees) never enter the merge
       .filter(col("d_n") =!= 0L ||
         coalesce(col("d_sum"), lit(0).cast("decimal(30,4)")) =!= lit(0).cast("decimal(30,4)"))
-    mergeSumDelta(view, groupKeys, delta)
+    mergeSumDelta(view, groupKeys, delta, meta)
     syncedTo
   }
 
@@ -789,12 +828,13 @@ object IncrementalView {
     * rescan: the common batch touches no base data. */
   def maintainJoinMinMaxView(factT: LakeTable, dimT: LakeTable,
       view: LakeTable, joinKeys: Seq[String], groupKeys: Seq[String],
-      valueCol: String, factSince: Int, dimSince: Int): (Int, Int) = {
+      valueCol: String, factSince: Int, dimSince: Int,
+      meta: Map[String, String] = Map.empty): (Int, Int) = {
     val syncedTo = (factT.version, dimT.version)
     applyJoinMinMaxRows(
       joinDeltaRows(factT, dimT, joinKeys, groupKeys, valueCol,
         factSince, dimSince),
-      factT.read, dimT.read, view, joinKeys, groupKeys, valueCol)
+      factT.read, dimT.read, view, joinKeys, groupKeys, valueCol, meta)
     syncedTo
   }
 

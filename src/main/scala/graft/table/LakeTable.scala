@@ -49,10 +49,27 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   private def feedDir(v: Int): Path =
     tableDir.resolve("changes").resolve(s"v$v")
 
+  /** Resolve the CURRENT pointer. "Pointer absent" (None — the table
+    * was never published) and "pointer unreadable/unparseable" are
+    * deliberately DIFFERENT outcomes: a damaged pointer fails loudly
+    * everywhere instead of masquerading as an empty table, because the
+    * silent interpretation is catastrophic — publish() would take
+    * cur = 0 and reclaim EVERY live version dir as a "beyond-pointer
+    * orphan" (and readChangeFeedStream would sweep every recorded
+    * feed), turning a recoverable one-line-file corruption into total
+    * data loss. Repair is manual by design: point CURRENT at the
+    * latest good version dir. */
   private def currentVersion: Option[Int] =
     if (!Files.exists(pointerFile)) None
-    else scala.util.Try(
-      Files.readString(pointerFile).trim.stripPrefix("v").toInt).toOption
+    else {
+      val raw = Files.readString(pointerFile).trim
+      Some(scala.util.Try(raw.stripPrefix("v").toInt).getOrElse(
+        throw new IllegalStateException(
+          s"table $name: CURRENT pointer exists but cannot be parsed " +
+            s"('$raw') — refusing to guess; repair it to point at the " +
+            "latest good version dir (treating it as absent would " +
+            "reclaim every live version as an orphan)")))
+    }
 
   /** K3 — exists probe (filesystem analogue of DeltaTable.isDeltaTable). */
   def exists: Boolean = currentVersion.exists(v => Files.isDirectory(versionDir(v)))
@@ -201,6 +218,35 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     publish()
   }
 
+  /** The implicit-create path of a meta-carrying merge on a not-yet-
+    * existing table: the `meta` map must land WITH the first version,
+    * not be silently discarded — a streaming maintainer's exactly-once
+    * batch marker dropped here would make the next drain re-apply the
+    * whole batch (double-counting the view it just created). */
+  private def createWithMeta(df: DataFrame, meta: Map[String, String]): Unit = {
+    writeTo(df, stagingDir, carryMeta = false)
+    if (meta.nonEmpty) writeMeta(stagingDir, meta)
+    publish()
+  }
+
+  /** Fail like Delta's multiple-source-rows-matched error when a merge
+    * source carries more than one row per merge key. One bounded
+    * aggregation job over the (delta-sized) source, nothing touches
+    * the target. */
+  private def requireUniqueSourceKeys(df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val dup = df.groupBy(mergeKeys.map(col): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+      .limit(1).collect()
+    if (dup.nonEmpty)
+      throw new IllegalStateException(
+        s"$op into table $name: source has multiple rows for merge key " +
+          s"(${mergeKeys.mkString(", ")}) = " +
+          dup.head.toSeq.dropRight(1).mkString("(", ", ", ")") +
+          " — a merge source must be unique on the merge keys " +
+          "(Delta's multiple-source-rows-matched error)")
+  }
+
   /** K2 — MERGE upsert. `source` must already be deduplicated on
     * `mergeKeys` (every reference job guarantees this before merging).
     *
@@ -223,7 +269,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def upsert(df: DataFrame, prunePartitions: Boolean = true,
       meta: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.functions.lit
-    if (!exists) { create(df); return }
+    if (!exists) { createWithMeta(df, meta); return }
     enforceConstraints(df, "upsert")
     if (prunePartitions && partitionCols.nonEmpty)
       upsertPruned(df, lit(false), meta)
@@ -238,10 +284,21 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   }
 
   /** MERGE with `WHEN MATCHED AND <deleteWhen> THEN DELETE` semantics
-    * (Delta's three-clause MERGE) in ONE atomic publish: rows of `df`
-    * satisfying `deleteWhen` REMOVE their matching target rows; all
-    * other rows UPDATE/INSERT exactly like [[upsert]]. A NULL
-    * `deleteWhen` row upserts (SQL condition semantics).
+    * in ONE atomic publish: rows of `df` satisfying `deleteWhen`
+    * REMOVE their matching target rows; all other rows UPDATE/INSERT
+    * exactly like [[upsert]]. A NULL `deleteWhen` row upserts (SQL
+    * condition semantics).
+    *
+    * Divergence from a literal Delta three-clause MERGE: a delete-
+    * marked row NEVER inserts — an UNMATCHED `df` row satisfying
+    * `deleteWhen` is dropped, where Delta's unconditioned
+    * `WHEN NOT MATCHED THEN INSERT ALL` would insert it (the matched-
+    * only delete condition does not shield not-matched rows there).
+    * This API is therefore `WHEN MATCHED AND deleteWhen THEN DELETE /
+    * WHEN MATCHED THEN UPDATE ALL / WHEN NOT MATCHED AND NOT
+    * deleteWhen THEN INSERT ALL` — the shape every incremental-view
+    * extinction path wants (an n<=0 group must vanish whether or not
+    * the view currently stores it, never be inserted as a zombie).
     *
     * This is the commit shape an exactly-once incremental consumer
     * needs when one batch both changes groups and extinguishes them:
@@ -266,7 +323,17 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       prunePartitions: Boolean = true): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val del = coalesce(deleteWhen, lit(false))
-    if (!exists) { create(df.filter(!del)); return }
+    // Delta parity (multiple-source-rows-matched error): a source
+    // carrying more than one row per merge key — in particular a
+    // SURVIVOR and a DELETE-marked row for the same key — would both
+    // break key uniqueness in the target and stage a self-
+    // contradictory change feed (a delete pre-image AND update
+    // pre/post events for the same target row, double-subtracting in
+    // any IVM consumer). Internal callers feed one row per key by
+    // construction (groupBy output); the public path must fail
+    // loudly, not corrupt silently.
+    requireUniqueSourceKeys(df, "upsertWithDelete")
+    if (!exists) { createWithMeta(df.filter(!del), meta); return }
     val survivors = df.filter(!del)
     enforceConstraints(survivors, "upsertWithDelete")
     if (prunePartitions && partitionCols.nonEmpty) {
@@ -618,20 +685,17 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def changesSince(v: Int): DataFrame = {
     import org.apache.spark.sql.functions.{lit, xxhash64}
     val cur = read
-    // Feed fast path: when every version in (v, current] recorded a
-    // write-time feed, answer from the log — O(changes), no snapshot
-    // reads, and independent of whether snapshot v is still retained.
-    // Old feeds align to the CURRENT schema with typed nulls (additive
-    // evolution, same rule as the snapshot path below).
-    val wanted = (v + 1) to version
-    if (wanted.nonEmpty && wanted.forall(i => Files.isDirectory(feedDir(i))))
-      return wanted.map { i =>
-        val df = spark.read.parquet(feedDir(i).toString)
-        df.select(cur.columns.toIndexedSeq.map { c =>
-          if (df.columns.contains(c)) col(c)
-          else lit(null).cast(cur.schema(c).dataType).as(c)
-        } :+ col("_change_type"): _*)
-      }.reduce(_ unionByName _)
+    // Feed fast path: when the recorded write-time feeds (plain
+    // per-version dirs and/or compacted net dirs, see
+    // [[compactChangeFeed]]) fully cover (v, current], answer from the
+    // log — O(changes), no snapshot reads, and independent of whether
+    // snapshot v is still retained. Old feeds align to the CURRENT
+    // schema with typed nulls (additive evolution, same rule as the
+    // snapshot path below).
+    if (v < version) resolveFeedReads(v, version) match {
+      case Some(reads) => return readFeedVersions(reads, cur)
+      case None        => // fall through to the snapshot diff
+    }
     // Align the old snapshot to the CURRENT schema: columns added since
     // `v` (schema-evolving upsert) project as typed nulls on the old
     // side, so an update whose ONLY change is setting a new column
@@ -661,6 +725,168 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val pre = old.join(changedKeys, mergeKeys, "left_semi")
       .withColumn("_change_type", lit("update_preimage"))
     inserts.unionByName(post).unionByName(pre).unionByName(deletes)
+  }
+
+  // ---- feed resolution, epoch-grouped replay, and compaction ----
+
+  /** Marker inside a compacted feed dir: the version its net events
+    * start AFTER (exclusive) — dir `w` with `_compacted_from = f`
+    * holds the NET composition of the original feeds (f, w]. */
+  private def compactedFrom(w: Int): Option[Int] = {
+    val f = feedDir(w).resolve("_compacted_from")
+    if (!Files.exists(f)) None
+    else {
+      val raw = Files.readString(f).trim
+      Some(scala.util.Try(raw.toInt).getOrElse(throw new IllegalStateException(
+        s"table $name: feed v$w has an unparseable _compacted_from " +
+          s"('$raw') — refusing to replay a feed whose span is unknown")))
+    }
+  }
+
+  /** The feed dirs to READ to cover exactly (sinceV, upTo], or None
+    * when the recorded feeds cannot serve this consumer (a gap, or a
+    * compacted dir whose net starts BEFORE the sync point — replaying
+    * it would attribute pre-sync events to the consumer's span).
+    * A plain dir covers itself; a compacted dir covers its whole span,
+    * and any dir lying STRICTLY INSIDE another dir's span is
+    * superseded residue (the crash window between landing the net and
+    * sweeping the originals) — excluded from reading so its events are
+    * never double-counted. */
+  private def resolveFeedReads(sinceV: Int, upTo: Int): Option[Seq[Int]] = {
+    val wanted = (sinceV + 1) to upTo
+    if (wanted.isEmpty) return Some(Nil)
+    val info = wanted.filter(i => Files.isDirectory(feedDir(i)))
+      .map(i => i -> compactedFrom(i))
+    val spans = info.collect { case (w, Some(cf)) => (cf, w) }
+    if (spans.exists(_._1 < sinceV)) return None
+    def superseded(i: Int) = spans.exists { case (cf, w) => i > cf && i < w }
+    val reads = info.filterNot { case (i, _) => superseded(i) }
+    val covered = reads.iterator.flatMap { case (w, cfOpt) =>
+      ((cfOpt.getOrElse(w - 1) + 1) to w).iterator }.toSet
+    if (wanted.forall(covered)) Some(reads.map(_._1)) else None
+  }
+
+  /** Replay the given feed dirs as one frame aligned to the CURRENT
+    * schema. Consecutive dirs sharing a schema (by field name + type;
+    * nullability widened) group into ONE multi-path scan, so the
+    * replay plan is O(schema epochs) wide, not O(versions): a consumer
+    * syncing across a 1,000-version span gets a handful of scan leaves
+    * instead of a 1,000-leaf union (driver plan size, optimizer time,
+    * and task-launch overhead all scale with leaves). The per-dir
+    * schema probe is a driver-side footer read — cheap and bounded. */
+  private def readFeedVersions(reads: Seq[Int], cur: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{StructField, StructType}
+    def key(i: Int) = spark.read.parquet(feedDir(i).toString)
+      .schema.map(f => f.name -> f.dataType)
+    val groups = reads.foldLeft(
+        Vector.empty[(Seq[(String, org.apache.spark.sql.types.DataType)], Vector[Int])]) {
+      (acc, i) =>
+        val k = key(i)
+        acc.lastOption match {
+          case Some((lk, vs)) if lk == k => acc.init :+ ((lk, vs :+ i))
+          case _                         => acc :+ ((k, Vector(i)))
+        }
+    }
+    groups.map { case (k, vs) =>
+      val schema = StructType(k.map { case (n, t) => StructField(n, t) })
+      val df = spark.read.schema(schema)
+        .parquet(vs.map(i => feedDir(i).toString): _*)
+      df.select(cur.columns.toIndexedSeq.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(cur.schema(c).dataType).as(c)
+      } :+ col("_change_type"): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Compact the recorded change feeds over (from, to]: replace the
+    * per-version event logs with ONE synthetic feed dir at v`to`
+    * holding the NET per-key composition of the span — a slow consumer
+    * syncing across it then replays O(net changes) instead of O(raw
+    * events), and the span's interior dirs are reclaimed. Canceling
+    * event chains vanish entirely (insert→delete, update→revert); a
+    * key changed several times nets to ONE pre/post pair (first
+    * pre-image, last post-image — exactly the snapshot diff over the
+    * span). Already-compacted dirs inside the span compose transitively.
+    *
+    * Consumer contract (same discipline as [[pruneChangeFeed]]): pick
+    * `from` ≤ the oldest version any consumer is still synced at. A
+    * consumer synced INSIDE the span afterwards falls back to the
+    * snapshot diff — correct if its snapshot is retained, loud
+    * (readVersion's retention check) if not; never silently wrong.
+    * Do NOT compact while a STREAMING subscriber
+    * ([[readChangeFeedStream]]) holds a live checkpoint over this
+    * table's feed: the net dir's files are new paths, so a checkpointed
+    * file source would re-deliver the span's events.
+    *
+    * Crash-safe ordering: the net dir (with its `_compacted_from`
+    * marker) lands at feedDir(`to`) via an atomic move FIRST; readers
+    * seeing the marker skip every dir inside the span, so the
+    * interior sweep afterwards is pure space reclamation — a crash
+    * between the two steps double-counts nothing. */
+  def compactChangeFeed(from: Int, to: Int): Unit = {
+    import org.apache.spark.sql.functions.{array, explode, lit, max_by, min_by, struct, when, xxhash64}
+    require(from < to, s"empty compaction span ($from, $to]")
+    require(to <= version, s"span end $to beyond current version $version")
+    val reads = resolveFeedReads(from, to).getOrElse(
+      throw new IllegalStateException(
+        s"table $name: feed coverage of ($from, $to] is incomplete — " +
+          "compaction would record a net that silently misses events"))
+    val cur = read
+    val allCols = cur.columns.toIndexedSeq
+    // events aligned to the CURRENT schema, tagged with their version
+    // for ordering (a compacted dir's events carry ITS span-end)
+    val events = reads.map { i =>
+      val df = spark.read.parquet(feedDir(i).toString)
+      df.select(allCols.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(cur.schema(c).dataType).as(c)
+      } ++ Seq(col("_change_type"), lit(i).as("__fv")): _*)
+    }.reduce(_ unionByName _)
+    // per key: earliest event (pre-types first within a version) gives
+    // the span's pre-image if the key existed before it; latest event
+    // (post-types last) gives the post-image if the key exists after.
+    // One write per version → at most one pre/post pair per (key,
+    // version), so (version, typeRank) orders totally per key.
+    val isPre = col("_change_type").isin("delete", "update_preimage")
+    val ord = col("__fv") * 2 + when(isPre, lit(0)).otherwise(lit(1))
+    val agg = events
+      .select(mergeKeys.map(col) :+
+        struct(struct(allCols.map(col): _*).as("r"),
+          col("_change_type").as("ct")).as("__e") :+ ord.as("__o"): _*)
+      .groupBy(mergeKeys.map(col): _*)
+      .agg(min_by(col("__e"), col("__o")).as("__f"),
+        max_by(col("__e"), col("__o")).as("__l"))
+      .withColumn("__pre",
+        when(col("__f.ct").isin("delete", "update_preimage"), col("__f.r")))
+      .withColumn("__post",
+        when(col("__l.ct").isin("insert", "update_postimage"), col("__l.r")))
+    // same change-detection hash as the feed writer: only genuinely
+    // changed pre/post pairs survive (a value updated then reverted
+    // nets to nothing)
+    val nonKey = allCols.filterNot(mergeKeys.contains)
+    def h(s: org.apache.spark.sql.Column) =
+      if (nonKey.isEmpty) lit(0L)
+      else xxhash64(nonKey.map(c => s.getField(c)): _*)
+    val net = agg.select(explode(
+        when(col("__pre").isNull && col("__post").isNotNull,
+          array(struct(col("__post").as("r"), lit("insert").as("ct"))))
+        .when(col("__pre").isNotNull && col("__post").isNull,
+          array(struct(col("__pre").as("r"), lit("delete").as("ct"))))
+        .when(col("__pre").isNotNull && col("__post").isNotNull &&
+            h(col("__pre")) =!= h(col("__post")),
+          array(
+            struct(col("__post").as("r"), lit("update_postimage").as("ct")),
+            struct(col("__pre").as("r"), lit("update_preimage").as("ct")))))
+        .as("__ev")) // no otherwise: a netted-away key yields NULL → no rows
+      .selectExpr("__ev.r.*", "__ev.ct AS _change_type")
+    val tmp = Paths.get(root, s".staging_feedcompact_$name")
+    deleteRecursively(tmp)
+    net.write.mode("overwrite").parquet(tmp.toString)
+    Files.writeString(tmp.resolve("_compacted_from"), from.toString)
+    deleteRecursively(feedDir(to))
+    Files.move(tmp, feedDir(to), StandardCopyOption.ATOMIC_MOVE)
+    reads.filter(_ < to).foreach(i => deleteRecursively(feedDir(i)))
   }
 
   /** SCD Type 2 MERGE: history-preserving dimension upsert. Rows carry

@@ -671,4 +671,30 @@ class IncrementalViewSpec extends SparkSpec {
     assert(g20._2 == 2L && g20._4.startsWith("1.") && g20._5.startsWith("1."),
       s"got $g20")
   }
+
+  test("a stored sum_sq past decimal(37,8) headroom fails LOUDLY, " +
+      "never silently resets to 0") {
+    val root = "/tmp/graft_tables/ivm_ovf"
+    val base = LakeTable(spark, root, "ovf_base", Seq("id"))
+    val view = LakeTable(spark, root, "ovf_view", Seq("k"))
+    base.drop(); view.drop()
+    base.create(Seq((1L, 0L, 2.0), (2L, 0L, 3.0)).toDF("id", "k", "v"))
+    val v0 = base.version
+    // fabricate a stored Σv² with 30 integer digits — one past what
+    // the (37,8) merge-addition space holds. The non-ANSI cast nulls
+    // it; without the guard the maintainer would coalesce that to 0
+    // and publish a silently-corrupted view.
+    view.create(Seq((0L, 2L)).toDF("k", "n")
+      .withColumn("sum_value", lit(5).cast("decimal(30,4)"))
+      .withColumn("sum_sq", expr(
+        "CAST('100000000000000000000000000000' AS DECIMAL(38,8))")))
+    base.upsert(Seq((3L, 0L, 4.0)).toDF("id", "k", "v")) // touches group 0
+    val e = intercept[Exception] {
+      IncrementalView.maintainMomentsView(base, view, Seq("k"), "v", v0)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("IVM sum_sq overflow")),
+      s"expected the loud overflow error, got: $e")
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, sum, when}
 
 import graft.table.LakeTable
 
@@ -746,5 +746,208 @@ class LakeTableSpec extends SparkSpec {
     t.update($"id" === 2L, Map("v" -> lit("B")))
     assert(changeSet(t, v0) == Set((2L, "update_preimage", "b"),
       (2L, "update_postimage", "B")))
+  }
+
+  test("a corrupt CURRENT pointer fails every operation LOUDLY and the " +
+      "next write never reclaims live versions as orphans") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"))
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((2L, "b", "y")))
+    val pointer = java.nio.file.Paths.get(root, "t", "CURRENT")
+    val good = Files.readString(pointer)
+    Files.writeString(pointer, "garbage!!")
+    // absent and unparseable are DIFFERENT: reads, probes, and writes
+    // must all refuse rather than treat the table as empty (a write
+    // with cur=0 would reclaim every live version dir as an orphan)
+    intercept[IllegalStateException] { t.exists }
+    intercept[IllegalStateException] { t.read }
+    intercept[IllegalStateException] { t.upsert(df((3L, "c", "z"))) }
+    val dirs = Files.list(java.nio.file.Paths.get(root, "t")).toArray
+      .map(_.toString).count(_.matches(".*v\\d+$"))
+    assert(dirs == 2, s"both version dirs must survive, saw $dirs")
+    // manual repair (the documented recovery) restores everything
+    Files.writeString(pointer, good)
+    assert(rows(t) == Set((1L, "a", "x"), (2L, "b", "y")))
+  }
+
+  test("upsertWithDelete rejects a source with duplicate merge keys " +
+      "(survivor + delete-marker for one key = Delta's multiple-match error)") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x"), (2L, "b", "y")))
+    val v0 = t.version
+    // one batch carrying BOTH a survivor and a delete-marked row for
+    // id 1 — accepted silently, this would stage a delete pre-image
+    // AND update pre/post events for the same target row
+    val batch = df((1L, "A2", "x"), (1L, "DEAD", "x"))
+    val e = intercept[IllegalStateException] {
+      t.upsertWithDelete(batch, $"v" === "DEAD")
+    }
+    assert(e.getMessage.contains("multiple rows for merge key"))
+    assert(t.version == v0, "nothing may publish")
+    // plain duplicate source rows (no delete marker) are equally fatal
+    intercept[IllegalStateException] {
+      t.upsertWithDelete(df((3L, "c", "z"), (3L, "c2", "z")), lit(false))
+    }
+  }
+
+  test("upsertWithDelete on a missing table commits the meta map WITH " +
+      "the implicit create (exactly-once marker survives)") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"))
+    t.upsertWithDelete(df((1L, "a", "x"), (2L, "DEAD", "y")),
+      $"v" === "DEAD", meta = Map("ivm_last_batch_x" -> "5"))
+    assert(rows(t) == Set((1L, "a", "x")))
+    assert(t.meta == Map("ivm_last_batch_x" -> "5"),
+      "a streaming maintainer's batch marker must not be dropped by the " +
+        "implicit-create path, or the next drain re-applies the batch")
+    // plain upsert-create path carries meta identically
+    val t2 = LakeTable(spark, freshRoot, "t2", Seq("id"))
+    t2.upsert(df((1L, "a", "x")), meta = Map("m" -> "1"))
+    assert(t2.meta == Map("m" -> "1"))
+  }
+
+  private def feedScanCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+
+  test("feed replay plan is O(schema epochs), not O(versions): many " +
+      "same-schema versions collapse into one scan per epoch") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x")))
+    val v0 = t.version
+    (1 to 8).foreach(i => t.upsert(df((i.toLong, s"v$i", "x"))))
+    // additive schema evolution starts a second epoch
+    t.upsert(Seq((100L, "n", "x", 7L)).toDF("id", "v", "p", "extra"))
+    (1 to 4).foreach(i => t.upsert(
+      Seq((i.toLong, s"w$i", "x", i.toLong)).toDF("id", "v", "p", "extra")))
+    val ch = t.changesSince(v0)
+    assert(feedScanCount(ch) == 2,
+      s"13 feed versions in 2 schema epochs must plan as 2 scans, " +
+        s"got ${feedScanCount(ch)}:\n${ch.queryExecution.executedPlan}")
+    // and the replay is still correct: signed composition == final state
+    val sign = when(col("_change_type").isin("insert", "update_postimage"),
+      1).otherwise(-1)
+    val net = ch.groupBy("id").agg(sum(sign).as("s"))
+      .filter(col("s") =!= 0).select("id").as[Long].collect().toSet
+    val inserted = t.read.select("id").as[Long].collect().toSet - 1L // id 1 pre-existed
+    assert(net == inserted, s"net-inserted keys $net != $inserted")
+  }
+
+  test("compactChangeFeed: one net dir replaces the span, canceling " +
+      "chains vanish, maintained view == uncompacted replay") {
+    import graft.table.IncrementalView
+    val root = freshRoot
+    def build(name: String): LakeTable = {
+      val t = LakeTable(spark, root, name, Seq("id"), changeFeed = true)
+      t.create(df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")))
+      t.upsert(df((2L, "B2", "x"), (4L, "d", "y"))) // update + insert
+      t.delete($"id" === 4L)                        // insert→delete chain
+      t.upsert(df((2L, "b", "x"), (5L, "e", "y")))  // revert 2 + insert 5
+      t
+    }
+    val plain = build("plain")
+    val compacted = build("compacted")
+    compacted.compactChangeFeed(1, compacted.version)
+    // net: id 2 reverted → NO event; id 4 inserted+deleted → NO event;
+    // id 5 → one insert. Exactly the snapshot diff over the span.
+    val net = compacted.changesSince(1)
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(net == Set((5L, "insert")), s"got $net")
+    assert(feedScanCount(compacted.changesSince(1)) == 1)
+    // interior feed dirs are reclaimed; the marker dir carries the span
+    val changes = java.nio.file.Paths.get(root, "compacted", "changes")
+    val dirs = Files.list(changes).toArray.map(_.toString.split('/').last).toSet
+    assert(dirs == Set(s"v${compacted.version}"), s"got $dirs")
+    // a view maintained across the compacted span == across the raw log
+    // (both initialized from the span-start state the tables were
+    // created with)
+    val initial = df((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"))
+    val vp = LakeTable(spark, root, "view_plain", Seq("p"))
+    val vc = LakeTable(spark, root, "view_comp", Seq("p"))
+    vp.create(IncrementalView.sumView(initial, Seq("p"), "id"))
+    vc.create(IncrementalView.sumView(initial, Seq("p"), "id"))
+    IncrementalView.maintainSumView(plain, vp, Seq("p"), "id", 1)
+    IncrementalView.maintainSumView(compacted, vc, Seq("p"), "id", 1)
+    def snap(v: LakeTable) = v.read.select(col("p"), col("n"),
+      col("sum_value").cast("string")).as[(String, Long, String)]
+      .collect().toSet
+    assert(snap(vc) == snap(vp) && snap(vp).nonEmpty)
+  }
+
+  test("compaction safety: a mid-span consumer falls back to the " +
+      "snapshot diff (loud when pruned), and superseded interior " +
+      "residue is never double-counted") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((2L, "b", "x")))
+    t.upsert(df((3L, "c", "x")))
+    t.upsert(df((4L, "d", "x")))
+    t.upsert(df((5L, "e", "x")))
+    t.compactChangeFeed(1, 5)
+    // consumer synced INSIDE the span at a RETAINED snapshot: the net
+    // at v5 starts before its sync point, so the feed cannot serve it —
+    // correct snapshot-diff fallback (v4 retained under keepVersions=2)
+    assert(t.changesSince(4).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet == Set((5L, "insert")))
+    // consumer synced INSIDE the span at a PRUNED snapshot: fallback is
+    // LOUD, never a silently incomplete delta
+    val e = intercept[IllegalArgumentException] { t.changesSince(2) }
+    assert(e.getMessage.contains("not retained"))
+    // consumer at the span start replays the net exactly
+    assert(t.changesSince(1).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "insert"), (3L, "insert"), (4L, "insert"), (5L, "insert")))
+    // crash-window residue: an interior dir that survived the sweep is
+    // superseded by the marker span and must be SKIPPED, not added
+    val ghost = df((999L, "ghost", "x"))
+      .withColumn("_change_type", lit("insert"))
+    ghost.write.parquet(
+      java.nio.file.Paths.get(root, "t", "changes", "v2").toString)
+    val replay = t.changesSince(1).select("id").as[Long].collect().toSet
+    assert(!replay.contains(999L),
+      s"superseded interior residue leaked into the replay: $replay")
+  }
+
+  test("compaction composes transitively (a compacted dir inside a " +
+      "later span) and refuses to split an existing span") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((2L, "b", "x")))          // v2
+    t.upsert(df((2L, "B2", "x")))         // v3: update 2
+    t.compactChangeFeed(1, 3)             // net at v3 covering (1,3]
+    t.upsert(df((3L, "c", "x")))          // v4
+    t.delete($"id" === 2L)                // v5
+    // second compaction spans the first's net dir: events compose
+    // transitively — id 2's insert@net + delete@v5 cancels entirely
+    t.compactChangeFeed(1, 5)
+    assert(t.changesSince(1).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet == Set((3L, "insert")))
+    // a span that would SPLIT the existing compacted span must refuse
+    t.upsert(df((4L, "d", "x")))          // v6
+    val e = intercept[IllegalStateException] { t.compactChangeFeed(3, 6) }
+    assert(e.getMessage.contains("incomplete"))
+  }
+
+  test("compaction across a schema-evolving span: net events align to " +
+      "the CURRENT schema and replay correctly") {
+    val root = freshRoot
+    val t = LakeTable(spark, root, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x"), (2L, "b", "x"))) // id 2 pre-exists the span
+    t.upsert(df((2L, "b2", "x")))                            // old epoch
+    t.upsert(Seq((3L, "c", "x", 7L)).toDF("id", "v", "p", "extra"))
+    t.upsert(Seq((2L, "b", "x", 9L)).toDF("id", "v", "p", "extra"))
+    t.compactChangeFeed(1, t.version)
+    val got = t.changesSince(1)
+      .select("id", "_change_type", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    // id 2: pre-image from the OLD epoch (extra = null), post from the
+    // new; id 3 a plain insert carrying its value
+    assert(got == Set(
+      (2L, "update_preimage", None), (2L, "update_postimage", Some(9L)),
+      (3L, "insert", Some(7L))), s"got $got")
+    assert(feedScanCount(t.changesSince(1)) == 1)
   }
 }

@@ -454,6 +454,32 @@ class ScaleProbeSpec extends SparkSpec {
       assert(stSnap(vst.read) == stSnap(IncrementalView.statsView(
         t.read, Seq("o_custkey"), "o_totalprice")),
         s"fused stats maintained != recomputed at ×$n")
+      // STREAMING drains over the same recorded feed (the probe's
+      // stream_sum/stream_stats rows): the foreachBatch cores must
+      // land the identical state the batch maintainers do, at every
+      // inflation factor — feed-invariance above then pins that their
+      // consumed volume does not grow with the base
+      val vss = LakeTable(spark, root, s"ss$n", Seq("o_custkey"))
+      vss.drop()
+      vss.create(IncrementalView.sumView(base, Seq("o_custkey"),
+        "o_totalprice"))
+      graft.streaming.Streams.maintainSumViewFromChangeFeed(
+        t.readChangeFeedStream, vss, Seq("o_custkey"), "o_totalprice",
+        appId = s"ci_ss$n")
+      val ssSnap = vss.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("string"))
+        .as[(Long, Long, String)].collect().toSet
+      assert(ssSnap == recomp, s"stream-sum drain != recompute at ×$n")
+      val vsts = LakeTable(spark, root, s"sts$n", Seq("o_custkey"))
+      vsts.drop()
+      vsts.create(IncrementalView.statsView(base, Seq("o_custkey"),
+        "o_totalprice"))
+      graft.streaming.Streams.maintainStatsViewFromChangeFeed(
+        t.readChangeFeedStream, t, vsts, Seq("o_custkey"), "o_totalprice",
+        appId = s"ci_sts$n")
+      assert(stSnap(vsts.read) == stSnap(IncrementalView.statsView(
+        t.read, Seq("o_custkey"), "o_totalprice")),
+        s"stream-stats drain != recompute at ×$n")
       (feedRows, snap)
     }
     val (f1, _) = run(1)

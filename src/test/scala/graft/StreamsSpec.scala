@@ -636,4 +636,76 @@ class StreamsSpec extends SparkSpec {
       f, d.read, v, Seq("ck"), Seq("seg"), "v")
     assert(snap(v.read) == want, "replay must not double-apply")
   }
+
+  test("TWO-FEED streaming JOIN-view: dim churn arrives through the " +
+      "stream, same-window fact-insert+dim-delete cancels (cross term), " +
+      "dim-only cycles wake the maintainer, replay no-op") {
+    import graft.table.{IncrementalView, LakeTable}
+    val root = java.nio.file.Files.createTempDirectory("sjv2").toString
+    val f = LakeTable(spark, root, "fact", Seq("id"), changeFeed = true)
+    val d = LakeTable(spark, root, "dim", Seq("ck"), changeFeed = true)
+    val v = LakeTable(spark, root, "view", Seq("seg"))
+    f.create(Seq((1L, 0L, 2.0), (2L, 1L, 3.0), (3L, 2L, 5.0),
+      (4L, 2L, 7.0)).toDF("id", "ck", "v"))
+    d.create(Seq((0L, "A"), (1L, "A"), (2L, "B")).toDF("ck", "seg"))
+    val (f0, d0) = (f.version, d.version)
+    v.create(IncrementalView.joinMinMaxView(f.read, d.read, Seq("ck"),
+      Seq("seg"), "v"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("seg"), col("n"), col("sum_value").cast("string"),
+          col("min_value").cast("string"), col("max_value").cast("string"))
+        .as[(String, Long, String, String, String)].collect().toSet
+    def recompute = snap(IncrementalView.joinMinMaxView(f.read, d.read,
+      Seq("ck"), Seq("seg"), "v"))
+    def drain() = Streams.maintainJoinMinMaxViewFromBothFeeds(f, d, v,
+      Seq("ck"), Seq("seg"), "v", f0, d0)
+    // window 1 — the subtle same-window interaction: fact row 5
+    // (ck=1, 99.0) inserted while ck=1 LEAVES the dim. The naive
+    // sequential application over-counts by exactly the dF⋈dD cross
+    // term (99.0 would tighten segment A's max); the version-marker
+    // drain consumes both feeds through the three-term identity and
+    // nets it to zero. Plus a re-homing: ck=0 moves A→B, so segment A
+    // goes extinct and fact 1 (2.0) re-homes into B.
+    f.upsert(Seq((5L, 1L, 99.0)).toDF("id", "ck", "v"))
+    d.delete(col("ck") === 1L)
+    d.update(col("ck") === 0L, Map("seg" -> lit("B")))
+    drain()
+    val w1 = recompute
+    assert(snap(v.read) == w1 && w1.nonEmpty)
+    assert(!snap(v.read).exists(_._1 == "A"), "A must be extinct (re-homed)")
+    assert(!snap(v.read).exists(_._5.startsWith("99")),
+      s"the phantom 99.0 (fact insert + same-window dim delete of its " +
+        s"key) must net away: ${snap(v.read)}")
+    // window 2 — DIM-ONLY churn: ck=1 resurrects under a new segment,
+    // pulling fact rows 2 (3.0) and 5 (99.0) back into view. The
+    // fact-feed-only drain would never even wake for this window.
+    d.upsert(Seq((1L, "C")).toDF("ck", "seg"))
+    drain()
+    val w2 = recompute
+    assert(snap(v.read) == w2)
+    val c = snap(v.read).find(_._1 == "C").get
+    assert(c._2 == 2L && c._5.startsWith("99."), s"got $c")
+    // window 3 — replay with nothing outstanding: marker no-op
+    drain()
+    assert(snap(v.read) == w2, "replay must not double-apply")
+    // and the SUM twin shares the drain contract end-to-end
+    val vs = LakeTable(spark, root, "view_sum", Seq("seg"))
+    vs.create(IncrementalView.joinSumView(f.read, d.read, Seq("ck"),
+      Seq("seg"), "v"))
+    val (f1, d1) = (f.version, d.version)
+    d.delete(col("ck") === 2L) // extinguish B's dim key
+    f.upsert(Seq((6L, 1L, 1.5)).toDF("id", "ck", "v"))
+    Streams.maintainJoinSumViewFromBothFeeds(f, d, vs, Seq("ck"),
+      Seq("seg"), "v", f1, d1)
+    def snapS(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("seg"), col("n"), col("sum_value").cast("string"))
+        .as[(String, Long, String)].collect().toSet
+    assert(snapS(vs.read) == snapS(IncrementalView.joinSumView(f.read,
+      d.read, Seq("ck"), Seq("seg"), "v")))
+    // ck=2's rows (5.0 + 7.0) left B via the dim stream; only the
+    // re-homed ck=0 row (2.0) remains
+    val b = snapS(vs.read).find(_._1 == "B").get
+    assert(b._2 == 1L && b._3.startsWith("2."),
+      s"B must shrink to the re-homed ck=0 row via the dim stream: $b")
+  }
 }
