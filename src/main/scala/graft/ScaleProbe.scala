@@ -89,7 +89,8 @@ object ScaleProbe {
     val families = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
-        "stats", "hamming", "ivm", "skyline", "gains", "spans", "joinivm"))
+        "stats", "hamming", "ivm", "skyline", "gains", "spans", "joinivm",
+        "feedreplay"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -614,6 +615,42 @@ object ScaleProbe {
     // are replica-stable, anchor volume stays linear in corpus chars,
     // and the candidate/verify stages only ever carry true dup
     // anchors plus ~n²/2⁶⁴ random hash collisions.
+    // ---- feedreplay family (round-11): replay cost across a long
+    // version span. `factor` = churn VERSIONS over a FIXED hot-key set
+    // (every version re-prices the same ~keys): the RAW event log
+    // grows O(versions × keys) while the post-compaction net is
+    // O(keys) — one pre/post pair per key, every intermediate re-price
+    // cancelled — so the replay volume (and wall) a slow consumer pays
+    // drops from per-version to per-net-change. The epoch-grouped
+    // reader keeps the replay PLAN at one scan in both cases; this
+    // family measures the data-volume axis compaction adds on top.
+    if (families("feedreplay")) {
+      val orders = Tables.load(spark, sfDir, "orders")
+      factors.foreach { n =>
+        val root = "/tmp/graft_tables/scaleprobe_feed"
+        val t = graft.table.LakeTable(spark, root, s"fr_$n",
+          Seq("o_orderkey"), changeFeed = true)
+        t.drop()
+        t.create(orders)
+        val v0 = t.version
+        val hot = orders.filter(col("o_orderkey") % 293 === 0)
+          .localCheckpoint(true)
+        val hotKeys = hot.count()
+        (1 to n).foreach { i =>
+          t.upsert(hot.withColumn("o_totalprice",
+            col("o_totalprice") * lit(1.0 + i * 0.01)))
+        }
+        val (rawRows, rawSec) = timed { t.changesSince(v0).count() }
+        val (_, compactSec) = timed { t.compactChangeFeed(v0, t.version) }
+        val (netRows, netSec) = timed { t.changesSince(v0).count() }
+        println(s"""{"family":"feedreplay","factor":$n,"versions":$n,""" +
+          s""""hot_keys":$hotKeys,"raw_rows":$rawRows,""" +
+          s""""raw_replay_sec":${f"$rawSec%.2f"},""" +
+          s""""compact_sec":${f"$compactSec%.2f"},""" +
+          s""""net_rows":$netRows,"net_replay_sec":${f"$netSec%.2f"}}""")
+      }
+    }
+
     if (families("spans")) factors.foreach { n =>
       val d = inflate(docs, maxId, n).localCheckpoint(true)
       val chars = d.agg(sum(length(col("text")))).head().getLong(0)

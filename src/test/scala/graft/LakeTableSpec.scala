@@ -778,17 +778,22 @@ class LakeTableSpec extends SparkSpec {
     val v0 = t.version
     // one batch carrying BOTH a survivor and a delete-marked row for
     // id 1 — accepted silently, this would stage a delete pre-image
-    // AND update pre/post events for the same target row
+    // AND update pre/post events for the same target row. The guard
+    // rides the merge pass (raise_error folded into the key column),
+    // so it surfaces as a runtime failure of the write job.
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
     val batch = df((1L, "A2", "x"), (1L, "DEAD", "x"))
-    val e = intercept[IllegalStateException] {
-      t.upsertWithDelete(batch, $"v" === "DEAD")
-    }
-    assert(e.getMessage.contains("multiple rows for merge key"))
+    val e = intercept[Exception] { t.upsertWithDelete(batch, $"v" === "DEAD") }
+    assert(messages(e).exists(_.contains("multiple rows for merge key")),
+      s"got $e")
     assert(t.version == v0, "nothing may publish")
     // plain duplicate source rows (no delete marker) are equally fatal
-    intercept[IllegalStateException] {
+    val e2 = intercept[Exception] {
       t.upsertWithDelete(df((3L, "c", "z"), (3L, "c2", "z")), lit(false))
     }
+    assert(messages(e2).exists(_.contains("multiple rows for merge key")))
   }
 
   test("upsertWithDelete on a missing table commits the meta map WITH " +

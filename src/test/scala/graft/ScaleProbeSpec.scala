@@ -488,4 +488,34 @@ class ScaleProbeSpec extends SparkSpec {
     assert(f4 == f1,
       s"feed volume must be invariant under base inflation ($f1 vs $f4)")
   }
+
+  test("feed compaction: raw event volume grows with the version span, " +
+      "the compacted net stays O(hot keys) — invariant in span length") {
+    import graft.table.LakeTable
+    val orders = Tables.load(spark, sf, "orders")
+    def run(n: Int): (Long, Long, Long) = {
+      val root = "/tmp/graft_tables/probe_spec_feed"
+      val t = LakeTable(spark, root, s"fr$n", Seq("o_orderkey"),
+        changeFeed = true)
+      t.drop(); t.create(orders)
+      val v0 = t.version
+      // every version re-prices the SAME hot keys (all present in the
+      // base), so each contributes exactly one pre/post pair per key
+      val hot = orders.filter(col("o_orderkey") % 97 === 0)
+        .localCheckpoint(true)
+      (1 to n).foreach(i => t.upsert(hot.withColumn("o_totalprice",
+        col("o_totalprice") * lit(1.0 + i * 0.01))))
+      val raw = t.changesSince(v0).count()
+      t.compactChangeFeed(v0, t.version)
+      (hot.count(), raw, t.changesSince(v0).count())
+    }
+    val (k2, raw2, net2) = run(2)
+    val (k4, raw4, net4) = run(4)
+    assert(k2 > 0 && k2 == k4)
+    assert(raw2 == 2 * 2 * k2 && raw4 == 4 * 2 * k4,
+      s"raw log must be O(versions × keys): $raw2/$raw4 for $k2 keys")
+    assert(net2 == 2 * k2 && net4 == 2 * k4,
+      s"compacted net must be ONE pre/post pair per hot key regardless " +
+        s"of span length: $net2/$net4 for $k2 keys")
+  }
 }
