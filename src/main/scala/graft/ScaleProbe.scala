@@ -540,6 +540,21 @@ object ScaleProbe {
           graft.table.IncrementalView.maintainJoinSumView(f, d, v,
             Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice", f0, d0)
         }
+        // two-feed STREAMING drain over the same churn window: a fresh
+        // view from the pre-churn bases, maintained by the tick-driven
+        // version-marker cycle (both feeds consumed through the batch
+        // identity) — its wall must track the same fixed change window,
+        // plus constant stream machinery
+        val v2 = graft.table.LakeTable(spark, root, s"jivm_view2_$n",
+          Seq("c_mktsegment"))
+        v2.drop()
+        v2.create(graft.table.IncrementalView.joinSumView(factBase, dimBase,
+          Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice"))
+        val (_, stream2Sec) = timed {
+          graft.streaming.Streams.maintainJoinSumViewFromBothFeeds(
+            f, d, v2, Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice",
+            f0, d0, appId = s"probe_jv2_$n")
+        }
         val recomp = graft.table.LakeTable(spark, root, s"jivm_recomp_$n",
           Seq("c_mktsegment"))
         recomp.drop()
@@ -552,6 +567,7 @@ object ScaleProbe {
         println(s"""{"family":"joinivm","factor":$n,"fact_rows":$baseRows,""" +
           s""""fact_feed":$factFeed,"dim_feed":$dimFeed,""" +
           s""""maintain_sec":${f"$maintainSec%.2f"},""" +
+          s""""stream_twofeed_maintain_sec":${f"$stream2Sec%.2f"},""" +
           s""""recompute_sec":${f"$recomputeSec%.2f"}}""")
       }
     }

@@ -155,7 +155,22 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   private def stageFeed(feed: DataFrame): Unit = {
     deleteRecursively(feedStagingDir)
     feed.write.mode("overwrite").parquet(feedStagingDir.toString)
+    // schema fingerprint (underscore file, invisible to parquet): lets
+    // the epoch-grouping replay reader key each dir with one tiny text
+    // read instead of a parquet footer probe — on a 1,000-version
+    // catch-up that is the difference between O(versions) footer
+    // probes (tens of ms each) and O(versions) microsecond file reads,
+    // with footers then touched only once per EPOCH
+    Files.writeString(feedStagingDir.resolve("_schema_fp"),
+      schemaFingerprint(feed.schema))
   }
+
+  /** Nullability-free schema rendering used both as the fp-file content
+    * and as the footer-probe fallback key — the two MUST render
+    * identically so a mixed span (old dirs without the file, new dirs
+    * with it) still groups into one epoch. */
+  private def schemaFingerprint(st: org.apache.spark.sql.types.StructType): String =
+    st.map(f => s"${f.name}:${f.dataType.sql}").mkString("|")
 
   /** Stage the insert/update feed for an upsert of `source` against the
     * CURRENT snapshot (call before publish; reads resolve the old
@@ -784,10 +799,17 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   private def readFeedVersions(reads: Seq[Int], cur: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types.{StructField, StructType}
-    def key(i: Int) = spark.read.parquet(feedDir(i).toString)
-      .schema.map(f => f.name -> f.dataType)
-    val groups = reads.foldLeft(
-        Vector.empty[(Seq[(String, org.apache.spark.sql.types.DataType)], Vector[Int])]) {
+    // epoch key: the write-time `_schema_fp` file when present (a
+    // microsecond text read), footer probe with the IDENTICAL
+    // rendering otherwise (pre-fp dirs) — so grouping costs O(epochs)
+    // footer reads plus O(versions) tiny file reads, never O(versions)
+    // footer probes
+    def key(i: Int): String = {
+      val fp = feedDir(i).resolve("_schema_fp")
+      if (Files.exists(fp)) Files.readString(fp).trim
+      else schemaFingerprint(spark.read.parquet(feedDir(i).toString).schema)
+    }
+    val groups = reads.foldLeft(Vector.empty[(String, Vector[Int])]) {
       (acc, i) =>
         val k = key(i)
         acc.lastOption match {
@@ -795,8 +817,12 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
           case _                         => acc :+ ((k, Vector(i)))
         }
     }
-    groups.map { case (k, vs) =>
-      val schema = StructType(k.map { case (n, t) => StructField(n, t) })
+    groups.map { case (_, vs) =>
+      // one footer probe per EPOCH for the authoritative types,
+      // nullability widened (dirs in a group agree by fingerprint)
+      val schema = StructType(
+        spark.read.parquet(feedDir(vs.head).toString).schema
+          .map(f => StructField(f.name, f.dataType)))
       val df = spark.read.schema(schema)
         .parquet(vs.map(i => feedDir(i).toString): _*)
       df.select(cur.columns.toIndexedSeq.map { c =>
@@ -890,6 +916,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val tmp = Paths.get(root, s".staging_feedcompact_$name")
     deleteRecursively(tmp)
     net.write.mode("overwrite").parquet(tmp.toString)
+    Files.writeString(tmp.resolve("_schema_fp"), schemaFingerprint(net.schema))
     Files.writeString(tmp.resolve("_compacted_from"), from.toString)
     deleteRecursively(feedDir(to))
     Files.move(tmp, feedDir(to), StandardCopyOption.ATOMIC_MOVE)

@@ -830,6 +830,16 @@ class LakeTableSpec extends SparkSpec {
     assert(feedScanCount(ch) == 2,
       s"13 feed versions in 2 schema epochs must plan as 2 scans, " +
         s"got ${feedScanCount(ch)}:\n${ch.queryExecution.executedPlan}")
+    // every feed dir carries the write-time schema fingerprint (the
+    // O(epochs)-footer-probe key); a dir that LOST it (pre-fp history)
+    // must key identically via the footer-probe fallback — same
+    // rendering, so the epoch grouping is unchanged
+    val fp2 = java.nio.file.Paths.get(t.currentDir.getParent.toString,
+      "changes", "v2", "_schema_fp")
+    assert(Files.exists(fp2), "feed dirs must carry _schema_fp")
+    Files.delete(fp2)
+    assert(feedScanCount(t.changesSince(v0)) == 2,
+      "fp-less dir must group identically via the footer fallback")
     // and the replay is still correct: signed composition == final state
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       1).otherwise(-1)

@@ -358,6 +358,16 @@ class ScaleProbeSpec extends SparkSpec {
       assert(got == snap(IncrementalView.joinSumView(f.read, d.read,
         Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice")),
         s"maintained != recomputed at x$n")
+      // the two-feed STREAMING drain (the probe's stream_twofeed row)
+      // must land the identical state from the same churn window
+      val v2 = LakeTable(spark, root, "v2", Seq("c_mktsegment"))
+      v2.create(IncrementalView.joinSumView(factBase, dimBase,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice"))
+      graft.streaming.Streams.maintainJoinSumViewFromBothFeeds(
+        f, d, v2, Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice",
+        f0, d0, appId = s"pin_jv2_$n")
+      assert(snap(v2.read) == got,
+        s"two-feed streaming drain != batch maintenance at x$n")
       (feeds._1, feeds._2, got)
     }
     val (ff1, df1, s1) = run(1)
