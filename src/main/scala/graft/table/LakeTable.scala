@@ -1057,6 +1057,28 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     rows.toDF("version", "n_files", "bytes", "is_current")
   }
 
+  /** DESCRIBE CHANGE FEED analogue: one row per recorded feed dir —
+    * the version it belongs to, the exclusive span start it covers
+    * (`covers_from` = version − 1 for a plain per-version dir; the
+    * recorded `_compacted_from` for a compacted net dir), file count
+    * and bytes. Pure filesystem metadata, no data files read — the
+    * surface retention/compaction decisions are made from: pick
+    * `compactChangeFeed` spans where many small per-version dirs
+    * cover a range every consumer has passed, and `pruneChangeFeed`
+    * cutoffs from the oldest `covers_from` still needed. */
+  def describeChangeFeed: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = allFeedVersions.map { v =>
+      val files = scala.util.Using.resource(Files.walk(feedDir(v)))(
+        _.iterator.asScala.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet")).toVector)
+      (v, compactedFrom(v).getOrElse(v - 1), files.size.toLong,
+        files.map(Files.size).sum, compactedFrom(v).isDefined)
+    }
+    import spark.implicits._
+    rows.toDF("version", "covers_from", "n_files", "bytes", "is_compacted")
+  }
+
   /** DROP TABLE analogue: remove the table (all versions + pointer +
     * change feed). */
   def drop(): Unit = {

@@ -925,6 +925,24 @@ class LakeTableSpec extends SparkSpec {
       s"superseded interior residue leaked into the replay: $replay")
   }
 
+  test("describeChangeFeed reports per-dir coverage, compaction spans, " +
+      "and real sizes") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"), changeFeed = true)
+    t.create(df((1L, "a", "x")))
+    t.upsert(df((2L, "b", "x")))          // v2
+    t.upsert(df((3L, "c", "x")))          // v3
+    t.upsert(df((4L, "d", "x")))          // v4
+    def snap = t.describeChangeFeed
+      .select("version", "covers_from", "is_compacted")
+      .as[(Int, Int, Boolean)].collect().toSet
+    assert(snap == Set((2, 1, false), (3, 2, false), (4, 3, false)))
+    t.compactChangeFeed(1, 3)
+    assert(snap == Set((3, 1, true), (4, 3, false)),
+      "the net dir must report its recorded span; interiors are gone")
+    assert(t.describeChangeFeed.filter($"bytes" <= 0L || $"n_files" <= 0L)
+      .isEmpty, "every reported dir has real files and sizes")
+  }
+
   test("compaction composes transitively (a compacted dir inside a " +
       "later span) and refuses to split an existing span") {
     val root = freshRoot
