@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{BottomK, CharClassCounts, CountMin, DotProduct,
   FreqItems, JaroWinkler, LangId, MemberCount, MinHashSig, PhraseMatch,
   Registry, SimHash64, WinnowHashes, WordNgrams, WordShingles, WordTokens}
-import graft.plans.RewriteIntersectSize
+import graft.plans.{MvRewrite, RewriteIntersectSize}
 
 /** Deployment packaging: `--conf spark.sql.extensions=graft.GraftExtensions`
   * gives any session the graft native functions and optimizer rules
@@ -16,6 +16,7 @@ import graft.plans.RewriteIntersectSize
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIntersectSize)
+    e.injectOptimizerRule(_ => MvRewrite)
     e.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       exprs => DotProduct(exprs(0), exprs(1))))

@@ -28,6 +28,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_items_pipeline")(spark, "/root/testdata/sf0.001")
 
+  /** Guard for the MV-rewrite queries: fail loudly unless the optimized
+    * plan scans ONLY the view's path — so the correctness row proves the
+    * rewrite actually fired (a silent fallback to the base would still
+    * match the oracle and hide a dead rule). */
+  private def assertViewOnlyScan(df: DataFrame, view: LakeTable,
+      tag: String): DataFrame = {
+    val paths = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(paths.nonEmpty && paths.forall(_.contains(view.tablePath)),
+      s"$tag: expected the MV rewrite to serve this query from the view " +
+        s"at ${view.tablePath}; scanned $paths")
+    df
+  }
+
   /** Scoped SQL-conf override: set, build (DataFrame construction analyzes
     * eagerly, so analyzer-time confs are consumed inside the scope),
     * restore the prior value — no leak into later queries on the session. */
@@ -699,6 +719,33 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // Persistent CDC-maintained LSH dedup index (table/DedupIndex): the
+    // nightly-ingest shape at 100 TB. Unlike q_minhash_incremental, the
+    // corpus is NEVER re-shingled — band rows live in a lakehouse table
+    // maintained from the documents table's change feed, so each wave
+    // costs O(changed docs + touched-bucket candidates). Three ingest
+    // waves + a delete wave; the final maintained pairs table must equal
+    // the all-pairs Jaccard oracle over the FINAL corpus state (delete
+    // included), which is also the batch-recompute equivalence
+    // DedupIndexSpec pins through updates.
+    "q_dedup_index" -> ((s, dir) => {
+      val all = docs(s, dir).select("doc_id", "text")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "didx_docs", Seq("doc_id"),
+        changeFeed = true)
+      t.drop()
+      val di = graft.table.DedupIndex(s, root, "didx")
+      t.create(all.filter(col("doc_id") % 3 === 1))
+      di.build(t.read, "doc_id", "text")
+      var synced = t.version
+      t.upsert(all.filter(col("doc_id") % 3 === 2))
+      synced = di.maintain(t, "doc_id", "text", synced)
+      t.upsert(all.filter(col("doc_id") % 3 === 0))
+      t.delete(col("doc_id") % 7 === 3)
+      synced = di.maintain(t, "doc_id", "text", synced)
+      di.pairs.read.orderBy("a_id", "b_id")
+    }),
+
     // SimHash near-dup pairs: shingle-feature fingerprint, chunk-bucketed
     // candidates, exact-Jaccard verified (hash-seeded candidates → rows-
     // only oracle; containment + recall pinned by RecallSpec)
@@ -1148,6 +1195,88 @@ object SparkEntry {
           col("min_value").cast("double").as("min_total"),
           col("max_value").cast("double").as("max_total"))
         .orderBy("o_custkey")
+    }),
+
+    // Transparent materialized-view rewrite (plans.MvRewrite — the
+    // Calcite/Snowflake MV-substitution pattern as a Catalyst rule):
+    // the SAME churn replay as q_ivm_minmax, but the final aggregation
+    // is issued against the BASE table and silently served by the
+    // maintained view. The lambda asserts by plan inspection that the
+    // optimized plan scans ONLY the view path — this correctness row
+    // proves the rewrite fired AND that the view it served is exact.
+    // At 100 TB this turns a full-corpus shuffle-aggregate into an
+    // O(groups) read; freshness is checked per query against the
+    // mv.base_version marker the maintainer commits atomically.
+    "q_mv_rewrite" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      graft.plans.GraftOptimizations.install(s)
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_mv", Seq("o_orderkey"),
+        changeFeed = true)
+      val v = LakeTable(s, root, "orders_mv_view", Seq("o_custkey"))
+      t.drop(); v.drop()
+      t.create(target)
+      val v0 = t.version
+      v.create(graft.table.IncrementalView.minMaxView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(source)
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainMinMaxView(t, v, Seq("o_custkey"),
+        "o_totalprice", sinceVersion = v0,
+        meta = graft.plans.MvRewrite.syncMeta(t.version))
+      graft.plans.MvRewrite.register(t, v, Seq("o_custkey"), "o_totalprice",
+        graft.plans.MvRewrite.MinMaxKind)
+      val vDec = col("o_totalprice").cast("decimal(20,4)")
+      val q = t.read.groupBy("o_custkey").agg(
+          count(lit(1)).as("n"),
+          sum(vDec).cast("double").as("sum_total"),
+          min(vDec).cast("double").as("min_total"),
+          max(vDec).cast("double").as("max_total"))
+        .orderBy("o_custkey")
+      assertViewOnlyScan(q, v, "q_mv_rewrite")
+    }),
+
+    // MV roll-up rewrite: the view is keyed FINER than the query
+    // (customer x priority vs priority), so the rule re-aggregates the
+    // O(groups) view instead of the base — grouping-subset containment,
+    // with a key-column filter commuted through the rewrite. Same
+    // plan-inspection guarantee as q_mv_rewrite.
+    "q_mv_rollup" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      graft.plans.GraftOptimizations.install(s)
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val source = orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_mvr", Seq("o_orderkey"),
+        changeFeed = true)
+      val v = LakeTable(s, root, "orders_mvr_view",
+        Seq("o_custkey", "o_orderpriority"))
+      t.drop(); v.drop()
+      t.create(target)
+      val v0 = t.version
+      v.create(graft.table.IncrementalView.minMaxView(
+        t.read, Seq("o_custkey", "o_orderpriority"), "o_totalprice"))
+      t.upsert(source)
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainMinMaxView(t, v,
+        Seq("o_custkey", "o_orderpriority"), "o_totalprice",
+        sinceVersion = v0, meta = graft.plans.MvRewrite.syncMeta(t.version))
+      graft.plans.MvRewrite.register(t, v,
+        Seq("o_custkey", "o_orderpriority"), "o_totalprice",
+        graft.plans.MvRewrite.MinMaxKind)
+      val vDec = col("o_totalprice").cast("decimal(20,4)")
+      val q = t.read.filter(col("o_custkey") % 10 < 5)
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"),
+          sum(vDec).cast("double").as("sum_total"),
+          min(vDec).cast("double").as("min_total"),
+          max(vDec).cast("double").as("max_total"))
+        .orderBy("o_orderpriority")
+      assertViewOnlyScan(q, v, "q_mv_rollup")
     }),
 
     // COUNT DISTINCT incremental view maintenance (two-level /
@@ -5429,6 +5558,55 @@ object SparkEntry {
                   AS max_total
          FROM final GROUP BY o_custkey ORDER BY o_custkey""",
 
+    // the MV rewrite serves the query from the maintained view, so the
+    // oracle is the honest base aggregation after the replay — identical
+    // value space (decimal(20,4)) to q_ivm_minmax
+    "q_mv_rewrite" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS max_total
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // roll-up form: the query groups COARSER than the view and filters
+    // on a view key; the rewrite re-aggregates view rows — the oracle
+    // re-aggregates the base, same decimal value space
+    "q_mv_rollup" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_orderpriority, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS max_total
+         FROM final WHERE o_custkey % 10 < 5
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     // count(DISTINCT) full recompute — the two-level maintained view
     // must equal it exactly; null priorities (none in this data, but
     // the operator's pinned semantics) are skipped on both sides
@@ -6196,6 +6374,30 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
            AND len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY a_id, b_id""",
+
+    // the maintained pairs table after 3 ingest waves + a delete wave ==
+    // all-pairs Jaccard over the FINAL corpus state (docs %7=3 deleted)
+    "q_dedup_index" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents WHERE doc_id % 7 <> 3),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                  AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
 

@@ -99,8 +99,11 @@ object RewriteIntersectSize extends Rule[LogicalPlan] {
 
 object GraftOptimizations {
   /** Idempotently install the graft optimizer rules on a session. */
-  def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(RewriteIntersectSize))
+  def install(spark: SparkSession): Unit = {
+    val rules: Seq[Rule[LogicalPlan]] = Seq(RewriteIntersectSize, MvRewrite)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ RewriteIntersectSize
+        spark.experimental.extraOptimizations ++ missing
+  }
 }

@@ -1,0 +1,267 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference, Cast, Coalesce, Expression, ExprId, Literal,
+  NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  AggregateFunction, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.table.LakeTable
+
+/** Transparent materialized-view rewrite (the Calcite/Snowflake/Databricks
+  * MV-substitution pattern, expressed as a Catalyst optimizer rule).
+  *
+  * A maintained [[graft.table.IncrementalView]] sum/min-max/stats view is
+  * an O(groups) table kept exact through the base table's change feed.
+  * This rule makes it TRANSPARENT: a query that aggregates the 100 TB
+  * base — `base.read.groupBy(keys).agg(sum(cast(v as decimal(20,4))), …)`
+  * — is rewritten to read the view instead, so the scan is O(groups)
+  * rather than O(base), with no query change. That's the whole point of
+  * paying the IVM maintenance cost: at cluster scale the rewrite turns a
+  * full-corpus shuffle-aggregate into a metadata-sized read.
+  *
+  * Three forms are rewritten (each only when EVERY aggregate in the
+  * query maps onto view columns and the scanned base snapshot version
+  * equals the view's recorded `mv.base_version` — freshness is checked
+  * per query, never assumed):
+  *
+  *  1. exact grouping match (query keys == view keys): the Aggregate
+  *     collapses to a PROJECT over the view — no shuffle at all;
+  *  2. roll-up (query keys ⊂ view keys): re-aggregate the view —
+  *     `count(*) → sum(n)`, `sum(v') → sum(sum_value)`,
+  *     `min/max(v') → min/max(min/max_value)` — a shuffle of O(groups)
+  *     rows instead of O(base);
+  *  3. global roll-up (no grouping): same, with `count(*)` mapped to
+  *     `coalesce(sum(n), 0)` so an empty base still yields the
+  *     SQL-correct single zero row.
+  *
+  * Filters between the Aggregate and the scan are rewritten when they
+  * reference only grouping keys (group-predicate commutation:
+  * `Agg(g, F(p(g), base)) = F(p(g), Agg(g, base))`); any other filter,
+  * a distinct/filtered aggregate, or an unsupported aggregate shape
+  * leaves the plan untouched — the rule only ever substitutes when the
+  * result is bit-identical to the base aggregation in the view's exact
+  * DECIMAL(20,4) value space (the same discipline the IVM maintainers
+  * guarantee; aggregates over other expressions never match).
+  *
+  * Matching is value-space-strict on purpose: only `count(*)`/`count(1)`
+  * and sum/min/max over `cast(valueCol as decimal(20,4))` rewrite —
+  * a float `sum(v)` is NOT the same number as the view's decimal sum,
+  * so it is left alone rather than approximated.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** View kinds by the aggregate columns they materialize. */
+  sealed trait Kind { def cols: Set[String] }
+  case object SumKind extends Kind { val cols = Set("n", "sum_value") }
+  case object MinMaxKind extends Kind {
+    val cols = Set("n", "sum_value", "min_value", "max_value")
+  }
+
+  final case class Entry(base: LakeTable, view: LakeTable,
+      keyCols: Seq[String], valueCol: String, kind: Kind)
+
+  /** Registry keyed by the base table's directory (all versions of a
+    * base share one entry; freshness is per scanned version). */
+  private val catalog = new ConcurrentHashMap[String, Entry]()
+
+  /** Register a maintained view for rewrite. The maintainer must record
+    * the synced base version in the view's meta under `mv.base_version`
+    * (pass `meta = MvRewrite.syncMeta(base.version)` to the maintain
+    * call — the marker rides the SAME atomic commit as the merge, so a
+    * crash can never leave a fresh-looking stale view). */
+  def register(base: LakeTable, view: LakeTable, keyCols: Seq[String],
+      valueCol: String, kind: Kind = SumKind): Unit =
+    catalog.put(normalize(base.tablePath),
+      Entry(base, view, keyCols, valueCol, kind))
+
+  def unregister(base: LakeTable): Unit =
+    catalog.remove(normalize(base.tablePath))
+  def clear(): Unit = catalog.clear()
+
+  val SyncKey = "mv.base_version"
+
+  /** The meta marker a maintainer commits atomically with its merge. */
+  def syncMeta(baseVersion: Int): Map[String, String] =
+    Map(SyncKey -> baseVersion.toString)
+
+  /** Strip the filesystem scheme a qualified Hadoop path carries
+    * (`file:/tmp/x` → `/tmp/x`) so scan paths and registration paths
+    * compare equal regardless of qualification. */
+  private def normalize(path: String): String =
+    if (path.startsWith("file:")) path.stripPrefix("file:") else path
+
+  /** (tableDir, version) of a LakeTable version-directory scan path. */
+  private def tableVersionOf(path: String): Option[(String, Int)] = {
+    val p = normalize(path)
+    val i = p.lastIndexOf('/')
+    if (i <= 0) None
+    else {
+      val leaf = p.substring(i + 1)
+      if (leaf.length > 1 && leaf.charAt(0) == 'v' &&
+          leaf.drop(1).forall(_.isDigit))
+        Some((p.substring(0, i), leaf.drop(1).toInt))
+      else None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (catalog.isEmpty) return plan
+    plan.transformUp {
+      case agg @ Aggregate(_, _, _, _) =>
+        rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  /** Unwrap attribute-only Projects and collect Filter conditions down
+    * to a single parquet LogicalRelation. */
+  private def unwrap(plan: LogicalPlan,
+      conds: Seq[Expression]): Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrap(child, conds)
+      case Filter(cond, child) => unwrap(child, conds :+ cond)
+      case lr: LogicalRelation => Some((lr, conds))
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (lr, conds) = unwrap(agg.child, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val rootPath = lr.relation match {
+      case hfs: HadoopFsRelation if hfs.location.rootPaths.length == 1 =>
+        hfs.location.rootPaths.head.toString
+      case _ => return None
+    }
+    val (tableDir, scannedVersion) = tableVersionOf(rootPath) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val entry = Option(catalog.get(tableDir)).getOrElse(return None)
+
+    // Freshness: the view must be synced to EXACTLY the snapshot this
+    // scan reads (not merely the base's current version — a stale
+    // DataFrame over an old retained snapshot must not read a newer
+    // view, and vice versa). `meta` is a one-file driver-side read.
+    // Any view-side fault (corrupt pointer, missing dir) means "don't
+    // rewrite", never "fail an unrelated query inside the optimizer".
+    val fresh = scala.util.Try(entry.view.exists &&
+      entry.view.meta.get(SyncKey).contains(scannedVersion.toString))
+      .getOrElse(false)
+    if (!fresh) return None
+
+    // Grouping must be plain key attributes; filters only over keys.
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val keySet = entry.keyCols.toSet
+    if (!groupAttrs.forall(a => keySet.contains(a.name))) return None
+    val groupNames = groupAttrs.map(_.name).toSet
+    val exact = groupNames == keySet
+    if (!conds.forall(_.references.forall(r => keySet.contains(r.name))))
+      return None
+    // Filters may reference key columns the query does not group by
+    // only in the exact form (roll-up would lose them after re-agg —
+    // keep them: they apply BELOW the re-aggregation on view rows).
+    // Both forms place the rewritten filter directly above the view
+    // scan, so key-only predicates are always safe.
+
+    // Analyzed scan of the view parquet (analyzer only — safe inside an
+    // optimizer rule; the subplan is trivial and already optimal).
+    val viewPlan = entry.view.read.queryExecution.analyzed
+    val viewAttr: Map[String, Attribute] =
+      viewPlan.output.map(a => a.name -> a).toMap
+    if (!(entry.kind.cols ++ entry.keyCols).forall(viewAttr.contains))
+      return None
+
+    val valueName = entry.valueCol
+    def isValueDec(e: Expression): Boolean = e match {
+      case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
+        a.name == valueName && dt.precision == 20 && dt.scale == 4
+      case _ => false
+    }
+
+    // Map one aggregate call onto the view. Exact form: a view column.
+    // Roll-up form: a re-aggregation over the view column.
+    def mapAgg(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete)
+        return None
+      def reAgg(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+      ae.aggregateFunction match {
+        case Count(Seq(Literal(v, _))) if v != null =>
+          val n = viewAttr("n")
+          if (n.dataType != LongType) None
+          else if (exact) Some(n)
+          else Some(Coalesce(Seq(reAgg(Sum(n)), Literal(0L))))
+        case s: Sum if isValueDec(s.child) =>
+          val sv = viewAttr("sum_value")
+          if (sv.dataType != ae.dataType) None
+          else if (exact) Some(sv)
+          // sum(decimal(30,4)) widens to (38,4); cast back to the
+          // original result type. Overflow → null matches Sum's own
+          // non-ANSI overflow behavior at the original precision.
+          else Some(Cast(reAgg(Sum(sv)), ae.dataType))
+        case m: Min if isValueDec(m.child) && entry.kind == MinMaxKind =>
+          val mv = viewAttr("min_value")
+          if (mv.dataType != ae.dataType) None
+          else if (exact) Some(mv) else Some(reAgg(Min(mv)))
+        case m: Max if isValueDec(m.child) && entry.kind == MinMaxKind =>
+          val mv = viewAttr("max_value")
+          if (mv.dataType != ae.dataType) None
+          else if (exact) Some(mv) else Some(reAgg(Max(mv)))
+        case _ => None
+      }
+    }
+
+    val baseKeyToView: Map[ExprId, Attribute] =
+      lr.output.filter(a => keySet.contains(a.name))
+        .map(a => a.exprId -> viewAttr(a.name)).toMap
+    val baseOutIds = lr.output.map(_.exprId).toSet
+
+    // Rewrite every output expression; bail out (None) if any aggregate
+    // or any residual base-attribute reference fails to map.
+    var ok = true
+    def rewriteExpr(e: Expression): Expression = e.transformUp {
+      case ae: AggregateExpression =>
+        mapAgg(ae) match {
+          case Some(r) => r
+          case None => ok = false; ae
+        }
+      case a: AttributeReference if baseKeyToView.contains(a.exprId) =>
+        baseKeyToView(a.exprId)
+    }
+    val outExprs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        val r = rewriteExpr(a)
+        Alias(r, a.name)(exprId = a.exprId)
+      case al @ Alias(child, name) =>
+        Alias(rewriteExpr(child), name)(exprId = al.exprId)
+      case _ => ok = false; return None
+    }
+    if (!ok) return None
+    if (outExprs.exists(_.references.exists(r => baseOutIds.contains(r.exprId))))
+      return None
+
+    val filtered =
+      if (conds.isEmpty) viewPlan
+      else Filter(conds.map(rewriteExpr).reduce(
+        org.apache.spark.sql.catalyst.expressions.And), viewPlan)
+    if (!ok) return None
+
+    if (exact) Some(Project(outExprs, filtered))
+    else Some(Aggregate(groupAttrs.map(a => baseKeyToView(a.exprId)),
+      outExprs, filtered))
+  }
+}

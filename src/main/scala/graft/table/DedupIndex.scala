@@ -1,0 +1,188 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.shingles
+import graft.operators.Dedup
+
+/** Persistent MinHash-LSH near-duplicate index over a document LakeTable,
+  * maintained INCREMENTALLY from the table's change feed.
+  *
+  * The batch pipeline ([[graft.operators.Dedup.minhashLshPairs]]) and even
+  * its index-free incremental form ([[graft.operators.Dedup.minhashLshPairsIncremental]])
+  * re-shingle and re-band the WHOLE corpus on every run — at 100 TB that
+  * is the dominant cost of a nightly ingest, paid again each night for
+  * text that has not changed. This class makes the LSH state itself a
+  * lakehouse table pair, so a change batch costs O(changed docs +
+  * touched-bucket candidates), independent of corpus size:
+  *
+  *  - `index`  (merge key (id, band)): one row per document per band —
+  *    (id, band, bucket) where bucket is the banded MinHash value. A
+  *    document's band COUNT is fixed by construction (k/bands rows), so
+  *    an update rewrites its rows in place and only a delete removes
+  *    rows; both ride one atomic MERGE-with-DELETE.
+  *  - `pairs`  (merge key (a_id, b_id)): the verified near-duplicate
+  *    pairs (exact shingle-Jaccard >= threshold, a_id < b_id) — kept
+  *    equal to the batch recompute over the CURRENT corpus state.
+  *
+  * Maintenance rule per change batch (see [[applyChanges]]): dead docs'
+  * index rows are deleted and alive touched docs' rows re-asserted; every
+  * stored pair touching a changed doc is re-derived from scratch (probe
+  * the new band rows against the standing index, verify candidates with
+  * exact Jaccard against the current snapshot) and the stale remainder is
+  * deleted — pairs between two UNTOUCHED docs are never re-examined,
+  * which is what bounds the cost by the change batch, not the corpus.
+  *
+  * Equivalence contract: after any sequence of maintain calls, `pairs`
+  * equals `Dedup.minhashLshPairs(current corpus)` with the same
+  * parameters, PROVIDED no (band, bucket) ever exceeds `maxBucketSize`
+  * (the batch form drops whole oversized buckets wherever they stand at
+  * that run; an incremental history has no single "that run", so this
+  * class instead skips candidate GENERATION through an oversized bucket
+  * and leaves previously verified pairs in place — same safety valve,
+  * documented divergence only past the cap). DedupIndexSpec pins the
+  * equivalence through insert/update/delete waves.
+  *
+  * Scale notes: the probe join touches only the buckets the change batch
+  * lands in (an equi-join of the batch's band rows against the index on
+  * (band, bucket) — with the index bucketed or partitioned that is a
+  * pruned read, and the batch side is broadcastable by construction);
+  * candidate verification fetches ONLY candidate docs' texts from the
+  * snapshot (two slim semi-joins), never the corpus. The two commits
+  * (index, then pairs) are not one transaction: a crash between them
+  * leaves a fresh index with stale pairs, and RE-RUNNING the same span
+  * converges (both merges are idempotent for a fixed input span), the
+  * same re-run contract the streaming IVM maintainers document. */
+final class DedupIndex(spark: SparkSession, root: String, name: String,
+    shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+    threshold: Double = 0.7, maxBucketSize: Int = 1000) {
+
+  val index: LakeTable = LakeTable(spark, root, s"${name}_index",
+    Seq("id", "band"))
+  val pairs: LakeTable = LakeTable(spark, root, s"${name}_pairs",
+    Seq("a_id", "b_id"))
+
+  def drop(): Unit = { index.drop(); pairs.drop() }
+
+  /** (id, band, bucket) rows of `docs` under this index's parameters. */
+  private def bandRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), posexplode(
+        graft.functions.HashExpressions.minhashBands(col("sh"), k, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** Full build from the current corpus: batch band rows + batch pairs.
+    * The parameters (shingleN, k, bands, threshold) are FROZEN into the
+    * stored state — maintain calls must come from the same instance
+    * configuration or the index is meaningless. */
+  def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    index.drop(); pairs.drop()
+    index.create(bandRows(docs, idCol, textCol))
+    pairs.create(Dedup.minhashLshPairs(docs, idCol, textCol, shingleN, k,
+      bands, threshold, maxBucketSize))
+  }
+
+  /** Apply one change-event frame against the CURRENT corpus snapshot.
+    * `changes` is LakeTable change-feed output (`_change_type` column);
+    * `snapshot` must be the post-change corpus state (docsTable.read). */
+  def applyChanges(changes: DataFrame, snapshot: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val touched = changes.select(col(idCol).as("id")).distinct()
+      .localCheckpoint(true) // small by construction: the change batch's keys
+    // Final state of each touched id comes from the SNAPSHOT, not from
+    // replaying event precedence: alive touched docs are in it (with
+    // their current text), dead ones are not. The snapshot join is
+    // key-pruned — only touched ids are fetched.
+    val aliveTouched = snapshot
+      .join(touched.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      .select(col(idCol), col(textCol)).localCheckpoint(true)
+    val deadIds = touched.join(
+      aliveTouched.select(col(idCol).as("id")), Seq("id"), "left_anti")
+
+    // 1. Index merge: alive docs re-assert all their band rows (an
+    //    update overwrites buckets in place — the (id, band) key set is
+    //    fixed at k/bands rows per doc); dead docs' rows are deleted in
+    //    the same commit. Tombstones ride as NULL-payload rows (bucket
+    //    IS NULL marks a delete) so the stored schema stays exactly
+    //    (id, band, bucket) — a live band bucket is never null by
+    //    construction (posexplode emits no rows for null shingles).
+    val newIdx = bandRows(aliveTouched, idCol, textCol).localCheckpoint(true)
+    val deadIdx = index.read.join(deadIds, Seq("id"), "left_semi")
+      .select(col("id"), col("band"),
+        lit(null).cast("long").as("bucket"))
+    index.upsertWithDelete(newIdx.unionByName(deadIdx),
+      col("bucket").isNull)
+
+    // 2. Pair re-derivation for the touched slice. Candidates: the new
+    //    band rows probe the POST-merge index on (band, bucket) — only
+    //    touched buckets are read. Oversized buckets are skipped at
+    //    generation (see class doc).
+    val idxNow = index.read
+    val probeBuckets = newIdx.select("band", "bucket").distinct()
+    val bucketSizes = idxNow.join(probeBuckets, Seq("band", "bucket"), "left_semi")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
+    val okBuckets = bucketSizes.filter(col("bsize") <= maxBucketSize)
+      .select("band", "bucket")
+    val probe = newIdx.join(okBuckets, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("id").as("b_id"))
+    val other = idxNow.join(okBuckets, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("id").as("a_id"))
+    val cand = other.join(probe, Seq("band", "bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    // verify with exact shingle-Jaccard against current texts — only
+    // candidate docs are fetched from the snapshot
+    val texts = snapshot.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val withSh = cand
+      .join(texts.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(texts.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+    graft.plans.GraftOptimizations.install(spark)
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val fresh = withSh.withColumn("__i", inter)
+      .withColumn("jaccard", round(col("__i") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("__i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .localCheckpoint(true)
+
+    // 3. Stale pairs: anything touching a changed doc that the fresh
+    //    derivation did not re-assert dies in the same commit — again
+    //    as NULL-payload tombstones (a verified pair's jaccard is never
+    //    null), keeping the stored schema exactly (a_id, b_id, jaccard).
+    val stale = pairs.read
+      .join(touched.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+      .unionByName(pairs.read.join(
+        touched.select(col("id").as("b_id")), Seq("b_id"), "left_semi"))
+      .select("a_id", "b_id").distinct()
+      .join(fresh.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
+      .select(col("a_id"), col("b_id"),
+        lit(null).cast("double").as("jaccard"))
+    pairs.upsertWithDelete(fresh.unionByName(stale),
+      col("jaccard").isNull)
+  }
+
+  /** Sync the index with `docsTable`'s changes since `sinceVersion`
+    * (its change feed must be on). Returns the synced version — record
+    * it and pass it as the next call's `sinceVersion`. */
+  def maintain(docsTable: LakeTable, idCol: String, textCol: String,
+      sinceVersion: Int): Int = {
+    val syncedTo = docsTable.version
+    applyChanges(docsTable.changesSince(sinceVersion), docsTable.read,
+      idCol, textCol)
+    syncedTo
+  }
+}
+
+object DedupIndex {
+  def apply(spark: SparkSession, root: String, name: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DedupIndex =
+    new DedupIndex(spark, root, name, shingleN, k, bands, threshold,
+      maxBucketSize)
+}

@@ -141,7 +141,8 @@ object IncrementalView {
     * base version the view is now synced to (pass it as the next
     * `sinceVersion`). */
   def maintainSumView(base: LakeTable, view: LakeTable, keyCols: Seq[String],
-      valueCol: String, sinceVersion: Int): Int = {
+      valueCol: String, sinceVersion: Int,
+      meta: Map[String, String] = Map.empty): Int = {
     val syncedTo = base.version
     val ch = base.changesSince(sinceVersion)
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
@@ -149,7 +150,7 @@ object IncrementalView {
     val delta = ch.groupBy(keyCols.map(col): _*).agg(
       sum(sign).as("d_n"),
       sum(col(valueCol).cast("decimal(20,4)") * sign).as("d_sum"))
-    mergeSumDelta(view, keyCols, delta)
+    mergeSumDelta(view, keyCols, delta, meta)
     syncedTo
   }
 
@@ -199,10 +200,11 @@ object IncrementalView {
     * canceling events cancel arithmetically), but they ride the netted
     * frame anyway: one pass either way. */
   def maintainMinMaxView(base: LakeTable, view: LakeTable,
-      keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
+      keyCols: Seq[String], valueCol: String, sinceVersion: Int,
+      meta: Map[String, String] = Map.empty): Int = {
     val syncedTo = base.version
     applyMinMaxDelta(base.changesSince(sinceVersion), base.read, view,
-      keyCols, valueCol)
+      keyCols, valueCol, meta)
     syncedTo
   }
 
@@ -388,10 +390,11 @@ object IncrementalView {
     * [[maintainMinMaxView]], and everything lands in one atomic
     * MERGE-with-DELETE. Returns the synced base version. */
   def maintainStatsView(base: LakeTable, view: LakeTable,
-      keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
+      keyCols: Seq[String], valueCol: String, sinceVersion: Int,
+      meta: Map[String, String] = Map.empty): Int = {
     val syncedTo = base.version
     applyStatsDelta(base.changesSince(sinceVersion), base.read, view,
-      keyCols, valueCol)
+      keyCols, valueCol, meta)
     syncedTo
   }
 

@@ -42,6 +42,12 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
 
   private def tableDir: Path = Paths.get(root, name)
+
+  /** The table's directory (all versions live under it) — the identity
+    * key optimizer-side consumers (e.g. the materialized-view rewrite
+    * catalog) use to recognize scans of this table. */
+  def tablePath: String = tableDir.toString
+
   private def pointerFile: Path = tableDir.resolve("CURRENT")
   private def stagingDir: Path = Paths.get(root, s".staging_$name")
   private def feedStagingDir: Path = Paths.get(root, s".staging_changes_$name")

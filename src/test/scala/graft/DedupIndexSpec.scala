@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.table.{DedupIndex, LakeTable}
+
+/** Equivalence contract of the persistent CDC-maintained LSH index:
+  * after ANY sequence of insert/update/delete batches, the maintained
+  * `pairs` table must equal `Dedup.minhashLshPairs` recomputed from
+  * scratch on the current corpus — and the `index` table must equal the
+  * batch band rows. Exercises the real documents testdata (which has
+  * genuine near-dup families), not synthetic strings only. */
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("a_id").cast("long"), col("b_id").cast("long"),
+      col("jaccard")).as[(Long, Long, Double)].collect().toSet
+
+  private def idxSet(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select(col("id").cast("long"), col("band").cast("int"),
+      col("bucket").cast("long")).as[(Long, Int, Long)].collect().toSet
+
+  private def assertConverged(di: DedupIndex, docs: LakeTable): Unit = {
+    val batch = Dedup.minhashLshPairs(docs.read, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+    assert(pairSet(di.pairs.read) == pairSet(batch))
+    val batchIdx = docs.read
+      .select(col("doc_id").as("id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      .select(col("id"), posexplode(
+        graft.functions.HashExpressions.minhashBands(col("sh"), 64, 16)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    assert(idxSet(di.index.read) == idxSet(batchIdx))
+  }
+
+  test("maintained index+pairs == batch recompute through ingest/update/delete waves") {
+    val root = "/tmp/graft_tables/dedupidx_spec"
+    val docs = LakeTable(spark, root, "didx_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val di = DedupIndex(spark, root, "didx")
+    val all = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+
+    // wave 0: initial corpus + full build
+    docs.create(all.filter(col("doc_id") % 3 === 1))
+    di.build(docs.read, "doc_id", "text")
+    var synced = docs.version
+    assertConverged(di, docs)
+
+    // wave 1: ingest a second tranche
+    docs.upsert(all.filter(col("doc_id") % 3 === 2))
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+
+    // wave 2: ingest the rest AND rewrite some existing docs' text
+    // (update = preimage+postimage through the feed; the doc's buckets
+    // move and its pairs must be re-derived, not patched)
+    docs.upsert(all.filter(col("doc_id") % 3 === 0))
+    docs.upsert(all.filter(col("doc_id") % 11 === 4)
+      .withColumn("text", concat(lit("zq xv wq "), col("text"))))
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+
+    // wave 3: delete a slice — their index rows AND every pair touching
+    // them must vanish
+    docs.delete(col("doc_id") % 7 === 3)
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+    assert(di.pairs.read.count() > 0, "testdata must exercise real pairs")
+
+    // a deleted doc must not appear on either side
+    val gone = di.pairs.read
+      .filter(col("a_id") % 7 === 3 || col("b_id") % 7 === 3).count()
+    assert(gone == 0)
+  }
+
+  test("re-running the same span converges (crash-replay contract)") {
+    val root = "/tmp/graft_tables/dedupidx_replay"
+    val docs = LakeTable(spark, root, "didxr_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val di = DedupIndex(spark, root, "didxr")
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(all.filter(col("doc_id") < 60))
+    di.build(docs.read, "doc_id", "text")
+    val synced = docs.version
+    docs.upsert(all.filter(col("doc_id") >= 60 && col("doc_id") < 120))
+    docs.delete(col("doc_id") % 9 === 2)
+    di.maintain(docs, "doc_id", "text", synced)
+    val p1 = pairSet(di.pairs.read); val i1 = idxSet(di.index.read)
+    // replay the SAME span (as after a crash between commits)
+    di.maintain(docs, "doc_id", "text", synced)
+    assert(pairSet(di.pairs.read) == p1)
+    assert(idxSet(di.index.read) == i1)
+    assertConverged(di, docs)
+  }
+
+  test("update that breaks a near-dup pair removes it; one that forms a pair adds it") {
+    val root = "/tmp/graft_tables/dedupidx_edge"
+    val docs = LakeTable(spark, root, "didxe_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val di = DedupIndex(spark, root, "didxe")
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the work is done for the day"
+    docs.create(Seq(
+      (1L, base), (2L, base + " extra"), (3L, "completely different text " +
+        "about lakehouse tables and change feeds and minhash banding here"))
+      .toDF("doc_id", "text"))
+    di.build(docs.read, "doc_id", "text")
+    var synced = docs.version
+    assert(pairSet(di.pairs.read).map(p => (p._1, p._2)) == Set((1L, 2L)))
+
+    // break the (1,2) pair by rewriting doc 2 far away
+    docs.upsert(Seq((2L, "now doc two talks about entirely other topics " +
+      "with no overlap in shingles at all whatsoever today"))
+      .toDF("doc_id", "text"))
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assert(pairSet(di.pairs.read).isEmpty)
+    assertConverged(di, docs)
+
+    // form a NEW pair by moving doc 3 next to doc 1
+    docs.upsert(Seq((3L, base + " indeed")).toDF("doc_id", "text"))
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assert(pairSet(di.pairs.read).map(p => (p._1, p._2)) == Set((1L, 3L)))
+    assertConverged(di, docs)
+  }
+}

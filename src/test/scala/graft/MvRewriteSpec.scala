@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.plans.{GraftOptimizations, MvRewrite}
+import graft.table.{IncrementalView, LakeTable}
+
+/** Transparent materialized-view substitution: a base-table aggregation
+  * must silently become a view read when (and ONLY when) the view is
+  * synced to the scanned snapshot and every aggregate maps onto view
+  * columns — verified by plan inspection (which paths are scanned), not
+  * just by result equality. */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftOptimizations.install(spark)
+
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation => hfs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def readsOnlyView(df: DataFrame, view: LakeTable): Boolean = {
+    val ps = scanPaths(df)
+    ps.nonEmpty && ps.forall(_.contains(view.tablePath))
+  }
+
+  private def vDec = col("v").cast("decimal(20,4)")
+
+  private def freshPair(tag: String): (LakeTable, LakeTable) = {
+    val root = s"/tmp/graft_tables/mv_spec_$tag"
+    val base = LakeTable(spark, root, s"mv_base_$tag", Seq("id"),
+      changeFeed = true)
+    val view = LakeTable(spark, root, s"mv_view_$tag", Seq("k", "k2"))
+    base.drop(); view.drop()
+    MvRewrite.unregister(base)
+    (base, view)
+  }
+
+  private def seed(base: LakeTable, view: LakeTable): Unit = {
+    val t0 = (1L to 40L).map(i => (i, i % 4, i % 2, i * 1.5))
+      .toDF("id", "k", "k2", "v")
+    base.create(t0)
+    val v0 = base.version
+    view.create(IncrementalView.minMaxView(base.read, Seq("k", "k2"), "v"))
+    // churn so the view state is genuinely MAINTAINED, not a recompute
+    base.upsert((1L to 40L).filter(_ % 5 == 0)
+      .map(i => (i, i % 4, i % 2, i * 3.0)).toDF("id", "k", "k2", "v"))
+    base.delete(col("id") % 7 === 0)
+    IncrementalView.maintainMinMaxView(base, view, Seq("k", "k2"), "v",
+      sinceVersion = v0, meta = MvRewrite.syncMeta(base.version))
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.MinMaxKind)
+  }
+
+  test("exact grouping match collapses to a view projection") {
+    val (base, view) = freshPair("exact")
+    seed(base, view)
+    val q = base.read.groupBy("k", "k2").agg(
+      count(lit(1)).as("n_rows"),
+      sum(vDec).as("sum_v"),
+      min(vDec).as("min_v"),
+      max(vDec).as("max_v"))
+    assert(readsOnlyView(q, view), s"expected view-only scan: ${scanPaths(q)}")
+    // and the rewritten result equals the honest base aggregation
+    MvRewrite.unregister(base)
+    val direct = base.read.groupBy("k", "k2").agg(
+      count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"),
+      min(vDec).as("min_v"), max(vDec).as("max_v"))
+    assert(q.orderBy("k", "k2").collect().toSeq ==
+      direct.orderBy("k", "k2").collect().toSeq)
+    assert(q.count() > 0)
+    MvRewrite.register(base, view, Seq("k", "k2"), "v", MvRewrite.MinMaxKind)
+  }
+
+  test("roll-up to a key subset re-aggregates the view") {
+    val (base, view) = freshPair("rollup")
+    seed(base, view)
+    val q = base.read.groupBy("k").agg(
+      count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"),
+      min(vDec).as("min_v"), max(vDec).as("max_v"))
+    assert(readsOnlyView(q, view), s"expected view-only scan: ${scanPaths(q)}")
+    MvRewrite.unregister(base)
+    val direct = base.read.groupBy("k").agg(
+      count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"),
+      min(vDec).as("min_v"), max(vDec).as("max_v"))
+    assert(q.orderBy("k").collect().toSeq ==
+      direct.orderBy("k").collect().toSeq)
+  }
+
+  test("global aggregate rolls up, count coalesces to zero on empty base") {
+    val (base, view) = freshPair("global")
+    seed(base, view)
+    val q = base.read.agg(count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"))
+    assert(readsOnlyView(q, view))
+    MvRewrite.unregister(base)
+    val direct = base.read.agg(count(lit(1)).as("n_rows"),
+      sum(vDec).as("sum_v"))
+    assert(q.collect().toSeq == direct.collect().toSeq)
+
+    // base that BECAME empty: global count must still be the single-row
+    // 0 / null sum (the view is empty; coalesce(sum(n), 0) supplies it)
+    val (eb, ev) = freshPair("empty")
+    eb.create(Seq((1L, 0L, 0L, 2.0)).toDF("id", "k", "k2", "v"))
+    val v0 = eb.version
+    ev.create(IncrementalView.minMaxView(eb.read, Seq("k", "k2"), "v"))
+    eb.delete(col("id") === 1L)
+    IncrementalView.maintainMinMaxView(eb, ev, Seq("k", "k2"), "v",
+      sinceVersion = v0, meta = MvRewrite.syncMeta(eb.version))
+    MvRewrite.register(eb, ev, Seq("k", "k2"), "v", MvRewrite.MinMaxKind)
+    val eq = eb.read.agg(count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"))
+    assert(readsOnlyView(eq, ev))
+    val row = eq.collect()
+    assert(row.length == 1 && row(0).getLong(0) == 0L && row(0).isNullAt(1))
+    MvRewrite.unregister(eb)
+  }
+
+  test("filters on grouping keys commute through the rewrite") {
+    val (base, view) = freshPair("filter")
+    seed(base, view)
+    val q = base.read.filter(col("k") =!= 2).groupBy("k", "k2")
+      .agg(sum(vDec).as("sum_v"))
+    assert(readsOnlyView(q, view))
+    MvRewrite.unregister(base)
+    val direct = base.read.filter(col("k") =!= 2).groupBy("k", "k2")
+      .agg(sum(vDec).as("sum_v"))
+    assert(q.orderBy("k", "k2").collect().toSeq ==
+      direct.orderBy("k", "k2").collect().toSeq)
+  }
+
+  test("non-key filters, raw-double sums, distinct aggs do NOT rewrite") {
+    val (base, view) = freshPair("block")
+    seed(base, view)
+    // filter references the value column → must read the base
+    val f = base.read.filter(col("v") > 10).groupBy("k", "k2")
+      .agg(sum(vDec).as("s"))
+    assert(!readsOnlyView(f, view))
+    // sum of the raw double is a DIFFERENT number than the decimal view
+    val d = base.read.groupBy("k", "k2").agg(sum(col("v")).as("s"))
+    assert(!readsOnlyView(d, view))
+    // distinct count is not materialized by this view kind
+    val dc = base.read.groupBy("k", "k2")
+      .agg(countDistinct(col("v")).as("s"))
+    assert(!readsOnlyView(dc, view))
+    // grouping by a non-key column
+    val g = base.read.groupBy("id").agg(sum(vDec).as("s"))
+    assert(!readsOnlyView(g, view))
+  }
+
+  test("stale view (base advanced past sync marker) blocks the rewrite") {
+    val (base, view) = freshPair("stale")
+    seed(base, view)
+    base.upsert(Seq((99L, 1L, 0L, 123.0)).toDF("id", "k", "k2", "v"))
+    val q = base.read.groupBy("k", "k2").agg(sum(vDec).as("s"))
+    assert(!readsOnlyView(q, view), "stale view must not serve the query")
+    // result is the honest (fresh) base aggregation
+    assert(q.filter(col("k") === 1 && col("k2") === 0).count() == 1)
+    // re-sync → rewrite resumes
+    IncrementalView.maintainMinMaxView(base, view, Seq("k", "k2"), "v",
+      sinceVersion = view.meta(MvRewrite.SyncKey).toInt,
+      meta = MvRewrite.syncMeta(base.version))
+    val q2 = base.read.groupBy("k", "k2").agg(sum(vDec).as("s"))
+    assert(readsOnlyView(q2, view))
+    MvRewrite.unregister(base)
+    val direct = base.read.groupBy("k", "k2").agg(sum(vDec).as("s"))
+    assert(q2.orderBy("k", "k2").collect().toSeq ==
+      direct.orderBy("k", "k2").collect().toSeq)
+  }
+
+  test("derived expressions over mapped aggregates rewrite too") {
+    val (base, view) = freshPair("derived")
+    seed(base, view)
+    // avg expressed as sum/count — CollapseProject folds it INTO the
+    // Aggregate, so the rule must rewrite inside composite expressions
+    val q = base.read.groupBy("k", "k2")
+      .agg(sum(vDec).as("s"), count(lit(1)).as("n"))
+      .select(col("k"), col("k2"),
+        (col("s") / col("n")).cast("double").as("avg_v"))
+    assert(readsOnlyView(q, view))
+    MvRewrite.unregister(base)
+    val direct = base.read.groupBy("k", "k2")
+      .agg(sum(vDec).as("s"), count(lit(1)).as("n"))
+      .select(col("k"), col("k2"),
+        (col("s") / col("n")).cast("double").as("avg_v"))
+    assert(q.orderBy("k", "k2").collect().toSeq ==
+      direct.orderBy("k", "k2").collect().toSeq)
+  }
+}
