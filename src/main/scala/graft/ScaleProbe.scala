@@ -90,7 +90,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
         "stats", "hamming", "ivm", "skyline", "gains", "spans", "joinivm",
-        "feedreplay"))
+        "feedreplay", "dedupidx"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -146,6 +146,52 @@ object ScaleProbe {
       println(s"""{"factor":$n,"rows":$rows,"pairs_sec":${f"$pairsSec%.2f"},""" +
         s""""n_pairs":$nPairs,"capped_buckets":$cappedBuckets,""" +
         s""""curate_sec":${f"$curateSec%.2f"},"n_survivors":$nSurvivors}""")
+    }
+
+    // ---- Persistent dedup-index family: the claim is that MAINTAIN
+    // cost tracks the CHANGE BATCH, not the corpus. The corpus grows ×n
+    // (disjoint id-shifted replicas) while the batch is fixed on
+    // replica-0 keys, so build cost must grow ~linearly and maintain
+    // cost must stay flat — the nightly-ingest economics DedupIndex
+    // exists for. The recompute column is what a batch re-run would
+    // cost at each factor (the cost being avoided). pairs equality
+    // (n_pairs == n_batch_pairs) doubles as an at-scale equivalence
+    // check of the incremental rule.
+    if (families("dedupidx")) factors.foreach { n =>
+      val base = inflate(docs, maxId, n).select("doc_id", "text")
+        .localCheckpoint(true)
+      val rows = base.count()
+      val root = "/tmp/graft_tables/scaleprobe_didx"
+      val t = graft.table.LakeTable(spark, root, s"didx_docs_$n",
+        Seq("doc_id"), changeFeed = true)
+      t.drop()
+      val di = graft.table.DedupIndex(spark, root, s"didx_$n",
+        maxBucketSize = maxBucketSize)
+      t.create(base)
+      val (_, buildSec) = timed { di.build(t.read, "doc_id", "text") }
+      val v0 = t.version
+      // fixed batch: in-place rewrites, fresh inserts cloned from
+      // replica-0 text (guaranteed new near-dup pairs), deletes
+      val updates = docs.filter(col("doc_id") % 31 === 5)
+        .select(col("doc_id"),
+          concat(lit("zq xv wq "), col("text")).as("text"))
+      val inserts = docs.filter(col("doc_id") % 37 === 11)
+        .select((col("doc_id") + lit(64L * maxId)).as("doc_id"), col("text"))
+      t.upsert(updates.unionByName(inserts))
+      t.delete(col("doc_id") % 41 === 3 && col("doc_id") < maxId)
+      val feedRows = t.changesSince(v0).count()
+      val (_, maintainSec) = timed { di.maintain(t, "doc_id", "text", v0) }
+      val nPairs = di.pairs.read.count()
+      val (nBatchPairs, recomputeSec) = timed {
+        graft.operators.Dedup.minhashLshPairs(t.read, "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, threshold = 0.7,
+          maxBucketSize = maxBucketSize).count()
+      }
+      println(s"""{"factor":$n,"rows":$rows,"feed_rows":$feedRows,""" +
+        s""""build_sec":${f"$buildSec%.2f"},""" +
+        s""""maintain_sec":${f"$maintainSec%.2f"},""" +
+        s""""recompute_sec":${f"$recomputeSec%.2f"},""" +
+        s""""n_pairs":$nPairs,"n_batch_pairs":$nBatchPairs}""")
     }
 
     // ---- Profiling / rolling-sketch family (round-7 additions): same

@@ -746,6 +746,31 @@ object SparkEntry {
       di.pairs.read.orderBy("a_id", "b_id")
     }),
 
+    // Streaming twin of q_dedup_index: the SAME ingest/delete churn, but
+    // the index is maintained by subscribing to the documents table's
+    // CDC STREAM (foreachBatch over the shared DedupIndex.applyChanges
+    // core, batch-id idempotent) — streaming and batch dedup maintenance
+    // are one semantics by construction. Identical oracle.
+    "q_stream_dedup_index" -> ((s, dir) => {
+      val all = docs(s, dir).select("doc_id", "text")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "sdidx_docs", Seq("doc_id"),
+        changeFeed = true)
+      t.drop()
+      val di = graft.table.DedupIndex(s, root, "sdidx")
+      t.create(all.filter(col("doc_id") % 3 === 1))
+      di.build(t.read, "doc_id", "text")
+      t.upsert(all.filter(col("doc_id") % 3 === 2))
+      t.upsert(all.filter(col("doc_id") % 3 === 0))
+      t.delete(col("doc_id") % 7 === 3)
+      // the stream replays the WHOLE recorded feed; events already
+      // reflected in the built index re-converge harmlessly because
+      // final doc state comes from the snapshot, never the event payload
+      graft.streaming.Streams.maintainDedupIndexFromChangeFeed(
+        t.readChangeFeedStream, t, di, "doc_id", "text")
+      di.pairs.read.orderBy("a_id", "b_id")
+    }),
+
     // SimHash near-dup pairs: shingle-feature fingerprint, chunk-bucketed
     // candidates, exact-Jaccard verified (hash-seeded candidates → rows-
     // only oracle; containment + recall pinned by RecallSpec)
@@ -6374,6 +6399,30 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
            AND len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY a_id, b_id""",
+
+    // the streaming-maintained pairs table must land the SAME final
+    // state as the batch-maintained one — identical oracle
+    "q_stream_dedup_index" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents WHERE doc_id % 7 <> 3),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                  AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0 /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
 

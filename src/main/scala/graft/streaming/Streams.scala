@@ -702,6 +702,40 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_ivm_stats" -> e))
   }
 
+  /** Continuous near-duplicate index maintenance from the document
+    * table's CDC stream: each micro-batch runs the FULL batch rule —
+    * touched ids from the events, final doc state from the current
+    * snapshot, band-row merge with tombstones, touched-bucket candidate
+    * probe, exact-Jaccard verification, stale-pair extinction — via the
+    * shared [[graft.table.DedupIndex.applyChanges]] core, so streaming
+    * and batch dedup maintenance are THE SAME semantics by construction.
+    *
+    * Batch-id idempotence: the marker rides the final (pairs) commit;
+    * a replayed batch is skipped. A crash between the index and pairs
+    * commits re-runs the whole batch on restart (the marker was never
+    * written), and both merges are idempotent for a fixed event set.
+    * Snapshot consistency follows the same contract as the IVM drains:
+    * events are consulted only for their KEY set, final text always
+    * comes from the snapshot, so a batch older than the snapshot
+    * converges once the remaining events drain. */
+  def maintainDedupIndexFromChangeFeed(feedStream: DataFrame,
+      docsTable: graft.table.LakeTable, di: graft.table.DedupIndex,
+      idCol: String, textCol: String, appId: String = "didxcdc"): Unit = {
+    val metaKey = s"dedupidx_last_batch_$appId"
+    val q = feedStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = di.pairs.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty)
+          di.applyChanges(batch, docsTable.read, idCol, textCol,
+            meta = Map(metaKey -> batchId.toString))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_dedup_index" -> e))
+  }
+
   /** Continuous JOIN-view maintenance, fact side: subscribe to the fact
     * table's CDC stream and enrich each SIGNED micro-batch against the
     * current dim snapshot (stream-static equi-join) before merging the

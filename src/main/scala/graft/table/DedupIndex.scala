@@ -87,9 +87,16 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
 
   /** Apply one change-event frame against the CURRENT corpus snapshot.
     * `changes` is LakeTable change-feed output (`_change_type` column);
-    * `snapshot` must be the post-change corpus state (docsTable.read). */
+    * `snapshot` must be the post-change corpus state (docsTable.read).
+    * `meta` commits atomically WITH the final (pairs) merge — the
+    * exactly-once hook the streaming drain records its batch marker
+    * through, mirroring the IVM maintainers. The events are consulted
+    * ONLY for their key set; final doc state always comes from the
+    * snapshot, so a batch older than the snapshot converges once the
+    * remaining events drain (same rescan-consistency contract as
+    * [[IncrementalView]]'s streaming maintainers). */
   def applyChanges(changes: DataFrame, snapshot: DataFrame, idCol: String,
-      textCol: String): Unit = {
+      textCol: String, meta: Map[String, String] = Map.empty): Unit = {
     val touched = changes.select(col(idCol).as("id")).distinct()
       .localCheckpoint(true) // small by construction: the change batch's keys
     // Final state of each touched id comes from the SNAPSHOT, not from
@@ -135,10 +142,17 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
-    // verify with exact shingle-Jaccard against current texts — only
-    // candidate docs are fetched from the snapshot
-    val texts = snapshot.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(true) // feeds the id cut AND both verify joins
+    // verify with exact shingle-Jaccard against current texts — the
+    // snapshot is cut down to CANDIDATE ids BEFORE tokenizing, so the
+    // shingling cost is O(candidates), not O(corpus) (shingling after
+    // the pair join would force a full-corpus tokenization pass into
+    // the shuffle — measured 2× the whole maintain cost at ×16)
+    val candIds = cand.select(col("a_id").as("id"))
+      .unionByName(cand.select(col("b_id").as("id"))).distinct()
+    val texts = snapshot
+      .join(candIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val withSh = cand
       .join(texts.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(texts.select(col("id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
@@ -164,7 +178,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
       .select(col("a_id"), col("b_id"),
         lit(null).cast("double").as("jaccard"))
     pairs.upsertWithDelete(fresh.unionByName(stale),
-      col("jaccard").isNull)
+      col("jaccard").isNull, meta = meta)
   }
 
   /** Sync the index with `docsTable`'s changes since `sinceVersion`

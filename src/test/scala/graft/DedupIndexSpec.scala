@@ -99,6 +99,43 @@ class DedupIndexSpec extends SparkSpec {
     assertConverged(di, docs)
   }
 
+  test("streaming drain from the CDC stream == batch recompute across " +
+      "per-file micro-batching; replay is a no-op") {
+    val root = "/tmp/graft_tables/dedupidx_stream"
+    val docs = LakeTable(spark, root, "didxs_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val di = DedupIndex(spark, root, "didxs")
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(all.filter(col("doc_id") % 3 === 1))
+    di.build(docs.read, "doc_id", "text")
+    // churn spanning several versions: two ingest waves, an in-place
+    // rewrite, a delete — with maxFilesPerTrigger=1 the events split
+    // into many micro-batches, and a doc whose insert and delete land
+    // in DIFFERENT batches must still converge (the snapshot, not the
+    // event payload, decides final state)
+    docs.upsert(all.filter(col("doc_id") % 3 === 2))
+    docs.upsert(all.filter(col("doc_id") % 11 === 4)
+      .withColumn("text", concat(lit("zq xv wq "), col("text"))))
+    docs.delete(col("doc_id") % 7 === 3)
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        docs.read.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/didxs_docs/changes/v*")
+    graft.streaming.Streams.maintainDedupIndexFromChangeFeed(
+      feed, docs, di, "doc_id", "text")
+    assertConverged(di, docs)
+    val p1 = pairSet(di.pairs.read); val i1 = idxSet(di.index.read)
+    assert(p1.nonEmpty)
+    // replay the whole feed: the batch marker makes it a no-op
+    graft.streaming.Streams.maintainDedupIndexFromChangeFeed(
+      docs.readChangeFeedStream, docs, di, "doc_id", "text")
+    assert(pairSet(di.pairs.read) == p1)
+    assert(idxSet(di.index.read) == i1)
+  }
+
   test("update that breaks a near-dup pair removes it; one that forms a pair adds it") {
     val root = "/tmp/graft_tables/dedupidx_edge"
     val docs = LakeTable(spark, root, "didxe_docs", Seq("doc_id"),

@@ -499,6 +499,51 @@ class ScaleProbeSpec extends SparkSpec {
       s"feed volume must be invariant under base inflation ($f1 vs $f4)")
   }
 
+  test("dedup index: fixed change batch → feed volume invariant under ×4 " +
+      "corpus inflation, maintained pairs == batch recompute at each factor") {
+    import graft.table.{DedupIndex, LakeTable}
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    def run(n: Int): (Long, Set[(Long, Long)]) = {
+      val base = ScaleProbe.inflate(
+        Tables.load(spark, sf, "documents").select("doc_id", "text", "lang"),
+        maxId, n).select("doc_id", "text")
+      val root = "/tmp/graft_tables/probe_spec_didx"
+      val t = LakeTable(spark, root, s"pd$n", Seq("doc_id"),
+        changeFeed = true)
+      t.drop()
+      val di = DedupIndex(spark, root, s"pdi$n")
+      t.create(base)
+      di.build(t.read, "doc_id", "text")
+      val v0 = t.version
+      // fixed batch on replica-0 ids (same shape as the probe family)
+      t.upsert(docs.filter(col("doc_id") % 31 === 5)
+        .select(col("doc_id"),
+          concat(lit("zq xv wq "), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 37 === 11)
+          .select((col("doc_id") + lit(64L * maxId)).as("doc_id"),
+            col("text"))))
+      t.delete(col("doc_id") % 41 === 3 && col("doc_id") < maxId)
+      val feedRows = t.changesSince(v0).count()
+      di.maintain(t, "doc_id", "text", v0)
+      val maintained = di.pairs.read.select(col("a_id").cast("long"),
+        col("b_id").cast("long")).as[(Long, Long)].collect().toSet
+      val batch = graft.operators.Dedup.minhashLshPairs(t.read, "doc_id",
+          "text", shingleN = 3, k = 64, bands = 16, threshold = 0.7)
+        .select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      assert(maintained == batch, s"maintained != batch recompute at ×$n")
+      (feedRows, maintained)
+    }
+    val (f1, p1) = run(1)
+    val (f4, p4) = run(4)
+    assert(f1 == f4, s"fixed batch must give invariant feed rows: $f1 vs $f4")
+    // replica-0-touching pairs are identical across factors (inflation
+    // replicas are shingle-disjoint, so no cross-replica pairs appear)
+    assert(p1.subsetOf(p4),
+      "×1 maintained pairs must survive unchanged inside the ×4 corpus")
+  }
+
   test("feed compaction: raw event volume grows with the version span, " +
       "the compacted net stays O(hot keys) — invariant in span length") {
     import graft.table.LakeTable
