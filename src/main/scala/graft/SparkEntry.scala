@@ -1304,6 +1304,49 @@ object SparkEntry {
       assertViewOnlyScan(q, v, "q_mv_rollup")
     }),
 
+    // MV rewrite over a JOIN: the aggregate-over-join query (the two
+    // most expensive operators in a 100 TB plan) is served by the
+    // maintained joinSumView — same churn replay as q_ivm_join on BOTH
+    // sides, the rewrite fires only because the view's two-version
+    // freshness marker (mv.fact_version/mv.dim_version) matches both
+    // scanned snapshots. Plan-asserted view-only scan, like q_mv_rewrite.
+    "q_mv_join_rewrite" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+      graft.plans.GraftOptimizations.install(s)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val f = LakeTable(s, root, "mvj_fact", Seq("o_orderkey"),
+        changeFeed = true)
+      val d = LakeTable(s, root, "mvj_dim", Seq("o_custkey"),
+        changeFeed = true)
+      val vw = LakeTable(s, root, "mvj_view", Seq("c_mktsegment"))
+      f.drop(); d.drop(); vw.drop()
+      f.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      d.create(customer)
+      val (f0, d0) = (f.version, d.version)
+      vw.create(graft.table.IncrementalView.joinSumView(f.read, d.read,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice"))
+      f.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      f.delete(col("o_orderkey") % 5 === 0)
+      d.update(col("o_custkey") % 7 === 0,
+        Map("c_mktsegment" -> lit("MOVED")))
+      d.delete(col("o_custkey") % 11 === 0)
+      graft.table.IncrementalView.maintainJoinSumView(f, d, vw,
+        Seq("o_custkey"), Seq("c_mktsegment"), "o_totalprice", f0, d0,
+        meta = graft.plans.MvRewrite.joinSyncMeta(f.version, d.version))
+      graft.plans.MvRewrite.registerJoin(f, d, vw, Seq("o_custkey"),
+        Seq("c_mktsegment"), "o_totalprice")
+      val q = f.read.join(d.read, Seq("o_custkey"))
+        .groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double").as("sum_total"))
+        .orderBy("c_mktsegment")
+      assertViewOnlyScan(q, vw, "q_mv_join_rewrite")
+    }),
+
     // COUNT DISTINCT incremental view maintenance (two-level /
     // support-relation IVM): per-customer distinct order priorities,
     // kept fresh through the same upsert+delete CDC batches via a
@@ -5606,6 +5649,32 @@ object SparkEntry {
                 CAST(MAX(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
                   AS max_total
          FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // join rewrite: the view serves the aggregate-over-join query —
+    // the oracle replays both sides' churn and re-joins, identical to
+    // q_ivm_join's recompute
+    "q_mv_join_rewrite" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            ffinal AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0),
+            dfinal AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                          ELSE c_mktsegment END AS c_mktsegment
+              FROM customer WHERE c_custkey % 11 <> 0)
+         SELECT c_mktsegment, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS sum_total
+         FROM ffinal JOIN dfinal ON ffinal.o_custkey = dfinal.c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // roll-up form: the query groups COARSER than the view and filters
     // on a view key; the rewrite re-aggregates view rows — the oracle

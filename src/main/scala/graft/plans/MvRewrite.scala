@@ -2,14 +2,13 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, Cast, Coalesce, Expression, ExprId, Literal,
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, Cast, Coalesce, EqualTo, Expression, ExprId, Literal,
   NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   AggregateFunction, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -44,14 +43,23 @@ import graft.table.LakeTable
   *     `coalesce(sum(n), 0)` so an empty base still yields the
   *     SQL-correct single zero row.
   *
-  * Filters between the Aggregate and the scan are rewritten when they
-  * reference only grouping keys (group-predicate commutation:
-  * `Agg(g, F(p(g), base)) = F(p(g), Agg(g, base))`); any other filter,
-  * a distinct/filtered aggregate, or an unsupported aggregate shape
-  * leaves the plan untouched — the rule only ever substitutes when the
-  * result is bit-identical to the base aggregation in the view's exact
-  * DECIMAL(20,4) value space (the same discipline the IVM maintainers
-  * guarantee; aggregates over other expressions never match).
+  * The same three forms also apply to AGGREGATE-OVER-JOIN queries served
+  * by a maintained JOIN view ([[graft.table.IncrementalView.joinSumView]] /
+  * `joinMinMaxView`): `fact.join(dim, keys).groupBy(g).agg(…)` rewrites
+  * to the view when the plan is an inner equi-join of the two registered
+  * scans on exactly the registered join keys and the view is synced to
+  * BOTH scanned versions (`mv.fact_version` / `mv.dim_version`). At
+  * scale this removes the join AND the aggregation — the two most
+  * expensive operators in the plan.
+  *
+  * Filters between the Aggregate and the scan (or above the join) are
+  * rewritten when they reference only grouping keys (group-predicate
+  * commutation: `Agg(g, F(p(g), base)) = F(p(g), Agg(g, base))`); any
+  * other filter, a distinct/filtered aggregate, or an unsupported
+  * aggregate shape leaves the plan untouched — the rule only ever
+  * substitutes when the result is bit-identical to the base aggregation
+  * in the view's exact DECIMAL(20,4) value space (the same discipline
+  * the IVM maintainers guarantee).
   *
   * Matching is value-space-strict on purpose: only `count(*)`/`count(1)`
   * and sum/min/max over `cast(valueCol as decimal(20,4))` rewrite —
@@ -70,9 +78,14 @@ object MvRewrite extends Rule[LogicalPlan] {
   final case class Entry(base: LakeTable, view: LakeTable,
       keyCols: Seq[String], valueCol: String, kind: Kind)
 
-  /** Registry keyed by the base table's directory (all versions of a
+  final case class JoinEntry(fact: LakeTable, dim: LakeTable,
+      view: LakeTable, joinKeys: Seq[String], groupKeys: Seq[String],
+      valueCol: String, kind: Kind)
+
+  /** Registries keyed by the base tables' directories (all versions of a
     * base share one entry; freshness is per scanned version). */
   private val catalog = new ConcurrentHashMap[String, Entry]()
+  private val joinCatalog = new ConcurrentHashMap[String, JoinEntry]()
 
   /** Register a maintained view for rewrite. The maintainer must record
     * the synced base version in the view's meta under `mv.base_version`
@@ -84,15 +97,36 @@ object MvRewrite extends Rule[LogicalPlan] {
     catalog.put(normalize(base.tablePath),
       Entry(base, view, keyCols, valueCol, kind))
 
+  /** Register a maintained JOIN view: serves inner equi-join aggregates
+    * of `fact ⋈ dim` on `joinKeys`. The maintainer must record BOTH
+    * synced versions (pass `meta = MvRewrite.joinSyncMeta(fv, dv)` to
+    * `maintainJoinSumView`/`maintainJoinMinMaxView`). */
+  def registerJoin(fact: LakeTable, dim: LakeTable, view: LakeTable,
+      joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
+      kind: Kind = SumKind): Unit =
+    joinCatalog.put(joinKey(fact.tablePath, dim.tablePath),
+      JoinEntry(fact, dim, view, joinKeys, groupKeys, valueCol, kind))
+
   def unregister(base: LakeTable): Unit =
     catalog.remove(normalize(base.tablePath))
-  def clear(): Unit = catalog.clear()
+  def unregisterJoin(fact: LakeTable, dim: LakeTable): Unit =
+    joinCatalog.remove(joinKey(fact.tablePath, dim.tablePath))
+  def clear(): Unit = { catalog.clear(); joinCatalog.clear() }
 
   val SyncKey = "mv.base_version"
+  val FactSyncKey = "mv.fact_version"
+  val DimSyncKey = "mv.dim_version"
 
   /** The meta marker a maintainer commits atomically with its merge. */
   def syncMeta(baseVersion: Int): Map[String, String] =
     Map(SyncKey -> baseVersion.toString)
+
+  def joinSyncMeta(factVersion: Int, dimVersion: Int): Map[String, String] =
+    Map(FactSyncKey -> factVersion.toString,
+      DimSyncKey -> dimVersion.toString)
+
+  private def joinKey(factPath: String, dimPath: String): String =
+    s"${normalize(factPath)}|${normalize(dimPath)}"
 
   /** Strip the filesystem scheme a qualified Hadoop path carries
     * (`file:/tmp/x` → `/tmp/x`) so scan paths and registration paths
@@ -114,11 +148,18 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  private def scanOf(lr: LogicalRelation): Option[(String, Int)] =
+    lr.relation match {
+      case hfs: HadoopFsRelation if hfs.location.rootPaths.length == 1 =>
+        tableVersionOf(hfs.location.rootPaths.head.toString)
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (catalog.isEmpty) return plan
+    if (catalog.isEmpty && joinCatalog.isEmpty) return plan
     plan.transformUp {
       case agg @ Aggregate(_, _, _, _) =>
-        rewrite(agg).getOrElse(agg)
+        rewrite(agg).orElse(rewriteJoin(agg)).getOrElse(agg)
     }
   }
 
@@ -139,12 +180,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Some(x) => x
       case None => return None
     }
-    val rootPath = lr.relation match {
-      case hfs: HadoopFsRelation if hfs.location.rootPaths.length == 1 =>
-        hfs.location.rootPaths.head.toString
-      case _ => return None
-    }
-    val (tableDir, scannedVersion) = tableVersionOf(rootPath) match {
+    val (tableDir, scannedVersion) = scanOf(lr) match {
       case Some(x) => x
       case None => return None
     }
@@ -161,35 +197,147 @@ object MvRewrite extends Rule[LogicalPlan] {
       .getOrElse(false)
     if (!fresh) return None
 
+    val lrIds = lr.output.map(_.exprId).toSet
+    substitute(agg, conds, entry.view, entry.keyCols, entry.kind,
+      keyAttrs = lr.output.filter(a => entry.keyCols.contains(a.name)),
+      isValueAttr = a => a.name == entry.valueCol && lrIds(a.exprId),
+      allScanIds = lrIds)
+  }
+
+  /** Unwrap attribute-only Projects down to a Join, collecting Filter
+    * conditions found above it. */
+  private def unwrapToJoin(plan: LogicalPlan,
+      conds: Seq[Expression]): Option[(Join, Seq[Expression])] =
+    plan match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrapToJoin(child, conds)
+      case Filter(cond, child) => unwrapToJoin(child, conds :+ cond)
+      case j: Join => Some((j, conds))
+      case _ => None
+    }
+
+  /** Unwrap one join input down to its scan, collecting side-local
+    * Filter conditions (predicate pushdown moves group-key filters and
+    * inferred constraints BELOW the join — for an inner equi-join both
+    * commute back out: a key-only predicate on one side removes exactly
+    * the groups it removes after the aggregation). */
+  private def unwrapSide(
+      plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        unwrapSide(child)
+      case Filter(cond, child) =>
+        unwrapSide(child).map { case (lr, cs) =>
+          (lr, cs ++ splitConjuncts(cond))
+        }
+      case lr: LogicalRelation => Some((lr, Nil))
+      case _ => None
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    if (joinCatalog.isEmpty) return None
+    val (j, conds) = unwrapToJoin(agg.child, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (j.joinType != Inner || j.condition.isEmpty) return None
+    val ((lrA, condsA), (lrB, condsB)) =
+      (unwrapSide(j.left), unwrapSide(j.right)) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ => return None
+      }
+    val ((dirA, vA), (dirB, vB)) = (scanOf(lrA), scanOf(lrB)) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => return None
+    }
+    // registration orientation: fact may be the left OR right input
+    val (entry, factV, dimV, lrFact, lrDim) =
+      Option(joinCatalog.get(s"$dirA|$dirB"))
+        .map(e => (e, vA, vB, lrA, lrB))
+        .orElse(Option(joinCatalog.get(s"$dirB|$dirA"))
+          .map(e => (e, vB, vA, lrB, lrA)))
+        .getOrElse(return None)
+
+    // Constraint propagation plants inferred `isnotnull(joinKey)` (and
+    // the analyzer may plant them for filtered keys) below the join —
+    // for the INNER equi-join these are implied by the join itself (a
+    // null key never matches), which the view already materializes, so
+    // they are dropped from matching. Every surviving side condition
+    // must map onto view columns like a top-level filter.
+    val joinKeySet = entry.joinKeys.toSet
+    def implied(e: Expression): Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+        a: AttributeReference) => joinKeySet.contains(a.name)
+      case _ => false
+    }
+    val sideConds = (condsA ++ condsB).filterNot(implied)
+
+    val fresh = scala.util.Try(entry.view.exists && {
+      val m = entry.view.meta
+      m.get(FactSyncKey).contains(factV.toString) &&
+        m.get(DimSyncKey).contains(dimV.toString)
+    }).getOrElse(false)
+    if (!fresh) return None
+
+    // The join condition must be exactly the registered equi-join:
+    // a conjunction of fact.k = dim.k over precisely the joinKeys set.
+    val factIds = lrFact.output.map(_.exprId).toSet
+    val dimIds = lrDim.output.map(_.exprId).toSet
+    val eqKeyNames = splitConjuncts(j.condition.get).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == b.name &&
+            ((factIds(a.exprId) && dimIds(b.exprId)) ||
+              (dimIds(a.exprId) && factIds(b.exprId))) => a.name
+      case _ => return None
+    }
+    if (eqKeyNames.toSet != joinKeySet) return None
+
+    substitute(agg, conds.filterNot(implied) ++ sideConds, entry.view,
+      entry.groupKeys, entry.kind,
+      keyAttrs = (lrFact.output ++ lrDim.output)
+        .filter(a => entry.groupKeys.contains(a.name)),
+      isValueAttr = a => a.name == entry.valueCol && factIds(a.exprId),
+      allScanIds = factIds ++ dimIds)
+  }
+
+  /** Shared substitution core: map the Aggregate's grouping, filters,
+    * and aggregate calls onto the view's columns; bail out (None — plan
+    * untouched) on the first shape that does not map exactly. */
+  private def substitute(agg: Aggregate, conds: Seq[Expression],
+      view: LakeTable, keyCols: Seq[String], kind: Kind,
+      keyAttrs: Seq[Attribute],
+      isValueAttr: AttributeReference => Boolean,
+      allScanIds: Set[ExprId]): Option[LogicalPlan] = {
     // Grouping must be plain key attributes; filters only over keys.
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
       case _ => return None
     }
-    val keySet = entry.keyCols.toSet
+    val keySet = keyCols.toSet
     if (!groupAttrs.forall(a => keySet.contains(a.name))) return None
     val groupNames = groupAttrs.map(_.name).toSet
     val exact = groupNames == keySet
     if (!conds.forall(_.references.forall(r => keySet.contains(r.name))))
       return None
-    // Filters may reference key columns the query does not group by
-    // only in the exact form (roll-up would lose them after re-agg —
-    // keep them: they apply BELOW the re-aggregation on view rows).
-    // Both forms place the rewritten filter directly above the view
-    // scan, so key-only predicates are always safe.
+    // Key-only filter predicates are always safe in BOTH forms: the
+    // rewritten filter lands directly above the view scan, below any
+    // re-aggregation.
 
     // Analyzed scan of the view parquet (analyzer only — safe inside an
     // optimizer rule; the subplan is trivial and already optimal).
-    val viewPlan = entry.view.read.queryExecution.analyzed
+    val viewPlan = view.read.queryExecution.analyzed
     val viewAttr: Map[String, Attribute] =
       viewPlan.output.map(a => a.name -> a).toMap
-    if (!(entry.kind.cols ++ entry.keyCols).forall(viewAttr.contains))
-      return None
+    if (!(kind.cols ++ keyCols).forall(viewAttr.contains)) return None
 
-    val valueName = entry.valueCol
     def isValueDec(e: Expression): Boolean = e match {
       case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
-        a.name == valueName && dt.precision == 20 && dt.scale == 4
+        isValueAttr(a) && dt.precision == 20 && dt.scale == 4
       case _ => false
     }
 
@@ -213,11 +361,11 @@ object MvRewrite extends Rule[LogicalPlan] {
           // original result type. Overflow → null matches Sum's own
           // non-ANSI overflow behavior at the original precision.
           else Some(Cast(reAgg(Sum(sv)), ae.dataType))
-        case m: Min if isValueDec(m.child) && entry.kind == MinMaxKind =>
+        case m: Min if isValueDec(m.child) && kind == MinMaxKind =>
           val mv = viewAttr("min_value")
           if (mv.dataType != ae.dataType) None
           else if (exact) Some(mv) else Some(reAgg(Min(mv)))
-        case m: Max if isValueDec(m.child) && entry.kind == MinMaxKind =>
+        case m: Max if isValueDec(m.child) && kind == MinMaxKind =>
           val mv = viewAttr("max_value")
           if (mv.dataType != ae.dataType) None
           else if (exact) Some(mv) else Some(reAgg(Max(mv)))
@@ -226,12 +374,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
     val baseKeyToView: Map[ExprId, Attribute] =
-      lr.output.filter(a => keySet.contains(a.name))
-        .map(a => a.exprId -> viewAttr(a.name)).toMap
-    val baseOutIds = lr.output.map(_.exprId).toSet
+      keyAttrs.map(a => a.exprId -> viewAttr(a.name)).toMap
 
     // Rewrite every output expression; bail out (None) if any aggregate
-    // or any residual base-attribute reference fails to map.
+    // or any residual scan-attribute reference fails to map.
     var ok = true
     def rewriteExpr(e: Expression): Expression = e.transformUp {
       case ae: AggregateExpression =>
@@ -251,13 +397,12 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => ok = false; return None
     }
     if (!ok) return None
-    if (outExprs.exists(_.references.exists(r => baseOutIds.contains(r.exprId))))
+    if (outExprs.exists(_.references.exists(r => allScanIds.contains(r.exprId))))
       return None
 
     val filtered =
       if (conds.isEmpty) viewPlan
-      else Filter(conds.map(rewriteExpr).reduce(
-        org.apache.spark.sql.catalyst.expressions.And), viewPlan)
+      else Filter(conds.map(rewriteExpr).reduce(And), viewPlan)
     if (!ok) return None
 
     if (exact) Some(Project(outExprs, filtered))

@@ -172,6 +172,97 @@ class MvRewriteSpec extends SparkSpec {
       direct.orderBy("k", "k2").collect().toSeq)
   }
 
+  test("SQL queries over temp views rewrite too (same logical plan)") {
+    val (base, view) = freshPair("sql")
+    seed(base, view)
+    base.read.createOrReplaceTempView("mv_sql_base")
+    val q = spark.sql(
+      """SELECT k, k2, count(1) AS n_rows,
+                sum(cast(v AS decimal(20,4))) AS sum_v
+         FROM mv_sql_base GROUP BY k, k2""")
+    assert(readsOnlyView(q, view), s"SQL surface must rewrite: ${scanPaths(q)}")
+    MvRewrite.unregister(base)
+    val direct = spark.sql(
+      """SELECT k, k2, count(1) AS n_rows,
+                sum(cast(v AS decimal(20,4))) AS sum_v
+         FROM mv_sql_base GROUP BY k, k2""")
+    assert(q.orderBy("k", "k2").collect().toSeq ==
+      direct.orderBy("k", "k2").collect().toSeq)
+    spark.catalog.dropTempView("mv_sql_base")
+  }
+
+  test("aggregate-over-join rewrites to the maintained join view") {
+    import graft.table.IncrementalView
+    val root = "/tmp/graft_tables/mv_spec_join"
+    val fact = LakeTable(spark, root, "mvj_fact", Seq("fid"),
+      changeFeed = true)
+    val dim = LakeTable(spark, root, "mvj_dim", Seq("jk"),
+      changeFeed = true)
+    val view = LakeTable(spark, root, "mvj_view", Seq("cat"))
+    fact.drop(); dim.drop(); view.drop()
+    MvRewrite.unregisterJoin(fact, dim)
+    fact.create((1L to 60L).map(i => (i, i % 7, i * 1.1))
+      .toDF("fid", "jk", "v"))
+    dim.create((0L to 6L).map(k => (k, s"cat${k % 3}")).toDF("jk", "cat"))
+    val fv0 = fact.version; val dv0 = dim.version
+    view.create(IncrementalView.joinSumView(fact.read, dim.read,
+      Seq("jk"), Seq("cat"), "v"))
+    // churn BOTH sides, then maintain with the two-version marker
+    fact.upsert((1L to 60L).filter(_ % 5 == 0)
+      .map(i => (i, i % 7, i * 3.0)).toDF("fid", "jk", "v"))
+    dim.upsert(Seq((3L, "cat9")).toDF("jk", "cat"))
+    fact.delete(col("fid") % 11 === 0)
+    IncrementalView.maintainJoinSumView(fact, dim, view, Seq("jk"),
+      Seq("cat"), "v", fv0, dv0,
+      meta = MvRewrite.joinSyncMeta(fact.version, dim.version))
+    MvRewrite.registerJoin(fact, dim, view, Seq("jk"), Seq("cat"), "v")
+
+    def query() = fact.read.join(dim.read, Seq("jk")).groupBy("cat")
+      .agg(count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"))
+    val q = query()
+    assert(readsOnlyView(q, view),
+      s"join aggregate must be served by the view: ${scanPaths(q)}")
+    MvRewrite.unregisterJoin(fact, dim)
+    val direct = query()
+    assert(!readsOnlyView(direct, view))
+    assert(q.orderBy("cat").collect().toSeq ==
+      direct.orderBy("cat").collect().toSeq)
+    MvRewrite.registerJoin(fact, dim, view, Seq("jk"), Seq("cat"), "v")
+
+    // global roll-up over the join
+    val g = fact.read.join(dim.read, Seq("jk"))
+      .agg(count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"))
+    assert(readsOnlyView(g, view))
+    MvRewrite.unregisterJoin(fact, dim)
+    val gd = fact.read.join(dim.read, Seq("jk"))
+      .agg(count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"))
+    assert(g.collect().toSeq == gd.collect().toSeq)
+    MvRewrite.registerJoin(fact, dim, view, Seq("jk"), Seq("cat"), "v")
+
+    // group-key filter (pushed below the join by the optimizer) commutes
+    val f = fact.read.join(dim.read, Seq("jk"))
+      .filter(col("cat") =!= "cat1").groupBy("cat")
+      .agg(sum(vDec).as("sum_v"))
+    assert(readsOnlyView(f, view), s"pushed key filter: ${scanPaths(f)}")
+    MvRewrite.unregisterJoin(fact, dim)
+    val fd = fact.read.join(dim.read, Seq("jk"))
+      .filter(col("cat") =!= "cat1").groupBy("cat")
+      .agg(sum(vDec).as("sum_v"))
+    assert(f.orderBy("cat").collect().toSeq ==
+      fd.orderBy("cat").collect().toSeq)
+    MvRewrite.registerJoin(fact, dim, view, Seq("jk"), Seq("cat"), "v")
+
+    // a non-key filter, a stale view, or a different join blocks it
+    val nf = fact.read.join(dim.read, Seq("jk"))
+      .filter(col("v") > 10).groupBy("cat").agg(sum(vDec).as("s"))
+    assert(!readsOnlyView(nf, view))
+    fact.upsert(Seq((999L, 1L, 5.0)).toDF("fid", "jk", "v"))
+    val stale = fact.read.join(dim.read, Seq("jk")).groupBy("cat")
+      .agg(sum(vDec).as("s"))
+    assert(!readsOnlyView(stale, view), "stale join view must not serve")
+    MvRewrite.unregisterJoin(fact, dim)
+  }
+
   test("derived expressions over mapped aggregates rewrite too") {
     val (base, view) = freshPair("derived")
     seed(base, view)
