@@ -1304,6 +1304,47 @@ object SparkEntry {
       assertViewOnlyScan(q, v, "q_mv_rollup")
     }),
 
+    // MV rewrite serving COUNT(DISTINCT): the aux-backed full-stats
+    // view materializes the exact per-group distinct count, so the
+    // most expensive aggregate at scale (distinct forces a second
+    // shuffle on (group, value)) becomes a view-column read. Note the
+    // fullStats (18,4) value space — the rewrite is value-space-strict
+    // per kind. Plan-asserted view-only scan.
+    "q_mv_distinct" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      graft.plans.GraftOptimizations.install(s)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_mvd", Seq("o_orderkey"),
+        changeFeed = true)
+      val aux = LakeTable(s, root, "orders_mvd_aux",
+        Seq("o_custkey", "__v"))
+      val v = LakeTable(s, root, "orders_mvd_view", Seq("o_custkey"))
+      t.drop(); aux.drop(); v.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      val v0 = t.version
+      aux.create(graft.table.IncrementalView.fullStatsSupportView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      v.create(graft.table.IncrementalView.fullStatsView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainFullStatsView(t, aux, v,
+        Seq("o_custkey"), "o_totalprice", sinceVersion = v0,
+        meta = graft.plans.MvRewrite.syncMeta(t.version))
+      graft.plans.MvRewrite.register(t, v, Seq("o_custkey"),
+        "o_totalprice", graft.plans.MvRewrite.FullStatsKind)
+      val vDec = col("o_totalprice").cast("decimal(18,4)")
+      val q = t.read.groupBy("o_custkey").agg(
+          count(lit(1)).as("n"),
+          countDistinct(vDec).as("n_distinct"),
+          sum(vDec).cast("double").as("sum_total"),
+          min(vDec).cast("double").as("min_total"),
+          max(vDec).cast("double").as("max_total"))
+        .orderBy("o_custkey")
+      assertViewOnlyScan(q, v, "q_mv_distinct")
+    }),
+
     // MV rewrite over a JOIN: the aggregate-over-join query (the two
     // most expensive operators in a 100 TB plan) is served by the
     // maintained joinSumView — same churn replay as q_ivm_join on BOTH
@@ -5647,6 +5688,32 @@ object SparkEntry {
                 CAST(MIN(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
                   AS min_total,
                 CAST(MAX(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE)
+                  AS max_total
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // distinct-count rewrite: the full-stats view's exact n_distinct
+    // serves count(DISTINCT) — oracle recomputes in the same (18,4)
+    // value space
+    "q_mv_distinct" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(*) AS n,
+                count(DISTINCT CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS n_distinct,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                   AS max_total
          FROM final GROUP BY o_custkey ORDER BY o_custkey""",
 

@@ -68,11 +68,31 @@ import graft.table.LakeTable
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
-  /** View kinds by the aggregate columns they materialize. */
-  sealed trait Kind { def cols: Set[String] }
+  /** View kinds by the aggregate columns they materialize and the exact
+    * decimal value space their maintainers aggregate in — matching is
+    * strict on the space (a sum over a different cast is a DIFFERENT
+    * number and never rewrites). */
+  sealed trait Kind {
+    def cols: Set[String]
+    /** (precision, scale) of the cast the view applies to valueCol. */
+    def valueSpace: (Int, Int) = (20, 4)
+  }
   case object SumKind extends Kind { val cols = Set("n", "sum_value") }
   case object MinMaxKind extends Kind {
     val cols = Set("n", "sum_value", "min_value", "max_value")
+  }
+
+  /** [[graft.table.IncrementalView.fullStatsView]]: adds exact
+    * `count(distinct cast(v as decimal(18,4)))` → `n_distinct` — the
+    * most expensive aggregate at scale, served from the aux-backed
+    * view. Distinct counts cannot be re-aggregated, so this mapping is
+    * exact-grouping-match only (a roll-up query containing one leaves
+    * the plan untouched). Note the (18,4) value space — fullStatsView
+    * squares its values into decimal(38,8), which caps the input
+    * precision below the other kinds' (20,4). */
+  case object FullStatsKind extends Kind {
+    val cols = Set("n", "sum_value", "min_value", "max_value", "n_distinct")
+    override def valueSpace: (Int, Int) = (18, 4)
   }
 
   final case class Entry(base: LakeTable, view: LakeTable,
@@ -335,37 +355,52 @@ object MvRewrite extends Rule[LogicalPlan] {
       viewPlan.output.map(a => a.name -> a).toMap
     if (!(kind.cols ++ keyCols).forall(viewAttr.contains)) return None
 
+    val (vp, vs) = kind.valueSpace
     def isValueDec(e: Expression): Boolean = e match {
       case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
-        isValueAttr(a) && dt.precision == 20 && dt.scale == 4
+        isValueAttr(a) && dt.precision == vp && dt.scale == vs
       case _ => false
     }
+    def hasMinMax = kind.cols.contains("min_value")
 
     // Map one aggregate call onto the view. Exact form: a view column.
     // Roll-up form: a re-aggregation over the view column.
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete)
-        return None
+      if (ae.filter.isDefined || ae.mode != Complete) return None
+      if (ae.isDistinct) {
+        // count(distinct cast(v)) → n_distinct, exact-match form only
+        // (distinct counts cannot be re-aggregated from group counts)
+        return ae.aggregateFunction match {
+          case Count(Seq(c)) if isValueDec(c) && exact &&
+              kind.cols.contains("n_distinct") &&
+              viewAttr("n_distinct").dataType == LongType =>
+            Some(viewAttr("n_distinct"))
+          case _ => None
+        }
+      }
       def reAgg(fn: AggregateFunction): Expression = fn.toAggregateExpression()
+      // sum_value is stored decimal(30,4) for every kind; a query sum
+      // in a narrower value space (e.g. fullStats' (18,4) → sum type
+      // (28,4)) takes a cast back — overflow → null either way under
+      // the non-ANSI semantics this engine runs with.
+      def castTo(e: Expression, dt: org.apache.spark.sql.types.DataType) =
+        if (e.dataType == dt) e else Cast(e, dt)
       ae.aggregateFunction match {
         case Count(Seq(Literal(v, _))) if v != null =>
           val n = viewAttr("n")
           if (n.dataType != LongType) None
           else if (exact) Some(n)
           else Some(Coalesce(Seq(reAgg(Sum(n)), Literal(0L))))
-        case s: Sum if isValueDec(s.child) =>
+        case s: Sum if isValueDec(s.child) &&
+            ae.dataType.isInstanceOf[DecimalType] =>
           val sv = viewAttr("sum_value")
-          if (sv.dataType != ae.dataType) None
-          else if (exact) Some(sv)
-          // sum(decimal(30,4)) widens to (38,4); cast back to the
-          // original result type. Overflow → null matches Sum's own
-          // non-ANSI overflow behavior at the original precision.
+          if (exact) Some(castTo(sv, ae.dataType))
           else Some(Cast(reAgg(Sum(sv)), ae.dataType))
-        case m: Min if isValueDec(m.child) && kind == MinMaxKind =>
+        case m: Min if isValueDec(m.child) && hasMinMax =>
           val mv = viewAttr("min_value")
           if (mv.dataType != ae.dataType) None
           else if (exact) Some(mv) else Some(reAgg(Min(mv)))
-        case m: Max if isValueDec(m.child) && kind == MinMaxKind =>
+        case m: Max if isValueDec(m.child) && hasMinMax =>
           val mv = viewAttr("max_value")
           if (mv.dataType != ae.dataType) None
           else if (exact) Some(mv) else Some(reAgg(Max(mv)))

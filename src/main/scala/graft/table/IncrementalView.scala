@@ -596,7 +596,8 @@ object IncrementalView {
     * the aux itself tracks the base's size. */
   def maintainFullStatsView(base: LakeTable, aux: LakeTable,
       view: LakeTable, keyCols: Seq[String], valueCol: String,
-      sinceVersion: Int, auxBuckets: Int = 0): Int = {
+      sinceVersion: Int, auxBuckets: Int = 0,
+      meta: Map[String, String] = Map.empty): Int = {
     val syncedTo = base.version
     val keys = keyCols.map(col)
     val vDec = col(valueCol).cast("decimal(18,4)")
@@ -689,7 +690,7 @@ object IncrementalView {
           .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value"),
         when(hasVals, col("sum_sq")).as("sum_sq"),
         col("n_distinct")): _*)
-    view.upsertWithDelete(changed, col("n") <= 0L)
+    view.upsertWithDelete(changed, col("n") <= 0L, meta = meta)
     syncedTo
   }
 

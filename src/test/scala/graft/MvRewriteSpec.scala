@@ -263,6 +263,51 @@ class MvRewriteSpec extends SparkSpec {
     MvRewrite.unregisterJoin(fact, dim)
   }
 
+  test("count(distinct) is served by a full-stats view, exact form only") {
+    import graft.table.IncrementalView
+    val root = "/tmp/graft_tables/mv_spec_distinct"
+    val base = LakeTable(spark, root, "mvd_base", Seq("id"),
+      changeFeed = true)
+    val aux = LakeTable(spark, root, "mvd_aux", Seq("k", "k2", "__v"))
+    val view = LakeTable(spark, root, "mvd_view", Seq("k", "k2"))
+    base.drop(); aux.drop(); view.drop()
+    MvRewrite.unregister(base)
+    base.create((1L to 40L).map(i => (i, i % 4, i % 2, (i % 6) * 1.5))
+      .toDF("id", "k", "k2", "v"))
+    val v0 = base.version
+    aux.create(IncrementalView.fullStatsSupportView(
+      base.read, Seq("k", "k2"), "v"))
+    view.create(IncrementalView.fullStatsView(base.read, Seq("k", "k2"), "v"))
+    base.upsert((1L to 40L).filter(_ % 5 == 0)
+      .map(i => (i, i % 4, i % 2, i * 3.0)).toDF("id", "k", "k2", "v"))
+    base.delete(col("id") % 7 === 0)
+    IncrementalView.maintainFullStatsView(base, aux, view, Seq("k", "k2"),
+      "v", sinceVersion = v0, meta = MvRewrite.syncMeta(base.version))
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.FullStatsKind)
+    val v18 = col("v").cast("decimal(18,4)")
+    val q = base.read.groupBy("k", "k2").agg(
+      count(lit(1)).as("n_rows"), countDistinct(v18).as("nd"),
+      sum(v18).as("s"), min(v18).as("mn"), max(v18).as("mx"))
+    assert(readsOnlyView(q, view), s"full-stats kind: ${scanPaths(q)}")
+    MvRewrite.unregister(base)
+    val direct = base.read.groupBy("k", "k2").agg(
+      count(lit(1)).as("n_rows"), countDistinct(v18).as("nd"),
+      sum(v18).as("s"), min(v18).as("mn"), max(v18).as("mx"))
+    assert(q.orderBy("k", "k2").collect().toSeq ==
+      direct.orderBy("k", "k2").collect().toSeq)
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.FullStatsKind)
+    // roll-up with a distinct agg must NOT rewrite (not re-aggregable)
+    val r = base.read.groupBy("k").agg(countDistinct(v18).as("nd"))
+    assert(!readsOnlyView(r, view))
+    // the (20,4) cast is a DIFFERENT value space → no rewrite
+    val w = base.read.groupBy("k", "k2")
+      .agg(sum(col("v").cast("decimal(20,4)")).as("s"))
+    assert(!readsOnlyView(w, view))
+    MvRewrite.unregister(base)
+  }
+
   test("derived expressions over mapped aggregates rewrite too") {
     val (base, view) = freshPair("derived")
     seed(base, view)
