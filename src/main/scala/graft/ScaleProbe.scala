@@ -90,7 +90,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
         "stats", "hamming", "ivm", "skyline", "gains", "spans", "joinivm",
-        "feedreplay", "dedupidx"))
+        "feedreplay", "dedupidx", "mvrewrite"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -192,6 +192,81 @@ object ScaleProbe {
         s""""maintain_sec":${f"$maintainSec%.2f"},""" +
         s""""recompute_sec":${f"$recomputeSec%.2f"},""" +
         s""""n_pairs":$nPairs,"n_batch_pairs":$nBatchPairs}""")
+    }
+
+    // ---- MV-rewrite family: the measured claim behind plans.MvRewrite
+    // — an aggregation over the base costs O(base) while the SAME query
+    // served by the maintained view costs O(groups), so the gap must
+    // WIDEN as the base inflates ×n (group count grows too, but each
+    // group's row fan-in is what the rewrite deletes). The distinct
+    // column is the headline: count(DISTINCT) forces a second shuffle
+    // on (group, value) at base scale and becomes a column read.
+    if (families("mvrewrite")) {
+      val orders = Tables.load(spark, sfDir, "orders")
+      val maxOk = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+      val maxCk = orders.agg(max("o_custkey")).head().getLong(0) + 1
+      factors.foreach { n =>
+        val base = (0 until n).map { r =>
+          if (r == 0) orders
+          else orders.select(
+            (col("o_orderkey") + lit(r * maxOk)).as("o_orderkey"),
+            (col("o_custkey") + lit(r * maxCk)).as("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority"))
+        }.reduce(_ unionByName _)
+        val root = "/tmp/graft_tables/scaleprobe_mv"
+        val t = graft.table.LakeTable(spark, root, s"mv_base_$n",
+          Seq("o_orderkey"), changeFeed = true)
+        val v = graft.table.LakeTable(spark, root, s"mv_view_$n",
+          Seq("o_custkey"))
+        val aux = graft.table.LakeTable(spark, root, s"mv_aux_$n",
+          Seq("o_custkey", "__v"))
+        val vf = graft.table.LakeTable(spark, root, s"mv_viewf_$n",
+          Seq("o_custkey"))
+        t.drop(); v.drop(); aux.drop(); vf.drop()
+        t.create(base)
+        val rows = t.read.count()
+        val v0 = t.version
+        v.create(graft.table.IncrementalView.minMaxView(
+          t.read, Seq("o_custkey"), "o_totalprice"))
+        aux.create(graft.table.IncrementalView.fullStatsSupportView(
+          t.read, Seq("o_custkey"), "o_totalprice"))
+        vf.create(graft.table.IncrementalView.fullStatsView(
+          t.read, Seq("o_custkey"), "o_totalprice"))
+        // one real (tiny) churn batch, then maintain — the maintains
+        // plant the freshness markers atomically with their merges
+        t.upsert(orders.filter(col("o_orderkey") % 1009 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+        graft.table.IncrementalView.maintainMinMaxView(t, v,
+          Seq("o_custkey"), "o_totalprice", v0,
+          meta = graft.plans.MvRewrite.syncMeta(t.version))
+        graft.table.IncrementalView.maintainFullStatsView(t, aux, vf,
+          Seq("o_custkey"), "o_totalprice", v0,
+          meta = graft.plans.MvRewrite.syncMeta(t.version))
+        graft.plans.GraftOptimizations.install(spark)
+        val vDec = col("o_totalprice").cast("decimal(20,4)")
+        val v18 = col("o_totalprice").cast("decimal(18,4)")
+        def aggQ = t.read.groupBy("o_custkey").agg(
+          count(lit(1)).as("n"), sum(vDec).as("s"),
+          min(vDec).as("mn"), max(vDec).as("mx"))
+        def distQ = t.read.groupBy("o_custkey").agg(
+          countDistinct(v18).as("nd"), sum(v18).as("s"))
+        graft.plans.MvRewrite.unregister(t)
+        val (nGroups, baseAggSec) = timed { aggQ.count() }
+        val (_, baseDistSec) = timed { distQ.count() }
+        graft.plans.MvRewrite.register(t, v, Seq("o_custkey"),
+          "o_totalprice", graft.plans.MvRewrite.MinMaxKind)
+        val (_, viewAggSec) = timed { aggQ.count() }
+        graft.plans.MvRewrite.register(t, vf, Seq("o_custkey"),
+          "o_totalprice", graft.plans.MvRewrite.FullStatsKind)
+        val (_, viewDistSec) = timed { distQ.count() }
+        graft.plans.MvRewrite.unregister(t)
+        println(s"""{"factor":$n,"rows":$rows,"groups":$nGroups,""" +
+          s""""base_agg_sec":${f"$baseAggSec%.2f"},""" +
+          s""""view_agg_sec":${f"$viewAggSec%.2f"},""" +
+          s""""base_distinct_sec":${f"$baseDistSec%.2f"},""" +
+          s""""view_distinct_sec":${f"$viewDistSec%.2f"}}""")
+      }
     }
 
     // ---- Profiling / rolling-sketch family (round-7 additions): same

@@ -2066,6 +2066,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Persistent CDC-maintained IVF index (table/AnnIndex): the serving
+    // shape — the quantizer trains once at build and freezes; ingest
+    // waves re-assign only the touched ids from the change feed
+    // (O(batch × nCells), corpus never re-scanned). Full-probe search
+    // (nProbe = nCells) is provably exact, so unlike the seeded
+    // q_embed_ann_ivf this row is oracle-compared: top-k over the FINAL
+    // corpus state after inserts, direction-flipping updates, and
+    // deletes must equal the brute-force ranking.
+    "q_ann_index" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "annq_docs", Seq("vec_id"),
+        changeFeed = true)
+      t.drop()
+      val ai = graft.table.AnnIndex(s, root, "annq", nCells = 8)
+      t.create(e.filter(col("vec_id") % 3 =!= 0))
+      ai.build(t.read, "vec_id", "embedding")
+      var synced = t.version
+      t.upsert(e.filter(col("vec_id") % 3 === 0))
+      t.upsert(e.filter(col("vec_id") % 11 === 4)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+      t.delete(col("vec_id") % 7 === 3)
+      synced = ai.maintain(t, "vec_id", "embedding", synced)
+      ai.search(e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF ANN (k-means cells, nProbe nearest probed; recall<1 by design —
     // rows-only check, recall floor pinned by RecallSpec)
     "q_embed_ann_ivf" -> ((s, dir) => {
@@ -7334,6 +7362,40 @@ object SparkEntry {
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   ROUND(list_dot_product(q.v, c.v), 6) AS cos
            FROM nv q JOIN nv c ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // full-probe search over the maintained index == brute-force top-k
+    // over the FINAL corpus (wave %3=0 inserted, %11=4 negated, %7=3
+    // deleted); queries use the ORIGINAL vectors
+    "q_ann_index" ->
+      """WITH corpus AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 11 = 4
+                       THEN list_transform(embedding::DOUBLE[], x -> -x)
+                       ELSE embedding::DOUBLE[] END AS emb
+           FROM embeddings WHERE vec_id % 7 <> 3),
+         nc AS (
+           SELECT vec_id,
+                  list_transform(emb,
+                    x -> x / sqrt(list_sum(list_transform(emb, y -> y * y))))
+                    AS v
+           FROM corpus),
+         nq AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings WHERE vec_id < 16),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q.v, c.v), 6) AS cos
+           FROM nq q JOIN nc c ON q.vec_id <> c.vec_id),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
                   row_number() OVER (PARTITION BY query_id

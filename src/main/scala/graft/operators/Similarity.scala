@@ -175,12 +175,12 @@ object Similarity {
 
   /** Per-cell best-match scores against the centroid table (broadcast as
     * plan literals — nCells × dim doubles). */
-  private def cellScores(centroids: Array[Seq[Double]],
+  private[graft] def cellScores(centroids: Array[Seq[Double]],
       vcol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array(centroids.indices.map(i =>
       struct(dot(vcol, typedLit(centroids(i))).as("s"), lit(i).as("cell"))): _*)
 
-  private def cellOf(centroids: Array[Seq[Double]],
+  private[graft] def cellOf(centroids: Array[Seq[Double]],
       vcol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_max(cellScores(centroids, vcol)).getField("cell")
 
@@ -189,7 +189,7 @@ object Similarity {
     * state), then `iters` Lloyd rounds as DataFrame aggregations. The only
     * driver-side state is the centroid table (nCells × dim doubles from a
     * bounded groupBy); empty cells keep their previous centroid. */
-  private def trainCentroids(c: DataFrame, idC: String, vC: String,
+  private[graft] def trainCentroids(c: DataFrame, idC: String, vC: String,
       nCells: Int, iters: Int): Array[Seq[Double]] = {
     var centroids: Array[Seq[Double]] = c
       .withColumn("h", xxhash64(col(idC)))

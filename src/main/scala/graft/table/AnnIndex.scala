@@ -1,0 +1,127 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dot, normalize}
+import graft.operators.Similarity
+
+/** Persistent IVF (inverted-file) ANN index over an embedding LakeTable,
+  * maintained INCREMENTALLY from the table's change feed.
+  *
+  * [[graft.operators.Similarity.ivfTopK]] retrains centroids and
+  * re-assigns the WHOLE corpus on every call — right for one-shot
+  * queries, wrong for a serving index over a corpus that ingests
+  * continuously. Here the IVF state is a lakehouse table pair:
+  *
+  *  - `centroids` (cell → unit vector): the coarse quantizer, trained
+  *    once at [[build]] with the same deterministic mini k-means as
+  *    `ivfTopK` and then FROZEN — the standard production split
+  *    (assignments move incrementally; the quantizer retrains only on
+  *    an explicit [[build]], which is a full rebuild). Frozen centroids
+  *    are what make incremental maintenance exact: an assignment
+  *    depends only on (vector, centroids), never on other rows.
+  *  - `assign` (id → cell, unit vector): the inverted file. A change
+  *    batch re-assigns only the touched ids (alive rows from the
+  *    current snapshot get `cellOf(centroids)`; dead ids ride the same
+  *    MERGE-with-DELETE as NULL-vector tombstones), so maintenance is
+  *    O(changed rows × nCells) regardless of corpus size.
+  *
+  * [[search]] is `ivfTopK`'s probe plan over the PERSISTED index: the
+  * query probes its `nProbe` nearest cells, candidates get exact cosine
+  * verification, bounded top-k via the mergeable aggregator. With
+  * `nProbe = nCells` every cell is probed and the result provably
+  * equals the brute-force top-k over the current corpus — that full
+  * probe is the correctness oracle; production uses nProbe ≪ nCells
+  * and accepts the measured recall (RecallSpec contract, same as the
+  * other ANN paths). */
+final class AnnIndex(spark: SparkSession, root: String, name: String,
+    nCells: Int = 16) {
+
+  val centroids: LakeTable = LakeTable(spark, root, s"${name}_centroids",
+    Seq("cell"))
+  val assign: LakeTable = LakeTable(spark, root, s"${name}_assign",
+    Seq("id"))
+
+  def drop(): Unit = { centroids.drop(); assign.drop() }
+
+  /** Full (re)build: train the quantizer on the current corpus, assign
+    * every row. */
+  def build(docs: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 2): Unit = {
+    import spark.implicits._
+    val c = docs.select(col(idCol).cast("long").as("id"),
+      normalize(col(vecCol)).as("v"))
+    val cached = c.cache()
+    val cents =
+      try Similarity.trainCentroids(cached, "id", "v", nCells, iters)
+      finally cached.unpersist(blocking = true)
+    drop()
+    centroids.create(cents.zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "v"))
+    assign.create(c.withColumn("cell", Similarity.cellOf(cents, col("v"))))
+  }
+
+  /** The frozen quantizer, loaded from the table (bounded: nCells rows). */
+  private def loadCentroids(): Array[Seq[Double]] = {
+    val rows = centroids.read.orderBy("cell")
+      .select("cell", "v").collect()
+    require(rows.length == nCells &&
+      rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"index $name: centroid table does not hold cells 0..${nCells - 1} " +
+        "(built with a different nCells?)")
+    rows.map(_.getSeq[Double](1))
+  }
+
+  /** Sync assignments with `docsTable`'s changes since `sinceVersion`
+    * (change feed required). Returns the synced version. Touched ids'
+    * final state comes from the SNAPSHOT (same convergence contract as
+    * [[DedupIndex]]); the quantizer is not retrained. */
+  def maintain(docsTable: LakeTable, idCol: String, vecCol: String,
+      sinceVersion: Int): Int = {
+    val syncedTo = docsTable.version
+    val cents = loadCentroids()
+    val touched = docsTable.changesSince(sinceVersion)
+      .select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    val alive = docsTable.read
+      .join(touched.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).cast("long").as("id"),
+        normalize(col(vecCol)).as("v"))
+      .withColumn("cell", Similarity.cellOf(cents, col("v")))
+      .localCheckpoint(true)
+    val dead = touched.join(alive.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), lit(null).cast(alive.schema("v").dataType).as("v"),
+        lit(null).cast("int").as("cell"))
+    assign.upsertWithDelete(
+      alive.select("id", "v", "cell").unionByName(dead), col("v").isNull)
+    syncedTo
+  }
+
+  /** `ivfTopK`'s probe plan over the persisted index. `nProbe = nCells`
+    * is the exact (full-probe) mode. */
+  def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    val cents = loadCentroids()
+    val index = assign.read.select(col("id").as("neighbor_id"),
+      col("v").as("c_v"), col("cell"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      normalize(col(vecCol)).as("q_v"))
+    val sortedCells = array_sort(Similarity.cellScores(cents, col("q_v")),
+      (l, r) => when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .otherwise((l("cell") - r("cell")).cast("int")))
+    val probes = q.withColumn("cell",
+      explode(transform(slice(sortedCells, 1, nProbe), s => s("cell"))))
+    val scored = broadcast(probes).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_v"), col("c_v")), 6).as("cos"))
+    Similarity.topKPerGroup(scored, k)
+  }
+}
+
+object AnnIndex {
+  def apply(spark: SparkSession, root: String, name: String,
+      nCells: Int = 16): AnnIndex =
+    new AnnIndex(spark, root, name, nCells)
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.table.{AnnIndex, LakeTable}
+
+/** Contract of the persistent CDC-maintained IVF index: with the frozen
+  * quantizer, maintained assignments equal a from-scratch re-assignment
+  * of the current corpus, and full-probe search equals brute-force
+  * top-k — through insert, direction-changing update, and delete waves. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def res(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.select(col("query_id").cast("long"), col("rank").cast("int"),
+        col("neighbor_id").cast("long"), col("cos"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .sortBy(t => (t._1, t._2))
+
+  test("maintained assignments == frozen-quantizer recompute; full probe == brute force") {
+    val root = "/tmp/graft_tables/annidx_spec"
+    val docs = LakeTable(spark, root, "ann_docs", Seq("vec_id"),
+      changeFeed = true)
+    docs.drop()
+    val ai = AnnIndex(spark, root, "ann", nCells = 8)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+
+    docs.create(e.filter(col("vec_id") % 3 =!= 0))
+    ai.build(docs.read, "vec_id", "embedding")
+    var synced = docs.version
+
+    docs.upsert(e.filter(col("vec_id") % 3 === 0))
+    docs.upsert(e.filter(col("vec_id") % 11 === 4)
+      .withColumn("embedding",
+        transform(col("embedding"), x => -x))) // direction flip: cell moves
+    docs.delete(col("vec_id") % 7 === 3)
+    synced = ai.maintain(docs, "vec_id", "embedding", synced)
+
+    // assignments must equal re-assigning the final corpus under the
+    // SAME frozen centroids
+    val cents = ai.centroids.read.orderBy("cell").select("v")
+      .collect().map(_.getSeq[Double](0))
+    val expected = docs.read
+      .select(col("vec_id").cast("long").as("id"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .withColumn("cell", Similarity.cellOf(cents, col("v")))
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    val got = ai.assign.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+
+    // full-probe search == brute force over the final corpus
+    val queries = e.filter(col("vec_id") < 16)
+    val viaIndex = res(ai.search(queries, "vec_id", "embedding",
+      k = 5, nProbe = 8))
+    val brute = res(Similarity.bruteForceTopK(queries, docs.read,
+      "vec_id", "embedding", k = 5))
+    assert(viaIndex == brute)
+    assert(viaIndex.nonEmpty)
+
+    // replay of the same span converges
+    ai.maintain(docs, "vec_id", "embedding", synced - 3 max 1)
+    val got2 = ai.assign.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet
+    assert(got2 == expected)
+  }
+}
