@@ -2094,6 +2094,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Streaming twin of q_ann_index: the same waves flow to the index
+    // through the embedding table's CDC STREAM (foreachBatch over the
+    // shared AnnIndex.applyChanges core, batch-id idempotent) — batch
+    // and streaming index maintenance are one semantics. Identical
+    // oracle.
+    "q_stream_ann_index" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "sannq_docs", Seq("vec_id"),
+        changeFeed = true)
+      t.drop()
+      val ai = graft.table.AnnIndex(s, root, "sannq", nCells = 8)
+      t.create(e.filter(col("vec_id") % 3 =!= 0))
+      ai.build(t.read, "vec_id", "embedding")
+      t.upsert(e.filter(col("vec_id") % 3 === 0))
+      t.upsert(e.filter(col("vec_id") % 11 === 4)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+      t.delete(col("vec_id") % 7 === 3)
+      graft.streaming.Streams.maintainAnnIndexFromChangeFeed(
+        t.readChangeFeedStream, t, ai, "vec_id", "embedding")
+      ai.search(e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF ANN (k-means cells, nProbe nearest probed; recall<1 by design —
     // rows-only check, recall floor pinned by RecallSpec)
     "q_embed_ann_ivf" -> ((s, dir) => {
@@ -7362,6 +7387,39 @@ object SparkEntry {
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   ROUND(list_dot_product(q.v, c.v), 6) AS cos
            FROM nv q JOIN nv c ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // the streaming-maintained index must land the SAME final state —
+    // identical oracle to q_ann_index
+    "q_stream_ann_index" ->
+      """WITH corpus AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 11 = 4
+                       THEN list_transform(embedding::DOUBLE[], x -> -x)
+                       ELSE embedding::DOUBLE[] END AS emb
+           FROM embeddings WHERE vec_id % 7 <> 3),
+         nc AS (
+           SELECT vec_id,
+                  list_transform(emb,
+                    x -> x / sqrt(list_sum(list_transform(emb, y -> y * y))))
+                    AS v
+           FROM corpus),
+         nq AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings WHERE vec_id < 16),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q.v, c.v), 6) AS cos
+           FROM nq q JOIN nc c ON q.vec_id <> c.vec_id),
          ranked AS (
            SELECT query_id, neighbor_id, cos,
                   row_number() OVER (PARTITION BY query_id

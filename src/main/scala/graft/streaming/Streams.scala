@@ -736,6 +736,31 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_dedup_index" -> e))
   }
 
+  /** Continuous IVF-index maintenance from the embedding table's CDC
+    * stream: each micro-batch re-assigns only the touched ids against
+    * the frozen quantizer via the shared
+    * [[graft.table.AnnIndex.applyChanges]] core — streaming and batch
+    * index maintenance are one semantics by construction, with the same
+    * batch-id idempotence (marker rides the assignment merge) and
+    * snapshot-consistency contract as the dedup-index drain. */
+  def maintainAnnIndexFromChangeFeed(feedStream: DataFrame,
+      docsTable: graft.table.LakeTable, ai: graft.table.AnnIndex,
+      idCol: String, vecCol: String, appId: String = "anncdc"): Unit = {
+    val metaKey = s"annidx_last_batch_$appId"
+    val q = feedStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = ai.assign.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty)
+          ai.applyChanges(batch, docsTable.read, idCol, vecCol,
+            meta = Map(metaKey -> batchId.toString))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_ann_index" -> e))
+  }
+
   /** Continuous JOIN-view maintenance, fact side: subscribe to the fact
     * table's CDC stream and enrich each SIGNED micro-batch against the
     * current dim snapshot (stream-static equi-join) before merging the

@@ -73,18 +73,19 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     rows.map(_.getSeq[Double](1))
   }
 
-  /** Sync assignments with `docsTable`'s changes since `sinceVersion`
-    * (change feed required). Returns the synced version. Touched ids'
-    * final state comes from the SNAPSHOT (same convergence contract as
-    * [[DedupIndex]]); the quantizer is not retrained. */
-  def maintain(docsTable: LakeTable, idCol: String, vecCol: String,
-      sinceVersion: Int): Int = {
-    val syncedTo = docsTable.version
+  /** Apply one change-event frame against the CURRENT corpus snapshot:
+    * touched ids' final state comes from the SNAPSHOT (same convergence
+    * contract as [[DedupIndex.applyChanges]] — events contribute only
+    * their key set), the quantizer is not retrained, and `meta` commits
+    * atomically WITH the assignment merge (the streaming drain's
+    * exactly-once batch marker). */
+  def applyChanges(changes: DataFrame, snapshot: DataFrame, idCol: String,
+      vecCol: String, meta: Map[String, String] = Map.empty): Unit = {
     val cents = loadCentroids()
-    val touched = docsTable.changesSince(sinceVersion)
+    val touched = changes
       .select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
-    val alive = docsTable.read
+    val alive = snapshot
       .join(touched.select(col("id").as(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).cast("long").as("id"),
         normalize(col(vecCol)).as("v"))
@@ -94,7 +95,17 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
       .select(col("id"), lit(null).cast(alive.schema("v").dataType).as("v"),
         lit(null).cast("int").as("cell"))
     assign.upsertWithDelete(
-      alive.select("id", "v", "cell").unionByName(dead), col("v").isNull)
+      alive.select("id", "v", "cell").unionByName(dead), col("v").isNull,
+      meta = meta)
+  }
+
+  /** Sync assignments with `docsTable`'s changes since `sinceVersion`
+    * (change feed required). Returns the synced version. */
+  def maintain(docsTable: LakeTable, idCol: String, vecCol: String,
+      sinceVersion: Int): Int = {
+    val syncedTo = docsTable.version
+    applyChanges(docsTable.changesSince(sinceVersion), docsTable.read,
+      idCol, vecCol)
     syncedTo
   }
 

@@ -67,4 +67,44 @@ class AnnIndexSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(got2 == expected)
   }
+
+  test("streaming drain == batch maintenance across per-file micro-batching; " +
+      "replay is a no-op") {
+    val root = "/tmp/graft_tables/annidx_stream"
+    val docs = LakeTable(spark, root, "anns_docs", Seq("vec_id"),
+      changeFeed = true)
+    docs.drop()
+    val ai = AnnIndex(spark, root, "anns", nCells = 8)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    docs.create(e.filter(col("vec_id") % 3 =!= 0))
+    ai.build(docs.read, "vec_id", "embedding")
+    docs.upsert(e.filter(col("vec_id") % 3 === 0))
+    docs.upsert(e.filter(col("vec_id") % 11 === 4)
+      .withColumn("embedding", transform(col("embedding"), x => -x)))
+    docs.delete(col("vec_id") % 7 === 3)
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        docs.read.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/anns_docs/changes/v*")
+    graft.streaming.Streams.maintainAnnIndexFromChangeFeed(
+      feed, docs, ai, "vec_id", "embedding")
+    val cents = ai.centroids.read.orderBy("cell").select("v")
+      .collect().map(_.getSeq[Double](0))
+    val expected = docs.read
+      .select(col("vec_id").cast("long").as("id"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .withColumn("cell", Similarity.cellOf(cents, col("v")))
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    val got = ai.assign.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == expected)
+    // replay the whole feed: the batch marker makes it a no-op
+    graft.streaming.Streams.maintainAnnIndexFromChangeFeed(
+      docs.readChangeFeedStream, docs, ai, "vec_id", "embedding")
+    val got2 = ai.assign.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet
+    assert(got2 == expected)
+  }
 }
