@@ -102,20 +102,26 @@ object MvRewrite extends Rule[LogicalPlan] {
       view: LakeTable, joinKeys: Seq[String], groupKeys: Seq[String],
       valueCol: String, kind: Kind)
 
-  /** Registries keyed by the base tables' directories (all versions of a
-    * base share one entry; freshness is per scanned version). */
-  private val catalog = new ConcurrentHashMap[String, Entry]()
+  /** Registries keyed by the base tables' directories (all versions of
+    * a base share the entry list; freshness is per scanned version). A
+    * base may carry SEVERAL views on different key sets / kinds — the
+    * rule picks the best fresh container per query (see [[rewrite]]). */
+  private val catalog = new ConcurrentHashMap[String, List[Entry]]()
   private val joinCatalog = new ConcurrentHashMap[String, JoinEntry]()
 
   /** Register a maintained view for rewrite. The maintainer must record
     * the synced base version in the view's meta under `mv.base_version`
     * (pass `meta = MvRewrite.syncMeta(base.version)` to the maintain
     * call — the marker rides the SAME atomic commit as the merge, so a
-    * crash can never leave a fresh-looking stale view). */
+    * crash can never leave a fresh-looking stale view). Registering the
+    * same view table again replaces its entry; different view tables
+    * accumulate as alternative containers for the base. */
   def register(base: LakeTable, view: LakeTable, keyCols: Seq[String],
       valueCol: String, kind: Kind = SumKind): Unit =
-    catalog.put(normalize(base.tablePath),
-      Entry(base, view, keyCols, valueCol, kind))
+    catalog.compute(normalize(base.tablePath), (_, old) =>
+      Entry(base, view, keyCols, valueCol, kind) ::
+        Option(old).getOrElse(Nil)
+          .filterNot(_.view.tablePath == view.tablePath))
 
   /** Register a maintained JOIN view: serves inner equi-join aggregates
     * of `fact ⋈ dim` on `joinKeys`. The maintainer must record BOTH
@@ -127,8 +133,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     joinCatalog.put(joinKey(fact.tablePath, dim.tablePath),
       JoinEntry(fact, dim, view, joinKeys, groupKeys, valueCol, kind))
 
+  /** Drop ALL view registrations for `base`. */
   def unregister(base: LakeTable): Unit =
     catalog.remove(normalize(base.tablePath))
+
+  /** Drop one view's registration, keeping the base's other containers. */
+  def unregisterView(base: LakeTable, view: LakeTable): Unit =
+    catalog.computeIfPresent(normalize(base.tablePath), (_, old) =>
+      old.filterNot(_.view.tablePath == view.tablePath) match {
+        case Nil => null
+        case rest => rest
+      })
   def unregisterJoin(fact: LakeTable, dim: LakeTable): Unit =
     joinCatalog.remove(joinKey(fact.tablePath, dim.tablePath))
   def clear(): Unit = { catalog.clear(); joinCatalog.clear() }
@@ -204,7 +219,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Some(x) => x
       case None => return None
     }
-    val entry = Option(catalog.get(tableDir)).getOrElse(return None)
+    val entries = Option(catalog.get(tableDir)).getOrElse(return None)
 
     // Freshness: the view must be synced to EXACTLY the snapshot this
     // scan reads (not merely the base's current version — a stale
@@ -212,16 +227,28 @@ object MvRewrite extends Rule[LogicalPlan] {
     // view, and vice versa). `meta` is a one-file driver-side read.
     // Any view-side fault (corrupt pointer, missing dir) means "don't
     // rewrite", never "fail an unrelated query inside the optimizer".
-    val fresh = scala.util.Try(entry.view.exists &&
-      entry.view.meta.get(SyncKey).contains(scannedVersion.toString))
+    def fresh(e: Entry): Boolean = scala.util.Try(e.view.exists &&
+      e.view.meta.get(SyncKey).contains(scannedVersion.toString))
       .getOrElse(false)
-    if (!fresh) return None
 
+    // Container selection: among the fresh views that can answer this
+    // query, prefer an exact key match (pure projection, no shuffle)
+    // over a roll-up, then the FEWEST key columns (the coarser view is
+    // the smaller read). substitute() itself rejects containers whose
+    // columns can't express the aggregates, so "try in order" is both
+    // the filter and the ranking.
     val lrIds = lr.output.map(_.exprId).toSet
-    substitute(agg, conds, entry.view, entry.keyCols, entry.kind,
-      keyAttrs = lr.output.filter(a => entry.keyCols.contains(a.name)),
-      isValueAttr = a => a.name == entry.valueCol && lrIds(a.exprId),
-      allScanIds = lrIds)
+    val groupNames = agg.groupingExpressions.collect {
+      case a: AttributeReference => a.name
+    }.toSet
+    val ordered = entries.filter(fresh).sortBy(e =>
+      (if (e.keyCols.toSet == groupNames) 0 else 1, e.keyCols.length))
+    ordered.view.flatMap { e =>
+      substitute(agg, conds, e.view, e.keyCols, e.kind,
+        keyAttrs = lr.output.filter(a => e.keyCols.contains(a.name)),
+        isValueAttr = a => a.name == e.valueCol && lrIds(a.exprId),
+        allScanIds = lrIds)
+    }.headOption
   }
 
   /** Unwrap attribute-only Projects down to a Join, collecting Filter

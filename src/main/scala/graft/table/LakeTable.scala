@@ -1029,6 +1029,22 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * the meta file. The staged `_meta.json` LINK must be unlinked before
     * the rewrite — writing through it would corrupt the published prior
     * version's metadata via the shared inode. */
+  /** Metadata-only commit (Delta's commitInfo-style annotation): a new
+    * version whose data files hard-link the current snapshot and whose
+    * meta is the current meta merged with `m`. The use case that
+    * motivated it: a streaming IVM drain records per-batch markers but
+    * cannot know mid-drain which batch is last, so it cannot stamp the
+    * `mv.base_version` freshness marker inside a batch commit — the
+    * caller snapshots the base version BEFORE starting the drain and
+    * annotates the view AFTER it completes. Crash between drain and
+    * annotate leaves the marker absent → the MV rewrite conservatively
+    * skips the view (never serves stale data); the next drain+annotate
+    * repairs it. */
+  def annotate(m: Map[String, String]): Unit = {
+    require(exists, s"table $name has no published version to annotate")
+    publishMetaOnly(readMeta(currentDir) ++ m)
+  }
+
   private def publishMetaOnly(m: Map[String, String]): Unit = {
     deleteRecursively(stagingDir)
     linkTree(currentDir, stagingDir)

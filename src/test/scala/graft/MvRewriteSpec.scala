@@ -308,6 +308,78 @@ class MvRewriteSpec extends SparkSpec {
     MvRewrite.unregister(base)
   }
 
+  test("multiple views per base: the best fresh container serves each query") {
+    import graft.table.IncrementalView
+    val root = "/tmp/graft_tables/mv_spec_multi"
+    val base = LakeTable(spark, root, "mvm_base", Seq("id"),
+      changeFeed = true)
+    val fine = LakeTable(spark, root, "mvm_fine", Seq("k", "k2"))
+    val coarse = LakeTable(spark, root, "mvm_coarse", Seq("k"))
+    base.drop(); fine.drop(); coarse.drop()
+    MvRewrite.unregister(base)
+    base.create((1L to 40L).map(i => (i, i % 4, i % 2, i * 1.5))
+      .toDF("id", "k", "k2", "v"))
+    val v0 = base.version
+    fine.create(IncrementalView.minMaxView(base.read, Seq("k", "k2"), "v"))
+    coarse.create(IncrementalView.minMaxView(base.read, Seq("k"), "v"))
+    base.upsert(Seq((41L, 1L, 0L, 9.0)).toDF("id", "k", "k2", "v"))
+    IncrementalView.maintainMinMaxView(base, fine, Seq("k", "k2"), "v",
+      v0, meta = MvRewrite.syncMeta(base.version))
+    IncrementalView.maintainMinMaxView(base, coarse, Seq("k"), "v",
+      v0, meta = MvRewrite.syncMeta(base.version))
+    MvRewrite.register(base, fine, Seq("k", "k2"), "v", MvRewrite.MinMaxKind)
+    MvRewrite.register(base, coarse, Seq("k"), "v", MvRewrite.MinMaxKind)
+    // group by (k, k2): only the fine view can answer — exact match
+    val q2 = base.read.groupBy("k", "k2").agg(sum(vDec).as("s"))
+    assert(readsOnlyView(q2, fine), s"${scanPaths(q2)}")
+    // group by k: BOTH can answer; the coarse exact match must win
+    // over the fine roll-up
+    val q1 = base.read.groupBy("k").agg(sum(vDec).as("s"))
+    assert(readsOnlyView(q1, coarse), s"${scanPaths(q1)}")
+    // drop the coarse container: the fine one serves k via roll-up
+    MvRewrite.unregisterView(base, coarse)
+    val q1b = base.read.groupBy("k").agg(sum(vDec).as("s"))
+    assert(readsOnlyView(q1b, fine), s"${scanPaths(q1b)}")
+    MvRewrite.unregister(base)
+    val direct = base.read.groupBy("k").agg(sum(vDec).as("s"))
+    assert(q1.orderBy("k").collect().toSeq ==
+      direct.orderBy("k").collect().toSeq)
+    assert(q1b.orderBy("k").collect().toSeq ==
+      direct.orderBy("k").collect().toSeq)
+  }
+
+  test("a streaming-maintained view serves the rewrite after a " +
+      "post-drain annotate") {
+    import graft.table.IncrementalView
+    val root = "/tmp/graft_tables/mv_spec_stream"
+    val base = LakeTable(spark, root, "mvs_base", Seq("id"),
+      changeFeed = true)
+    val view = LakeTable(spark, root, "mvs_view", Seq("k", "k2"))
+    base.drop(); view.drop()
+    MvRewrite.unregister(base)
+    base.create((1L to 30L).map(i => (i, i % 3, i % 2, i * 2.0))
+      .toDF("id", "k", "k2", "v"))
+    view.create(IncrementalView.minMaxView(base.read, Seq("k", "k2"), "v"))
+    base.upsert(Seq((31L, 1L, 1L, 7.0)).toDF("id", "k", "k2", "v"))
+    base.delete(col("id") % 5 === 0)
+    val bv = base.version // snapshot BEFORE the drain starts
+    graft.streaming.Streams.maintainMinMaxViewFromChangeFeed(
+      base.readChangeFeedStream, base, view, Seq("k", "k2"), "v")
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.MinMaxKind)
+    // drained but not annotated: no freshness marker → no rewrite
+    val q0 = base.read.groupBy("k", "k2").agg(sum(vDec).as("s"))
+    assert(!readsOnlyView(q0, view))
+    // the post-drain metadata-only commit plants the marker
+    view.annotate(MvRewrite.syncMeta(bv))
+    val q1 = base.read.groupBy("k", "k2").agg(sum(vDec).as("s"))
+    assert(readsOnlyView(q1, view), s"${scanPaths(q1)}")
+    MvRewrite.unregister(base)
+    val direct = base.read.groupBy("k", "k2").agg(sum(vDec).as("s"))
+    assert(q1.orderBy("k", "k2").collect().toSeq ==
+      direct.orderBy("k", "k2").collect().toSeq)
+  }
+
   test("derived expressions over mapped aggregates rewrite too") {
     val (base, view) = freshPair("derived")
     seed(base, view)
