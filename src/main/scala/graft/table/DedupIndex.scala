@@ -58,20 +58,30 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     shingleN: Int = 3, k: Int = 64, bands: Int = 16,
     threshold: Double = 0.7, maxBucketSize: Int = 1000) {
 
+  /** One ARRAY-PACKED row per document (id → all band buckets), not one
+    * row per (id, band): the index is 1/bands the row count, the merge
+    * key is the bare id, and — the part that matters at ×64 corpus
+    * scale — every per-batch index rewrite moves `bands`× fewer rows
+    * (the per-(id, band) layout measured 15.9 s/maintain at 320k docs,
+    * dominated by rewriting 5.1M skinny rows; see ARCHITECTURE §7i). */
   val index: LakeTable = LakeTable(spark, root, s"${name}_index",
-    Seq("id", "band"))
+    Seq("id"))
   val pairs: LakeTable = LakeTable(spark, root, s"${name}_pairs",
     Seq("a_id", "b_id"))
 
   def drop(): Unit = { index.drop(); pairs.drop() }
 
-  /** (id, band, bucket) rows of `docs` under this index's parameters. */
-  private def bandRows(docs: DataFrame, idCol: String,
+  /** (id, buckets: array) rows of `docs` under this index's parameters. */
+  private def bandArray(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .select(col("id"), posexplode(
-        graft.functions.HashExpressions.minhashBands(col("sh"), k, bands)))
+      graft.functions.HashExpressions.minhashBands(
+        shingles(col(textCol), shingleN), k, bands).as("buckets"))
+
+  /** The (id, band, bucket) exploded form of an index frame — map-side
+    * only (posexplode), used as the standing side of the probe join. */
+  private def exploded(idx: DataFrame): DataFrame =
+    idx.select(col("id"), posexplode(col("buckets")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
 
   /** Full build from the current corpus: batch band rows + batch pairs.
@@ -80,7 +90,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     * configuration or the index is meaningless. */
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
     index.drop(); pairs.drop()
-    index.create(bandRows(docs, idCol, textCol))
+    index.create(bandArray(docs, idCol, textCol))
     pairs.create(Dedup.minhashLshPairs(docs, idCol, textCol, shingleN, k,
       bands, threshold, maxBucketSize))
   }
@@ -109,33 +119,36 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     val deadIds = touched.join(
       aliveTouched.select(col(idCol).as("id")), Seq("id"), "left_anti")
 
-    // 1. Index merge: alive docs re-assert all their band rows (an
-    //    update overwrites buckets in place — the (id, band) key set is
-    //    fixed at k/bands rows per doc); dead docs' rows are deleted in
-    //    the same commit. Tombstones ride as NULL-payload rows (bucket
-    //    IS NULL marks a delete) so the stored schema stays exactly
-    //    (id, band, bucket) — a live band bucket is never null by
-    //    construction (posexplode emits no rows for null shingles).
-    val newIdx = bandRows(aliveTouched, idCol, textCol).localCheckpoint(true)
-    val deadIdx = index.read.join(deadIds, Seq("id"), "left_semi")
-      .select(col("id"), col("band"),
-        lit(null).cast("long").as("bucket"))
+    // 1. Index merge: one array-packed row per alive touched doc (an
+    //    update overwrites its buckets in place — the merge key is the
+    //    bare id); dead ids ride the same commit as NULL-payload
+    //    tombstones (a live doc's buckets array is never null — null
+    //    shingles produce a null array only for null text, which the
+    //    snapshot cannot carry for an alive doc with text).
+    val newIdx = bandArray(aliveTouched, idCol, textCol)
+      .localCheckpoint(true)
+    val deadIdx = deadIds.select(col("id"),
+      lit(null).cast("array<long>").as("buckets"))
     index.upsertWithDelete(newIdx.unionByName(deadIdx),
-      col("bucket").isNull)
+      col("buckets").isNull)
 
-    // 2. Pair re-derivation for the touched slice. Candidates: the new
-    //    band rows probe the POST-merge index on (band, bucket) — only
-    //    touched buckets are read. Oversized buckets are skipped at
-    //    generation (see class doc).
-    val idxNow = index.read
-    val probeBuckets = newIdx.select("band", "bucket").distinct()
-    val bucketSizes = idxNow.join(probeBuckets, Seq("band", "bucket"), "left_semi")
-      .groupBy("band", "bucket").agg(count(lit(1)).as("bsize"))
-    val okBuckets = bucketSizes.filter(col("bsize") <= maxBucketSize)
+    // 2. Pair re-derivation for the touched slice. Candidates: the
+    //    batch's (band, bucket) set is BROADCAST against the exploded
+    //    index — a map-side join, so the corpus side is scanned (never
+    //    shuffled) and only rows landing in touched buckets survive.
+    //    Oversized buckets are skipped at generation (see class doc).
+    val probeRows = exploded(newIdx).localCheckpoint(true)
+    val probeBuckets = probeRows.select("band", "bucket").distinct()
+    val touchedRows = exploded(index.read)
+      .join(broadcast(probeBuckets), Seq("band", "bucket"))
+      .localCheckpoint(true) // bucket sizing AND the candidate join
+    val okBuckets = touchedRows.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") <= maxBucketSize)
       .select("band", "bucket")
-    val probe = newIdx.join(okBuckets, Seq("band", "bucket"))
+    val probe = probeRows.join(okBuckets, Seq("band", "bucket"))
       .select(col("band"), col("bucket"), col("id").as("b_id"))
-    val other = idxNow.join(okBuckets, Seq("band", "bucket"))
+    val other = touchedRows.join(okBuckets, Seq("band", "bucket"))
       .select(col("band"), col("bucket"), col("id").as("a_id"))
     val cand = other.join(probe, Seq("band", "bucket"))
       .filter(col("a_id") =!= col("b_id"))

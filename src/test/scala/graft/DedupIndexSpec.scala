@@ -19,9 +19,11 @@ class DedupIndexSpec extends SparkSpec {
     df.select(col("a_id").cast("long"), col("b_id").cast("long"),
       col("jaccard")).as[(Long, Long, Double)].collect().toSet
 
+  /** Exploded (id, band, bucket) view of the array-packed index. */
   private def idxSet(df: DataFrame): Set[(Long, Int, Long)] =
-    df.select(col("id").cast("long"), col("band").cast("int"),
-      col("bucket").cast("long")).as[(Long, Int, Long)].collect().toSet
+    df.select(col("id"), posexplode(col("buckets")))
+      .select(col("id").cast("long"), col("pos").cast("int"),
+        col("col").cast("long")).as[(Long, Int, Long)].collect().toSet
 
   private def assertConverged(di: DedupIndex, docs: LakeTable): Unit = {
     val batch = Dedup.minhashLshPairs(docs.read, "doc_id", "text",
@@ -29,10 +31,9 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairSet(di.pairs.read) == pairSet(batch))
     val batchIdx = docs.read
       .select(col("doc_id").as("id"),
-        graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
-      .select(col("id"), posexplode(
-        graft.functions.HashExpressions.minhashBands(col("sh"), 64, 16)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        graft.functions.HashExpressions.minhashBands(
+          graft.functions.TextFunctions.shingles(col("text"), 3), 64, 16)
+          .as("buckets"))
     assert(idxSet(di.index.read) == idxSet(batchIdx))
   }
 
