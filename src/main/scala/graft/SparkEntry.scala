@@ -1345,6 +1345,51 @@ object SparkEntry {
       assertViewOnlyScan(q, v, "q_mv_distinct")
     }),
 
+    // MV-rewrite avg()/count(col) serving — avg is THE most common user
+    // aggregate, and the one a (sum, n) view CANNOT serve: Average's
+    // count buffer counts NON-NULL values, so the fullStats view's
+    // n_nonnull column is what makes the substitution correct on
+    // null-bearing groups. The churn deliberately writes NULL prices
+    // into surviving groups to exercise exactly that case. The rewrite
+    // reuses Average's own evaluateExpression over the view columns
+    // (bit-identical decimal division chain); the oracle replicates it
+    // with exact integer half-up arithmetic — no float rounding on
+    // either side. Plan-asserted view-only scan, like q_mv_rewrite.
+    "q_mv_avg" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      graft.plans.GraftOptimizations.install(s)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_mva", Seq("o_orderkey"),
+        changeFeed = true)
+      val aux = LakeTable(s, root, "orders_mva_aux", Seq("o_custkey", "__v"))
+      val v = LakeTable(s, root, "orders_mva_view", Seq("o_custkey"))
+      t.drop(); aux.drop(); v.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      val v0 = t.version
+      aux.create(graft.table.IncrementalView.fullStatsSupportView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      v.create(graft.table.IncrementalView.fullStatsView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 1, lit(null).cast("double"))
+            .otherwise(col("o_totalprice") * 2)))
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainFullStatsView(t, aux, v,
+        Seq("o_custkey"), "o_totalprice", sinceVersion = v0,
+        meta = graft.plans.MvRewrite.syncMeta(t.version))
+      graft.plans.MvRewrite.register(t, v, Seq("o_custkey"),
+        "o_totalprice", graft.plans.MvRewrite.FullStatsKind)
+      val vDec = col("o_totalprice").cast("decimal(18,4)")
+      val q = t.read.groupBy("o_custkey").agg(
+          count(lit(1)).as("n"),
+          count(vDec).as("n_vals"),
+          avg(vDec).cast("double").as("avg_total"),
+          sum(vDec).cast("double").as("sum_total"))
+        .orderBy("o_custkey")
+      assertViewOnlyScan(q, v, "q_mv_avg")
+    }),
+
     // MV rewrite over a JOIN: the aggregate-over-join query (the two
     // most expensive operators in a 100 TB plan) is served by the
     // maintained joinSumView — same churn replay as q_ivm_join on BOTH
@@ -5769,6 +5814,44 @@ object SparkEntry {
                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                   AS max_total
          FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // avg served from the view: Spark's decimal Average divides at
+    // scale 14 (precision-loss-adjusted) then casts to scale 8, both
+    // HALF_UP — replicated here with exact HUGEINT arithmetic
+    // (halfup(a/b) = (2a+b)//(2b) for positive operands) so neither
+    // engine ever rounds a float: i4 is the exact sum in 1e-4 units,
+    // v14/v8 the two half-up roundings, and the final /1e8 division is
+    // IEEE-exact-input on both sides.
+    "q_mv_avg" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              CASE WHEN o_orderkey % 7 = 1 THEN NULL
+                                   ELSE o_totalprice * 2 END AS o_totalprice,
+                              o_orderdate, o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0),
+            agg AS (
+              SELECT o_custkey, count(*) AS n,
+                     count(o_totalprice) AS n_vals,
+                     SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                         AS HUGEINT)) AS i4
+              FROM final GROUP BY o_custkey),
+            rounded AS (
+              SELECT o_custkey, n, n_vals, i4,
+                     CASE WHEN n_vals = 0 THEN NULL ELSE
+                       (2 * i4 * 10000000000 + n_vals) // (2 * n_vals)
+                     END AS v14
+              FROM agg)
+         SELECT o_custkey, n, n_vals,
+                CAST((2 * v14 + 1000000) // 2000000 AS DOUBLE)
+                  / 100000000.0 AS avg_total,
+                CAST(i4 AS DOUBLE) / 10000.0 AS sum_total
+         FROM rounded ORDER BY o_custkey""",
 
     // join rewrite: the view serves the aggregate-over-join query —
     // the oracle replays both sides' churn and re-joins, identical to

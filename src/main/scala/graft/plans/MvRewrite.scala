@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   AttributeReference, Cast, Coalesce, EqualTo, Expression, ExprId, Literal,
   NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  AggregateFunction, Complete, Count, Max, Min, Sum}
+  AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project}
@@ -89,9 +89,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     * exact-grouping-match only (a roll-up query containing one leaves
     * the plan untouched). Note the (18,4) value space — fullStatsView
     * squares its values into decimal(38,8), which caps the input
-    * precision below the other kinds' (20,4). */
+    * precision below the other kinds' (20,4).
+    *
+    * The `n_nonnull` column (count of NON-NULL cast values) is what
+    * lets this kind serve `count(cast(v))` and — the most common
+    * aggregate a user writes — `avg(cast(v))`: Average's count buffer
+    * counts non-null values, so serving it from `(sum_value, n)` would
+    * be silently wrong on null-bearing groups. The avg substitution
+    * reuses Average's OWN evaluateExpression with the buffer
+    * attributes replaced by view columns, so the division/rounding
+    * chain is bit-identical to evaluating the real aggregate. */
   case object FullStatsKind extends Kind {
-    val cols = Set("n", "sum_value", "min_value", "max_value", "n_distinct")
+    val cols = Set("n", "n_nonnull", "sum_value", "min_value", "max_value",
+      "n_distinct")
     override def valueSpace: (Int, Int) = (18, 4)
   }
 
@@ -107,7 +117,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * base may carry SEVERAL views on different key sets / kinds — the
     * rule picks the best fresh container per query (see [[rewrite]]). */
   private val catalog = new ConcurrentHashMap[String, List[Entry]]()
-  private val joinCatalog = new ConcurrentHashMap[String, JoinEntry]()
+  private val joinCatalog = new ConcurrentHashMap[String, List[JoinEntry]]()
 
   /** Register a maintained view for rewrite. The maintainer must record
     * the synced base version in the view's meta under `mv.base_version`
@@ -115,7 +125,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     * call — the marker rides the SAME atomic commit as the merge, so a
     * crash can never leave a fresh-looking stale view). Registering the
     * same view table again replaces its entry; different view tables
-    * accumulate as alternative containers for the base. */
+    * accumulate as alternative containers for the base.
+    *
+    * Freshness CONTRACT (path-shape): the rule recognizes a scan of
+    * `base` by its [[LakeTable]] layout — a single root path whose leaf
+    * is the `v<N>` version directory — and compares that `N` against
+    * the view's recorded `mv.base_version`. Scans of anything else (a
+    * plain parquet directory, a multi-path read, a different table
+    * format) never parse a version and therefore SAFELY never rewrite;
+    * registering a non-LakeTable "base" is a silent no-op by design,
+    * never a wrong answer (MvRewriteSpec pins the negative). */
   def register(base: LakeTable, view: LakeTable, keyCols: Seq[String],
       valueCol: String, kind: Kind = SumKind): Unit =
     catalog.compute(normalize(base.tablePath), (_, old) =>
@@ -126,12 +145,19 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Register a maintained JOIN view: serves inner equi-join aggregates
     * of `fact ⋈ dim` on `joinKeys`. The maintainer must record BOTH
     * synced versions (pass `meta = MvRewrite.joinSyncMeta(fv, dv)` to
-    * `maintainJoinSumView`/`maintainJoinMinMaxView`). */
+    * `maintainJoinSumView`/`maintainJoinMinMaxView`). Same list
+    * semantics as [[register]]: re-registering the same view table
+    * replaces its entry; different view tables accumulate as
+    * alternative containers for the (fact, dim) pair, best fresh
+    * container selected per query. Same path-shape freshness contract
+    * as [[register]]. */
   def registerJoin(fact: LakeTable, dim: LakeTable, view: LakeTable,
       joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
       kind: Kind = SumKind): Unit =
-    joinCatalog.put(joinKey(fact.tablePath, dim.tablePath),
-      JoinEntry(fact, dim, view, joinKeys, groupKeys, valueCol, kind))
+    joinCatalog.compute(joinKey(fact.tablePath, dim.tablePath), (_, old) =>
+      JoinEntry(fact, dim, view, joinKeys, groupKeys, valueCol, kind) ::
+        Option(old).getOrElse(Nil)
+          .filterNot(_.view.tablePath == view.tablePath))
 
   /** Drop ALL view registrations for `base`. */
   def unregister(base: LakeTable): Unit =
@@ -227,9 +253,13 @@ object MvRewrite extends Rule[LogicalPlan] {
     // view, and vice versa). `meta` is a one-file driver-side read.
     // Any view-side fault (corrupt pointer, missing dir) means "don't
     // rewrite", never "fail an unrelated query inside the optimizer".
-    def fresh(e: Entry): Boolean = scala.util.Try(e.view.exists &&
-      e.view.meta.get(SyncKey).contains(scannedVersion.toString))
-      .getOrElse(false)
+    // The view's snapshot is PINNED: the validated meta and the
+    // substituted scan come from ONE pointer resolution, so a
+    // concurrent view-maintenance commit between check and read can
+    // never serve a snapshot newer than the one validated (the
+    // check-then-read race `pinnedSnapshot` documents).
+    def fresh(e: Entry): Option[LogicalPlan] =
+      freshPinned(e.view, _.get(SyncKey).contains(scannedVersion.toString))
 
     // Container selection: among the fresh views that can answer this
     // query, prefer an exact key match (pure projection, no shuffle)
@@ -241,15 +271,28 @@ object MvRewrite extends Rule[LogicalPlan] {
     val groupNames = agg.groupingExpressions.collect {
       case a: AttributeReference => a.name
     }.toSet
-    val ordered = entries.filter(fresh).sortBy(e =>
-      (if (e.keyCols.toSet == groupNames) 0 else 1, e.keyCols.length))
-    ordered.view.flatMap { e =>
-      substitute(agg, conds, e.view, e.keyCols, e.kind,
+    val ordered = entries.flatMap(e => fresh(e).map(vp => (e, vp))).sortBy {
+      case (e, _) =>
+        (if (e.keyCols.toSet == groupNames) 0 else 1, e.keyCols.length)
+    }
+    ordered.view.flatMap { case (e, viewPlan) =>
+      substitute(agg, conds, viewPlan, e.keyCols, e.kind,
         keyAttrs = lr.output.filter(a => e.keyCols.contains(a.name)),
         isValueAttr = a => a.name == e.valueCol && lrIds(a.exprId),
         allScanIds = lrIds)
     }.headOption
   }
+
+  /** Pinned freshness probe: resolve the view's CURRENT snapshot once,
+    * validate THAT snapshot's meta with `check`, and return the
+    * analyzed scan over the SAME pinned version directory. Any
+    * view-side fault yields None ("don't rewrite"), never an optimizer
+    * failure. */
+  private def freshPinned(view: LakeTable,
+      check: Map[String, String] => Boolean): Option[LogicalPlan] =
+    scala.util.Try(view.pinnedSnapshot.collect {
+      case (df, m) if check(m) => df.queryExecution.analyzed
+    }).toOption.flatten
 
   /** Unwrap attribute-only Projects down to a Join, collecting Filter
     * conditions found above it. */
@@ -303,38 +346,18 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     // registration orientation: fact may be the left OR right input
-    val (entry, factV, dimV, lrFact, lrDim) =
+    val (entries, factV, dimV, lrFact, lrDim) =
       Option(joinCatalog.get(s"$dirA|$dirB"))
-        .map(e => (e, vA, vB, lrA, lrB))
+        .map(es => (es, vA, vB, lrA, lrB))
         .orElse(Option(joinCatalog.get(s"$dirB|$dirA"))
-          .map(e => (e, vB, vA, lrB, lrA)))
+          .map(es => (es, vB, vA, lrB, lrA)))
         .getOrElse(return None)
 
-    // Constraint propagation plants inferred `isnotnull(joinKey)` (and
-    // the analyzer may plant them for filtered keys) below the join —
-    // for the INNER equi-join these are implied by the join itself (a
-    // null key never matches), which the view already materializes, so
-    // they are dropped from matching. Every surviving side condition
-    // must map onto view columns like a top-level filter.
-    val joinKeySet = entry.joinKeys.toSet
-    def implied(e: Expression): Boolean = e match {
-      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-        a: AttributeReference) => joinKeySet.contains(a.name)
-      case _ => false
-    }
-    val sideConds = (condsA ++ condsB).filterNot(implied)
-
-    val fresh = scala.util.Try(entry.view.exists && {
-      val m = entry.view.meta
-      m.get(FactSyncKey).contains(factV.toString) &&
-        m.get(DimSyncKey).contains(dimV.toString)
-    }).getOrElse(false)
-    if (!fresh) return None
-
-    // The join condition must be exactly the registered equi-join:
-    // a conjunction of fact.k = dim.k over precisely the joinKeys set.
     val factIds = lrFact.output.map(_.exprId).toSet
     val dimIds = lrDim.output.map(_.exprId).toSet
+
+    // The join condition as equi-key names: a conjunction of
+    // fact.k = dim.k (any other shape never matches any entry).
     val eqKeyNames = splitConjuncts(j.condition.get).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if a.name == b.name &&
@@ -342,21 +365,56 @@ object MvRewrite extends Rule[LogicalPlan] {
               (dimIds(a.exprId) && factIds(b.exprId))) => a.name
       case _ => return None
     }
-    if (eqKeyNames.toSet != joinKeySet) return None
 
-    substitute(agg, conds.filterNot(implied) ++ sideConds, entry.view,
-      entry.groupKeys, entry.kind,
-      keyAttrs = (lrFact.output ++ lrDim.output)
-        .filter(a => entry.groupKeys.contains(a.name)),
-      isValueAttr = a => a.name == entry.valueCol && factIds(a.exprId),
-      allScanIds = factIds ++ dimIds)
+    // Container selection — the base catalog's rule: exact grouping
+    // match first (pure projection), then fewest group keys. Each
+    // candidate must cover exactly this join's equi-key set, be fresh
+    // on BOTH scanned versions (snapshot pinned, as in rewrite()), and
+    // survive substitution.
+    val groupNames = agg.groupingExpressions.collect {
+      case a: AttributeReference => a.name
+    }.toSet
+    val ordered = entries.sortBy(e =>
+      (if (e.groupKeys.toSet == groupNames) 0 else 1, e.groupKeys.length))
+    ordered.view.flatMap { entry =>
+      val joinKeySet = entry.joinKeys.toSet
+      if (eqKeyNames.toSet != joinKeySet) None
+      else {
+        // Constraint propagation plants inferred `isnotnull(joinKey)`
+        // (and the analyzer may plant them for filtered keys) below the
+        // join — for the INNER equi-join these are implied by the join
+        // itself (a null key never matches), which the view already
+        // materializes, so they are dropped from matching. Every
+        // surviving side condition must map onto view columns like a
+        // top-level filter.
+        def implied(e: Expression): Boolean = e match {
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => joinKeySet.contains(a.name)
+          case _ => false
+        }
+        val sideConds = (condsA ++ condsB).filterNot(implied)
+        freshPinned(entry.view, m =>
+          m.get(FactSyncKey).contains(factV.toString) &&
+            m.get(DimSyncKey).contains(dimV.toString))
+          .flatMap { viewPlan =>
+            substitute(agg, conds.filterNot(implied) ++ sideConds, viewPlan,
+              entry.groupKeys, entry.kind,
+              keyAttrs = (lrFact.output ++ lrDim.output)
+                .filter(a => entry.groupKeys.contains(a.name)),
+              isValueAttr = a => a.name == entry.valueCol && factIds(a.exprId),
+              allScanIds = factIds ++ dimIds)
+          }
+      }
+    }.headOption
   }
 
   /** Shared substitution core: map the Aggregate's grouping, filters,
-    * and aggregate calls onto the view's columns; bail out (None — plan
-    * untouched) on the first shape that does not map exactly. */
+    * and aggregate calls onto the columns of `viewPlan` (the PINNED
+    * analyzed scan of the view snapshot whose freshness was validated);
+    * bail out (None — plan untouched) on the first shape that does not
+    * map exactly. */
   private def substitute(agg: Aggregate, conds: Seq[Expression],
-      view: LakeTable, keyCols: Seq[String], kind: Kind,
+      viewPlan: LogicalPlan, keyCols: Seq[String], kind: Kind,
       keyAttrs: Seq[Attribute],
       isValueAttr: AttributeReference => Boolean,
       allScanIds: Set[ExprId]): Option[LogicalPlan] = {
@@ -371,13 +429,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     val exact = groupNames == keySet
     if (!conds.forall(_.references.forall(r => keySet.contains(r.name))))
       return None
-    // Key-only filter predicates are always safe in BOTH forms: the
-    // rewritten filter lands directly above the view scan, below any
-    // re-aggregation.
-
-    // Analyzed scan of the view parquet (analyzer only — safe inside an
-    // optimizer rule; the subplan is trivial and already optimal).
-    val viewPlan = view.read.queryExecution.analyzed
+    // Key-only filter predicates are safe in BOTH forms ONLY when
+    // deterministic: group-predicate commutation moves the filter from
+    // per-base-row to per-view-group application, which preserves the
+    // result for a function of the keys but changes the sampling
+    // distribution of a non-deterministic predicate (rand() < 0.5 has
+    // an EMPTY reference set and would pass the key check vacuously) —
+    // the same non-commutable rule Calcite and Spark's own
+    // PushDownPredicate apply.
+    if (!conds.forall(_.deterministic)) return None
     val viewAttr: Map[String, Attribute] =
       viewPlan.output.map(a => a.name -> a).toMap
     if (!(kind.cols ++ keyCols).forall(viewAttr.contains)) return None
@@ -418,6 +478,40 @@ object MvRewrite extends Rule[LogicalPlan] {
           if (n.dataType != LongType) None
           else if (exact) Some(n)
           else Some(Coalesce(Seq(reAgg(Sum(n)), Literal(0L))))
+        // count(cast(v)) — non-null count, served by the n_nonnull
+        // column (count(*) would be wrong on null-bearing groups)
+        case Count(Seq(c)) if isValueDec(c) &&
+            kind.cols.contains("n_nonnull") &&
+            viewAttr("n_nonnull").dataType == LongType =>
+          val nn = viewAttr("n_nonnull")
+          if (exact) Some(nn)
+          else Some(Coalesce(Seq(reAgg(Sum(nn)), Literal(0L))))
+        // avg(cast(v)): reuse Average's OWN evaluateExpression — the
+        // exact internal cast/divide/rounding chain — with its (sum,
+        // count) buffer attributes substituted by the view's stored
+        // sum and NON-NULL count (Average counts non-null values;
+        // serving count from n would silently shift every null-bearing
+        // group's average). The stored decimal(30,4) sum casts into
+        // Average's (28,4) sum-buffer space losslessly for any value
+        // the real buffer could hold.
+        case a: Average if isValueDec(a.child) &&
+            kind.cols.contains("n_nonnull") &&
+            viewAttr("n_nonnull").dataType == LongType &&
+            a.aggBufferAttributes.length == 2 =>
+          val sumBuf = a.aggBufferAttributes.head
+          val cntBuf = a.aggBufferAttributes(1)
+          val sv = viewAttr("sum_value")
+          val nn = viewAttr("n_nonnull")
+          val (sumE, cntE) =
+            if (exact) (castTo(sv, sumBuf.dataType),
+              castTo(nn, cntBuf.dataType))
+            else (Cast(reAgg(Sum(sv)), sumBuf.dataType),
+              castTo(Coalesce(Seq(reAgg(Sum(nn)), Literal(0L))),
+                cntBuf.dataType))
+          Some(a.evaluateExpression.transform {
+            case r: AttributeReference if r.exprId == sumBuf.exprId => sumE
+            case r: AttributeReference if r.exprId == cntBuf.exprId => cntE
+          })
         case s: Sum if isValueDec(s.child) &&
             ae.dataType.isInstanceOf[DecimalType] =>
           val sv = viewAttr("sum_value")

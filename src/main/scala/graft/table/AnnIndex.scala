@@ -34,14 +34,28 @@ import graft.operators.Similarity
   * equals the brute-force top-k over the current corpus — that full
   * probe is the correctness oracle; production uses nProbe ≪ nCells
   * and accepts the measured recall (RecallSpec contract, same as the
-  * other ANN paths). */
+  * other ANN paths).
+  *
+  * The inverted file is PARTITIONED BY CELL — that is the entire scale
+  * premise of IVF made physical: [[search]] restricts its index read to
+  * the probed cell set (a bounded, ≤ nCells driver-side collect of the
+  * probe list), so the scan opens only `|probed cells| / nCells` of the
+  * corpus — partition-pruned at the parquet source, pinned by
+  * AnnIndexSpec via the physical plan's partition filters. Maintenance
+  * rides [[LakeTable]]'s partition-pruned MERGE: only the cells the
+  * batch lands in (plus the touched ids' PREVIOUS cells, discovered by
+  * the merge's matched-key rule — a re-assigned vector must leave its
+  * old cell) are rewritten; untouched cell partitions hard-link. At
+  * production scale pick nCells so cells stay bounded (corpus/nCells ≈
+  * constant), the standard IVF sizing — the `annidx` ScaleProbe ladder
+  * measures search cost flat in corpus under exactly that discipline. */
 final class AnnIndex(spark: SparkSession, root: String, name: String,
     nCells: Int = 16) {
 
   val centroids: LakeTable = LakeTable(spark, root, s"${name}_centroids",
     Seq("cell"))
   val assign: LakeTable = LakeTable(spark, root, s"${name}_assign",
-    Seq("id"))
+    Seq("id"), partitionCols = Seq("cell"))
 
   def drop(): Unit = { centroids.drop(); assign.drop() }
 
@@ -56,6 +70,13 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     val cents =
       try Similarity.trainCentroids(cached, "id", "v", nCells, iters)
       finally cached.unpersist(blocking = true)
+    // fail FAST on a corpus smaller than the quantizer: training would
+    // seed fewer centroids, build would "succeed", and every later
+    // maintain/search would permanently trip loadCentroids' check with
+    // a misleading message (round-12 ADVICE)
+    require(cents.length == nCells,
+      s"index $name: corpus has only ${cents.length} rows — cannot train " +
+        s"a $nCells-cell quantizer (build with nCells <= corpus size)")
     drop()
     centroids.create(cents.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "v"))
@@ -110,19 +131,31 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
   }
 
   /** `ivfTopK`'s probe plan over the persisted index. `nProbe = nCells`
-    * is the exact (full-probe) mode. */
+    * is the exact (full-probe) mode.
+    *
+    * The index read is PRUNED to the probed cells: the probe list is
+    * checkpointed once, its distinct cell set collected (bounded by
+    * nCells rows — the same layout-sized-collect contract as
+    * [[FileSkipping]]), and the inverted-file scan filtered on that
+    * static IN-list so partition pruning reaches the parquet source —
+    * the scan opens |probed| of the nCells cell partitions, never the
+    * whole corpus. */
   def search(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int): DataFrame = {
     val cents = loadCentroids()
-    val index = assign.read.select(col("id").as("neighbor_id"),
-      col("v").as("c_v"), col("cell"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       normalize(col(vecCol)).as("q_v"))
     val sortedCells = array_sort(Similarity.cellScores(cents, col("q_v")),
       (l, r) => when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
         .otherwise((l("cell") - r("cell")).cast("int")))
     val probes = q.withColumn("cell",
-      explode(transform(slice(sortedCells, 1, nProbe), s => s("cell"))))
+        explode(transform(slice(sortedCells, 1, nProbe), s => s("cell"))))
+      .localCheckpoint(true) // computed once: cell-set collect AND the join
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val index = assign.read
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id").as("neighbor_id"), col("v").as("c_v"), col("cell"))
     val scored = broadcast(probes).join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

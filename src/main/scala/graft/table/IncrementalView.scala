@@ -537,14 +537,20 @@ object IncrementalView {
   // window. One feed read maintains aux and view; extrema, distinct
   // count, and moments all ride the same two merges.
 
-  /** Top view: (n, Σv, Σv², min, max, n_distinct) per group. `n`/Σ
-    * count every row; extrema and the distinct count skip null values
-    * (SQL semantics); an all-null group shows n>0, n_distinct=0, null
-    * extrema. */
+  /** Top view: (n, n_nonnull, Σv, Σv², min, max, n_distinct) per group.
+    * `n`/Σ count every row; extrema and the distinct count skip null
+    * values (SQL semantics); an all-null group shows n>0,
+    * n_nonnull = n_distinct = 0, null extrema. `n_nonnull` — the count
+    * of non-null values in the view's exact decimal space — is what
+    * lets the MV rewrite serve `avg()` and `count(col)` correctly on
+    * null-bearing groups (Average's count buffer counts NON-NULL
+    * values, so `n` cannot stand in for it); it maintains by the same
+    * signed delta rule as `n`, restricted to non-null-value events. */
   def fullStatsView(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
     val vDec = col(valueCol).cast("decimal(18,4)")
     df.groupBy(keyCols.map(col): _*).agg(
       count(lit(1)).as("n"),
+      count(vDec).as("n_nonnull"),
       sum(vDec).cast("decimal(30,4)").as("sum_value"),
       min(vDec).as("min_value"),
       max(vDec).as("max_value"),
@@ -608,9 +614,12 @@ object IncrementalView {
     val ch = base.changesSince(sinceVersion)
       .select(keys :+ vDec.as("__v") :+ isIns.as("__ins"): _*)
       .localCheckpoint(true) // one feed read feeds both aggregations
-    // top-level moment deltas over ALL rows (null values count in n)
+    // top-level moment deltas over ALL rows (null values count in n;
+    // n_nonnull's delta restricts the same ±1 rule to non-null values)
     val mom = ch.groupBy(keys: _*).agg(
       sum(when(col("__ins"), 1L).otherwise(-1L)).as("d_n"),
+      sum(when(col("__v").isNotNull,
+        when(col("__ins"), 1L).otherwise(-1L)).otherwise(0L)).as("d_nn"),
       sum(when(col("__ins"), col("__v")).otherwise(-col("__v"))).as("d_sum"),
       sum(when(col("__ins"), col("__v") * col("__v"))
         .otherwise(-(col("__v") * col("__v")))).as("d_sq"))
@@ -650,7 +659,8 @@ object IncrementalView {
       sum(col("__tr")).as("d_d"))
     val delta = mom.join(ext, keyCols, "left")
     val cur = view.read.select(
-      keys :+ col("n").as("v_n") :+ col("sum_value").as("v_sum") :+
+      keys :+ col("n").as("v_n") :+ col("n_nonnull").as("v_nn") :+
+        col("sum_value").as("v_sum") :+
         col("min_value").as("v_min") :+ col("max_value").as("v_max") :+
         col("sum_sq").as("v_sq") :+ col("n_distinct").as("v_d"): _*)
     val newN = coalesce(col("v_n"), lit(0L)) + col("d_n")
@@ -658,6 +668,8 @@ object IncrementalView {
       ((col("del_min") <= col("v_min")) || (col("del_max") >= col("v_max")))
     val joined = delta.join(cur, keyCols, "left")
       .withColumn("n", newN)
+      .withColumn("n_nonnull",
+        coalesce(col("v_nn"), lit(0L)) + coalesce(col("d_nn"), lit(0L)))
       .withColumn("sum_value",
         (coalesce(col("v_sum"), zero30_4) + coalesce(col("d_sum"), zero30_4))
           .cast("decimal(30,4)"))
@@ -682,7 +694,7 @@ object IncrementalView {
     // keep 0 in this corner; documented there.)
     val hasVals = col("n_distinct") > 0L
     val changed = joined.join(hint(rescanned), keyCols, "left")
-      .select(keys ++ Seq(col("n"),
+      .select(keys ++ Seq(col("n"), col("n_nonnull"),
         when(hasVals, col("sum_value")).as("sum_value"),
         when(col("__rescan"), col("r_min"))
           .otherwise(least(col("v_min"), col("ins_min"))).as("min_value"),

@@ -229,6 +229,21 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
   def read: DataFrame = spark.read.parquet(currentDir.toString)
 
+  /** Resolve the CURRENT snapshot ONCE and return (frame over that
+    * version dir, THAT dir's committed meta), or None when the table
+    * has no published version. [[read]] and [[meta]] each re-resolve
+    * the pointer independently, so a consumer that validates metadata
+    * and then reads — the MV rewrite's freshness check — has a
+    * check-then-read race under a concurrent publish: the meta it
+    * validated and the snapshot it scans can come from different
+    * versions. This closes it: both come from one pointer resolution,
+    * and the version dir itself is immutable once published. */
+  def pinnedSnapshot: Option[(DataFrame, Map[String, String])] =
+    currentVersion.filter(v => Files.isDirectory(versionDir(v))).map { v =>
+      val dir = versionDir(v)
+      (spark.read.parquet(dir.toString), readMeta(dir))
+    }
+
   /** K1 — first-load create: partitioned overwrite. On an existing
     * table this is DDL-replace: data AND committed metadata reset
     * (constraints included, matching the CHECK-constraints doc below)
@@ -1025,10 +1040,6 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     coalesce(expr(predicate).cast("boolean"), lit(true))
   }
 
-  /** Metadata-only new version: hard-link the current snapshot and swap
-    * the meta file. The staged `_meta.json` LINK must be unlinked before
-    * the rewrite — writing through it would corrupt the published prior
-    * version's metadata via the shared inode. */
   /** Metadata-only commit (Delta's commitInfo-style annotation): a new
     * version whose data files hard-link the current snapshot and whose
     * meta is the current meta merged with `m`. The use case that
@@ -1045,6 +1056,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     publishMetaOnly(readMeta(currentDir) ++ m)
   }
 
+  /** Metadata-only new version: hard-link the current snapshot and swap
+    * the meta file. The staged `_meta.json` LINK must be unlinked before
+    * the rewrite — writing through it would corrupt the published prior
+    * version's metadata via the shared inode. */
   private def publishMetaOnly(m: Map[String, String]): Unit = {
     deleteRecursively(stagingDir)
     linkTree(currentDir, stagingDir)
