@@ -90,7 +90,7 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
         "stats", "hamming", "ivm", "skyline", "gains", "spans", "joinivm",
-        "feedreplay", "dedupidx", "mvrewrite"))
+        "feedreplay", "dedupidx", "dedupidxp", "mvrewrite", "annidx"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -194,6 +194,48 @@ object ScaleProbe {
         s""""n_pairs":$nPairs,"n_batch_pairs":$nBatchPairs}""")
     }
 
+    // ---- Pruned-probe dedup-index family: the SERVING regime — a
+    // fixed ~8-doc micro-batch against a corpus growing ×n, with the
+    // postings sidecar sized ∝ corpus (rows×bands/2500 partitions) and
+    // the packed index id-hash-partitioned. The claim: the probe reads
+    // ≤ batch×bands posting partitions and the packed merge rewrites
+    // ≤ batch id-partitions REGARDLESS of corpus size, so small-batch
+    // maintain stays ~flat where a corpus-scan probe and full-table
+    // merge would grow ×n. (For BULK batches pruning is
+    // information-theoretically void — b×bands uniform buckets touch
+    // every block; see DedupIndex's class doc. The standard `dedupidx`
+    // family measures that regime; this one measures where pruning can
+    // work at all.)
+    if (families("dedupidxp")) factors.foreach { n =>
+      val base = inflate(docs, maxId, n).select("doc_id", "text")
+        .localCheckpoint(true)
+      val rows = base.count()
+      val pParts = math.min(1024, math.max(64, (rows * 16 / 2500).toInt))
+      val iParts = math.min(128, math.max(16, (rows / 2500).toInt))
+      val root = "/tmp/graft_tables/scaleprobe_didxp"
+      val t = graft.table.LakeTable(spark, root, s"didxp_docs_$n",
+        Seq("doc_id"), changeFeed = true)
+      t.drop()
+      val di = graft.table.DedupIndex(spark, root, s"didxp_$n",
+        maxBucketSize = maxBucketSize, postingParts = pParts,
+        idParts = iParts)
+      t.create(base)
+      val (_, buildSec) = timed { di.build(t.read, "doc_id", "text") }
+      val v0 = t.version
+      // fixed micro-batch: ~8 in-place rewrites from replica 0
+      t.upsert(docs.filter(col("doc_id") % 613 === 5)
+        .select(col("doc_id"),
+          concat(lit("zq xv wq "), col("text")).as("text")))
+      val batchDocs = t.changesSince(v0)
+        .select("doc_id").distinct().count()
+      val (_, maintainSec) = timed { di.maintain(t, "doc_id", "text", v0) }
+      val nPairs = di.pairs.read.count()
+      println(s"""{"family":"dedupidxp","factor":$n,"rows":$rows,""" +
+        s""""posting_parts":$pParts,"id_parts":$iParts,""" +
+        s""""batch_docs":$batchDocs,"build_sec":${f"$buildSec%.2f"},""" +
+        s""""maintain_small_sec":${f"$maintainSec%.2f"},"n_pairs":$nPairs}""")
+    }
+
     // ---- MV-rewrite family: the measured claim behind plans.MvRewrite
     // — an aggregation over the base costs O(base) while the SAME query
     // served by the maintained view costs O(groups), so the gap must
@@ -266,6 +308,50 @@ object ScaleProbe {
           s""""view_agg_sec":${f"$viewAggSec%.2f"},""" +
           s""""base_distinct_sec":${f"$baseDistSec%.2f"},""" +
           s""""view_distinct_sec":${f"$viewDistSec%.2f"}}""")
+      }
+    }
+
+    // ---- Persistent ANN-index family: the claim behind partitioning
+    // the inverted file by cell — SEARCH cost tracks nProbe, not corpus
+    // size, once cells are sized the standard IVF way (nCells ∝ corpus,
+    // so cells hold ~constant rows). The corpus inflates ×n with
+    // shifted ids, the index is built per leg with nCells = 8n, and a
+    // fixed 16-query batch probes nProbe = 2: the partition-pruned
+    // inverted-file read opens ~2/(8n) of the corpus, so search stays
+    // flat while rows (and the full-probe search, the control column)
+    // grow ×n. Before the pruning, search scanned the whole assign
+    // table at ANY nProbe.
+    if (families("annidx")) {
+      val emb = Tables.load(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+      factors.foreach { n =>
+        val corpus = (0 until n).map { r =>
+          if (r == 0) emb
+          else emb.select((col("vec_id") + lit(r * maxVec)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        val rows = corpus.count()
+        val root = "/tmp/graft_tables/scaleprobe_annidx"
+        val t = graft.table.LakeTable(spark, root, s"annidx_docs_$n",
+          Seq("vec_id"), changeFeed = true)
+        t.drop()
+        val ai = graft.table.AnnIndex(spark, root, s"annidx_$n",
+          nCells = 8 * n)
+        t.create(corpus)
+        val (_, buildSec) = timed { ai.build(t.read, "vec_id", "embedding") }
+        val queries = emb.filter(col("vec_id") < 16).localCheckpoint(true)
+        val (nHits, searchSec) = timed {
+          ai.search(queries, "vec_id", "embedding", k = 5, nProbe = 2).count()
+        }
+        val (_, fullSec) = timed {
+          ai.search(queries, "vec_id", "embedding", k = 5,
+            nProbe = 8 * n).count()
+        }
+        println(s"""{"family":"annidx","factor":$n,"rows":$rows,""" +
+          s""""n_cells":${8 * n},"build_sec":${f"$buildSec%.2f"},""" +
+          s""""search_nprobe2_sec":${f"$searchSec%.2f"},""" +
+          s""""search_full_sec":${f"$fullSec%.2f"},"n_hits":$nHits}""")
       }
     }
 

@@ -746,6 +746,32 @@ object SparkEntry {
       di.pairs.read.orderBy("a_id", "b_id")
     }),
 
+    // q_dedup_index with the SERVING layout: postingParts maintains the
+    // bucket-partitioned postings sidecar (the candidate probe becomes a
+    // partition-PRUNED read of the standing index — the plan
+    // DedupIndexSpec pins) and idParts hash-partitions the packed index
+    // so its per-batch merge rewrites only touched id partitions. The
+    // small-batch/streaming regime of DedupIndex's class-doc analysis;
+    // same churn, same oracle — layout must never change answers.
+    "q_dedup_index_pruned" -> ((s, dir) => {
+      val all = docs(s, dir).select("doc_id", "text")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "pdidx_docs", Seq("doc_id"),
+        changeFeed = true)
+      t.drop()
+      val di = graft.table.DedupIndex(s, root, "pdidx",
+        postingParts = 32, idParts = 16)
+      t.create(all.filter(col("doc_id") % 3 === 1))
+      di.build(t.read, "doc_id", "text")
+      var synced = t.version
+      t.upsert(all.filter(col("doc_id") % 3 === 2))
+      synced = di.maintain(t, "doc_id", "text", synced)
+      t.upsert(all.filter(col("doc_id") % 3 === 0))
+      t.delete(col("doc_id") % 7 === 3)
+      synced = di.maintain(t, "doc_id", "text", synced)
+      di.pairs.read.orderBy("a_id", "b_id")
+    }),
+
     // Streaming twin of q_dedup_index: the SAME ingest/delete churn, but
     // the index is maintained by subscribing to the documents table's
     // CDC STREAM (foreachBatch over the shared DedupIndex.applyChanges
@@ -2103,11 +2129,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (recall<1 by design — rows-only check)
+    // LSH-bucketed ANN in FULL-probe mode (probeBits = bits): every
+    // 2^bits bucket is probed, so the bucketed plan provably equals
+    // brute force and the row is oracle-COMPARED — the same
+    // full-probe ≡ brute-force conversion as q_ann_index (production
+    // probeBits < bits recall stays pinned by RecallSpec).
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e.filter(col("vec_id") < 16), e, "vec_id", "embedding",
-        k = 5, dim = 64, bits = 8, probeBits = 1)
+        k = 5, dim = 64, bits = 8, probeBits = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -2164,12 +2194,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF ANN (k-means cells, nProbe nearest probed; recall<1 by design —
-    // rows-only check, recall floor pinned by RecallSpec)
+    // IVF ANN in FULL-probe mode (nProbe = nCells): every Voronoi cell
+    // is probed, so the celled plan provably equals brute force and the
+    // row is oracle-COMPARED regardless of the k-means seeding
+    // (production nProbe < nCells recall stays pinned by RecallSpec).
     "q_embed_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 16), e, "vec_id", "embedding",
-        k = 5, nCells = 16, nProbe = 4)
+        k = 5, nCells = 16, nProbe = 16)
         .orderBy("query_id", "rank")
     }),
 
@@ -6722,6 +6754,29 @@ object SparkEntry {
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
 
+    // identical oracle: the pruned serving layout must not change answers
+    "q_dedup_index_pruned" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents WHERE doc_id % 7 <> 3),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+                      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                  AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+         ORDER BY a_id, b_id""",
+
     "q_winnow_pairs" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -7460,6 +7515,48 @@ object SparkEntry {
          FROM m GROUP BY label ORDER BY label""",
 
     "q_embed_topk" ->
+      """WITH nv AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q.v, c.v), 6) AS cos
+           FROM nv q JOIN nv c ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // full-probe LSH ≡ brute force (every bucket probed, each corpus row
+    // in exactly one bucket) — identical oracle to q_embed_topk
+    "q_embed_ann_lsh" ->
+      """WITH nv AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_dot_product(q.v, c.v), 6) AS cos
+           FROM nv q JOIN nv c ON q.vec_id < 16 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cos FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // full-probe IVF ≡ brute force (every cell probed; the seeded
+    // quantizer only partitions work) — identical oracle to q_embed_topk
+    "q_embed_ann_ivf" ->
       """WITH nv AS (
            SELECT vec_id,
                   list_transform(embedding::DOUBLE[],

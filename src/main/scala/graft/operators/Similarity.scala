@@ -79,16 +79,30 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: probe the query's bucket plus `probeBits`-bit-flip
-    * neighbors. Recall < 1 by construction; candidates verified exactly. */
+    * neighbors. Recall < 1 by construction; candidates verified exactly.
+    *
+    * `probeBits >= bits` is the FULL-probe mode: every one of the
+    * 2^bits buckets is probed, so the candidate set is the whole corpus
+    * and the result provably equals [[bruteForceTopK]] (each corpus row
+    * lives in exactly one bucket — every (query, neighbor) pair is
+    * scored once, with the identical rounding and tie-break). That mode
+    * is the correctness oracle for this plan shape, the same
+    * full-probe ≡ brute-force argument as [[graft.table.AnnIndex]]'s
+    * nProbe = nCells; production uses probeBits < bits and accepts the
+    * measured recall (RecallSpec). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bits: Int = 8, probeBits: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_v"))
       .withColumn("bucket", lshBucket(col("c_v"), bits))
     val qBase = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_v"))
       .withColumn("bucket0", lshBucket(col("q_v"), bits))
-    // multiprobe: the bucket itself + each single-bit flip (probeBits=1)
+    // multiprobe: the bucket itself + each single-bit flip (probeBits=1);
+    // probeBits >= bits → all 2^bits buckets (exact full-probe mode)
     val probes =
-      if (probeBits <= 0) qBase.withColumn("bucket", col("bucket0"))
+      if (probeBits >= bits)
+        qBase.withColumn("bucket",
+          explode(sequence(lit(0L), lit((1L << bits) - 1))))
+      else if (probeBits <= 0) qBase.withColumn("bucket", col("bucket0"))
       else qBase.withColumn("bucket",
         explode(array_union(array(col("bucket0")),
           array((0 until bits).map(i =>

@@ -36,27 +36,65 @@ import graft.operators.Dedup
   *
   * Equivalence contract: after any sequence of maintain calls, `pairs`
   * equals `Dedup.minhashLshPairs(current corpus)` with the same
-  * parameters, PROVIDED no (band, bucket) ever exceeds `maxBucketSize`
-  * (the batch form drops whole oversized buckets wherever they stand at
+  * parameters, PROVIDED no (band, bucket) ever exceeds `maxBucketSize`.
+  * The batch form drops whole oversized buckets wherever they stand at
   * that run; an incremental history has no single "that run", so this
-  * class instead skips candidate GENERATION through an oversized bucket
-  * and leaves previously verified pairs in place — same safety valve,
-  * documented divergence only past the cap). DedupIndexSpec pins the
+  * class instead skips candidate GENERATION through an oversized
+  * bucket. Pairs between two UNTOUCHED docs always survive; a pair
+  * touching a CHANGED doc whose only shared buckets are oversized is
+  * dropped at that batch's re-derivation even if it is still a true
+  * near-duplicate — the same safety valve, with best-effort divergence
+  * past the cap documented rather than hidden. DedupIndexSpec pins the
   * equivalence through insert/update/delete waves.
   *
-  * Scale notes: the probe join touches only the buckets the change batch
-  * lands in (an equi-join of the batch's band rows against the index on
-  * (band, bucket) — with the index bucketed or partitioned that is a
-  * pruned read, and the batch side is broadcastable by construction);
-  * candidate verification fetches ONLY candidate docs' texts from the
-  * snapshot (two slim semi-joins), never the corpus. The two commits
-  * (index, then pairs) are not one transaction: a crash between them
-  * leaves a fresh index with stale pairs, and RE-RUNNING the same span
-  * converges (both merges are idempotent for a fixed input span), the
-  * same re-run contract the streaming IVM maintainers document. */
+  * Scale notes — the probe's two regimes, and why BOTH exist:
+  *
+  *  - Default (`postingParts = 0`): the candidate probe is ONE
+  *    column-pruned, shuffle-free map-side scan of the packed index
+  *    against the BROADCAST batch-bucket set, amortized over the whole
+  *    batch. For bulk nightly batches this is not laziness but
+  *    information theory: a batch of b docs probes ~b×bands uniformly
+  *    distributed hash buckets, so ANY block structure (partitions,
+  *    zone-mapped files, row groups) with fewer than ~b×bands blocks is
+  *    fully touched — block-level pruning is void exactly when the
+  *    batch is large, at lab scale and at 100 TB alike. The scan's
+  *    per-ingested-doc cost falls linearly with batch size, which is
+  *    the honest lever for bulk ingest.
+  *  - Serving/streaming (`postingParts > 0`): a `postings` sidecar —
+  *    the (id, band, bucket) exploded form, HASH-PARTITIONED on
+  *    pmod(xxhash64(band, bucket), postingParts) — makes the probe a
+  *    partition-PRUNED read: the batch's touched partition set (a
+  *    bounded ≤ postingParts driver-side collect) filters the scan, so
+  *    a micro-batch of b docs reads ≤ min(b×bands, postingParts)
+  *    partitions of the standing index instead of all of it. This wins
+  *    precisely where the default can't: b×bands ≪ postingParts — CDC
+  *    micro-batches, single-document upserts, interactive probes. Size
+  *    postingParts at build so a partition is a comfortable file size
+  *    (rows/~2.5k at lab scale; file-sized at cluster scale); the
+  *    sidecar's own merge prunes to the same touched partitions (plus
+  *    the matched-key partitions LakeTable's MERGE discovers — how a
+  *    moved bucket's OLD row is retired), so small-batch maintenance
+  *    is sublinear in the corpus end to end. The packed table stays
+  *    authoritative either way: array-packed rows keep every merge
+  *    1/bands the row count (the round-12 layout finding).
+  *
+  * Candidate verification fetches ONLY candidate docs' texts from the
+  * snapshot (two slim semi-joins), never the corpus. The per-batch
+  * commits (index [, postings], then pairs) are not one transaction: a
+  * crash between them leaves a fresh index with stale pairs, and
+  * RE-RUNNING the same span converges (every merge is idempotent for a
+  * fixed input span), the same re-run contract the streaming IVM
+  * maintainers document.
+  *
+  * `idParts > 0` additionally hash-partitions the PACKED index on
+  * pmod(xxhash64(id), idParts): the merge key derives the partition, so
+  * every per-batch index merge rewrites only the batch ids' partitions
+  * (untouched partitions hard-link) — the write-side complement of the
+  * postings sidecar's pruned read, for the same small-batch regime. */
 final class DedupIndex(spark: SparkSession, root: String, name: String,
     shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-    threshold: Double = 0.7, maxBucketSize: Int = 1000) {
+    threshold: Double = 0.7, maxBucketSize: Int = 1000,
+    postingParts: Int = 0, idParts: Int = 0) {
 
   /** One ARRAY-PACKED row per document (id → all band buckets), not one
     * row per (id, band): the index is 1/bands the row count, the merge
@@ -65,11 +103,37 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     * (the per-(id, band) layout measured 15.9 s/maintain at 320k docs,
     * dominated by rewriting 5.1M skinny rows; see ARCHITECTURE §7i). */
   val index: LakeTable = LakeTable(spark, root, s"${name}_index",
-    Seq("id"))
+    Seq("id"),
+    partitionCols = if (idParts > 0) Seq("__ib") else Nil)
+
+  /** Packed-index partition of an id (idParts > 0) — derived from the
+    * MERGE KEY, so a row can never change partition and the pruned
+    * merge's touched set is exactly the batch ids' partitions. */
+  private def ibOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(idParts.toLong))
+
+  private def withIb(packed: DataFrame): DataFrame =
+    if (idParts <= 0) packed else packed.withColumn("__ib", ibOf(col("id")))
   val pairs: LakeTable = LakeTable(spark, root, s"${name}_pairs",
     Seq("a_id", "b_id"))
 
-  def drop(): Unit = { index.drop(); pairs.drop() }
+  /** The bucket-partitioned serving sidecar (postingParts > 0 only) —
+    * see the scale notes in the class doc. */
+  val postings: Option[LakeTable] =
+    if (postingParts <= 0) None
+    else Some(LakeTable(spark, root, s"${name}_postings",
+      Seq("id", "band"), partitionCols = Seq("__pb")))
+
+  private def pbOf(band: org.apache.spark.sql.Column,
+      bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(band, bucket), lit(postingParts.toLong))
+
+  private def withPb(exploded: DataFrame): DataFrame =
+    exploded.withColumn("__pb", pbOf(col("band"), col("bucket")))
+
+  def drop(): Unit = {
+    index.drop(); pairs.drop(); postings.foreach(_.drop())
+  }
 
   /** (id, buckets: array) rows of `docs` under this index's parameters. */
   private def bandArray(docs: DataFrame, idCol: String,
@@ -89,11 +153,38 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     * stored state — maintain calls must come from the same instance
     * configuration or the index is meaningless. */
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
-    index.drop(); pairs.drop()
-    index.create(bandArray(docs, idCol, textCol))
+    drop()
+    index.create(withIb(bandArray(docs, idCol, textCol)))
+    // the sidecar derives from the packed rows just written — one read
+    // back, no second shingling pass over the corpus
+    postings.foreach(_.create(withPb(exploded(index.read))))
     pairs.create(Dedup.minhashLshPairs(docs, idCol, textCol, shingleN, k,
       bands, threshold, maxBucketSize))
   }
+
+  /** The standing-index rows landing in the batch's (band, bucket) set —
+    * the candidate probe's corpus side. With the sidecar on, the read
+    * is partition-pruned to the batch's touched `__pb` set (bounded
+    * ≤ postingParts driver collect — the [[FileSkipping]] layout-sized
+    * contract); otherwise a map-side scan of the packed index. Exposed
+    * for plan audits: DedupIndexSpec pins the partition filters. */
+  private[graft] def standingRows(probeRows: DataFrame): DataFrame = {
+    val probeBuckets = probeRows.select("band", "bucket").distinct()
+    val standing = postings match {
+      case Some(p) =>
+        val pbs = probeRows.select(pbOf(col("band"), col("bucket")).as("__pb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        p.read.filter(col("__pb").isin(pbs: _*))
+          .select("id", "band", "bucket")
+      case None => exploded(index.read)
+    }
+    standing.join(broadcast(probeBuckets), Seq("band", "bucket"))
+  }
+
+  /** [[standingRows]] for a raw document batch (spec/audit entry point). */
+  private[graft] def probeSlice(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    standingRows(exploded(bandArray(docs, idCol, textCol)))
 
   /** Apply one change-event frame against the CURRENT corpus snapshot.
     * `changes` is LakeTable change-feed output (`_change_type` column);
@@ -129,18 +220,33 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
       .localCheckpoint(true)
     val deadIdx = deadIds.select(col("id"),
       lit(null).cast("array<long>").as("buckets"))
-    index.upsertWithDelete(newIdx.unionByName(deadIdx),
+    index.upsertWithDelete(withIb(newIdx.unionByName(deadIdx)),
       col("buckets").isNull)
 
-    // 2. Pair re-derivation for the touched slice. Candidates: the
-    //    batch's (band, bucket) set is BROADCAST against the exploded
-    //    index — a map-side join, so the corpus side is scanned (never
-    //    shuffled) and only rows landing in touched buckets survive.
-    //    Oversized buckets are skipped at generation (see class doc).
     val probeRows = exploded(newIdx).localCheckpoint(true)
-    val probeBuckets = probeRows.select("band", "bucket").distinct()
-    val touchedRows = exploded(index.read)
-      .join(broadcast(probeBuckets), Seq("band", "bucket"))
+
+    // 1b. Sidecar merge (postingParts > 0): one exploded row per alive
+    //     touched (id, band) at its NEW __pb partition; dead ids ride
+    //     as per-band tombstones. A moved bucket's OLD row lives in a
+    //     different partition — LakeTable's pruned MERGE discovers it
+    //     through the matched-key rule and rewrites exactly that
+    //     partition too, so stale postings can never accumulate.
+    postings.foreach { p =>
+      val deadPost = deadIds.select(col("id"),
+          explode(sequence(lit(0), lit(bands - 1))).as("band"))
+        .withColumn("bucket", lit(null).cast("long"))
+        .withColumn("__pb", lit(null).cast("long"))
+      p.upsertWithDelete(withPb(probeRows).unionByName(deadPost),
+        col("bucket").isNull)
+    }
+
+    // 2. Pair re-derivation for the touched slice. Candidates: the
+    //    batch's (band, bucket) set is BROADCAST against the standing
+    //    index — partition-pruned through the sidecar when enabled, a
+    //    map-side packed scan otherwise (see [[standingRows]] and the
+    //    class doc's regime analysis). Only rows landing in touched
+    //    buckets survive; oversized buckets are skipped at generation.
+    val touchedRows = standingRows(probeRows)
       .localCheckpoint(true) // bucket sizing AND the candidate join
     val okBuckets = touchedRows.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsize"))
@@ -209,7 +315,8 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
 object DedupIndex {
   def apply(spark: SparkSession, root: String, name: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucketSize: Int = 1000): DedupIndex =
+      threshold: Double = 0.7, maxBucketSize: Int = 1000,
+      postingParts: Int = 0, idParts: Int = 0): DedupIndex =
     new DedupIndex(spark, root, name, shingleN, k, bands, threshold,
-      maxBucketSize)
+      maxBucketSize, postingParts, idParts)
 }

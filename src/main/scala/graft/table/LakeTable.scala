@@ -505,13 +505,28 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     }
   }
 
+  /** `optimizeLayout` (default on): partitioned writes first hash-
+    * repartition on the partition columns — Delta's "optimized writes".
+    * Without it, every task writes a file into every partition dir it
+    * sees a row for (tasks × partitions small files: a 2,048-partition
+    * table written by 32 tasks measured 65k files and an 18-minute
+    * write in the round-13 dedupidxp probe); with it, each partition's
+    * rows land in one task → ~one file per partition, and the
+    * per-publish hard-link walk stays O(partitions). Layout-authored
+    * writes (compact's file-count contract, Z-order's range clustering)
+    * pass false — re-shuffling would destroy the layout they exist to
+    * produce. */
   private def writeTo(df: DataFrame, dir: Path,
-      carryMeta: Boolean = true): Unit = {
+      carryMeta: Boolean = true, optimizeLayout: Boolean = true): Unit = {
     deleteRecursively(dir)
     // a write path that doesn't stage its own feed (create, scd2) must
     // not publish a STALE one from an aborted earlier operation
     deleteRecursively(feedStagingDir)
-    val w = df.write.mode("overwrite")
+    val out =
+      if (optimizeLayout && partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+      else df
+    val w = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
     // committed metadata survives every write EXCEPT create (DDL-replace
@@ -661,7 +676,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * current version into `numFiles` files. Content unchanged. */
   def compact(numFiles: Int): Unit = {
     import org.apache.spark.sql.functions.lit
-    writeTo(read.repartition(numFiles), stagingDir)
+    writeTo(read.repartition(numFiles), stagingDir, optimizeLayout = false)
     // layout-only: empty feed keeps changesSince's feed coverage contiguous
     if (changeFeed)
       stageFeed(read.limit(0).withColumn("_change_type", lit("insert")))
@@ -693,7 +708,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z" +: statCols: _*)
-    writeTo(clustered, stagingDir)
+    writeTo(clustered, stagingDir, optimizeLayout = false)
     if (changeFeed)
       stageFeed(read.limit(0).withColumn("_change_type",
         org.apache.spark.sql.functions.lit("insert")))

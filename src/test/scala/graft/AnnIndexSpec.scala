@@ -68,6 +68,63 @@ class AnnIndexSpec extends SparkSpec {
     assert(got2 == expected)
   }
 
+  test("search reads ONLY the probed cells' partitions of the inverted file") {
+    val root = "/tmp/graft_tables/annidx_prune"
+    val docs = LakeTable(spark, root, "annp_docs", Seq("vec_id"),
+      changeFeed = true)
+    docs.drop()
+    val ai = AnnIndex(spark, root, "annp", nCells = 8)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    docs.create(e)
+    ai.build(docs.read, "vec_id", "embedding")
+    // the inverted file is laid out as one Hive partition per cell
+    val partDirs = scala.util.Using.resource(
+      java.nio.file.Files.list(ai.assign.currentDir))(
+      _.toArray.map(_.toString).count(_.contains("cell=")))
+    assert(partDirs > 2, s"fixture must spread over cells, got $partDirs")
+
+    // descend AQE wrappers AND materialized query stages (a stage's
+    // subtree hangs off `plan`, not `children`)
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        collectAll(r.child)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    def assignScans(df: DataFrame) = {
+      df.collect() // materialize so AQE's final plan (and metrics) exist
+      collectAll(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("annp_assign")) => f
+      }
+    }
+    // nProbe = 1, one query → exactly ONE cell partition may be read
+    val one = ai.search(e.filter(col("vec_id") === 2), "vec_id", "embedding",
+      k = 3, nProbe = 1)
+    val scans = assignScans(one)
+    assert(scans.nonEmpty, "search must scan the assign table")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"probed-cell filter must reach the scan as a partition filter: $f")
+      val nParts = f.metrics.get("numPartitions").map(_.value)
+      assert(nParts.contains(1L),
+        s"nProbe=1 single-query search must read 1 of $partDirs cell " +
+          s"partitions, read $nParts")
+    }
+    // full probe over several queries touches MORE partitions — the
+    // pruning tracks nProbe, not a constant
+    val full = ai.search(e.filter(col("vec_id") < 16), "vec_id", "embedding",
+      k = 3, nProbe = 8)
+    val fullParts = assignScans(full)
+      .flatMap(_.metrics.get("numPartitions").map(_.value)).sum
+    assert(fullParts > 1L, s"full probe must open every populated cell")
+  }
+
   test("streaming drain == batch maintenance across per-file micro-batching; " +
       "replay is a no-op") {
     val root = "/tmp/graft_tables/annidx_stream"

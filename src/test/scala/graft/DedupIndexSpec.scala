@@ -79,6 +79,67 @@ class DedupIndexSpec extends SparkSpec {
     assert(gone == 0)
   }
 
+  test("postings sidecar: equivalence holds through churn, the sidecar " +
+      "stays exactly the exploded index, and the probe is a " +
+      "partition-PRUNED read") {
+    val root = "/tmp/graft_tables/dedupidx_post"
+    val docs = LakeTable(spark, root, "didxp_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val di = DedupIndex(spark, root, "didxp", postingParts = 64,
+      idParts = 8)
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(all.filter(col("doc_id") % 3 =!= 0))
+    di.build(docs.read, "doc_id", "text")
+    var synced = docs.version
+    // churn: ingest + text rewrites (buckets MOVE partitions — the old
+    // row lives in a different __pb partition and must be retired
+    // through the merge's matched-key rule) + deletes
+    docs.upsert(all.filter(col("doc_id") % 3 === 0))
+    docs.upsert(all.filter(col("doc_id") % 11 === 4)
+      .withColumn("text", concat(lit("zq xv wq "), col("text"))))
+    docs.delete(col("doc_id") % 7 === 3)
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+    // the sidecar must be EXACTLY the exploded packed index — no stale
+    // moved-bucket rows, no missing dead-doc tombstoning
+    val sidecar = di.postings.get.read
+      .select(col("id").cast("long"), col("band").cast("int"),
+        col("bucket").cast("long")).as[(Long, Int, Long)].collect().toSet
+    assert(sidecar == idxSet(di.index.read))
+    assert(sidecar.nonEmpty)
+
+    // plan pin: a single-document probe reads ≤ bands (16) of the 64
+    // posting partitions — partition filters present, partitions-read
+    // metric bounded. This is the serving regime the sidecar exists for.
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        collectAll(r.child)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val oneDoc = docs.read.filter(col("doc_id") === 1).limit(1)
+    val slice = di.probeSlice(oneDoc, "doc_id", "text")
+    slice.collect()
+    val scans = collectAll(slice.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths
+          .exists(_.toString.contains("didxp_postings")) => f
+    }
+    assert(scans.nonEmpty, "probe must scan the postings sidecar")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"touched-__pb filter must reach the scan as a partition filter: $f")
+      val nParts = f.metrics.get("numPartitions").map(_.value)
+      assert(nParts.exists(n => n >= 1L && n <= 16L),
+        s"one doc probes <= 16 of 64 posting partitions, read $nParts")
+    }
+  }
+
   test("re-running the same span converges (crash-replay contract)") {
     val root = "/tmp/graft_tables/dedupidx_replay"
     val docs = LakeTable(spark, root, "didxr_docs", Seq("doc_id"),

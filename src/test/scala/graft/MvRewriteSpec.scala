@@ -380,6 +380,153 @@ class MvRewriteSpec extends SparkSpec {
       direct.orderBy("k", "k2").collect().toSeq)
   }
 
+  test("avg() and count(col) are served by the full-stats view's " +
+      "n_nonnull — correct on null-bearing groups, exact and roll-up") {
+    val root = "/tmp/graft_tables/mv_spec_avg"
+    val base = LakeTable(spark, root, "mva_base", Seq("id"),
+      changeFeed = true)
+    val aux = LakeTable(spark, root, "mva_aux", Seq("k", "k2", "__v"))
+    val view = LakeTable(spark, root, "mva_view", Seq("k", "k2"))
+    base.drop(); aux.drop(); view.drop()
+    MvRewrite.unregister(base)
+    // v carries NULLs in several groups — the case where serving avg
+    // from (sum, n) is silently wrong (Average counts non-null values)
+    def mk(i: Long): (Long, Long, Long, Option[Double]) =
+      (i, i % 4, i % 2, if (i % 5 == 2) None else Some(i * 1.7))
+    base.create((1L to 40L).map(mk).toDF("id", "k", "k2", "v"))
+    val v0 = base.version
+    aux.create(IncrementalView.fullStatsSupportView(
+      base.read, Seq("k", "k2"), "v"))
+    view.create(IncrementalView.fullStatsView(base.read, Seq("k", "k2"), "v"))
+    // churn adds MORE nulls (and flips one null to a value) so the
+    // n_nonnull column is genuinely maintained, not a create-time copy
+    base.upsert(Seq((2L, 2L, 0L, Some(99.0)), (41L, 1L, 1L, None),
+      (8L, 0L, 0L, None)).toDF("id", "k", "k2", "v"))
+    base.delete(col("id") % 7 === 0)
+    IncrementalView.maintainFullStatsView(base, aux, view, Seq("k", "k2"),
+      "v", sinceVersion = v0, meta = MvRewrite.syncMeta(base.version))
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.FullStatsKind)
+    val v18 = col("v").cast("decimal(18,4)")
+    def exactQ() = base.read.groupBy("k", "k2").agg(
+      count(lit(1)).as("n"), count(v18).as("nn"),
+      avg(v18).as("a"), sum(v18).as("s"))
+    val q = exactQ()
+    assert(readsOnlyView(q, view), s"avg exact form: ${scanPaths(q)}")
+    def rollQ() = base.read.groupBy("k").agg(
+      avg(v18).as("a"), count(v18).as("nn"))
+    val r = rollQ()
+    assert(readsOnlyView(r, view), s"avg roll-up form: ${scanPaths(r)}")
+    MvRewrite.unregister(base)
+    assert(q.orderBy("k", "k2").collect().toSeq ==
+      exactQ().orderBy("k", "k2").collect().toSeq)
+    assert(r.orderBy("k").collect().toSeq ==
+      rollQ().orderBy("k").collect().toSeq)
+    // a kind WITHOUT n_nonnull must never serve avg or count(col)
+    val (mb, mv) = freshPair("avgneg")
+    seed(mb, mv) // MinMaxKind registration
+    val bad = mb.read.groupBy("k", "k2")
+      .agg(avg(col("v").cast("decimal(20,4)")).as("a"))
+    assert(!readsOnlyView(bad, mv), "minmax kind has no n_nonnull")
+    val badC = mb.read.groupBy("k", "k2")
+      .agg(count(col("v").cast("decimal(20,4)")).as("nn"))
+    assert(!readsOnlyView(badC, mv))
+    MvRewrite.unregister(mb)
+  }
+
+  test("non-deterministic filters never commute through the rewrite") {
+    val (base, view) = freshPair("nondet")
+    seed(base, view)
+    // rand() < 0.5 is NON-deterministic with an empty reference set —
+    // it passes the key-only reference check vacuously, but commuting
+    // it from per-base-row to per-view-group application changes its
+    // sampling distribution, so the plan must be left untouched (the
+    // rewrite fires happily on the same query with the filter removed,
+    // proving the block is the predicate). Note the predicate must not
+    // be a provable tautology like rand() < 2.0 — Spark's own optimizer
+    // eliminates that Filter before this rule ever sees it.
+    val q = base.read.filter(rand(7) < 0.5).groupBy("k", "k2")
+      .agg(sum(vDec).as("s"))
+    assert(!readsOnlyView(q, view), s"non-deterministic filter: ${scanPaths(q)}")
+    val ok = base.read.groupBy("k", "k2").agg(sum(vDec).as("s"))
+    assert(readsOnlyView(ok, view))
+    MvRewrite.unregister(base)
+  }
+
+  test("multiple JOIN views per (fact, dim): best fresh container wins, " +
+      "finer serves the roll-up") {
+    val root = "/tmp/graft_tables/mv_spec_joinmulti"
+    val fact = LakeTable(spark, root, "mvjm_fact", Seq("fid"),
+      changeFeed = true)
+    val dim = LakeTable(spark, root, "mvjm_dim", Seq("jk"),
+      changeFeed = true)
+    val fine = LakeTable(spark, root, "mvjm_fine", Seq("cat", "band"))
+    val coarse = LakeTable(spark, root, "mvjm_coarse", Seq("cat"))
+    fact.drop(); dim.drop(); fine.drop(); coarse.drop()
+    MvRewrite.unregisterJoin(fact, dim)
+    fact.create((1L to 60L).map(i => (i, i % 7, i * 1.1))
+      .toDF("fid", "jk", "v"))
+    dim.create((0L to 6L).map(k => (k, s"cat${k % 3}", s"b${k % 2}"))
+      .toDF("jk", "cat", "band"))
+    val (fv0, dv0) = (fact.version, dim.version)
+    fine.create(IncrementalView.joinSumView(fact.read, dim.read,
+      Seq("jk"), Seq("cat", "band"), "v"))
+    coarse.create(IncrementalView.joinSumView(fact.read, dim.read,
+      Seq("jk"), Seq("cat"), "v"))
+    fact.upsert(Seq((61L, 2L, 5.5)).toDF("fid", "jk", "v"))
+    IncrementalView.maintainJoinSumView(fact, dim, fine, Seq("jk"),
+      Seq("cat", "band"), "v", fv0, dv0,
+      meta = MvRewrite.joinSyncMeta(fact.version, dim.version))
+    IncrementalView.maintainJoinSumView(fact, dim, coarse, Seq("jk"),
+      Seq("cat"), "v", fv0, dv0,
+      meta = MvRewrite.joinSyncMeta(fact.version, dim.version))
+    // BOTH registered: the round-12 single-slot catalog would have
+    // silently dropped the first
+    MvRewrite.registerJoin(fact, dim, fine, Seq("jk"), Seq("cat", "band"), "v")
+    MvRewrite.registerJoin(fact, dim, coarse, Seq("jk"), Seq("cat"), "v")
+    def byBoth() = fact.read.join(dim.read, Seq("jk"))
+      .groupBy("cat", "band").agg(sum(vDec).as("s"))
+    def byCat() = fact.read.join(dim.read, Seq("jk"))
+      .groupBy("cat").agg(sum(vDec).as("s"))
+    // (cat, band): only the fine container can answer
+    val q2 = byBoth()
+    assert(readsOnlyView(q2, fine), s"${scanPaths(q2)}")
+    // cat: both can — the coarse EXACT match beats the fine roll-up
+    val q1 = byCat()
+    assert(readsOnlyView(q1, coarse), s"${scanPaths(q1)}")
+    // only the fine registered: it serves cat via roll-up
+    MvRewrite.unregisterJoin(fact, dim)
+    MvRewrite.registerJoin(fact, dim, fine, Seq("jk"), Seq("cat", "band"), "v")
+    val q1b = byCat()
+    assert(readsOnlyView(q1b, fine), s"${scanPaths(q1b)}")
+    MvRewrite.unregisterJoin(fact, dim)
+    val direct1 = byCat().orderBy("cat").collect().toSeq
+    assert(q1.orderBy("cat").collect().toSeq == direct1)
+    assert(q1b.orderBy("cat").collect().toSeq == direct1)
+    assert(q2.orderBy("cat", "band").collect().toSeq ==
+      byBoth().orderBy("cat", "band").collect().toSeq)
+  }
+
+  test("a non-LakeTable parquet scan never rewrites (path-shape contract)") {
+    val (base, view) = freshPair("plain")
+    seed(base, view)
+    // same rows, written as a PLAIN parquet dir (no v<N> leaf) under a
+    // directory that IS registered in the catalog: the rule can parse
+    // no version from the scan path, so it must safely never fire
+    val root2 = "/tmp/graft_tables/mv_spec_plainroot"
+    val fakeBase = LakeTable(spark, root2, "plain_base", Seq("id"))
+    val dataDir = s"${fakeBase.tablePath}/data"
+    base.read.write.mode("overwrite").parquet(dataDir)
+    MvRewrite.register(fakeBase, view, Seq("k", "k2"), "v",
+      MvRewrite.MinMaxKind)
+    val q = spark.read.parquet(dataDir).groupBy("k", "k2")
+      .agg(sum(vDec).as("s"))
+    assert(!readsOnlyView(q, view),
+      s"plain dir must never be version-matched: ${scanPaths(q)}")
+    MvRewrite.unregister(fakeBase)
+    MvRewrite.unregister(base)
+  }
+
   test("derived expressions over mapped aggregates rewrite too") {
     val (base, view) = freshPair("derived")
     seed(base, view)
