@@ -760,7 +760,7 @@ object SparkEntry {
         changeFeed = true)
       t.drop()
       val di = graft.table.DedupIndex(s, root, "pdidx",
-        postingParts = 32, idParts = 16)
+        postingParts = 16, idParts = 8)
       t.create(all.filter(col("doc_id") % 3 === 1))
       di.build(t.read, "doc_id", "text")
       var synced = t.version
