@@ -763,12 +763,16 @@ object SparkEntry {
         postingParts = 16, idParts = 8)
       t.create(all.filter(col("doc_id") % 3 === 1))
       di.build(t.read, "doc_id", "text")
-      var synced = t.version
+      val synced = t.version
       t.upsert(all.filter(col("doc_id") % 3 === 2))
-      synced = di.maintain(t, "doc_id", "text", synced)
       t.upsert(all.filter(col("doc_id") % 3 === 0))
       t.delete(col("doc_id") % 7 === 3)
-      synced = di.maintain(t, "doc_id", "text", synced)
+      // ONE maintain over the whole multi-version span (vs
+      // q_dedup_index's per-wave maintains): same final state, same
+      // oracle — and the span form is the one the serving layout is
+      // for (fewer, batched syncs; the per-wave form is the unpruned
+      // twin's job)
+      di.maintain(t, "doc_id", "text", synced)
       di.pairs.read.orderBy("a_id", "b_id")
     }),
 
@@ -3696,9 +3700,15 @@ object SparkEntry {
     // keep-min-id within each cell at cosine >= 0.4. k-means isn't
     // SQL-replayable -> rows-only here; the cell-local rule is pinned
     // exactly by SimilaritySpec's independent replay
+    // SemDeDup in EXACT mode (nCells = 1): the per-cell pairwise pass
+    // degenerates to the full all-pairs comparison, so the keep-min-id
+    // survivor rule is provably independent of the k-means seeding and
+    // the row is oracle-COMPARED (the same full-probe ≡ exact
+    // conversion as the ANN rows; multi-cell recall stays pinned by
+    // RecallSpec).
     "q_semdedup" -> ((s, dir) =>
       Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
-        threshold = 0.4, nCells = 16)
+        threshold = 0.4, nCells = 1)
         .orderBy("id")),
 
     // dirty-record -> clean-catalog fuzzy match (two-sided variant): a
@@ -7574,6 +7584,24 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id, cos FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // exact-mode SemDeDup (nCells = 1 → all-pairs): a row is dropped
+    // iff some LOWER-id row reaches the rounded-cosine threshold
+    "q_semdedup" ->
+      """WITH nv AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings),
+         dropped AS (
+           SELECT DISTINCT b.vec_id AS id
+           FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+           WHERE ROUND(list_dot_product(a.v, b.v), 6) >= 0.4)
+         SELECT n.vec_id AS id, CAST(0 AS INTEGER) AS cell,
+                (d.id IS NULL) AS kept
+         FROM nv n LEFT JOIN dropped d ON n.vec_id = d.id
+         ORDER BY id""",
 
     // the streaming-maintained index must land the SAME final state —
     // identical oracle to q_ann_index
