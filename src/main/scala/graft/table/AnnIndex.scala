@@ -156,7 +156,10 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     val index = assign.read
       .filter(col("cell").isin(probedCells: _*))
       .select(col("id").as("neighbor_id"), col("v").as("c_v"), col("cell"))
-    val scored = broadcast(probes).join(index, Seq("cell"))
+    // probes = |queries| × nProbe rows: designed-small, but a bulk query
+    // batch must degrade to a shuffle join, not OOM the driver
+    val scored = IncrementalView.broadcastIfSmall(probes)
+      .join(index, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("q_v"), col("c_v")), 6).as("cos"))

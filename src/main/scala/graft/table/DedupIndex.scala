@@ -178,7 +178,11 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
           .select("id", "band", "bucket")
       case None => exploded(index.read)
     }
-    standing.join(broadcast(probeBuckets), Seq("band", "bucket"))
+    // batch-bucket set: designed-small (batch×bands rows) but a BULK
+    // batch inflates it — the measured gate degrades to a shuffle join
+    // instead of OOMing the driver (IncrementalView's policy)
+    standing.join(IncrementalView.broadcastIfSmall(probeBuckets),
+      Seq("band", "bucket"))
   }
 
   /** [[standingRows]] for a raw document batch (spec/audit entry point). */

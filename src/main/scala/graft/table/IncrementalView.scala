@@ -59,7 +59,10 @@ object IncrementalView {
     * default keeps builds comfortably under driver memory. */
   private[graft] var broadcastLimit: Int = 1000000
 
-  private def broadcastIfSmall(df: DataFrame): DataFrame =
+  /** Shared by the serving indexes too (AnnIndex.search's probe list,
+    * DedupIndex.standingRows' batch-bucket set) — any designed-small
+    * build side that a pathological batch could inflate. */
+  private[table] def broadcastIfSmall(df: DataFrame): DataFrame =
     if (df.limit(broadcastLimit + 1).count() <= broadcastLimit)
       broadcast(df)
     else df
