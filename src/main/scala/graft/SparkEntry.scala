@@ -1809,6 +1809,43 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // Streaming twin of q_ivm_full: the aux-backed FULL-stats view
+    // (every aggregate incl. exact distinct count; extremum deletes
+    // answered from the support relation, never the base) maintained
+    // by draining the CDC stream through the shared applyFullStatsDelta
+    // core — two-level exactly-once (batch-id marker + the span markers
+    // that make the aux/view crash window exact). Identical oracle to
+    // q_ivm_full: streaming and batch full-stats maintenance are one
+    // semantics.
+    "q_stream_ivm_full" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = graft.table.LakeTable(s, root, "orders_sivfl",
+        Seq("o_orderkey"), changeFeed = true)
+      val aux = graft.table.LakeTable(s, root, "orders_sivfl_aux",
+        Seq("o_custkey", "__v"))
+      val v = graft.table.LakeTable(s, root, "orders_sivfl_view",
+        Seq("o_custkey"))
+      t.drop(); aux.drop(); v.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      aux.create(graft.table.IncrementalView.fullStatsSupportView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      v.create(graft.table.IncrementalView.fullStatsView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.streaming.Streams.maintainFullStatsViewFromChangeFeed(
+        t.readChangeFeedStream, aux, v, Seq("o_custkey"), "o_totalprice")
+      v.read.select(col("o_custkey"), col("n"),
+          col("sum_value").cast("double").as("sum_total"),
+          col("min_value").cast("double").as("min_total"),
+          col("max_value").cast("double").as("max_total"),
+          col("sum_sq").cast("string").as("sum_sq"),
+          col("n_distinct"))
+        .orderBy("o_custkey")
+    }),
+
     // Streaming JOIN-view maintenance: dim churn (segment moves +
     // deletes) absorbed by the BATCH maintainer while the fact is
     // quiet, then fact churn (upsert + delete) streamed from the fact
@@ -6023,6 +6060,34 @@ object SparkEntry {
     // full-stats replay: every aggregate from the same exact decimal
     // value space, distinct count over the SAME (18,4)-cast values
     "q_ivm_full" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice * 2 AS o_totalprice, o_orderdate,
+                              o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0)
+         SELECT o_custkey, count(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS sum_total,
+                CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS min_total,
+                CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS max_total,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                              * CAST(o_totalprice AS DECIMAL(19,4)))
+                          AS DECIMAL(38,8)) AS VARCHAR) AS sum_sq,
+                count(DISTINCT CAST(o_totalprice AS DECIMAL(18,4)))
+                  AS n_distinct
+         FROM final GROUP BY o_custkey ORDER BY o_custkey""",
+
+    // identical oracle: the streaming full-stats drain must land the
+    // SAME final state as the batch maintainer
+    "q_stream_ivm_full" ->
       """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
             source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
                               o_totalprice * 2 AS o_totalprice, o_orderdate,

@@ -674,6 +674,42 @@ object Streams {
       qe.foreach(e => buf += "foreachbatch_ivm_minmax" -> e))
   }
 
+  /** Continuous FULL-STATS (aux-backed) view maintenance from the base
+    * table's CDC stream: each micro-batch applies the two-level rule —
+    * support-relation merge, transition-derived distinct deltas,
+    * aux-answered extremum rescans, never a base read — via the shared
+    * [[graft.table.IncrementalView.applyFullStatsDelta]] core. Two
+    * layers of exactly-once: the drain's batch-id marker (rides the
+    * final view commit) skips replayed batches, and the core's span
+    * markers make the crash window BETWEEN the aux and view commits
+    * exact — a redelivered batch whose aux merge already landed
+    * recovers the pre-merge support counts as `stored − w` and applies
+    * only the view merge, so the additive aux can never double-count
+    * (the round-13 fix; pinned in IncrementalViewSpec). This is the
+    * drain that keeps the avg/count(col)-serving MV container
+    * ([[graft.plans.MvRewrite.FullStatsKind]]) streaming-fresh — pair
+    * it with the post-drain `annotate` freshness pattern. */
+  def maintainFullStatsViewFromChangeFeed(feedStream: DataFrame,
+      aux: graft.table.LakeTable, view: graft.table.LakeTable,
+      keyCols: Seq[String], valueCol: String, auxBuckets: Int = 0,
+      appId: String = "flcdc"): Unit = {
+    val metaKey = s"ivm_last_batch_$appId"
+    val q = feedStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val last = view.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        if (batchId > last && !batch.isEmpty)
+          graft.table.IncrementalView.applyFullStatsDelta(
+            batch, aux, view, keyCols, valueCol, auxBuckets,
+            spanId = s"b$batchId",
+            meta = Map(metaKey -> batchId.toString))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val qe = org.apache.spark.sql.GraftStreamingBridge.lastExecution(q)
+    drainCapture.get.foreach(buf =>
+      qe.foreach(e => buf += "foreachbatch_ivm_fullstats" -> e))
+  }
+
   /** Continuous FUSED-STATS view maintenance from the base table's CDC
     * stream: each micro-batch applies the full one-pass stats rule —
     * raw signed events for the moment deltas, netted per-(group,

@@ -589,6 +589,18 @@ object IncrementalView {
   private def bucketOf(keyCols: Seq[String], buckets: Int): Column =
     pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong))
 
+  /** Span markers making the TWO-COMMIT maintainers exactly-once under
+    * crash replay: the aux merge is ADDITIVE, so without them a crash
+    * between the aux and view commits re-applies the aux on retry and
+    * the support counts drift silently. The aux records the span it
+    * last absorbed (marker rides ITS commit); the view's marker rides
+    * the FINAL commit. Replaying a span then hits one of three states —
+    * view marker present (fully applied → no-op), aux marker present
+    * (aux landed, view didn't → recover the PRE-MERGE aux counts as
+    * `stored − w` and apply only the view merge), neither (normal). */
+  val SpanKey = "ivm_span"
+  val AuxSpanKey = "ivm_aux_span"
+
   /** Maintain aux AND view from one read of the change feed. Returns
     * the synced base version. Never reads the base: threatened extrema
     * re-derive from the post-merge aux slice, and because the aux is a
@@ -602,19 +614,46 @@ object IncrementalView {
     * (bounded, collected) bucket set — partition-pruned at the scan —
     * and the aux merge rewrites only touched bucket partitions, so
     * maintenance cost is O(changes + touched aux buckets) even when
-    * the aux itself tracks the base's size. */
+    * the aux itself tracks the base's size.
+    *
+    * Crash-replay contract (the span markers above): RE-RUNNING the
+    * SAME span converges exactly — including the crash window between
+    * the aux and view commits, which double-applied the aux before
+    * round 13. The marker keys the (sinceVersion, syncedTo) span, so
+    * the guarantee requires retrying the crashed span BEFORE new base
+    * writes widen it — the same single-writer discipline the table
+    * layer already assumes. */
   def maintainFullStatsView(base: LakeTable, aux: LakeTable,
       view: LakeTable, keyCols: Seq[String], valueCol: String,
       sinceVersion: Int, auxBuckets: Int = 0,
       meta: Map[String, String] = Map.empty): Int = {
     val syncedTo = base.version
+    applyFullStatsDelta(base.changesSince(sinceVersion), aux, view,
+      keyCols, valueCol, auxBuckets,
+      spanId = s"v$sinceVersion:v$syncedTo", meta = meta)
+    syncedTo
+  }
+
+  /** Apply ONE change-event frame to a stored full-stats view+aux pair —
+    * the whole [[maintainFullStatsView]] rule factored out (the
+    * [[applyStatsDelta]] pattern) so the streaming CDC subscriber
+    * applies identical semantics per micro-batch. `spanId` identifies
+    * the event set for the exactly-once markers (batch: the version
+    * span; streaming: the micro-batch id); `meta` rides the final
+    * (view) commit. */
+  private[graft] def applyFullStatsDelta(events: DataFrame,
+      aux: LakeTable, view: LakeTable, keyCols: Seq[String],
+      valueCol: String, auxBuckets: Int, spanId: String,
+      meta: Map[String, String] = Map.empty): Unit = {
+    if (view.exists && view.meta.get(SpanKey).contains(spanId)) return
+    val auxApplied = aux.exists && aux.meta.get(AuxSpanKey).contains(spanId)
     val keys = keyCols.map(col)
     val vDec = col(valueCol).cast("decimal(18,4)")
     val isIns = col("_change_type").isin("insert", "update_postimage")
     require((auxBuckets > 0) == aux.read.columns.contains("__b"),
       s"auxBuckets=$auxBuckets disagrees with the aux table's layout " +
         "(created with a different fullStatsSupportView buckets value?)")
-    val ch = base.changesSince(sinceVersion)
+    val ch = events
       .select(keys :+ vDec.as("__v") :+ isIns.as("__ins"): _*)
       .localCheckpoint(true) // one feed read feeds both aggregations
     // top-level moment deltas over ALL rows (null values count in n;
@@ -644,16 +683,25 @@ object IncrementalView {
     val curAux = auxSlice(net)
       .select(keys :+ col("__v") :+ col("cnt").as("v_cnt"): _*)
     def alive(c: Column): Column = when(c > 0, 1L).otherwise(0L)
-    val newCnt = coalesce(col("v_cnt"), lit(0L)) + col("w")
+    // crash-replay recovery: when THIS span's aux merge already landed
+    // (marker match), the stored count is post-merge — recover the
+    // pre-merge count as stored − w (a row the merge deleted reads back
+    // as NULL → 0, and 0 − w recovers its pre-merge count exactly), so
+    // the view delta derives from the SAME transitions as the original
+    // run and the aux is not merged a second time
+    val oldCnt =
+      if (auxApplied) coalesce(col("v_cnt"), lit(0L)) - col("w")
+      else coalesce(col("v_cnt"), lit(0L))
+    val newCnt = oldCnt + col("w")
     val changedAux = net.join(curAux, keyCols :+ "__v", "left")
       .select(keys ++ Seq(col("__v"), col("w"), newCnt.as("cnt"),
-        (alive(newCnt) - alive(coalesce(col("v_cnt"), lit(0L)))).as("__tr")): _*)
+        (alive(newCnt) - alive(oldCnt)).as("__tr")): _*)
       .localCheckpoint(true) // aux merge + extrema deltas + rollup
     val auxMerge = changedAux.select(keys :+ col("__v") :+ col("cnt"): _*)
-    aux.upsertWithDelete(
+    if (!auxApplied) aux.upsertWithDelete(
       if (auxBuckets <= 0) auxMerge
       else auxMerge.withColumn("__b", bucketOf(keyCols, auxBuckets)),
-      col("cnt") <= 0L)
+      col("cnt") <= 0L, meta = Map(AuxSpanKey -> spanId))
     val ext = changedAux.groupBy(keys: _*).agg(
       min(when(col("w") > 0, col("__v"))).as("ins_min"),
       max(when(col("w") > 0, col("__v"))).as("ins_max"),
@@ -705,8 +753,8 @@ object IncrementalView {
           .otherwise(greatest(col("v_max"), col("ins_max"))).as("max_value"),
         when(hasVals, col("sum_sq")).as("sum_sq"),
         col("n_distinct")): _*)
-    view.upsertWithDelete(changed, col("n") <= 0L, meta = meta)
-    syncedTo
+    view.upsertWithDelete(changed, col("n") <= 0L,
+      meta = meta + (SpanKey -> spanId))
   }
 
   // ---- JOIN views (two-table delta rule) ----

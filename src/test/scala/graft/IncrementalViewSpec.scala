@@ -544,6 +544,53 @@ class IncrementalViewSpec extends SparkSpec {
     assert(aux.read.filter(col("cnt") <= 0L).isEmpty)
   }
 
+  test("full stats crash-replay: re-running the same span converges, " +
+      "including the crash window between the aux and view commits") {
+    val root = "/tmp/graft_tables/ivm_flreplay"
+    val base = LakeTable(spark, root, "fr_base", Seq("id"), changeFeed = true)
+    val aux = LakeTable(spark, root, "fr_aux", Seq("k", "__v"))
+    val view = LakeTable(spark, root, "fr_view", Seq("k"))
+    base.drop(); aux.drop(); view.drop()
+    base.create(Seq((1L, 0L, 2.5), (2L, 0L, 2.5), (3L, 0L, 9.5),
+      (4L, 1L, 7.0)).toDF("id", "k", "v"))
+    val v0 = base.version
+    aux.create(IncrementalView.fullStatsSupportView(base.read, Seq("k"), "v"))
+    view.create(IncrementalView.fullStatsView(base.read, Seq("k"), "v"))
+    val preView = view.read.collect().toSet // pre-span view contents
+    base.delete(col("id") === 3L)           // max delete: aux-answered
+    base.upsert(Seq((5L, 1L, 1.0), (6L, 0L, 2.5)).toDF("id", "k", "v"))
+    IncrementalView.maintainFullStatsView(base, aux, view, Seq("k"), "v", v0)
+    def vsnap = view.read.select(col("k"), col("n"), col("n_nonnull"),
+        col("sum_value").cast("string"), col("min_value").cast("string"),
+        col("max_value").cast("string"), col("n_distinct"))
+      .as[(Long, Long, Long, String, String, String, Long)].collect().toSet
+    def asnap = aux.read.select(col("k"), col("__v").cast("string"),
+      col("cnt")).as[(Long, String, Long)].collect().toSet
+    val (v1, a1) = (vsnap, asnap)
+    // 1. FULL replay of the same span: both markers present → no-op
+    IncrementalView.maintainFullStatsView(base, aux, view, Seq("k"), "v", v0)
+    assert(vsnap == v1 && asnap == a1, "full replay must be a no-op")
+    // 2. the CRASH WINDOW: aux commit landed, view commit didn't —
+    //    simulate by resetting the view to its pre-span contents
+    //    (create is DDL-replace: contents AND markers gone, exactly a
+    //    view whose span commit never happened). Before round 13 the
+    //    retry re-applied the ADDITIVE aux merge and the support
+    //    counts drifted; now the aux's span marker routes the retry
+    //    through the stored−w recovery and only the view merge runs.
+    view.create(spark.createDataFrame(
+      spark.sparkContext.parallelize(preView.toSeq), view.read.schema))
+    IncrementalView.maintainFullStatsView(base, aux, view, Seq("k"), "v", v0)
+    assert(vsnap == v1, "crash-window retry must land the same view")
+    assert(asnap == a1, "crash-window retry must NOT re-apply the aux")
+    // and the converged state equals the from-scratch recompute
+    val recomp = IncrementalView.fullStatsView(base.read, Seq("k"), "v")
+      .select(col("k"), col("n"), col("n_nonnull"),
+        col("sum_value").cast("string"), col("min_value").cast("string"),
+        col("max_value").cast("string"), col("n_distinct"))
+      .as[(Long, Long, Long, String, String, String, Long)].collect().toSet
+    assert(vsnap == recomp)
+  }
+
   test("full stats view with a BUCKETED aux: identical results, " +
       "Hive-partitioned aux layout, pruned per-batch merge") {
     val root = "/tmp/graft_tables/ivm_fullb"

@@ -193,6 +193,54 @@ class StreamsSpec extends SparkSpec {
     assert(snap == recomp, "replay must not double-apply")
   }
 
+  test("continuous FULL-stats (aux-backed) IVM from the CDC stream == " +
+      "recompute across per-file micro-batching; replay is a no-op") {
+    import graft.table.{IncrementalView, LakeTable}
+    val root = java.nio.file.Files.createTempDirectory("cfl").toString
+    val t = LakeTable(spark, root, "base", Seq("id"), changeFeed = true)
+    val aux = LakeTable(spark, root, "aux", Seq("k", "__v"))
+    val v = LakeTable(spark, root, "view", Seq("k"))
+    t.create(Seq((1L, 1L, Some(0.0003)), (2L, 1L, Some(3.0)),
+        (3L, 1L, Some(3.0)), (4L, 2L, Some(5.0)), (5L, 1L, None))
+      .toDF("id", "k", "v"))
+    aux.create(IncrementalView.fullStatsSupportView(t.read, Seq("k"), "v"))
+    v.create(IncrementalView.fullStatsView(t.read, Seq("k"), "v"))
+    t.upsert(Seq((9L, 1L, Some(99.0))).toDF("id", "k", "v"))
+    t.delete(col("id") === 9L) // phantom max, possibly split across batches
+    t.delete(col("id") === 2L) // one 3.0 twin: n_distinct must NOT move
+    t.delete(col("k") === 2L)  // extinction
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        t.read.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/base/changes/v*")
+    Streams.maintainFullStatsViewFromChangeFeed(feed, aux, v, Seq("k"), "v")
+    def fsnap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("n"), col("n_nonnull"),
+          col("sum_value").cast("string"), col("min_value").cast("string"),
+          col("max_value").cast("string"), col("sum_sq").cast("string"),
+          col("n_distinct"))
+        .as[(Long, Long, Long, String, String, String, String, Long)]
+        .collect().toSet
+    val snap = fsnap(v.read)
+    assert(snap == fsnap(IncrementalView.fullStatsView(t.read, Seq("k"), "v")))
+    val g1 = snap.find(_._1 == 1L).get
+    assert(g1._2 == 3L && g1._3 == 2L && g1._8 == 2L,
+      s"null row counts in n only; twin delete keeps n_distinct: $g1")
+    assert(!snap.exists(_._1 == 2L), "group 2 must be extinct")
+    // aux == its own recompute (the additive two-level state drifted
+    // NOWHERE through per-file batching)
+    def asnap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("__v").cast("string"), col("cnt"))
+        .as[(Long, String, Long)].collect().toSet
+    assert(asnap(aux.read) ==
+      asnap(IncrementalView.fullStatsSupportView(t.read, Seq("k"), "v")))
+    Streams.maintainFullStatsViewFromChangeFeed(
+      t.readChangeFeedStream, aux, v, Seq("k"), "v")
+    assert(fsnap(v.read) == snap, "replay must not double-apply")
+  }
+
   test("continuous fused-stats IVM from the CDC stream == recompute " +
       "across per-file micro-batching; replay is a no-op") {
     import graft.table.{IncrementalView, LakeTable}
