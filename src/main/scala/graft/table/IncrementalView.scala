@@ -498,6 +498,13 @@ object IncrementalView {
   def maintainDistinctView(base: LakeTable, aux: LakeTable, view: LakeTable,
       keyCols: Seq[String], valueCol: String, sinceVersion: Int): Int = {
     val syncedTo = base.version
+    val spanId = s"v$sinceVersion:v$syncedTo"
+    if (view.exists && view.meta.get(SpanKey).contains(spanId))
+      return syncedTo
+    // same two-commit exactly-once as [[applyFullStatsDelta]]: the aux
+    // merge is additive, so the crash window between the commits must
+    // recover pre-merge counts as stored − d_n instead of re-applying
+    val auxApplied = aux.exists && aux.meta.get(AuxSpanKey).contains(spanId)
     val keys = keyCols.map(col)
     val ch = base.changesSince(sinceVersion).filter(col(valueCol).isNotNull)
     val isIns = col("_change_type").isin("insert", "update_postimage")
@@ -505,12 +512,16 @@ object IncrementalView {
       .agg(sum(when(isIns, 1L).otherwise(-1L)).as("d_n"))
     val curAux = aux.read.select(keys :+ col("__v") :+ col("cnt").as("v_cnt"): _*)
     def alive(c: Column): Column = when(c > 0, 1L).otherwise(0L)
-    val newCnt = coalesce(col("v_cnt"), lit(0L)) + col("d_n")
+    val oldCnt =
+      if (auxApplied) coalesce(col("v_cnt"), lit(0L)) - col("d_n")
+      else coalesce(col("v_cnt"), lit(0L))
+    val newCnt = oldCnt + col("d_n")
     val changedAux = delta.join(curAux, keyCols :+ "__v", "left")
       .select(keys ++ Seq(col("__v"), newCnt.as("cnt"),
-        (alive(newCnt) - alive(coalesce(col("v_cnt"), lit(0L)))).as("__tr")): _*)
+        (alive(newCnt) - alive(oldCnt)).as("__tr")): _*)
       .localCheckpoint(true) // one computation: aux merge + rollup
-    aux.upsertWithDelete(changedAux.drop("__tr"), col("cnt") <= 0L)
+    if (!auxApplied) aux.upsertWithDelete(changedAux.drop("__tr"),
+      col("cnt") <= 0L, meta = Map(AuxSpanKey -> spanId))
     // top-view delta = sum of transitions per group; untouched groups
     // (d_d = 0) never enter the merge
     val dDist = changedAux.groupBy(keys: _*).agg(sum("__tr").as("d_d"))
@@ -520,7 +531,8 @@ object IncrementalView {
       .select(keys :+
         (coalesce(col("v_d"), lit(0L)) + col("d_d")).as("n_distinct"): _*)
       .localCheckpoint(true)
-    view.upsertWithDelete(changedView, col("n_distinct") <= 0L)
+    view.upsertWithDelete(changedView, col("n_distinct") <= 0L,
+      meta = Map(SpanKey -> spanId))
     syncedTo
   }
 

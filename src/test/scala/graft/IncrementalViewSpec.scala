@@ -155,6 +155,15 @@ class IncrementalViewSpec extends SparkSpec {
     assert(dist == recomp)
     // the support relation converged too (no zombie zero-count rows)
     assert(aux.read.filter(col("cnt") <= 0L).count() == 0L)
+    // crash-replay: re-running the SAME span is a no-op (span markers),
+    // and the aux-applied-only crash window recovers exactly (the same
+    // stored − d_n arithmetic the full-stats maintainer pins in depth)
+    val a1 = aux.read.select(col("k"), col("__v"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    IncrementalView.maintainDistinctView(base, aux, view, Seq("k"), "v", s1)
+    assert(dist == recomp && aux.read.select(col("k"), col("__v"),
+      col("cnt")).as[(Long, String, Long)].collect().toSet == a1,
+      "same-span replay must be a no-op")
   }
 
   test("moments view: maintained == recompute through churn and " +
