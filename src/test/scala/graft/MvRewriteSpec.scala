@@ -422,6 +422,31 @@ class MvRewriteSpec extends SparkSpec {
       exactQ().orderBy("k", "k2").collect().toSeq)
     assert(r.orderBy("k").collect().toSeq ==
       rollQ().orderBy("k").collect().toSeq)
+    // the SQL surface produces the same Average node → same rewrite
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.FullStatsKind)
+    base.read.createOrReplaceTempView("mv_avg_base")
+    val sqlQ = spark.sql(
+      """SELECT k, k2, avg(cast(v AS decimal(18,4))) AS a,
+                count(cast(v AS decimal(18,4))) AS nn
+         FROM mv_avg_base GROUP BY k, k2""")
+    assert(readsOnlyView(sqlQ, view), s"SQL avg must rewrite: ${scanPaths(sqlQ)}")
+    MvRewrite.unregister(base)
+    assert(sqlQ.orderBy("k", "k2").collect().toSeq ==
+      spark.sql(
+        """SELECT k, k2, avg(cast(v AS decimal(18,4))) AS a,
+                  count(cast(v AS decimal(18,4))) AS nn
+           FROM mv_avg_base GROUP BY k, k2""")
+        .orderBy("k", "k2").collect().toSeq)
+    spark.catalog.dropTempView("mv_avg_base")
+    // value-space strictness: avg over the (20,4) cast is a DIFFERENT
+    // number than the (18,4) view space → never rewrites
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.FullStatsKind)
+    val wrongSpace = base.read.groupBy("k", "k2")
+      .agg(avg(col("v").cast("decimal(20,4)")).as("a"))
+    assert(!readsOnlyView(wrongSpace, view))
+    MvRewrite.unregister(base)
     // a kind WITHOUT n_nonnull must never serve avg or count(col)
     val (mb, mv) = freshPair("avgneg")
     seed(mb, mv) // MinMaxKind registration
