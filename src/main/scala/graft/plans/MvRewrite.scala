@@ -271,15 +271,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     val groupNames = agg.groupingExpressions.collect {
       case a: AttributeReference => a.name
     }.toSet
-    val ordered = entries.flatMap(e => fresh(e).map(vp => (e, vp))).sortBy {
-      case (e, _) =>
-        (if (e.keyCols.toSet == groupNames) 0 else 1, e.keyCols.length)
-    }
-    ordered.view.flatMap { case (e, viewPlan) =>
-      substitute(agg, conds, viewPlan, e.keyCols, e.kind,
-        keyAttrs = lr.output.filter(a => e.keyCols.contains(a.name)),
-        isValueAttr = a => a.name == e.valueCol && lrIds(a.exprId),
-        allScanIds = lrIds)
+    // rank WITHOUT resolving snapshots (the sort key is layout-only),
+    // then resolve freshness LAZILY per candidate — the first container
+    // that is fresh AND substitutes wins, and the losers' pointer/meta/
+    // footer reads never happen (rewriteJoin's form)
+    val ordered = entries.sortBy(e =>
+      (if (e.keyCols.toSet == groupNames) 0 else 1, e.keyCols.length))
+    ordered.view.flatMap { e =>
+      fresh(e).flatMap { viewPlan =>
+        substitute(agg, conds, viewPlan, e.keyCols, e.kind,
+          keyAttrs = lr.output.filter(a => e.keyCols.contains(a.name)),
+          isValueAttr = a => a.name == e.valueCol && lrIds(a.exprId),
+          allScanIds = lrIds)
+      }
     }.headOption
   }
 

@@ -698,9 +698,13 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val last = view.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
         if (batchId > last && !batch.isEmpty)
+          // spanId scoped by appId: several streams maintaining one
+          // view must not collide on the view's single span marker
+          // (stream B's batch 3 would read stream A's "b3" as
+          // already-applied and silently drop its own events)
           graft.table.IncrementalView.applyFullStatsDelta(
             batch, aux, view, keyCols, valueCol, auxBuckets,
-            spanId = s"b$batchId",
+            spanId = s"$appId:b$batchId",
             meta = Map(metaKey -> batchId.toString))
       }
       .trigger(Trigger.AvailableNow()).start()

@@ -152,14 +152,54 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     * The parameters (shingleN, k, bands, threshold) are FROZEN into the
     * stored state — maintain calls must come from the same instance
     * configuration or the index is meaningless. */
+  private val PartsKey = "dedup.posting_parts"
+
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
     drop()
     index.create(withIb(bandArray(docs, idCol, textCol)))
     // the sidecar derives from the packed rows just written — one read
-    // back, no second shingling pass over the corpus
-    postings.foreach(_.create(withPb(exploded(index.read))))
+    // back, no second shingling pass over the corpus; its partition
+    // count is FROZEN into the stored meta so a mismatched instance
+    // fails loudly instead of silently mis-pruning the probe
+    postings.foreach { p =>
+      p.create(withPb(exploded(index.read)))
+      p.annotate(Map(PartsKey -> postingParts.toString))
+    }
     pairs.create(Dedup.minhashLshPairs(docs, idCol, textCol, shingleN, k,
       bands, threshold, maxBucketSize))
+  }
+
+  /** Fail LOUDLY when this instance's layout parameters disagree with
+    * the STORED state — every silent-mismatch mode loses candidates:
+    * a wrong postingParts mis-prunes the probe's partition IN-list, a
+    * missing sidecar would be implicitly created from just one batch,
+    * and an orphaned sidecar (instance built with parts, maintained
+    * with 0) goes stale while probes keep trusting it. Same loud-layout
+    * contract as [[IncrementalView.applyFullStatsDelta]]'s auxBuckets
+    * check and [[AnnIndex]]'s centroid check. */
+  private def requireLayout(): Unit = {
+    postings match {
+      case Some(p) =>
+        require(p.exists,
+          s"index $name: postingParts=$postingParts but no postings " +
+            "sidecar is stored (built with postingParts=0?) — rebuild " +
+            "with build() from this instance")
+        val stored = p.meta.get(PartsKey)
+        require(stored.contains(postingParts.toString),
+          s"index $name: postingParts=$postingParts but the stored " +
+            s"sidecar was built with ${stored.getOrElse("<unknown>")} — " +
+            "the probe's partition pruning would silently miss rows")
+      case None =>
+        require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, s"${name}_postings", "CURRENT")),
+          s"index $name: a postings sidecar is stored but this instance " +
+            "has postingParts=0 — maintaining without it would leave it " +
+            "silently stale; use the original postingParts or drop()")
+    }
+    require(!index.exists ||
+      (idParts > 0) == index.read.columns.contains("__ib"),
+      s"index $name: idParts=$idParts disagrees with the stored packed " +
+        "index's layout (built with a different idParts?)")
   }
 
   /** The standing-index rows landing in the batch's (band, bucket) set —
@@ -202,6 +242,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     * [[IncrementalView]]'s streaming maintainers). */
   def applyChanges(changes: DataFrame, snapshot: DataFrame, idCol: String,
       textCol: String, meta: Map[String, String] = Map.empty): Unit = {
+    requireLayout()
     val touched = changes.select(col(idCol).as("id")).distinct()
       .localCheckpoint(true) // small by construction: the change batch's keys
     // Final state of each touched id comes from the SNAPSHOT, not from

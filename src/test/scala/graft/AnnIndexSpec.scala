@@ -83,26 +83,7 @@ class AnnIndexSpec extends SparkSpec {
       _.toArray.map(_.toString).count(_.contains("cell=")))
     assert(partDirs > 2, s"fixture must spread over cells, got $partDirs")
 
-    // descend AQE wrappers AND materialized query stages (a stage's
-    // subtree hangs off `plan`, not `children`)
-    def collectAll(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        collectAll(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        collectAll(r.child)
-      case other => other +: other.children.flatMap(collectAll)
-    }
-    def assignScans(df: DataFrame) = {
-      df.collect() // materialize so AQE's final plan (and metrics) exist
-      collectAll(df.queryExecution.executedPlan).collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.relation.location.rootPaths
-            .exists(_.toString.contains("annp_assign")) => f
-      }
-    }
+    def assignScans(df: DataFrame) = executedScansOf(df, "annp_assign")
     // nProbe = 1, one query → exactly ONE cell partition may be read
     val one = ai.search(e.filter(col("vec_id") === 2), "vec_id", "embedding",
       k = 3, nProbe = 1)

@@ -112,24 +112,9 @@ class DedupIndexSpec extends SparkSpec {
     // plan pin: a single-document probe reads ≤ bands (16) of the 64
     // posting partitions — partition filters present, partitions-read
     // metric bounded. This is the serving regime the sidecar exists for.
-    def collectAll(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        collectAll(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        collectAll(r.child)
-      case other => other +: other.children.flatMap(collectAll)
-    }
     val oneDoc = docs.read.filter(col("doc_id") === 1).limit(1)
     val slice = di.probeSlice(oneDoc, "doc_id", "text")
-    slice.collect()
-    val scans = collectAll(slice.queryExecution.executedPlan).collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.rootPaths
-          .exists(_.toString.contains("didxp_postings")) => f
-    }
+    val scans = executedScansOf(slice, "didxp_postings")
     assert(scans.nonEmpty, "probe must scan the postings sidecar")
     scans.foreach { f =>
       assert(f.partitionFilters.nonEmpty,
