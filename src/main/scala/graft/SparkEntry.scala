@@ -606,11 +606,22 @@ object SparkEntry {
         length(regexp_replace(col("text"), "[aeiou]", "")).as("n_novowel"))
         .orderBy("doc_id")),
 
-    // HLL sketch — approximate, so rows-only check (no oracle)
+    // HLL sketch, oracle-compared as a BOUND CHECK: the estimate itself is
+    // engine-seeded (Spark HLL++ vs DuckDB HLL differ by construction),
+    // but the sketch's accuracy contract is relational — the row carries
+    // the exact count plus a within-3×rsd flag (rsd defaults to 0.05) the
+    // oracle asserts as literal 1, so a broken/drifting sketch turns the
+    // row red instead of hiding behind a rows-only check
     "q_approx_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_cust"),
+          approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .select(col("o_orderstatus"), col("exact_cust"),
+          when(abs(col("approx_cust") - col("exact_cust")) <=
+            lit(0.15) * col("exact_cust"), lit(1L)).otherwise(lit(0L))
+            .as("within_bound"))
         .orderBy("o_orderstatus")),
 
     // KMV distinct sketch — the deterministic md5-based k-minimum-values
@@ -802,10 +813,14 @@ object SparkEntry {
     }),
 
     // SimHash near-dup pairs: shingle-feature fingerprint, chunk-bucketed
-    // candidates, exact-Jaccard verified (hash-seeded candidates → rows-
-    // only oracle; containment + recall pinned by RecallSpec)
+    // candidates (pigeonhole-EXACT at bands=8/maxHamming=7), exact-Jaccard
+    // verified. The MD5-based cross-engine fingerprint makes the row fully
+    // oracle-COMPARED: DuckDB recomputes every fingerprint bit-for-bit and
+    // replays the definition (hamming <= 7 AND jaccard >= 0.5); the
+    // XXH64-seeded production variant stays pinned by RecallSpec
     "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
+        crossEngineHash = true)
         .orderBy("a_id", "b_id")),
 
     // winnowing-fingerprint near-dup pairs. Like q_minhash_pairs, the
@@ -2129,10 +2144,17 @@ object SparkEntry {
         .filter(col("cos") >= 0.4)
         .orderBy("a_id", "b_id")),
 
-    // embedding-cosine near-dup, LSH-bucketed scale path (rows-only)
+    // embedding-cosine near-dup, LSH-bucketed scale path. Deterministic
+    // md5-Rademacher hyperplanes over integer-quantized raw vectors make
+    // the CANDIDATE stage replayable bit-for-bit in DuckDB, so the row is
+    // fully oracle-COMPARED even though LSH recall < 1 (the oracle replays
+    // the same bucketing, not the brute-force definition). Verify chain is
+    // q_embed_neardup's proven op-0.35 / round-4 / cut-0.4 rounding
     "q_embed_neardup_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding",
-        dim = 64, threshold = 0.4, lshBits = 6)
+        dim = 64, threshold = 0.35, lshBits = 6, deterministic = true)
+        .withColumn("cos", round(col("cos"), 4))
+        .filter(col("cos") >= 0.4)
         .orderBy("a_id", "b_id")),
 
     // greedy sequence packing (training-batch assembly): one global lane
@@ -6874,6 +6896,59 @@ object SparkEntry {
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
          ORDER BY a_id, b_id""",
 
+    // full bit-for-bit replay of the MD5-based SimHash (SimHash64Md5):
+    // fingerprint bit 4d+k is bit k of hex digit d of md5(shingle),
+    // vote-summed over the DISTINCT 3-word shingles; the banded candidate
+    // stage is pigeonhole-exact at bands=8/maxHamming=7, so the oracle is
+    // the relational definition: all pairs with hamming <= 7 whose
+    // rounded shingle-Jaccard >= 0.5
+    "q_simhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(t) >= 3 THEN list_distinct(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)])
+                       ELSE [array_to_string(t, ' ')] END AS s
+           FROM toks),
+         feat AS (SELECT doc_id, md5(unnest(s)) AS h FROM sh),
+         votes AS (
+           SELECT doc_id, u.b AS b,
+                  SUM(CASE WHEN (((strpos('0123456789abcdef',
+                                          substr(h, CAST(u.b // 4 AS INT) + 1, 1)) - 1)
+                                  >> CAST(u.b % 4 AS INT)) & 1) = 1
+                           THEN 1 ELSE -1 END) AS v
+           FROM feat, range(0, 64) AS u(b)
+           GROUP BY doc_id, u.b),
+         fp AS (
+           SELECT doc_id,
+                  CAST(SUM(CASE WHEN v > 0 THEN
+                         CASE WHEN b = 63
+                              THEN CAST(-9223372036854775807 - 1 AS HUGEINT)
+                              ELSE CAST(1::BIGINT << CAST(b AS INT) AS HUGEINT) END
+                       ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS f
+           FROM votes GROUP BY doc_id),
+         cand AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  bit_count(xor(a.f, b.f)) AS hamming
+           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.f, b.f)) <= 7)
+         SELECT c.a_id, c.b_id, c.hamming,
+                ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                      6) AS jaccard
+         FROM cand c
+         JOIN sh sa ON sa.doc_id = c.a_id
+         JOIN sh sb ON sb.doc_id = c.b_id
+         WHERE ROUND(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                     6) >= 0.5
+         ORDER BY a_id, b_id""",
+
     // exact recompute of the substring-dedup definition: every 30-gram
     // by real substring (no hashes), dup = seen in >= 2 docs, island
     // merge of covered positions per doc
@@ -7573,6 +7648,58 @@ object SparkEntry {
          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 ROUND(ROUND(list_dot_product(a.v, b.v), 6), 4) AS cos
          FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         WHERE ROUND(ROUND(list_dot_product(a.v, b.v), 6), 4) >= 0.4
+         ORDER BY a_id, b_id""",
+
+    // full replay of the deterministic LSH candidate stage (LshBitsDet):
+    // Rademacher sign s(t,j,i) = bit 0 of the first hex digit of
+    // md5('lsh:<1000+t>:<j>:<i>'); signature bit j of table t is the sign
+    // of sum_i s*floor(raw_v_i*1e6) — exact integer arithmetic, so both
+    // engines compute identical buckets; candidates share (table, bucket),
+    // then the proven cosine verify chain (round 6 -> round 4 -> cut 0.4)
+    "q_embed_neardup_lsh" ->
+      """WITH q AS (
+           SELECT vec_id,
+                  [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                        AS BIGINT)
+                   for i in range(1, len(embedding) + 1)] AS qv
+           FROM embeddings),
+         planes AS (
+           SELECT t.t AS t, j.j AS j, i.i AS i,
+                  CASE WHEN ((strpos('0123456789abcdef',
+                               substr(md5('lsh:' || CAST(1000 + t.t AS VARCHAR)
+                                          || ':' || CAST(j.j AS VARCHAR)
+                                          || ':' || CAST(i.i AS VARCHAR)),
+                                      1, 1)) - 1) & 1) = 1
+                       THEN 1 ELSE -1 END AS s
+           FROM range(0, 8) AS t(t), range(0, 6) AS j(j),
+                range(0, 64) AS i(i)),
+         proj AS (
+           SELECT q.vec_id, p.t, p.j,
+                  SUM(p.s * q.qv[CAST(p.i AS INT) + 1]) AS pr
+           FROM q, planes p
+           GROUP BY q.vec_id, p.t, p.j),
+         sig AS (
+           SELECT vec_id, t,
+                  CAST(SUM(CASE WHEN pr >= 0
+                                THEN (1::BIGINT << CAST(j AS INT))
+                                ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY vec_id, t),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM sig a JOIN sig b
+             ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         nv AS (
+           SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                          y -> y * y)))) AS v
+           FROM embeddings)
+         SELECT c.a_id, c.b_id,
+                ROUND(ROUND(list_dot_product(a.v, b.v), 6), 4) AS cos
+         FROM cand c
+         JOIN nv a ON a.vec_id = c.a_id
+         JOIN nv b ON b.vec_id = c.b_id
          WHERE ROUND(ROUND(list_dot_product(a.v, b.v), 6), 4) >= 0.4
          ORDER BY a_id, b_id""",
 
@@ -8293,6 +8420,16 @@ object SparkEntry {
              WHERE o.o_custkey = c.c_custkey
                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY c.c_nationkey ORDER BY c.c_nationkey""",
+
+    // HLL bound check: the estimate is engine-seeded, so the oracle
+    // asserts the accuracy CONTRACT — the Spark side emits 1 only when
+    // |approx - exact| <= 3*rsd*exact (rsd 0.05); a broken sketch flips
+    // the flag and the hash goes red
+    "q_approx_distinct" ->
+      """SELECT o_orderstatus,
+                count(DISTINCT o_custkey) AS exact_cust,
+                CAST(1 AS BIGINT) AS within_bound
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // KMV: identical md5→60-bit-hash→bottom-k→(k-1)·2^60/h_k arithmetic
     "q_kmv_distinct" ->

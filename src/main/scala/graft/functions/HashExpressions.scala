@@ -202,6 +202,155 @@ case class LshBitsPacked(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic CROSS-ENGINE SimHash: the same ±1-vote algorithm as
+  * [[SimHash64]], but the per-feature 64-bit hash is derived from the MD5
+  * hex digest instead of XXH64 — bit `4d+k` of the hash (d ∈ 0..15,
+  * k ∈ 0..3) is bit k of hex digit d of `md5(feature)`. MD5 is a public
+  * standard every engine exposes, so a DuckDB oracle recomputes the
+  * fingerprint bit-for-bit from `md5()` + string ops (see
+  * q_simhash_pairs) — this is the variant that moves SimHash from the
+  * rows-only no_oracle floor to a fully hash-compared row. Same
+  * native-single-pass shape as the XXH64 sibling; MD5 costs ~3× XXH64
+  * per feature, which the signature stage amortizes over the corpus. */
+case class SimHash64Md5(child: Expression)
+    extends UnaryExpression with RefEvalCodegen {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64_md5 needs array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val digest = md.digest(s.getBytes) // md.digest resets the instance
+        // hex digit d of the digest string = nibble d of the byte stream
+        // (byte d/2, high nibble first); bits 4d..4d+3 are that digit's
+        // bits 0..3 — the exact layout the DuckDB replay reads back via
+        // strpos('0123456789abcdef', substr(md5(f), d+1, 1)) - 1
+        var d = 0
+        while (d < 16) {
+          val byte = digest(d >> 1) & 0xff
+          val digit = if ((d & 1) == 0) byte >> 4 else byte & 0xf
+          var k = 0
+          while (k < 4) {
+            if (((digit >> k) & 1) == 1) votes(4 * d + k) += 1
+            else votes(4 * d + k) -= 1
+            k += 1
+          }
+          d += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deterministic CROSS-ENGINE hyperplane-LSH signature: bit j is the sign
+  * of Σ_i s(j,i) · floor(v_i · 10⁶), with Rademacher signs
+  * s(j,i) ∈ {−1,+1} taken from bit 0 of the first hex digit of
+  * `md5("lsh:<seed>:<j>:<i>")`. Two deliberate departures from
+  * [[LshBitsPacked]] make the bucket replayable bit-for-bit in any engine
+  * with `md5()`:
+  *
+  *  - ±1 components instead of scaled-hash reals (sign-LSH with
+  *    Rademacher projections is standard — Achlioptas'01 sparse random
+  *    projections), so the projection needs no float constants;
+  *  - the projection is EXACT INTEGER arithmetic: `v_i` (a float32 read
+  *    as double — exact) times 10⁶ is still exact in a double (24+20
+  *    mantissa bits < 53), floor is unambiguous, and a sum of ±longs is
+  *    associative — so no summation-order ULP can flip a sign at the
+  *    boundary, which is what would silently desynchronize the two
+  *    engines' buckets. Sign-LSH is scale-invariant, so quantizing the
+  *    magnitude changes the hyperplane family, not its validity.
+  *
+  * Callers feed the RAW embedding (not the normalized form): raw floats
+  * are bit-exact in both engines, while a normalized value inherits the
+  * engines' sum-order ULP in the norm. */
+case class LshBitsDet(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with RefEvalCodegen {
+  require(bits > 0 && bits <= 63, s"bits=$bits must be in 1..63")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bits_det needs array<float|double>, got ${t.simpleString}")
+  }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // Rademacher plane rows, built once per (expression, dim) on first use
+  // (the plane is row-independent; md5 per (j, i) would otherwise run per
+  // data row). Grow-on-demand keeps dim out of the constructor; a single
+  // volatile (dim, rows) reference makes the lazy build safe when
+  // local-mode tasks share the plan object (worst case: two threads
+  // build the identical matrix and one wins).
+  @transient @volatile private var planeCache: (Int, Array[Array[Int]]) = _
+
+  private def planesFor(dim: Int): Array[Array[Int]] = {
+    val cached = planeCache
+    if (cached != null && cached._1 >= dim) cached._2
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val built = Array.tabulate(bits) { j =>
+        Array.tabulate(dim) { i =>
+          val digest = md.digest(s"lsh:$seed:$j:$i".getBytes("UTF-8"))
+          if ((((digest(0) & 0xff) >> 4) & 1) == 1) 1 else -1
+        }
+      }
+      planeCache = (dim, built)
+      built
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val p = planesFor(dim)
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      val row = p(j)
+      var proj = 0L
+      var i = 0
+      while (i < dim) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += row(i) * math.floor(x * 1000000.0).toLong
+        i += 1
+      }
+      if (proj >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashExpressions {
   def minhashSig(shingles: Column, k: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(shingles), k))
@@ -211,6 +360,12 @@ object HashExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  def simhash64Md5(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash64Md5(GraftColumnBridge.expression(tokens)))
+
+  def lshBitsDet(vec: Column, bits: Int, seed: Long): Column =
+    GraftColumnBridge.column(LshBitsDet(GraftColumnBridge.expression(vec), bits, seed))
 
   def lshBitsPacked(vec: Column, bits: Int, seed: Long = 42L): Column =
     GraftColumnBridge.column(LshBitsPacked(GraftColumnBridge.expression(vec), bits, seed))

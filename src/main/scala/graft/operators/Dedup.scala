@@ -282,14 +282,24 @@ object Dedup {
     * filter exact Hamming ≤ maxHamming, then VERIFY candidates with exact
     * shingle Jaccard ≥ verifyThreshold — same candidates→verify shape as
     * every other near-dup variant here, so hash proximity alone can never
-    * emit a textually-unrelated pair. */
+    * emit a textually-unrelated pair.
+    *
+    * With `crossEngineHash = true` the fingerprint comes from the MD5-based
+    * [[graft.functions.SimHash64Md5]] instead of the XXH64 one — same
+    * algorithm, but a DuckDB oracle can recompute it bit-for-bit, and since
+    * the banded candidate stage is pigeonhole-EXACT at `maxHamming ≤
+    * bands−1`, the whole operator output becomes the relational definition
+    * (all pairs with Hamming ≤ maxHamming AND Jaccard ≥ verifyThreshold) —
+    * fully oracle-comparable (q_simhash_pairs). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, maxHamming: Int = 7, shingleN: Int = 3,
-      verifyThreshold: Double = 0.5): DataFrame = {
+      verifyThreshold: Double = 0.5, crossEngineHash: Boolean = false): DataFrame = {
     val chunk = 64 / bands
     val shd = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-    val withSim = shd.select(col("id"),
-      graft.functions.HashExpressions.simhash64(col("sh")).as("sim"))
+    val fp =
+      if (crossEngineHash) graft.functions.HashExpressions.simhash64Md5(col("sh"))
+      else graft.functions.HashExpressions.simhash64(col("sh"))
+    val withSim = shd.select(col("id"), fp.as("sim"))
     val banded = withSim.select(col("id"), col("sim"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("sim"), b * chunk)
@@ -604,10 +614,18 @@ object Dedup {
     * is 1-(1-p^bits)^tables for per-bit agreement probability
     * p = 1-θ/π. `lshBits=0` degrades to brute force (small corpora /
     * recall measurement). Candidates travel as slim id pairs; vectors are
-    * joined back only for the exact verify. */
+    * joined back only for the exact verify.
+    *
+    * With `deterministic = true` the signatures come from
+    * [[graft.functions.LshBitsDet]] — md5-derived Rademacher hyperplanes
+    * over integer-quantized RAW vectors (sign-LSH is scale-invariant, and
+    * raw floats avoid the normalization's sum-order ULP) — so a DuckDB
+    * oracle replays the ENTIRE candidate stage bit-for-bit and the
+    * operator output is fully hash-comparable despite recall < 1
+    * (q_embed_neardup_lsh). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, lshBits: Int = 8,
-      lshTables: Int = 8): DataFrame = {
+      lshTables: Int = 8, deterministic: Boolean = false): DataFrame = {
     // normalize ONCE per row; per-pair work is then a single codegen'd dot
     val base = df.select(col(idCol).as("id"),
       VectorFunctions.normalize(col(vecCol)).as("v"))
@@ -625,9 +643,18 @@ object Dedup {
           round(VectorFunctions.dot(col("a_v"), col("b_v")), 6).as("cos"))
         .filter(col("cos") >= threshold)
     } else {
-      val banded = base.select(col("id"),
-          posexplode(array((0 until lshTables).map(t =>
-            VectorFunctions.lshBucket(col("v"), lshBits, seed = 1000L + t)): _*)))
+      // deterministic mode buckets on the RAW vector (exact integer
+      // projection — see LshBitsDet); the seeded mode keeps its
+      // historical normalized input. Both verify on normalized cosine.
+      val sigInput =
+        if (deterministic) df.select(col(idCol).as("id"), col(vecCol).as("rv"))
+        else base.select(col("id"), col("v").as("rv"))
+      def sig(t: Int) =
+        if (deterministic)
+          graft.functions.HashExpressions.lshBitsDet(col("rv"), lshBits, seed = 1000L + t)
+        else VectorFunctions.lshBucket(col("rv"), lshBits, seed = 1000L + t)
+      val banded = sigInput.select(col("id"),
+          posexplode(array((0 until lshTables).map(sig): _*)))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       val a = banded.select(col("table"), col("bucket"), col("id").as("a_id"))
       val b = banded.select(col("table"), col("bucket"), col("id").as("b_id"))

@@ -223,6 +223,51 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("simhashPairs crossEngineHash: md5 fingerprint matches an independent " +
+      "reference and pairs equal the relational definition") {
+    import graft.functions.{HashExpressions, TextFunctions}
+    // plain-JVM reference of the SimHash64Md5 contract (bit 4d+k of the
+    // fingerprint = bit k of hex digit d of md5(shingle)) — the same
+    // derivation the DuckDB oracle replays via substr(md5(f), d+1, 1)
+    def refShingles(text: String): Seq[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      else Seq(toks.mkString(" "))
+    }
+    def refSim(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      for (f <- refShingles(text)) {
+        val dg = md.digest(f.getBytes("UTF-8"))
+        for (d <- 0 until 16; k <- 0 until 4) {
+          val byte = dg(d / 2) & 0xff
+          val digit = if (d % 2 == 0) byte >> 4 else byte & 0xf
+          if (((digit >> k) & 1) == 1) votes(4 * d + k) += 1
+          else votes(4 * d + k) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val texts = corpus.as[(Long, String)].collect()
+    val fps = corpus.select($"doc_id",
+        HashExpressions.simhash64Md5(TextFunctions.shingles($"text", 3)).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, t) <- texts) assert(fps(id) == refSim(t), s"fingerprint of doc $id")
+    // banding is pigeonhole-exact at maxHamming <= bands-1, so the operator
+    // output must EQUAL the all-pairs definition
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", crossEngineHash = true)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      h = java.lang.Long.bitCount(refSim(ta) ^ refSim(tb)) if h <= 7
+      sa = refShingles(ta).toSet; sb = refShingles(tb).toSet
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.5
+    } yield (a, b, h)).toSet
+    assert(got == want)
+    assert(want.contains((2L, 4L, 0))) // identical docs: hamming 0
+  }
+
   test("embedding near-dup: brute force finds the planted pair") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
@@ -247,6 +292,41 @@ class DedupSpec extends SparkSpec {
       dim = 4, threshold = 0.95, lshBits = 4)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L))) // near-identical vectors share all hyperplane signs
+  }
+
+  test("embedding near-dup deterministic mode: LshBitsDet matches an " +
+      "independent reference and finds the planted pair") {
+    import graft.functions.HashExpressions
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.1f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.2f, 0.3f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    // plain-JVM reference of the LshBitsDet contract: Rademacher sign =
+    // bit 0 of the FIRST hex digit of md5("lsh:<seed>:<j>:<i>"), exact
+    // integer projection over floor(v_i * 1e6)
+    def refSig(v: Array[Float], bits: Int, seed: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until bits).foldLeft(0L) { (acc, j) =>
+        val proj = v.indices.map { i =>
+          val dg = md.digest(s"lsh:$seed:$j:$i".getBytes("UTF-8"))
+          val s = if ((((dg(0) & 0xff) >> 4) & 1) == 1) 1L else -1L
+          s * math.floor(v(i).toDouble * 1000000.0).toLong
+        }.sum
+        if (proj >= 0) acc | (1L << j) else acc
+      }
+    }
+    val sigs = vecs.select($"vec_id",
+        HashExpressions.lshBitsDet($"embedding", 6, seed = 1001L).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val raw = vecs.as[(Long, Array[Float])].collect()
+    for ((id, v) <- raw)
+      assert(sigs(id) == refSig(v, 6, 1001L), s"signature of vec $id")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.95, lshBits = 4, deterministic = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
   }
 
   test("ngramContainmentPairs: quote inside a longer doc scores c_max 1") {
