@@ -226,7 +226,7 @@ case class SimHash64Md5(child: Expression)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SimHash64Md5.digests.get()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
@@ -262,6 +262,14 @@ case class SimHash64Md5(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64Md5 {
+  // one digest instance per task thread, not per row — getInstance is a
+  // JCA provider lookup + allocation, pure overhead on a per-document
+  // hot path (md.digest resets the instance between uses)
+  private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** Deterministic CROSS-ENGINE hyperplane-LSH signature: bit j is the sign

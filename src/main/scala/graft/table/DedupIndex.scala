@@ -153,10 +153,16 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     * stored state — maintain calls must come from the same instance
     * configuration or the index is meaningless. */
   private val PartsKey = "dedup.posting_parts"
+  private val IdPartsKey = "dedup.id_parts"
 
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
     drop()
     index.create(withIb(bandArray(docs, idCol, textCol)))
+    // freeze the packed layout's modulus like the sidecar's PartsKey:
+    // a presence check alone (has __ib?) can't tell idParts=8 from 16,
+    // and a mixed-moduli index silently degrades the pruned merge's
+    // touched-partition contract
+    index.annotate(Map(IdPartsKey -> idParts.toString))
     // the sidecar derives from the packed rows just written — one read
     // back, no second shingling pass over the corpus; its partition
     // count is FROZEN into the stored meta so a mismatched instance
@@ -190,16 +196,27 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
             s"sidecar was built with ${stored.getOrElse("<unknown>")} — " +
             "the probe's partition pruning would silently miss rows")
       case None =>
-        require(!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(root, s"${name}_postings", "CURRENT")),
+        // probe through a LakeTable handle, not a hand-built pointer
+        // path — the layout convention lives in ONE place that way
+        require(!LakeTable(spark, root, s"${name}_postings",
+            Seq("id", "band")).exists,
           s"index $name: a postings sidecar is stored but this instance " +
             "has postingParts=0 — maintaining without it would leave it " +
             "silently stale; use the original postingParts or drop()")
     }
-    require(!index.exists ||
-      (idParts > 0) == index.read.columns.contains("__ib"),
-      s"index $name: idParts=$idParts disagrees with the stored packed " +
-        "index's layout (built with a different idParts?)")
+    if (index.exists) {
+      val storedIb = index.meta.get(IdPartsKey)
+      require(storedIb.forall(_ == idParts.toString),
+        s"index $name: idParts=$idParts but the stored packed index was " +
+          s"built with ${storedIb.getOrElse("<unknown>")} — the pruned " +
+          "merge's touched-partition set would silently degrade")
+      // legacy state without the frozen key: fall back to the
+      // presence check (detects on/off, not a modulus change)
+      require(storedIb.isDefined ||
+        (idParts > 0) == index.read.columns.contains("__ib"),
+        s"index $name: idParts=$idParts disagrees with the stored packed " +
+          "index's layout (built with a different idParts?)")
+    }
   }
 
   /** The standing-index rows landing in the batch's (band, bucket) set —

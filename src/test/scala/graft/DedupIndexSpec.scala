@@ -123,6 +123,37 @@ class DedupIndexSpec extends SparkSpec {
       assert(nParts.exists(n => n >= 1L && n <= 16L),
         s"one doc probes <= 16 of 64 posting partitions, read $nParts")
     }
+
+    // SECOND maintain through the same sidecar'd instance: the layout
+    // keys frozen at build (dedup.posting_parts / dedup.id_parts) must
+    // survive the first maintain's commits (writeTo carries committed
+    // meta forward), so requireLayout passes and the index converges
+    docs.delete(col("doc_id") % 13 === 5)
+    docs.upsert(all.filter(col("doc_id") % 17 === 2)
+      .withColumn("text", concat(lit("vv kk "), col("text"))))
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+    assert(idxSet(di.index.read) == di.postings.get.read
+      .select(col("id").cast("long"), col("band").cast("int"),
+        col("bucket").cast("long")).as[(Long, Int, Long)].collect().toSet)
+
+    // a mismatched-modulus instance must fail LOUDLY, not silently
+    // degrade the pruned merge's touched-partition contract
+    // (the guard fires before any frame is read, so a trivial changes
+    // frame suffices)
+    val oneChange = Seq(1L).toDF("doc_id")
+    val wrongId = DedupIndex(spark, root, "didxp", postingParts = 64,
+      idParts = 4)
+    val ex1 = intercept[IllegalArgumentException] {
+      wrongId.applyChanges(oneChange, docs.read, "doc_id", "text")
+    }
+    assert(ex1.getMessage.contains("idParts=4"))
+    val wrongPb = DedupIndex(spark, root, "didxp", postingParts = 32,
+      idParts = 8)
+    val ex2 = intercept[IllegalArgumentException] {
+      wrongPb.applyChanges(oneChange, docs.read, "doc_id", "text")
+    }
+    assert(ex2.getMessage.contains("postingParts=32"))
   }
 
   test("re-running the same span converges (crash-replay contract)") {
