@@ -78,6 +78,33 @@ class MvRewriteSpec extends SparkSpec {
     MvRewrite.register(base, view, Seq("k", "k2"), "v", MvRewrite.MinMaxKind)
   }
 
+  test("HAVING-shaped filter above the aggregate rides the rewrite " +
+      "(output ExprIds preserved)") {
+    val (base, view) = freshPair("having")
+    seed(base, view)
+    // DataFrame form: filter on the aggregated value ABOVE the groupBy
+    val q = base.read.groupBy("k", "k2")
+      .agg(count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"))
+      .filter(col("sum_v") > 50 && col("n_rows") >= 2)
+    assert(readsOnlyView(q, view), s"expected view-only scan: ${scanPaths(q)}")
+    // SQL form: an actual HAVING clause through the SQL surface
+    base.read.createOrReplaceTempView("mv_having_base")
+    val qs = spark.sql(
+      """SELECT k, k2, count(1) AS n_rows,
+                sum(cast(v AS decimal(20,4))) AS sum_v
+         FROM mv_having_base GROUP BY k, k2
+         HAVING sum(cast(v AS decimal(20,4))) > 50""")
+    assert(readsOnlyView(qs, view), s"expected view-only scan: ${scanPaths(qs)}")
+    MvRewrite.unregister(base)
+    val direct = base.read.groupBy("k", "k2")
+      .agg(count(lit(1)).as("n_rows"), sum(vDec).as("sum_v"))
+      .filter(col("sum_v") > 50 && col("n_rows") >= 2)
+    assert(q.orderBy("k", "k2").collect().toSeq ==
+      direct.orderBy("k", "k2").collect().toSeq)
+    assert(q.count() > 0, "the HAVING pin needs surviving groups")
+    spark.catalog.dropTempView("mv_having_base")
+  }
+
   test("roll-up to a key subset re-aggregates the view") {
     val (base, view) = freshPair("rollup")
     seed(base, view)
