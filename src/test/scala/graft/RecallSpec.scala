@@ -51,6 +51,26 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("deterministic md5-Rademacher LSH: contained in brute force, " +
+      "recall comparable to the seeded planes") {
+    import graft.operators.Dedup
+    val e = Tables.load(spark, sf, "embeddings")
+    val brute = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, lshBits = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val det = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, lshBits = 6, deterministic = true)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(det.subsetOf(brute), s"det LSH emitted non-pairs: ${(det -- brute).take(5)}")
+    val recall = if (brute.isEmpty) 1.0 else (det & brute).size.toDouble / brute.size
+    info(f"det md5-Rademacher LSH recall = $recall%.3f (${brute.size} exact pairs)")
+    // ±1 Rademacher planes are a valid sign-LSH family (Achlioptas'01):
+    // same (1 - θ/π)^bits per-table collision law as Gaussian planes,
+    // so the same measured floor applies — the determinism trades
+    // nothing but the plane distribution's smoothness
+    assert(recall >= 0.3)
+  }
+
   test("ivfTopK recall vs brute force on real embeddings") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 32)
