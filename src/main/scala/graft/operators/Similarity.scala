@@ -92,6 +92,14 @@ object Similarity {
     * measured recall (RecallSpec). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, bits: Int = 8, probeBits: Int = 1): DataFrame = {
+    // the full-probe branch materializes a 2^bits-element array PER
+    // QUERY ROW — the exactness lever is only meant for oracle-scale
+    // bucket counts; fail loudly before sequence() tries to build a
+    // multi-billion-element array (bits=16 → 65,536/row, the sane cap)
+    require(probeBits < bits || bits <= 16,
+      s"full-probe mode (probeBits=$probeBits >= bits=$bits) explodes " +
+        s"2^$bits buckets per query row — use bits <= 16 for the exact " +
+        "mode, or probeBits < bits for multiprobe")
     val c = corpus.select(col(idCol).as("neighbor_id"), normalize(col(vecCol)).as("c_v"))
       .withColumn("bucket", lshBucket(col("c_v"), bits))
     val qBase = queries.select(col(idCol).as("query_id"), normalize(col(vecCol)).as("q_v"))

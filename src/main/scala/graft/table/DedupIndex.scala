@@ -132,7 +132,14 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     exploded.withColumn("__pb", pbOf(col("band"), col("bucket")))
 
   def drop(): Unit = {
-    index.drop(); pairs.drop(); postings.foreach(_.drop())
+    index.drop(); pairs.drop()
+    // drop the sidecar by PROBING for it, not by this instance's
+    // configuration: a postingParts=0 instance rebuilding an index that
+    // was built WITH a sidecar must remove the orphan, or requireLayout
+    // would (correctly) refuse every subsequent maintain and the
+    // documented remedy — drop() — would loop back to the same error
+    postings.getOrElse(LakeTable(spark, root, s"${name}_postings",
+      Seq("id", "band"))).drop()
   }
 
   /** (id, buckets: array) rows of `docs` under this index's parameters. */

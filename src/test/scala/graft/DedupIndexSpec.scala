@@ -156,6 +156,26 @@ class DedupIndexSpec extends SparkSpec {
     assert(ex2.getMessage.contains("postingParts=32"))
   }
 
+  test("rebuilding with postingParts=0 removes the orphaned sidecar") {
+    val root = "/tmp/graft_tables/dedupidx_orphan"
+    val docs = LakeTable(spark, root, "didxo_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(all.filter(col("doc_id") < 80))
+    DedupIndex(spark, root, "didxo", postingParts = 16)
+      .build(docs.read, "doc_id", "text")
+    // a plain (no-sidecar) instance REBUILDING the same name must drop
+    // the orphan — otherwise requireLayout refuses every maintain and
+    // its documented remedy (drop()) would loop back to the same error
+    val plain = DedupIndex(spark, root, "didxo")
+    plain.build(docs.read, "doc_id", "text")
+    val synced = docs.version
+    docs.upsert(all.filter(col("doc_id") >= 80 && col("doc_id") < 120))
+    plain.maintain(docs, "doc_id", "text", synced) // must not throw
+    assertConverged(plain, docs)
+  }
+
   test("re-running the same span converges (crash-replay contract)") {
     val root = "/tmp/graft_tables/dedupidx_replay"
     val docs = LakeTable(spark, root, "didxr_docs", Seq("doc_id"),

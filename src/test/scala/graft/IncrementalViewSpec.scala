@@ -146,6 +146,7 @@ class IncrementalViewSpec extends SparkSpec {
     // k=2 → group extinct
     base.delete(col("id") === 2L)
     base.delete(col("k") === 2L)
+    val preView = view.read.collect().toSet // pre-span view contents
     IncrementalView.maintainDistinctView(base, aux, view, Seq("k"), "v", s1)
     assert(dist == Map(1L -> 1L), "last-instance delete + extinction")
     // invariant vs full recompute at the end
@@ -164,6 +165,20 @@ class IncrementalViewSpec extends SparkSpec {
     assert(dist == recomp && aux.read.select(col("k"), col("__v"),
       col("cnt")).as[(Long, String, Long)].collect().toSet == a1,
       "same-span replay must be a no-op")
+    // the aux-applied-only CRASH WINDOW (view commit never landed):
+    // reset the view to its pre-span contents — create is DDL-replace,
+    // so contents AND span marker are gone — while the aux keeps its
+    // marker. The retry must route through oldCnt = stored − d_n (exact
+    // even for the aux rows the merge DELETED: k=2's values, whose
+    // stored cnt is now absent, recover as 0 − (−1) = 1) and run ONLY
+    // the view merge, landing the identical post-span state.
+    view.create(spark.createDataFrame(
+      spark.sparkContext.parallelize(preView.toSeq), view.read.schema))
+    IncrementalView.maintainDistinctView(base, aux, view, Seq("k"), "v", s1)
+    assert(dist == recomp, "crash-window retry must land the same view")
+    assert(aux.read.select(col("k"), col("__v"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet == a1,
+      "crash-window retry must NOT re-apply the aux")
   }
 
   test("moments view: maintained == recompute through churn and " +
