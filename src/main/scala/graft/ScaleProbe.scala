@@ -82,6 +82,31 @@ object ScaleProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    // `timed` plus the input-bytes delta (sum of task inputMetrics
+    // .bytesRead) over the region — the I/O counter behind the
+    // flat-maintain/flat-search claims: wall-clock can flatter a scan
+    // that merely got faster, bytes read cannot. The bus is drained
+    // before and after so the delta covers exactly the region.
+    val probeBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            { probeBytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead); () }
+      })
+    def timedBytes[A](f: => A): (A, Double, Long) = {
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 30000)
+      val b0 = probeBytes.get()
+      val t0 = System.nanoTime()
+      val a = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 30000)
+      (a, sec, probeBytes.get() - b0)
+    }
+
     val factors = sys.env.get("SPARK_GRAFT_FACTORS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8))
     // SPARK_GRAFT_FAMILIES=dedup,profiling,behavioral,basket,ann
@@ -210,30 +235,45 @@ object ScaleProbe {
       val base = inflate(docs, maxId, n).select("doc_id", "text")
         .localCheckpoint(true)
       val rows = base.count()
-      val pParts = math.min(1024, math.max(64, (rows * 16 / 2500).toInt))
-      val iParts = math.min(128, math.max(16, (rows / 2500).toInt))
+      val sized = graft.table.DedupIndex.sizedParts(rows, bands = 16)
+      val (pParts, iParts) = (sized.postingParts, sized.idParts)
+      val dParts = sized.idParts // docs rows ≈ packed-index rows
       val root = "/tmp/graft_tables/scaleprobe_didxp"
+      // the DOCS table itself is id-hash-bucketed (DocBuckets): the
+      // maintainer's snapshot text fetches — previously the residual
+      // O(corpus) slope of this ladder — open only the touched ids'
+      // bucket partitions, measured below as bytes_read
       val t = graft.table.LakeTable(spark, root, s"didxp_docs_$n",
-        Seq("doc_id"), changeFeed = true)
+        Seq("doc_id"),
+        partitionCols = Seq(graft.table.DocBuckets.ColName),
+        changeFeed = true)
       t.drop()
       val di = graft.table.DedupIndex(spark, root, s"didxp_$n",
         maxBucketSize = maxBucketSize, postingParts = pParts,
-        idParts = iParts)
-      t.create(base)
+        idParts = iParts, docParts = dParts)
+      t.create(graft.table.DocBuckets.withBucket(base, "doc_id", dParts))
       val (_, buildSec) = timed { di.build(t.read, "doc_id", "text") }
       val v0 = t.version
       // fixed micro-batch: ~8 in-place rewrites from replica 0
-      t.upsert(docs.filter(col("doc_id") % 613 === 5)
-        .select(col("doc_id"),
-          concat(lit("zq xv wq "), col("text")).as("text")))
+      t.upsert(graft.table.DocBuckets.withBucket(
+        docs.filter(col("doc_id") % 613 === 5)
+          .select(col("doc_id"),
+            concat(lit("zq xv wq "), col("text")).as("text")),
+        "doc_id", dParts))
       val batchDocs = t.changesSince(v0)
         .select("doc_id").distinct().count()
-      val (_, maintainSec) = timed { di.maintain(t, "doc_id", "text", v0) }
+      val corpusBytes = t.describeDetail
+        .filter(col("is_current")).select("bytes").head().getLong(0)
+      val (_, maintainSec, maintainBytes) =
+        timedBytes { di.maintain(t, "doc_id", "text", v0) }
       val nPairs = di.pairs.read.count()
       println(s"""{"family":"dedupidxp","factor":$n,"rows":$rows,""" +
         s""""posting_parts":$pParts,"id_parts":$iParts,""" +
-        s""""batch_docs":$batchDocs,"build_sec":${f"$buildSec%.2f"},""" +
-        s""""maintain_small_sec":${f"$maintainSec%.2f"},"n_pairs":$nPairs}""")
+        s""""doc_parts":$dParts,"batch_docs":$batchDocs,""" +
+        s""""corpus_bytes":$corpusBytes,""" +
+        s""""build_sec":${f"$buildSec%.2f"},""" +
+        s""""maintain_small_sec":${f"$maintainSec%.2f"},""" +
+        s""""maintain_bytes":$maintainBytes,"n_pairs":$nPairs}""")
     }
 
     // ---- MV-rewrite family: the measured claim behind plans.MvRewrite
@@ -332,16 +372,31 @@ object ScaleProbe {
             col("embedding"))
         }.reduce(_ unionByName _).localCheckpoint(true)
         val rows = corpus.count()
+        val dParts = graft.table.DedupIndex.sizedParts(rows, 16).idParts
         val root = "/tmp/graft_tables/scaleprobe_annidx"
+        // vector table id-hash-bucketed: the maintainer's touched-
+        // vector fetch opens only the batch ids' partitions
         val t = graft.table.LakeTable(spark, root, s"annidx_docs_$n",
-          Seq("vec_id"), changeFeed = true)
+          Seq("vec_id"),
+          partitionCols = Seq(graft.table.DocBuckets.ColName),
+          changeFeed = true)
         t.drop()
         val ai = graft.table.AnnIndex(spark, root, s"annidx_$n",
-          nCells = 8 * n)
-        t.create(corpus)
+          nCells = 8 * n, docParts = dParts)
+        t.create(graft.table.DocBuckets.withBucket(corpus, "vec_id", dParts))
         val (_, buildSec) = timed { ai.build(t.read, "vec_id", "embedding") }
+        val v0 = t.version
+        // fixed micro-batch maintain: ~8 in-place vector flips
+        t.upsert(graft.table.DocBuckets.withBucket(
+          emb.filter(col("vec_id") % 613 === 5)
+            .withColumn("embedding", transform(col("embedding"), x => -x)),
+          "vec_id", dParts))
+        val corpusBytes = t.describeDetail
+          .filter(col("is_current")).select("bytes").head().getLong(0)
+        val (_, maintainSec, maintainBytes) =
+          timedBytes { ai.maintain(t, "vec_id", "embedding", v0) }
         val queries = emb.filter(col("vec_id") < 16).localCheckpoint(true)
-        val (nHits, searchSec) = timed {
+        val (nHits, searchSec, searchBytes) = timedBytes {
           ai.search(queries, "vec_id", "embedding", k = 5, nProbe = 2).count()
         }
         val (_, fullSec) = timed {
@@ -349,8 +404,13 @@ object ScaleProbe {
             nProbe = 8 * n).count()
         }
         println(s"""{"family":"annidx","factor":$n,"rows":$rows,""" +
-          s""""n_cells":${8 * n},"build_sec":${f"$buildSec%.2f"},""" +
+          s""""n_cells":${8 * n},"doc_parts":$dParts,""" +
+          s""""corpus_bytes":$corpusBytes,""" +
+          s""""build_sec":${f"$buildSec%.2f"},""" +
+          s""""maintain_sec":${f"$maintainSec%.2f"},""" +
+          s""""maintain_bytes":$maintainBytes,""" +
           s""""search_nprobe2_sec":${f"$searchSec%.2f"},""" +
+          s""""search_bytes":$searchBytes,""" +
           s""""search_full_sec":${f"$fullSec%.2f"},"n_hits":$nHits}""")
       }
     }

@@ -611,7 +611,15 @@ object SparkEntry {
     // but the sketch's accuracy contract is relational — the row carries
     // the exact count plus a within-3×rsd flag (rsd defaults to 0.05) the
     // oracle asserts as literal 1, so a broken/drifting sketch turns the
-    // row red instead of hiding behind a rows-only check
+    // row red instead of hiding behind a rows-only check.
+    // PROBABILISTIC caveat: rsd is a standard deviation, not a hard
+    // guarantee — 3×rsd holds with ~99.7% probability PER GROUP, and the
+    // check is deterministic per dataset (HLL++ has no runtime seed), so
+    // on a NEW dataset or SF a perfectly healthy sketch can land one
+    // group outside the bound and fail persistently there. A red row
+    // here on fresh data means "re-derive the bound for that data"
+    // before suspecting the sketch; the current testdata's worst group
+    // sits well inside 15%
     "q_approx_distinct" -> ((s, dir) =>
       Tables.load(s, dir, "orders")
         .groupBy("o_orderstatus")
@@ -760,23 +768,30 @@ object SparkEntry {
     // q_dedup_index with the SERVING layout: postingParts maintains the
     // bucket-partitioned postings sidecar (the candidate probe becomes a
     // partition-PRUNED read of the standing index — the plan
-    // DedupIndexSpec pins) and idParts hash-partitions the packed index
-    // so its per-batch merge rewrites only touched id partitions. The
-    // small-batch/streaming regime of DedupIndex's class-doc analysis;
-    // same churn, same oracle — layout must never change answers.
+    // DedupIndexSpec pins), idParts hash-partitions the packed index
+    // so its per-batch merge rewrites only touched id partitions, and
+    // docParts hash-partitions the DOCS table itself so the snapshot
+    // text fetches (alive-touched + candidate verification) open only
+    // the touched ids' bucket partitions — the last O(corpus) term of
+    // the maintenance path, pruned. The small-batch/streaming regime of
+    // DedupIndex's class-doc analysis; same churn, same oracle — layout
+    // must never change answers.
     "q_dedup_index_pruned" -> ((s, dir) => {
       val all = docs(s, dir).select("doc_id", "text")
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val t = LakeTable(s, root, "pdidx_docs", Seq("doc_id"),
+        partitionCols = Seq(graft.table.DocBuckets.ColName),
         changeFeed = true)
       t.drop()
+      def wb(df: org.apache.spark.sql.DataFrame) =
+        graft.table.DocBuckets.withBucket(df, "doc_id", 8)
       val di = graft.table.DedupIndex(s, root, "pdidx",
-        postingParts = 16, idParts = 8)
-      t.create(all.filter(col("doc_id") % 3 === 1))
+        postingParts = 16, idParts = 8, docParts = 8)
+      t.create(wb(all.filter(col("doc_id") % 3 === 1)))
       di.build(t.read, "doc_id", "text")
       val synced = t.version
-      t.upsert(all.filter(col("doc_id") % 3 === 2))
-      t.upsert(all.filter(col("doc_id") % 3 === 0))
+      t.upsert(wb(all.filter(col("doc_id") % 3 === 2)))
+      t.upsert(wb(all.filter(col("doc_id") % 3 === 0)))
       t.delete(col("doc_id") % 7 === 3)
       // ONE maintain over the whole multi-version span (vs
       // q_dedup_index's per-wave maintains): same final state, same
@@ -819,8 +834,10 @@ object SparkEntry {
     // replays the definition (hamming <= 7 AND jaccard >= 0.5); the
     // XXH64-seeded production variant stays pinned by RecallSpec
     "q_simhash_pairs" -> ((s, dir) =>
+      // uncapped: the oracle IS the relational definition, which the
+      // pigeonhole argument only guarantees without the bucket guard
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text",
-        crossEngineHash = true)
+        crossEngineHash = true, maxBucketSize = Int.MaxValue)
         .orderBy("a_id", "b_id")),
 
     // winnowing-fingerprint near-dup pairs. Like q_minhash_pairs, the
@@ -1433,6 +1450,52 @@ object SparkEntry {
           sum(vDec).cast("double").as("sum_total"))
         .orderBy("o_custkey")
       assertViewOnlyScan(q, v, "q_mv_avg")
+    }),
+
+    // MV-rewrite serving UNCAST double aggregates — `avg(price)` with
+    // no cast is the first query a real user writes, and the strict
+    // value-space rule alone would never serve it. The registration's
+    // serveDouble flag (MvRewrite class doc) asserts the price column
+    // is exact in the view's (18,4) space (2-dp currency — true here),
+    // under which sum/avg/min/max/count(price) are served with
+    // decimal-exact accumulation and ONE final cast to double. The
+    // oracle replays that contract in exact integer arithmetic; the
+    // same null-bearing churn as q_mv_avg exercises Average's non-null
+    // count and the null-sum groups. Plan-asserted view-only scan.
+    "q_mv_avg_double" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      graft.plans.GraftOptimizations.install(s)
+      val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val t = LakeTable(s, root, "orders_mvad", Seq("o_orderkey"),
+        changeFeed = true)
+      val aux = LakeTable(s, root, "orders_mvad_aux", Seq("o_custkey", "__v"))
+      val v = LakeTable(s, root, "orders_mvad_view", Seq("o_custkey"))
+      t.drop(); aux.drop(); v.drop()
+      t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
+      val v0 = t.version
+      aux.create(graft.table.IncrementalView.fullStatsSupportView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      v.create(graft.table.IncrementalView.fullStatsView(
+        t.read, Seq("o_custkey"), "o_totalprice"))
+      t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 1, lit(null).cast("double"))
+            .otherwise(col("o_totalprice") * 2)))
+      t.delete(col("o_orderkey") % 5 === 0)
+      graft.table.IncrementalView.maintainFullStatsView(t, aux, v,
+        Seq("o_custkey"), "o_totalprice", sinceVersion = v0,
+        meta = graft.plans.MvRewrite.syncMeta(t.version))
+      graft.plans.MvRewrite.register(t, v, Seq("o_custkey"),
+        "o_totalprice", graft.plans.MvRewrite.FullStatsKind,
+        serveDouble = true)
+      val q = t.read.groupBy("o_custkey").agg(
+          count(col("o_totalprice")).as("n_vals"),
+          avg(col("o_totalprice")).as("avg_total"),
+          sum(col("o_totalprice")).as("sum_total"),
+          min(col("o_totalprice")).as("min_total"),
+          max(col("o_totalprice")).as("max_total"))
+        .orderBy("o_custkey")
+      assertViewOnlyScan(q, v, "q_mv_avg_double")
     }),
 
     // MV rewrite over a JOIN: the aggregate-over-join query (the two
@@ -2215,16 +2278,23 @@ object SparkEntry {
     "q_ann_index" -> ((s, dir) => {
       val e = emb(s, dir).select("vec_id", "embedding")
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      // the vector table is id-hash-bucketed (DocBuckets) so the
+      // maintainer's touched-vector fetch — the one remaining
+      // O(corpus) scan — opens only the batch ids' partitions
       val t = LakeTable(s, root, "annq_docs", Seq("vec_id"),
+        partitionCols = Seq(graft.table.DocBuckets.ColName),
         changeFeed = true)
       t.drop()
-      val ai = graft.table.AnnIndex(s, root, "annq", nCells = 8)
-      t.create(e.filter(col("vec_id") % 3 =!= 0))
+      def wb(df: org.apache.spark.sql.DataFrame) =
+        graft.table.DocBuckets.withBucket(df, "vec_id", 4)
+      val ai = graft.table.AnnIndex(s, root, "annq", nCells = 8,
+        docParts = 4)
+      t.create(wb(e.filter(col("vec_id") % 3 =!= 0)))
       ai.build(t.read, "vec_id", "embedding")
       var synced = t.version
-      t.upsert(e.filter(col("vec_id") % 3 === 0))
-      t.upsert(e.filter(col("vec_id") % 11 === 4)
-        .withColumn("embedding", transform(col("embedding"), x => -x)))
+      t.upsert(wb(e.filter(col("vec_id") % 3 === 0)))
+      t.upsert(wb(e.filter(col("vec_id") % 11 === 4)
+        .withColumn("embedding", transform(col("embedding"), x => -x))))
       t.delete(col("vec_id") % 7 === 3)
       synced = ai.maintain(t, "vec_id", "embedding", synced)
       ai.search(e.filter(col("vec_id") < 16), "vec_id", "embedding",
@@ -4101,13 +4171,24 @@ object SparkEntry {
     // learned-BPE token accounting: train the merge table on a BOUNDED
     // deterministic sample (64 docs, driver-side — tokenizer practice),
     // then count subwords across the full corpus with the native encode
-    // expression. BPE encode isn't SQL-replayable -> rows-only; the
-    // algorithm is pinned against hand-computed merges in BpeSpec
+    // expression. The learned merges are dumped as a parquet SIDECAR so
+    // the oracle can replay the greedy rank-ordered encode relationally
+    // (recursive CTE over symbol lists — DuckDB recomputes every
+    // subword count from the same merge table); the TRAINING loop stays
+    // pinned against hand-computed merges in BpeSpec.
     "q_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
       val sample = d.filter(col("doc_id") < 64).select("text").collect()
         .flatMap(_.getString(0).toLowerCase.split("\\s+")).filter(_.nonEmpty).toSeq
       val merges = graft.functions.Bpe.train(sample, numMerges = 100)
+      // oracle sidecar (tiny: <= 100 rows) — the path mirrors the
+      // literal in oracleSql, which can only name the driver's verify
+      // scale factor (sf0.01); other SFs write their own slug's dir
+      val slug = dir.stripSuffix("/").replaceAll("[^A-Za-z0-9]", "_")
+      import s.implicits._
+      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("rank", "l", "r").coalesce(1).write.mode("overwrite")
+        .parquet(s"/tmp/graft_oracle_sidecar/$slug/bpe_merges")
       d.select(col("source"),
           graft.functions.Bpe.bpeEncode(col("text"), merges).as("toks"))
         .groupBy("source").agg(
@@ -5953,6 +6034,40 @@ object SparkEntry {
                   / 100000000.0 AS avg_total,
                 CAST(i4 AS DOUBLE) / 10000.0 AS sum_total
          FROM rounded ORDER BY o_custkey""",
+
+    // serveDouble contract replay: exact integer accumulation of the
+    // 4-dp-scaled values, ONE cast to double (i4 < 2^53 at every SF, so
+    // CAST(i4 AS DOUBLE)/1e4 is the correctly-rounded double of the
+    // exact decimal sum — the same number Spark's decimal→double cast
+    // yields), then plain IEEE division for the avg; min/max replay the
+    // decimal cast chain verbatim
+    "q_mv_avg_double" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
+            source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                              CASE WHEN o_orderkey % 7 = 1 THEN NULL
+                                   ELSE o_totalprice * 2 END AS o_totalprice,
+                              o_orderdate, o_orderpriority
+                       FROM orders WHERE o_orderkey % 2 = 0),
+            merged AS (
+              SELECT * FROM target t
+              WHERE NOT EXISTS (SELECT 1 FROM source s
+                                WHERE s.o_orderkey = t.o_orderkey)
+              UNION ALL SELECT * FROM source),
+            final AS (SELECT * FROM merged WHERE o_orderkey % 5 <> 0),
+            agg AS (
+              SELECT o_custkey,
+                     count(o_totalprice) AS n_vals,
+                     SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000
+                         AS HUGEINT)) AS i4,
+                     MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS mn,
+                     MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS mx
+              FROM final GROUP BY o_custkey)
+         SELECT o_custkey, n_vals,
+                (CAST(i4 AS DOUBLE) / 10000.0) / n_vals AS avg_total,
+                CAST(i4 AS DOUBLE) / 10000.0 AS sum_total,
+                CAST(mn AS DOUBLE) AS min_total,
+                CAST(mx AS DOUBLE) AS max_total
+         FROM agg ORDER BY o_custkey""",
 
     // join rewrite: the view serves the aggregate-over-join query —
     // the oracle replays both sides' churn and re-joins, identical to
@@ -9940,6 +10055,61 @@ object SparkEntry {
                 CASE WHEN substr(md5(CAST(family AS VARCHAR)), 1, 2) < '33'
                      THEN 'test' ELSE 'train' END AS split
          FROM fam ORDER BY doc_id""",
+
+    // Replays the learned-BPE ENCODE from the merge-table sidecar the
+    // query dumps (the path names the driver's verify SF — sf0.01):
+    // per distinct word, a recursive CTE applies greedy rank-ordered
+    // merges exactly like Bpe.encodeWord (strictly-lowest rank, first
+    // position, one merge per step), then per-doc subword counts
+    // re-aggregate per source. The merge table itself is pure driver
+    // Scala pinned by BpeSpec; given it, the counts are exact.
+    "q_bpe_tokens" ->
+      """WITH RECURSIVE
+         m AS (SELECT list(struct_pack(a := l, b := r) ORDER BY rank) AS ms
+               FROM read_parquet(
+                 '/tmp/graft_oracle_sidecar/_root_testdata_sf0_01/bpe_merges/*.parquet')),
+         toks AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         w0 AS (SELECT DISTINCT unnest(t) AS word FROM toks),
+         enc AS (
+           SELECT word, [word[i] for i in range(1, len(word)+1)] AS syms
+           FROM w0
+           UNION ALL
+           SELECT word,
+                  list_concat(list_concat(syms[1:bp-1],
+                                          [syms[bp] || syms[bp+1]]),
+                              syms[bp+2:])
+           FROM (
+             SELECT word, syms, list_min(prs) AS mn,
+                    list_position(prs, list_min(prs)) AS bp
+             FROM (
+               SELECT e.word, e.syms,
+                      [coalesce(nullif(list_position(ms,
+                         struct_pack(a := e.syms[i], b := e.syms[i+1])), 0),
+                         2147483647)
+                       for i in range(1, len(e.syms))] AS prs
+               FROM enc e, m
+               WHERE len(e.syms) >= 2)
+           ) WHERE mn < 2147483647),
+         fin AS (
+           SELECT e.word, len(e.syms) AS n_tok
+           FROM enc e, m
+           WHERE len(e.syms) < 2 OR
+                 list_min([coalesce(nullif(list_position(ms,
+                    struct_pack(a := e.syms[i], b := e.syms[i+1])), 0),
+                    2147483647)
+                    for i in range(1, len(e.syms))]) = 2147483647),
+         doc_words AS (SELECT doc_id, source, unnest(t) AS word FROM toks),
+         per_doc AS (SELECT doc_id, sum(f.n_tok) AS n_sub
+                     FROM doc_words dw JOIN fin f USING (word)
+                     GROUP BY doc_id)
+         SELECT t.source, count(*)::BIGINT AS n_docs,
+                CAST(sum(coalesce(p.n_sub, 0)) AS BIGINT) AS n_subwords
+         FROM toks t LEFT JOIN per_doc p USING (doc_id)
+         GROUP BY t.source ORDER BY t.source""",
 
     // ============== round 8: monitoring / quantization / CEP =============
 

@@ -290,21 +290,36 @@ object Dedup {
     * the banded candidate stage is pigeonhole-EXACT at `maxHamming ≤
     * bands−1`, the whole operator output becomes the relational definition
     * (all pairs with Hamming ≤ maxHamming AND Jaccard ≥ verifyThreshold) —
-    * fully oracle-comparable (q_simhash_pairs). */
+    * fully oracle-comparable (q_simhash_pairs).
+    *
+    * `maxBucketSize` is the same degenerate-bucket guard as
+    * [[minhashLshPairs]]/[[winnowingPairs]]: a (band, chunk) bucket over
+    * the cap is skipped at candidate GENERATION (a corpus of near-empty
+    * docs collapses to a handful of fingerprints, and one shared chunk
+    * bucket would self-join quadratically). Capping trades the
+    * pigeonhole-exactness away for pairs whose ONLY shared chunks are
+    * oversized — pass `Int.MaxValue` where the relational definition must
+    * hold exactly (the oracle contract q_simhash_pairs uses). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, maxHamming: Int = 7, shingleN: Int = 3,
-      verifyThreshold: Double = 0.5, crossEngineHash: Boolean = false): DataFrame = {
+      verifyThreshold: Double = 0.5, crossEngineHash: Boolean = false,
+      maxBucketSize: Int = 1000): DataFrame = {
     val chunk = 64 / bands
     val shd = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val fp =
       if (crossEngineHash) graft.functions.HashExpressions.simhash64Md5(col("sh"))
       else graft.functions.HashExpressions.simhash64(col("sh"))
     val withSim = shd.select(col("id"), fp.as("sim"))
-    val banded = withSim.select(col("id"), col("sim"),
+    val bandedAll = withSim.select(col("id"), col("sim"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("sim"), b * chunk)
             .bitwiseAND(lit((1L << chunk) - 1))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded =
+      if (maxBucketSize == Int.MaxValue) bandedAll
+      else bandedAll.withColumn("bsize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")))
+        .filter(col("bsize") <= maxBucketSize).drop("bsize")
     val a = banded.select(col("band"), col("chunk"), col("id").as("a_id"), col("sim").as("a_sim"))
     val b = banded.select(col("band"), col("chunk"), col("id").as("b_id"), col("sim").as("b_sim"))
     val cand = a.join(b, Seq("band", "chunk")).filter(col("a_id") < col("b_id"))

@@ -65,6 +65,22 @@ import graft.table.LakeTable
   * and sum/min/max over `cast(valueCol as decimal(20,4))` rewrite —
   * a float `sum(v)` is NOT the same number as the view's decimal sum,
   * so it is left alone rather than approximated.
+  *
+  * EXCEPTION — `serveDouble` (per registration, default OFF): the most
+  * common aggregate a real user writes is `avg(price)` with no cast.
+  * Registering with `serveDouble = true` asserts that the value
+  * column's doubles are EXACT in the view's decimal value space (e.g.
+  * currency with ≤ 4 decimal places — wider values would be rounded by
+  * the view's cast, and min/max/sum would serve the rounded numbers).
+  * Under that assertion the rule also rewrites uncast `sum/avg/min/max/
+  * count(valueCol)` over a DOUBLE column: accumulation is decimal-exact
+  * inside the view, with ONE final cast to double at serve time. The
+  * determinism contract this buys: the served sum/avg is a pure
+  * function of the group's value multiset (exact decimal sum, one
+  * rounding), where the un-rewritten plan's float sum depends on
+  * partitioning and merge order — the served answer is at most 1 ulp
+  * from any particular base execution and bit-reproducible across runs
+  * and engines (`q_mv_avg_double`'s DuckDB oracle replays it exactly).
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
@@ -106,11 +122,12 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   final case class Entry(base: LakeTable, view: LakeTable,
-      keyCols: Seq[String], valueCol: String, kind: Kind)
+      keyCols: Seq[String], valueCol: String, kind: Kind,
+      serveDouble: Boolean)
 
   final case class JoinEntry(fact: LakeTable, dim: LakeTable,
       view: LakeTable, joinKeys: Seq[String], groupKeys: Seq[String],
-      valueCol: String, kind: Kind)
+      valueCol: String, kind: Kind, serveDouble: Boolean)
 
   /** Registries keyed by the base tables' directories (all versions of
     * a base share the entry list; freshness is per scanned version). A
@@ -135,10 +152,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     * format) never parse a version and therefore SAFELY never rewrite;
     * registering a non-LakeTable "base" is a silent no-op by design,
     * never a wrong answer (MvRewriteSpec pins the negative). */
+  /** `serveDouble` opts this registration into serving UNCAST
+    * double-column aggregates — see the class doc's determinism
+    * contract; the caller asserts the column's values are exact in the
+    * kind's decimal value space. */
   def register(base: LakeTable, view: LakeTable, keyCols: Seq[String],
-      valueCol: String, kind: Kind = SumKind): Unit =
+      valueCol: String, kind: Kind = SumKind,
+      serveDouble: Boolean = false): Unit =
     catalog.compute(normalize(base.tablePath), (_, old) =>
-      Entry(base, view, keyCols, valueCol, kind) ::
+      Entry(base, view, keyCols, valueCol, kind, serveDouble) ::
         Option(old).getOrElse(Nil)
           .filterNot(_.view.tablePath == view.tablePath))
 
@@ -153,9 +175,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     * as [[register]]. */
   def registerJoin(fact: LakeTable, dim: LakeTable, view: LakeTable,
       joinKeys: Seq[String], groupKeys: Seq[String], valueCol: String,
-      kind: Kind = SumKind): Unit =
+      kind: Kind = SumKind, serveDouble: Boolean = false): Unit =
     joinCatalog.compute(joinKey(fact.tablePath, dim.tablePath), (_, old) =>
-      JoinEntry(fact, dim, view, joinKeys, groupKeys, valueCol, kind) ::
+      JoinEntry(fact, dim, view, joinKeys, groupKeys, valueCol, kind,
+        serveDouble) ::
         Option(old).getOrElse(Nil)
           .filterNot(_.view.tablePath == view.tablePath))
 
@@ -282,7 +305,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         substitute(agg, conds, viewPlan, e.keyCols, e.kind,
           keyAttrs = lr.output.filter(a => e.keyCols.contains(a.name)),
           isValueAttr = a => a.name == e.valueCol && lrIds(a.exprId),
-          allScanIds = lrIds)
+          allScanIds = lrIds, serveDouble = e.serveDouble)
       }
     }.headOption
   }
@@ -406,7 +429,8 @@ object MvRewrite extends Rule[LogicalPlan] {
               keyAttrs = (lrFact.output ++ lrDim.output)
                 .filter(a => entry.groupKeys.contains(a.name)),
               isValueAttr = a => a.name == entry.valueCol && factIds(a.exprId),
-              allScanIds = factIds ++ dimIds)
+              allScanIds = factIds ++ dimIds,
+              serveDouble = entry.serveDouble)
           }
       }
     }.headOption
@@ -421,7 +445,8 @@ object MvRewrite extends Rule[LogicalPlan] {
       viewPlan: LogicalPlan, keyCols: Seq[String], kind: Kind,
       keyAttrs: Seq[Attribute],
       isValueAttr: AttributeReference => Boolean,
-      allScanIds: Set[ExprId]): Option[LogicalPlan] = {
+      allScanIds: Set[ExprId],
+      serveDouble: Boolean): Option[LogicalPlan] = {
     // Grouping must be plain key attributes; filters only over keys.
     val groupAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
@@ -450,6 +475,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     def isValueDec(e: Expression): Boolean = e match {
       case Cast(a: AttributeReference, dt: DecimalType, _, _) =>
         isValueAttr(a) && dt.precision == vp && dt.scale == vs
+      case _ => false
+    }
+    // the serveDouble contract (class doc): an UNCAST double value
+    // column — served with decimal-exact accumulation and one final
+    // cast, valid under the registration's values-fit-the-space
+    // assertion
+    def isValueRaw(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        serveDouble && isValueAttr(a) &&
+          a.dataType == org.apache.spark.sql.types.DoubleType
       case _ => false
     }
     def hasMinMax = kind.cols.contains("min_value")
@@ -482,9 +517,11 @@ object MvRewrite extends Rule[LogicalPlan] {
           if (n.dataType != LongType) None
           else if (exact) Some(n)
           else Some(Coalesce(Seq(reAgg(Sum(n)), Literal(0L))))
-        // count(cast(v)) — non-null count, served by the n_nonnull
-        // column (count(*) would be wrong on null-bearing groups)
-        case Count(Seq(c)) if isValueDec(c) &&
+        // count(cast(v)) / count(v) — non-null count, served by the
+        // n_nonnull column (count(*) would be wrong on null-bearing
+        // groups; for the raw form, cast-null ≡ null under the
+        // serveDouble values-fit-the-space assertion)
+        case Count(Seq(c)) if (isValueDec(c) || isValueRaw(c)) &&
             kind.cols.contains("n_nonnull") &&
             viewAttr("n_nonnull").dataType == LongType =>
           val nn = viewAttr("n_nonnull")
@@ -498,7 +535,11 @@ object MvRewrite extends Rule[LogicalPlan] {
         // group's average). The stored decimal(30,4) sum casts into
         // Average's (28,4) sum-buffer space losslessly for any value
         // the real buffer could hold.
-        case a: Average if isValueDec(a.child) &&
+        // for the RAW double form, sumBuf.dataType is DoubleType and
+        // the castTo below becomes the contract's single decimal →
+        // double cast; Average's own evaluateExpression then divides
+        // two doubles exactly as any engine replaying the contract does
+        case a: Average if (isValueDec(a.child) || isValueRaw(a.child)) &&
             kind.cols.contains("n_nonnull") &&
             viewAttr("n_nonnull").dataType == LongType &&
             a.aggBufferAttributes.length == 2 =>
@@ -521,6 +562,12 @@ object MvRewrite extends Rule[LogicalPlan] {
           val sv = viewAttr("sum_value")
           if (exact) Some(castTo(sv, ae.dataType))
           else Some(Cast(reAgg(Sum(sv)), ae.dataType))
+        // sum(v: double): decimal-exact accumulation in the view, one
+        // final cast to double (the serveDouble contract)
+        case s: Sum if isValueRaw(s.child) =>
+          val sv = viewAttr("sum_value")
+          if (exact) Some(castTo(sv, ae.dataType))
+          else Some(Cast(reAgg(Sum(sv)), ae.dataType))
         case m: Min if isValueDec(m.child) && hasMinMax =>
           val mv = viewAttr("min_value")
           if (mv.dataType != ae.dataType) None
@@ -529,6 +576,17 @@ object MvRewrite extends Rule[LogicalPlan] {
           val mv = viewAttr("max_value")
           if (mv.dataType != ae.dataType) None
           else if (exact) Some(mv) else Some(reAgg(Max(mv)))
+        // min/max(v: double): the stored decimal extremum IS the raw
+        // extremum under the values-fit-the-space assertion (the cast
+        // is monotone), cast back to double at serve time
+        case m: Min if isValueRaw(m.child) && hasMinMax =>
+          val mv = viewAttr("min_value")
+          if (exact) Some(castTo(mv, ae.dataType))
+          else Some(Cast(reAgg(Min(mv)), ae.dataType))
+        case m: Max if isValueRaw(m.child) && hasMinMax =>
+          val mv = viewAttr("max_value")
+          if (exact) Some(castTo(mv, ae.dataType))
+          else Some(Cast(reAgg(Max(mv)), ae.dataType))
         case _ => None
       }
     }

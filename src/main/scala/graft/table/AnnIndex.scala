@@ -48,9 +48,17 @@ import graft.operators.Similarity
   * old cell) are rewritten; untouched cell partitions hard-link. At
   * production scale pick nCells so cells stay bounded (corpus/nCells ≈
   * constant), the standard IVF sizing — the `annidx` ScaleProbe ladder
-  * measures search cost flat in corpus under exactly that discipline. */
+  * measures search cost flat in corpus under exactly that discipline.
+  *
+  * `docParts > 0` prunes the remaining O(corpus) term in maintenance —
+  * the touched-vector fetch from the snapshot: with the corpus table
+  * hash-partitioned on [[DocBuckets]]' `__db` (stamped by the writer
+  * over the id CAST TO LONG, the type this index reads ids at), the
+  * fetch filters on the batch ids' bucket set so the scan opens
+  * ≤ min(batch, docParts) partitions regardless of corpus size.
+  * Layout mismatches fail loudly in-plan (see [[DocBuckets]]). */
 final class AnnIndex(spark: SparkSession, root: String, name: String,
-    nCells: Int = 16) {
+    nCells: Int = 16, docParts: Int = 0) {
 
   val centroids: LakeTable = LakeTable(spark, root, s"${name}_centroids",
     Seq("cell"))
@@ -80,7 +88,21 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     drop()
     centroids.create(cents.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "v"))
+    // freeze docParts like DedupIndex's layout keys: the in-plan
+    // DocBuckets assert is blind to a mismatched modulus that DIVIDES
+    // the stored one, so config drift must fail here, loudly
+    centroids.annotate(Map(DocPartsKey -> docParts.toString))
     assign.create(c.withColumn("cell", Similarity.cellOf(cents, col("v"))))
+  }
+
+  private val DocPartsKey = "ann.doc_parts"
+
+  private def requireDocParts(): Unit = {
+    val stored = centroids.meta.get(DocPartsKey)
+    require(stored.forall(_ == docParts.toString),
+      s"index $name: docParts=$docParts but the index was built with " +
+        s"${stored.getOrElse("<unknown>")} — the snapshot fetch's " +
+        "partition pruning would silently miss vectors")
   }
 
   /** The frozen quantizer, loaded from the table (bounded: nCells rows). */
@@ -102,12 +124,12 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     * exactly-once batch marker). */
   def applyChanges(changes: DataFrame, snapshot: DataFrame, idCol: String,
       vecCol: String, meta: Map[String, String] = Map.empty): Unit = {
+    requireDocParts()
     val cents = loadCentroids()
     val touched = changes
       .select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
-    val alive = snapshot
-      .join(touched.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val alive = fetchVecs(snapshot, idCol, touched)
       .select(col(idCol).cast("long").as("id"),
         normalize(col(vecCol)).as("v"))
       .withColumn("cell", Similarity.cellOf(cents, col("v")))
@@ -118,6 +140,19 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     assign.upsertWithDelete(
       alive.select("id", "v", "cell").unionByName(dead), col("v").isNull,
       meta = meta)
+  }
+
+  /** Corpus-snapshot rows for a LONG id frame (column "id"): exact
+    * left_semi, with the scan partition-pruned to the ids' `__db`
+    * buckets when docParts > 0 (class doc / [[DocBuckets]]).
+    * `private[graft]` so AnnIndexSpec can pin the pruned plan. */
+  private[graft] def fetchVecs(snapshot: DataFrame, idCol: String,
+      ids: DataFrame): DataFrame = {
+    val scan =
+      if (docParts <= 0) snapshot
+      else DocBuckets.pruned(snapshot, col(idCol).cast("long"), docParts,
+        ids, "id")
+    scan.join(ids.select(col("id").as(idCol)), Seq(idCol), "left_semi")
   }
 
   /** Sync assignments with `docsTable`'s changes since `sinceVersion`
@@ -169,6 +204,31 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
 
 object AnnIndex {
   def apply(spark: SparkSession, root: String, name: String,
-      nCells: Int = 16): AnnIndex =
-    new AnnIndex(spark, root, name, nCells)
+      nCells: Int = 16, docParts: Int = 0): AnnIndex =
+    new AnnIndex(spark, root, name, nCells, docParts)
+
+  /** nCells ≈ √rows — the standard IVF sizing (FAISS's guideline):
+    * cells then hold ~√rows vectors, so a search probing nProbe cells
+    * scores nProbe·√rows candidates and the quantizer stays trainable
+    * (≥ ~1 vector per cell guaranteed by the clamp). Clamped to 4096
+    * cells: past that the per-cell directory fan-out and the bounded
+    * centroid collect (nCells rows) stop being "metadata-sized". */
+  def sizedCells(rows: Long): Int =
+    math.max(1L, math.min(4096L,
+      math.sqrt(rows.toDouble).toLong)).toInt
+
+  /** Build an index sized from the corpus itself ([[sizedCells]]);
+    * derivation recorded in the centroid table's committed meta
+    * (`ann.sizing`). `docParts` stays caller-owned (docs-table layout). */
+  def autoSized(spark: SparkSession, root: String, name: String,
+      docs: DataFrame, idCol: String, vecCol: String,
+      docParts: Int = 0, iters: Int = 2): AnnIndex = {
+    val rows = docs.count()
+    val cells = sizedCells(rows)
+    val ai = new AnnIndex(spark, root, name, cells, docParts)
+    ai.build(docs, idCol, vecCol, iters)
+    ai.centroids.annotate(Map("ann.sizing" ->
+      s"rows=$rows nCells=$cells"))
+    ai
+  }
 }

@@ -90,11 +90,21 @@ import graft.operators.Dedup
   * pmod(xxhash64(id), idParts): the merge key derives the partition, so
   * every per-batch index merge rewrites only the batch ids' partitions
   * (untouched partitions hard-link) — the write-side complement of the
-  * postings sidecar's pruned read, for the same small-batch regime. */
+  * postings sidecar's pruned read, for the same small-batch regime.
+  *
+  * `docParts > 0` prunes the CORPUS side of maintenance: the snapshot
+  * fetches (alive touched docs; candidate texts for verification) were
+  * the last O(corpus) term in the path — key-pruned semi-joins whose
+  * scan side read the whole docs parquet. With the corpus table
+  * hash-partitioned on [[DocBuckets]]' `__db = pmod(xxhash64(id),
+  * docParts)` (writer stamps it with `DocBuckets.withBucket`), both
+  * fetches filter on the batch/candidate ids' bucket set first, so the
+  * scan opens ≤ min(ids, docParts) partitions regardless of corpus
+  * size. Layout mismatches fail loudly in-plan (see [[DocBuckets]]). */
 final class DedupIndex(spark: SparkSession, root: String, name: String,
     shingleN: Int = 3, k: Int = 64, bands: Int = 16,
     threshold: Double = 0.7, maxBucketSize: Int = 1000,
-    postingParts: Int = 0, idParts: Int = 0) {
+    postingParts: Int = 0, idParts: Int = 0, docParts: Int = 0) {
 
   /** One ARRAY-PACKED row per document (id → all band buckets), not one
     * row per (id, band): the index is 1/bands the row count, the merge
@@ -117,6 +127,13 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
   val pairs: LakeTable = LakeTable(spark, root, s"${name}_pairs",
     Seq("a_id", "b_id"))
 
+  /** The sidecar's layout convention (name suffix, merge keys) in ONE
+    * place: the partitioned handle when this instance maintains it, and
+    * the probe handle [[drop]]/[[requireLayout]] use to detect an
+    * orphaned sidecar regardless of this instance's configuration. */
+  private def postingsProbe: LakeTable =
+    LakeTable(spark, root, s"${name}_postings", Seq("id", "band"))
+
   /** The bucket-partitioned serving sidecar (postingParts > 0 only) —
     * see the scale notes in the class doc. */
   val postings: Option[LakeTable] =
@@ -138,8 +155,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     // was built WITH a sidecar must remove the orphan, or requireLayout
     // would (correctly) refuse every subsequent maintain and the
     // documented remedy — drop() — would loop back to the same error
-    postings.getOrElse(LakeTable(spark, root, s"${name}_postings",
-      Seq("id", "band"))).drop()
+    postingsProbe.drop()
   }
 
   /** (id, buckets: array) rows of `docs` under this index's parameters. */
@@ -161,6 +177,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     * configuration or the index is meaningless. */
   private val PartsKey = "dedup.posting_parts"
   private val IdPartsKey = "dedup.id_parts"
+  private val DocPartsKey = "dedup.doc_parts"
 
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
     drop()
@@ -168,8 +185,13 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     // freeze the packed layout's modulus like the sidecar's PartsKey:
     // a presence check alone (has __ib?) can't tell idParts=8 from 16,
     // and a mixed-moduli index silently degrades the pruned merge's
-    // touched-partition contract
-    index.annotate(Map(IdPartsKey -> idParts.toString))
+    // touched-partition contract. docParts is frozen for the same
+    // reason — the in-plan DocBuckets assert alone is provably blind
+    // to a mismatch whose modulus DIVIDES the stored one (stored
+    // pmod(h,16) < 8 implies pmod(h,8) equals it), exactly the case a
+    // halved config would hit
+    index.annotate(Map(IdPartsKey -> idParts.toString,
+      DocPartsKey -> docParts.toString))
     // the sidecar derives from the packed rows just written — one read
     // back, no second shingling pass over the corpus; its partition
     // count is FROZEN into the stored meta so a mismatched instance
@@ -203,10 +225,9 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
             s"sidecar was built with ${stored.getOrElse("<unknown>")} — " +
             "the probe's partition pruning would silently miss rows")
       case None =>
-        // probe through a LakeTable handle, not a hand-built pointer
-        // path — the layout convention lives in ONE place that way
-        require(!LakeTable(spark, root, s"${name}_postings",
-            Seq("id", "band")).exists,
+        // probe through the shared sidecar handle, not a hand-built
+        // pointer path — the layout convention lives in ONE place
+        require(!postingsProbe.exists,
           s"index $name: a postings sidecar is stored but this instance " +
             "has postingParts=0 — maintaining without it would leave it " +
             "silently stale; use the original postingParts or drop()")
@@ -223,6 +244,12 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
         (idParts > 0) == index.read.columns.contains("__ib"),
         s"index $name: idParts=$idParts disagrees with the stored packed " +
           "index's layout (built with a different idParts?)")
+      val storedDp = index.meta.get(DocPartsKey)
+      require(storedDp.forall(_ == docParts.toString),
+        s"index $name: docParts=$docParts but the index was built with " +
+          s"${storedDp.getOrElse("<unknown>")} — the snapshot fetch's " +
+          "partition pruning would silently miss documents (the in-plan " +
+          "assert cannot catch a modulus that divides the stored one)")
     }
   }
 
@@ -254,6 +281,20 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
       textCol: String): DataFrame =
     standingRows(exploded(bandArray(docs, idCol, textCol)))
 
+  /** Corpus-snapshot rows for an id frame (column "id"): exact
+    * left_semi on the ids, with the SCAN side partition-pruned to the
+    * ids' `__db` bucket set when docParts > 0 (class doc /
+    * [[DocBuckets]]) — otherwise the full-corpus scan the semi-join
+    * always paid before the layout existed. `private[graft]` so
+    * DedupIndexSpec can pin the pruned plan. */
+  private[graft] def fetchDocs(snapshot: DataFrame, idCol: String,
+      ids: DataFrame): DataFrame = {
+    val scan =
+      if (docParts <= 0) snapshot
+      else DocBuckets.pruned(snapshot, col(idCol), docParts, ids, "id")
+    scan.join(ids.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+  }
+
   /** Apply one change-event frame against the CURRENT corpus snapshot.
     * `changes` is LakeTable change-feed output (`_change_type` column);
     * `snapshot` must be the post-change corpus state (docsTable.read).
@@ -272,9 +313,9 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     // Final state of each touched id comes from the SNAPSHOT, not from
     // replaying event precedence: alive touched docs are in it (with
     // their current text), dead ones are not. The snapshot join is
-    // key-pruned — only touched ids are fetched.
-    val aliveTouched = snapshot
-      .join(touched.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+    // key-pruned — and with docParts the scan itself is partition-
+    // pruned to the touched ids' buckets, not just the join.
+    val aliveTouched = fetchDocs(snapshot, idCol, touched)
       .select(col(idCol), col(textCol)).localCheckpoint(true)
     val deadIds = touched.join(
       aliveTouched.select(col(idCol).as("id")), Seq("id"), "left_anti")
@@ -336,10 +377,11 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     // shingling cost is O(candidates), not O(corpus) (shingling after
     // the pair join would force a full-corpus tokenization pass into
     // the shuffle — measured 2× the whole maintain cost at ×16)
+    // (re-derived twice under docParts — bucket collect + fetch join —
+    // but from the checkpointed cand, one cheap distinct each)
     val candIds = cand.select(col("a_id").as("id"))
       .unionByName(cand.select(col("b_id").as("id"))).distinct()
-    val texts = snapshot
-      .join(candIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+    val texts = fetchDocs(snapshot, idCol, candIds)
       .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val withSh = cand
       .join(texts.select(col("id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
@@ -385,7 +427,53 @@ object DedupIndex {
   def apply(spark: SparkSession, root: String, name: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 1000,
-      postingParts: Int = 0, idParts: Int = 0): DedupIndex =
+      postingParts: Int = 0, idParts: Int = 0,
+      docParts: Int = 0): DedupIndex =
     new DedupIndex(spark, root, name, shingleN, k, bands, threshold,
-      maxBucketSize, postingParts, idParts)
+      maxBucketSize, postingParts, idParts, docParts)
+
+  /** Serving-layout sizing derived from corpus stats, so callers stop
+    * hand-picking partition-count constants. Each partition targets
+    * [[TargetRowsPerPart]] rows: the postings sidecar holds rows×bands
+    * exploded rows, the packed index `rows` packed rows. Clamps keep
+    * tiny corpora from degenerating to one-row partitions and huge ones
+    * from exceeding a manageable directory fan-out; within the clamps
+    * the realized rows-per-partition stays inside the documented
+    * [target/2, target×2] band (DedupIndexSpec pins it at ×64).
+    * TargetRowsPerPart is the LAB-scale band — at cluster scale pass a
+    * target that puts a partition at parquet-file size (~128 MB). */
+  val TargetRowsPerPart = 2500L
+
+  final case class Sizing(postingParts: Int, idParts: Int)
+
+  def sizedParts(rows: Long, bands: Int,
+      targetRowsPerPart: Long = TargetRowsPerPart): Sizing = {
+    def clamp(v: Long, lo: Long, hi: Long): Int =
+      math.max(lo, math.min(hi, v)).toInt
+    Sizing(
+      postingParts = clamp(rows * bands / targetRowsPerPart, 64, 1024),
+      idParts = clamp(rows / targetRowsPerPart, 16, 128))
+  }
+
+  /** Build a serving-layout index sized from the corpus itself
+    * ([[sizedParts]]); the derivation is recorded in the packed index's
+    * committed meta (`dedup.sizing`) so an operator can audit why the
+    * layout has the partition counts it has. `docParts` stays
+    * caller-owned — it describes the DOCS table's layout, which this
+    * index reads but does not write. */
+  def autoSized(spark: SparkSession, root: String, name: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000,
+      docParts: Int = 0): DedupIndex = {
+    val rows = docs.count()
+    val s = sizedParts(rows, bands)
+    val di = new DedupIndex(spark, root, name, shingleN, k, bands,
+      threshold, maxBucketSize, s.postingParts, s.idParts, docParts)
+    di.build(docs, idCol, textCol)
+    di.index.annotate(Map("dedup.sizing" ->
+      (s"rows=$rows bands=$bands target=$TargetRowsPerPart " +
+        s"postingParts=${s.postingParts} idParts=${s.idParts}")))
+    di
+  }
 }

@@ -106,6 +106,86 @@ class AnnIndexSpec extends SparkSpec {
     assert(fullParts > 1L, s"full probe must open every populated cell")
   }
 
+  test("docParts corpus layout: maintained state unchanged, the vector " +
+      "fetch is a partition-PRUNED read, and layout drift fails loudly") {
+    import graft.table.DocBuckets
+    val root = "/tmp/graft_tables/annidx_docparts"
+    val docs = LakeTable(spark, root, "annd_docs", Seq("vec_id"),
+      partitionCols = Seq(DocBuckets.ColName), changeFeed = true)
+    docs.drop()
+    def wb(df: DataFrame) = DocBuckets.withBucket(df, "vec_id", 8)
+    val ai = AnnIndex(spark, root, "annd", nCells = 8, docParts = 8)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    docs.create(wb(e.filter(col("vec_id") % 3 =!= 0)))
+    ai.build(docs.read, "vec_id", "embedding")
+    val synced = docs.version
+    docs.upsert(wb(e.filter(col("vec_id") % 3 === 0)))
+    docs.upsert(wb(e.filter(col("vec_id") % 11 === 4)
+      .withColumn("embedding", transform(col("embedding"), x => -x))))
+    docs.delete(col("vec_id") % 7 === 3)
+    ai.maintain(docs, "vec_id", "embedding", synced)
+
+    // assignments equal the frozen-quantizer recompute — the bucketed
+    // corpus layout must never change answers
+    val cents = ai.centroids.read.orderBy("cell").select("v")
+      .collect().map(_.getSeq[Double](0))
+    val expected = docs.read
+      .select(col("vec_id").cast("long").as("id"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .withColumn("cell", Similarity.cellOf(cents, col("v")))
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    val got = ai.assign.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+
+    // plan pin: fetching 2 ids opens <= 2 of the 8 docs partitions
+    val ids = Seq(1L, 4L).toDF("id")
+    val slice = ai.fetchVecs(docs.read, "vec_id", ids)
+    val scans = executedScansOf(slice, "annd_docs")
+    assert(scans.nonEmpty, "fetch must scan the vector table")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"touched-__db filter must reach the scan as a partition filter: $f")
+      val nParts = f.metrics.get("numPartitions").map(_.value)
+      assert(nParts.exists(n => n >= 1L && n <= 2L),
+        s"two ids fetch <= 2 of 8 docs partitions, read $nParts")
+    }
+
+    // mismatched docParts fails loudly before reading anything
+    val wrong = AnnIndex(spark, root, "annd", nCells = 8, docParts = 4)
+    val ex = intercept[IllegalArgumentException] {
+      wrong.applyChanges(Seq(1L).toDF("vec_id"), docs.read,
+        "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("docParts=4"))
+  }
+
+  test("sizedCells / autoSized: standard IVF sizing, derivation recorded") {
+    assert(AnnIndex.sizedCells(4L) == 2)
+    assert(AnnIndex.sizedCells(32000L) == 178)
+    assert(AnnIndex.sizedCells(100000000L) == 4096) // clamp engages
+    val root = "/tmp/graft_tables/annidx_auto"
+    val docs = LakeTable(spark, root, "anna_docs", Seq("vec_id"),
+      changeFeed = true)
+    docs.drop()
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    docs.create(e)
+    val rows = docs.read.count()
+    val ai = AnnIndex.autoSized(spark, root, "anna", docs.read,
+      "vec_id", "embedding")
+    assert(ai.centroids.meta.get("ann.sizing").exists(m =>
+      m.contains(s"rows=$rows") &&
+        m.contains(s"nCells=${AnnIndex.sizedCells(rows)}")))
+    // full-probe search over the auto-sized index == brute force
+    val queries = e.filter(col("vec_id") < 8)
+    val viaIndex = res(ai.search(queries, "vec_id", "embedding",
+      k = 3, nProbe = AnnIndex.sizedCells(rows)))
+    val brute = res(Similarity.bruteForceTopK(queries, docs.read,
+      "vec_id", "embedding", k = 3))
+    assert(viaIndex == brute)
+  }
+
   test("streaming drain == batch maintenance across per-file micro-batching; " +
       "replay is a no-op") {
     val root = "/tmp/graft_tables/annidx_stream"

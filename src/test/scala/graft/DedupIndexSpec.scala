@@ -234,6 +234,120 @@ class DedupIndexSpec extends SparkSpec {
     assert(idxSet(di.index.read) == i1)
   }
 
+  test("docParts corpus layout: equivalence through churn, the snapshot " +
+      "fetch is a partition-PRUNED read, and layout drift fails loudly") {
+    import graft.table.DocBuckets
+    val root = "/tmp/graft_tables/dedupidx_docparts"
+    val docs = LakeTable(spark, root, "didxd_docs", Seq("doc_id"),
+      partitionCols = Seq(DocBuckets.ColName), changeFeed = true)
+    docs.drop()
+    def wb(df: DataFrame) = DocBuckets.withBucket(df, "doc_id", 16)
+    val di = DedupIndex(spark, root, "didxd", postingParts = 64,
+      idParts = 8, docParts = 16)
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(wb(all.filter(col("doc_id") % 3 =!= 0)))
+    di.build(docs.read, "doc_id", "text")
+    var synced = docs.version
+    docs.upsert(wb(all.filter(col("doc_id") % 3 === 0)))
+    docs.upsert(wb(all.filter(col("doc_id") % 11 === 4)
+      .withColumn("text", concat(lit("zq xv wq "), col("text")))))
+    docs.delete(col("doc_id") % 7 === 3)
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+
+    // plan pin: fetching 2 ids opens <= 2 of the 16 docs partitions —
+    // the claim that kills the last O(corpus) term of maintenance
+    val ids = Seq(1L, 4L).toDF("id")
+    val slice = di.fetchDocs(docs.read, "doc_id", ids)
+    val scans = executedScansOf(slice, "didxd_docs")
+    assert(scans.nonEmpty, "fetch must scan the docs table")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"touched-__db filter must reach the scan as a partition filter: $f")
+      val nParts = f.metrics.get("numPartitions").map(_.value)
+      assert(nParts.exists(n => n >= 1L && n <= 2L),
+        s"two ids fetch <= 2 of 16 docs partitions, read $nParts")
+    }
+    // bytes pin (belt to the plan pin): the fetch reads a fraction of
+    // the corpus parquet
+    val corpusBytes = docs.describeDetail.filter(col("is_current"))
+      .select("bytes").as[Long].head()
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          { bytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead); () }
+    }
+    org.apache.spark.GraftListenerBridge.drainListenerBus(
+      spark.sparkContext, 30000)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      di.fetchDocs(docs.read, "doc_id", ids).collect()
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(bytes.get < corpusBytes / 2,
+      s"pruned fetch read ${bytes.get} of a $corpusBytes-byte corpus")
+
+    // a mismatched-docParts instance must fail LOUDLY before reading
+    // anything (the frozen-meta check — the in-plan assert is provably
+    // blind to a modulus that divides the stored one)
+    val wrong = DedupIndex(spark, root, "didxd", postingParts = 64,
+      idParts = 8, docParts = 8)
+    val ex = intercept[IllegalArgumentException] {
+      wrong.applyChanges(Seq(1L).toDF("doc_id"), docs.read,
+        "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("docParts=8"))
+
+    // a REBUCKETED corpus (wrong stamped derivation — e.g. a different
+    // id type or a non-divisor modulus) must trip the in-plan assert on
+    // the rows actually read, never silently lose fetch rows
+    val bad = docs.read.drop(DocBuckets.ColName)
+      .withColumn(DocBuckets.ColName,
+        DocBuckets.bucket(col("doc_id") + 1, 16))
+    val manyIds = all.select(col("doc_id").as("id")).limit(50)
+    val ex2 = intercept[Throwable] {
+      di.fetchDocs(bad, "doc_id", manyIds).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(ex2).contains("corpus layout mismatch"))
+  }
+
+  test("sizedParts / autoSized: partition counts land in the documented " +
+      "rows-per-partition band and the derivation is recorded") {
+    // the dedupidxp ladder's ×64 leg (500 docs × 64)
+    val s64 = DedupIndex.sizedParts(32000L, bands = 16)
+    val postRows = 32000.0 * 16 / s64.postingParts
+    assert(postRows >= DedupIndex.TargetRowsPerPart / 2 &&
+      postRows <= DedupIndex.TargetRowsPerPart * 2,
+      s"posting partitions hold $postRows rows — outside the band")
+    assert(s64.idParts >= 16 && 32000.0 / s64.idParts <=
+      DedupIndex.TargetRowsPerPart * 2)
+    // clamps engage at the extremes instead of degenerating
+    assert(DedupIndex.sizedParts(100L, 16) == DedupIndex.Sizing(64, 16))
+    assert(DedupIndex.sizedParts(1000000000L, 16) ==
+      DedupIndex.Sizing(1024, 128))
+
+    // autoSized: builds, records the derivation, and converges
+    val root = "/tmp/graft_tables/dedupidx_auto"
+    val docs = LakeTable(spark, root, "didxa_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(all.filter(col("doc_id") % 2 === 0))
+    val di = DedupIndex.autoSized(spark, root, "didxa", docs.read,
+      "doc_id", "text")
+    assert(di.index.meta.get("dedup.sizing").exists(m =>
+      m.contains("rows=") && m.contains("postingParts=")))
+    val synced = docs.version
+    docs.upsert(all.filter(col("doc_id") % 2 === 1))
+    di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+  }
+
   test("update that breaks a near-dup pair removes it; one that forms a pair adds it") {
     val root = "/tmp/graft_tables/dedupidx_edge"
     val docs = LakeTable(spark, root, "didxe_docs", Seq("doc_id"),

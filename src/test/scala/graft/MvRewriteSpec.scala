@@ -407,6 +407,65 @@ class MvRewriteSpec extends SparkSpec {
       direct.orderBy("k", "k2").collect().toSeq)
   }
 
+  test("serveDouble registration serves UNCAST double aggregates " +
+      "(avg/sum/min/max/count); the strict default still refuses them") {
+    val root = "/tmp/graft_tables/mv_spec_dbl"
+    val base = LakeTable(spark, root, "mvd_base", Seq("id"),
+      changeFeed = true)
+    val aux = LakeTable(spark, root, "mvd_aux", Seq("k", "k2", "__v"))
+    val view = LakeTable(spark, root, "mvd_view", Seq("k", "k2"))
+    base.drop(); aux.drop(); view.drop()
+    MvRewrite.unregister(base)
+    // quarters: exact in BOTH binary doubles and the (18,4) decimal
+    // space, so the contract's roundtrip is identity and direct float
+    // aggregation is bit-equal to the served decimal-exact path —
+    // result equality below is exact, not within-ulp
+    def mk(i: Long): (Long, Long, Long, Option[Double]) =
+      (i, i % 4, i % 2, if (i % 5 == 2) None else Some(i * 0.25))
+    base.create((1L to 40L).map(mk).toDF("id", "k", "k2", "v"))
+    val v0 = base.version
+    aux.create(IncrementalView.fullStatsSupportView(
+      base.read, Seq("k", "k2"), "v"))
+    view.create(IncrementalView.fullStatsView(base.read, Seq("k", "k2"), "v"))
+    base.upsert(Seq((2L, 2L, 0L, Some(99.25)), (41L, 1L, 1L, None),
+      (8L, 0L, 0L, None)).toDF("id", "k", "k2", "v"))
+    base.delete(col("id") % 7 === 0)
+    IncrementalView.maintainFullStatsView(base, aux, view, Seq("k", "k2"),
+      "v", sinceVersion = v0, meta = MvRewrite.syncMeta(base.version))
+
+    // strict default: an uncast double aggregate NEVER rewrites
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.FullStatsKind)
+    val strict = base.read.groupBy("k", "k2")
+      .agg(avg(col("v")).as("a"), sum(col("v")).as("s"))
+    assert(!readsOnlyView(strict, view),
+      "uncast double must not rewrite without serveDouble")
+
+    // serveDouble opt-in (re-register replaces the entry)
+    MvRewrite.register(base, view, Seq("k", "k2"), "v",
+      MvRewrite.FullStatsKind, serveDouble = true)
+    def exactQ() = base.read.groupBy("k", "k2").agg(
+      count(col("v")).as("nn"), avg(col("v")).as("a"),
+      sum(col("v")).as("s"), min(col("v")).as("mn"),
+      max(col("v")).as("mx"))
+    val q = exactQ()
+    assert(readsOnlyView(q, view), s"serveDouble exact form: ${scanPaths(q)}")
+    def rollQ() = base.read.groupBy("k").agg(
+      avg(col("v")).as("a"), sum(col("v")).as("s"),
+      min(col("v")).as("mn"), count(col("v")).as("nn"))
+    val r = rollQ()
+    assert(readsOnlyView(r, view), s"serveDouble roll-up: ${scanPaths(r)}")
+    // the decimal-cast form still rewrites under the same registration
+    val v18 = col("v").cast("decimal(18,4)")
+    val dec = base.read.groupBy("k", "k2").agg(sum(v18).as("s"))
+    assert(readsOnlyView(dec, view))
+    MvRewrite.unregister(base)
+    assert(q.orderBy("k", "k2").collect().toSeq ==
+      exactQ().orderBy("k", "k2").collect().toSeq)
+    assert(r.orderBy("k").collect().toSeq ==
+      rollQ().orderBy("k").collect().toSeq)
+  }
+
   test("avg() and count(col) are served by the full-stats view's " +
       "n_nonnull — correct on null-bearing groups, exact and roll-up") {
     val root = "/tmp/graft_tables/mv_spec_avg"
