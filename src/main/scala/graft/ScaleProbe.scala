@@ -246,7 +246,7 @@ object ScaleProbe {
       val t = graft.table.LakeTable(spark, root, s"didxp_docs_$n",
         Seq("doc_id"),
         partitionCols = Seq(graft.table.DocBuckets.ColName),
-        changeFeed = true)
+        changeFeed = true, partitionsFromKeys = true)
       t.drop()
       val di = graft.table.DedupIndex(spark, root, s"didxp_$n",
         maxBucketSize = maxBucketSize, postingParts = pParts,
@@ -379,7 +379,7 @@ object ScaleProbe {
         val t = graft.table.LakeTable(spark, root, s"annidx_docs_$n",
           Seq("vec_id"),
           partitionCols = Seq(graft.table.DocBuckets.ColName),
-          changeFeed = true)
+          changeFeed = true, partitionsFromKeys = true)
         t.drop()
         val ai = graft.table.AnnIndex(spark, root, s"annidx_$n",
           nCells = 8 * n, docParts = dParts)

@@ -781,7 +781,7 @@ object SparkEntry {
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val t = LakeTable(s, root, "pdidx_docs", Seq("doc_id"),
         partitionCols = Seq(graft.table.DocBuckets.ColName),
-        changeFeed = true)
+        changeFeed = true, partitionsFromKeys = true)
       t.drop()
       def wb(df: org.apache.spark.sql.DataFrame) =
         graft.table.DocBuckets.withBucket(df, "doc_id", 8)
@@ -2283,7 +2283,7 @@ object SparkEntry {
       // O(corpus) scan — opens only the batch ids' partitions
       val t = LakeTable(s, root, "annq_docs", Seq("vec_id"),
         partitionCols = Seq(graft.table.DocBuckets.ColName),
-        changeFeed = true)
+        changeFeed = true, partitionsFromKeys = true)
       t.drop()
       def wb(df: org.apache.spark.sql.DataFrame) =
         graft.table.DocBuckets.withBucket(df, "vec_id", 4)

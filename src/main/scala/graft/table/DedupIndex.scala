@@ -114,7 +114,10 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     * dominated by rewriting 5.1M skinny rows; see ARCHITECTURE §7i). */
   val index: LakeTable = LakeTable(spark, root, s"${name}_index",
     Seq("id"),
-    partitionCols = if (idParts > 0) Seq("__ib") else Nil)
+    partitionCols = if (idParts > 0) Seq("__ib") else Nil,
+    // __ib derives from the merge key, so the pruned merge can skip
+    // its matched-key target scan (LakeTable.partitionsFromKeys doc)
+    partitionsFromKeys = idParts > 0)
 
   /** Packed-index partition of an id (idParts > 0) — derived from the
     * MERGE KEY, so a row can never change partition and the pruned
@@ -320,6 +323,31 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     val deadIds = touched.join(
       aliveTouched.select(col(idCol).as("id")), Seq("id"), "left_anti")
 
+    // OLD band rows of the touched ids — captured BEFORE the index
+    // merge overwrites them, PRUNED by the packed __ib layout (an
+    // O(batch) read when idParts > 0; the packed map-side scan
+    // otherwise). This is the authority for which postings partitions
+    // hold rows the sidecar merge must retire (a moved bucket's old
+    // row lives at its old __pb), passed as the merge's
+    // matchedPartsHint — replacing the sidecar merge's
+    // O(corpus × bands) matched-key scan, the dominant term of the
+    // dedupidxp ladder's maintain_bytes slope. Completeness: the
+    // sidecar is invariantly the exploded packed index (spec-pinned),
+    // so the touched ids' old packed rows name EVERY sidecar partition
+    // holding a matched (id, band) key.
+    val oldPostParts = postings.map { _ =>
+      val base = index.read
+      val cut =
+        if (idParts > 0) {
+          val ibs = touched.select(ibOf(col("id")).as("b")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          base.filter(col("__ib").isin(ibs: _*))
+        } else base
+      withPb(exploded(cut.join(touched, Seq("id"), "left_semi")
+        .select("id", "buckets")))
+        .select("__pb").localCheckpoint(true)
+    }
+
     // 1. Index merge: one array-packed row per alive touched doc (an
     //    update overwrites its buckets in place — the merge key is the
     //    bare id); dead ids ride the same commit as NULL-payload
@@ -347,7 +375,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
         .withColumn("bucket", lit(null).cast("long"))
         .withColumn("__pb", lit(null).cast("long"))
       p.upsertWithDelete(withPb(probeRows).unionByName(deadPost),
-        col("bucket").isNull)
+        col("bucket").isNull, matchedPartsHint = oldPostParts)
     }
 
     // 2. Pair re-derivation for the touched slice. Candidates: the

@@ -34,10 +34,24 @@ import graft.ops.CoreOps
   * here via `prunePartitions`. Partition columns should be string/date/
   * integral-valued; null partition values are handled via Hive's
   * `__HIVE_DEFAULT_PARTITION__` convention.
+  *
+  * `partitionsFromKeys` is a caller ASSERTION that every partition
+  * column's value is a pure function of the merge keys (the
+  * hash-bucket layouts: DedupIndex's `__ib`, [[DocBuckets]]' `__db`).
+  * Under it the pruned MERGE skips its matched-key target scan — the
+  * one remaining O(table) term of a small-batch merge (column-pruned
+  * to keys + partition columns, but still a full-table read) — because
+  * a matched row shares the keys and therefore the derived partition.
+  * Asserting it for a layout where a key's partition CAN change (e.g.
+  * a date-partitioned table with corrected dates, or AnnIndex's
+  * cell-partitioned inverted file) strands the stale row in its old
+  * partition and silently breaks merge-key uniqueness — only set it
+  * for genuinely key-derived layouts.
   */
 final class LakeTable(spark: SparkSession, root: String, name: String,
     mergeKeys: Seq[String], partitionCols: Seq[String] = Nil,
-    keepVersions: Int = 2, changeFeed: Boolean = false) {
+    keepVersions: Int = 2, changeFeed: Boolean = false,
+    partitionsFromKeys: Boolean = false) {
 
   private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
 
@@ -194,7 +208,13 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
   private def upsertFeedEvents(source: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{array, explode, lit, struct, when, xxhash64}
-    val target = read
+    // the feed join only consults target rows MATCHING source keys, so
+    // with a key-derived layout the target cut to the source's
+    // partitions is lossless — without it every CDF-recording write
+    // pays a full-table read just to stage its feed (the one remaining
+    // O(table) term of a key-derived small-batch merge; partition-only
+    // predicates prune at the source via driver-side evaluation)
+    val target = prunedToSourceParts(read, source)
     val allCols = (target.columns ++
       source.columns.filterNot(target.columns.contains)).toIndexedSeq
     val dtypes = (target.schema ++ source.schema)
@@ -222,6 +242,35 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       .selectExpr("__e.r.*", "__e.ct AS _change_type")
     events
   }
+
+  /** Target cut to the partitions `source` writes into — LOSSLESS for
+    * key-lookup purposes when `partitionsFromKeys` holds (a matched
+    * target row shares the merge keys, hence the derived partition
+    * value); the identity otherwise. The predicate references only
+    * partition columns, so it prunes at the source via driver-side
+    * partition evaluation. Source partition tuples are a bounded
+    * batch-sized collect. Empty-string values fold into the null
+    * partition on write (Spark's partition-writer rule), so the
+    * read-back side only ever carries null for them. */
+  private def prunedToSourceParts(target: DataFrame,
+      source: DataFrame): DataFrame =
+    if (!partitionsFromKeys || partitionCols.isEmpty) target
+    else {
+      import org.apache.spark.sql.functions.lit
+      val tuples = source
+        .select(partitionCols.map(c => col(c).cast("string")): _*)
+        .distinct().collect()
+        .map(r => partitionCols.indices
+          .map(i => Option(r.getString(i)).filter(_.nonEmpty)))
+        .toSeq
+      val pred = tuples.map { tup =>
+        partitionCols.zip(tup).map {
+          case (c, Some(v)) => col(c).cast("string") === lit(v)
+          case (c, None)    => col(c).isNull
+        }.reduce(_ && _)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      target.filter(pred)
+    }
 
   /** Directory holding the currently-published version's data files. */
   def currentDir: Path = versionDir(currentVersion.getOrElse(
@@ -360,10 +409,22 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * included — are rewritten; the rest hard-link), which is what lets
     * a bucket-partitioned IVM auxiliary table absorb per-batch merges
     * at O(touched buckets) instead of a full rewrite. */
+  /** `matchedPartsHint`: a caller-supplied frame of partition-column
+    * tuples ASSERTED to cover every target partition holding a row
+    * whose merge key appears in `df` — it replaces clause (b)'s
+    * column-pruned-but-O(table) matched-key scan in the pruned merge.
+    * Use when a cheaper authority for the matched rows' partitions
+    * exists (DedupIndex derives the postings sidecar's old-bucket
+    * partitions from the id-pruned packed index — an O(batch) read).
+    * An INCOMPLETE hint strands stale matched rows in unrewritten
+    * partitions and silently breaks merge-key uniqueness — same
+    * caller-assertion severity as `partitionsFromKeys`. Ignored for
+    * unpartitioned tables and unpruned merges. */
   def upsertWithDelete(df: DataFrame,
       deleteWhen: org.apache.spark.sql.Column,
       meta: Map[String, String] = Map.empty,
-      prunePartitions: Boolean = true): Unit = {
+      prunePartitions: Boolean = true,
+      matchedPartsHint: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val del = coalesce(deleteWhen, lit(false))
     // Delta parity (multiple-source-rows-matched error): a source
@@ -380,7 +441,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val survivors = src.filter(!del)
     enforceConstraints(survivors, "upsertWithDelete")
     if (prunePartitions && partitionCols.nonEmpty) {
-      upsertPruned(src, del, meta); return
+      upsertPruned(src, del, meta, matchedPartsHint); return
     }
     val merged = CoreOps.antiJoin(mergeKeys, src)(read)
       .unionByName(survivors, allowMissingColumns = true)
@@ -398,7 +459,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
       del: org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.functions.lit
     val deletedKeys = df.filter(del).select(mergeKeys.map(col): _*).distinct()
-    val delEvents = read.join(deletedKeys, mergeKeys, "left_semi")
+    // same key-derived cut as upsertFeedEvents: deleted keys' target
+    // rows live in the batch's partitions
+    val delEvents = prunedToSourceParts(read, df)
+      .join(deletedKeys, mergeKeys, "left_semi")
       .withColumn("_change_type", lit("delete"))
     stageFeed(upsertFeedEvents(df.filter(!del))
       .unionByName(delEvents, allowMissingColumns = true))
@@ -423,36 +487,62 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * key's target partitions are exactly clause (b)'s matched-key
     * partitions, so they rewrite (without the deleted row) while
     * untouched partitions hard-link. */
-  private def upsertPruned(source: DataFrame,
-      deleteWhen: org.apache.spark.sql.Column,
-      meta: Map[String, String] = Map.empty): Unit = {
+  /** Injective partition-tuple → string encoding used ONLY for set
+    * membership (both sides use URLEncoder conventions, so it need not
+    * match the Hive directory escaping): each value url-encoded, null
+    * AND empty string → __HIVE_DEFAULT_PARTITION__ (Spark's partition
+    * writer folds "" into the null partition), components joined with
+    * '/'. `encTuple` is the frame-side expression (references only
+    * partition columns — prunes at the source), `encDriver` the
+    * driver-side twin over decoded directory values. */
+  private def encTuple(df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{coalesce, concat_ws, length, lit, url_encode, when}
-    val donor = currentDir
-    val target = read
-
-    // Injective tuple → string encoding used ONLY for set membership
-    // (both sides use URLEncoder conventions, so it need not match the
-    // Hive directory escaping): each value url-encoded, null AND empty
-    // string → __HIVE_DEFAULT_PARTITION__ (Spark's partition writer folds
-    // "" into the null partition), components joined with '/'.
-    def encTuple(df: DataFrame) = concat_ws("/", partitionCols.map { c =>
+    concat_ws("/", partitionCols.map { c =>
       val sc = col(c).cast("string")
       coalesce(when(length(sc) === 0, lit(HiveNullPart))
         .otherwise(url_encode(sc)), lit(HiveNullPart))
     }: _*)
-    def encDriver(tup: Seq[Option[String]]): String = tup.map {
-      case Some(v) if v.nonEmpty => java.net.URLEncoder.encode(v, "UTF-8")
-      case _                     => HiveNullPart
-    }.mkString("/")
+  }
+
+  private def encDriver(tup: Seq[Option[String]]): String = tup.map {
+    case Some(v) if v.nonEmpty => java.net.URLEncoder.encode(v, "UTF-8")
+    case _                     => HiveNullPart
+  }.mkString("/")
+
+  private def upsertPruned(source: DataFrame,
+      deleteWhen: org.apache.spark.sql.Column,
+      meta: Map[String, String] = Map.empty,
+      matchedPartsHint: Option[DataFrame] = None): Unit = {
+    val donor = currentDir
+    val target = read
 
     // Bounded driver-side collect: partition-VALUE tuples, not rows —
     // source partitions ∪ matched-key target partitions in ONE action.
+    // With `partitionsFromKeys` the second term is skipped: the
+    // partition value being a pure function of the merge keys makes
+    // matched-key target partitions ⊆ source partitions a theorem (a
+    // matched row shares the keys, hence the derived partition), so
+    // clause (b)'s column-pruned-but-O(table) key scan — the slim
+    // residual the dedupidxp ladder measured growing with the corpus —
+    // adds nothing and is provably safe to drop.
     val sourceParts = source.select(encTuple(source).as("__p"))
-    val matchedParts = target
-      .join(source.select(mergeKeys.map(col): _*).distinct(), mergeKeys, "left_semi")
-      .select(encTuple(target).as("__p"))
-    val touched = sourceParts.unionByName(matchedParts).distinct()
-      .collect().map(_.getString(0)).toSet
+    val touched =
+      if (partitionsFromKeys)
+        sourceParts.distinct().collect().map(_.getString(0)).toSet
+      else {
+        // clause (b): matched-key target partitions — from the hint
+        // when the caller supplied a cheaper authority (see the
+        // upsertWithDelete doc), else the column-pruned target key scan
+        val matchedParts = matchedPartsHint match {
+          case Some(h) => h.select(encTuple(h).as("__p"))
+          case None => target
+            .join(source.select(mergeKeys.map(col): _*).distinct(),
+              mergeKeys, "left_semi")
+            .select(encTuple(target).as("__p"))
+        }
+        sourceParts.unionByName(matchedParts).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
 
     val touchedTarget = target.filter(encTuple(target).isin(touched.toSeq: _*))
     val merged = CoreOps.antiJoin(mergeKeys, source)(touchedTarget)
@@ -618,24 +708,62 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   /** Row-level DELETE (Delta DML parity): remove rows matching the
     * condition, keep everything else — including rows where the condition
     * is NULL, matching SQL DELETE semantics. Published as a new version;
-    * the old snapshot stays readable. */
+    * the old snapshot stays readable.
+    *
+    * On a partitioned table the rewrite is PRUNED (Delta's file-pruned
+    * DELETE): one column-pruned scan finds the partitions holding
+    * matching rows, only those rewrite (minus the matches), untouched
+    * partitions hard-link. Always safe — a DELETE can only remove rows,
+    * never move one across partitions — so unlike the merge's clause
+    * (b) this needs no key-derivation assumption. The feed scan prunes
+    * to the same touched set. */
   def delete(condition: org.apache.spark.sql.Column): Unit = {
-    import org.apache.spark.sql.functions.coalesce
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val cond = coalesce(condition, lit(false))
-    writeTo(read.filter(!cond), stagingDir)
+    val cur = read
+    if (partitionCols.isEmpty) {
+      writeTo(cur.filter(!cond), stagingDir)
+      if (changeFeed)
+        stageFeed(cur.filter(cond).withColumn("_change_type", lit("delete")))
+      publish()
+      return
+    }
+    val donor = currentDir
+    // bounded collect: partition tuples holding >= 1 matching row
+    val touched = cur.filter(cond).select(encTuple(cur).as("__p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val touchedCur = cur.filter(encTuple(cur).isin(touched.toSeq: _*))
+    writeTo(touchedCur.filter(!cond), stagingDir)
     if (changeFeed)
-      stageFeed(read.filter(cond).withColumn("_change_type", lit("delete")))
+      stageFeed(touchedCur.filter(cond)
+        .withColumn("_change_type", lit("delete")))
+    linkUntouched(donor, donor, 0, Nil, touched, encDriver)
     publish()
   }
 
   /** Row-level UPDATE: apply the assignments to rows matching the
-    * condition, leave others untouched. */
+    * condition, leave others untouched.
+    *
+    * Pruned like [[delete]] when no ASSIGNED column is a partition
+    * column (an update then can't move a row across partitions): only
+    * partitions holding matching rows rewrite, the rest hard-link. An
+    * update that assigns a partition column falls back to the full
+    * rewrite — the moved rows must land in their new partitions. */
   def update(condition: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, when, xxhash64}
-    val cur = read
+    val whole = read
     val cond = coalesce(condition, lit(false))
+    val pruned = partitionCols.nonEmpty &&
+      partitionCols.forall(c => !assignments.contains(c))
+    val donor = if (pruned) currentDir else null
+    val touched: Set[String] =
+      if (!pruned) Set.empty
+      else whole.filter(cond).select(encTuple(whole).as("__p"))
+        .distinct().collect().map(_.getString(0)).toSet
+    val cur =
+      if (pruned) whole.filter(encTuple(whole).isin(touched.toSeq: _*))
+      else whole
     val updated = cur.select(cur.columns.toIndexedSeq.map { c =>
       assignments.get(c)
         .map(expr => when(cond, expr).otherwise(col(c)).as(c))
@@ -669,6 +797,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
         .withColumn("_change_type", lit("update_postimage"))
       stageFeed(post.unionByName(pre))
     }
+    if (pruned) linkUntouched(donor, donor, 0, Nil, touched, encDriver)
     publish()
   }
 
@@ -1218,9 +1347,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
 
 object LakeTable {
   def apply(spark: SparkSession, root: String, name: String, mergeKeys: Seq[String],
-      partitionCols: Seq[String] = Nil, changeFeed: Boolean = false): LakeTable =
+      partitionCols: Seq[String] = Nil, changeFeed: Boolean = false,
+      partitionsFromKeys: Boolean = false): LakeTable =
     new LakeTable(spark, root, name, mergeKeys, partitionCols,
-      changeFeed = changeFeed)
+      changeFeed = changeFeed, partitionsFromKeys = partitionsFromKeys)
 
   /** Effective-dated lookup against an SCD2 snapshot (as written by
     * `upsertScd2`): each fact row joins the ONE dimension version whose

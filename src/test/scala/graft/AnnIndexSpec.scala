@@ -111,7 +111,8 @@ class AnnIndexSpec extends SparkSpec {
     import graft.table.DocBuckets
     val root = "/tmp/graft_tables/annidx_docparts"
     val docs = LakeTable(spark, root, "annd_docs", Seq("vec_id"),
-      partitionCols = Seq(DocBuckets.ColName), changeFeed = true)
+      partitionCols = Seq(DocBuckets.ColName), changeFeed = true,
+      partitionsFromKeys = true)
     docs.drop()
     def wb(df: DataFrame) = DocBuckets.withBucket(df, "vec_id", 8)
     val ai = AnnIndex(spark, root, "annd", nCells = 8, docParts = 8)

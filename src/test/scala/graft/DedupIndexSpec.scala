@@ -239,7 +239,8 @@ class DedupIndexSpec extends SparkSpec {
     import graft.table.DocBuckets
     val root = "/tmp/graft_tables/dedupidx_docparts"
     val docs = LakeTable(spark, root, "didxd_docs", Seq("doc_id"),
-      partitionCols = Seq(DocBuckets.ColName), changeFeed = true)
+      partitionCols = Seq(DocBuckets.ColName), changeFeed = true,
+      partitionsFromKeys = true)
     docs.drop()
     def wb(df: DataFrame) = DocBuckets.withBucket(df, "doc_id", 16)
     val di = DedupIndex(spark, root, "didxd", postingParts = 64,

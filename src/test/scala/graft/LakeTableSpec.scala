@@ -343,6 +343,49 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(t1) == rows(t2))
   }
 
+  test("partitionsFromKeys: key-derived layout merges agree with the " +
+      "default path and skip the matched-key target scan") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64}
+    def bucket = pmod(xxhash64(col("id")), lit(16L)).cast("string")
+    def wb(d: DataFrame) = d.withColumn("p", bucket)
+    // a FAT payload so rows-scanned discriminates the (b) key scan
+    val base = (1L to 4000L)
+      .map(i => (i, "v" * 50 + i.toString, "")).toDF("id", "v", "p")
+    val (r1, r2) = (freshRoot, freshRoot)
+    val t1 = LakeTable(spark, r1, "t", Seq("id"), partitionCols = Seq("p"),
+      partitionsFromKeys = true)
+    val t2 = LakeTable(spark, r2, "t", Seq("id"), partitionCols = Seq("p"))
+    t1.create(wb(base.drop("p"))); t2.create(wb(base.drop("p")))
+    val batch = wb(df((1L, "A1", ""), (4001L, "new", ""),
+      (7L, "gone", "")).drop("p"))
+    // rows scanned during the key-derived merge: touched partitions
+    // only — the default path's clause-(b) scan reads EVERY row's keys
+    val recs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          { recs.addAndGet(e.taskMetrics.inputMetrics.recordsRead); () }
+    }
+    org.apache.spark.GraftListenerBridge.drainListenerBus(
+      spark.sparkContext, 30000)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t1.upsertWithDelete(batch, col("v") === "gone")
+      org.apache.spark.GraftListenerBridge.drainListenerBus(
+        spark.sparkContext, 30000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    t2.upsertWithDelete(batch, col("v") === "gone")
+    assert(rows(t1) == rows(t2), "key-derived pruning must not change answers")
+    assert(!rows(t1).exists(_._1 == 7L))
+    assert(rows(t1).exists(r => r._1 == 1L && r._2 == "A1"))
+    // 3 batch keys touch <= 3 of 16 partitions (~250 rows each) plus
+    // the batch itself; the skipped (b) scan alone would be 4000 rows
+    assert(recs.get < 2000,
+      s"key-derived merge scanned ${recs.get} rows — the O(table) " +
+        "matched-key scan was not skipped")
+  }
+
   test("SCD2: changed keys get history, unchanged are no-ops, reruns idempotent") {
     val t = LakeTable(spark, freshRoot, "dim", Seq("id"))
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
