@@ -80,11 +80,13 @@ import graft.operators.Dedup
   *
   * Candidate verification fetches ONLY candidate docs' texts from the
   * snapshot (two slim semi-joins), never the corpus. The per-batch
-  * commits (index [, postings], then pairs) are not one transaction: a
-  * crash between them leaves a fresh index with stale pairs, and
+  * commits ([postings, ] index, then pairs — the sidecar MUST precede
+  * the index, see the ordering note at the merge sites) are not one
+  * transaction: a crash between them leaves partially-fresh state, and
   * RE-RUNNING the same span converges (every merge is idempotent for a
-  * fixed input span), the same re-run contract the streaming IVM
-  * maintainers document.
+  * fixed input span, and the batch marker rides the LAST commit so an
+  * interrupted span is always re-delivered first), the same re-run
+  * contract the streaming IVM maintainers document.
   *
   * `idParts > 0` additionally hash-partitions the PACKED index on
   * pmod(xxhash64(id), idParts): the merge key derives the partition, so
@@ -348,27 +350,26 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
         .select("__pb").localCheckpoint(true)
     }
 
-    // 1. Index merge: one array-packed row per alive touched doc (an
-    //    update overwrites its buckets in place — the merge key is the
-    //    bare id); dead ids ride the same commit as NULL-payload
-    //    tombstones (a live doc's buckets array is never null — null
-    //    shingles produce a null array only for null text, which the
-    //    snapshot cannot carry for an alive doc with text).
     val newIdx = bandArray(aliveTouched, idCol, textCol)
       .localCheckpoint(true)
     val deadIdx = deadIds.select(col("id"),
       lit(null).cast("array<long>").as("buckets"))
-    index.upsertWithDelete(withIb(newIdx.unionByName(deadIdx)),
-      col("buckets").isNull)
-
     val probeRows = exploded(newIdx).localCheckpoint(true)
 
-    // 1b. Sidecar merge (postingParts > 0): one exploded row per alive
-    //     touched (id, band) at its NEW __pb partition; dead ids ride
-    //     as per-band tombstones. A moved bucket's OLD row lives in a
-    //     different partition — LakeTable's pruned MERGE discovers it
-    //     through the matched-key rule and rewrites exactly that
-    //     partition too, so stale postings can never accumulate.
+    // 1a. Sidecar merge FIRST (postingParts > 0): one exploded row per
+    //     alive touched (id, band) at its NEW __pb partition; dead ids
+    //     ride as per-band tombstones. A moved bucket's OLD row lives
+    //     in a different partition — retired through oldPostParts (the
+    //     merge's matched-partition authority), so stale postings can
+    //     never accumulate. ORDERING IS LOAD-BEARING for the re-run
+    //     contract: oldPostParts derives from the packed index, so the
+    //     sidecar must commit BEFORE the index merge overwrites the old
+    //     buckets — a crash between the two commits then re-runs with
+    //     the hint still derivable (index pre-merge), and the sidecar
+    //     merge is idempotent. Index-first would lose the old buckets
+    //     at exactly the crash that needs them, stranding stale sidecar
+    //     rows that no later span could retire (DedupIndexSpec pins the
+    //     crash-state replay).
     postings.foreach { p =>
       val deadPost = deadIds.select(col("id"),
           explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -377,6 +378,15 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
       p.upsertWithDelete(withPb(probeRows).unionByName(deadPost),
         col("bucket").isNull, matchedPartsHint = oldPostParts)
     }
+
+    // 1b. Index merge: one array-packed row per alive touched doc (an
+    //    update overwrites its buckets in place — the merge key is the
+    //    bare id); dead ids ride the same commit as NULL-payload
+    //    tombstones (a live doc's buckets array is never null — null
+    //    shingles produce a null array only for null text, which the
+    //    snapshot cannot carry for an alive doc with text).
+    index.upsertWithDelete(withIb(newIdx.unionByName(deadIdx)),
+      col("buckets").isNull)
 
     // 2. Pair re-derivation for the touched slice. Candidates: the
     //    batch's (band, bucket) set is BROADCAST against the standing

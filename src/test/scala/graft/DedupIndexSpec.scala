@@ -176,6 +176,52 @@ class DedupIndexSpec extends SparkSpec {
     assertConverged(plain, docs)
   }
 
+  test("crash window with the serving sidecar: the reachable " +
+      "partial-commit state (sidecar new, index+pairs old) re-runs to " +
+      "convergence — the hint's old buckets stay derivable") {
+    val root = "/tmp/graft_tables/dedupidx_crash"
+    val docs = LakeTable(spark, root, "didxc_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val di = DedupIndex(spark, root, "didxc", postingParts = 32,
+      idParts = 8)
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(all.filter(col("doc_id") < 120))
+    di.build(docs.read, "doc_id", "text")
+    val synced = docs.version
+    val idxPre = di.index.version
+    val pairsPre = di.pairs.version
+    // churn that MOVES buckets (text rewrites) plus deletes
+    docs.upsert(all.filter(col("doc_id") % 4 === 1 && col("doc_id") < 120)
+      .withColumn("text", concat(lit("zq xv wq "), col("text"))))
+    docs.delete(col("doc_id") % 9 === 2)
+    di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+    // simulate the one reachable mid-span crash state under the
+    // (postings, index, pairs) commit order: sidecar committed, index
+    // and pairs still pre-span. The commit ORDER is load-bearing: the
+    // re-run's matchedPartsHint derives old buckets from the packed
+    // index, so the index must still be pre-merge in any state where
+    // the sidecar merge can re-run (index-first would strand moved
+    // buckets' old sidecar rows — the regression this pins).
+    val idxOld = di.index.readVersion(idxPre).localCheckpoint(true)
+    val pairsOld = di.pairs.readVersion(pairsPre).localCheckpoint(true)
+    di.index.create(idxOld)
+    // create is DDL-replace and drops committed meta — restore the
+    // frozen layout keys the crash would have left intact
+    di.index.annotate(Map("dedup.id_parts" -> "8", "dedup.doc_parts" -> "0"))
+    di.pairs.create(pairsOld)
+    // re-run the SAME span (at-least-once re-delivery: the batch
+    // marker rides the LAST commit, so an interrupted span replays)
+    di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+    val sidecar = di.postings.get.read
+      .select(col("id").cast("long"), col("band").cast("int"),
+        col("bucket").cast("long")).as[(Long, Int, Long)].collect().toSet
+    assert(sidecar == idxSet(di.index.read),
+      "sidecar must equal the exploded index after the crash replay")
+  }
+
   test("re-running the same span converges (crash-replay contract)") {
     val root = "/tmp/graft_tables/dedupidx_replay"
     val docs = LakeTable(spark, root, "didxr_docs", Seq("doc_id"),
