@@ -382,7 +382,7 @@ object ScaleProbe {
           changeFeed = true, partitionsFromKeys = true)
         t.drop()
         val ai = graft.table.AnnIndex(spark, root, s"annidx_$n",
-          nCells = 8 * n, docParts = dParts)
+          nCells = 8 * n, docParts = dParts, idParts = dParts)
         t.create(graft.table.DocBuckets.withBucket(corpus, "vec_id", dParts))
         val (_, buildSec) = timed { ai.build(t.read, "vec_id", "embedding") }
         val v0 = t.version

@@ -2288,7 +2288,7 @@ object SparkEntry {
       def wb(df: org.apache.spark.sql.DataFrame) =
         graft.table.DocBuckets.withBucket(df, "vec_id", 4)
       val ai = graft.table.AnnIndex(s, root, "annq", nCells = 8,
-        docParts = 4)
+        docParts = 4, idParts = 4)
       t.create(wb(e.filter(col("vec_id") % 3 =!= 0)))
       ai.build(t.read, "vec_id", "embedding")
       var synced = t.version

@@ -789,7 +789,10 @@ object Streams {
     val metaKey = s"annidx_last_batch_$appId"
     val q = feedStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val last = ai.assign.meta.get(metaKey).map(_.toLong).getOrElse(-1L)
+        // the marker rides applyChanges' LAST commit (the ids sidecar
+        // when idParts > 0) — read it from the same table
+        val last = ai.markerTable.meta.get(metaKey).map(_.toLong)
+          .getOrElse(-1L)
         if (batchId > last && !batch.isEmpty)
           ai.applyChanges(batch, docsTable.read, idCol, vecCol,
             meta = Map(metaKey -> batchId.toString))

@@ -50,22 +50,56 @@ import graft.operators.Similarity
   * constant), the standard IVF sizing — the `annidx` ScaleProbe ladder
   * measures search cost flat in corpus under exactly that discipline.
   *
-  * `docParts > 0` prunes the remaining O(corpus) term in maintenance —
-  * the touched-vector fetch from the snapshot: with the corpus table
-  * hash-partitioned on [[DocBuckets]]' `__db` (stamped by the writer
-  * over the id CAST TO LONG, the type this index reads ids at), the
-  * fetch filters on the batch ids' bucket set so the scan opens
-  * ≤ min(batch, docParts) partitions regardless of corpus size.
-  * Layout mismatches fail loudly in-plan (see [[DocBuckets]]). */
+  * `docParts > 0` prunes the touched-vector fetch from the snapshot:
+  * with the corpus table hash-partitioned on [[DocBuckets]]' `__db`
+  * (stamped by the writer over the id CAST TO LONG, the type this
+  * index reads ids at), the fetch filters on the batch ids' bucket set
+  * so the scan opens ≤ min(batch, docParts) partitions regardless of
+  * corpus size. Layout mismatches fail loudly in-plan
+  * (see [[DocBuckets]]).
+  *
+  * `idParts > 0` prunes the LAST O(corpus) term of maintenance — the
+  * assign merge's matched-key partition discovery. `cell` is not a
+  * function of the merge key (a re-assigned vector moves cells), so
+  * the pruned MERGE must learn the touched ids' OLD cells; without a
+  * cheaper authority that is a column-pruned scan of the whole
+  * inverted file per batch. The `ids` sidecar ((id, cell),
+  * hash-partitioned on pmod(xxhash64(id), idParts) — key-derived, so
+  * its own merges prune for free) answers it with an O(batch)
+  * id-pruned read, passed as the assign merge's matchedPartsHint.
+  * Commit ORDER is load-bearing (same argument as
+  * [[DedupIndex.applyChanges]]'s sidecar-before-index rule): the hint
+  * CONSUMER (assign) commits before its AUTHORITY (ids) updates, so
+  * every reachable crash state re-runs with the old cells still
+  * derivable; the exactly-once batch marker rides the LAST commit
+  * ([[markerTable]]), so an interrupted span is always re-delivered. */
 final class AnnIndex(spark: SparkSession, root: String, name: String,
-    nCells: Int = 16, docParts: Int = 0) {
+    nCells: Int = 16, docParts: Int = 0, idParts: Int = 0) {
 
   val centroids: LakeTable = LakeTable(spark, root, s"${name}_centroids",
     Seq("cell"))
   val assign: LakeTable = LakeTable(spark, root, s"${name}_assign",
     Seq("id"), partitionCols = Seq("cell"))
 
-  def drop(): Unit = { centroids.drop(); assign.drop() }
+  /** The (id → cell) sidecar (idParts > 0 only) — see the class doc. */
+  val ids: Option[LakeTable] =
+    if (idParts <= 0) None
+    else Some(LakeTable(spark, root, s"${name}_ids", Seq("id"),
+      partitionCols = Seq("__ib"), partitionsFromKeys = true))
+
+  /** The sidecar's layout convention in ONE place (the probe handle
+    * drop()/requireLayout() use regardless of this instance's config). */
+  private def idsProbe: LakeTable =
+    LakeTable(spark, root, s"${name}_ids", Seq("id"))
+
+  private def ibOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(id), lit(idParts.toLong))
+
+  /** The table the exactly-once batch marker rides: the LAST commit of
+    * [[applyChanges]] — the ids sidecar when present, assign otherwise. */
+  private[graft] def markerTable: LakeTable = ids.getOrElse(assign)
+
+  def drop(): Unit = { centroids.drop(); assign.drop(); idsProbe.drop() }
 
   /** Full (re)build: train the quantizer on the current corpus, assign
     * every row. */
@@ -88,21 +122,40 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     drop()
     centroids.create(cents.zipWithIndex
       .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "v"))
-    // freeze docParts like DedupIndex's layout keys: the in-plan
-    // DocBuckets assert is blind to a mismatched modulus that DIVIDES
-    // the stored one, so config drift must fail here, loudly
-    centroids.annotate(Map(DocPartsKey -> docParts.toString))
+    // freeze the layout config like DedupIndex's layout keys: the
+    // in-plan DocBuckets assert is blind to a mismatched modulus that
+    // DIVIDES the stored one, so config drift must fail here, loudly
+    centroids.annotate(Map(DocPartsKey -> docParts.toString,
+      IdPartsKey -> idParts.toString))
     assign.create(c.withColumn("cell", Similarity.cellOf(cents, col("v"))))
+    // the sidecar derives from the assignments just written — one slim
+    // read back, no second scoring pass over the corpus
+    ids.foreach(t => t.create(assign.read.select(col("id"), col("cell"))
+      .withColumn("__ib", ibOf(col("id")))))
   }
 
   private val DocPartsKey = "ann.doc_parts"
+  private val IdPartsKey = "ann.id_parts"
 
-  private def requireDocParts(): Unit = {
-    val stored = centroids.meta.get(DocPartsKey)
-    require(stored.forall(_ == docParts.toString),
+  private def requireLayout(): Unit = {
+    val storedDp = centroids.meta.get(DocPartsKey)
+    require(storedDp.forall(_ == docParts.toString),
       s"index $name: docParts=$docParts but the index was built with " +
-        s"${stored.getOrElse("<unknown>")} — the snapshot fetch's " +
+        s"${storedDp.getOrElse("<unknown>")} — the snapshot fetch's " +
         "partition pruning would silently miss vectors")
+    val storedIp = centroids.meta.get(IdPartsKey)
+    require(storedIp.forall(_ == idParts.toString),
+      s"index $name: idParts=$idParts but the index was built with " +
+        s"${storedIp.getOrElse("<unknown>")} — the assign merge's " +
+        "matched-partition hint would silently miss old cells")
+    if (ids.isEmpty)
+      // an orphaned sidecar would go stale while a future idParts>0
+      // instance keeps trusting it — same loud rule as DedupIndex's
+      // postings probe
+      require(!idsProbe.exists,
+        s"index $name: an ids sidecar is stored but this instance has " +
+          "idParts=0 — maintaining without it would leave it silently " +
+          "stale; use the original idParts or rebuild with build()")
   }
 
   /** The frozen quantizer, loaded from the table (bounded: nCells rows). */
@@ -124,11 +177,17 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     * exactly-once batch marker). */
   def applyChanges(changes: DataFrame, snapshot: DataFrame, idCol: String,
       vecCol: String, meta: Map[String, String] = Map.empty): Unit = {
-    requireDocParts()
+    requireLayout()
     val cents = loadCentroids()
     val touched = changes
       .select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
+    // OLD cells of the touched ids from the id-pruned sidecar — the
+    // assign merge's matched-partition authority (class doc). Read
+    // BEFORE any commit; the sidecar itself updates LAST.
+    val oldCellParts = ids.map { t =>
+      idSlice(t, touched).select("cell").localCheckpoint(true)
+    }
     val alive = fetchVecs(snapshot, idCol, touched)
       .select(col(idCol).cast("long").as("id"),
         normalize(col(vecCol)).as("v"))
@@ -137,9 +196,27 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     val dead = touched.join(alive.select("id"), Seq("id"), "left_anti")
       .select(col("id"), lit(null).cast(alive.schema("v").dataType).as("v"),
         lit(null).cast("int").as("cell"))
+    // hint consumer first; the marker rides the LAST commit so an
+    // interrupted span re-delivers (markerTable doc)
     assign.upsertWithDelete(
       alive.select("id", "v", "cell").unionByName(dead), col("v").isNull,
-      meta = meta)
+      meta = if (ids.isDefined) Map.empty else meta,
+      matchedPartsHint = oldCellParts)
+    ids.foreach { t =>
+      val src = alive.select(col("id"), col("cell"))
+        .unionByName(dead.select(col("id"), col("cell")))
+        .withColumn("__ib", ibOf(col("id")))
+      t.upsertWithDelete(src, col("cell").isNull, meta = meta)
+    }
+  }
+
+  /** The sidecar rows of an id frame (column "id"), partition-pruned by
+    * the ids' `__ib` buckets. `private[graft]` for plan pins. */
+  private[graft] def idSlice(t: LakeTable, idFrame: DataFrame): DataFrame = {
+    val ibs = idFrame.select(ibOf(col("id")).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    t.read.filter(col("__ib").isin(ibs: _*))
+      .join(idFrame, Seq("id"), "left_semi")
   }
 
   /** Corpus-snapshot rows for a LONG id frame (column "id"): exact
@@ -204,8 +281,8 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
 
 object AnnIndex {
   def apply(spark: SparkSession, root: String, name: String,
-      nCells: Int = 16, docParts: Int = 0): AnnIndex =
-    new AnnIndex(spark, root, name, nCells, docParts)
+      nCells: Int = 16, docParts: Int = 0, idParts: Int = 0): AnnIndex =
+    new AnnIndex(spark, root, name, nCells, docParts, idParts)
 
   /** nCells ≈ √rows — the standard IVF sizing (FAISS's guideline):
     * cells then hold ~√rows vectors, so a search probing nProbe cells
@@ -222,10 +299,10 @@ object AnnIndex {
     * (`ann.sizing`). `docParts` stays caller-owned (docs-table layout). */
   def autoSized(spark: SparkSession, root: String, name: String,
       docs: DataFrame, idCol: String, vecCol: String,
-      docParts: Int = 0, iters: Int = 2): AnnIndex = {
+      docParts: Int = 0, idParts: Int = 0, iters: Int = 2): AnnIndex = {
     val rows = docs.count()
     val cells = sizedCells(rows)
-    val ai = new AnnIndex(spark, root, name, cells, docParts)
+    val ai = new AnnIndex(spark, root, name, cells, docParts, idParts)
     ai.build(docs, idCol, vecCol, iters)
     ai.centroids.annotate(Map("ann.sizing" ->
       s"rows=$rows nCells=$cells"))

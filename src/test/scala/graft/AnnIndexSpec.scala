@@ -162,6 +162,77 @@ class AnnIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("docParts=4"))
   }
 
+  test("idParts sidecar: maintained state unchanged, sidecar == (id, " +
+      "cell), id-pruned hint read, crash-state replay, layout guards") {
+    val root = "/tmp/graft_tables/annidx_idparts"
+    val docs = LakeTable(spark, root, "anni_docs", Seq("vec_id"),
+      changeFeed = true)
+    docs.drop()
+    val ai = AnnIndex(spark, root, "anni", nCells = 8, idParts = 8)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    docs.create(e.filter(col("vec_id") % 3 =!= 0))
+    ai.build(docs.read, "vec_id", "embedding")
+    val synced = docs.version
+    val idsPre = ai.ids.get.version
+    docs.upsert(e.filter(col("vec_id") % 3 === 0))
+    docs.upsert(e.filter(col("vec_id") % 11 === 4)
+      .withColumn("embedding", transform(col("embedding"), x => -x)))
+    docs.delete(col("vec_id") % 7 === 3)
+    ai.maintain(docs, "vec_id", "embedding", synced)
+
+    val cents = ai.centroids.read.orderBy("cell").select("v")
+      .collect().map(_.getSeq[Double](0))
+    def expected = docs.read
+      .select(col("vec_id").cast("long").as("id"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .withColumn("cell", Similarity.cellOf(cents, col("v")))
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    def got = ai.assign.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet
+    def side = ai.ids.get.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet
+    val exp = expected
+    assert(got == exp && side == exp)
+    assert(exp.nonEmpty)
+
+    // plan pin: the hint read for 2 ids opens <= 2 of the 8 __ib
+    // partitions — the O(batch) authority that replaced the assign
+    // merge's O(corpus) matched-key scan
+    val slice = ai.idSlice(ai.ids.get, Seq(1L, 4L).toDF("id"))
+    val scans = executedScansOf(slice, "anni_ids")
+    assert(scans.nonEmpty, "hint must scan the ids sidecar")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"__ib filter must reach the scan as a partition filter: $f")
+      val nParts = f.metrics.get("numPartitions").map(_.value)
+      assert(nParts.exists(n => n >= 1L && n <= 2L),
+        s"two ids open <= 2 of 8 sidecar partitions, read $nParts")
+    }
+
+    // reachable crash state (assign commits FIRST): assign new, sidecar
+    // still pre-span — the re-run's hint is stale but every stale-cell
+    // row was already retired and new rows ride clause (a); replay must
+    // converge both tables
+    val sideOld = ai.ids.get.readVersion(idsPre).localCheckpoint(true)
+    ai.ids.get.create(sideOld)
+    ai.maintain(docs, "vec_id", "embedding", synced)
+    assert(got == exp && side == exp)
+
+    // layout drift fails loudly before any read
+    val wrong = AnnIndex(spark, root, "anni", nCells = 8, idParts = 4)
+    val ex = intercept[IllegalArgumentException] {
+      wrong.applyChanges(Seq(1L).toDF("vec_id"), docs.read,
+        "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("idParts=4"))
+    val zero = AnnIndex(spark, root, "anni", nCells = 8)
+    val ex2 = intercept[IllegalArgumentException] {
+      zero.applyChanges(Seq(1L).toDF("vec_id"), docs.read,
+        "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("idParts=0"))
+  }
+
   test("sizedCells / autoSized: standard IVF sizing, derivation recorded") {
     assert(AnnIndex.sizedCells(4L) == 2)
     assert(AnnIndex.sizedCells(32000L) == 178)
