@@ -235,41 +235,47 @@ object ScaleProbe {
       val base = inflate(docs, maxId, n).select("doc_id", "text")
         .localCheckpoint(true)
       val rows = base.count()
-      val sized = graft.table.DedupIndex.sizedParts(rows, bands = 16)
+      // SPARK_GRAFT_LIFT_CLAMPS=1 lifts the sizing's upper clamps — the
+      // control leg for the clamp-saturation hypothesis (at large ×n the
+      // defaults saturate, partitions grow with the corpus, and any
+      // bytes slope could be clamp-induced rather than algorithmic)
+      val lift = sys.env.get("SPARK_GRAFT_LIFT_CLAMPS").contains("1")
+      val sized =
+        if (lift) graft.table.DedupIndex.sizedParts(rows, bands = 16,
+          maxPostingParts = 1 << 20, maxIdParts = 1 << 20)
+        else graft.table.DedupIndex.sizedParts(rows, bands = 16)
       val (pParts, iParts) = (sized.postingParts, sized.idParts)
       val dParts = sized.idParts // docs rows ≈ packed-index rows
       val root = "/tmp/graft_tables/scaleprobe_didxp"
-      // the DOCS table itself is id-hash-bucketed (DocBuckets): the
-      // maintainer's snapshot text fetches — previously the residual
-      // O(corpus) slope of this ladder — open only the touched ids'
-      // bucket partitions, measured below as bytes_read
-      val t = graft.table.LakeTable(spark, root, s"didxp_docs_$n",
-        Seq("doc_id"),
-        partitionCols = Seq(graft.table.DocBuckets.ColName),
-        changeFeed = true, partitionsFromKeys = true)
-      t.drop()
+      // the DOCS table itself is id-hash-bucketed (DocBuckets.Bucketed
+      // handle owns the layout): the maintainer's snapshot text fetches
+      // — previously the residual O(corpus) slope of this ladder — open
+      // only the touched ids' bucket partitions, measured below as
+      // bytes_read
+      val b = graft.table.DocBuckets.bucketed(spark, root,
+        s"didxp_docs_$n", "doc_id", dParts)
+      b.drop()
       val di = graft.table.DedupIndex(spark, root, s"didxp_$n",
         maxBucketSize = maxBucketSize, postingParts = pParts,
-        idParts = iParts, docParts = dParts)
-      t.create(graft.table.DocBuckets.withBucket(base, "doc_id", dParts))
-      val (_, buildSec) = timed { di.build(t.read, "doc_id", "text") }
-      val v0 = t.version
+        idParts = iParts, docParts = dParts, pairParts = sized.pairParts)
+      b.create(base)
+      val (_, buildSec) = timed { di.build(b.read, "doc_id", "text") }
+      val v0 = b.version
       // fixed micro-batch: ~8 in-place rewrites from replica 0
-      t.upsert(graft.table.DocBuckets.withBucket(
-        docs.filter(col("doc_id") % 613 === 5)
-          .select(col("doc_id"),
-            concat(lit("zq xv wq "), col("text")).as("text")),
-        "doc_id", dParts))
-      val batchDocs = t.changesSince(v0)
+      b.upsert(docs.filter(col("doc_id") % 613 === 5)
+        .select(col("doc_id"),
+          concat(lit("zq xv wq "), col("text")).as("text")))
+      val batchDocs = b.changesSince(v0)
         .select("doc_id").distinct().count()
-      val corpusBytes = t.describeDetail
+      val corpusBytes = b.table.describeDetail
         .filter(col("is_current")).select("bytes").head().getLong(0)
       val (_, maintainSec, maintainBytes) =
-        timedBytes { di.maintain(t, "doc_id", "text", v0) }
-      val nPairs = di.pairs.read.count()
+        timedBytes { di.maintain(b.table, "doc_id", "text", v0) }
+      val nPairs = di.currentPairs.count()
       println(s"""{"family":"dedupidxp","factor":$n,"rows":$rows,""" +
         s""""posting_parts":$pParts,"id_parts":$iParts,""" +
-        s""""doc_parts":$dParts,"batch_docs":$batchDocs,""" +
+        s""""doc_parts":$dParts,"pair_parts":${sized.pairParts},""" +
+        s""""clamps_lifted":$lift,"batch_docs":$batchDocs,""" +
         s""""corpus_bytes":$corpusBytes,""" +
         s""""build_sec":${f"$buildSec%.2f"},""" +
         s""""maintain_small_sec":${f"$maintainSec%.2f"},""" +
@@ -374,27 +380,24 @@ object ScaleProbe {
         val rows = corpus.count()
         val dParts = graft.table.DedupIndex.sizedParts(rows, 16).idParts
         val root = "/tmp/graft_tables/scaleprobe_annidx"
-        // vector table id-hash-bucketed: the maintainer's touched-
-        // vector fetch opens only the batch ids' partitions
-        val t = graft.table.LakeTable(spark, root, s"annidx_docs_$n",
-          Seq("vec_id"),
-          partitionCols = Seq(graft.table.DocBuckets.ColName),
-          changeFeed = true, partitionsFromKeys = true)
-        t.drop()
+        // vector table id-hash-bucketed (DocBuckets.Bucketed handle):
+        // the maintainer's touched-vector fetch opens only the batch
+        // ids' partitions
+        val b = graft.table.DocBuckets.bucketed(spark, root,
+          s"annidx_docs_$n", "vec_id", dParts)
+        b.drop()
         val ai = graft.table.AnnIndex(spark, root, s"annidx_$n",
           nCells = 8 * n, docParts = dParts, idParts = dParts)
-        t.create(graft.table.DocBuckets.withBucket(corpus, "vec_id", dParts))
-        val (_, buildSec) = timed { ai.build(t.read, "vec_id", "embedding") }
-        val v0 = t.version
+        b.create(corpus)
+        val (_, buildSec) = timed { ai.build(b.read, "vec_id", "embedding") }
+        val v0 = b.version
         // fixed micro-batch maintain: ~8 in-place vector flips
-        t.upsert(graft.table.DocBuckets.withBucket(
-          emb.filter(col("vec_id") % 613 === 5)
-            .withColumn("embedding", transform(col("embedding"), x => -x)),
-          "vec_id", dParts))
-        val corpusBytes = t.describeDetail
+        b.upsert(emb.filter(col("vec_id") % 613 === 5)
+          .withColumn("embedding", transform(col("embedding"), x => -x)))
+        val corpusBytes = b.table.describeDetail
           .filter(col("is_current")).select("bytes").head().getLong(0)
         val (_, maintainSec, maintainBytes) =
-          timedBytes { ai.maintain(t, "vec_id", "embedding", v0) }
+          timedBytes { ai.maintain(b.table, "vec_id", "embedding", v0) }
         val queries = emb.filter(col("vec_id") < 16).localCheckpoint(true)
         val (nHits, searchSec, searchBytes) = timedBytes {
           ai.search(queries, "vec_id", "embedding", k = 5, nProbe = 2).count()

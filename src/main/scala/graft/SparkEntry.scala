@@ -779,27 +779,31 @@ object SparkEntry {
     "q_dedup_index_pruned" -> ((s, dir) => {
       val all = docs(s, dir).select("doc_id", "text")
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val t = LakeTable(s, root, "pdidx_docs", Seq("doc_id"),
-        partitionCols = Seq(graft.table.DocBuckets.ColName),
-        changeFeed = true, partitionsFromKeys = true)
-      t.drop()
-      def wb(df: org.apache.spark.sql.DataFrame) =
-        graft.table.DocBuckets.withBucket(df, "doc_id", 8)
+      // the DOCS table's id-hash layout is owned by the Bucketed handle
+      // (every write stamps __db; modulus derived from corpus rows and
+      // frozen in meta — DocBuckets.sizedParts/bucketed)
+      val dp = graft.table.DocBuckets.sizedParts(all.count())
+      val b = graft.table.DocBuckets.bucketed(s, root, "pdidx_docs",
+        "doc_id", dp)
+      b.drop()
+      // pairParts: the stale-pair lookup and the pairs merge prune to
+      // the batch ids' __ab buckets (symmetric layout — the last
+      // O(pairs) terms of a maintain, see DedupIndex's class doc)
       val di = graft.table.DedupIndex(s, root, "pdidx",
-        postingParts = 16, idParts = 8, docParts = 8)
-      t.create(wb(all.filter(col("doc_id") % 3 === 1)))
-      di.build(t.read, "doc_id", "text")
-      val synced = t.version
-      t.upsert(wb(all.filter(col("doc_id") % 3 === 2)))
-      t.upsert(wb(all.filter(col("doc_id") % 3 === 0)))
-      t.delete(col("doc_id") % 7 === 3)
+        postingParts = 16, idParts = 8, docParts = dp, pairParts = 8)
+      b.create(all.filter(col("doc_id") % 3 === 1))
+      di.build(b.read, "doc_id", "text")
+      val synced = b.version
+      b.upsert(all.filter(col("doc_id") % 3 === 2))
+      b.upsert(all.filter(col("doc_id") % 3 === 0))
+      b.delete(col("doc_id") % 7 === 3)
       // ONE maintain over the whole multi-version span (vs
       // q_dedup_index's per-wave maintains): same final state, same
       // oracle — and the span form is the one the serving layout is
       // for (fewer, batched syncs; the per-wave form is the unpruned
       // twin's job)
-      di.maintain(t, "doc_id", "text", synced)
-      di.pairs.read.orderBy("a_id", "b_id")
+      di.maintain(b.table, "doc_id", "text", synced)
+      di.currentPairs.orderBy("a_id", "b_id")
     }),
 
     // Streaming twin of q_dedup_index: the SAME ingest/delete churn, but
@@ -2278,25 +2282,24 @@ object SparkEntry {
     "q_ann_index" -> ((s, dir) => {
       val e = emb(s, dir).select("vec_id", "embedding")
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      // the vector table is id-hash-bucketed (DocBuckets) so the
-      // maintainer's touched-vector fetch — the one remaining
+      // the vector table's id-hash layout is owned by the Bucketed
+      // handle (modulus derived from corpus rows, writes stamp __db) so
+      // the maintainer's touched-vector fetch — the one remaining
       // O(corpus) scan — opens only the batch ids' partitions
-      val t = LakeTable(s, root, "annq_docs", Seq("vec_id"),
-        partitionCols = Seq(graft.table.DocBuckets.ColName),
-        changeFeed = true, partitionsFromKeys = true)
-      t.drop()
-      def wb(df: org.apache.spark.sql.DataFrame) =
-        graft.table.DocBuckets.withBucket(df, "vec_id", 4)
+      val dp = graft.table.DocBuckets.sizedParts(e.count())
+      val b = graft.table.DocBuckets.bucketed(s, root, "annq_docs",
+        "vec_id", dp)
+      b.drop()
       val ai = graft.table.AnnIndex(s, root, "annq", nCells = 8,
-        docParts = 4, idParts = 4)
-      t.create(wb(e.filter(col("vec_id") % 3 =!= 0)))
-      ai.build(t.read, "vec_id", "embedding")
-      var synced = t.version
-      t.upsert(wb(e.filter(col("vec_id") % 3 === 0)))
-      t.upsert(wb(e.filter(col("vec_id") % 11 === 4)
-        .withColumn("embedding", transform(col("embedding"), x => -x))))
-      t.delete(col("vec_id") % 7 === 3)
-      synced = ai.maintain(t, "vec_id", "embedding", synced)
+        docParts = dp, idParts = 4)
+      b.create(e.filter(col("vec_id") % 3 =!= 0))
+      ai.build(b.read, "vec_id", "embedding")
+      var synced = b.version
+      b.upsert(e.filter(col("vec_id") % 3 === 0))
+      b.upsert(e.filter(col("vec_id") % 11 === 4)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+      b.delete(col("vec_id") % 7 === 3)
+      synced = ai.maintain(b.table, "vec_id", "embedding", synced)
       ai.search(e.filter(col("vec_id") < 16), "vec_id", "embedding",
           k = 5, nProbe = 8)
         .orderBy("query_id", "rank")
@@ -2306,22 +2309,27 @@ object SparkEntry {
     // through the embedding table's CDC STREAM (foreachBatch over the
     // shared AnnIndex.applyChanges core, batch-id idempotent) — batch
     // and streaming index maintenance are one semantics. Identical
-    // oracle.
+    // oracle. Runs the SERVING layouts under the drain (idParts +
+    // docParts + bucketed vector table): the exactly-once marker rides
+    // the ids sidecar (AnnIndex.markerTable) and every micro-batch
+    // exercises the sidecar commit ordering end to end.
     "q_stream_ann_index" -> ((s, dir) => {
       val e = emb(s, dir).select("vec_id", "embedding")
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val t = LakeTable(s, root, "sannq_docs", Seq("vec_id"),
-        changeFeed = true)
-      t.drop()
-      val ai = graft.table.AnnIndex(s, root, "sannq", nCells = 8)
-      t.create(e.filter(col("vec_id") % 3 =!= 0))
-      ai.build(t.read, "vec_id", "embedding")
-      t.upsert(e.filter(col("vec_id") % 3 === 0))
-      t.upsert(e.filter(col("vec_id") % 11 === 4)
+      val dp = graft.table.DocBuckets.sizedParts(e.count())
+      val b = graft.table.DocBuckets.bucketed(s, root, "sannq_docs",
+        "vec_id", dp)
+      b.drop()
+      val ai = graft.table.AnnIndex(s, root, "sannq", nCells = 8,
+        docParts = dp, idParts = 4)
+      b.create(e.filter(col("vec_id") % 3 =!= 0))
+      ai.build(b.read, "vec_id", "embedding")
+      b.upsert(e.filter(col("vec_id") % 3 === 0))
+      b.upsert(e.filter(col("vec_id") % 11 === 4)
         .withColumn("embedding", transform(col("embedding"), x => -x)))
-      t.delete(col("vec_id") % 7 === 3)
+      b.delete(col("vec_id") % 7 === 3)
       graft.streaming.Streams.maintainAnnIndexFromChangeFeed(
-        t.readChangeFeedStream, t, ai, "vec_id", "embedding")
+        b.readChangeFeedStream, b.table, ai, "vec_id", "embedding")
       ai.search(e.filter(col("vec_id") < 16), "vec_id", "embedding",
           k = 5, nProbe = 8)
         .orderBy("query_id", "rank")
@@ -4178,17 +4186,46 @@ object SparkEntry {
     // pinned against hand-computed merges in BpeSpec.
     "q_bpe_tokens" -> ((s, dir) => {
       val d = docs(s, dir)
+      // Locale.ROOT: the sample's lowercase must be locale-independent
+      // like the encode expression's (UTF8String) and the oracle's
+      // (DuckDB lower()) — a tr_TR default locale would fold I→ı and
+      // train a different merge table than the encode applies
       val sample = d.filter(col("doc_id") < 64).select("text").collect()
-        .flatMap(_.getString(0).toLowerCase.split("\\s+")).filter(_.nonEmpty).toSeq
+        .flatMap(_.getString(0).toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+")).filter(_.nonEmpty).toSeq
       val merges = graft.functions.Bpe.train(sample, numMerges = 100)
-      // oracle sidecar (tiny: <= 100 rows) — the path mirrors the
-      // literal in oracleSql, which can only name the driver's verify
-      // scale factor (sf0.01); other SFs write their own slug's dir
+      // oracle sidecar (tiny: <= 100 rows), CONTENT-ADDRESSED: every
+      // scale factor writes one <slug>.parquet into a SHARED dir, each
+      // row stamped with the corpus fingerprint (count, sum(length(
+      // text))) it was trained against. The oracle reads the whole dir
+      // and selects the merge table whose fingerprint matches the
+      // documents under verify — so verifying at ANY sf picks ITS OWN
+      // merge table (the old per-sf path literal could only name one
+      // sf and silently compared others against a foreign table), and
+      // a corpus with no sidecar at all fails loudly ("no bpe sidecar
+      // for this corpus"), never as an inscrutable hash diff. The
+      // fingerprint needs the char sum because the generator keeps the
+      // documents ROW COUNT constant across small sfs (ASCII corpus,
+      // so char-count semantics agree cross-engine).
       val slug = dir.stripSuffix("/").replaceAll("[^A-Za-z0-9]", "_")
+      val stats = d.agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("chars")).head()
+      val (corpusDocs, corpusChars) = (stats.getLong(0), stats.getLong(1))
       import s.implicits._
-      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
-        .toDF("rank", "l", "r").coalesce(1).write.mode("overwrite")
-        .parquet(s"/tmp/graft_oracle_sidecar/$slug/bpe_merges")
+      val stage = s"/tmp/graft_oracle_sidecar/.stage_bpe_$slug"
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i, a, b, corpusDocs, corpusChars) }
+        .toDF("rank", "l", "r", "corpus_docs", "corpus_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      locally {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val part = Files.list(Paths.get(stage)).filter(
+          _.getFileName.toString.endsWith(".parquet")).findFirst.get
+        val dst = Paths.get("/tmp/graft_oracle_sidecar/bpe_merges_all")
+        Files.createDirectories(dst)
+        Files.move(part, dst.resolve(s"$slug.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
       d.select(col("source"),
           graft.functions.Bpe.bpeEncode(col("text"), merges).as("toks"))
         .groupBy("source").agg(
@@ -10065,9 +10102,18 @@ object SparkEntry {
     // Scala pinned by BpeSpec; given it, the counts are exact.
     "q_bpe_tokens" ->
       """WITH RECURSIVE
+         mraw AS (SELECT * FROM read_parquet(
+           '/tmp/graft_oracle_sidecar/bpe_merges_all/*.parquet')),
+         dc AS MATERIALIZED (SELECT count(*) AS n,
+                 sum(length(text)) AS chars FROM documents),
+         msel AS MATERIALIZED (SELECT DISTINCT rank, l, r FROM mraw, dc
+                 WHERE corpus_docs = dc.n AND corpus_chars = dc.chars),
+         mn AS MATERIALIZED (SELECT count(*) AS k FROM msel),
+         chk AS MATERIALIZED (SELECT CASE WHEN mn.k = 0
+                 THEN error('no bpe sidecar for this corpus: the content-addressed merge-table dir has no entry whose corpus fingerprint matches the documents under verify - run q_bpe_tokens at this sf first')
+                 ELSE 1 END AS ok FROM mn),
          m AS (SELECT list(struct_pack(a := l, b := r) ORDER BY rank) AS ms
-               FROM read_parquet(
-                 '/tmp/graft_oracle_sidecar/_root_testdata_sf0_01/bpe_merges/*.parquet')),
+               FROM msel),
          toks AS (
            SELECT doc_id, source,
                   list_filter(string_split_regex(lower(text), '\s+'),
@@ -10108,7 +10154,8 @@ object SparkEntry {
                      GROUP BY doc_id)
          SELECT t.source, count(*)::BIGINT AS n_docs,
                 CAST(sum(coalesce(p.n_sub, 0)) AS BIGINT) AS n_subwords
-         FROM toks t LEFT JOIN per_doc p USING (doc_id)
+         FROM toks t LEFT JOIN per_doc p USING (doc_id) CROSS JOIN chk
+         WHERE chk.ok = 1
          GROUP BY t.source ORDER BY t.source""",
 
     // ============== round 8: monitoring / quantization / CEP =============

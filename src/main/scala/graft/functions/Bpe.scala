@@ -24,10 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * packing, mixture weights), which is why the real algorithm is here and
   * not a whitespace approximation.
   *
-  * Word-level BPE: text is tokenized with the repo-standard pass
-  * (lowercase, whitespace split), merges apply within words only. No
-  * end-of-word marker — subwords from different positions that spell the
-  * same string share identity, the simplest of the standard variants.
+  * Word-level BPE: text is tokenized with lowercase + a `\s+`-class
+  * split ([[BpeEncode.bpeTokenize]] — the exact split the relational
+  * oracle replays), merges apply within words only. No end-of-word
+  * marker — subwords from different positions that spell the same
+  * string share identity, the simplest of the standard variants.
   */
 object Bpe {
 
@@ -128,10 +129,11 @@ object Bpe {
       }
 }
 
-/** Subword tokens of a string under a learned BPE merge table: repo-
-  * standard word tokenize, then greedy rank-ordered merges per word,
-  * concatenated in document order. One native pass per row; the rank map
-  * ships with the serialized expression like any literal. */
+/** Subword tokens of a string under a learned BPE merge table: lowercase
+  * + `\s+`-class word split (see [[BpeEncode.bpeTokenize]]), then greedy
+  * rank-ordered merges per word, concatenated in document order. One
+  * native pass per row; the rank map ships with the serialized
+  * expression like any literal. */
 case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with RefEvalCodegen {
 
@@ -147,14 +149,47 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val words = TextExpressions.tokenize(v.asInstanceOf[UTF8String])
+    val words = BpeEncode.bpeTokenize(v.asInstanceOf[UTF8String])
     val out = mutable.ArrayBuffer.empty[Any]
     words.foreach { w =>
-      Bpe.encodeWord(w.toString, ranks)
+      Bpe.encodeWord(w, ranks)
         .foreach(s => out += UTF8String.fromString(s))
     }
     new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BpeEncode {
+  /** True for exactly the regex `\s` class (RE2 and java.util.regex
+    * agree): space, tab, newline, vertical tab, form feed, carriage
+    * return. NOT `c <= ' '` — control characters \x00-\x08 and
+    * \x0e-\x1f are word bytes to a `\s+` splitter. */
+  private def isWsClass(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  /** BPE's word split: lowercase (UTF8String's locale-independent
+    * mapping), split on the `\s` class. Deliberately NOT
+    * [[TextExpressions.tokenize]] (which splits on any char <= ' '):
+    * the learned-BPE oracle replays the encode relationally with
+    * `string_split_regex(lower(text), '\s+')`, and the two splitters
+    * diverge on control characters — the training sample, this encode,
+    * and the oracle must share one split class or texts containing
+    * \x00-\x08/\x0e-\x1f tokenize differently per engine. */
+  private[functions] def bpeTokenize(s: UTF8String): Array[String] = {
+    val str = s.toLowerCase.toString
+    val out = mutable.ArrayBuffer.empty[String]
+    var start = -1
+    var i = 0
+    while (i < str.length) {
+      val ws = isWsClass(str.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) { out += str.substring(start, i); start = -1 }
+      i += 1
+    }
+    if (start >= 0) out += str.substring(start)
+    out.toArray
+  }
 }

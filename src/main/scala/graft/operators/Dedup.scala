@@ -298,12 +298,17 @@ object Dedup {
     * docs collapses to a handful of fingerprints, and one shared chunk
     * bucket would self-join quadratically). Capping trades the
     * pigeonhole-exactness away for pairs whose ONLY shared chunks are
-    * oversized — pass `Int.MaxValue` where the relational definition must
-    * hold exactly (the oracle contract q_simhash_pairs uses). */
+    * oversized — so unlike the hash-seeded operators above the cap
+    * DEFAULTS OFF here (`Int.MaxValue`): this operator's documented
+    * contract is the exact relational definition (hamming ≤ maxHamming
+    * AND jaccard ≥ verifyThreshold — the q_simhash_pairs oracle and
+    * RecallSpec both rely on it), and a silent default cap would change
+    * existing default-arg callers' answers. Pass a finite cap
+    * explicitly on degenerate corpora. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, maxHamming: Int = 7, shingleN: Int = 3,
       verifyThreshold: Double = 0.5, crossEngineHash: Boolean = false,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val chunk = 64 / bands
     val shd = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
     val fp =

@@ -72,7 +72,22 @@ import graft.operators.Similarity
   * CONSUMER (assign) commits before its AUTHORITY (ids) updates, so
   * every reachable crash state re-runs with the old cells still
   * derivable; the exactly-once batch marker rides the LAST commit
-  * ([[markerTable]]), so an interrupted span is always re-delivered. */
+  * ([[markerTable]]), so an interrupted span is always re-delivered.
+  *
+  * Re-delivery after a crash BETWEEN the two commits additionally
+  * runs UNHINTED (the pre-r15 column-pruned matched-key scan): the
+  * sidecar's cells describe the pre-span state, but the crashed run's
+  * committed assign rows sit at cells computed from the CRASH-TIME
+  * snapshot — if the corpus advanced again before re-delivery, the
+  * re-run's source cells come from the NEWEST snapshot and neither
+  * set need cover the crashed cells, so a trusted hint would strand a
+  * stale vector in an unrewritten cell partition (duplicate merge key,
+  * served by search forever). Detection is a span token: every
+  * [[applyChanges]] stamps the SAME fresh token into both commits'
+  * meta ([[SpanKey]]); assign ≠ ids means the previous span was
+  * interrupted, and exactly that one recovery batch pays the full
+  * matched-key scan (AnnIndexSpec replays the crash+advanced-snapshot
+  * state and pins both the detection and the converged result). */
 final class AnnIndex(spark: SparkSession, root: String, name: String,
     nCells: Int = 16, docParts: Int = 0, idParts: Int = 0) {
 
@@ -137,6 +152,18 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
   private val DocPartsKey = "ann.doc_parts"
   private val IdPartsKey = "ann.id_parts"
 
+  /** Span-token meta key (class doc): each applyChanges stamps one
+    * fresh token into BOTH commits; a mismatch at the next call means
+    * the previous span crashed between them. `private[graft]` so
+    * AnnIndexSpec can pin the detection. */
+  private[graft] val SpanKey = "ann.span"
+
+  /** True when the previous applyChanges crashed between the assign
+    * and sidecar commits — the one state whose re-delivery must not
+    * trust the sidecar-derived hint (class doc). */
+  private def spanInterrupted: Boolean =
+    ids.exists(t => assign.meta.get(SpanKey) != t.meta.get(SpanKey))
+
   private def requireLayout(): Unit = {
     val storedDp = centroids.meta.get(DocPartsKey)
     require(storedDp.forall(_ == docParts.toString),
@@ -182,12 +209,19 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     val touched = changes
       .select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint(true)
+    // recovery batch (previous span crashed between the commits —
+    // class doc): the sidecar is NOT a complete authority for the
+    // touched ids' current cells, so this one batch runs unhinted
+    val interrupted = spanInterrupted
     // OLD cells of the touched ids from the id-pruned sidecar — the
     // assign merge's matched-partition authority (class doc). Read
     // BEFORE any commit; the sidecar itself updates LAST.
-    val oldCellParts = ids.map { t =>
-      idSlice(t, touched).select("cell").localCheckpoint(true)
-    }
+    val oldCellParts =
+      if (interrupted) None
+      else ids.map { t =>
+        idSlice(t, touched).select("cell").localCheckpoint(true)
+      }
+    val span = java.util.UUID.randomUUID().toString
     val alive = fetchVecs(snapshot, idCol, touched)
       .select(col(idCol).cast("long").as("id"),
         normalize(col(vecCol)).as("v"))
@@ -197,16 +231,19 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
       .select(col("id"), lit(null).cast(alive.schema("v").dataType).as("v"),
         lit(null).cast("int").as("cell"))
     // hint consumer first; the marker rides the LAST commit so an
-    // interrupted span re-delivers (markerTable doc)
+    // interrupted span re-delivers (markerTable doc). Both commits
+    // carry this span's token so the NEXT call can detect a crash
+    // between them (spanInterrupted).
     assign.upsertWithDelete(
       alive.select("id", "v", "cell").unionByName(dead), col("v").isNull,
-      meta = if (ids.isDefined) Map.empty else meta,
+      meta = if (ids.isDefined) Map(SpanKey -> span) else meta,
       matchedPartsHint = oldCellParts)
     ids.foreach { t =>
       val src = alive.select(col("id"), col("cell"))
         .unionByName(dead.select(col("id"), col("cell")))
         .withColumn("__ib", ibOf(col("id")))
-      t.upsertWithDelete(src, col("cell").isNull, meta = meta)
+      t.upsertWithDelete(src, col("cell").isNull,
+        meta = meta + (SpanKey -> span))
     }
   }
 

@@ -102,11 +102,44 @@ import graft.operators.Dedup
   * docParts)` (writer stamps it with `DocBuckets.withBucket`), both
   * fetches filter on the batch/candidate ids' bucket set first, so the
   * scan opens ≤ min(ids, docParts) partitions regardless of corpus
-  * size. Layout mismatches fail loudly in-plan (see [[DocBuckets]]). */
+  * size. Layout mismatches fail loudly in-plan (see [[DocBuckets]]).
+  *
+  * `pairParts > 0` prunes the PAIRS side — the last O(pairs) terms of
+  * a maintain: the stale-pair derivation scanned the whole pairs table
+  * twice per batch (once per side of the key), and the pairs merge on
+  * an unpartitioned table rewrote all of it. The layout stores every
+  * pair SYMMETRICALLY — (a,b,j) AND (b,a,j), merge key still (a_id,
+  * b_id) — hash-partitioned on `__ab = pmod(xxhash64(a_id), pairParts)`
+  * (key-derived → `partitionsFromKeys`, merges prune for free). The
+  * "pairs touching a changed doc" lookup then partition-prunes to the
+  * touched ids' `__ab` buckets and reads ONE slice: symmetry guarantees
+  * every pair touching id t has a row with a_id = t, so the b-side
+  * scan disappears instead of needing a mirror sidecar (which would
+  * reopen the crash-ordering race the sidecars need span tokens for —
+  * here both orderings ride the SAME commit, so the symmetry invariant
+  * holds in every reachable crash state). Costs 2× pair rows — pairs
+  * are the sparse output of near-dup detection, the cheapest table of
+  * the three. Consumers read [[currentPairs]] (canonical a < b form,
+  * identical to the batch recompute in both layouts).
+  *
+  * Crash + re-delivery: the per-batch commits are postings → index →
+  * pairs, the marker rides pairs, and each commit carries the SAME
+  * fresh span token ([[SpanKey]], sidecar mode only). A crash between
+  * the postings and pairs commits leaves postings ≠ pairs tokens; the
+  * re-delivered span then runs UNHINTED (full matched-key scan), because
+  * the crashed run's committed sidecar rows sit at buckets derived from
+  * the CRASH-TIME snapshot — if the corpus advanced again before
+  * re-delivery, neither the pre-span hint nor the newest source buckets
+  * need cover them, and a trusted hint would strand them forever
+  * (pairs would stay correct through exact verification, but the
+  * sidecar==exploded-index invariant would silently break and stale
+  * postings would inflate candidate generation from then on).
+  * DedupIndexSpec replays exactly that crash+advanced-snapshot state. */
 final class DedupIndex(spark: SparkSession, root: String, name: String,
     shingleN: Int = 3, k: Int = 64, bands: Int = 16,
     threshold: Double = 0.7, maxBucketSize: Int = 1000,
-    postingParts: Int = 0, idParts: Int = 0, docParts: Int = 0) {
+    postingParts: Int = 0, idParts: Int = 0, docParts: Int = 0,
+    pairParts: Int = 0) {
 
   /** One ARRAY-PACKED row per document (id → all band buckets), not one
     * row per (id, band): the index is 1/bands the row count, the merge
@@ -129,8 +162,35 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
 
   private def withIb(packed: DataFrame): DataFrame =
     if (idParts <= 0) packed else packed.withColumn("__ib", ibOf(col("id")))
+
+  /** Verified near-dup pairs. pairParts > 0 stores them symmetrically
+    * under the `__ab` layout (class doc) — read [[currentPairs]], not
+    * this table, for the canonical a < b view. */
   val pairs: LakeTable = LakeTable(spark, root, s"${name}_pairs",
-    Seq("a_id", "b_id"))
+    Seq("a_id", "b_id"),
+    partitionCols = if (pairParts > 0) Seq("__ab") else Nil,
+    partitionsFromKeys = pairParts > 0)
+
+  /** Pairs partition of an a_id (pairParts > 0) — derived from the
+    * leading merge key, so `partitionsFromKeys` holds. */
+  private def abOf(aId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(aId), lit(pairParts.toLong))
+
+  /** Both orderings of a canonical (a_id, b_id, jaccard) frame, stamped
+    * with the `__ab` layout — the symmetric storage form (class doc).
+    * Identity when pairParts <= 0. */
+  private def sym(canonical: DataFrame): DataFrame =
+    if (pairParts <= 0) canonical
+    else canonical.unionByName(canonical.select(
+        col("b_id").as("a_id"), col("a_id").as("b_id"), col("jaccard")))
+      .withColumn("__ab", abOf(col("a_id")))
+
+  /** The CANONICAL pairs view (a_id < b_id, exactly the batch-recompute
+    * schema) in either layout — what every consumer should read. */
+  def currentPairs: DataFrame =
+    if (pairParts <= 0) pairs.read
+    else pairs.read.filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "jaccard")
 
   /** The sidecar's layout convention (name suffix, merge keys) in ONE
     * place: the partitioned handle when this instance maintains it, and
@@ -183,6 +243,19 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
   private val PartsKey = "dedup.posting_parts"
   private val IdPartsKey = "dedup.id_parts"
   private val DocPartsKey = "dedup.doc_parts"
+  private val PairPartsKey = "dedup.pair_parts"
+
+  /** Span-token meta key (class doc): each sidecar-mode applyChanges
+    * stamps one fresh token into all three commits; postings ≠ pairs at
+    * the next call means the previous span crashed mid-sequence.
+    * `private[graft]` so DedupIndexSpec can pin the detection. */
+  private[graft] val SpanKey = "dedup.span"
+
+  /** True when the previous applyChanges crashed between the postings
+    * commit and the pairs (marker) commit — the one family of states
+    * whose re-delivery must not trust the index-derived hint. */
+  private def spanInterrupted: Boolean =
+    postings.exists(p => p.meta.get(SpanKey) != pairs.meta.get(SpanKey))
 
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
     drop()
@@ -205,8 +278,10 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
       p.create(withPb(exploded(index.read)))
       p.annotate(Map(PartsKey -> postingParts.toString))
     }
-    pairs.create(Dedup.minhashLshPairs(docs, idCol, textCol, shingleN, k,
-      bands, threshold, maxBucketSize))
+    pairs.create(sym(Dedup.minhashLshPairs(docs, idCol, textCol, shingleN,
+      k, bands, threshold, maxBucketSize)))
+    // same frozen-modulus rule as the other layout keys
+    pairs.annotate(Map(PairPartsKey -> pairParts.toString))
   }
 
   /** Fail LOUDLY when this instance's layout parameters disagree with
@@ -255,6 +330,14 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
           s"${storedDp.getOrElse("<unknown>")} — the snapshot fetch's " +
           "partition pruning would silently miss documents (the in-plan " +
           "assert cannot catch a modulus that divides the stored one)")
+    }
+    if (pairs.exists) {
+      val storedPp = pairs.meta.get(PairPartsKey)
+      require(storedPp.forall(_ == pairParts.toString),
+        s"index $name: pairParts=$pairParts but the stored pairs table " +
+          s"was built with ${storedPp.getOrElse("<unknown>")} — the " +
+          "stale-pair lookup's partition pruning would silently miss " +
+          "pairs (and the symmetric/canonical layouts would mix)")
     }
   }
 
@@ -325,6 +408,12 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     val deadIds = touched.join(
       aliveTouched.select(col(idCol).as("id")), Seq("id"), "left_anti")
 
+    // recovery batch (previous span crashed between the postings and
+    // pairs commits — class doc): the packed index is NOT a complete
+    // authority for where the sidecar's touched-id rows live, so this
+    // one batch runs the full matched-key scan instead of the hint
+    val interrupted = spanInterrupted
+    val span = java.util.UUID.randomUUID().toString
     // OLD band rows of the touched ids — captured BEFORE the index
     // merge overwrites them, PRUNED by the packed __ib layout (an
     // O(batch) read when idParts > 0; the packed map-side scan
@@ -334,21 +423,23 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     // matchedPartsHint — replacing the sidecar merge's
     // O(corpus × bands) matched-key scan, the dominant term of the
     // dedupidxp ladder's maintain_bytes slope. Completeness: the
-    // sidecar is invariantly the exploded packed index (spec-pinned),
-    // so the touched ids' old packed rows name EVERY sidecar partition
-    // holding a matched (id, band) key.
-    val oldPostParts = postings.map { _ =>
-      val base = index.read
-      val cut =
-        if (idParts > 0) {
-          val ibs = touched.select(ibOf(col("id")).as("b")).distinct()
-            .collect().map(_.getLong(0)).toSeq
-          base.filter(col("__ib").isin(ibs: _*))
-        } else base
-      withPb(exploded(cut.join(touched, Seq("id"), "left_semi")
-        .select("id", "buckets")))
-        .select("__pb").localCheckpoint(true)
-    }
+    // sidecar is invariantly the exploded packed index (spec-pinned)
+    // EXCEPT across an interrupted span — detected above, where the
+    // hint is dropped for the recovery batch.
+    val oldPostParts =
+      if (interrupted) None
+      else postings.map { _ =>
+        val base = index.read
+        val cut =
+          if (idParts > 0) {
+            val ibs = touched.select(ibOf(col("id")).as("b")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            base.filter(col("__ib").isin(ibs: _*))
+          } else base
+        withPb(exploded(cut.join(touched, Seq("id"), "left_semi")
+          .select("id", "buckets")))
+          .select("__pb").localCheckpoint(true)
+      }
 
     val newIdx = bandArray(aliveTouched, idCol, textCol)
       .localCheckpoint(true)
@@ -376,7 +467,8 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
         .withColumn("bucket", lit(null).cast("long"))
         .withColumn("__pb", lit(null).cast("long"))
       p.upsertWithDelete(withPb(probeRows).unionByName(deadPost),
-        col("bucket").isNull, matchedPartsHint = oldPostParts)
+        col("bucket").isNull, meta = Map(SpanKey -> span),
+        matchedPartsHint = oldPostParts)
     }
 
     // 1b. Index merge: one array-packed row per alive touched doc (an
@@ -386,7 +478,8 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     //    shingles produce a null array only for null text, which the
     //    snapshot cannot carry for an alive doc with text).
     index.upsertWithDelete(withIb(newIdx.unionByName(deadIdx)),
-      col("buckets").isNull)
+      col("buckets").isNull,
+      meta = if (postings.isDefined) Map(SpanKey -> span) else Map.empty)
 
     // 2. Pair re-derivation for the touched slice. Candidates: the
     //    batch's (band, bucket) set is BROADCAST against the standing
@@ -436,18 +529,46 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     // 3. Stale pairs: anything touching a changed doc that the fresh
     //    derivation did not re-assert dies in the same commit — again
     //    as NULL-payload tombstones (a verified pair's jaccard is never
-    //    null), keeping the stored schema exactly (a_id, b_id, jaccard).
-    val stale = pairs.read
-      .join(touched.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
-      .unionByName(pairs.read.join(
-        touched.select(col("id").as("b_id")), Seq("b_id"), "left_semi"))
-      .select("a_id", "b_id").distinct()
+    //    null), keeping the stored key schema exactly (a_id, b_id).
+    //    Stored-pair lookup: under the symmetric __ab layout ONE
+    //    partition-pruned slice (a_id ∈ touched — symmetry covers the
+    //    b side, class doc) replaces the two full pairs-table scans;
+    //    canonicalizing least/greatest collapses the mirrored rows.
+    val stale = storedPairsTouching(touched).distinct()
       .join(fresh.select("a_id", "b_id"), Seq("a_id", "b_id"), "left_anti")
       .select(col("a_id"), col("b_id"),
         lit(null).cast("double").as("jaccard"))
-    pairs.upsertWithDelete(fresh.unionByName(stale),
-      col("jaccard").isNull, meta = meta)
+    // both orderings of fresh AND stale ride this one commit (sym is
+    // the identity for pairParts <= 0), so the symmetry invariant holds
+    // in every crash state; the marker (and span token) commit LAST
+    pairs.upsertWithDelete(sym(fresh.unionByName(stale)),
+      col("jaccard").isNull,
+      meta = if (postings.isDefined) meta + (SpanKey -> span) else meta)
   }
+
+  /** Stored pairs touching any id of `touched` (column "id"), in
+    * CANONICAL (a_id < b_id) form — the stale-pair derivation's stored
+    * side. Under the symmetric `__ab` layout this is ONE
+    * partition-pruned slice (a_id ∈ touched; symmetry covers the b
+    * side — class doc) with a bounded ≤ min(ids, pairParts) bucket
+    * collect; otherwise the two full-table semi-joins the layout
+    * exists to delete. `private[graft]` so DedupIndexSpec can pin the
+    * pruned plan. */
+  private[graft] def storedPairsTouching(touched: DataFrame): DataFrame =
+    if (pairParts <= 0)
+      pairs.read
+        .join(touched.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+        .unionByName(pairs.read.join(
+          touched.select(col("id").as("b_id")), Seq("b_id"), "left_semi"))
+        .select("a_id", "b_id")
+    else {
+      val abs = touched.select(abOf(col("id")).as("b")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      pairs.read.filter(col("__ab").isin(abs: _*))
+        .join(touched.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+        .select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"))
+    }
 
   /** Sync the index with `docsTable`'s changes since `sinceVersion`
     * (its change feed must be on). Returns the synced version — record
@@ -466,9 +587,9 @@ object DedupIndex {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucketSize: Int = 1000,
       postingParts: Int = 0, idParts: Int = 0,
-      docParts: Int = 0): DedupIndex =
+      docParts: Int = 0, pairParts: Int = 0): DedupIndex =
     new DedupIndex(spark, root, name, shingleN, k, bands, threshold,
-      maxBucketSize, postingParts, idParts, docParts)
+      maxBucketSize, postingParts, idParts, docParts, pairParts)
 
   /** Serving-layout sizing derived from corpus stats, so callers stop
     * hand-picking partition-count constants. Each partition targets
@@ -482,15 +603,25 @@ object DedupIndex {
     * target that puts a partition at parquet-file size (~128 MB). */
   val TargetRowsPerPart = 2500L
 
-  final case class Sizing(postingParts: Int, idParts: Int)
+  /** `pairParts` reuses the id-driven modulus: pair volume is
+    * corpus-dependent (the near-dup rate) and unknown at sizing time,
+    * but the stale-pair lookup is keyed by the same batch ids as the
+    * packed-index merge, so the same partition count gives the same
+    * O(batch) touched-set bound. `maxPostingParts`/`maxIdParts` expose
+    * the upper clamps for ladder controls (the defaults are the
+    * documented production band). */
+  final case class Sizing(postingParts: Int, idParts: Int, pairParts: Int)
 
   def sizedParts(rows: Long, bands: Int,
-      targetRowsPerPart: Long = TargetRowsPerPart): Sizing = {
+      targetRowsPerPart: Long = TargetRowsPerPart,
+      maxPostingParts: Int = 1024, maxIdParts: Int = 128): Sizing = {
     def clamp(v: Long, lo: Long, hi: Long): Int =
       math.max(lo, math.min(hi, v)).toInt
+    val ip = clamp(rows / targetRowsPerPart, 16, maxIdParts.toLong)
     Sizing(
-      postingParts = clamp(rows * bands / targetRowsPerPart, 64, 1024),
-      idParts = clamp(rows / targetRowsPerPart, 16, 128))
+      postingParts =
+        clamp(rows * bands / targetRowsPerPart, 64, maxPostingParts.toLong),
+      idParts = ip, pairParts = ip)
   }
 
   /** Build a serving-layout index sized from the corpus itself
@@ -507,11 +638,13 @@ object DedupIndex {
     val rows = docs.count()
     val s = sizedParts(rows, bands)
     val di = new DedupIndex(spark, root, name, shingleN, k, bands,
-      threshold, maxBucketSize, s.postingParts, s.idParts, docParts)
+      threshold, maxBucketSize, s.postingParts, s.idParts, docParts,
+      s.pairParts)
     di.build(docs, idCol, textCol)
     di.index.annotate(Map("dedup.sizing" ->
       (s"rows=$rows bands=$bands target=$TargetRowsPerPart " +
-        s"postingParts=${s.postingParts} idParts=${s.idParts}")))
+        s"postingParts=${s.postingParts} idParts=${s.idParts} " +
+        s"pairParts=${s.pairParts}")))
     di
   }
 }

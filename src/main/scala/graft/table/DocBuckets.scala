@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Id-hash bucket layout for a document/embedding corpus table — the
@@ -39,9 +39,15 @@ object DocBuckets {
   /** The derived partition column's name. */
   val ColName = "__db"
 
-  /** The bucket of an id under a `parts`-way layout. */
+  /** The bucket of an id under a `parts`-way layout. INT-typed: the
+    * stored column must match what partition-directory type inference
+    * reads back (small integral dir names infer as int), or a reader
+    * that applies the TABLE schema to the change-feed parquet — the
+    * CDC stream source — hits a physical INT64 under a logical int
+    * (parts is clamped ≤ 1024 everywhere, so int is always wide
+    * enough). */
   def bucket(id: Column, parts: Int): Column =
-    pmod(xxhash64(id), lit(parts.toLong))
+    pmod(xxhash64(id), lit(parts.toLong)).cast("int")
 
   /** Stamp the layout column onto a corpus frame before writing it to a
     * `partitionCols = Seq(DocBuckets.ColName)` LakeTable. */
@@ -63,7 +69,7 @@ object DocBuckets {
         s"DocBuckets.withBucket (modulus $parts) into a " +
         s"partitionCols = Seq(\"$ColName\") table, or set docParts = 0")
     val dbs = ids.select(bucket(col(idsCol), parts).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+      .distinct().collect().map(_.getInt(0)).toSeq
     snapshot.filter(col(ColName).isin(dbs: _*))
       .filter(assert_true(col(ColName) === bucket(snapshotId, parts),
         concat(lit(s"corpus layout mismatch: stored $ColName disagrees " +
@@ -71,5 +77,87 @@ object DocBuckets {
           snapshotId.cast("string"),
           lit(" — the table was bucketed with a different modulus or id " +
             "type; a pruned fetch would silently lose rows"))).isNull)
+  }
+
+  /** Frozen-modulus meta key ([[Bucketed.create]] commits it; the
+    * factory refuses a handle whose `parts` disagrees — the in-plan
+    * assert alone is provably blind to a modulus that DIVIDES the
+    * stored one, same argument as [[DedupIndex]]'s layout keys). */
+  val PartsKey = "docbuckets.parts"
+
+  /** Lab-scale rows-per-partition target, same band as
+    * [[DedupIndex.TargetRowsPerPart]] — at cluster scale pass a target
+    * that puts one bucket at parquet-file size (~128 MB). */
+  val TargetRowsPerPart = 2500L
+
+  /** `docParts` derived from corpus rows: one bucket ≈
+    * [[TargetRowsPerPart]] rows, clamped so a tiny corpus doesn't
+    * degenerate to one-row directories and a huge one keeps the
+    * per-write partition fan-out (and the pruned fetch's bounded
+    * bucket collect) metadata-sized. */
+  def sizedParts(rows: Long,
+      targetRowsPerPart: Long = TargetRowsPerPart): Int =
+    math.max(8L, math.min(1024L, rows / targetRowsPerPart)).toInt
+
+  /** A corpus LakeTable whose id-hash layout is owned by the HANDLE:
+    * every write stamps `__db` over the declared id column, the table
+    * is created with `partitionCols = Seq(__db), partitionsFromKeys =
+    * true`, and the modulus is frozen into committed meta at create —
+    * collapsing the create-site boilerplate (withBucket at every write
+    * + the three-argument layout declaration) that was previously
+    * hand-written per call site and could silently drift apart. The
+    * underlying [[LakeTable]] stays reachable via [[Bucketed.table]]
+    * for consumers that take the raw handle (index maintainers,
+    * change-feed streams). */
+  final class Bucketed private[DocBuckets] (val table: LakeTable,
+      idCol: String, val parts: Int) {
+    /** Stamp the layout column — exposed for writes that go through
+      * the raw table (e.g. a caller composing its own merge). */
+    def stamp(df: DataFrame): DataFrame = withBucket(df, idCol, parts)
+    def create(df: DataFrame): Unit = {
+      table.create(stamp(df))
+      table.annotate(Map(PartsKey -> parts.toString))
+    }
+    def upsert(df: DataFrame): Unit = table.upsert(stamp(df))
+    def upsertWithDelete(df: DataFrame, deleteWhen: Column): Unit =
+      table.upsertWithDelete(stamp(df), deleteWhen)
+    def delete(condition: Column): Unit = table.delete(condition)
+    def read: DataFrame = table.read
+    def version: Int = table.version
+    def changesSince(v: Int): DataFrame = table.changesSince(v)
+    def readChangeFeedStream: DataFrame = table.readChangeFeedStream
+    def drop(): Unit = table.drop()
+  }
+
+  /** Handle factory. On an EXISTING table the stored modulus must match
+    * (loud drift guard — the complement of the in-plan assert, which
+    * only fires on rows a pruned fetch actually reads). `changeFeed`
+    * defaults ON: the layout exists for CDC index maintenance. */
+  def bucketed(spark: SparkSession, root: String, name: String,
+      idCol: String, parts: Int, changeFeed: Boolean = true): Bucketed = {
+    require(parts > 0, s"bucketed table $name needs parts > 0 (got $parts)")
+    val t = LakeTable(spark, root, name, Seq(idCol),
+      partitionCols = Seq(ColName), changeFeed = changeFeed,
+      partitionsFromKeys = true)
+    if (t.exists) t.meta.get(PartsKey).foreach(stored =>
+      require(stored == parts.toString,
+        s"table $name: parts=$parts but the stored layout was bucketed " +
+          s"with $stored — a pruned fetch would silently lose rows; use " +
+          "the stored modulus or recreate the table"))
+    new Bucketed(t, idCol, parts)
+  }
+
+  /** [[bucketed]] with the modulus derived from the corpus itself
+    * ([[sizedParts]] over `df.count()`); the derivation is recorded in
+    * committed meta at create (`docbuckets.sizing`). */
+  def autoBucketed(spark: SparkSession, root: String, name: String,
+      idCol: String, df: DataFrame,
+      changeFeed: Boolean = true): Bucketed = {
+    val rows = df.count()
+    val b = bucketed(spark, root, name, idCol, sizedParts(rows), changeFeed)
+    b.create(df)
+    b.table.annotate(Map("docbuckets.sizing" ->
+      s"rows=$rows target=$TargetRowsPerPart parts=${b.parts}"))
+    b
   }
 }

@@ -276,7 +276,29 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def currentDir: Path = versionDir(currentVersion.getOrElse(
     throw new IllegalStateException(s"table $name has no published version")))
 
-  def read: DataFrame = spark.read.parquet(currentDir.toString)
+  def read: DataFrame = readDir(currentDir)
+
+  /** Read a version dir, surviving the EMPTY-PARTITIONED-TABLE case:
+    * Spark's partitioned writer emits NO data files for an empty frame
+    * (there are no partition values to create directories for), so a
+    * later scan has nothing to infer a schema from — unlike an empty
+    * UNPARTITIONED write, which emits one schema-bearing file. Every
+    * write therefore stages a `_schema_ddl` sidecar (underscore file,
+    * invisible to parquet readers) and this fallback serves the empty
+    * snapshot with the committed schema. A partitioned table whose
+    * first publish is empty is perfectly legal lakehouse state (an
+    * index built over a corpus with no matches yet — DedupIndex's
+    * pairs under `pairParts`). */
+  private def readDir(dir: Path): DataFrame =
+    try spark.read.parquet(dir.toString)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") &&
+            Files.exists(dir.resolve("_schema_ddl")) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            Files.readString(dir.resolve("_schema_ddl"))))
+          .parquet(dir.toString)
+    }
 
   /** Resolve the CURRENT snapshot ONCE and return (frame over that
     * version dir, THAT dir's committed meta), or None when the table
@@ -290,7 +312,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def pinnedSnapshot: Option[(DataFrame, Map[String, String])] =
     currentVersion.filter(v => Files.isDirectory(versionDir(v))).map { v =>
       val dir = versionDir(v)
-      (spark.read.parquet(dir.toString), readMeta(dir))
+      (readDir(dir), readMeta(dir))
     }
 
   /** K1 — first-load create: partitioned overwrite. On an existing
@@ -619,6 +641,9 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val w = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dir.toString)
+    // schema sidecar: what lets readDir serve an EMPTY partitioned
+    // snapshot (the partitioned writer emits no files for one)
+    Files.writeString(dir.resolve("_schema_ddl"), df.schema.toDDL)
     // committed metadata survives every write EXCEPT create (DDL-replace
     // resets it); a meta-carrying upsert overwrites this file with the
     // merged map before publish
@@ -702,7 +727,7 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   def readVersion(v: Int): DataFrame = {
     require(availableVersions.contains(v),
       s"version $v not retained (have: $availableVersions)")
-    spark.read.parquet(versionDir(v).toString)
+    readDir(versionDir(v))
   }
 
   /** Row-level DELETE (Delta DML parity): remove rows matching the

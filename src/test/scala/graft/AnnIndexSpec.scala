@@ -233,6 +233,74 @@ class AnnIndexSpec extends SparkSpec {
     assert(ex2.getMessage.contains("idParts=0"))
   }
 
+  test("crash between the assign and sidecar commits with the corpus " +
+      "ADVANCING before re-delivery: span tokens detect it, the " +
+      "recovery batch drops the hint, and no stale assignment survives") {
+    val root = "/tmp/graft_tables/annidx_crashadv"
+    val docs = LakeTable(spark, root, "annv_docs", Seq("vec_id"),
+      changeFeed = true)
+    docs.drop()
+    // 32 cells + a ONE-VECTOR span: the dangerous state needs the
+    // crashed assign row's cell to be named by NEITHER the stale
+    // sidecar (the hint) NOR the newest recompute — with few cells or
+    // many touched ids the union covers every cell and masks the bug
+    // (self-checked below)
+    val ai = AnnIndex(spark, root, "annv", nCells = 32, idParts = 8)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    docs.create(e)
+    ai.build(docs.read, "vec_id", "embedding")
+    val synced = docs.version
+    val idsPre = ai.ids.get.version
+    // span S (will "crash"): one vector flips direction → its cell moves
+    docs.upsert(e.filter(col("vec_id") === 1)
+      .withColumn("embedding", transform(col("embedding"), x => -x)))
+    ai.maintain(docs, "vec_id", "embedding", synced)
+    // reachable crash state: assign committed with span S's token, the
+    // ids sidecar still pre-span — the detection predicate
+    val sideOld = ai.ids.get.readVersion(idsPre).localCheckpoint(true)
+    ai.ids.get.create(sideOld)
+    assert(ai.assign.meta.get(ai.SpanKey) != ai.ids.get.meta.get(ai.SpanKey),
+      "the crash state must be detectable from the span tokens")
+    // the corpus ADVANCES before re-delivery: the same vector moves to
+    // a THIRD direction
+    docs.upsert(e.filter(col("vec_id") === 1)
+      .withColumn("embedding", reverse(col("embedding"))))
+    // fixture self-check: the crashed cell is outside hint ∪ newest —
+    // the exact row a trusted hint would strand as a duplicate key
+    val cents = ai.centroids.read.orderBy("cell").select("v")
+      .collect().map(_.getSeq[Double](0))
+    val crashedCell = ai.assign.read.filter(col("id") === 1L)
+      .select("cell").head().getInt(0)
+    val hintCells = ai.ids.get.read.filter(col("id") === 1L)
+      .select("cell").collect().map(_.getInt(0)).toSet
+    val newestCell = docs.read.filter(col("vec_id") === 1)
+      .select(graft.functions.VectorFunctions.normalize(col("embedding"))
+        .as("v"))
+      .withColumn("cell", Similarity.cellOf(cents, col("v")))
+      .select("cell").head().getInt(0)
+    assert(!hintCells.contains(crashedCell) && crashedCell != newestCell,
+      "fixture must exercise the stranding window (tune the vector " +
+        "mutations if the three directions happen to share cells)")
+    // re-delivery of the whole outstanding span: the recovery batch
+    // must run UNHINTED and retire the crashed-cell row
+    ai.maintain(docs, "vec_id", "embedding", synced)
+    // no duplicate merge key: exactly one assign row for the vector,
+    // at the newest cell; sidecar agrees
+    val rows = ai.assign.read.filter(col("id") === 1L)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(newestCell),
+      s"expected exactly one assignment at cell $newestCell, got $rows")
+    val expected = docs.read
+      .select(col("vec_id").cast("long").as("id"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .withColumn("cell", Similarity.cellOf(cents, col("v")))
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(ai.assign.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet == expected)
+    assert(ai.ids.get.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet == expected)
+  }
+
   test("sizedCells / autoSized: standard IVF sizing, derivation recorded") {
     assert(AnnIndex.sizedCells(4L) == 2)
     assert(AnnIndex.sizedCells(32000L) == 178)
@@ -296,5 +364,63 @@ class AnnIndexSpec extends SparkSpec {
     val got2 = ai.assign.read.select(col("id"), col("cell"))
       .as[(Long, Int)].collect().toSet
     assert(got2 == expected)
+  }
+
+  test("streaming drain under the SERVING layouts (idParts + docParts + " +
+      "bucketed corpus): marker rides the ids sidecar, a mid-drain " +
+      "crash between the commits loses the marker WITH the sidecar, " +
+      "and the replayed drain re-applies and converges") {
+    import graft.table.DocBuckets
+    val root = "/tmp/graft_tables/annidx_streamserv"
+    val b = DocBuckets.bucketed(spark, root, "annss_docs", "vec_id", 8)
+    b.drop()
+    val ai = AnnIndex(spark, root, "annss", nCells = 8, docParts = 8,
+      idParts = 8)
+    val e = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    b.create(e.filter(col("vec_id") % 3 =!= 0))
+    ai.build(b.read, "vec_id", "embedding")
+    b.upsert(e.filter(col("vec_id") % 3 === 0))
+    b.upsert(e.filter(col("vec_id") % 11 === 4)
+      .withColumn("embedding", transform(col("embedding"), x => -x)))
+    b.delete(col("vec_id") % 7 === 3)
+    val idsPre = ai.ids.get.version
+    // first drain: the whole feed through per-file micro-batches —
+    // every batch commits assign THEN ids (marker LAST)
+    graft.streaming.Streams.maintainAnnIndexFromChangeFeed(
+      b.readChangeFeedStream, b.table, ai, "vec_id", "embedding")
+    assert(ai.markerTable.meta.keys.exists(_.startsWith("annidx_last_batch")),
+      "the exactly-once marker must ride the ids sidecar (markerTable)")
+    // mid-drain crash between the LAST batch's assign and ids commits:
+    // the sidecar — and the marker that rides it — roll back together,
+    // so the replay CANNOT skip the batch (marker-on-last-commit is
+    // exactly what makes this state safe; a marker on assign would
+    // skip and leave the sidecar stale forever)
+    val sideOld = ai.ids.get.readVersion(idsPre).localCheckpoint(true)
+    ai.ids.get.create(sideOld)
+    assert(ai.markerTable.meta.keys.forall(!_.startsWith("annidx_last_batch")),
+      "the crash state must have lost the marker with the sidecar commit")
+    // replayed drain: re-applies (at-least-once → exactly-once via the
+    // snapshot-authority convergence rule + span-token recovery)
+    graft.streaming.Streams.maintainAnnIndexFromChangeFeed(
+      b.readChangeFeedStream, b.table, ai, "vec_id", "embedding")
+    val cents = ai.centroids.read.orderBy("cell").select("v")
+      .collect().map(_.getSeq[Double](0))
+    val expected = b.read
+      .select(col("vec_id").cast("long").as("id"),
+        graft.functions.VectorFunctions.normalize(col("embedding")).as("v"))
+      .withColumn("cell", Similarity.cellOf(cents, col("v")))
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(ai.assign.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet == expected)
+    assert(ai.ids.get.read.select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toSet == expected)
+    assert(expected.nonEmpty)
+    // full-probe search over the drained index == brute force
+    val queries = e.filter(col("vec_id") < 16)
+    val viaIndex = res(ai.search(queries, "vec_id", "embedding",
+      k = 5, nProbe = 8))
+    val brute = res(Similarity.bruteForceTopK(queries, b.read,
+      "vec_id", "embedding", k = 5))
+    assert(viaIndex == brute)
   }
 }

@@ -28,7 +28,17 @@ class DedupIndexSpec extends SparkSpec {
   private def assertConverged(di: DedupIndex, docs: LakeTable): Unit = {
     val batch = Dedup.minhashLshPairs(docs.read, "doc_id", "text",
       shingleN = 3, k = 64, bands = 16, threshold = 0.7)
-    assert(pairSet(di.pairs.read) == pairSet(batch))
+    // the CANONICAL view is the contract in both pair layouts
+    assert(pairSet(di.currentPairs) == pairSet(batch))
+    // symmetric layout: every canonical row has exactly its mirror
+    if (di.pairs.exists && di.pairs.read.columns.contains("__ab")) {
+      val mirrored = pairSet(di.pairs.read
+        .filter(col("a_id") > col("b_id"))
+        .select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+          col("jaccard")))
+      assert(mirrored == pairSet(di.currentPairs),
+        "symmetric pairs layout lost its mirror invariant")
+    }
     val batchIdx = docs.read
       .select(col("doc_id").as("id"),
         graft.functions.HashExpressions.minhashBands(
@@ -222,6 +232,129 @@ class DedupIndexSpec extends SparkSpec {
       "sidecar must equal the exploded index after the crash replay")
   }
 
+  test("pairParts symmetric layout: canonical equivalence + mirror " +
+      "invariant through churn, stale-pair lookup is a partition-PRUNED " +
+      "slice, and layout drift fails loudly") {
+    val root = "/tmp/graft_tables/dedupidx_pairparts"
+    val docs = LakeTable(spark, root, "didxq_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val di = DedupIndex(spark, root, "didxq", postingParts = 64,
+      idParts = 8, pairParts = 8)
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(all.filter(col("doc_id") % 3 =!= 0))
+    di.build(docs.read, "doc_id", "text")
+    var synced = docs.version
+    docs.upsert(all.filter(col("doc_id") % 3 === 0))
+    docs.upsert(all.filter(col("doc_id") % 11 === 4)
+      .withColumn("text", concat(lit("zq xv wq "), col("text"))))
+    docs.delete(col("doc_id") % 7 === 3)
+    synced = di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs) // includes the mirror invariant
+    assert(di.currentPairs.count() > 0)
+
+    // plan pin: the stored-pair lookup for 2 ids opens <= 2 of the 8
+    // __ab partitions — the O(batch) slice that replaced the two
+    // O(pairs) full-table semi-joins
+    val slice = di.storedPairsTouching(Seq(1L, 4L).toDF("id"))
+    val scans = executedScansOf(slice, "didxq_pairs")
+    assert(scans.nonEmpty, "lookup must scan the pairs table")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"touched-__ab filter must reach the scan as a partition filter: $f")
+      val nParts = f.metrics.get("numPartitions").map(_.value)
+      assert(nParts.exists(n => n >= 0L && n <= 2L),
+        s"two ids open <= 2 of 8 pair partitions, read $nParts")
+    }
+
+    // a mismatched-modulus instance must fail loudly before reading
+    val wrong = DedupIndex(spark, root, "didxq", postingParts = 64,
+      idParts = 8, pairParts = 4)
+    val ex = intercept[IllegalArgumentException] {
+      wrong.applyChanges(Seq(1L).toDF("doc_id"), docs.read,
+        "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("pairParts=4"))
+  }
+
+  test("crash after the postings commit with the corpus ADVANCING " +
+      "before re-delivery: span tokens detect the interrupted span, " +
+      "the recovery batch drops the hint, and the sidecar invariant " +
+      "still holds") {
+    val root = "/tmp/graft_tables/dedupidx_crashadv"
+    val docs = LakeTable(spark, root, "didxv_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    // LARGE postingParts + a ONE-DOC span: the dangerous state needs
+    // the crashed span's buckets to land in partitions that neither
+    // the pre-span index nor the newest source name — with 256
+    // partitions and 16 moved bands that is the overwhelming case
+    // (self-checked below), where a small modulus would mask the bug
+    // by touching every partition anyway
+    val di = DedupIndex(spark, root, "didxv", postingParts = 256,
+      idParts = 8)
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    docs.create(all.filter(col("doc_id") < 120))
+    di.build(docs.read, "doc_id", "text")
+    val synced = docs.version
+    val idxPre = di.index.version
+    val pairsPre = di.pairs.version
+    // span S (will "crash"): ONE doc's text rewritten — buckets move
+    docs.upsert(all.filter(col("doc_id") === 1)
+      .withColumn("text", concat(lit("zq xv wq "), col("text"))))
+    di.maintain(docs, "doc_id", "text", synced)
+    // reachable crash state: postings committed with span S's token,
+    // index and pairs still pre-span (their tokens differ from the
+    // sidecar's — the detection predicate)
+    val idxOld = di.index.readVersion(idxPre).localCheckpoint(true)
+    val pairsOld = di.pairs.readVersion(pairsPre).localCheckpoint(true)
+    di.index.create(idxOld)
+    di.index.annotate(Map("dedup.id_parts" -> "8", "dedup.doc_parts" -> "0"))
+    di.pairs.create(pairsOld)
+    di.pairs.annotate(Map("dedup.pair_parts" -> "0"))
+    assert(di.postings.get.meta.get(di.SpanKey) !=
+      di.pairs.meta.get(di.SpanKey),
+      "the crash state must be detectable from the span tokens")
+    // the corpus ADVANCES before re-delivery: the same doc moves
+    // buckets AGAIN
+    docs.upsert(all.filter(col("doc_id") === 1)
+      .withColumn("text", concat(lit("ab cd ef "), col("text"))))
+    // fixture self-check: the crashed span's sidecar rows occupy at
+    // least one partition that NEITHER the pre-span index (the hint's
+    // authority) NOR the newest source rows name — the exact rows a
+    // trusted hint would strand forever
+    def pbOf(df: DataFrame): Set[Long] = df
+      .select(pmod(xxhash64(col("band"), col("bucket")), lit(256L)).as("p"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    def explodedBands(d: DataFrame): DataFrame = d
+      .select(col("doc_id").as("id"), posexplode(
+        graft.functions.HashExpressions.minhashBands(
+          graft.functions.TextFunctions.shingles(col("text"), 3), 64, 16)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val crashedParts = pbOf(di.postings.get.read
+      .filter(col("id") === 1L).select("band", "bucket"))
+    // the hint's authority at re-delivery time is the (restored,
+    // pre-span) packed index
+    val hintParts = pbOf(di.index.read.filter(col("id") === 1L)
+      .select(col("id"), posexplode(col("buckets")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select("band", "bucket"))
+    val newestParts = pbOf(explodedBands(docs.read.filter(col("doc_id") === 1))
+      .select("band", "bucket"))
+    assert((crashedParts -- hintParts -- newestParts).nonEmpty,
+      "fixture must exercise the stranding window (tune the text " +
+        "mutations if the moved buckets happen to collide)")
+    // re-delivery of the whole outstanding span: the recovery batch
+    // must run UNHINTED and retire the stranded rows
+    di.maintain(docs, "doc_id", "text", synced)
+    assertConverged(di, docs)
+    val sidecar = di.postings.get.read
+      .select(col("id").cast("long"), col("band").cast("int"),
+        col("bucket").cast("long")).as[(Long, Int, Long)].collect().toSet
+    assert(sidecar == idxSet(di.index.read),
+      "sidecar must equal the exploded index after the recovery replay")
+  }
+
   test("re-running the same span converges (crash-replay contract)") {
     val root = "/tmp/graft_tables/dedupidx_replay"
     val docs = LakeTable(spark, root, "didxr_docs", Seq("doc_id"),
@@ -373,10 +506,15 @@ class DedupIndexSpec extends SparkSpec {
       s"posting partitions hold $postRows rows — outside the band")
     assert(s64.idParts >= 16 && 32000.0 / s64.idParts <=
       DedupIndex.TargetRowsPerPart * 2)
-    // clamps engage at the extremes instead of degenerating
-    assert(DedupIndex.sizedParts(100L, 16) == DedupIndex.Sizing(64, 16))
+    // clamps engage at the extremes instead of degenerating; pairParts
+    // rides the id-driven modulus (companion doc)
+    assert(DedupIndex.sizedParts(100L, 16) == DedupIndex.Sizing(64, 16, 16))
     assert(DedupIndex.sizedParts(1000000000L, 16) ==
-      DedupIndex.Sizing(1024, 128))
+      DedupIndex.Sizing(1024, 128, 128))
+    // ladder-control clamp lift: the hi clamps are parameters
+    assert(DedupIndex.sizedParts(1000000000L, 16,
+      maxPostingParts = 1 << 20, maxIdParts = 1 << 20) ==
+      DedupIndex.Sizing(1 << 20, 400000, 400000))
 
     // autoSized: builds, records the derivation, and converges
     val root = "/tmp/graft_tables/dedupidx_auto"

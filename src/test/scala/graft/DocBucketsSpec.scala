@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.table.DocBuckets
+
+/** Contract of the [[graft.table.DocBuckets.Bucketed]] corpus handle:
+  * the layout (stamping, partition spec, modulus freeze) is owned by
+  * the handle so call sites can no longer drift apart, and the modulus
+  * derives from corpus rows ([[DocBuckets.sizedParts]]). The pruned
+  * fetch itself (partition filters + in-plan layout assert) is pinned
+  * by DedupIndexSpec/AnnIndexSpec's docParts tests. */
+class DocBucketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sizedParts: rows-per-partition band, clamps at the extremes") {
+    // clamps
+    assert(DocBuckets.sizedParts(100L) == 8)
+    assert(DocBuckets.sizedParts(1000000000L) == 1024)
+    // inside the clamps the realized rows/partition stays in the
+    // documented [target/2, target*2] band
+    val rows = 320000L
+    val parts = DocBuckets.sizedParts(rows)
+    val perPart = rows.toDouble / parts
+    assert(perPart >= DocBuckets.TargetRowsPerPart / 2 &&
+      perPart <= DocBuckets.TargetRowsPerPart * 2,
+      s"$perPart rows per partition — outside the band")
+  }
+
+  test("Bucketed handle: every write stamps __db, the modulus is frozen " +
+      "at create, and a mismatched handle fails loudly") {
+    val root = "/tmp/graft_tables/docbuckets_spec"
+    val b = DocBuckets.bucketed(spark, root, "dbk_docs", "doc_id", 8)
+    b.drop()
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    b.create(all.filter(col("doc_id") % 2 === 0))
+    b.upsert(all.filter(col("doc_id") % 2 === 1))
+    // every row carries the stamp the layout contract demands
+    val bad = b.read.filter(
+      col(DocBuckets.ColName) =!= DocBuckets.bucket(col("doc_id"), 8))
+    assert(bad.count() == 0)
+    assert(b.read.count() == all.count())
+    // modulus frozen into committed meta at create
+    assert(b.table.meta.get(DocBuckets.PartsKey).contains("8"))
+    // a handle with a different modulus over the stored table refuses
+    val ex = intercept[IllegalArgumentException] {
+      DocBuckets.bucketed(spark, root, "dbk_docs", "doc_id", 4)
+    }
+    assert(ex.getMessage.contains("parts=4"))
+    // the pruned fetch opens <= 2 of the 8 partitions for 2 ids
+    val slice = DocBuckets.pruned(b.read, col("doc_id"), 8,
+      Seq(1L, 4L).toDF("id"), "id")
+    val scans = executedScansOf(slice, "dbk_docs")
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"bucket filter must reach the scan as a partition filter: $f")
+      val nParts = f.metrics.get("numPartitions").map(_.value)
+      assert(nParts.exists(n => n >= 1L && n <= 2L),
+        s"two ids open <= 2 of 8 partitions, read $nParts")
+    }
+  }
+
+  test("autoBucketed: modulus derived from corpus rows, derivation " +
+      "recorded in committed meta") {
+    val root = "/tmp/graft_tables/docbuckets_auto"
+    // drop any stored layout first so the factory's drift guard can't
+    // fire against a previous run's modulus
+    DocBuckets.bucketed(spark, root, "dbka_docs", "doc_id", 8).drop()
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val b = DocBuckets.autoBucketed(spark, root, "dbka_docs", "doc_id", all)
+    assert(b.parts == DocBuckets.sizedParts(all.count()))
+    assert(b.table.meta.get("docbuckets.sizing").exists(m =>
+      m.contains(s"parts=${b.parts}")))
+    assert(b.read.count() == all.count())
+  }
+}
