@@ -111,39 +111,53 @@ object DocBuckets {
     * change-feed streams). */
   final class Bucketed private[DocBuckets] (val table: LakeTable,
       idCol: String, val parts: Int) {
+    /** Drift guard — the complement of the in-plan assert (which only
+      * fires on rows a pruned fetch actually reads): any DATA access
+      * through a handle whose modulus disagrees with the stored layout
+      * fails loudly. Checked lazily (not at construction) so the
+      * create-first pattern — build a handle, drop whatever config a
+      * previous run stored, recreate — stays legal; create() itself is
+      * DDL-replace and re-freezes the modulus. Cached after the first
+      * success: the stored key can only change through this handle. */
+    private var checked = false
+    private def requireStored(): Unit = if (!checked) {
+      if (table.exists) table.meta.get(PartsKey).foreach(stored =>
+        require(stored == parts.toString,
+          s"table ${table.tablePath}: parts=$parts but the stored layout " +
+            s"was bucketed with $stored — a pruned fetch would silently " +
+            "lose rows; use the stored modulus or recreate the table"))
+      checked = true
+    }
     /** Stamp the layout column — exposed for writes that go through
       * the raw table (e.g. a caller composing its own merge). */
     def stamp(df: DataFrame): DataFrame = withBucket(df, idCol, parts)
     def create(df: DataFrame): Unit = {
       table.create(stamp(df))
       table.annotate(Map(PartsKey -> parts.toString))
+      checked = true
     }
-    def upsert(df: DataFrame): Unit = table.upsert(stamp(df))
-    def upsertWithDelete(df: DataFrame, deleteWhen: Column): Unit =
-      table.upsertWithDelete(stamp(df), deleteWhen)
-    def delete(condition: Column): Unit = table.delete(condition)
-    def read: DataFrame = table.read
+    def upsert(df: DataFrame): Unit = { requireStored(); table.upsert(stamp(df)) }
+    def upsertWithDelete(df: DataFrame, deleteWhen: Column): Unit = {
+      requireStored(); table.upsertWithDelete(stamp(df), deleteWhen)
+    }
+    def delete(condition: Column): Unit = { requireStored(); table.delete(condition) }
+    def read: DataFrame = { requireStored(); table.read }
     def version: Int = table.version
-    def changesSince(v: Int): DataFrame = table.changesSince(v)
-    def readChangeFeedStream: DataFrame = table.readChangeFeedStream
-    def drop(): Unit = table.drop()
+    def changesSince(v: Int): DataFrame = { requireStored(); table.changesSince(v) }
+    def readChangeFeedStream: DataFrame = { requireStored(); table.readChangeFeedStream }
+    def drop(): Unit = { table.drop(); checked = true }
   }
 
-  /** Handle factory. On an EXISTING table the stored modulus must match
-    * (loud drift guard — the complement of the in-plan assert, which
-    * only fires on rows a pruned fetch actually reads). `changeFeed`
-    * defaults ON: the layout exists for CDC index maintenance. */
+  /** Handle factory. A handle whose `parts` disagrees with a STORED
+    * layout fails loudly at first data access (see the guard in
+    * [[Bucketed]]). `changeFeed` defaults ON: the layout exists for
+    * CDC index maintenance. */
   def bucketed(spark: SparkSession, root: String, name: String,
       idCol: String, parts: Int, changeFeed: Boolean = true): Bucketed = {
     require(parts > 0, s"bucketed table $name needs parts > 0 (got $parts)")
     val t = LakeTable(spark, root, name, Seq(idCol),
       partitionCols = Seq(ColName), changeFeed = changeFeed,
       partitionsFromKeys = true)
-    if (t.exists) t.meta.get(PartsKey).foreach(stored =>
-      require(stored == parts.toString,
-        s"table $name: parts=$parts but the stored layout was bucketed " +
-          s"with $stored — a pruned fetch would silently lose rows; use " +
-          "the stored modulus or recreate the table"))
     new Bucketed(t, idCol, parts)
   }
 

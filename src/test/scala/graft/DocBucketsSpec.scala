@@ -43,10 +43,16 @@ class DocBucketsSpec extends SparkSpec {
     // modulus frozen into committed meta at create
     assert(b.table.meta.get(DocBuckets.PartsKey).contains("8"))
     // a handle with a different modulus over the stored table refuses
-    val ex = intercept[IllegalArgumentException] {
-      DocBuckets.bucketed(spark, root, "dbk_docs", "doc_id", 4)
-    }
+    // at first DATA access (construction alone stays legal so the
+    // build-handle-then-recreate pattern works)
+    val wrong = DocBuckets.bucketed(spark, root, "dbk_docs", "doc_id", 4)
+    val ex = intercept[IllegalArgumentException] { wrong.read }
     assert(ex.getMessage.contains("parts=4"))
+    val ex2 = intercept[IllegalArgumentException] {
+      DocBuckets.bucketed(spark, root, "dbk_docs", "doc_id", 4)
+        .upsert(all.limit(1))
+    }
+    assert(ex2.getMessage.contains("parts=4"))
     // the pruned fetch opens <= 2 of the 8 partitions for 2 ids
     val slice = DocBuckets.pruned(b.read, col("doc_id"), 8,
       Seq(1L, 4L).toDF("id"), "id")
