@@ -563,4 +563,59 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairSet(di.pairs.read).map(p => (p._1, p._2)) == Set((1L, 3L)))
     assertConverged(di, docs)
   }
+
+  test("streaming drain under the FULL serving layouts (postings + " +
+      "idParts + docParts + pairParts + bucketed corpus): marker rides " +
+      "pairs, a mid-drain crash between the postings and pairs commits " +
+      "loses the marker, and the replayed drain re-applies through the " +
+      "span-token recovery") {
+    import graft.table.DocBuckets
+    val root = "/tmp/graft_tables/dedupidx_streamserv"
+    val b = DocBuckets.bucketed(spark, root, "didxz_docs", "doc_id", 8)
+    b.drop()
+    val di = DedupIndex(spark, root, "didxz", postingParts = 64,
+      idParts = 8, docParts = 8, pairParts = 8)
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    b.create(all.filter(col("doc_id") % 3 === 1))
+    di.build(b.read, "doc_id", "text")
+    val idxPre = di.index.version
+    val pairsPre = di.pairs.version
+    b.upsert(all.filter(col("doc_id") % 3 === 2))
+    b.upsert(all.filter(col("doc_id") % 11 === 4)
+      .withColumn("text", concat(lit("zq xv wq "), col("text"))))
+    b.delete(col("doc_id") % 7 === 3)
+    // first drain: the whole feed through per-file micro-batches; every
+    // batch commits postings -> index -> pairs (marker LAST)
+    graft.streaming.Streams.maintainDedupIndexFromChangeFeed(
+      b.readChangeFeedStream, b.table, di, "doc_id", "text")
+    assertConverged(di, b.table)
+    assert(di.pairs.meta.keys.exists(_.startsWith("dedupidx_last_batch")),
+      "the exactly-once marker must ride the pairs (last) commit")
+    // mid-drain crash after the LAST batch's postings commit: index and
+    // pairs — and the marker that rides pairs — roll back together, so
+    // the replay CANNOT skip the batch; the sidecar keeps the crashed
+    // span's token, so the recovery batch runs unhinted
+    val idxOld = di.index.readVersion(idxPre).localCheckpoint(true)
+    val pairsOld = di.pairs.readVersion(pairsPre).localCheckpoint(true)
+    di.index.create(idxOld)
+    di.index.annotate(Map("dedup.id_parts" -> "8", "dedup.doc_parts" -> "8"))
+    di.pairs.create(pairsOld)
+    di.pairs.annotate(Map("dedup.pair_parts" -> "8"))
+    assert(di.postings.get.meta.get(di.SpanKey) !=
+      di.pairs.meta.get(di.SpanKey),
+      "the crash state must be detectable from the span tokens")
+    assert(di.pairs.meta.keys.forall(!_.startsWith("dedupidx_last_batch")),
+      "the crash state must have lost the marker with the pairs commit")
+    // replayed drain: re-applies everything and converges, sidecar
+    // invariant restored
+    graft.streaming.Streams.maintainDedupIndexFromChangeFeed(
+      b.readChangeFeedStream, b.table, di, "doc_id", "text")
+    assertConverged(di, b.table)
+    val sidecar = di.postings.get.read
+      .select(col("id").cast("long"), col("band").cast("int"),
+        col("bucket").cast("long")).as[(Long, Int, Long)].collect().toSet
+    assert(sidecar == idxSet(di.index.read),
+      "sidecar must equal the exploded index after the drain recovery")
+    assert(pairSet(di.currentPairs).nonEmpty)
+  }
 }
