@@ -135,13 +135,14 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
       s"index $name: corpus has only ${cents.length} rows — cannot train " +
         s"a $nCells-cell quantizer (build with nCells <= corpus size)")
     drop()
+    // layout config frozen ATOMICALLY with the data (LakeTable.create
+    // meta doc), like DedupIndex's layout keys: the in-plan DocBuckets
+    // assert is blind to a mismatched modulus that DIVIDES the stored
+    // one, so config drift must fail here, loudly
     centroids.create(cents.zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "v"))
-    // freeze the layout config like DedupIndex's layout keys: the
-    // in-plan DocBuckets assert is blind to a mismatched modulus that
-    // DIVIDES the stored one, so config drift must fail here, loudly
-    centroids.annotate(Map(DocPartsKey -> docParts.toString,
-      IdPartsKey -> idParts.toString))
+      .map { case (v, i) => (i, v) }.toSeq.toDF("cell", "v"),
+      Map(DocPartsKey -> docParts.toString,
+        IdPartsKey -> idParts.toString))
     assign.create(c.withColumn("cell", Similarity.cellOf(cents, col("v"))))
     // the sidecar derives from the assignments just written — one slim
     // read back, no second scoring pass over the corpus

@@ -259,29 +259,29 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
 
   def build(docs: DataFrame, idCol: String, textCol: String): Unit = {
     drop()
-    index.create(withIb(bandArray(docs, idCol, textCol)))
-    // freeze the packed layout's modulus like the sidecar's PartsKey:
-    // a presence check alone (has __ib?) can't tell idParts=8 from 16,
-    // and a mixed-moduli index silently degrades the pruned merge's
-    // touched-partition contract. docParts is frozen for the same
-    // reason — the in-plan DocBuckets assert alone is provably blind
-    // to a mismatch whose modulus DIVIDES the stored one (stored
-    // pmod(h,16) < 8 implies pmod(h,8) equals it), exactly the case a
-    // halved config would hit
-    index.annotate(Map(IdPartsKey -> idParts.toString,
-      DocPartsKey -> docParts.toString))
+    // the layout keys commit ATOMICALLY with the data (LakeTable.create
+    // meta doc — a create-then-annotate crash window would leave the
+    // guards' absent-key tolerance silently accepting a mismatched
+    // instance). Frozen moduli, not presence checks: a presence check
+    // (has __ib?) can't tell idParts=8 from 16, and the in-plan
+    // DocBuckets assert alone is provably blind to a mismatch whose
+    // modulus DIVIDES the stored one (stored pmod(h,16) < 8 implies
+    // pmod(h,8) equals it), exactly the case a halved config would hit
+    index.create(withIb(bandArray(docs, idCol, textCol)),
+      Map(IdPartsKey -> idParts.toString,
+        DocPartsKey -> docParts.toString))
     // the sidecar derives from the packed rows just written — one read
     // back, no second shingling pass over the corpus; its partition
     // count is FROZEN into the stored meta so a mismatched instance
     // fails loudly instead of silently mis-pruning the probe
     postings.foreach { p =>
-      p.create(withPb(exploded(index.read)))
-      p.annotate(Map(PartsKey -> postingParts.toString))
+      p.create(withPb(exploded(index.read)),
+        Map(PartsKey -> postingParts.toString))
     }
     pairs.create(sym(Dedup.minhashLshPairs(docs, idCol, textCol, shingleN,
-      k, bands, threshold, maxBucketSize)))
-    // same frozen-modulus rule as the other layout keys
-    pairs.annotate(Map(PairPartsKey -> pairParts.toString))
+      k, bands, threshold, maxBucketSize)),
+      // same frozen-modulus rule as the other layout keys
+      Map(PairPartsKey -> pairParts.toString))
   }
 
   /** Fail LOUDLY when this instance's layout parameters disagree with

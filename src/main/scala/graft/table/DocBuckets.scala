@@ -132,8 +132,9 @@ object DocBuckets {
       * the raw table (e.g. a caller composing its own merge). */
     def stamp(df: DataFrame): DataFrame = withBucket(df, idCol, parts)
     def create(df: DataFrame): Unit = {
-      table.create(stamp(df))
-      table.annotate(Map(PartsKey -> parts.toString))
+      // the modulus freezes ATOMICALLY with the first version
+      // (LakeTable.create meta doc)
+      table.create(stamp(df), Map(PartsKey -> parts.toString))
       checked = true
     }
     def upsert(df: DataFrame): Unit = { requireStored(); table.upsert(stamp(df)) }

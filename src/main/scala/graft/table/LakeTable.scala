@@ -319,11 +319,13 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * table this is DDL-replace: data AND committed metadata reset
     * (constraints included, matching the CHECK-constraints doc below)
     * — the one write path that deliberately does NOT carry `_meta.json`
-    * forward. */
-  def create(df: DataFrame): Unit = {
-    writeTo(df, stagingDir, carryMeta = false)
-    publish()
-  }
+    * forward. `meta` (e.g. a layout-freeze key) commits ATOMICALLY with
+    * the first version: create-then-annotate has a crash window that
+    * leaves the table WITHOUT its frozen keys, and the layout guards'
+    * absent-key tolerance (forall) would then silently accept a
+    * mismatched instance. */
+  def create(df: DataFrame, meta: Map[String, String] = Map.empty): Unit =
+    createWithMeta(df, meta)
 
   /** The implicit-create path of a meta-carrying merge on a not-yet-
     * existing table: the `meta` map must land WITH the first version,
