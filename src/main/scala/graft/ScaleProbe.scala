@@ -42,6 +42,25 @@ object ScaleProbe {
         col("lang"))
     }.reduce(_ unionByName _)
 
+  /** Near-dup DENSIFIED corpus for the dense-pairs probe: every doc with
+    * `doc_id % every == 0` gains `copies` near-duplicate variants (ids
+    * shifted past `maxId` per variant, text prefixed with a 3-token
+    * variant-distinct filler — a long doc keeps shingle-Jaccard well
+    * above threshold), so the true pair volume is ≈ C(copies+1, 2)/every
+    * pairs per corpus row ON TOP of the corpus's own near-dup structure.
+    * This is the regime where the pairs table rivals the postings
+    * sidecar in stored volume — what the symmetric `__ab` layout's 2×
+    * row cost is paid in — and density is uniform across replicas, so
+    * pairs still scale exactly ×n under [[inflate]]. */
+  def densify(docs: DataFrame, maxId: Long, every: Int,
+      copies: Int): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      (1 to copies).map { r =>
+        docs.filter(col("doc_id") % every === 0)
+          .select((col("doc_id") + lit(r * maxId)).as("doc_id"),
+            concat(lit(s"dv$r vq$r zz$r "), col("text")).as("text"))
+      }.reduce(_ unionByName _))
+
   /** Events inflation for the profiling / rolling-sketch probes: replica
     * r shifts event_id and user_id past their max while keeping
     * timestamps — each replica reproduces the original key-frequency
@@ -115,7 +134,8 @@ object ScaleProbe {
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("dedup", "profiling", "behavioral", "basket", "ann",
         "stats", "hamming", "ivm", "skyline", "gains", "spans", "joinivm",
-        "feedreplay", "dedupidx", "dedupidxp", "mvrewrite", "annidx"))
+        "feedreplay", "dedupidx", "dedupidxp", "dedupidxpd", "mvrewrite",
+        "annidx"))
     // SPARK_GRAFT_SKEW=0.3 prepends a fixed 50-token boilerplate
     // paragraph to that fraction of docs (chosen by a deterministic id
     // hash) — the degenerate-bucket scenario the maxBucketSize guard
@@ -277,6 +297,57 @@ object ScaleProbe {
         s""""doc_parts":$dParts,"pair_parts":${sized.pairParts},""" +
         s""""clamps_lifted":$lift,"batch_docs":$batchDocs,""" +
         s""""corpus_bytes":$corpusBytes,""" +
+        s""""build_sec":${f"$buildSec%.2f"},""" +
+        s""""maintain_small_sec":${f"$maintainSec%.2f"},""" +
+        s""""maintain_bytes":$maintainBytes,"n_pairs":$nPairs}""")
+    }
+
+    // ---- DENSE-pairs serving family: same fixed-micro-batch regime as
+    // `dedupidxp`, but the corpus is densified (densify: every 3rd doc
+    // gains 4 near-dup variants → ~10/3 true pairs per corpus row) so
+    // the stored pairs table — 2× rows under the symmetric __ab layout —
+    // rivals the postings sidecar in volume instead of being "the
+    // cheapest table of the three". The claim under test: the stale-pair
+    // lookup's pruned __ab slice and the pairs merge's touched-partition
+    // rewrite keep maintain bytes flat in CORPUS size even when pair
+    // volume is no longer negligible (pair bytes scale ×n, the per-batch
+    // touched slice doesn't).
+    if (families("dedupidxpd")) factors.foreach { n =>
+      val base = densify(inflate(docs, maxId, n).select("doc_id", "text"),
+        maxId * n, every = 3, copies = 4).localCheckpoint(true)
+      val rows = base.count()
+      val sized = graft.table.DedupIndex.sizedParts(rows, bands = 16)
+      val root = "/tmp/graft_tables/scaleprobe_didxpd"
+      val b = graft.table.DocBuckets.bucketed(spark, root,
+        s"didxpd_docs_$n", "doc_id", sized.idParts)
+      b.drop()
+      val di = graft.table.DedupIndex(spark, root, s"didxpd_$n",
+        maxBucketSize = maxBucketSize, postingParts = sized.postingParts,
+        idParts = sized.idParts, docParts = sized.idParts,
+        pairParts = sized.pairParts)
+      b.create(base)
+      val (_, buildSec) = timed { di.build(b.read, "doc_id", "text") }
+      val v0 = b.version
+      // fixed micro-batch: ~1/3 of the touched docs are dense bases, so
+      // the batch's stale-pair slice and pair re-derivation actually
+      // exercise the dense volume
+      b.upsert(docs.filter(col("doc_id") % 613 === 5)
+        .select(col("doc_id"),
+          concat(lit("zq xv wq "), col("text")).as("text")))
+      val batchDocs = b.changesSince(v0)
+        .select("doc_id").distinct().count()
+      def tableBytes(t: graft.table.LakeTable): Long = t.describeDetail
+        .filter(col("is_current")).select("bytes").head().getLong(0)
+      val pairsBytes = tableBytes(di.pairs)
+      val postingsBytes = di.postings.map(tableBytes).getOrElse(0L)
+      val (_, maintainSec, maintainBytes) =
+        timedBytes { di.maintain(b.table, "doc_id", "text", v0) }
+      val nPairs = di.currentPairs.count()
+      println(s"""{"family":"dedupidxpd","factor":$n,"rows":$rows,""" +
+        s""""posting_parts":${sized.postingParts},""" +
+        s""""id_parts":${sized.idParts},"pair_parts":${sized.pairParts},""" +
+        s""""batch_docs":$batchDocs,""" +
+        s""""pairs_bytes":$pairsBytes,"postings_bytes":$postingsBytes,""" +
         s""""build_sec":${f"$buildSec%.2f"},""" +
         s""""maintain_small_sec":${f"$maintainSec%.2f"},""" +
         s""""maintain_bytes":$maintainBytes,"n_pairs":$nPairs}""")

@@ -780,18 +780,16 @@ object SparkEntry {
       val all = docs(s, dir).select("doc_id", "text")
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
       // the DOCS table's id-hash layout is owned by the Bucketed handle
-      // (every write stamps __db; modulus derived from corpus rows and
-      // frozen in meta — DocBuckets.sizedParts/bucketed)
-      val dp = graft.table.DocBuckets.sizedParts(all.count())
-      val b = graft.table.DocBuckets.bucketed(s, root, "pdidx_docs",
-        "doc_id", dp)
-      b.drop()
+      // (every write stamps __db; modulus derived from the FULL corpus
+      // count and frozen in meta — DocBuckets.sized drops any previous
+      // run's table first so its feed/modulus can't leak in)
+      val b = graft.table.DocBuckets.sized(s, root, "pdidx_docs",
+        "doc_id", all.count(), all.filter(col("doc_id") % 3 === 1))
       // pairParts: the stale-pair lookup and the pairs merge prune to
       // the batch ids' __ab buckets (symmetric layout — the last
       // O(pairs) terms of a maintain, see DedupIndex's class doc)
       val di = graft.table.DedupIndex(s, root, "pdidx",
-        postingParts = 16, idParts = 8, docParts = dp, pairParts = 8)
-      b.create(all.filter(col("doc_id") % 3 === 1))
+        postingParts = 16, idParts = 8, docParts = b.parts, pairParts = 8)
       di.build(b.read, "doc_id", "text")
       val synced = b.version
       b.upsert(all.filter(col("doc_id") % 3 === 2))
@@ -810,25 +808,30 @@ object SparkEntry {
     // the index is maintained by subscribing to the documents table's
     // CDC STREAM (foreachBatch over the shared DedupIndex.applyChanges
     // core, batch-id idempotent) — streaming and batch dedup maintenance
-    // are one semantics by construction. Identical oracle.
+    // are one semantics by construction. Identical oracle. Runs the FULL
+    // SERVING layouts under the drain (postings sidecar + id-partitioned
+    // packed index + bucketed docs table + symmetric pairs layout), like
+    // its ANN twin: the exactly-once marker rides the pairs merge, every
+    // micro-batch exercises the postings→index→pairs commit ordering and
+    // the span tokens, and the layouts must never change answers — which
+    // is exactly the property worth benching on the oracle-compared row.
     "q_stream_dedup_index" -> ((s, dir) => {
       val all = docs(s, dir).select("doc_id", "text")
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val t = LakeTable(s, root, "sdidx_docs", Seq("doc_id"),
-        changeFeed = true)
-      t.drop()
-      val di = graft.table.DedupIndex(s, root, "sdidx")
-      t.create(all.filter(col("doc_id") % 3 === 1))
-      di.build(t.read, "doc_id", "text")
-      t.upsert(all.filter(col("doc_id") % 3 === 2))
-      t.upsert(all.filter(col("doc_id") % 3 === 0))
-      t.delete(col("doc_id") % 7 === 3)
+      val b = graft.table.DocBuckets.sized(s, root, "sdidx_docs",
+        "doc_id", all.count(), all.filter(col("doc_id") % 3 === 1))
+      val di = graft.table.DedupIndex(s, root, "sdidx",
+        postingParts = 16, idParts = 8, docParts = b.parts, pairParts = 8)
+      di.build(b.read, "doc_id", "text")
+      b.upsert(all.filter(col("doc_id") % 3 === 2))
+      b.upsert(all.filter(col("doc_id") % 3 === 0))
+      b.delete(col("doc_id") % 7 === 3)
       // the stream replays the WHOLE recorded feed; events already
       // reflected in the built index re-converge harmlessly because
       // final doc state comes from the snapshot, never the event payload
       graft.streaming.Streams.maintainDedupIndexFromChangeFeed(
-        t.readChangeFeedStream, t, di, "doc_id", "text")
-      di.pairs.read.orderBy("a_id", "b_id")
+        b.readChangeFeedStream, b.table, di, "doc_id", "text")
+      di.currentPairs.orderBy("a_id", "b_id")
     }),
 
     // SimHash near-dup pairs: shingle-feature fingerprint, chunk-bucketed
@@ -2286,13 +2289,10 @@ object SparkEntry {
       // handle (modulus derived from corpus rows, writes stamp __db) so
       // the maintainer's touched-vector fetch — the one remaining
       // O(corpus) scan — opens only the batch ids' partitions
-      val dp = graft.table.DocBuckets.sizedParts(e.count())
-      val b = graft.table.DocBuckets.bucketed(s, root, "annq_docs",
-        "vec_id", dp)
-      b.drop()
+      val b = graft.table.DocBuckets.sized(s, root, "annq_docs",
+        "vec_id", e.count(), e.filter(col("vec_id") % 3 =!= 0))
       val ai = graft.table.AnnIndex(s, root, "annq", nCells = 8,
-        docParts = dp, idParts = 4)
-      b.create(e.filter(col("vec_id") % 3 =!= 0))
+        docParts = b.parts, idParts = 4)
       ai.build(b.read, "vec_id", "embedding")
       var synced = b.version
       b.upsert(e.filter(col("vec_id") % 3 === 0))
@@ -2316,13 +2316,10 @@ object SparkEntry {
     "q_stream_ann_index" -> ((s, dir) => {
       val e = emb(s, dir).select("vec_id", "embedding")
       val root = s"/tmp/graft_tables/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      val dp = graft.table.DocBuckets.sizedParts(e.count())
-      val b = graft.table.DocBuckets.bucketed(s, root, "sannq_docs",
-        "vec_id", dp)
-      b.drop()
+      val b = graft.table.DocBuckets.sized(s, root, "sannq_docs",
+        "vec_id", e.count(), e.filter(col("vec_id") % 3 =!= 0))
       val ai = graft.table.AnnIndex(s, root, "sannq", nCells = 8,
-        docParts = dp, idParts = 4)
-      b.create(e.filter(col("vec_id") % 3 =!= 0))
+        docParts = b.parts, idParts = 4)
       ai.build(b.read, "vec_id", "embedding")
       b.upsert(e.filter(col("vec_id") % 3 === 0))
       b.upsert(e.filter(col("vec_id") % 11 === 4)
@@ -10108,9 +10105,12 @@ object SparkEntry {
                  sum(length(text)) AS chars FROM documents),
          msel AS MATERIALIZED (SELECT DISTINCT rank, l, r FROM mraw, dc
                  WHERE corpus_docs = dc.n AND corpus_chars = dc.chars),
-         mn AS MATERIALIZED (SELECT count(*) AS k FROM msel),
+         mn AS MATERIALIZED (SELECT count(*) AS k,
+                 count(DISTINCT rank) AS dr FROM msel),
          chk AS MATERIALIZED (SELECT CASE WHEN mn.k = 0
                  THEN error('no bpe sidecar for this corpus: the content-addressed merge-table dir has no entry whose corpus fingerprint matches the documents under verify - run q_bpe_tokens at this sf first')
+                 WHEN mn.k <> mn.dr
+                 THEN error('ambiguous bpe sidecar: more than one stored merge table matches this corpus fingerprint (duplicate ranks after the fingerprint cut) - two regenerated corpora collided on (doc count, char sum); clear /tmp/graft_oracle_sidecar/bpe_merges_all and re-run q_bpe_tokens')
                  ELSE 1 END AS ok FROM mn),
          m AS (SELECT list(struct_pack(a := l, b := r) ORDER BY rank) AS ms
                FROM msel),

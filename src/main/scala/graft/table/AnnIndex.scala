@@ -107,8 +107,12 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
   private def idsProbe: LakeTable =
     LakeTable(spark, root, s"${name}_ids", Seq("id"))
 
+  // INT-typed like DocBuckets.bucket: non-empty partitioned reads infer
+  // the directory column as int, so the stamped type must match what a
+  // schema-applied read would otherwise flip (pmod < idParts, always
+  // int-sized)
   private def ibOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(id), lit(idParts.toLong))
+    pmod(xxhash64(id), lit(idParts.toLong)).cast("int")
 
   /** The table the exactly-once batch marker rides: the LAST commit of
     * [[applyChanges]] — the ids sidecar when present, assign otherwise. */
@@ -252,7 +256,7 @@ final class AnnIndex(spark: SparkSession, root: String, name: String,
     * the ids' `__ib` buckets. `private[graft]` for plan pins. */
   private[graft] def idSlice(t: LakeTable, idFrame: DataFrame): DataFrame = {
     val ibs = idFrame.select(ibOf(col("id")).as("b")).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .collect().map(_.getInt(0)).toSeq
     t.read.filter(col("__ib").isin(ibs: _*))
       .join(idFrame, Seq("id"), "left_semi")
   }

@@ -156,9 +156,14 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
 
   /** Packed-index partition of an id (idParts > 0) — derived from the
     * MERGE KEY, so a row can never change partition and the pruned
-    * merge's touched set is exactly the batch ids' partitions. */
+    * merge's touched set is exactly the batch ids' partitions.
+    * INT-typed like [[DocBuckets.bucket]]: non-empty partitioned reads
+    * infer the directory-name column as int, so the stamped type must
+    * match what a schema-applied read (the `_schema_ddl` empty-snapshot
+    * fallback, a future change feed) would otherwise flip (pmod < parts
+    * ≤ 1024 everywhere, so int is always wide enough). */
   private def ibOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(id), lit(idParts.toLong))
+    pmod(xxhash64(id), lit(idParts.toLong)).cast("int")
 
   private def withIb(packed: DataFrame): DataFrame =
     if (idParts <= 0) packed else packed.withColumn("__ib", ibOf(col("id")))
@@ -172,9 +177,10 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     partitionsFromKeys = pairParts > 0)
 
   /** Pairs partition of an a_id (pairParts > 0) — derived from the
-    * leading merge key, so `partitionsFromKeys` holds. */
+    * leading merge key, so `partitionsFromKeys` holds. INT-typed (see
+    * [[ibOf]]). */
   private def abOf(aId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(aId), lit(pairParts.toLong))
+    pmod(xxhash64(aId), lit(pairParts.toLong)).cast("int")
 
   /** Both orderings of a canonical (a_id, b_id, jaccard) frame, stamped
     * with the `__ab` layout — the symmetric storage form (class doc).
@@ -206,9 +212,10 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     else Some(LakeTable(spark, root, s"${name}_postings",
       Seq("id", "band"), partitionCols = Seq("__pb")))
 
+  // INT-typed like the other layout stamps (see ibOf)
   private def pbOf(band: org.apache.spark.sql.Column,
       bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    pmod(xxhash64(band, bucket), lit(postingParts.toLong))
+    pmod(xxhash64(band, bucket), lit(postingParts.toLong)).cast("int")
 
   private def withPb(exploded: DataFrame): DataFrame =
     exploded.withColumn("__pb", pbOf(col("band"), col("bucket")))
@@ -352,7 +359,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     val standing = postings match {
       case Some(p) =>
         val pbs = probeRows.select(pbOf(col("band"), col("bucket")).as("__pb"))
-          .distinct().collect().map(_.getLong(0)).toSeq
+          .distinct().collect().map(_.getInt(0)).toSeq
         p.read.filter(col("__pb").isin(pbs: _*))
           .select("id", "band", "bucket")
       case None => exploded(index.read)
@@ -433,7 +440,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
         val cut =
           if (idParts > 0) {
             val ibs = touched.select(ibOf(col("id")).as("b")).distinct()
-              .collect().map(_.getLong(0)).toSeq
+              .collect().map(_.getInt(0)).toSeq
             base.filter(col("__ib").isin(ibs: _*))
           } else base
         withPb(exploded(cut.join(touched, Seq("id"), "left_semi")
@@ -465,9 +472,17 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
       val deadPost = deadIds.select(col("id"),
           explode(sequence(lit(0), lit(bands - 1))).as("band"))
         .withColumn("bucket", lit(null).cast("long"))
-        .withColumn("__pb", lit(null).cast("long"))
+        .withColumn("__pb", lit(null).cast("int"))
+      // the frozen layout key rides EVERY merge (like the span token):
+      // on an existing table it re-commits the value requireLayout just
+      // validated; on a first-write-via-merge it rides the implicit-
+      // create commit, so the table can never exist without its frozen
+      // modulus (the guards' absent-key tolerance would otherwise
+      // silently accept a mismatched later instance) — same rule at the
+      // index and pairs merges below
       p.upsertWithDelete(withPb(probeRows).unionByName(deadPost),
-        col("bucket").isNull, meta = Map(SpanKey -> span),
+        col("bucket").isNull,
+        meta = Map(SpanKey -> span, PartsKey -> postingParts.toString),
         matchedPartsHint = oldPostParts)
     }
 
@@ -479,7 +494,10 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     //    snapshot cannot carry for an alive doc with text).
     index.upsertWithDelete(withIb(newIdx.unionByName(deadIdx)),
       col("buckets").isNull,
-      meta = if (postings.isDefined) Map(SpanKey -> span) else Map.empty)
+      meta = (if (postings.isDefined) Map(SpanKey -> span)
+        else Map.empty[String, String]) +
+        (IdPartsKey -> idParts.toString) +
+        (DocPartsKey -> docParts.toString))
 
     // 2. Pair re-derivation for the touched slice. Candidates: the
     //    batch's (band, bucket) set is BROADCAST against the standing
@@ -543,7 +561,8 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
     // in every crash state; the marker (and span token) commit LAST
     pairs.upsertWithDelete(sym(fresh.unionByName(stale)),
       col("jaccard").isNull,
-      meta = if (postings.isDefined) meta + (SpanKey -> span) else meta)
+      meta = (if (postings.isDefined) meta + (SpanKey -> span) else meta) +
+        (PairPartsKey -> pairParts.toString))
   }
 
   /** Stored pairs touching any id of `touched` (column "id"), in
@@ -563,7 +582,7 @@ final class DedupIndex(spark: SparkSession, root: String, name: String,
         .select("a_id", "b_id")
     else {
       val abs = touched.select(abOf(col("id")).as("b")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+        .collect().map(_.getInt(0)).toSeq
       pairs.read.filter(col("__ab").isin(abs: _*))
         .join(touched.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
         .select(least(col("a_id"), col("b_id")).as("a_id"),

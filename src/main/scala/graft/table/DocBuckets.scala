@@ -118,7 +118,10 @@ object DocBuckets {
       * create-first pattern — build a handle, drop whatever config a
       * previous run stored, recreate — stays legal; create() itself is
       * DDL-replace and re-freezes the modulus. Cached after the first
-      * success: the stored key can only change through this handle. */
+      * success — but RESET by [[drop]]: once this handle drops the
+      * table, any OTHER handle can recreate it with a different
+      * modulus, so the next data access here must re-validate against
+      * whatever layout got stored. */
     private var checked = false
     private def requireStored(): Unit = if (!checked) {
       if (table.exists) table.meta.get(PartsKey).foreach(stored =>
@@ -131,22 +134,35 @@ object DocBuckets {
     /** Stamp the layout column — exposed for writes that go through
       * the raw table (e.g. a caller composing its own merge). */
     def stamp(df: DataFrame): DataFrame = withBucket(df, idCol, parts)
-    def create(df: DataFrame): Unit = {
+    def create(df: DataFrame,
+        extraMeta: Map[String, String] = Map.empty): Unit = {
       // the modulus freezes ATOMICALLY with the first version
       // (LakeTable.create meta doc)
-      table.create(stamp(df), Map(PartsKey -> parts.toString))
+      table.create(stamp(df), extraMeta + (PartsKey -> parts.toString))
       checked = true
     }
-    def upsert(df: DataFrame): Unit = { requireStored(); table.upsert(stamp(df)) }
+    /** Every merge carries the frozen-modulus key: on an EXISTING table
+      * it re-commits the value [[requireStored]] just validated (or
+      * retro-freezes a legacy absent key), and on a NOT-YET-CREATED
+      * table it rides LakeTable's implicit-create commit — without it,
+      * a first-write-via-merge would create the table with NO frozen
+      * key, and a later handle with a different modulus would pass the
+      * guard's absent-key tolerance and silently mis-prune. */
+    private def layoutMeta: Map[String, String] =
+      Map(PartsKey -> parts.toString)
+    def upsert(df: DataFrame): Unit = {
+      requireStored(); table.upsert(stamp(df), meta = layoutMeta)
+    }
     def upsertWithDelete(df: DataFrame, deleteWhen: Column): Unit = {
-      requireStored(); table.upsertWithDelete(stamp(df), deleteWhen)
+      requireStored()
+      table.upsertWithDelete(stamp(df), deleteWhen, meta = layoutMeta)
     }
     def delete(condition: Column): Unit = { requireStored(); table.delete(condition) }
     def read: DataFrame = { requireStored(); table.read }
     def version: Int = table.version
     def changesSince(v: Int): DataFrame = { requireStored(); table.changesSince(v) }
     def readChangeFeedStream: DataFrame = { requireStored(); table.readChangeFeedStream }
-    def drop(): Unit = { table.drop(); checked = true }
+    def drop(): Unit = { table.drop(); checked = false }
   }
 
   /** Handle factory. A handle whose `parts` disagrees with a STORED
@@ -162,17 +178,21 @@ object DocBuckets {
     new Bucketed(t, idCol, parts)
   }
 
-  /** [[bucketed]] with the modulus derived from the corpus itself
-    * ([[sizedParts]] over `df.count()`); the derivation is recorded in
-    * committed meta at create (`docbuckets.sizing`). */
-  def autoBucketed(spark: SparkSession, root: String, name: String,
-      idCol: String, df: DataFrame,
+  /** The create-flow factory the serving call sites use: modulus
+    * derived from `sizeRows` ([[sizedParts]] — pass the FULL corpus
+    * count even when only the first ingest wave lands at create), any
+    * previous run's table DROPPED first (a recorded change feed or a
+    * different stored modulus must not leak into this corpus), and the
+    * first wave created with the frozen layout plus the sizing
+    * derivation in the SAME committed meta. */
+  def sized(spark: SparkSession, root: String, name: String,
+      idCol: String, sizeRows: Long, initial: DataFrame,
       changeFeed: Boolean = true): Bucketed = {
-    val rows = df.count()
-    val b = bucketed(spark, root, name, idCol, sizedParts(rows), changeFeed)
-    b.create(df)
-    b.table.annotate(Map("docbuckets.sizing" ->
-      s"rows=$rows target=$TargetRowsPerPart parts=${b.parts}"))
+    val b = bucketed(spark, root, name, idCol, sizedParts(sizeRows),
+      changeFeed)
+    b.drop()
+    b.create(initial, Map("docbuckets.sizing" ->
+      s"rows=$sizeRows target=$TargetRowsPerPart parts=${b.parts}"))
     b
   }
 }

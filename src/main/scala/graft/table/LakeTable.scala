@@ -288,17 +288,36 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * snapshot with the committed schema. A partitioned table whose
     * first publish is empty is perfectly legal lakehouse state (an
     * index built over a corpus with no matches yet — DedupIndex's
-    * pairs under `pairParts`). */
-  private def readDir(dir: Path): DataFrame =
-    try spark.read.parquet(dir.toString)
+    * pairs under `pairParts`).
+    *
+    * The empty case is detected UP FRONT (no partition dirs and no
+    * data files) rather than by catching the inference failure: the
+    * failed read would first surface as an ERROR-level
+    * UNABLE_TO_INFER_SCHEMA stack trace through the listener bus —
+    * alarming log noise for a designed, legal state. The catch stays
+    * as a belt for any probe/inference disagreement, matching the
+    * error CLASS (`getCondition`), not a rendering of the message. */
+  private def readDir(dir: Path): DataFrame = {
+    val ddl = dir.resolve("_schema_ddl")
+    def schemaRead: DataFrame =
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          Files.readString(ddl)))
+        .parquet(dir.toString)
+    def hasDataFiles: Boolean = {
+      val s = Files.list(dir)
+      try s.anyMatch(p => Files.isDirectory(p) ||
+        p.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    if (Files.exists(ddl) && !hasDataFiles) schemaRead
+    else try spark.read.parquet(dir.toString)
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") &&
-            Files.exists(dir.resolve("_schema_ddl")) =>
-        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
-            Files.readString(dir.resolve("_schema_ddl"))))
-          .parquet(dir.toString)
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" &&
+            Files.exists(ddl) =>
+        schemaRead
     }
+  }
 
   /** Resolve the CURRENT snapshot ONCE and return (frame over that
     * version dir, THAT dir's committed meta), or None when the table

@@ -31,4 +31,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.detailPathFor(repeat = 1, filtered = true).isEmpty)
     assert(Bench.detailPathFor(repeat = 2, filtered = true).isEmpty)
   }
+
+  test("hostFactor: identity on an equal-speed host, scales a uniformly " +
+      "slower one, clamped to [1, 3], inert without a record probe") {
+    assert(Bench.hostFactor(0.5, Some(0.5)) == 1.0)
+    // the round-14+ regime: host ~1.3x slower than the record window
+    assert(math.abs(Bench.hostFactor(0.65, Some(0.5)) - 1.3) < 1e-9)
+    // a FASTER host must not tighten thresholds below the record's
+    // own noise floor
+    assert(Bench.hostFactor(0.3, Some(0.5)) == 1.0)
+    // past 3x the one-number correction is no longer credible
+    assert(Bench.hostFactor(5.0, Some(0.5)) == 3.0)
+    // no record / degenerate probe: raw thresholds
+    assert(Bench.hostFactor(0.7, None) == 1.0)
+    assert(Bench.hostFactor(0.7, Some(0.0)) == 1.0)
+  }
+
+  test("probeOf: min of the record's start/end calibration probes") {
+    val blob = """{"metric":"total","queries":{"q_a":1.5},""" +
+      """"calibration":{"sec_start":0.883,"sec_end":0.480,""" +
+      """"load_avg_start":1.6,"cpus":32}}"""
+    assert(Bench.probeOf(blob).contains(0.480))
+    assert(Bench.probeOf("""{"queries":{"q_a":1.5}}""").isEmpty)
+  }
 }

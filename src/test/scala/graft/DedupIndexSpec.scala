@@ -277,6 +277,36 @@ class DedupIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("pairParts=4"))
   }
 
+  test("pairParts build over a corpus with ZERO near-dup pairs: the " +
+      "empty partitioned pairs snapshot is legal, readable, and " +
+      "maintainable") {
+    val root = "/tmp/graft_tables/dedupidx_nopairs"
+    val docs = LakeTable(spark, root, "didxnp_docs", Seq("doc_id"),
+      changeFeed = true)
+    docs.drop()
+    val di = DedupIndex(spark, root, "didxnp", idParts = 4, pairParts = 8)
+    // every doc's tokens are globally unique — no shared shingles, so
+    // the build publishes an EMPTY pairs table under the __ab layout:
+    // the partitioned writer emits no data files for it, and the read
+    // must come from the _schema_ddl sidecar (LakeTable.readDir)
+    val corpus = (0L until 40L).map(i =>
+      (i, (0 until 12).map(j => s"u${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.create(corpus)
+    di.build(docs.read, "doc_id", "text")
+    assert(di.pairs.exists)
+    assert(di.currentPairs.count() == 0)
+    assert(di.pairs.read.columns.contains("__ab"))
+    val synced = docs.version
+    // a later batch that CREATES the first near-dup pair merges into
+    // the empty partitioned snapshot
+    docs.upsert(Seq((100L, (0 until 12).map(j => s"u0w$j").mkString(" ")))
+      .toDF("doc_id", "text"))
+    di.maintain(docs, "doc_id", "text", synced)
+    assert(pairSet(di.currentPairs) == Set((0L, 100L, 1.0)))
+    assertConverged(di, docs)
+  }
+
   test("crash after the postings commit with the corpus ADVANCING " +
       "before re-delivery: span tokens detect the interrupted span, " +
       "the recovery batch drops the hint, and the sidecar invariant " +

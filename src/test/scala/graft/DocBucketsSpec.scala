@@ -67,17 +67,65 @@ class DocBucketsSpec extends SparkSpec {
     }
   }
 
-  test("autoBucketed: modulus derived from corpus rows, derivation " +
-      "recorded in committed meta") {
+  test("sized: modulus derived from the full-corpus count, previous " +
+      "table dropped, sizing derivation in the create commit's meta") {
     val root = "/tmp/graft_tables/docbuckets_auto"
-    // drop any stored layout first so the factory's drift guard can't
-    // fire against a previous run's modulus
-    DocBuckets.bucketed(spark, root, "dbka_docs", "doc_id", 8).drop()
     val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
-    val b = DocBuckets.autoBucketed(spark, root, "dbka_docs", "doc_id", all)
-    assert(b.parts == DocBuckets.sizedParts(all.count()))
+    // leave a previous-run table with a DIFFERENT modulus and a recorded
+    // change feed: sized must drop it (feed replay and layout drift)
+    val prev = DocBuckets.bucketed(spark, root, "dbka_docs", "doc_id", 16)
+    prev.drop()
+    prev.create(all.limit(4))
+    prev.upsert(all.limit(8))
+    val rows = all.count()
+    val b = DocBuckets.sized(spark, root, "dbka_docs", "doc_id", rows,
+      all.filter(col("doc_id") % 2 === 0))
+    assert(b.parts == DocBuckets.sizedParts(rows))
     assert(b.table.meta.get("docbuckets.sizing").exists(m =>
       m.contains(s"parts=${b.parts}")))
+    assert(b.table.meta.get(DocBuckets.PartsKey)
+      .contains(b.parts.toString))
+    // previous feed gone: the new table's history starts at this create
+    assert(b.version == 1)
+    b.upsert(all.filter(col("doc_id") % 2 === 1))
     assert(b.read.count() == all.count())
+  }
+
+  test("drop resets the cached layout check: a handle that dropped the " +
+      "table re-validates against whatever recreated it") {
+    val root = "/tmp/graft_tables/docbuckets_spec"
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val a = DocBuckets.bucketed(spark, root, "dbkd_docs", "doc_id", 8)
+    a.drop()
+    a.create(all.limit(16))
+    assert(a.read.count() == 16) // caches the successful check
+    a.drop()
+    // ANOTHER handle recreates the table under a different modulus;
+    // handle a's cached success is now about a table that no longer
+    // exists — it must re-check, not stamp wrongly-bucketed rows
+    val other = DocBuckets.bucketed(spark, root, "dbkd_docs", "doc_id", 4)
+    other.create(all.limit(16))
+    val ex = intercept[IllegalArgumentException] { a.upsert(all.limit(4)) }
+    assert(ex.getMessage.contains("parts=8"))
+  }
+
+  test("first-write-via-merge freezes the modulus: an upsert on a " +
+      "not-yet-created table commits the layout key with version 1") {
+    val root = "/tmp/graft_tables/docbuckets_spec"
+    val all = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val b = DocBuckets.bucketed(spark, root, "dbkm_docs", "doc_id", 8)
+    b.drop()
+    // no create(): the merge's implicit-create path must still freeze
+    // the key, or a later mismatched handle would pass the guard's
+    // absent-key tolerance and silently mis-prune
+    b.upsert(all.limit(16))
+    assert(b.table.meta.get(DocBuckets.PartsKey).contains("8"))
+    val wrong = DocBuckets.bucketed(spark, root, "dbkm_docs", "doc_id", 4)
+    val ex = intercept[IllegalArgumentException] { wrong.read }
+    assert(ex.getMessage.contains("parts=4"))
+    // same guarantee for the delete-carrying merge
+    b.drop()
+    b.upsertWithDelete(all.limit(16), lit(false))
+    assert(b.table.meta.get(DocBuckets.PartsKey).contains("8"))
   }
 }

@@ -52,6 +52,29 @@ class LakeTableSpec extends SparkSpec {
     assert(rows(t) == once)
   }
 
+  test("EMPTY partitioned snapshot is legal: served from the _schema_ddl " +
+      "sidecar without surfacing an inference error") {
+    val t = LakeTable(spark, freshRoot, "t", Seq("id"),
+      partitionCols = Seq("p"))
+    // the partitioned writer emits NO data files for an empty frame —
+    // the designed state an index over a corpus with no matches yet
+    // publishes (DedupIndex pairs under pairParts)
+    t.create(df())
+    assert(t.exists)
+    assert(t.read.count() == 0)
+    // full committed schema, partition column included — and read
+    // up-front from the sidecar (no UNABLE_TO_INFER_SCHEMA ERROR ever
+    // reaches the listener bus for this designed state)
+    assert(t.read.columns.toSeq == Seq("id", "v", "p"))
+    // the empty snapshot is a real table: later merges work against it
+    t.upsert(df((1L, "a", "x")))
+    assert(rows(t) == Set((1L, "a", "x")))
+    // and a DELETE back to empty keeps the table readable
+    t.delete(lit(true))
+    assert(t.read.count() == 0)
+    assert(t.read.columns.toSeq == Seq("id", "v", "p"))
+  }
+
   test("partitioned table: partition dirs exist and upsert preserves layout") {
     val root = freshRoot
     val t = LakeTable(spark, root, "t", Seq("id"), partitionCols = Seq("p"))

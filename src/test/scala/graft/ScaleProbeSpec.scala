@@ -47,6 +47,35 @@ class ScaleProbeSpec extends SparkSpec {
     else info(msg)
   }
 
+  test("densify: the dense-pairs fixture produces exactly " +
+      "C(copies+1,2) pairs per dense base, all above threshold") {
+    // 30 long docs with globally unique tokens: no intrinsic pairs, so
+    // every pair comes from densification — 10 dense bases (doc_id%3==0)
+    // × C(5,2) = 100 true pairs at jaccard 28/34 ≈ 0.824
+    val corpus = (0L until 30L).map(i =>
+      (i, (0 until 30).map(j => s"u${i}t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val d = ScaleProbe.densify(corpus, 1000L, every = 3, copies = 4)
+      .localCheckpoint(true)
+    assert(d.count() == 30 + 10 * 4)
+    val sh = d.select(col("doc_id"),
+      graft.functions.TextFunctions.shingles(col("text"), 3).as("s"))
+    val a = sh.select(col("doc_id").as("a_id"), col("s").as("as"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s").as("bs"))
+    val inter = size(array_intersect(col("as"), col("bs")))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("j", inter /
+        (size(col("as")) + size(col("bs")) - inter))
+      .filter(col("j") >= 0.7)
+    assert(exact.count() == 100,
+      "dense fixture must contribute C(5,2) pairs per dense base")
+    // and the LSH pipeline (fixed seeds, deterministic) recovers them
+    val lsh = graft.operators.Dedup.minhashLshPairs(
+      d, "doc_id", "text", shingleN = 3, k = 64, bands = 16,
+      threshold = 0.7).count()
+    assert(lsh == 100, s"LSH recovered $lsh of 100 dense pairs")
+  }
+
   // CI-light pin for the profiling/rolling-sketch ScaleProbe rows: the
   // shape-preserving events inflation makes exact expectations provable,
   // so a probe row can't rot into measuring a different computation
