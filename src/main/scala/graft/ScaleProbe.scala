@@ -316,7 +316,13 @@ object ScaleProbe {
       val base = densify(inflate(docs, maxId, n).select("doc_id", "text"),
         maxId * n, every = 3, copies = 4).localCheckpoint(true)
       val rows = base.count()
-      val sized = graft.table.DedupIndex.sizedParts(rows, bands = 16)
+      // SPARK_GRAFT_LIFT_CLAMPS control leg, same role as in dedupidxp:
+      // separates clamp-saturation slope from algorithmic slope
+      val lift = sys.env.get("SPARK_GRAFT_LIFT_CLAMPS").contains("1")
+      val sized =
+        if (lift) graft.table.DedupIndex.sizedParts(rows, bands = 16,
+          maxPostingParts = 1 << 20, maxIdParts = 1 << 20)
+        else graft.table.DedupIndex.sizedParts(rows, bands = 16)
       val root = "/tmp/graft_tables/scaleprobe_didxpd"
       val b = graft.table.DocBuckets.bucketed(spark, root,
         s"didxpd_docs_$n", "doc_id", sized.idParts)
@@ -346,7 +352,7 @@ object ScaleProbe {
       println(s"""{"family":"dedupidxpd","factor":$n,"rows":$rows,""" +
         s""""posting_parts":${sized.postingParts},""" +
         s""""id_parts":${sized.idParts},"pair_parts":${sized.pairParts},""" +
-        s""""batch_docs":$batchDocs,""" +
+        s""""clamps_lifted":$lift,"batch_docs":$batchDocs,""" +
         s""""pairs_bytes":$pairsBytes,"postings_bytes":$postingsBytes,""" +
         s""""build_sec":${f"$buildSec%.2f"},""" +
         s""""maintain_small_sec":${f"$maintainSec%.2f"},""" +
