@@ -394,8 +394,8 @@ object ScaleProbe {
         val v0 = t.version
         v.create(graft.table.IncrementalView.minMaxView(
           t.read, Seq("o_custkey"), "o_totalprice"))
-        aux.create(graft.table.IncrementalView.fullStatsSupportView(
-          t.read, Seq("o_custkey"), "o_totalprice"))
+        graft.table.IncrementalView.createFullStatsAux(aux,
+          t.read, Seq("o_custkey"), "o_totalprice")
         vf.create(graft.table.IncrementalView.fullStatsView(
           t.read, Seq("o_custkey"), "o_totalprice"))
         // one real (tiny) churn batch, then maintain — the maintains
@@ -786,8 +786,8 @@ object ScaleProbe {
         val viewF = graft.table.LakeTable(spark, root, s"ivm_viewf_$n",
           Seq("o_custkey"))
         auxF.drop(); viewF.drop()
-        auxF.create(graft.table.IncrementalView.fullStatsSupportView(
-          base, Seq("o_custkey"), "o_totalprice"))
+        graft.table.IncrementalView.createFullStatsAux(auxF,
+          base, Seq("o_custkey"), "o_totalprice")
         viewF.create(graft.table.IncrementalView.fullStatsView(
           base, Seq("o_custkey"), "o_totalprice"))
         val (_, fullSec) = timed {

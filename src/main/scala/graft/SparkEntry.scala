@@ -1391,8 +1391,8 @@ object SparkEntry {
       t.drop(); aux.drop(); v.drop()
       t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
       val v0 = t.version
-      aux.create(graft.table.IncrementalView.fullStatsSupportView(
-        t.read, Seq("o_custkey"), "o_totalprice"))
+      graft.table.IncrementalView.createFullStatsAux(aux,
+        t.read, Seq("o_custkey"), "o_totalprice")
       v.create(graft.table.IncrementalView.fullStatsView(
         t.read, Seq("o_custkey"), "o_totalprice"))
       t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
@@ -1435,8 +1435,8 @@ object SparkEntry {
       t.drop(); aux.drop(); v.drop()
       t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
       val v0 = t.version
-      aux.create(graft.table.IncrementalView.fullStatsSupportView(
-        t.read, Seq("o_custkey"), "o_totalprice"))
+      graft.table.IncrementalView.createFullStatsAux(aux,
+        t.read, Seq("o_custkey"), "o_totalprice")
       v.create(graft.table.IncrementalView.fullStatsView(
         t.read, Seq("o_custkey"), "o_totalprice"))
       t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
@@ -1480,8 +1480,8 @@ object SparkEntry {
       t.drop(); aux.drop(); v.drop()
       t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
       val v0 = t.version
-      aux.create(graft.table.IncrementalView.fullStatsSupportView(
-        t.read, Seq("o_custkey"), "o_totalprice"))
+      graft.table.IncrementalView.createFullStatsAux(aux,
+        t.read, Seq("o_custkey"), "o_totalprice")
       v.create(graft.table.IncrementalView.fullStatsView(
         t.read, Seq("o_custkey"), "o_totalprice"))
       t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
@@ -1671,8 +1671,8 @@ object SparkEntry {
       t.drop(); aux.drop(); v.drop()
       t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
       val v0 = t.version
-      aux.create(graft.table.IncrementalView.fullStatsSupportView(
-        t.read, Seq("o_custkey"), "o_totalprice"))
+      graft.table.IncrementalView.createFullStatsAux(aux,
+        t.read, Seq("o_custkey"), "o_totalprice")
       v.create(graft.table.IncrementalView.fullStatsView(
         t.read, Seq("o_custkey"), "o_totalprice"))
       t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
@@ -1913,8 +1913,8 @@ object SparkEntry {
         Seq("o_custkey"))
       t.drop(); aux.drop(); v.drop()
       t.create(orders.filter(col("o_orderkey") % 3 =!= 0))
-      aux.create(graft.table.IncrementalView.fullStatsSupportView(
-        t.read, Seq("o_custkey"), "o_totalprice"))
+      graft.table.IncrementalView.createFullStatsAux(aux,
+        t.read, Seq("o_custkey"), "o_totalprice")
       v.create(graft.table.IncrementalView.fullStatsView(
         t.read, Seq("o_custkey"), "o_totalprice"))
       t.upsert(orders.filter(col("o_orderkey") % 2 === 0)

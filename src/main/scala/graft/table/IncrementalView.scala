@@ -597,9 +597,32 @@ object IncrementalView {
     else grouped.withColumn("__b", bucketOf(keyCols, buckets))
   }
 
-  /** Deterministic group-key hash bucket (aux partitioning). */
+  /** Frozen aux bucket-modulus meta key — same rule as DocBuckets'
+    * `docbuckets.parts` and the index families' layout keys: the
+    * presence check in [[applyFullStatsDelta]] detects bucketed vs
+    * unbucketed but is provably blind to a MODULUS change (stored
+    * pmod(h,16) < 8 implies pmod(h,8) equals it for half the keys and
+    * the `__b IN (...)` value filter silently drops the rest's current
+    * counts — corrupting newCnt, not failing). Freeze at create via
+    * [[createFullStatsAux]]; the maintainer validates and retro-freezes
+    * legacy keyless auxes at their first merge. */
+  val AuxBucketsKey = "ivm.aux_buckets"
+
+  /** Create the aux table for [[maintainFullStatsView]] with the bucket
+    * modulus frozen ATOMICALLY into the create commit (LakeTable.create
+    * meta doc — create-then-annotate would leave a crash window where
+    * the guard's absent-key tolerance accepts a mismatched maintainer). */
+  def createFullStatsAux(aux: LakeTable, df: DataFrame,
+      keyCols: Seq[String], valueCol: String, buckets: Int = 0): Unit =
+    aux.create(fullStatsSupportView(df, keyCols, valueCol, buckets),
+      Map(AuxBucketsKey -> buckets.toString))
+
+  /** Deterministic group-key hash bucket (aux partitioning). INT-typed
+    * like every other layout stamp (DocBuckets.bucket doc): non-empty
+    * partitioned reads infer the directory column as int, so the
+    * stamped type must match what a schema-applied read would flip. */
   private def bucketOf(keyCols: Seq[String], buckets: Int): Column =
-    pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong))
+    pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int")
 
   /** Span markers making the TWO-COMMIT maintainers exactly-once under
     * crash replay: the aux merge is ADDITIVE, so without them a crash
@@ -662,7 +685,16 @@ object IncrementalView {
     val keys = keyCols.map(col)
     val vDec = col(valueCol).cast("decimal(18,4)")
     val isIns = col("_change_type").isin("insert", "update_postimage")
-    require((auxBuckets > 0) == aux.read.columns.contains("__b"),
+    // frozen-modulus check first (AuxBucketsKey doc): the presence
+    // check below survives only as the legacy fallback for auxes
+    // created before the key existed — it can't tell buckets=8 from 16
+    val storedB = if (aux.exists) aux.meta.get(AuxBucketsKey) else None
+    require(storedB.forall(_ == auxBuckets.toString),
+      s"auxBuckets=$auxBuckets but the aux table was created with " +
+        s"${storedB.getOrElse("<unknown>")} — the bucket-pruned aux " +
+        "reads would silently drop current counts and corrupt the view")
+    require(storedB.isDefined ||
+      (auxBuckets > 0) == aux.read.columns.contains("__b"),
       s"auxBuckets=$auxBuckets disagrees with the aux table's layout " +
         "(created with a different fullStatsSupportView buckets value?)")
     val ch = events
@@ -689,7 +721,7 @@ object IncrementalView {
       if (auxBuckets <= 0) aux.read
       else {
         val bs = of.select(bucketOf(keyCols, auxBuckets).as("__b"))
-          .distinct().collect().map(_.getLong(0)).toSeq
+          .distinct().collect().map(_.getInt(0)).toSeq
         aux.read.filter(col("__b").isin(bs: _*))
       }
     val curAux = auxSlice(net)
@@ -710,10 +742,14 @@ object IncrementalView {
         (alive(newCnt) - alive(oldCnt)).as("__tr")): _*)
       .localCheckpoint(true) // aux merge + extrema deltas + rollup
     val auxMerge = changedAux.select(keys :+ col("__v") :+ col("cnt"): _*)
+    // the frozen modulus rides the merge like the span marker: a legacy
+    // keyless aux retro-freezes at its first maintain, and any later
+    // mismatched maintainer fails the check above instead of corrupting
     if (!auxApplied) aux.upsertWithDelete(
       if (auxBuckets <= 0) auxMerge
       else auxMerge.withColumn("__b", bucketOf(keyCols, auxBuckets)),
-      col("cnt") <= 0L, meta = Map(AuxSpanKey -> spanId))
+      col("cnt") <= 0L, meta = Map(AuxSpanKey -> spanId,
+        AuxBucketsKey -> auxBuckets.toString))
     val ext = changedAux.groupBy(keys: _*).agg(
       min(when(col("w") > 0, col("__v"))).as("ins_min"),
       max(when(col("w") > 0, col("__v"))).as("ins_max"),

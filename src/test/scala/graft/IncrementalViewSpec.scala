@@ -566,6 +566,10 @@ class IncrementalViewSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L), "k=2 extinct")
     // aux converged: no zombie rows, and it equals its own recompute
     assert(aux.read.filter(col("cnt") <= 0L).isEmpty)
+    // LEGACY aux (created without the frozen key, plain create above):
+    // the first maintain retro-froze the modulus, so a later mismatched
+    // maintainer fails the frozen-key check instead of corrupting
+    assert(aux.meta.get(IncrementalView.AuxBucketsKey).contains("0"))
   }
 
   test("full stats crash-replay: re-running the same span converges, " +
@@ -626,9 +630,12 @@ class IncrementalViewSpec extends SparkSpec {
     base.create((1L to 200L).map(i => (i, i % 8, (i % 20) * 1.0))
       .toDF("id", "k", "v"))
     val v0 = base.version
-    aux.create(IncrementalView.fullStatsSupportView(
-      base.read, Seq("k"), "v", buckets = 4))
+    // create through the helper so the modulus freezes ATOMICALLY into
+    // the create commit (AuxBucketsKey doc)
+    IncrementalView.createFullStatsAux(aux,
+      base.read, Seq("k"), "v", buckets = 4)
     view.create(IncrementalView.fullStatsView(base.read, Seq("k"), "v"))
+    assert(aux.meta.get(IncrementalView.AuxBucketsKey).contains("4"))
     // the aux landed as a Hive-partitioned table over the bucket col
     assert(java.nio.file.Files.list(aux.currentDir).toArray.map(_.toString)
       .count(_.contains("__b=")) > 1, "aux must be bucket-partitioned")
@@ -638,11 +645,19 @@ class IncrementalViewSpec extends SparkSpec {
     base.delete(col("id") % 20 === 19L && col("id") % 8 === 3L)
     base.upsert(Seq((201L, 3L, 2.5)).toDF("id", "k", "v"))
     base.delete(col("k") === 5L)
-    // a mismatched bucket count fails loudly instead of corrupting
+    // a mismatched bucket count fails loudly instead of corrupting —
+    // both the on/off flip and the MODULUS change the presence check
+    // is provably blind to (stored pmod(h,4) values are a subset of
+    // pmod(h,8)'s range, so the IN-list would silently drop counts)
     intercept[IllegalArgumentException] {
       IncrementalView.maintainFullStatsView(base, aux, view,
         Seq("k"), "v", v0, auxBuckets = 0)
     }
+    val exm = intercept[IllegalArgumentException] {
+      IncrementalView.maintainFullStatsView(base, aux, view,
+        Seq("k"), "v", v0, auxBuckets = 8)
+    }
+    assert(exm.getMessage.contains("auxBuckets=8"))
     IncrementalView.maintainFullStatsView(base, aux, view,
       Seq("k"), "v", v0, auxBuckets = 4)
     def snap(df: org.apache.spark.sql.DataFrame) =
