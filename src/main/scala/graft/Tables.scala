@@ -36,24 +36,47 @@ object Tables {
       case _ => df
     }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Inferred-schema cache per parquet path — the catalog role a real
+    * lakehouse metastore plays. `spark.read.parquet` re-infers the
+    * schema from file footers on EVERY call (~70 ms of driver-side
+    * footer I/O, measured round 16); a suite of hundreds of queries
+    * each loading 1-3 tables pays that repeatedly for immutable input
+    * files. Only the SCHEMA (metadata) is cached — every action still
+    * scans the parquet data itself, so nothing here caches results. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
     if (name == "events") {
       // schema inference fails fast here when the file is TIMESTAMP(NANOS)
       // and the session lacks the legacy flag — surface the fix instead of
       // Spark's bare "Illegal Parquet type"
-      val raw =
-        try spark.read.parquet(s"$sfDir/$name.parquet")
-        catch {
-          case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
-            throw new IllegalStateException(
-              "events.ts is parquet TIMESTAMP(NANOS); set " +
-                "spark.sql.legacy.parquet.nanosAsLong=true in your " +
-                "SparkSession.builder — it cannot be applied reliably after " +
-                "the session exists, and graft will not mutate your session's " +
-                "conf", e)
-        }
+      val sch = schemaCache.get(path)
+      val raw = sch match {
+        case Some(s) => spark.read.schema(s).parquet(path)
+        case None =>
+          val df =
+            try spark.read.parquet(path)
+            catch {
+              case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+                throw new IllegalStateException(
+                  "events.ts is parquet TIMESTAMP(NANOS); set " +
+                    "spark.sql.legacy.parquet.nanosAsLong=true in your " +
+                    "SparkSession.builder — it cannot be applied reliably after " +
+                    "the session exists, and graft will not mutate your session's " +
+                    "conf", e)
+            }
+          schemaCache.put(path, df.schema)
+          df
+      }
       normalizeEventTs(raw)
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    } else {
+      val sch = schemaCache.getOrElseUpdate(path,
+        spark.read.parquet(path).schema)
+      spark.read.schema(sch).parquet(path)
+    }
+  }
 
   /** Register every table as a temp view so plain `spark.sql` works —
     * the reference's Athena surface (SURVEY.md §2.9): tables queryable
