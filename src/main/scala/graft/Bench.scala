@@ -113,6 +113,17 @@ object Bench {
       try Tables.load(spark, sfDir, t).limit(1).collect()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: $e") }
     }
+    // Write-path warmup, same rationale: the noop sink, the parquet
+    // write committer/codec classes and the first whole-stage-codegen
+    // shuffle otherwise initialize inside whichever query sorts first
+    // (~1 s of one-time JVM cost pinned onto the same query every
+    // round — q1_agg measured 1.34 s vs its ~0.4 s steady state).
+    try {
+      val w = spark.range(10000).selectExpr("id", "id % 7 as k")
+        .groupBy("k").count()
+      w.write.format("noop").mode("overwrite").save()
+      w.write.mode("overwrite").parquet("/tmp/graft_bench_warmup")
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup w: $e") }
 
     // Machine-contention guardrails: a fixed CPU-bound calibration job
     // timed before and after the suite + the OS load average. Query times

@@ -81,6 +81,26 @@ object MicroBench {
     time("collect-equivalent count of same frame", 8) {
       small.count()
     }
+
+    // 4. isolated LakeTable commit path at bench scale: the floor every
+    // lakehouse composite pays per DML, with and without the CDF feed
+    import org.apache.spark.sql.functions.col
+    val half = orders.filter(col("o_orderkey") % 2 === 0)
+    def mkTable(name: String, feed: Boolean) = {
+      val t = graft.table.LakeTable(spark, "/tmp/mb_tables", name,
+        Seq("o_orderkey"), changeFeed = feed)
+      t.drop(); t.create(orders); t
+    }
+    val tNoFeed = mkTable("mb_nofeed", feed = false)
+    time("LakeTable.upsert 75k rows (no feed)", 5) { tNoFeed.upsert(half) }
+    time("LakeTable.delete ~20% (no feed)", 3) {
+      tNoFeed.delete(col("o_orderkey") % 5 === 0); tNoFeed.upsert(orders)
+    }
+    val tFeed = mkTable("mb_feed", feed = true)
+    time("LakeTable.upsert 75k rows (changeFeed)", 5) { tFeed.upsert(half) }
+    time("LakeTable.delete ~20% (changeFeed)", 3) {
+      tFeed.delete(col("o_orderkey") % 5 === 0); tFeed.upsert(orders)
+    }
     spark.stop()
   }
 }

@@ -196,6 +196,26 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   private def schemaFingerprint(st: org.apache.spark.sql.types.StructType): String =
     st.map(f => s"${f.name}:${f.dataType.sql}").mkString("|")
 
+  /** Parse a fingerprint back into the (nullable-widened) schema it was
+    * rendered from, or None when the roundtrip is not lossless (a
+    * column name containing ':' or '|', a pre-fp footer-derived key
+    * that fails to re-render) — the caller then falls back to the
+    * footer probe. Lossless-roundtrip-checked so the fast path can
+    * never serve a schema the footer probe would not have. */
+  private def schemaFromFingerprint(fp: String):
+      Option[org.apache.spark.sql.types.StructType] =
+    try {
+      import org.apache.spark.sql.types.{DataType, StructField, StructType}
+      val fields = fp.split('|').toIndexedSeq.map { seg =>
+        val i = seg.indexOf(':')
+        require(i > 0, s"no type in '$seg'")
+        StructField(seg.substring(0, i),
+          DataType.fromDDL(seg.substring(i + 1)))
+      }
+      val st = StructType(fields)
+      if (schemaFingerprint(st) == fp) Some(st) else None
+    } catch { case _: Throwable => None }
+
   /** Stage the insert/update feed for an upsert of `source` against the
     * CURRENT snapshot (call before publish; reads resolve the old
     * pointer). Schema-evolving sources align both sides with typed
@@ -1061,12 +1081,17 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
           case _                         => acc :+ ((k, Vector(i)))
         }
     }
-    groups.map { case (_, vs) =>
-      // one footer probe per EPOCH for the authoritative types,
-      // nullability widened (dirs in a group agree by fingerprint)
-      val schema = StructType(
+    // the epoch's authoritative types come from its fingerprint STRING
+    // when it parses back losslessly (the rendering is `name:type.sql`,
+    // DDL-parseable; the roundtrip check rejects any name a ':' or '|'
+    // would make ambiguous) — zero footer I/O on the common path. The
+    // footer probe stays as the fallback for pre-fp dirs and
+    // unparseable names; nullability widened either way (dirs in a
+    // group agree by fingerprint).
+    groups.map { case (k, vs) =>
+      val schema = schemaFromFingerprint(k).getOrElse(StructType(
         spark.read.parquet(feedDir(vs.head).toString).schema
-          .map(f => StructField(f.name, f.dataType)))
+          .map(f => StructField(f.name, f.dataType))))
       val df = spark.read.schema(schema)
         .parquet(vs.map(i => feedDir(i).toString): _*)
       df.select(cur.columns.toIndexedSeq.map { c =>
