@@ -570,8 +570,35 @@ object Stats {
         col(covCol).cast("double").as("__cov") :+
         col(outcomeCol).cast("decimal(20,4)").as("__y") :+
         when(treated, 1).otherwise(0).as("__side"): _*)
+    // The carries are a segmented prefix scan over the TOTAL order
+    // (strata, cov, side, id DESC). A window partitioned by the bare
+    // strata runs it serially per stratum — with 3 strata over 600k
+    // lineitem rows that is 3-task parallelism on a 32-core host, the
+    // guide-§2.5 skew shape (and at cluster scale, 3 giant partitions
+    // no engine can split). Chunked rewrite, algebraically exact:
+    // range-partition the total order into chunks, run BOTH running
+    // carries inside each (strata, chunk) group in parallel, and fix
+    // up chunk boundaries with a tiny per-chunk carry table — the
+    // classic two-phase prefix scan. Boundary carries: among CONTROLS
+    // the order reduces to (cov asc, id desc), so a chunk's last
+    // control in scan order is max_by struct(cov, -id) and its first
+    // is min_by — unique keys (id is unique), no ties. A chunk with no
+    // controls contributes no summary row and inherits its carry from
+    // earlier chunks through the ignoreNulls running last over the
+    // chunk axis. Chunk ids are only grouping labels: ANY split of the
+    // total order yields the same final carries, so the result does
+    // not depend on range-sampling boundaries.
     val ord = Seq(col("__cov").asc, col("__side").asc, col("__id").desc)
-    val wPrev = Window.partitionBy(strataCols.map(col): _*)
+    val rangeExprs = strataCols.map(col(_).asc) ++ ord
+    // materialized ONCE: three consumers (windows, summaries, spine)
+    // must see the SAME chunk ids — independently re-executed range
+    // exchanges may sample different boundaries, and the boundary
+    // fixup is only correct for the chunking the windows actually ran
+    val chunked = base.repartitionByRange(rangeExprs: _*)
+      .withColumn("__chunk", spark_partition_id())
+      .localCheckpoint(true)
+    val grp = strataCols.map(col) :+ col("__chunk")
+    val wPrev = Window.partitionBy(grp: _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the "nearest control at-or-above" is the same carry over the
@@ -580,15 +607,44 @@ object Stats {
     // UnboundedFollowing frames are quadratic per partition: measured
     // as a multi-hour stall on 200k-row strata at sf0.1), while both
     // running frames here are incremental O(n)
-    val wNext = Window.partitionBy(strataCols.map(col): _*)
+    val wNext = Window.partitionBy(grp: _*)
       .orderBy(col("__cov").desc, col("__side").desc, col("__id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def ctrl(c: Column): Column = when(col("__side") === 0, c)
-    val carried = base
-      .withColumn("__pc", last(ctrl(col("__cov")), ignoreNulls = true).over(wPrev))
-      .withColumn("__py", last(ctrl(col("__y")), ignoreNulls = true).over(wPrev))
-      .withColumn("__nc", last(ctrl(col("__cov")), ignoreNulls = true).over(wNext))
-      .withColumn("__ny", last(ctrl(col("__y")), ignoreNulls = true).over(wNext))
+    val inChunk = chunked
+      .withColumn("__pc0", last(ctrl(col("__cov")), ignoreNulls = true).over(wPrev))
+      .withColumn("__py0", last(ctrl(col("__y")), ignoreNulls = true).over(wPrev))
+      .withColumn("__nc0", last(ctrl(col("__cov")), ignoreNulls = true).over(wNext))
+      .withColumn("__ny0", last(ctrl(col("__y")), ignoreNulls = true).over(wNext))
+    // per-(strata, chunk) control extremes in scan order (controls only)
+    val okey = struct(col("__cov"), -col("__id"))
+    val summaries = chunked.filter(col("__side") === 0)
+      .groupBy(grp: _*)
+      .agg(max_by(struct(col("__cov").as("c"), col("__y").as("y")), okey)
+          .as("__lastCtrl"),
+        min_by(struct(col("__cov").as("c"), col("__y").as("y")), okey)
+          .as("__firstCtrl"))
+    // carry-in per chunk: last control of any EARLIER chunk (prev
+    // direction) / first control of any LATER chunk (next direction).
+    // All-chunks spine so control-free chunks still receive a carry.
+    val allChunks = chunked.select(grp: _*).distinct()
+    val wIn = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOut = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__chunk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allChunks
+      .join(summaries, strataCols :+ "__chunk", "left")
+      .withColumn("__pIn", last(col("__lastCtrl"), ignoreNulls = true).over(wIn))
+      .withColumn("__nIn", last(col("__firstCtrl"), ignoreNulls = true).over(wOut))
+      .select(grp :+ col("__pIn") :+ col("__nIn"): _*)
+    val carried = inChunk
+      .join(broadcast(carries), strataCols :+ "__chunk", "left")
+      .withColumn("__pc", coalesce(col("__pc0"), col("__pIn.c")))
+      .withColumn("__py", coalesce(col("__py0"), col("__pIn.y")))
+      .withColumn("__nc", coalesce(col("__nc0"), col("__nIn.c")))
+      .withColumn("__ny", coalesce(col("__ny0"), col("__nIn.y")))
     val dPrev = col("__cov") - col("__pc")
     val dNext = col("__nc") - col("__cov")
     val usePrev = col("__pc").isNotNull &&
