@@ -81,10 +81,30 @@ object JobProfileDetail {
             exception: Exception): Unit = ()
       })
 
+    // Streaming micro-batch phase attribution: progress events carry
+    // durationMs per phase (addBatch = the real work; the rest is
+    // lifecycle — offset/commit logs, source listing, planning).
+    val streamPhases = TrieMap.empty[String, (Long, Int)]
+    var streamBatches = 0
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          streamBatches += 1
+          e.progress.durationMs.forEach { (k, v) =>
+            val (s, n) = streamPhases.getOrElse(k, (0L, 0))
+            streamPhases.put(k, (s + v, n + 1)); ()
+          }
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      })
+
     names.foreach { n =>
       org.apache.spark.GraftListenerBridge.drainListenerBus(
         spark.sparkContext, 30000)
       agg.clear(); starts.clear(); execAgg.clear()
+      streamPhases.clear(); streamBatches = 0
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -106,6 +126,12 @@ object JobProfileDetail {
         f"(non-action driver time ${sec - execSec}%.2f s)")
       execs.take(30).foreach { case (k, (s, c)) =>
         println(f"   $s%7.2f s  $c%4d x  $k")
+      }
+      if (streamBatches > 0) {
+        println(s"   -- streaming: $streamBatches micro-batch progress events")
+        streamPhases.toSeq.sortBy(-_._2._1).foreach { case (k, (ms, c)) =>
+          println(f"   ${ms / 1000.0}%7.2f s  $c%4d x  phase:$k")
+        }
       }
     }
     spark.stop()
