@@ -230,6 +230,68 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
   private def stageUpsertFeed(source: DataFrame): Unit =
     stageFeed(upsertFeedEvents(source))
 
+  /** Stage the merged data AND its change feed in ONE Spark action
+    * (unpartitioned tables): both frames ride a single union write,
+    * discriminated by a `__dest` partition column, and the staged
+    * output is then rearranged with same-filesystem renames into the
+    * canonical stagingDir + feedStagingDir layout — publish() and every
+    * reader are untouched. Vs. the two sequential writes this removes
+    * one full write job (driver latency + commit protocol) per
+    * feed-carrying DML — measured ~0.25 s at lab scale, one fewer
+    * job/commit round-trip at any scale — and lets the planner share
+    * runtime-reused exchanges between the merged rewrite and the feed
+    * derivation (both shuffle the target by the merge key).
+    *
+    * Data files physically carry an all-NULL `_change_type` column (the
+    * union's alignment): invisible to every reader, because non-empty
+    * version dirs are served from the committed `_schema_ddl` sidecar
+    * ([[declaredRead]]), which prunes it, and the sidecar is written
+    * from the LOGICAL data schema below. The feed's `_schema_fp` is
+    * written from the union's column order — the order the physical
+    * feed files actually carry.
+    *
+    * Partitioned tables keep the two-write path: their staged layout
+    * (Hive partition dirs consumed by the hard-link reuse walk) does
+    * not compose with the discriminator column. An EMPTY feed gets an
+    * explicit empty-frame write (the partitioned writer emits no dir
+    * for an empty branch) so feed coverage stays contiguous —
+    * changesSince's fast path depends on it. */
+  private def stageWithFeed(df: DataFrame, feed: DataFrame): Unit = {
+    if (partitionCols.nonEmpty) { writeTo(df, stagingDir); stageFeed(feed); return }
+    import org.apache.spark.sql.functions.lit
+    deleteRecursively(stagingDir)
+    deleteRecursively(feedStagingDir)
+    val fused = df
+      .withColumn("_change_type", lit(null).cast("string"))
+      .withColumn("__dest", lit("data"))
+      .unionByName(feed.withColumn("__dest", lit("feed")),
+        allowMissingColumns = true)
+    fused.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .partitionBy("__dest").parquet(stagingDir.toString)
+    val feedSchema = org.apache.spark.sql.types.StructType(
+      fused.schema.fields.filterNot(_.name == "__dest"))
+    val dataPart = stagingDir.resolve("__dest=data")
+    val feedPart = stagingDir.resolve("__dest=feed")
+    if (Files.isDirectory(feedPart))
+      Files.move(feedPart, feedStagingDir, StandardCopyOption.ATOMIC_MOVE)
+    else
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema)
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(feedStagingDir.toString)
+    if (Files.isDirectory(dataPart)) {
+      scala.util.Using.resource(Files.list(dataPart))(_.forEach(p =>
+        Files.move(p, stagingDir.resolve(p.getFileName.toString))))
+      Files.delete(dataPart)
+    }
+    Files.writeString(feedStagingDir.resolve("_schema_fp"),
+      schemaFingerprint(feedSchema))
+    Files.writeString(stagingDir.resolve("_schema_ddl"), df.schema.toDDL)
+    if (exists) writeMeta(stagingDir, readMeta(currentDir))
+  }
+
   private def upsertFeedEvents(source: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{array, explode, lit, struct, when, xxhash64}
     // the feed join only consults target rows MATCHING source keys, so
@@ -458,9 +520,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     else {
       val merged = CoreOps.antiJoin(mergeKeys, df)(read)
         .unionByName(df, allowMissingColumns = true)
-      writeTo(merged, stagingDir)
+      // feed reads still resolve the old pointer (publish comes after)
+      if (changeFeed) stageWithFeed(merged, upsertFeedEvents(df))
+      else writeTo(merged, stagingDir)
       if (meta.nonEmpty) writeMeta(stagingDir, readMeta(currentDir) ++ meta)
-      if (changeFeed) stageUpsertFeed(df) // reads still resolve old pointer
       publish()
     }
   }
@@ -535,9 +598,9 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     }
     val merged = CoreOps.antiJoin(mergeKeys, src)(read)
       .unionByName(survivors, allowMissingColumns = true)
-    writeTo(merged, stagingDir)
+    if (changeFeed) stageWithFeed(merged, feedEventsWithDeletes(src, del))
+    else writeTo(merged, stagingDir)
     if (meta.nonEmpty) writeMeta(stagingDir, readMeta(currentDir) ++ meta)
-    if (changeFeed) stageFeedWithDeletes(src, del)
     publish()
   }
 
@@ -546,7 +609,11 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     * (pre-delete images) as delete events — keys in `df` with no
     * target match are no-ops, like SQL DELETE. */
   private def stageFeedWithDeletes(df: DataFrame,
-      del: org.apache.spark.sql.Column): Unit = {
+      del: org.apache.spark.sql.Column): Unit =
+    stageFeed(feedEventsWithDeletes(df, del))
+
+  private def feedEventsWithDeletes(df: DataFrame,
+      del: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val deletedKeys = df.filter(del).select(mergeKeys.map(col): _*).distinct()
     // same key-derived cut as upsertFeedEvents: deleted keys' target
@@ -554,8 +621,8 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val delEvents = prunedToSourceParts(read, df)
       .join(deletedKeys, mergeKeys, "left_semi")
       .withColumn("_change_type", lit("delete"))
-    stageFeed(upsertFeedEvents(df.filter(!del))
-      .unionByName(delEvents, allowMissingColumns = true))
+    upsertFeedEvents(df.filter(!del))
+      .unionByName(delEvents, allowMissingColumns = true)
   }
 
   /** Safe partition-pruned MERGE over the full partition tuple.
@@ -821,9 +888,10 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
     val cond = coalesce(condition, lit(false))
     val cur = read
     if (partitionCols.isEmpty) {
-      writeTo(cur.filter(!cond), stagingDir)
       if (changeFeed)
-        stageFeed(cur.filter(cond).withColumn("_change_type", lit("delete")))
+        stageWithFeed(cur.filter(!cond),
+          cur.filter(cond).withColumn("_change_type", lit("delete")))
+      else writeTo(cur.filter(!cond), stagingDir)
       publish()
       return
     }
@@ -874,7 +942,6 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
         cur.columns.toIndexedSeq.map { c =>
           assignments.get(c).map(_.as(c)).getOrElse(col(c))
         }: _*), "update")
-    writeTo(updated, stagingDir)
     if (changeFeed) {
       // pre/post images of MATCHED rows whose non-key values actually
       // changed (no-op assignments produce no events, matching the
@@ -894,8 +961,9 @@ final class LakeTable(spark: SparkSession, root: String, name: String,
         .withColumn("_change_type", lit("update_preimage"))
       val post = after.join(changedKeys, mergeKeys, "left_semi")
         .withColumn("_change_type", lit("update_postimage"))
-      stageFeed(post.unionByName(pre))
-    }
+      // partitioned tables fall back to the two-write path inside
+      stageWithFeed(updated, post.unionByName(pre))
+    } else writeTo(updated, stagingDir)
     if (pruned) linkUntouched(donor, donor, 0, Nil, touched, encDriver)
     publish()
   }
